@@ -1,0 +1,133 @@
+"""Brute-force pure-Python BM25 oracle — the pytest referee.
+
+Stands in for "reference Lucene" (no JVM Lucene in this sandbox): a
+deliberately naive, obviously-correct implementation of Lucene 8
+search semantics over an in-memory corpus, against which the Spark
+engine must be rank-identical (BASELINE.json north_rule; reference
+end-to-end test shape: SimpleFDBDirectoryTest.java:144-159).
+
+Scoring math is imported from functions.bm25 — the SAME module the
+engine kernels use — and a golden test pins that module's constants,
+so oracle and engine cannot drift together silently. Everything else
+here (postings maps, python loops) is intentionally simple; this
+module is never on the engine's execution path.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+
+from .functions import bm25
+from .functions.analysis import tokenize_text
+
+
+@dataclass
+class OracleIndex:
+    doc_keys: list          # position i -> external doc key
+    postings: dict          # term -> dict[int docid, (tf, positions tuple)]
+    dlq: np.ndarray         # quantized doc length per docid
+    n_docs: int
+    avgdl: float            # exact sumTotalTermFreq / docCount
+    sum_ttf: int
+    sum_df: int
+
+
+def build_oracle_index(doc_keys: list, texts: list[str]) -> OracleIndex:
+    postings: dict[str, dict[int, tuple[int, tuple]]] = defaultdict(dict)
+    doclens = np.zeros(len(texts), dtype=np.int64)
+    for did, text in enumerate(texts):
+        toks = tokenize_text(text)
+        doclens[did] = len(toks)
+        occ: dict[str, list[int]] = defaultdict(list)
+        for pos, t in enumerate(toks):
+            occ[t].append(pos)
+        for t, ps in occ.items():
+            postings[t][did] = (len(ps), tuple(ps))
+    sum_ttf = int(doclens.sum())
+    sum_df = sum(len(v) for v in postings.values())
+    n_docs = len(texts)
+    avgdl = sum_ttf / n_docs if n_docs else 0.0
+    return OracleIndex(
+        doc_keys=list(doc_keys),
+        postings=dict(postings),
+        dlq=bm25.quantize_doclen(doclens),
+        n_docs=n_docs,
+        avgdl=avgdl,
+        sum_ttf=sum_ttf,
+        sum_df=sum_df,
+    )
+
+
+def _term_scores(idx: OracleIndex, term: str) -> dict[int, float]:
+    plist = idx.postings.get(term)
+    if not plist:
+        return {}
+    docs = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))
+    tfs = np.fromiter((v[0] for v in plist.values()), dtype=np.int64, count=len(plist))
+    scores = bm25.term_score(tfs, idx.dlq[docs], len(plist), idx.n_docs, idx.avgdl)
+    return dict(zip(docs.tolist(), scores.tolist()))
+
+
+def search(idx: OracleIndex, terms: list[str], k: int, mode: str = "or") -> list[tuple]:
+    """Top-k [(doc_key, float32 score)] — score desc, docid asc ties.
+
+    Duplicate query terms are deduplicated (Lucene BooleanQuery
+    deduplicates identical SHOULD clauses' contribution only partially;
+    we define the engine contract as set-of-terms semantics).
+    """
+    terms = sorted(set(terms))
+    per_term = [_term_scores(idx, t) for t in terms]
+    if mode == "and":
+        live = None
+        for m in per_term:
+            keys = set(m.keys())
+            live = keys if live is None else (live & keys)
+        live = live or set()
+    elif mode == "phrase":
+        live = _phrase_match(idx, terms_in_order(terms))
+    else:
+        live = set()
+        for m in per_term:
+            live |= m.keys()
+    acc: dict[int, float] = {}
+    for m in per_term:
+        for d, s in m.items():
+            if d in live:
+                acc[d] = acc.get(d, 0.0) + s  # float64 sum of float32 addends
+    ranked = sorted(acc.items(), key=lambda kv: (-np.float32(kv[1]), kv[0]))
+    return [(idx.doc_keys[d], float(np.float32(s))) for d, s in ranked[:k]]
+
+
+def terms_in_order(terms: list[str]) -> list[str]:
+    return list(terms)
+
+
+def _phrase_match(idx: OracleIndex, terms: list[str]) -> set[int]:
+    """Exact-phrase docids: positions of term i+1 == positions of term i + 1."""
+    if not terms:
+        return set()
+    first = idx.postings.get(terms[0], {})
+    out = set()
+    for d in first:
+        starts = set(first[d][1])
+        ok = True
+        for off, t in enumerate(terms[1:], start=1):
+            plist = idx.postings.get(t, {})
+            if d not in plist:
+                ok = False
+                break
+            starts &= {p - off for p in plist[d][1]}
+            if not starts:
+                ok = False
+                break
+        if ok and starts:
+            out.add(d)
+    return out
+
+
+def count_matches(idx: OracleIndex, terms: list[str], mode: str = "or") -> int:
+    """totalHits analogue (reference: SimpleFDBDirectoryTest.java:155)."""
+    return len(search(idx, terms, k=idx.n_docs or 1, mode=mode))

@@ -1,0 +1,197 @@
+"""Snapshot manifest: atomic publish, time travel, lineage.
+
+The reference's commit point is a constant-time atomic rename of the
+Lucene segments file inside one FDB transaction (reference:
+FDBDirectory.java:350-365, README.md:70-86). No Iceberg runtime
+exists in this sandbox (SURVEY.md section 7.2), so we implement the
+same semantics as a JSON-manifest-over-Parquet layer:
+
+- segment data is written to task-unique immutable paths first;
+  anything not referenced by a committed manifest is invisible — the
+  reference's write-after-delete tolerance (FDBIndexOutput.java:182-189)
+  becomes orphan-output tolerance;
+- publishing = write manifest.v{N}.json exclusively (optimistic CAS on
+  the version — a writer losing the race gets a clean conflict error,
+  mirroring the lock-free FDBIndexWriter claim, README.md:33-38), then
+  os.rename a tmp CURRENT pointer (POSIX-atomic, the `rename` analogue);
+- readers resolve CURRENT once and pin that snapshot for the whole
+  query — the reference's ReadVersionCache snapshot pinning
+  (ReadVersionCache.java:23,32-46) becomes manifest-version pinning,
+  and any historical version remains openable (time travel / resume
+  checkpoint, BASELINE.json north_rule "resumable from checkpoint").
+
+On a real deployment this module is the seam where an Iceberg catalog
+would be substituted; paths here are local-FS/POSIX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+MANIFEST_DIR = "manifest"
+CURRENT = "CURRENT"
+FORMAT_VERSION = 1
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first (optimistic CAS lost)."""
+
+
+@dataclass
+class SegmentMeta:
+    """Stats + lineage for one immutable segment (reference analogue:
+    per-file FileMetaData, FDBDirectory.java:438-449, plus the index
+    counters of DATA.md:22,33-35)."""
+
+    segment_id: str
+    path: str                 # relative to index root
+    n_docs: int
+    sum_dl: int               # exact sum of field lengths (drives avgdl)
+    n_terms: int
+    n_postings: int
+    doc_min: int
+    doc_max: int
+    bytes: int = 0
+    lineage: list[dict] = field(default_factory=list)  # per-partition metrics
+
+    def to_json(self) -> dict:
+        return dict(self.__dict__)
+
+    @staticmethod
+    def from_json(d: dict) -> "SegmentMeta":
+        return SegmentMeta(**d)
+
+
+@dataclass
+class Manifest:
+    version: int
+    analyzer: str
+    block_size: int
+    n_shards: int
+    segments: list[SegmentMeta]
+    parent_version: int | None = None
+    properties: dict[str, Any] = field(default_factory=dict)
+    format_version: int = FORMAT_VERSION
+
+    # -- aggregate corpus stats (exact; what BM25 needs, DATA.md:33-35)
+    @property
+    def n_docs(self) -> int:
+        return sum(s.n_docs for s in self.segments)
+
+    @property
+    def sum_dl(self) -> int:
+        return sum(s.sum_dl for s in self.segments)
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+    @property
+    def doc_max(self) -> int:
+        return max((s.doc_max for s in self.segments), default=-1)
+
+    def segment_paths(self, root: str, table: str) -> list[str]:
+        return [os.path.join(root, s.path, table) for s in self.segments]
+
+    def to_json(self) -> dict:
+        d = dict(self.__dict__)
+        d["segments"] = [s.to_json() for s in self.segments]
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        d = dict(d)
+        d["segments"] = [SegmentMeta.from_json(s) for s in d["segments"]]
+        return Manifest(**d)
+
+
+class IndexCatalog:
+    """Directory-open/create + snapshot commit for one index root
+    (reference analogue: FDBDirectory.open, FDBDirectory.java:102-167)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, MANIFEST_DIR)
+
+    # ------------------------------------------------------------- read side
+    def current_version(self) -> int | None:
+        cur = os.path.join(self.manifest_dir, CURRENT)
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        return int(name.split(".v")[1].split(".json")[0])
+
+    def load(self, version: int | None = None) -> Manifest:
+        """Pin a snapshot. version=None -> CURRENT (resolved exactly once)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed manifest under {self.root}")
+        path = os.path.join(self.manifest_dir, f"manifest.v{version:06d}.json")
+        with open(path) as f:
+            return Manifest.from_json(json.load(f))
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for n in os.listdir(self.manifest_dir):
+            if n.startswith("manifest.v") and n.endswith(".json"):
+                out.append(int(n[len("manifest.v"):-len(".json")]))
+        return sorted(out)
+
+    # ------------------------------------------------------------ write side
+    def commit(self, manifest: Manifest) -> Manifest:
+        """Atomically publish a new snapshot (the `rename` analogue)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        path = os.path.join(self.manifest_dir, f"manifest.v{manifest.version:06d}.json")
+        try:
+            # exclusive create = optimistic CAS on the version number
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"manifest v{manifest.version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest.to_json(), f, indent=1)
+        tmp = os.path.join(self.manifest_dir, f".{CURRENT}.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(path))
+        os.rename(tmp, os.path.join(self.manifest_dir, CURRENT))  # atomic publish
+        return manifest
+
+    def next_version(self) -> int:
+        cur = self.current_version()
+        return 1 if cur is None else cur + 1
+
+    def new_segment_path(self, segment_id: str) -> str:
+        """Immutable, collision-free data path (not yet visible)."""
+        return os.path.join("data", "segments", segment_id)
+
+    def expire_orphans(self, keep_versions: int = 3) -> list[str]:
+        """Physical cleanup of segments unreachable from the newest
+        manifests (Iceberg expire_snapshots analogue; reference: deferred
+        pendingDeletions concept, FDBDirectory.java:387-390)."""
+        versions = self.versions()
+        keep = set(versions[-keep_versions:])
+        live: set[str] = set()
+        for v in keep:
+            m = self.load(v)
+            live |= {s.path for s in m.segments}
+        seg_root = os.path.join(self.root, "data", "segments")
+        removed = []
+        if os.path.isdir(seg_root):
+            for name in os.listdir(seg_root):
+                rel = os.path.join("data", "segments", name)
+                if rel not in live:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                    removed.append(rel)
+        return removed
