@@ -68,6 +68,39 @@ def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     return vals
 
 
+def varbyte_encode_split(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Encode `values` once, return one bytes object per segment.
+
+    seg_starts are the value-index starts of each segment (first must
+    be 0). This is the vectorized bulk path: one numpy encode pass for
+    an entire partition, then O(1) slicing per segment — used by the
+    block packer so per-block Python work is just a memory slice.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    if n == 0:
+        return [b""] * seg_starts.size
+    nb = np.ones(n, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nb += (tmp > 0).astype(np.int64)
+        tmp = tmp >> _U7
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        sel = nb > j
+        idx = starts[sel] + j
+        byte = ((v[sel] >> np.uint64(7 * j)) & _MASK7).astype(np.uint8)
+        cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    buf = out.tobytes()
+    byte_starts = starts[seg_starts]
+    byte_ends = np.append(byte_starts[1:], len(buf))
+    return [buf[a:b] for a, b in zip(byte_starts.tolist(), byte_ends.tolist())]
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """Gaps of a sorted non-negative array; first element absolute."""
     v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)

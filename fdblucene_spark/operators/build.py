@@ -2,53 +2,67 @@
 
 The Spark re-expression of the reference's indexing path
 (IndexWriter.addDocument -> Lucene80Codec -> FDB pages; trace in
-SURVEY.md section 3.1). Every stage is declarative DataFrame work or
-an Arrow-batched kernel; there is no per-row Python anywhere:
+SURVEY.md section 3.1). Pipeline shape — exactly one wide shuffle:
 
 1. dense docID assignment — range-partition + in-partition sort + two-
    pass offset add (scales: no global window; the reference's docID
    allocator is a transactional counter, DATA.md:17-22);
-2. tokenize (versioned analyzer, functions/analysis.py) + posexplode
-   (JVM) -> (doc, pos, term);
-3. groupBy(doc, term) -> tf + sorted position list (the logical
-   postings of DATA.md:53-54), Catalyst partial+final aggregation;
-4. doc length via window-sum over doc + SmallFloat quantization
-   (norms, DATA.md:37);
-5. salted shuffle: shard = doc % n_shards keeps every doc's postings
-   for all terms co-located per shard (so AND/phrase intersect locally)
-   while splitting hot Zipf terms across shards (north_rule skew
-   handling);
-6. mapInPandas block packer: delta+varbyte blocks with per-block
-   (min_doc, max_doc, max_tf, min_dlq) — the block-max metadata;
-7. Parquet segment (postings + termdict + doclen) at an invisible
-   task-unique path, then manifest commit publishes it atomically.
+2. INVERT kernel (mapInPandas): tokenize + per-document inversion in
+   one Arrow batch — the batch plays the role of Lucene's in-memory
+   segment buffer. Emits one row per (doc, term): tf, positions
+   already delta+varbyte encoded, doc length + SmallFloat norm byte
+   (DATA.md:37). Because (doc, term) aggregation is doc-local, no
+   explode/groupBy/window shuffle is needed at all;
+3. salted shuffle: repartition by (term, shard) where
+   shard = doc % n_shards — keeps every doc's postings co-located per
+   shard (AND/phrase intersect locally) while splitting hot Zipf terms
+   across shards (north_rule skew handling);
+4. PACK kernel (mapInPandas): whole-partition vectorized block
+   packing — one varbyte pass for all doc gaps / tfs, per-block work
+   is a byte slice. Emits delta+varbyte blocks with (min_doc, max_doc,
+   max_tf, min_dlq) block-max metadata;
+5. termdict/doclen: cheap Catalyst aggs over the persisted inverted
+   relation (partial+final, DATA.md:33-35,47-48 stats);
+6. Parquet segment at an invisible task-unique path; manifest commit
+   publishes atomically (FDBDirectory.java:350-365 rename analogue).
 
 Idempotence/resume: pass a build `fingerprint`; if the current
 manifest already carries a segment with that fingerprint the build is
 a no-op (reference analogue: applyIfExists write-after-delete
-tolerance, FDBIndexOutput.java:182-189, and snapshot-checkpoint
-resume per BASELINE.json).
+tolerance, FDBIndexOutput.java:182-189).
 """
 
 from __future__ import annotations
 
 import os
+import re
 import uuid
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel, TaskContext
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import bm25, codec
-from ..functions.analysis import ANALYZER_VERSION, exploded_terms
+from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE
 from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta
 
 DEFAULT_N_SHARDS = 16
 DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
+
+INVERTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("dlq", T.IntegerType(), False),
+        T.StructField("positions", T.BinaryType(), True),
+    ]
+)
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -68,12 +82,6 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
-@F.pandas_udf(T.IntegerType())
-def _dlq_udf(dl: pd.Series) -> pd.Series:
-    """SmallFloat intToByte4 norm quantization, Arrow-batched."""
-    return pd.Series(bm25.int_to_byte4(dl.to_numpy(np.int64)), dtype="int32")
-
-
 def assign_dense_doc_ids(
     df: DataFrame,
     key_cols: list[str],
@@ -91,12 +99,10 @@ def assign_dense_doc_ids(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+        num_partitions = spark.sparkContext.defaultParallelism
     keyed = df.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(*key_cols)
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = dict(
-        keyed.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    )
+    counts = dict(keyed.groupBy(F.spark_partition_id().alias("pid")).count().collect())
     offsets = {}
     acc = doc_base
     for pid in sorted(counts):
@@ -117,51 +123,126 @@ def assign_dense_doc_ids(
     return keyed.mapInPandas(add_ids, schema=out_schema)
 
 
+def _invert_factory(store_positions: bool, token_re: re.Pattern = _TOKEN_RE):
+    """Tokenize + per-doc inversion kernel (the in-memory segment)."""
+
+    def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            docs = pdf["doc"].to_numpy(np.int64)
+            tok_lists = pdf["text"].fillna("").str.lower().str.findall(token_re)
+            lens = tok_lists.str.len().to_numpy(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            keep = lens > 0  # docs with no tokens produce no postings
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists[keep]]
+            )
+            row_rep = np.repeat(np.flatnonzero(keep), lens[keep])
+            starts = np.cumsum(lens[keep]) - lens[keep]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[keep])
+            codes, uniques = pd.factorize(flat_terms, sort=False)
+            order = np.lexsort((pos, codes, row_rep))
+            r, c, p = row_rep[order], codes[order], pos[order]
+            bound = np.flatnonzero((r[1:] != r[:-1]) | (c[1:] != c[:-1])) + 1
+            pstarts = np.concatenate(([0], bound))
+            pends = np.append(bound, total)
+            tf = pends - pstarts
+            out = pd.DataFrame(
+                {
+                    "doc": docs[r[pstarts]],
+                    "term": uniques[c[pstarts]],
+                    "tf": tf.astype(np.int64),
+                    "dl": lens[r[pstarts]].astype(np.int64),
+                    "dlq": bm25.int_to_byte4(lens[r[pstarts]]).astype(np.int32),
+                }
+            )
+            if store_positions:
+                gaps = np.empty(total, dtype=np.int64)
+                gaps[0] = p[0]
+                np.subtract(p[1:], p[:-1], out=gaps[1:])
+                gaps[pstarts] = p[pstarts]  # delta restarts at each posting
+                out["positions"] = codec.varbyte_encode_split(gaps, pstarts)
+            else:
+                out["positions"] = None
+            yield out
+
+    return invert
+
+
 def _pack_factory(block_size: int, store_positions: bool):
+    """Whole-partition vectorized block packer: one varbyte pass for
+    all doc-gaps/tfs in the partition, per-block cost = byte slices."""
+
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        pdf = pdf.sort_values(["term", "shard", "doc"], kind="mergesort", ignore_index=True)
-        terms = pdf["term"].to_numpy()
-        shards = pdf["shard"].to_numpy()
-        docs = pdf["doc"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dlqs = pdf["dlq"].to_numpy(np.int64)
-        poslists = pdf["positions"].to_numpy() if store_positions else None
-        change = np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
-        rows = []
-        for s, e in zip(starts, ends):
-            flat_pos = None
-            if store_positions:
-                flat_pos = (
-                    np.concatenate([np.asarray(p, dtype=np.int64) for p in poslists[s:e]])
-                    if e > s
-                    else np.empty(0, dtype=np.int64)
-                )
-            for blk in codec.pack_blocks(
-                docs[s:e], tfs[s:e], flat_pos, dlqs[s:e], block_size
-            ):
-                rows.append(
-                    (
-                        terms[s],
-                        int(shards[s]),
-                        blk["block_id"],
-                        blk["n"],
-                        blk["min_doc"],
-                        blk["max_doc"],
-                        blk["max_tf"],
-                        blk["min_dlq"],
-                        blk["docs"],
-                        blk["tfs"],
-                        blk["dlqs"],
-                        blk["positions"] if store_positions else None,
-                    )
-                )
-        yield pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        n = len(pdf)
+        # sort=True: codes follow term lexicographic order, so the output
+        # (and the Parquet row groups) are term-clustered AND term-sorted —
+        # that is what makes row-group min/max stats prune term lookups
+        tcodes, tuniq = pd.factorize(pdf["term"].to_numpy(), sort=True)
+        shards = pdf["shard"].to_numpy(np.int64)
+        order = np.lexsort((pdf["doc"].to_numpy(np.int64), shards, tcodes))
+        tcodes, shards = tcodes[order], shards[order]
+        docs = pdf["doc"].to_numpy(np.int64)[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dlqs = pdf["dlq"].to_numpy(np.int64)[order]
+        # group boundaries (term, shard); block boundaries every block_size
+        gchange = np.flatnonzero((tcodes[1:] != tcodes[:-1]) | (shards[1:] != shards[:-1])) + 1
+        gstarts = np.concatenate(([0], gchange))
+        gsizes = np.diff(np.append(gstarts, n))
+        in_group_idx = np.arange(n) - np.repeat(gstarts, gsizes)
+        block_ord = in_group_idx // block_size
+        group_of_row = np.repeat(np.arange(gstarts.size), gsizes)
+        bchange = np.flatnonzero(
+            (group_of_row[1:] != group_of_row[:-1]) | (block_ord[1:] != block_ord[:-1])
+        ) + 1
+        bstarts = np.concatenate(([0], bchange))
+        bends = np.append(bchange, n)
+        # per-block stats
+        min_doc = docs[bstarts]
+        max_doc = docs[bends - 1]
+        max_tf = np.maximum.reduceat(tfs, bstarts)
+        min_dlq = np.minimum.reduceat(dlqs, bstarts)
+        # doc gaps with per-block absolute restart -> bulk varbyte
+        gaps = np.empty(n, dtype=np.int64)
+        if n:
+            gaps[0] = docs[0]
+            np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+            gaps[bstarts] = docs[bstarts]
+        doc_bytes = codec.varbyte_encode_split(gaps, bstarts)
+        tf_bytes = codec.varbyte_encode_split(tfs - 1, bstarts)
+        dlq_buf = dlqs.astype(np.uint8).tobytes()
+        dlq_bytes = [dlq_buf[a:b] for a, b in zip(bstarts.tolist(), bends.tolist())]
+        if store_positions:
+            pos_col = pdf["positions"].to_numpy()[order]
+            plens = np.fromiter((len(x) for x in pos_col), dtype=np.int64, count=n)
+            pbuf = b"".join(pos_col.tolist())
+            poffs = np.concatenate(([0], np.cumsum(plens)))
+            pos_bytes = [pbuf[poffs[a] : poffs[b]] for a, b in zip(bstarts.tolist(), bends.tolist())]
+        else:
+            pos_bytes = None
+        yield pd.DataFrame(
+            {
+                "term": tuniq[tcodes[bstarts]],
+                "shard": shards[bstarts].astype(np.int32),
+                "block_id": block_ord[bstarts].astype(np.int32),
+                "n": (bends - bstarts).astype(np.int32),
+                "min_doc": min_doc,
+                "max_doc": max_doc,
+                "max_tf": max_tf.astype(np.int32),
+                "min_dlq": min_dlq.astype(np.int32),
+                "docs": doc_bytes,
+                "tfs": tf_bytes,
+                "dlqs": dlq_bytes,
+                "positions": pos_bytes,
+            }
+        )
 
     return pack
 
@@ -171,36 +252,33 @@ def build_postings(
     n_shards: int = DEFAULT_N_SHARDS,
     block_size: int = DEFAULT_BLOCK_SIZE,
     store_positions: bool = True,
-    ascii_fast_path: bool = False,
     pack_partitions: int | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(doc, text) -> (postings_blocks, termdict, doclen) DataFrames."""
-    terms = exploded_terms(docs_df, doc_col="doc", text_col="text", ascii_fast_path=ascii_fast_path)
-    agg_cols = [F.count(F.lit(1)).cast("long").alias("tf")]
-    if store_positions:
-        agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    postings = terms.groupBy("doc", "term").agg(*agg_cols)
-    postings = postings.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc")))
-    postings = postings.withColumn("dlq", _dlq_udf(F.col("dl")))
-    postings = postings.withColumn(
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(doc, text) -> (blocks, termdict, doclen, inverted) DataFrames.
+
+    `inverted` is returned so the caller can persist it: blocks,
+    termdict and doclen all branch from it (one tokenize pass total).
+    """
+    inverted = docs_df.select("doc", "text").mapInPandas(
+        _invert_factory(store_positions), schema=INVERTED_SCHEMA
+    )
+    withshard = inverted.withColumn(
         "shard", F.pmod(F.col("doc"), F.lit(n_shards)).cast("int")
     )
-    termdict = postings.groupBy("term").agg(
+    termdict = inverted.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"), F.sum("tf").cast("long").alias("ttf")
     )
-    doclen = postings.groupBy("doc").agg(
+    doclen = inverted.groupBy("doc").agg(
         F.first("dl").alias("dl"), F.first("dlq").alias("dlq")
     )
-    sel = ["term", "shard", "doc", "tf", "dlq"] + (["positions"] if store_positions else [])
-    packed_in = postings.select(*sel)
-    if not store_positions:
-        packed_in = packed_in.withColumn("positions", F.lit(None).cast(T.ArrayType(T.IntegerType())))
     if pack_partitions is None:
         pack_partitions = docs_df.sparkSession.sparkContext.defaultParallelism
-    blocks = packed_in.repartition(pack_partitions, "term", "shard").mapInPandas(
-        _pack_factory(block_size, True), schema=POSTINGS_SCHEMA
+    blocks = (
+        withshard.select("term", "shard", "doc", "tf", "dlq", "positions")
+        .repartition(pack_partitions, "term", "shard")
+        .mapInPandas(_pack_factory(block_size, store_positions), schema=POSTINGS_SCHEMA)
     )
-    return blocks, termdict, doclen
+    return blocks, termdict, doclen, inverted
 
 
 def _dir_bytes(path: str) -> int:
@@ -222,7 +300,6 @@ def build_index(
     n_shards: int = DEFAULT_N_SHARDS,
     block_size: int = DEFAULT_BLOCK_SIZE,
     store_positions: bool = True,
-    ascii_fast_path: bool = False,
     append: bool = False,
     fingerprint: str | None = None,
 ) -> Manifest:
@@ -255,13 +332,10 @@ def build_index(
         with_ids = assign_dense_doc_ids(corpus, key_cols, doc_base=doc_base)
         docs_df = with_ids.select("doc", F.col(text_col).alias("text"))
 
-    blocks, termdict, doclen = build_postings(
-        docs_df,
-        n_shards=n_shards,
-        block_size=block_size,
-        store_positions=store_positions,
-        ascii_fast_path=ascii_fast_path,
+    blocks, termdict, doclen, inverted = build_postings(
+        docs_df, n_shards=n_shards, block_size=block_size, store_positions=store_positions
     )
+    inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
 
     version = catalog.next_version()
     segment_id = f"seg-v{version:06d}-{(fingerprint or uuid.uuid4().hex[:12])}"
@@ -290,16 +364,27 @@ def build_index(
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
             F.sum("n").alias("n_postings"),
-            F.sum(F.length("docs") + F.length("tfs") + F.length("dlqs") + F.length("positions")).alias("payload_bytes"),
+            F.sum(
+                F.length("docs") + F.length("tfs") + F.length("dlqs")
+                + F.coalesce(F.length("positions"), F.lit(0))
+            ).alias("payload_bytes"),
         )
         .collect()
     )
-    lineage = [{"fingerprint": fingerprint}] + [r.asDict() for r in sorted(lineage_rows, key=lambda r: r["shard"])]
+    lineage = [{"fingerprint": fingerprint}] + [
+        r.asDict() for r in sorted(lineage_rows, key=lambda r: r["shard"])
+    ]
+    inverted.unpersist()
+
+    # docs whose text tokenizes to nothing still count for N/avgdl in
+    # Lucene only if they have the field; our contract: every corpus row
+    # is a doc. Track both; n_docs here = docs with >=1 token.
+    n_corpus = int(dstats["n_docs"])
 
     seg = SegmentMeta(
         segment_id=segment_id,
         path=rel,
-        n_docs=int(dstats["n_docs"]),
+        n_docs=n_corpus,
         sum_dl=int(dstats["sum_dl"] or 0),
         n_terms=int(tstats["n_terms"]),
         n_postings=int(tstats["n_postings"] or 0),
