@@ -91,6 +91,10 @@ class Manifest:
         return self.sum_dl / self.n_docs if self.n_docs else 0.0
 
     @property
+    def n_postings(self) -> int:
+        return sum(s.n_postings for s in self.segments)
+
+    @property
     def doc_max(self) -> int:
         return max((s.doc_max for s in self.segments), default=-1)
 

@@ -1,0 +1,93 @@
+"""Catalog laws: atomic publish, CAS, time travel, orphan expiry.
+
+Mirrors the reference's Directory/commit contract tests
+(FDBDirectoryTest extends BaseDirectoryTestCase; rename atomicity
+FDBDirectory.java:350-365)."""
+
+import os
+
+import pytest
+
+from fdblucene_spark.sources.manifest import (
+    CommitConflict,
+    IndexCatalog,
+    Manifest,
+    SegmentMeta,
+)
+
+
+def _seg(i: int, path: str | None = None) -> SegmentMeta:
+    return SegmentMeta(
+        segment_id=f"seg-{i}",
+        path=path or f"data/segments/seg-{i}",
+        n_docs=10 * i,
+        sum_dl=100 * i,
+        n_terms=5,
+        n_postings=20,
+        doc_min=0,
+        doc_max=10 * i - 1,
+    )
+
+
+def _manifest(version: int, segs: list[SegmentMeta]) -> Manifest:
+    return Manifest(version=version, analyzer="standard_v1", block_size=128, n_shards=4, segments=segs)
+
+
+def test_empty_catalog(tmp_index_root):
+    cat = IndexCatalog(tmp_index_root)
+    assert not cat.exists()
+    assert cat.current_version() is None
+    assert cat.next_version() == 1
+    with pytest.raises(FileNotFoundError):
+        cat.load()
+
+
+def test_commit_and_pin(tmp_index_root):
+    cat = IndexCatalog(tmp_index_root)
+    cat.commit(_manifest(1, [_seg(1)]))
+    m = cat.load()
+    assert m.version == 1 and m.n_docs == 10 and m.sum_dl == 100
+    cat.commit(_manifest(2, [_seg(1), _seg(2)]))
+    assert cat.load().version == 2
+    # time travel: v1 still loadable after v2 committed (snapshot pin)
+    assert cat.load(1).n_docs == 10
+    assert cat.versions() == [1, 2]
+
+
+def test_cas_conflict(tmp_index_root):
+    cat = IndexCatalog(tmp_index_root)
+    cat.commit(_manifest(1, [_seg(1)]))
+    with pytest.raises(CommitConflict):
+        cat.commit(_manifest(1, [_seg(9)]))
+    # loser's data remains unpublished; CURRENT untouched
+    assert cat.load().segments[0].segment_id == "seg-1"
+
+
+def test_aggregate_stats():
+    m = _manifest(1, [_seg(1), _seg(3)])
+    assert m.n_docs == 40 and m.sum_dl == 400
+    assert abs(m.avgdl - 10.0) < 1e-12
+    assert m.doc_max == 29
+
+
+def test_roundtrip_json(tmp_index_root):
+    cat = IndexCatalog(tmp_index_root)
+    src = _manifest(1, [_seg(1)])
+    src.properties["store_positions"] = True
+    src.segments[0].lineage = [{"fingerprint": "abc"}, {"shard": 0, "n_blocks": 3}]
+    cat.commit(src)
+    m = cat.load()
+    assert m.properties == {"store_positions": True}
+    assert m.segments[0].lineage[0]["fingerprint"] == "abc"
+
+
+def test_expire_orphans(tmp_index_root):
+    cat = IndexCatalog(tmp_index_root)
+    live = os.path.join(tmp_index_root, "data", "segments", "seg-live")
+    orphan = os.path.join(tmp_index_root, "data", "segments", "seg-orphan")
+    os.makedirs(live)
+    os.makedirs(orphan)
+    cat.commit(_manifest(1, [_seg(1, path="data/segments/seg-live")]))
+    removed = cat.expire_orphans(keep_versions=3)
+    assert removed == ["data/segments/seg-orphan"]
+    assert os.path.isdir(live) and not os.path.isdir(orphan)
