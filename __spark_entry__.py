@@ -1,38 +1,400 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in queries() is an operator of the fdblucene_spark engine
+(SURVEY.md section 2 inventory + the training-data pipeline ops);
+oracle_sql() carries an exact DuckDB twin — including Lucene-8-exact
+BM25 with SmallFloat norm quantization, reproduced in SQL via a
+representable-length lookup and explicit FLOAT casts so Spark and
+DuckDB agree bit-for-bit before rounding.
+
+Engine-backed entries (ft_*) build a real index (block-compressed
+segments + manifest) under /tmp once per sf_dir and query it — the
+gate therefore exercises codec, storage, and the WAND kernel, not a
+shadow implementation.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fdblucene_spark.functions import bm25
+from fdblucene_spark.operators import dedup, multimodal, similarity, textstats
+from fdblucene_spark.operators.build import build_index
+from fdblucene_spark.operators.query import Searcher
+from fdblucene_spark.sources.manifest import IndexCatalog
+
+# ---------------------------------------------------------------- fixtures
+OR_TERMS = ["dup", "hash", "vector"]
+AND_TERMS = ["key", "value", "the"]
+PHRASE = ["sort", "merge"]
+POSTING_TERMS = ["dup", "key", "vector"]
+LOOKUP_TERM = "dup"
+MATCH_COUNT_QUERIES = [
+    ("mc_dup_or", ["dup"], "or"),
+    ("mc_keyvalue_and", ["key", "value"], "and"),
+    ("mc_batchstream_or", ["batch", "stream"], "or"),
+]
+K_ALL = 500
+EVENTS_LO, EVENTS_HI = 100.0, 200.0
+TOP_EVENTS = 100
+ANN_QUERY_ID = 0
+ANN_K = 25
+JACCARD_T = 0.1
+
+_GATE_ROOT = "/tmp/sparklucene_gate"
 
 
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _index_root(sf_dir: str) -> str:
+    return os.path.join(_GATE_ROOT, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    root = _index_root(sf_dir)
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8, fingerprint=sf_dir)
+    return Searcher(spark, root)
+
+
+def _hits_df(hits: DataFrame) -> DataFrame:
+    return hits.select(
+        F.col("doc").alias("doc_id"), F.round(F.col("score").cast("double"), 3).alias("score")
+    )
+
+
+# --------------------------------------------------------------- SQL pieces
+_TOK_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+)"""
+
+_QUANT_LIST = ", ".join(str(int(v)) for v in sorted(set(bm25.LENGTH_TABLE.tolist())))
+
+_NORM_CTE = f"""
+quant AS (SELECT unnest([{_QUANT_LIST}]) AS ql),
+norms AS (
+  SELECT doc_id, dl, (SELECT max(ql) FROM quant WHERE ql <= dl) AS dlq_len FROM doclen
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+         sum(dl)::DOUBLE / count(*) AS avgdl
+  FROM doclen
+)"""
+
+
+def _bm25_sql(terms: list[str], mode: str, k: int, phrase: bool = False) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    n_terms = len(set(terms))
+    having = f"HAVING count(*) = {n_terms}" if mode in ("and", "phrase") else ""
+    phrase_filter = ""
+    if phrase:
+        # adjacency via token positions (the positions keyspace of
+        # DATA.md:54): term_i at p, term_{i+1} at p+1 ... chained joins
+        joins = []
+        conds = []
+        for i, t in enumerate(terms):
+            joins.append(f"flat f{i}")
+            conds.append(f"f{i}.t = '{t}'")
+            if i > 0:
+                conds.append(f"f{i}.doc_id = f0.doc_id AND f{i}.p = f0.p + {i}")
+        phrase_filter = f""",
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), phrasedocs AS (
+  SELECT DISTINCT f0.doc_id FROM {', '.join(joins)}
+  WHERE {' AND '.join(conds)}
+)"""
+    phrase_where = "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)" if phrase else ""
+    return f"""
+WITH {_TOK_CTE}, {_NORM_CTE}{phrase_filter},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+    ((ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
+     ((tf.tf::DOUBLE / (tf.tf::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * n.dlq_len / s.avgdl)))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats s
+  WHERE 1=1 {phrase_where}
+), agg AS (
+  SELECT doc_id, (sum(s32::DOUBLE))::FLOAT AS score32
+  FROM scores GROUP BY doc_id {having}
+)
+SELECT doc_id, round(score32::DOUBLE, 3) AS score
+FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ------------------------------------------------------------------ queries
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the full index over sf0.001 documents, run a
+    multi-term BM25 top-k through the block-max kernel, fetch stored
+    fields (broadcast semi-join back to the base table)."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(spark, sf_dir)
+    hits = s.search(OR_TERMS, k=10, mode="or")
+    base = _table(spark, sf_dir, "documents")
+    out = s.fetch(hits, base, "doc_id")
+    return out.select("doc_id", F.round(F.col("score").cast("double"), 3).alias("score"), "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- full-text engine (index-backed) ----
+    def ft_postings(spark, sf):
+        return (
+            _searcher(spark, sf)
+            .postings(POSTING_TERMS)
+            .select("term", F.col("doc").alias("doc_id"), "tf")
+        )
+
+    def ft_termdict(spark, sf):
+        s = _searcher(spark, sf)
+        td = spark.read.parquet(*s.manifest.segment_paths(s.root, "termdict"))
+        return td.groupBy("term").agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+
+    def ft_doclen(spark, sf):
+        s = _searcher(spark, sf)
+        dl = spark.read.parquet(*s.manifest.segment_paths(s.root, "doclen"))
+        table = F.array(*[F.lit(int(v)) for v in bm25.LENGTH_TABLE.tolist()])
+        return dl.select(
+            F.col("doc").alias("doc_id"),
+            F.col("dl").cast("long").alias("dl"),
+            F.element_at(table, F.col("dlq") + 1).cast("long").alias("dlq_len"),
+        )
+
+    def ft_corpus_stats(spark, sf):
+        m = _searcher(spark, sf).manifest
+        return spark.createDataFrame(
+            [
+                (
+                    int(m.n_docs),
+                    int(sum(s.n_terms for s in m.segments)),
+                    int(m.n_postings),
+                    int(m.sum_dl),
+                    round(m.avgdl, 4),
+                )
+            ],
+            "n_docs long, n_terms long, n_postings long, sum_dl long, avgdl double",
+        )
+
+    def ft_term_lookup(spark, sf):
+        return (
+            _searcher(spark, sf)
+            .postings([LOOKUP_TERM])
+            .select(F.col("doc").alias("doc_id"), "tf")
+        )
+
+    def ft_bm25_topk_or(spark, sf):
+        return _hits_df(_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
+
+    def ft_bm25_topk_and(spark, sf):
+        return _hits_df(_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
+
+    def ft_phrase_match(spark, sf):
+        return _hits_df(_searcher(spark, sf).search(PHRASE, k=K_ALL, mode="phrase"))
+
+    def ft_match_count(spark, sf):
+        s = _searcher(spark, sf)
+        rows = [(qid, s.count(terms, mode)) for qid, terms, mode in MATCH_COUNT_QUERIES]
+        return spark.createDataFrame(rows, "query_id string, n_hits long")
+
+    # ---- keyword / numeric operators (L2, L18, L19) ----
+    def ft_numeric_range(spark, sf):
+        ev = _table(spark, sf, "events")
+        return ev.filter(F.col("value").between(EVENTS_LO, EVENTS_HI)).select("event_id", "value")
+
+    def ft_sort_topn(spark, sf):
+        ev = _table(spark, sf, "events")
+        return ev.orderBy(F.desc("value"), F.asc("event_id")).limit(TOP_EVENTS).select("event_id", "value")
+
+    def ft_keyword_stats(spark, sf):
+        ev = _table(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+        )
+
+    # ---- dedup suite ----
+    def dedup_exact(spark, sf):
+        return dedup.exact_duplicates(_table(spark, sf, "documents"), "doc_id", "text")
+
+    def dedup_minhash_sig(spark, sf):
+        return dedup.minhash_signatures(_table(spark, sf, "documents"), "doc_id", "text")
+
+    def dedup_lsh_pairs(spark, sf):
+        return dedup.lsh_candidate_pairs(_table(spark, sf, "documents"), "doc_id", "text")
+
+    def dedup_simhash(spark, sf):
+        return dedup.simhash_signatures(_table(spark, sf, "documents"), "doc_id", "text")
+
+    def dedup_ngram_jaccard(spark, sf):
+        return dedup.ngram_jaccard_pairs(_table(spark, sf, "documents"), "doc_id", "text", JACCARD_T)
+
+    # ---- text analysis suite ----
+    def text_token_counts(spark, sf):
+        return textstats.token_counts(_table(spark, sf, "documents"), "doc_id", "text")
+
+    def text_quality(spark, sf):
+        return textstats.quality_scores(_table(spark, sf, "documents"), "doc_id", "text")
+
+    def text_lang_id(spark, sf):
+        return textstats.lang_id(_table(spark, sf, "documents"), "doc_id", "text")
+
+    def text_fingerprint(spark, sf):
+        return textstats.fingerprints(_table(spark, sf, "documents"), "doc_id", "text")
+
+    # ---- similarity search ----
+    def ann_cosine_topk(spark, sf):
+        emb = _table(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
+        return similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K)
+
+    def ann_lsh_topk(spark, sf):
+        emb = _table(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
+        return similarity.lsh_cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K)
+
+    # ---- multimodal plumbing ----
+    def mm_media_stats(spark, sf):
+        media = multimodal.synthesize_media(_table(spark, sf, "documents"), "doc_id", "text")
+        return multimodal.media_stats(media)
+
+    def mm_features(spark, sf):
+        media = multimodal.synthesize_media(_table(spark, sf, "documents"), "doc_id", "text")
+        feats = multimodal.extract_features(media, fake=True)
+        return feats.select(
+            "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0")
+        )
+
+    # ---- classic aggregation sanity (Catalyst partial+final agg) ----
+    def agg_lineitem_pricing(spark, sf):
+        li = _table(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    for fn in [
+        ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
+        ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_match_count,
+        ft_numeric_range, ft_sort_topn, ft_keyword_stats,
+        dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
+        text_token_counts, text_quality, text_lang_id, text_fingerprint,
+        ann_cosine_topk, ann_lsh_topk, mm_media_stats, mm_features,
+        agg_lineitem_pricing,
+    ]:
+        q[fn.__name__] = fn
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tlist = ", ".join(f"'{t}'" for t in POSTING_TERMS)
+    mc_parts = []
+    for qid, terms, mode in MATCH_COUNT_QUERIES:
+        ts = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        if mode == "or":
+            mc_parts.append(
+                f"SELECT '{qid}' AS query_id, count(DISTINCT doc_id)::BIGINT AS n_hits "
+                f"FROM tok WHERE term IN ({ts})"
+            )
+        else:
+            mc_parts.append(
+                f"SELECT '{qid}' AS query_id, count(*)::BIGINT AS n_hits FROM ("
+                f"SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM tok WHERE term IN ({ts})) "
+                f"GROUP BY doc_id HAVING count(*) = {len(set(terms))})"
+            )
+    return {
+        "ft_postings": f"""
+WITH {_TOK_CTE}
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+WHERE term IN ({tlist}) GROUP BY term, doc_id
+""",
+        "ft_termdict": f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM tok GROUP BY term
+""",
+        "ft_doclen": f"""
+WITH {_TOK_CTE}, {_NORM_CTE}
+SELECT doc_id, dl, dlq_len::BIGINT AS dlq_len FROM norms
+""",
+        "ft_corpus_stats": f"""
+WITH {_TOK_CTE}
+SELECT (SELECT count(*) FROM doclen)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok))::BIGINT AS n_postings,
+       (SELECT sum(dl) FROM doclen)::BIGINT AS sum_dl,
+       round((SELECT sum(dl) FROM doclen)::DOUBLE / (SELECT count(*) FROM doclen), 4) AS avgdl
+""",
+        "ft_term_lookup": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROUP BY doc_id
+""",
+        "ft_bm25_topk_or": _bm25_sql(OR_TERMS, "or", K_ALL),
+        "ft_bm25_topk_and": _bm25_sql(AND_TERMS, "and", K_ALL),
+        "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
+        "ft_match_count": f"WITH {_TOK_CTE}\n" + "\nUNION ALL\n".join(mc_parts),
+        "ft_numeric_range": f"""
+SELECT event_id, value FROM events WHERE value BETWEEN {EVENTS_LO} AND {EVENTS_HI}
+""",
+        "ft_sort_topn": f"""
+SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT {TOP_EVENTS}
+""",
+        "ft_keyword_stats": """
+SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""",
+        "dedup_exact": dedup.exact_duplicates_sql("documents", "doc_id", "text"),
+        "dedup_minhash_sig": dedup.minhash_signatures_sql("documents", "doc_id", "text"),
+        "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql("documents", "doc_id", "text"),
+        "dedup_simhash": dedup.simhash_signatures_sql("documents", "doc_id", "text"),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", "doc_id", "text", JACCARD_T),
+        "text_token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
+        "text_quality": textstats.quality_scores_sql("documents", "doc_id", "text"),
+        "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
+        "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
+        "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
+        # ann_lsh_topk: intentionally no SQL oracle (approximate
+        # operator; recall vs brute force is pytest-verified instead)
+        # mm_features: no SQL oracle (md5-seeded fake decoder is not
+        # SQL-expressible; plumbing is pytest-verified)
+        "mm_media_stats": multimodal.media_stats_sql("documents", "doc_id", "text"),
+        "agg_lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    }

@@ -1,0 +1,281 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> md5 minhash -> band ->
+bucket join), SimHash, and n-gram Jaccard. Everything is Catalyst
+expressions + joins — no Python in the hot path; each operator has an
+exact DuckDB SQL twin (md5 is the shared deterministic hash, so Spark
+and the oracle agree bit-for-bit).
+
+Scale notes (the 100 TB story):
+- exact/fingerprint dedup: one shuffle on the hash; AQE handles skew.
+- MinHash signatures: tokens explode -> per-(doc, hash_i) min — a
+  single partial+final aggregate; signatures are ~k*8 bytes/doc.
+- LSH candidate pairs: self-join on the band key only (never on raw
+  shingles); band buckets are capped via a per-bucket limit guard to
+  stop a degenerate bucket from exploding the join.
+- n-gram Jaccard: candidate generation via a shingle-equality join is
+  quadratic per shingle bucket; intended for verification of LSH
+  candidates, not as the primary path at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col, _TOKENIZE_SQL
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+SHINGLE_N = 3
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, exact_hash, dup_rank, is_dup): rank 1 = canonical keeper."""
+    h = F.md5(F.to_binary(F.col(text_col), F.lit("utf-8"))).alias("exact_hash")
+    w = Window.partitionBy("exact_hash").orderBy(F.col(id_col))
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("dup_rank", F.row_number().over(w).cast("long"))
+        .withColumn("is_dup", F.col("dup_rank") > 1)
+    )
+
+
+def exact_duplicates_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT {id_col}, md5({text_col}) AS exact_hash,
+       row_number() OVER (PARTITION BY md5({text_col}) ORDER BY {id_col})::BIGINT AS dup_rank,
+       row_number() OVER (PARTITION BY md5({text_col}) ORDER BY {id_col}) > 1 AS is_dup
+FROM {table}
+"""
+
+
+def shingles_col(text_col: str, n: int = SHINGLE_N):
+    """Array of word n-gram shingle strings (JVM higher-order funcs)."""
+    toks = tokens_col(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _shingles_sql(text_col: str, n: int = SHINGLE_N) -> str:
+    join = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+    return f"""(
+  CASE WHEN len(ts) >= {n}
+       THEN list_transform(range(1, len(ts) - {n - 2}), i -> {join})
+       ELSE [array_to_string(ts, ' ')] END
+)"""
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(id, h0..h{k-1}): minhash over word-shingles; hash_i(s) =
+    int(md5(i ':' s)[:8], 16) — deterministic and portable to SQL."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
+    )
+    aggs = []
+    for i in range(num_hashes):
+        hv = F.conv(
+            F.substring(F.md5(F.to_binary(F.concat(F.lit(f"{i}:"), F.col("shingle")), F.lit("utf-8"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        aggs.append(F.min(hv).alias(f"h{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_sql_core(table: str, id_col: str, text_col: str, num_hashes: int) -> str:
+    hs = ",\n         ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), sh AS (
+  SELECT {id_col}, unnest(list_distinct({_shingles_sql(text_col)})) AS shingle FROM toks
+)
+SELECT {id_col}, {hs}
+FROM sh GROUP BY {id_col}
+"""
+
+
+def minhash_signatures_sql(table: str, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES) -> str:
+    return _minhash_sql_core(table, id_col, text_col, num_hashes)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing >= 1 LSH band.
+
+    Bands of `band_size` consecutive minhashes; the self-join runs on
+    the band (band_idx, key) only. max_bucket caps degenerate buckets
+    (the skew guard): buckets larger than that are dropped with the
+    assumption that a near-universal shingle is not dedup signal.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        )
+        bands.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")))
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    sized = all_bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> str:
+    n_bands = num_hashes // band_size
+    band_rows = []
+    for b in range(n_bands):
+        key = " || '_' || ".join(f"h{b * band_size + j}" for j in range(band_size))
+        band_rows.append(f"SELECT {id_col}, {b} AS band, {key} AS band_key FROM sig")
+    bands_union = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH sig AS ({_minhash_sql_core(table, id_col, text_col, num_hashes)}),
+bands AS ({bands_union})
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.{id_col} < b.{id_col}
+"""
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash): tf-weighted sign sum over md5-derived term bits."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    ).groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    th = toks.withColumn(
+        "thash", F.conv(F.substring(F.md5(F.to_binary(F.col("term"), F.lit("utf-8"))), 1, 8), 16, 10).cast("long")
+    )
+    exploded = th.select(
+        F.col(id_col),
+        F.col("tf"),
+        F.col("thash"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).withColumn(
+        # dynamic shift amount needs the SQL form (pyspark's shiftright
+        # helper only accepts a literal count)
+        "contrib",
+        F.when(F.expr("(thash >> bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
+    )
+    return (
+        exploded.groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_signatures_sql(table: str, id_col: str, text_col: str, bits: int = 16) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '')) AS term
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT AS thash
+  FROM toks GROUP BY {id_col}, term
+), bitsum AS (
+  SELECT {id_col}, b.bit,
+         sum(CASE WHEN (thash >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf, (SELECT unnest(range(0, {bits})) AS bit) b
+  GROUP BY {id_col}, b.bit
+)
+SELECT {id_col},
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY {id_col}
+"""
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.4
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over distinct word-shingle sets, for pairs
+    sharing at least one shingle. Exact verification operator."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(table: str, id_col: str, text_col: str, threshold: float = 0.4) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), sh AS (
+  SELECT {id_col}, unnest(list_distinct({_shingles_sql(text_col)})) AS shingle FROM toks
+), sizes AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_sh FROM sh GROUP BY {id_col}
+), inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter / (sa.n_sh + sb.n_sh - i.inter)::DOUBLE, 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.{id_col} = i.id_a
+JOIN sizes sb ON sb.{id_col} = i.id_b
+WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter)::DOUBLE, 4) >= {threshold}
+"""

@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training pipeline carries images/audio/video as `binary`
+columns with a metadata struct alongside. The Spark-side plumbing —
+schema, partition sizing, Arrow batch shape, UDF signatures — is real
+and tested; the actual media decode is STUBBED (no image/audio libs
+in this container): `decode_image` raises NotImplementedError unless
+`fake=True`, in which case a deterministic md5-seeded fake decoder
+stands in so the downstream feature pipeline is fully exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),        # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),     # opaque bytes
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic fake media table from a text corpus: payload =
+    utf-8 bytes, kind cycles by id. Gives the pipeline real binary
+    columns of realistic skewed sizes without external data."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    payload = F.to_binary(F.col(text_col), F.lit("utf-8"))
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+            F.when(kind == "image", F.lit(64)).otherwise(F.lit(None).cast("int")).alias("width"),
+            F.when(kind == "image", F.lit(64)).otherwise(F.lit(None).cast("int")).alias("height"),
+            F.when(kind != "image", (F.length(payload) * 10).cast("int")).otherwise(F.lit(None).cast("int")).alias("duration_ms"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real decode needs an image lib not present here.
+
+    fake=True returns a deterministic 8x8 grayscale 'image' seeded
+    from md5(payload) — stable across runs and partitionings.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires an image/audio library not available in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extractor over binary payloads.
+
+    Real plumbing: Arrow-batched binary columns in, fixed-dim float
+    feature vectors out; per-batch numpy only. The 'model' is the fake
+    decoder + an 8x8 -> FEATURE_DIM pooling, deterministic per payload.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload), fake=fake).astype(np.float32)
+                pooled = img.reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0
+                feats.append(pooled.astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind payload accounting (pure Catalyst): rows, bytes, avg."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
+        F.round(F.avg(F.col("meta.n_bytes")), 2).alias("avg_bytes"),
+    )
+
+
+def media_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    """Oracle twin of synthesize_media >> media_stats (payload = utf-8
+    text bytes; kind cycles by id mod 3: 1->image? no — index is
+    (id % 3)+1 into [image, audio, video])."""
+    return f"""
+WITH m AS (
+  SELECT {id_col},
+         ['image','audio','video'][({id_col} % 3 + 1)::INT] AS kind,
+         strlen({text_col})::BIGINT AS n_bytes
+  FROM {table}
+)
+SELECT kind, count(*)::BIGINT AS n_items, sum(n_bytes)::BIGINT AS total_bytes,
+       round(avg(n_bytes), 2) AS avg_bytes
+FROM m GROUP BY kind
+"""

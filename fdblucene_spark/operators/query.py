@@ -77,9 +77,14 @@ def _score_shard(
     mode: str,
     q_terms: list[str],
 ) -> pd.DataFrame:
-    """Score one query against one shard's blocks. Pure numpy."""
-    present = [t for t in q_terms if t in groups]
-    if not present or (mode in ("and", "phrase") and len(present) < len(q_terms)):
+    """Score one query against one shard's blocks. Pure numpy.
+
+    q_terms: scoring terms, or for mode='phrase' the phrase token
+    sequence in user order (duplicates allowed — scoring always uses
+    the deduplicated set, matching BooleanQuery-of-unique-terms)."""
+    uniq_terms = list(dict.fromkeys(q_terms))
+    present = [t for t in uniq_terms if t in groups]
+    if not present or (mode in ("and", "phrase") and len(present) < len(uniq_terms)):
         return _EMPTY
     weights = {t: np.float32(bm25.idf(float(term_df[t]), n_docs)) for t in present}
     ubs = {
@@ -232,23 +237,25 @@ class Searcher:
         return {t: (int(r["df"]), int(r["ttf"])) for t, r in pdf.iterrows()}
 
     def _prep(self, terms: list[str], mode: str):
-        q_terms = sorted(set(terms))
-        stats = self.term_stats(q_terms)
-        present = [t for t in q_terms if t in stats]
-        if not present or (mode in ("and", "phrase") and len(present) < len(q_terms)):
+        uniq = sorted(set(terms))
+        stats = self.term_stats(uniq)
+        present = [t for t in uniq if t in stats]
+        if not present or (mode in ("and", "phrase") and len(present) < len(uniq)):
             return None
         if mode == "phrase" and not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; phrase queries unavailable")
-        return q_terms, {t: stats[t][0] for t in present}
+        return uniq, {t: stats[t][0] for t in present}
 
     def search(self, terms: list[str], k: int, mode: str = "or") -> DataFrame:
         """Top-k hits as a DataFrame (doc, score), globally ordered."""
         prep = self._prep(terms, mode)
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
-        q_terms, term_df = prep
+        _, term_df = prep
         n_docs, avgdl = self.n_docs, self.avgdl
-        kt = q_terms if mode == "phrase" else list(term_df)
+        # phrase keeps the user-given token sequence (order + repeats
+        # define the phrase); other modes use the deduplicated set
+        kt = list(terms) if mode == "phrase" else list(term_df)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -269,13 +276,13 @@ class Searcher:
             prep = self._prep(list(q["terms"]), mode)
             if prep is None:
                 continue
-            q_terms, term_df = prep
+            _, term_df = prep
             specs.append(
                 {
                     "query_id": q["query_id"],
                     "k": int(q["k"]),
                     "mode": mode,
-                    "q_terms": q_terms if mode == "phrase" else list(term_df),
+                    "q_terms": list(q["terms"]) if mode == "phrase" else list(term_df),
                     "term_df": term_df,
                 }
             )
@@ -313,6 +320,35 @@ class Searcher:
             .drop("rn")
             .orderBy("query_id", F.desc("score"), F.asc("doc"))
         )
+
+    def postings(self, terms: list[str]) -> DataFrame:
+        """Decode stored posting blocks for `terms` -> (term, doc, tf).
+
+        The inspection/export surface of the logical postings relation
+        (reference: ("pm", field, term, docID) -> freq, DATA.md:53) —
+        also the correctness probe that exercises codec + storage
+        round-trip end-to-end."""
+        scan = self._postings.filter(F.col("term").isin(list(set(terms))))
+
+        def dec(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                outs = []
+                for _, r in pdf.iterrows():
+                    d = codec.decode_doc_block(r["docs"])
+                    tf = codec.decode_tf_block(r["tfs"])
+                    outs.append(pd.DataFrame({"term": r["term"], "doc": d, "tf": tf}))
+                yield pd.concat(outs, ignore_index=True)
+
+        schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("doc", T.LongType(), False),
+                T.StructField("tf", T.LongType(), False),
+            ]
+        )
+        return scan.mapInPandas(dec, schema=schema)
 
     def count(self, terms: list[str], mode: str = "or") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155)."""

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure Catalyst
+higher-order functions — zip_with/aggregate, whole-stage codegen, no
+Python), plus a random-hyperplane LSH-bucketed variant as the scale
+path (candidates from matching buckets only, exact re-rank inside).
+
+Scale: brute force is a single narrow scan + global top-k (fine as a
+one-off, linear in corpus); LSH turns it into a bucket-pruned scan —
+the bucket filter pushes down to the signature column, so at 10^9+
+vectors only matching buckets are read. IVF would replace the random
+planes with k-means centroids; the plumbing is identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LSH_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_scores(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float]
+) -> DataFrame:
+    """(id, cosine) vs one query vector, computed in double precision."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm; cosine undefined")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col),
+        F.round(_dot(v, q) / (_norm(v) * F.lit(qn)), 3).alias("cosine"),
+    )
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (desc), id asc tie-break."""
+    return (
+        cosine_scores(df, id_col, vec_col, query_vec)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_sql(table: str, id_col: str, vec_col: str, query_id: int, k: int) -> str:
+    """DuckDB twin: same double-precision math (manual dot product via
+    list_transform over index range — list_cosine_similarity computes
+    in float32 and would diverge from Spark's double)."""
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id}
+), scored AS (
+  SELECT e.{id_col},
+         list_sum(list_transform(range(1, len(e.{vec_col}) + 1),
+                  i -> e.{vec_col}[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         (sqrt(list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE))) *
+          sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM {table} e, q
+)
+SELECT {id_col}, round(c, 3) AS cosine
+FROM scored
+ORDER BY c DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+def lsh_planes(dim: int, n_planes: int = 8, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic random hyperplanes (normal components)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: np.ndarray, out_col: str = "bucket"
+) -> DataFrame:
+    """Sign-pattern bucket id from the hyperplanes (JVM expressions)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: candidates from buckets within `probe_hamming` bit
+    flips of the query bucket, exact cosine re-rank inside. Recall vs
+    brute force is property-tested (tests/test_similarity.py)."""
+    planes = lsh_planes(len(query_vec), n_planes)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbits = int(sum((1 << j) for j, p in enumerate(planes) if float(p @ q) > 0))
+    probe = [qbits]
+    if probe_hamming >= 1:
+        probe += [qbits ^ (1 << j) for j in range(n_planes)]
+    if probe_hamming >= 2:
+        probe += [
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    bucketed = with_lsh_bucket(df, vec_col, planes)
+    cands = bucketed.filter(F.col("bucket").isin(probe))
+    return (
+        cosine_scores(cands, id_col, vec_col, query_vec)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed self-join (pairs
+    must share a bucket), exact cosine filter >= threshold."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = lsh_planes(dim, n_planes)
+    b = with_lsh_bucket(df, vec_col, planes).select(id_col, vec_col, "bucket")
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    lv = F.transform(F.col(f"l.{vec_col}"), lambda x: x.cast("double"))
+    rv = F.transform(F.col(f"r.{vec_col}"), lambda x: x.cast("double"))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(_dot(lv, rv) / (_norm(lv) * _norm(rv)), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

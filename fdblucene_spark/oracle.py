@@ -74,10 +74,11 @@ def _term_scores(idx: OracleIndex, term: str) -> dict[int, float]:
 def search(idx: OracleIndex, terms: list[str], k: int, mode: str = "or") -> list[tuple]:
     """Top-k [(doc_key, float32 score)] — score desc, docid asc ties.
 
-    Duplicate query terms are deduplicated (Lucene BooleanQuery
-    deduplicates identical SHOULD clauses' contribution only partially;
-    we define the engine contract as set-of-terms semantics).
+    Scoring uses the deduplicated term set (the engine contract:
+    BooleanQuery of unique terms). Phrase matching uses the terms in
+    the caller's order, duplicates allowed — the phrase IS the order.
     """
+    seq = list(terms)
     terms = sorted(set(terms))
     per_term = [_term_scores(idx, t) for t in terms]
     if mode == "and":
@@ -87,7 +88,7 @@ def search(idx: OracleIndex, terms: list[str], k: int, mode: str = "or") -> list
             live = keys if live is None else (live & keys)
         live = live or set()
     elif mode == "phrase":
-        live = _phrase_match(idx, terms_in_order(terms))
+        live = _phrase_match(idx, seq)
     else:
         live = set()
         for m in per_term:

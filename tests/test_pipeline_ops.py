@@ -1,0 +1,180 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing. DuckDB-oracle parity for these runs in the
+driver gate (tools/gate_check.py); here we test semantic laws the
+gate can't express."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fdblucene_spark.operators import dedup, multimodal, similarity, textstats
+from fdblucene_spark.plans.explain import assert_no_rowwise_python
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy dog"),            # near dup
+    (3, "completely different content about spark engines"),
+    (4, "spark engines about different content completely"),      # same token set as 3
+    (5, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_duplicates(docs_df):
+    out = dedup.exact_duplicates(docs_df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "exact_hash"] == out.loc[1, "exact_hash"]
+    assert not out.loc[0, "is_dup"] and out.loc[1, "is_dup"]
+    assert out.loc[2, "dup_rank"] == 1 and not out.loc[2, "is_dup"]
+
+
+def test_fingerprint_order_invariant(docs_df):
+    out = textstats.fingerprints(docs_df, "doc_id", "text").toPandas().set_index("doc_id")
+    # docs 3 and 4 share the token set -> same fingerprint, different exact hash
+    assert out.loc[3, "fingerprint"] == out.loc[4, "fingerprint"]
+    assert out.loc[3, "exact_hash"] != out.loc[4, "exact_hash"]
+
+
+def test_minhash_identical_docs_same_signature(docs_df):
+    sig = dedup.minhash_signatures(docs_df, "doc_id", "text").toPandas().set_index("doc_id")
+    hcols = [c for c in sig.columns if c.startswith("h")]
+    assert (sig.loc[0, hcols] == sig.loc[1, hcols]).all()
+    # near-dup shares most minhashes; disjoint doc shares (almost) none
+    near = (sig.loc[0, hcols] == sig.loc[2, hcols]).sum()
+    far = (sig.loc[0, hcols] == sig.loc[3, hcols]).sum()
+    assert near > far
+
+
+def test_lsh_pairs_contain_exact_dup(docs_df):
+    pairs = dedup.lsh_candidate_pairs(docs_df, "doc_id", "text").toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False, name=None)}
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard_values(docs_df):
+    out = dedup.ngram_jaccard_pairs(docs_df, "doc_id", "text", threshold=0.0).toPandas()
+    m = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    assert m[(0, 1)] == 1.0
+    assert 0 < m[(0, 2)] < 1.0
+
+
+def test_simhash_close_for_near_dups(docs_df):
+    sig = dedup.simhash_signatures(docs_df, "doc_id", "text").toPandas().set_index("doc_id")
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert sig.loc[0, "simhash"] == sig.loc[1, "simhash"]
+    assert ham(sig.loc[0, "simhash"], sig.loc[2, "simhash"]) <= ham(
+        sig.loc[0, "simhash"], sig.loc[3, "simhash"]
+    )
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the fast data table",        # en markers
+                    "der schnelle wert und die",  # de markers
+                    "xyz qqq zzz",                # none
+                ],
+            }
+        )
+    )
+    out = textstats.lang_id(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[1, "pred_lang"] == "de"
+    assert out.loc[2, "pred_lang"] == "und"
+
+
+def test_token_counts_bpe_ish(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["hello worldwide a"]}))
+    out = textstats.token_counts(df, "doc_id", "text").toPandas().iloc[0]
+    assert out["n_tokens"] == 3 and out["n_tokens_ws"] == 3
+    # ceil(5/4) + ceil(9/4) + ceil(1/4) = 2 + 3 + 1
+    assert out["n_bpe_ish"] == 6
+
+
+# --------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[7] = base[3] * 1.001 + 0.0001  # planted near-duplicate of 3
+    pdf = pd.DataFrame({"vec_id": np.arange(40), "embedding": [list(map(float, v)) for v in base]})
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_exact(emb_df):
+    q = emb_df.filter(F.col("vec_id") == 3).first()["embedding"]
+    top = similarity.cosine_topk(emb_df, "vec_id", "embedding", list(q), 3).toPandas()
+    assert top["vec_id"].tolist()[:2] == [3, 7]
+    assert top["cosine"].iloc[0] == 1.0
+
+
+def test_lsh_recall_vs_bruteforce(emb_df):
+    q = emb_df.filter(F.col("vec_id") == 3).first()["embedding"]
+    exact = similarity.cosine_topk(emb_df, "vec_id", "embedding", list(q), 5).toPandas()
+    approx = similarity.lsh_cosine_topk(
+        emb_df, "vec_id", "embedding", list(q), 5, n_planes=6, probe_hamming=2
+    ).toPandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 5
+    assert recall >= 0.6
+    # scores of returned candidates are exact (re-ranked)
+    merged = approx.merge(exact, on="vec_id", suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_near_dup_pairs(emb_df):
+    pairs = similarity.cosine_near_dup_pairs(emb_df, "vec_id", "embedding", threshold=0.99).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False, name=None)}
+    assert (3, 7) in got
+
+
+# --------------------------------------------------------------- multimodal
+def test_media_roundtrip(docs_df):
+    media = multimodal.synthesize_media(docs_df, "doc_id", "text")
+    # names + types must match the declared contract (nullability is
+    # derived from expressions and may be stricter)
+    assert [(f.name, f.dataType.simpleString()) for f in media.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    rows = media.orderBy("media_id").collect()
+    assert bytes(rows[0]["payload"]).decode() == DOCS[0][1]
+    assert rows[0]["meta"]["n_bytes"] == len(DOCS[0][1])
+    kinds = {r["media_id"]: r["kind"] for r in rows}
+    assert kinds[0] == "image" and kinds[1] == "audio" and kinds[2] == "video"
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes", fake=False)
+    img = multimodal.decode_image(b"bytes", fake=True)
+    assert img.shape == (8, 8) and img.dtype == np.uint8
+    assert np.array_equal(img, multimodal.decode_image(b"bytes", fake=True))  # deterministic
+
+
+def test_feature_extraction_deterministic_across_partitioning(docs_df):
+    media = multimodal.synthesize_media(docs_df, "doc_id", "text")
+    f1 = multimodal.extract_features(media.repartition(1)).toPandas().sort_values("media_id")
+    f8 = multimodal.extract_features(media.repartition(8)).toPandas().sort_values("media_id")
+    assert f1["media_id"].tolist() == f8["media_id"].tolist()
+    for a, b in zip(f1["feature"], f8["feature"]):
+        assert np.allclose(a, b)
+    assert all(len(v) == multimodal.FEATURE_DIM for v in f1["feature"])
+
+
+def test_pipeline_plans_are_vectorized(docs_df, emb_df):
+    assert_no_rowwise_python(dedup.minhash_signatures(docs_df, "doc_id", "text"))
+    assert_no_rowwise_python(textstats.quality_scores(docs_df, "doc_id", "text"))
+    q = [1.0] + [0.0] * 15
+    assert_no_rowwise_python(similarity.cosine_topk(emb_df, "vec_id", "embedding", q, 3))
+    with pytest.raises(ValueError):
+        similarity.cosine_topk(emb_df, "vec_id", "embedding", [0.0] * 16, 3)
