@@ -13,17 +13,17 @@ associative and — in `concat` mode — entirely compressed-domain
   the segments' block lists renumbered in docID order. Pure DataFrame
   work: union + window row_number. Zero decode.
 - repack: applyInPandas per (term, shard) — numpy decode, concat,
-  re-pack to full blocks. Use when many appends left short tail
-  blocks (block-max bounds get tighter, scans fewer rows).
+  re-pack to full blocks, and APPLY DELETES physically (the snapshot's
+  delete list drops out of the manifest and df/ttf/avgdl are
+  recomputed from surviving postings — Lucene's merge semantics).
 
 `add_indexes` merges foreign index roots with docID rebase (the
 exact addIndexes semantics), which requires repack since the first
 delta of every block is absolute.
 
 Scale note: the window in concat mode partitions by (term, shard) —
-the salt keeps hot-term groups bounded (n_docs / n_shards / block
-postings each); at 10^12 turns you raise n_shards at index creation,
-not this code.
+the salt keeps hot-term groups bounded; at 10^12 turns you raise
+n_shards at index creation, not this code.
 """
 
 from __future__ import annotations
@@ -36,14 +36,24 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import codec
 from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta
 from .build import POSTINGS_SCHEMA, _dir_bytes
 
+TERMDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("ttf", T.LongType(), False),
+    ]
+)
 
-def _repack_factory(block_size: int, store_positions: bool):
-    """Per-(term, shard) numpy block repack; optional docID offset col."""
+
+def _repack_factory(block_size: int, store_positions: bool, deleted: np.ndarray | None = None):
+    """Per-(term, shard) numpy block repack; optional docID offset col
+    and physical delete application."""
 
     def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, shard = key[0], int(key[1])
@@ -53,47 +63,68 @@ def _repack_factory(block_size: int, store_positions: bool):
             d = codec.decode_doc_block(r["docs"])
             t = codec.decode_tf_block(r["tfs"])
             q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
+            flat = None
+            if store_positions:
+                flat, _ = codec.decode_positions_block(r["positions"], t)
             off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
+            if deleted is not None and deleted.size and d.size:
+                live = ~np.isin(d, deleted)
+                if store_positions:
+                    flat = flat[np.repeat(live, t)]
+                d, t, q = d[live], t[live], q[live]
+            if d.size == 0:
+                continue
             docs_l.append(d + off)
             tfs_l.append(t)
             dlq_l.append(q)
             if store_positions:
-                flat, _ = codec.decode_positions_block(r["positions"], t)
                 pos_l.append(flat)
+        if not docs_l:
+            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}).iloc[:0]
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dlqs = np.concatenate(dlq_l)
         flat_pos = np.concatenate(pos_l) if store_positions else None
         order = np.argsort(docs, kind="mergesort")
         if not np.array_equal(order, np.arange(docs.size)):
-            # positions are per-posting variable length; reorder via splits
             if store_positions:
                 bounds = np.cumsum(tfs) - tfs
                 flat_pos = np.concatenate(
-                    [flat_pos[bounds[i] : bounds[i] + tfs[i]] for i in order]
+                    [flat_pos[bounds[i]: bounds[i] + tfs[i]] for i in order]
                 )
             docs, tfs, dlqs = docs[order], tfs[order], dlqs[order]
         rows = []
         for blk in codec.pack_blocks(docs, tfs, flat_pos, dlqs, block_size):
             rows.append(
                 (
-                    term,
-                    shard,
-                    blk["block_id"],
-                    blk["n"],
-                    blk["min_doc"],
-                    blk["max_doc"],
-                    blk["max_tf"],
-                    blk["min_dlq"],
-                    blk["docs"],
-                    blk["tfs"],
-                    blk["dlqs"],
+                    term, shard, blk["block_id"], blk["n"], blk["min_doc"],
+                    blk["max_doc"], blk["max_tf"], blk["min_dlq"], blk["docs"],
+                    blk["tfs"], blk["dlqs"],
                     blk["positions"] if store_positions else None,
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
     return repack
+
+
+def termdict_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Recompute (term, df, ttf) from packed blocks — needed when a
+    repack changed the surviving postings (delete application)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ttfs = [int(codec.decode_tf_block(b).sum()) for b in pdf["tfs"]]
+            yield pd.DataFrame(
+                {"term": pdf["term"], "df": pdf["n"].astype("int64"), "ttf": ttfs}
+            )
+
+    per_block = blocks.mapInPandas(stats, schema=TERMDICT_SCHEMA)
+    return per_block.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
+    )
 
 
 def _write_merged(
@@ -103,8 +134,8 @@ def _write_merged(
     blocks: DataFrame,
     termdict: DataFrame,
     doclen: DataFrame,
-    seg_stats: dict,
     lineage_extra: dict,
+    properties: dict | None = None,
 ) -> Manifest:
     version = catalog.next_version()
     segment_id = f"seg-v{version:06d}-merge-{uuid.uuid4().hex[:8]}"
@@ -113,18 +144,24 @@ def _write_merged(
     blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))
     termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))
     doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))
+    dstats = spark.read.parquet(os.path.join(seg_dir, "doclen")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.min("doc").alias("doc_min"),
+        F.max("doc").alias("doc_max"),
+    ).collect()[0]
     tstats = spark.read.parquet(os.path.join(seg_dir, "termdict")).agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
     ).collect()[0]
     seg = SegmentMeta(
         segment_id=segment_id,
         path=rel,
-        n_docs=seg_stats["n_docs"],
-        sum_dl=seg_stats["sum_dl"],
+        n_docs=int(dstats["n_docs"]),
+        sum_dl=int(dstats["sum_dl"] or 0),
         n_terms=int(tstats["n_terms"]),
         n_postings=int(tstats["n_postings"] or 0),
-        doc_min=seg_stats["doc_min"],
-        doc_max=seg_stats["doc_max"],
+        doc_min=int(dstats["doc_min"]) if dstats["doc_min"] is not None else 0,
+        doc_max=int(dstats["doc_max"]) if dstats["doc_max"] is not None else -1,
         bytes=_dir_bytes(seg_dir),
         lineage=[lineage_extra],
     )
@@ -135,46 +172,68 @@ def _write_merged(
         n_shards=manifest.n_shards,
         segments=[seg],
         parent_version=manifest.version,
-        properties=dict(manifest.properties),
+        properties=dict(properties if properties is not None else manifest.properties),
     )
     return catalog.commit(merged)
 
 
 def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Manifest:
-    """Consolidate all segments of an index into one (L20)."""
+    """Consolidate all segments of an index into one (L20).
+
+    concat: compressed-domain, keeps any pending delete list.
+    repack: applies deletes physically and recomputes df/ttf/doclen.
+    """
     catalog = IndexCatalog(root)
     manifest = catalog.load()
-    if len(manifest.segments) <= 1 and mode == "concat":
+    has_deletes = bool(manifest.properties.get("deletes_path"))
+    if len(manifest.segments) <= 1 and mode == "concat" and not has_deletes:
         return manifest
     postings = spark.read.parquet(*manifest.segment_paths(root, "postings"))
     termdict_raw = spark.read.parquet(*manifest.segment_paths(root, "termdict"))
     doclen = spark.read.parquet(*manifest.segment_paths(root, "doclen"))
-    termdict = termdict_raw.groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
-    )
     store_positions = bool(manifest.properties.get("store_positions", True))
+    properties = dict(manifest.properties)
     if mode == "concat":
         w = Window.partitionBy("term", "shard").orderBy("min_doc", "block_id")
         blocks = postings.withColumn(
             "block_id", (F.row_number().over(w) - F.lit(1)).cast("int")
         ).select(*[f.name for f in POSTINGS_SCHEMA.fields])
-    elif mode == "repack":
-        blocks = postings.groupBy("term", "shard").applyInPandas(
-            _repack_factory(manifest.block_size, store_positions), schema=POSTINGS_SCHEMA
+        termdict = termdict_raw.groupBy("term").agg(
+            F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
         )
+    elif mode == "repack":
+        deleted = None
+        if has_deletes:
+            import pyarrow.parquet as pq
+
+            deleted = (
+                pq.read_table(
+                    os.path.join(root, manifest.properties["deletes_path"]), columns=["doc"]
+                )["doc"].to_numpy().astype(np.int64)
+            )
+            dels_df = spark.createDataFrame([(int(d),) for d in deleted], "doc long")
+            doclen = doclen.join(F.broadcast(dels_df), "doc", "left_anti")
+            properties.pop("deletes_path", None)
+            properties.pop("n_deletes", None)
+        blocks = postings.groupBy("term", "shard").applyInPandas(
+            _repack_factory(manifest.block_size, store_positions, deleted),
+            schema=POSTINGS_SCHEMA,
+        )
+        if has_deletes:
+            # surviving postings changed -> recompute exact stats
+            termdict = termdict_from_blocks(blocks)
+        else:
+            termdict = termdict_raw.groupBy("term").agg(
+                F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
+            )
     else:
         raise ValueError(f"unknown merge mode {mode!r}")
-    seg_stats = {
-        "n_docs": manifest.n_docs,
-        "sum_dl": manifest.sum_dl,
-        "doc_min": min(s.doc_min for s in manifest.segments),
-        "doc_max": manifest.doc_max,
-    }
     lineage = {
         "op": f"merge-{mode}",
         "inputs": [s.segment_id for s in manifest.segments],
+        "deletes_applied": bool(has_deletes and mode == "repack"),
     }
-    return _write_merged(spark, catalog, manifest, blocks, termdict, doclen, seg_stats, lineage)
+    return _write_merged(spark, catalog, manifest, blocks, termdict, doclen, lineage, properties)
 
 
 def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Manifest:
@@ -191,12 +250,15 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     offsets = []
     acc = 0
     for m in manifests:
-        offsets.append(acc - min((s.doc_min for s in m.segments), default=0))
-        acc += m.doc_max + 1 - min((s.doc_min for s in m.segments), default=0)
+        lo = min((s.doc_min for s in m.segments), default=0)
+        offsets.append(acc - lo)
+        acc += m.doc_max + 1 - lo
     postings = None
     doclen = None
     termdicts = []
     for root, m, off in zip(src_roots, manifests, offsets):
+        if m.properties.get("deletes_path"):
+            raise ValueError("apply deletes (merge repack) before addIndexes")
         p = spark.read.parquet(*m.segment_paths(root, "postings")).withColumn(
             "doc_off", F.lit(off).cast("long")
         )
@@ -209,7 +271,9 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     termdict = termdicts[0]
     for t in termdicts[1:]:
         termdict = termdict.unionByName(t)
-    termdict = termdict.groupBy("term").agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+    termdict = termdict.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
+    )
     store_positions = all(m.properties.get("store_positions", True) for m in manifests)
     blocks = postings.groupBy("term", "shard").applyInPandas(
         _repack_factory(base.block_size, store_positions), schema=POSTINGS_SCHEMA
@@ -217,12 +281,6 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     # shard stays the source's doc%n_shards even after rebase: it is a
     # salt, and all of a doc's postings still share one shard value,
     # which is the only property query/merge kernels rely on.
-    seg_stats = {
-        "n_docs": sum(m.n_docs for m in manifests),
-        "sum_dl": sum(m.sum_dl for m in manifests),
-        "doc_min": 0,
-        "doc_max": acc - 1,
-    }
     synthetic_parent = Manifest(
         version=dest_cat.next_version() - 1 if dest_cat.exists() else 0,
         analyzer=base.analyzer,
@@ -232,4 +290,7 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         properties={"store_positions": store_positions},
     )
     lineage = {"op": "addIndexes", "inputs": src_roots, "offsets": offsets}
-    return _write_merged(spark, dest_cat, synthetic_parent, blocks, termdict, doclen, seg_stats, lineage)
+    return _write_merged(
+        spark, dest_cat, synthetic_parent, blocks, termdict, doclen, lineage,
+        {"store_positions": store_positions},
+    )

@@ -76,6 +76,7 @@ def _score_shard(
     k: int,
     mode: str,
     q_terms: list[str],
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one query against one shard's blocks. Pure numpy.
 
@@ -102,6 +103,11 @@ def _score_shard(
 
     def decode_and_score(t: str, rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         d, tf, dlq = _decode_block_rows(rows)
+        if deleted is not None and deleted.size and d.size:
+            # liveDocs mask BEFORE theta seeding / top-k: a deleted doc
+            # must neither rank nor inflate the pruning bound
+            live = ~np.isin(d, deleted)
+            d, tf, dlq = d[live], tf[live], dlq[live]
         s = (weights[t] * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
         return d, s
 
@@ -219,6 +225,20 @@ class Searcher:
             self._td_files.extend(
                 os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
             )
+        # liveDocs: the snapshot's delete list, shipped to kernels so
+        # deleted docs neither rank nor affect pruning bounds (L21).
+        # Stats (df/ttf/avgdl) still include deleted docs until a
+        # repack merge applies them physically — Lucene semantics.
+        self.deleted: "np.ndarray | None" = None
+        rel = self.manifest.properties.get("deletes_path")
+        if rel:
+            import pyarrow.parquet as pq
+
+            self.deleted = (
+                pq.read_table(os.path.join(root, rel), columns=["doc"])["doc"]
+                .to_numpy()
+                .astype(np.int64)
+            )
 
     def term_stats(self, terms: Iterable[str]) -> dict[str, tuple[int, int]]:
         """term -> (df, ttf) across segments. Driver-side pyarrow scan
@@ -252,14 +272,14 @@ class Searcher:
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         _, term_df = prep
-        n_docs, avgdl = self.n_docs, self.avgdl
+        n_docs, avgdl, deleted = self.n_docs, self.avgdl, self.deleted
         # phrase keeps the user-given token sequence (order + repeats
         # define the phrase); other modes use the deduplicated set
         kt = list(terms) if mode == "phrase" else list(term_df)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
-            return _score_shard(groups, term_df, n_docs, avgdl, k, mode, kt)
+            return _score_shard(groups, term_df, n_docs, avgdl, k, mode, kt, deleted)
 
         scan = self._postings.filter(F.col("term").isin(list(term_df)))
         hits = scan.groupBy("shard").applyInPandas(kernel, schema=HIT_SCHEMA)
@@ -289,14 +309,15 @@ class Searcher:
             all_terms.update(term_df)
         if not specs:
             return self.spark.createDataFrame([], BATCH_HIT_SCHEMA)
-        n_docs, avgdl = self.n_docs, self.avgdl
+        n_docs, avgdl, deleted = self.n_docs, self.avgdl, self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
             outs = []
             for sp in specs:
                 r = _score_shard(
-                    groups, sp["term_df"], n_docs, avgdl, sp["k"], sp["mode"], sp["q_terms"]
+                    groups, sp["term_df"], n_docs, avgdl, sp["k"], sp["mode"],
+                    sp["q_terms"], deleted,
                 )
                 if len(r):
                     r = r.copy()

@@ -30,6 +30,11 @@ def get_spark(
         cores = int(env) if env else os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = cores
+    # pin the numeric libs to one thread per python worker: N workers x
+    # default-size OpenBLAS/OMP pools oversubscribe the box and were
+    # measured 2-3x slower at local[32]
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -42,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # local-mode scan sizing: frozen intermediates are 10s-100s of
+        # MB; the 128MB default would coalesce them into 1-2 scan
+        # partitions and serialize the downstream python stages. A real
+        # cluster at TB scale would keep the default.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
+        .config("spark.sql.files.openCostInBytes", "131072")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,53 @@
+"""Structured Streaming ingestion: stream -> segment appends.
+
+The reference has no streaming surface (SURVEY.md section 2.9); its
+nearest concept is lock-free incremental multi-writer indexing
+(reference: README.md:33-38). We expose incremental indexing as a
+foreachBatch sink over the SAME batch build: every micro-batch
+becomes one segment append committed by manifest swap, with
+fingerprint = f"{checkpoint_id}:{batch_id}" so Structured Streaming's
+at-least-once foreachBatch contract collapses to exactly-once index
+state (a replayed batch hits the idempotent-fingerprint no-op path,
+the applyIfExists idea of FDBIndexOutput.java:182-189).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.build import DEFAULT_BLOCK_SIZE, DEFAULT_N_SHARDS, build_index
+
+
+def indexing_sink(
+    root: str,
+    *,
+    key_cols: list[str],
+    text_col: str = "text",
+    n_shards: int = DEFAULT_N_SHARDS,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    store_positions: bool = True,
+    stream_id: str = "stream",
+):
+    """Returns a foreachBatch function: stream.writeStream
+    .foreachBatch(indexing_sink(root, key_cols=[...])).start()."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from ..sources.manifest import IndexCatalog
+
+        build_index(
+            spark,
+            batch_df,
+            root,
+            key_cols=key_cols,
+            text_col=text_col,
+            n_shards=n_shards,
+            block_size=block_size,
+            store_positions=store_positions,
+            append=IndexCatalog(root).exists(),
+            fingerprint=f"{stream_id}:{batch_id}",
+        )
+
+    return sink
