@@ -46,7 +46,7 @@ ANN_QUERY_ID = 0
 ANN_K = 25
 JACCARD_T = 0.1
 
-_GATE_ROOT = "/tmp/sparklucene_gate"
+_GATE_ROOT = "/tmp/sparklucene_gate_v2"  # bump on index format change
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,7 +61,13 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     root = _index_root(sf_dir)
     if not IndexCatalog(root).exists():
         docs = _table(spark, sf_dir, "documents")
-        build_index(spark, docs, root, doc_col="doc_id", n_shards=8, fingerprint=sf_dir)
+        # tokenized body + keyword fields, the reference's document
+        # shape (TextField + StringField, SimpleFDBDirectoryTest.java:202-207)
+        build_index(
+            spark, docs, root, doc_col="doc_id", n_shards=8, fingerprint=sf_dir,
+            text_fields={"text": "text"},
+            keyword_fields={"source": "source", "lang": "lang"},
+        )
     return Searcher(spark, root)
 
 
@@ -176,11 +182,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_termdict(spark, sf):
         s = _searcher(spark, sf)
         td = spark.read.parquet(*s.manifest.segment_paths(s.root, "termdict"))
-        return td.groupBy("term").agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        return (
+            td.filter(F.col("field") == "text")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        )
 
     def ft_doclen(spark, sf):
         s = _searcher(spark, sf)
-        dl = spark.read.parquet(*s.manifest.segment_paths(s.root, "doclen"))
+        dl = spark.read.parquet(*s.manifest.segment_paths(s.root, "doclen")).filter(
+            F.col("field") == "text"
+        )
         table = F.array(*[F.lit(int(v)) for v in bm25.LENGTH_TABLE.tolist()])
         return dl.select(
             F.col("doc").alias("doc_id"),
@@ -218,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ft_phrase_match(spark, sf):
         return _hits_df(_searcher(spark, sf).search(PHRASE, k=K_ALL, mode="phrase"))
+
+    def ft_keyword_field(spark, sf):
+        # keyword-field TermQuery (the reference's _id lookup): BM25
+        # over a field where every posting has tf=1, dl=1
+        return _hits_df(_searcher(spark, sf).search(["src3"], k=K_ALL, field="source"))
 
     def ft_match_count(spark, sf):
         s = _searcher(spark, sf)
@@ -306,7 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for fn in [
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
-        ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_match_count,
+        ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_keyword_field, ft_match_count,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
@@ -363,6 +380,18 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         "ft_bm25_topk_or": _bm25_sql(OR_TERMS, "or", K_ALL),
         "ft_bm25_topk_and": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
+        "ft_keyword_field": """
+WITH dfs AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE source IS NOT NULL),
+hits AS (
+  SELECT d.doc_id,
+    ((ln(1 + (n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
+     ((1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)))::FLOAT)::DOUBLE)::FLOAT AS s32
+  FROM documents d JOIN dfs ON dfs.source = d.source CROSS JOIN n
+  WHERE d.source = 'src3'
+)
+SELECT doc_id, round(s32::DOUBLE, 3) AS score FROM hits
+""",
         "ft_match_count": f"WITH {_TOK_CTE}\n" + "\nUNION ALL\n".join(mc_parts),
         "ft_numeric_range": f"""
 SELECT event_id, value FROM events WHERE value BETWEEN {EVENTS_LO} AND {EVENTS_HI}

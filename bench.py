@@ -86,6 +86,11 @@ def main() -> None:
     extra["bm25_ms_per_query_batch"] = round(queries["bm25_batch50"] / 50 * 1000, 1)
     with timed("bm25_single"):
         s.search(["term00042", "term01500", "needlealpha"], k=10).collect()
+    with timed("bm25_single_local"):
+        # driver-local query path (the query-service shape): same
+        # files, same kernel, no Spark job
+        s.search_local(["term00042", "term01500", "needlealpha"], k=10)
+    extra["bm25_local_ms"] = round(queries["bm25_single_local"] * 1000, 1)
 
     # ---- incremental append + compressed-domain merge ----
     extra_convs = synth.transcripts(spark, n_convs=n_convs + max(200, n_convs // 10)).filter(

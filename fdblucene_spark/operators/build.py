@@ -47,13 +47,14 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE
-from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta
+from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
 
 DEFAULT_N_SHARDS = 16
 DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
 
 INVERTED_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType(), False),
         T.StructField("doc", T.LongType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.LongType(), False),
@@ -65,6 +66,7 @@ INVERTED_SCHEMA = T.StructType(
 
 POSTINGS_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("block_id", T.IntegerType(), False),
@@ -137,51 +139,95 @@ def assign_dense_doc_ids(
     )
 
 
-def _invert_factory(store_positions: bool, token_re: re.Pattern = _TOKEN_RE):
-    """Tokenize + per-doc inversion kernel (the in-memory segment)."""
+DEFAULT_FIELDS = ({"field": "text", "col": "text", "analyzer": "standard"},)
+
+
+def _invert_text(
+    fld: str, docs: np.ndarray, texts: pd.Series, store_positions: bool, token_re: re.Pattern
+) -> pd.DataFrame | None:
+    """Per-batch inversion of one tokenized field."""
+    tok_lists = texts.fillna("").str.lower().str.findall(token_re)
+    lens = tok_lists.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    keep = lens > 0  # docs with no tokens produce no postings
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[keep]])
+    row_rep = np.repeat(np.flatnonzero(keep), lens[keep])
+    starts = np.cumsum(lens[keep]) - lens[keep]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[keep])
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    order = np.lexsort((pos, codes, row_rep))
+    r, c, p = row_rep[order], codes[order], pos[order]
+    bound = np.flatnonzero((r[1:] != r[:-1]) | (c[1:] != c[:-1])) + 1
+    pstarts = np.concatenate(([0], bound))
+    pends = np.append(bound, total)
+    tf = pends - pstarts
+    out = pd.DataFrame(
+        {
+            "field": fld,
+            "doc": docs[r[pstarts]],
+            "term": uniques[c[pstarts]],
+            "tf": tf.astype(np.int64),
+            "dl": lens[r[pstarts]].astype(np.int64),
+            "dlq": bm25.int_to_byte4(lens[r[pstarts]]).astype(np.int32),
+        }
+    )
+    if store_positions:
+        gaps = np.empty(total, dtype=np.int64)
+        gaps[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=gaps[1:])
+        gaps[pstarts] = p[pstarts]  # delta restarts at each posting
+        out["positions"] = codec.varbyte_encode_split(gaps, pstarts)
+    else:
+        out["positions"] = None
+    return out
+
+
+def _invert_keyword(fld: str, docs: np.ndarray, values: pd.Series, store_positions: bool) -> pd.DataFrame | None:
+    """Keyword field: whole value = one term, no lowercasing, dl = 1
+    (reference: StringField("_id", ...), SimpleFDBDirectoryTest.java:205)."""
+    mask = values.notna().to_numpy()
+    if not mask.any():
+        return None
+    n = int(mask.sum())
+    out = pd.DataFrame(
+        {
+            "field": fld,
+            "doc": docs[mask],
+            "term": values.to_numpy()[mask],
+            "tf": np.ones(n, dtype=np.int64),
+            "dl": np.ones(n, dtype=np.int64),
+            "dlq": np.ones(n, dtype=np.int32),
+        }
+    )
+    out["positions"] = b"\x00" if store_positions else None  # single position 0
+    return out
+
+
+def _invert_factory(
+    store_positions: bool,
+    fields_spec: tuple[dict, ...] = DEFAULT_FIELDS,
+    token_re: re.Pattern = _TOKEN_RE,
+):
+    """Tokenize + per-doc inversion kernel (the in-memory segment),
+    one output row per (field, doc, term)."""
 
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             docs = pdf["doc"].to_numpy(np.int64)
-            tok_lists = pdf["text"].fillna("").str.lower().str.findall(token_re)
-            lens = tok_lists.str.len().to_numpy(np.int64)
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            keep = lens > 0  # docs with no tokens produce no postings
-            flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tok_lists[keep]]
-            )
-            row_rep = np.repeat(np.flatnonzero(keep), lens[keep])
-            starts = np.cumsum(lens[keep]) - lens[keep]
-            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[keep])
-            codes, uniques = pd.factorize(flat_terms, sort=False)
-            order = np.lexsort((pos, codes, row_rep))
-            r, c, p = row_rep[order], codes[order], pos[order]
-            bound = np.flatnonzero((r[1:] != r[:-1]) | (c[1:] != c[:-1])) + 1
-            pstarts = np.concatenate(([0], bound))
-            pends = np.append(bound, total)
-            tf = pends - pstarts
-            out = pd.DataFrame(
-                {
-                    "doc": docs[r[pstarts]],
-                    "term": uniques[c[pstarts]],
-                    "tf": tf.astype(np.int64),
-                    "dl": lens[r[pstarts]].astype(np.int64),
-                    "dlq": bm25.int_to_byte4(lens[r[pstarts]]).astype(np.int32),
-                }
-            )
-            if store_positions:
-                gaps = np.empty(total, dtype=np.int64)
-                gaps[0] = p[0]
-                np.subtract(p[1:], p[:-1], out=gaps[1:])
-                gaps[pstarts] = p[pstarts]  # delta restarts at each posting
-                out["positions"] = codec.varbyte_encode_split(gaps, pstarts)
-            else:
-                out["positions"] = None
-            yield out
+            outs = []
+            for spec in fields_spec:
+                if spec["analyzer"] == "keyword":
+                    sub = _invert_keyword(spec["field"], docs, pdf[spec["col"]], store_positions)
+                else:
+                    sub = _invert_text(spec["field"], docs, pdf[spec["col"]], store_positions, token_re)
+                if sub is not None:
+                    outs.append(sub)
+            if outs:
+                yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
     return invert
 
@@ -196,13 +242,19 @@ def _pack_factory(block_size: int, store_positions: bool):
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         n = len(pdf)
-        # sort=True: codes follow term lexicographic order, so the output
-        # (and the Parquet row groups) are term-clustered AND term-sorted —
-        # that is what makes row-group min/max stats prune term lookups
-        tcodes, tuniq = pd.factorize(pdf["term"].to_numpy(), sort=True)
+        # composite (field, term) group key; sort=True keeps the output
+        # (and the Parquet row groups) field- then term-sorted — that is
+        # what makes row-group min/max stats prune term lookups
+        fields_arr = pdf["field"].to_numpy()
+        terms_arr = pdf["term"].to_numpy()
+        tcodes, kuniq = pd.factorize(
+            pd.Series(fields_arr).str.cat(pd.Series(terms_arr), sep="\x1f").to_numpy(),
+            sort=True,
+        )
         shards = pdf["shard"].to_numpy(np.int64)
         order = np.lexsort((pdf["doc"].to_numpy(np.int64), shards, tcodes))
         tcodes, shards = tcodes[order], shards[order]
+        fields_arr, terms_arr = fields_arr[order], terms_arr[order]
         docs = pdf["doc"].to_numpy(np.int64)[order]
         tfs = pdf["tf"].to_numpy(np.int64)[order]
         dlqs = pdf["dlq"].to_numpy(np.int64)[order]
@@ -243,7 +295,8 @@ def _pack_factory(block_size: int, store_positions: bool):
             pos_bytes = None
         yield pd.DataFrame(
             {
-                "term": tuniq[tcodes[bstarts]],
+                "field": fields_arr[bstarts],
+                "term": terms_arr[bstarts],
                 "shard": shards[bstarts].astype(np.int32),
                 "block_id": block_ord[bstarts].astype(np.int32),
                 "n": (bends - bstarts).astype(np.int32),
@@ -268,8 +321,9 @@ def build_postings(
     store_positions: bool = True,
     pack_partitions: int | None = None,
     freeze_dir: str | None = None,
+    fields_spec: list[dict] | tuple[dict, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """(doc, text) -> (blocks, termdict, doclen, inverted) DataFrames.
+    """(doc, field cols...) -> (blocks, termdict, doclen, inverted).
 
     blocks, termdict and doclen all branch from `inverted`. With
     freeze_dir set, the inverted relation is written to Parquet once
@@ -278,8 +332,11 @@ def build_postings(
     (millions of tiny rows with binary cells), and it doubles as the
     resumable intermediate of the build.
     """
-    inverted = docs_df.select("doc", "text").mapInPandas(
-        _invert_factory(store_positions), schema=INVERTED_SCHEMA
+    if fields_spec is None:
+        fields_spec = DEFAULT_FIELDS
+    src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
+    inverted = docs_df.select(*src_cols).mapInPandas(
+        _invert_factory(store_positions, tuple(fields_spec)), schema=INVERTED_SCHEMA
     )
     if freeze_dir is not None:
         inverted.write.mode("errorifexists").parquet(freeze_dir)
@@ -287,17 +344,17 @@ def build_postings(
     withshard = inverted.withColumn(
         "shard", F.pmod(F.col("doc"), F.lit(n_shards)).cast("int")
     )
-    termdict = inverted.groupBy("term").agg(
+    termdict = inverted.groupBy("field", "term").agg(
         F.count(F.lit(1)).cast("long").alias("df"), F.sum("tf").cast("long").alias("ttf")
     )
-    doclen = inverted.groupBy("doc").agg(
+    doclen = inverted.groupBy("field", "doc").agg(
         F.first("dl").alias("dl"), F.first("dlq").alias("dlq")
     )
     if pack_partitions is None:
         pack_partitions = docs_df.sparkSession.sparkContext.defaultParallelism
     blocks = (
-        withshard.select("term", "shard", "doc", "tf", "dlq", "positions")
-        .repartition(pack_partitions, "term", "shard")
+        withshard.select("field", "term", "shard", "doc", "tf", "dlq", "positions")
+        .repartition(pack_partitions, "field", "term", "shard")
         .mapInPandas(_pack_factory(block_size, store_positions), schema=POSTINGS_SCHEMA)
     )
     return blocks, termdict, doclen, inverted
@@ -319,6 +376,8 @@ def build_index(
     doc_col: str | None = None,
     key_cols: list[str] | None = None,
     text_col: str = "text",
+    text_fields: dict[str, str] | None = None,
+    keyword_fields: dict[str, str] | None = None,
     n_shards: int = DEFAULT_N_SHARDS,
     block_size: int = DEFAULT_BLOCK_SIZE,
     store_positions: bool = True,
@@ -329,6 +388,14 @@ def build_index(
 
     doc_col: existing int64 unique doc key; OR key_cols for dense-ID
     assignment (e.g. ["conv_id", "turn_idx"] per BASELINE.json docID).
+
+    Fields (reference: TextField + StringField per document,
+    SimpleFDBDirectoryTest.java:202-207): text_fields maps index field
+    -> tokenized source column (default {"text": text_col});
+    keyword_fields maps index field -> keyword source column (whole
+    value = one term, no analysis — id/enum lookup fields). The first
+    text field is the primary field whose stats fill the legacy
+    top-level SegmentMeta numbers.
     """
     catalog = IndexCatalog(root)
     parent: Manifest | None = None
@@ -344,15 +411,33 @@ def build_index(
             return parent  # idempotent re-run: already committed
 
     version = catalog.next_version()
-    segment_id = f"seg-v{version:06d}-{(fingerprint or uuid.uuid4().hex[:12])}"
+    fp_slug = (
+        re.sub(r"[^A-Za-z0-9_.-]+", "-", fingerprint).strip("-")[:40]
+        if fingerprint else uuid.uuid4().hex[:12]
+    )
+    segment_id = f"seg-v{version:06d}-{fp_slug}"
     rel = catalog.new_segment_path(segment_id)
     seg_dir = os.path.join(root, rel)
     os.makedirs(seg_dir, exist_ok=True)
 
-    if doc_col is not None:
-        docs_df = corpus.select(
-            F.col(doc_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    if text_fields is None:
+        text_fields = {"text": text_col}
+    keyword_fields = keyword_fields or {}
+    if set(text_fields) & set(keyword_fields):
+        raise ValueError("a field cannot be both text and keyword")
+    fields_spec = [
+        {"field": f, "col": c, "analyzer": "standard"} for f, c in text_fields.items()
+    ] + [{"field": f, "col": c, "analyzer": "keyword"} for f, c in keyword_fields.items()]
+    primary = next(iter(text_fields))
+    if parent is not None and sorted(parent.fields()) != sorted(s["field"] for s in fields_spec):
+        raise ValueError(
+            f"field set mismatch: index has {sorted(parent.fields())}, "
+            f"append brings {sorted(s['field'] for s in fields_spec)}"
         )
+    src_cols = sorted({s["col"] for s in fields_spec})
+
+    if doc_col is not None:
+        docs_df = corpus.select(F.col(doc_col).cast("long").alias("doc"), *src_cols)
     else:
         if not key_cols:
             raise ValueError("need doc_col or key_cols")
@@ -361,12 +446,13 @@ def build_index(
             corpus, key_cols, doc_base=doc_base,
             freeze_dir=os.path.join(seg_dir, "_tmp_ids"),
         )
-        docs_df = with_ids.select("doc", F.col(text_col).alias("text"))
+        docs_df = with_ids.select("doc", *src_cols)
 
     blocks, termdict, doclen, inverted = build_postings(
         docs_df, n_shards=n_shards, block_size=block_size,
         store_positions=store_positions,
         freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
+        fields_spec=fields_spec,
     )
 
     # write order: data first (invisible), stats second, manifest last
@@ -374,15 +460,27 @@ def build_index(
     termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))
     doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))
 
-    dstats = spark.read.parquet(os.path.join(seg_dir, "doclen")).agg(
+    dl_read = spark.read.parquet(os.path.join(seg_dir, "doclen"))
+    dstats_rows = dl_read.groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         F.min("doc").alias("doc_min"),
         F.max("doc").alias("doc_max"),
-    ).collect()[0]
-    tstats = spark.read.parquet(os.path.join(seg_dir, "termdict")).agg(
+    ).collect()
+    tstats_rows = spark.read.parquet(os.path.join(seg_dir, "termdict")).groupBy("field").agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
-    ).collect()[0]
+    ).collect()
+    field_stats: dict[str, dict] = {}
+    for r in dstats_rows:
+        field_stats[r["field"]] = {
+            "n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"] or 0),
+        }
+    for r in tstats_rows:
+        field_stats.setdefault(r["field"], {})["n_terms"] = int(r["n_terms"])
+        field_stats[r["field"]]["n_postings"] = int(r["n_postings"] or 0)
+    pstats = field_stats.get(primary, {"n_docs": 0, "sum_dl": 0, "n_terms": 0, "n_postings": 0})
+    doc_min = min((int(r["doc_min"]) for r in dstats_rows), default=0)
+    doc_max = max((int(r["doc_max"]) for r in dstats_rows), default=-1)
     # per-partition lineage: one record per shard (segment IDs, doc/term
     # counts, bytes — BASELINE.json north_star metrics)
     lineage_rows = (
@@ -406,23 +504,26 @@ def build_index(
 
     for tmp in ("_tmp_ids", "_tmp_inverted"):
         shutil.rmtree(os.path.join(seg_dir, tmp), ignore_errors=True)
+    # fingerprint AFTER dropping intermediates: the hash must describe
+    # exactly the published segment contents
+    seg_bytes, seg_hash = dir_fingerprint(seg_dir)
 
-    # docs whose text tokenizes to nothing still count for N/avgdl in
-    # Lucene only if they have the field; our contract: every corpus row
-    # is a doc. Track both; n_docs here = docs with >=1 token.
-    n_corpus = int(dstats["n_docs"])
-
+    # n_docs = docs with >=1 token in the PRIMARY field (Lucene's
+    # per-field docCount — docs lacking the field don't count for its
+    # avgdl); doc_min/doc_max span all fields.
     seg = SegmentMeta(
         segment_id=segment_id,
         path=rel,
-        n_docs=n_corpus,
-        sum_dl=int(dstats["sum_dl"] or 0),
-        n_terms=int(tstats["n_terms"]),
-        n_postings=int(tstats["n_postings"] or 0),
-        doc_min=int(dstats["doc_min"]) if dstats["doc_min"] is not None else 0,
-        doc_max=int(dstats["doc_max"]) if dstats["doc_max"] is not None else -1,
-        bytes=_dir_bytes(seg_dir),
+        n_docs=pstats["n_docs"],
+        sum_dl=pstats["sum_dl"],
+        n_terms=pstats.get("n_terms", 0),
+        n_postings=pstats.get("n_postings", 0),
+        doc_min=doc_min,
+        doc_max=doc_max,
+        bytes=seg_bytes,
         lineage=lineage,
+        field_stats=field_stats,
+        content_hash=seg_hash,
     )
     manifest = Manifest(
         version=version,
@@ -431,6 +532,6 @@ def build_index(
         n_shards=n_shards,
         segments=(parent.segments if parent else []) + [seg],
         parent_version=parent.version if parent else None,
-        properties={"store_positions": store_positions},
+        properties={"store_positions": store_positions, "primary_field": primary},
     )
     return catalog.commit(manifest)

@@ -54,6 +54,32 @@ def delete_docs(spark: SparkSession, root: str, doc_ids: DataFrame | list[int]) 
     return catalog.commit(new)
 
 
+def update_docs(
+    spark: SparkSession,
+    root: str,
+    replacements: DataFrame,
+    *,
+    doc_col: str,
+    **build_kwargs,
+) -> Manifest:
+    """Update = delete-then-append, the Lucene updateDocument contract
+    (L21): tombstone the old docIDs (doc_col names them in
+    `replacements`), then append the new content as a fresh segment
+    with NEW dense docIDs above doc_max — exactly how Lucene assigns a
+    new internal id on update. Pass key_cols=... in build_kwargs for
+    the dense-ID assignment of the replacement rows. Two snapshots are
+    committed; a later repack merge reclaims the tombstoned postings.
+    """
+    from .build import build_index
+
+    ids = [int(r[0]) for r in replacements.select(doc_col).distinct().collect()]
+    # tombstone old versions first, then append the new content under
+    # FRESH doc ids above doc_max (dense append), keeping the natural
+    # key mapping in the replacement segment's stored fields
+    delete_docs(spark, root, ids)
+    return build_index(spark, replacements, root, doc_col=None, append=True, **build_kwargs)
+
+
 def live_filter(spark: SparkSession, root: str, manifest: Manifest, hits: DataFrame) -> DataFrame:
     """Anti-join hits (doc column) against the snapshot's delete list."""
     rel = manifest.properties.get("deletes_path")

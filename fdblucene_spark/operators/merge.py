@@ -39,11 +39,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import codec
-from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta
+from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
 from .build import POSTINGS_SCHEMA, _dir_bytes
 
 TERMDICT_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("df", T.LongType(), False),
         T.StructField("ttf", T.LongType(), False),
@@ -56,7 +57,7 @@ def _repack_factory(block_size: int, store_positions: bool, deleted: np.ndarray 
     and physical delete application."""
 
     def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key[0], int(key[1])
+        fld, term, shard = key[0], key[1], int(key[2])
         pdf = pdf.sort_values(["min_doc", "block_id"], ignore_index=True)
         docs_l, tfs_l, pos_l, dlq_l = [], [], [], []
         for _, r in pdf.iterrows():
@@ -97,7 +98,7 @@ def _repack_factory(block_size: int, store_positions: bool, deleted: np.ndarray 
         for blk in codec.pack_blocks(docs, tfs, flat_pos, dlqs, block_size):
             rows.append(
                 (
-                    term, shard, blk["block_id"], blk["n"], blk["min_doc"],
+                    fld, term, shard, blk["block_id"], blk["n"], blk["min_doc"],
                     blk["max_doc"], blk["max_tf"], blk["min_dlq"], blk["docs"],
                     blk["tfs"], blk["dlqs"],
                     blk["positions"] if store_positions else None,
@@ -118,11 +119,12 @@ def termdict_from_blocks(blocks: DataFrame) -> DataFrame:
                 continue
             ttfs = [int(codec.decode_tf_block(b).sum()) for b in pdf["tfs"]]
             yield pd.DataFrame(
-                {"term": pdf["term"], "df": pdf["n"].astype("int64"), "ttf": ttfs}
+                {"field": pdf["field"], "term": pdf["term"],
+                 "df": pdf["n"].astype("int64"), "ttf": ttfs}
             )
 
     per_block = blocks.mapInPandas(stats, schema=TERMDICT_SCHEMA)
-    return per_block.groupBy("term").agg(
+    return per_block.groupBy("field", "term").agg(
         F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
     )
 
@@ -144,26 +146,37 @@ def _write_merged(
     blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))
     termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))
     doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))
-    dstats = spark.read.parquet(os.path.join(seg_dir, "doclen")).agg(
+    dstats_rows = spark.read.parquet(os.path.join(seg_dir, "doclen")).groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         F.min("doc").alias("doc_min"),
         F.max("doc").alias("doc_max"),
-    ).collect()[0]
-    tstats = spark.read.parquet(os.path.join(seg_dir, "termdict")).agg(
+    ).collect()
+    tstats_rows = spark.read.parquet(os.path.join(seg_dir, "termdict")).groupBy("field").agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
-    ).collect()[0]
+    ).collect()
+    field_stats: dict[str, dict] = {}
+    for r in dstats_rows:
+        field_stats[r["field"]] = {"n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"] or 0)}
+    for r in tstats_rows:
+        field_stats.setdefault(r["field"], {})["n_terms"] = int(r["n_terms"])
+        field_stats[r["field"]]["n_postings"] = int(r["n_postings"] or 0)
+    primary = (properties or manifest.properties).get("primary_field", "text")
+    pstats = field_stats.get(primary) or next(iter(field_stats.values()), {})
+    seg_bytes, seg_hash = dir_fingerprint(seg_dir)
     seg = SegmentMeta(
         segment_id=segment_id,
         path=rel,
-        n_docs=int(dstats["n_docs"]),
-        sum_dl=int(dstats["sum_dl"] or 0),
-        n_terms=int(tstats["n_terms"]),
-        n_postings=int(tstats["n_postings"] or 0),
-        doc_min=int(dstats["doc_min"]) if dstats["doc_min"] is not None else 0,
-        doc_max=int(dstats["doc_max"]) if dstats["doc_max"] is not None else -1,
-        bytes=_dir_bytes(seg_dir),
+        n_docs=int(pstats.get("n_docs", 0)),
+        sum_dl=int(pstats.get("sum_dl", 0)),
+        n_terms=int(pstats.get("n_terms", 0)),
+        n_postings=int(pstats.get("n_postings", 0)),
+        doc_min=min((int(r["doc_min"]) for r in dstats_rows), default=0),
+        doc_max=max((int(r["doc_max"]) for r in dstats_rows), default=-1),
+        bytes=seg_bytes,
         lineage=[lineage_extra],
+        field_stats=field_stats,
+        content_hash=seg_hash,
     )
     merged = Manifest(
         version=version,
@@ -194,11 +207,11 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
     store_positions = bool(manifest.properties.get("store_positions", True))
     properties = dict(manifest.properties)
     if mode == "concat":
-        w = Window.partitionBy("term", "shard").orderBy("min_doc", "block_id")
+        w = Window.partitionBy("field", "term", "shard").orderBy("min_doc", "block_id")
         blocks = postings.withColumn(
             "block_id", (F.row_number().over(w) - F.lit(1)).cast("int")
         ).select(*[f.name for f in POSTINGS_SCHEMA.fields])
-        termdict = termdict_raw.groupBy("term").agg(
+        termdict = termdict_raw.groupBy("field", "term").agg(
             F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
         )
     elif mode == "repack":
@@ -215,7 +228,7 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
             doclen = doclen.join(F.broadcast(dels_df), "doc", "left_anti")
             properties.pop("deletes_path", None)
             properties.pop("n_deletes", None)
-        blocks = postings.groupBy("term", "shard").applyInPandas(
+        blocks = postings.groupBy("field", "term", "shard").applyInPandas(
             _repack_factory(manifest.block_size, store_positions, deleted),
             schema=POSTINGS_SCHEMA,
         )
@@ -223,7 +236,7 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
             # surviving postings changed -> recompute exact stats
             termdict = termdict_from_blocks(blocks)
         else:
-            termdict = termdict_raw.groupBy("term").agg(
+            termdict = termdict_raw.groupBy("field", "term").agg(
                 F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
             )
     else:
@@ -271,11 +284,11 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     termdict = termdicts[0]
     for t in termdicts[1:]:
         termdict = termdict.unionByName(t)
-    termdict = termdict.groupBy("term").agg(
+    termdict = termdict.groupBy("field", "term").agg(
         F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
     )
     store_positions = all(m.properties.get("store_positions", True) for m in manifests)
-    blocks = postings.groupBy("term", "shard").applyInPandas(
+    blocks = postings.groupBy("field", "term", "shard").applyInPandas(
         _repack_factory(base.block_size, store_positions), schema=POSTINGS_SCHEMA
     )
     # shard stays the source's doc%n_shards even after rebase: it is a

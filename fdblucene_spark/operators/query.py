@@ -240,25 +240,27 @@ class Searcher:
                 .astype(np.int64)
             )
 
-    def term_stats(self, terms: Iterable[str]) -> dict[str, tuple[int, int]]:
-        """term -> (df, ttf) across segments. Driver-side pyarrow scan
-        with predicate pushdown — the term-dictionary seek (L11); the
-        termdict is orders of magnitude smaller than postings and this
-        avoids a Spark job per query. (On a cluster the same files are
-        on shared storage; pyarrow reads them equally well.)"""
+    def term_stats(self, terms: Iterable[str], field: str = "text") -> dict[str, tuple[int, int]]:
+        """(field, term) -> (df, ttf) across segments. Driver-side
+        pyarrow scan with predicate pushdown — the term-dictionary seek
+        (L11); the termdict is orders of magnitude smaller than
+        postings and this avoids a Spark job per query. (On a cluster
+        the same files are on shared storage; pyarrow reads them
+        equally well.)"""
         terms = list(terms)
         if not terms:
             return {}
         dset = pads.dataset(self._td_files, format="parquet")
-        tbl = dset.to_table(filter=pads.field("term").isin(terms))
+        flt = pads.field("term").isin(terms) & (pads.field("field") == field)
+        tbl = dset.to_table(filter=flt)
         if tbl.num_rows == 0:
             return {}
         pdf = tbl.to_pandas().groupby("term", sort=False)[["df", "ttf"]].sum()
         return {t: (int(r["df"]), int(r["ttf"])) for t, r in pdf.iterrows()}
 
-    def _prep(self, terms: list[str], mode: str):
+    def _prep(self, terms: list[str], mode: str, field: str = "text"):
         uniq = sorted(set(terms))
-        stats = self.term_stats(uniq)
+        stats = self.term_stats(uniq, field=field)
         present = [t for t in uniq if t in stats]
         if not present or (mode in ("and", "phrase") and len(present) < len(uniq)):
             return None
@@ -266,13 +268,15 @@ class Searcher:
             raise ValueError("index built without positions; phrase queries unavailable")
         return uniq, {t: stats[t][0] for t in present}
 
-    def search(self, terms: list[str], k: int, mode: str = "or") -> DataFrame:
+    def search(self, terms: list[str], k: int, mode: str = "or", field: str = "text") -> DataFrame:
         """Top-k hits as a DataFrame (doc, score), globally ordered."""
-        prep = self._prep(terms, mode)
+        prep = self._prep(terms, mode, field)
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         _, term_df = prep
-        n_docs, avgdl, deleted = self.n_docs, self.avgdl, self.deleted
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        deleted = self.deleted
         # phrase keeps the user-given token sequence (order + repeats
         # define the phrase); other modes use the deduplicated set
         kt = list(terms) if mode == "phrase" else list(term_df)
@@ -281,7 +285,9 @@ class Searcher:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
             return _score_shard(groups, term_df, n_docs, avgdl, k, mode, kt, deleted)
 
-        scan = self._postings.filter(F.col("term").isin(list(term_df)))
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(term_df))
+        )
         hits = scan.groupBy("shard").applyInPandas(kernel, schema=HIT_SCHEMA)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
@@ -291,9 +297,11 @@ class Searcher:
         ordered within each query by (score desc, doc asc)."""
         specs = []
         all_terms: set[str] = set()
+        all_fields: set[str] = set()
         for q in queries:
             mode = q.get("mode", "or")
-            prep = self._prep(list(q["terms"]), mode)
+            field = q.get("field", "text")
+            prep = self._prep(list(q["terms"]), mode, field)
             if prep is None:
                 continue
             _, term_df = prep
@@ -302,21 +310,29 @@ class Searcher:
                     "query_id": q["query_id"],
                     "k": int(q["k"]),
                     "mode": mode,
+                    "field": field,
                     "q_terms": list(q["terms"]) if mode == "phrase" else list(term_df),
                     "term_df": term_df,
+                    "n_docs": self.manifest.n_docs_for(field),
+                    "avgdl": self.manifest.avgdl_for(field),
                 }
             )
             all_terms.update(term_df)
+            all_fields.add(field)
         if not specs:
             return self.spark.createDataFrame([], BATCH_HIT_SCHEMA)
-        n_docs, avgdl, deleted = self.n_docs, self.avgdl, self.deleted
+        deleted = self.deleted
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            by_field = {
+                f: {t: g for t, g in sub.groupby("term", sort=False)}
+                for f, sub in pdf.groupby("field", sort=False)
+            }
             outs = []
             for sp in specs:
+                groups = by_field.get(sp["field"], {})
                 r = _score_shard(
-                    groups, sp["term_df"], n_docs, avgdl, sp["k"], sp["mode"],
+                    groups, sp["term_df"], sp["n_docs"], sp["avgdl"], sp["k"], sp["mode"],
                     sp["q_terms"], deleted,
                 )
                 if len(r):
@@ -330,7 +346,9 @@ class Searcher:
                 )
             return pd.concat(outs, ignore_index=True)
 
-        scan = self._postings.filter(F.col("term").isin(sorted(all_terms)))
+        scan = self._postings.filter(
+            F.col("field").isin(sorted(all_fields)) & F.col("term").isin(sorted(all_terms))
+        )
         hits = scan.groupBy("shard").applyInPandas(kernel, schema=BATCH_HIT_SCHEMA)
         ks = {sp["query_id"]: sp["k"] for sp in specs}
         k_df = F.create_map(*[F.lit(x) for kv in ks.items() for x in kv])
@@ -342,14 +360,16 @@ class Searcher:
             .orderBy("query_id", F.desc("score"), F.asc("doc"))
         )
 
-    def postings(self, terms: list[str]) -> DataFrame:
+    def postings(self, terms: list[str], field: str = "text") -> DataFrame:
         """Decode stored posting blocks for `terms` -> (term, doc, tf).
 
         The inspection/export surface of the logical postings relation
         (reference: ("pm", field, term, docID) -> freq, DATA.md:53) —
         also the correctness probe that exercises codec + storage
         round-trip end-to-end."""
-        scan = self._postings.filter(F.col("term").isin(list(set(terms))))
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(set(terms)))
+        )
 
         def dec(batches):
             for pdf in batches:
@@ -371,10 +391,42 @@ class Searcher:
         )
         return scan.mapInPandas(dec, schema=schema)
 
-    def count(self, terms: list[str], mode: str = "or") -> int:
+    def search_local(
+        self, terms: list[str], k: int, mode: str = "or", field: str = "text"
+    ) -> pd.DataFrame:
+        """Low-latency single-query path: same segment files, same
+        scoring kernel, but the (pushdown-pruned) block scan and the
+        numpy kernel run in the driver process — no Spark job at all.
+
+        This is the shape of a query-service node (the reference's
+        single-process IndexSearcher): a query touches O(query terms)
+        blocks, so the data volume is tiny even when the index is not.
+        Results are identical to search() (same _score_shard kernel,
+        shard grouping is irrelevant when all blocks are in one frame).
+        """
+        prep = self._prep(terms, mode, field)
+        if prep is None:
+            return pd.DataFrame({"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
+        _, term_df = prep
+        files = []
+        for p in self.manifest.segment_paths(self.root, "postings"):
+            files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
+        dset = pads.dataset(files, format="parquet")
+        flt = (pads.field("field") == field) & pads.field("term").isin(list(term_df))
+        pdf = dset.to_table(filter=flt).to_pandas()
+        groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+        kt = list(terms) if mode == "phrase" else list(term_df)
+        hits = _score_shard(
+            groups, term_df, self.manifest.n_docs_for(field),
+            self.manifest.avgdl_for(field), k, mode, kt, self.deleted,
+        )
+        hits = hits.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
+        return hits.head(k).reset_index(drop=True)
+
+    def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155)."""
         n = max(self.n_docs, 1)
-        return self.search(terms, k=n, mode=mode).count()
+        return self.search(terms, k=n, mode=mode, field=field).count()
 
     def fetch(self, hits: DataFrame, base: DataFrame, doc_col: str) -> DataFrame:
         """Stored-field retrieval: broadcast semi-join of top-k docIDs

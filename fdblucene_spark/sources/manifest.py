@@ -37,6 +37,27 @@ CURRENT = "CURRENT"
 FORMAT_VERSION = 1
 
 
+def dir_fingerprint(path: str) -> tuple[int, str]:
+    """(total_bytes, sha256 over sorted (relpath, size)) for a segment
+    directory — detects missing/truncated files without a data pass."""
+    import hashlib
+
+    entries = []
+    total = 0
+    for base, _, files in os.walk(path):
+        for f in files:
+            if f.startswith(".") or f.endswith(".crc") or f == "_SUCCESS":
+                continue
+            p = os.path.join(base, f)
+            size = os.path.getsize(p)
+            total += size
+            entries.append((os.path.relpath(p, path), size))
+    h = hashlib.sha256()
+    for rel, size in sorted(entries):
+        h.update(f"{rel}:{size}\n".encode())
+    return total, h.hexdigest()[:32]
+
+
 class CommitConflict(Exception):
     """Another writer published this version first (optimistic CAS lost)."""
 
@@ -57,6 +78,15 @@ class SegmentMeta:
     doc_max: int
     bytes: int = 0
     lineage: list[dict] = field(default_factory=list)  # per-partition metrics
+    # per-field corpus stats for multi-field indexes (reference:
+    # TextField + StringField per doc, SimpleFDBDirectoryTest.java:202-207;
+    # per-field dc/sdf/sttf keys, DATA.md:33-35). Top-level n_docs /
+    # sum_dl remain the PRIMARY text field's numbers for back-compat.
+    field_stats: dict = field(default_factory=dict)
+    # structural checksum over (relpath, size) of every file — the
+    # catalog-level analogue of the reference's per-file CRC32
+    # (FDBIndexOutput.getChecksum, FDBIndexOutput.java:93,113-115)
+    content_hash: str = ""
 
     def to_json(self) -> dict:
         return dict(self.__dict__)
@@ -93,6 +123,28 @@ class Manifest:
     @property
     def n_postings(self) -> int:
         return sum(s.n_postings for s in self.segments)
+
+    def fields(self) -> list[str]:
+        out: list[str] = []
+        for s in self.segments:
+            for f in s.field_stats:
+                if f not in out:
+                    out.append(f)
+        return out or ["text"]
+
+    def field_stat(self, fld: str, key: str) -> int:
+        return sum(int(s.field_stats.get(fld, {}).get(key, 0)) for s in self.segments)
+
+    def avgdl_for(self, fld: str) -> float:
+        if not any(fld in s.field_stats for s in self.segments):
+            return self.avgdl  # legacy single-field manifests
+        n = self.field_stat(fld, "n_docs")
+        return self.field_stat(fld, "sum_dl") / n if n else 0.0
+
+    def n_docs_for(self, fld: str) -> int:
+        if not any(fld in s.field_stats for s in self.segments):
+            return self.n_docs
+        return self.field_stat(fld, "n_docs")
 
     @property
     def doc_max(self) -> int:
@@ -177,6 +229,21 @@ class IndexCatalog:
     def new_segment_path(self, segment_id: str) -> str:
         """Immutable, collision-free data path (not yet visible)."""
         return os.path.join("data", "segments", segment_id)
+
+    def verify_segments(self, manifest: Manifest | None = None) -> list[str]:
+        """Integrity check: every segment's files exist and the
+        structural checksum matches the manifest (S17 analogue).
+        Returns a list of problems (empty = healthy)."""
+        manifest = manifest or self.load()
+        problems = []
+        for s in manifest.segments:
+            seg_dir = os.path.join(self.root, s.path)
+            if not os.path.isdir(seg_dir):
+                problems.append(f"{s.segment_id}: missing directory {s.path}")
+                continue
+            if s.content_hash and dir_fingerprint(seg_dir)[1] != s.content_hash:
+                problems.append(f"{s.segment_id}: content hash mismatch")
+        return problems
 
     def expire_orphans(self, keep_versions: int = 3) -> list[str]:
         """Physical cleanup of segments unreachable from the newest

@@ -138,6 +138,20 @@ def test_phrase_positive_case(spark, tmp_path_factory):
     assert hits["doc"].tolist() == [0]  # only doc0 has "needle phrase" adjacent
 
 
+def test_search_local_matches_distributed(spark, built):
+    root, _ = built
+    s = Searcher(spark, root)
+    for terms, mode in [
+        (["term00000", "term00042"], "or"),
+        (["term00003", "term00015"], "and"),
+        (["needlealpha"], "or"),
+    ]:
+        dist = s.search(terms, 25, mode).toPandas()
+        loc = s.search_local(terms, 25, mode)
+        assert dist["doc"].tolist() == loc["doc"].tolist(), (terms, mode)
+        assert (abs(dist["score"] - loc["score"]) < 1e-6).all()
+
+
 def test_count_total_hits(spark, built, oracle_index):
     root, _ = built
     s = Searcher(spark, root)
