@@ -296,6 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
         return similarity.lsh_cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K)
 
+    def ann_ivf_topk(spark, sf):
+        emb = _table(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
+        return similarity.ivf_cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K, nprobe=6)
+
     # ---- multimodal plumbing ----
     def mm_media_stats(spark, sf):
         media = multimodal.synthesize_media(_table(spark, sf, "documents"), "doc_id", "text")
@@ -327,7 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
-        ann_cosine_topk, ann_lsh_topk, mm_media_stats, mm_features,
+        ann_cosine_topk, ann_lsh_topk, ann_ivf_topk, mm_media_stats, mm_features,
         agg_lineitem_pricing,
     ]:
         q[fn.__name__] = fn

@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE
-from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
+from ..sources.manifest import CommitConflict, IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
 
 DEFAULT_N_SHARDS = 16
 DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
@@ -525,13 +525,34 @@ def build_index(
         field_stats=field_stats,
         content_hash=seg_hash,
     )
-    manifest = Manifest(
-        version=version,
-        analyzer=ANALYZER_VERSION,
-        block_size=block_size,
-        n_shards=n_shards,
-        segments=(parent.segments if parent else []) + [seg],
-        parent_version=parent.version if parent else None,
-        properties={"store_positions": store_positions, "primary_field": primary},
-    )
-    return catalog.commit(manifest)
+    # Lock-free multi-writer commit (reference: FDBIndexWriter drops
+    # the Directory lock, README.md:33-38): on a lost CAS race, reload
+    # the winner's manifest and re-commit our already-written segment
+    # on top of it. Safe only when docIDs cannot collide across racing
+    # writers — true for doc_col mode (caller-owned unique keys); in
+    # key_cols mode a racer may have claimed the same dense-id range,
+    # so we refuse rather than publish overlapping docIDs.
+    attempt_parent = parent
+    while True:
+        manifest = Manifest(
+            version=catalog.next_version(),
+            analyzer=ANALYZER_VERSION,
+            block_size=block_size,
+            n_shards=n_shards,
+            segments=(attempt_parent.segments if attempt_parent else []) + [seg],
+            parent_version=attempt_parent.version if attempt_parent else None,
+            properties={"store_positions": store_positions, "primary_field": primary},
+        )
+        try:
+            return catalog.commit(manifest)
+        except CommitConflict:
+            latest = catalog.load()
+            if doc_col is None and latest.doc_max >= seg.doc_min:
+                raise CommitConflict(
+                    "concurrent append raced this build's dense docID range; "
+                    "rebuild against the new snapshot (or use doc_col mode "
+                    "for lock-free multi-writer appends)"
+                )
+            if latest.analyzer != ANALYZER_VERSION or latest.block_size != block_size or latest.n_shards != n_shards:
+                raise
+            attempt_parent = latest

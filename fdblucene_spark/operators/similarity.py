@@ -9,12 +9,15 @@ Scale: brute force is a single narrow scan + global top-k (fine as a
 one-off, linear in corpus); LSH turns it into a bucket-pruned scan —
 the bucket filter pushes down to the signature column, so at 10^9+
 vectors only matching buckets are read. IVF would replace the random
-planes with k-means centroids; the plumbing is identical.
+planes with k-means centroids — ivf_cosine_topk implements exactly
+that (spherical k-means centroids, distributed assignment, nprobe
+cell-pruned exact re-rank).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +124,87 @@ def lsh_cosine_topk(
         ]
     bucketed = with_lsh_bucket(df, vec_col, planes)
     cands = bucketed.filter(F.col("bucket").isin(probe))
+    return (
+        cosine_scores(cands, id_col, vec_col, query_vec)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic sample.
+
+    Driver-side Lloyd iterations on <= `sample` unit-normalized
+    vectors — the centroid table is tiny model state (exactly what an
+    IVF index ships to every executor); assignment of the full corpus
+    stays distributed (with_ivf_cluster).
+    """
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def with_ivf_cluster(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, out_col: str = "cluster"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (Arrow-batched
+    matmul — one gemm per batch, no per-row Python)."""
+    cent = centroids.astype(np.float64)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the nprobe closest centroid cells, exact cosine
+    re-rank inside. At scale the cluster column is precomputed and the
+    table is partitioned/bucketed by it, so the probe is a partition-
+    pruned scan; here assignment runs inline."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("query vector has zero norm; cosine undefined")
+    sims = centroids @ (q / qn)
+    probe = [int(c) for c in np.argsort(-sims)[:nprobe]]
+    cands = with_ivf_cluster(df, vec_col, centroids).filter(F.col("cluster").isin(probe))
     return (
         cosine_scores(cands, id_col, vec_col, query_vec)
         .orderBy(F.desc("cosine"), F.asc(id_col))

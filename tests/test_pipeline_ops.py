@@ -178,3 +178,23 @@ def test_pipeline_plans_are_vectorized(docs_df, emb_df):
     assert_no_rowwise_python(similarity.cosine_topk(emb_df, "vec_id", "embedding", q, 3))
     with pytest.raises(ValueError):
         similarity.cosine_topk(emb_df, "vec_id", "embedding", [0.0] * 16, 3)
+
+
+def test_ivf_recall_and_determinism(emb_df):
+    from pyspark.sql import functions as F
+
+    q = emb_df.filter(F.col("vec_id") == 3).first()["embedding"]
+    exact = similarity.cosine_topk(emb_df, "vec_id", "embedding", list(q), 5).toPandas()
+    approx = similarity.ivf_cosine_topk(
+        emb_df, "vec_id", "embedding", list(q), 5, n_centroids=4, nprobe=3
+    ).toPandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 5
+    assert recall >= 0.6
+    # candidates carry exact (re-ranked) scores
+    merged = approx.merge(exact, on="vec_id", suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+    import numpy as np
+
+    c1 = similarity.ivf_centroids(emb_df, "embedding", n_centroids=4)
+    c2 = similarity.ivf_centroids(emb_df, "embedding", n_centroids=4)
+    assert np.allclose(c1, c2)
