@@ -112,6 +112,39 @@ def test_phrase_within_field(spark, idx):
     assert {r.doc for r in s.search(["alpha", "beta"], 10, mode="phrase", field="body").collect()} == {0}
 
 
+def test_transcripts_multifield_shape(spark, tmp_path_factory):
+    # the BASELINE.json input_hint schema end-to-end: tokenized text +
+    # keyword role/tool fields over (conv_id, turn_idx) dense ids
+    from fdblucene_spark.data import synth
+
+    root = str(tmp_path_factory.mktemp("idx-tx-mf"))
+    df = synth.transcripts(spark, n_convs=30)
+    m = build_index(
+        spark, df, root, key_cols=["conv_id", "turn_idx"],
+        text_fields={"text": "text"},
+        keyword_fields={"role": "role", "tool": "tool"},
+        n_shards=4,
+    )
+    assert sorted(m.fields()) == ["role", "text", "tool"]
+    s = Searcher(spark, root)
+    n_tool_turns = df.filter(df.role == "tool").count()
+    assert s.count(["tool"], field="role") == n_tool_turns
+    # every tool turn carries some tool_k keyword; the tool field only
+    # exists on those turns
+    assert m.n_docs_for("tool") == n_tool_turns
+    # combined retrieval: text hits restricted to assistant turns via
+    # keyword-field intersection driver-side (two searches, id join)
+    text_hits = {r.doc for r in s.search(["term00000"], 10**6).collect()}
+    asst = {r.doc for r in s.search(["assistant"], 10**6, field="role").collect()}
+    both = text_hits & asst
+    ids = df.sparkSession.createDataFrame([(int(d),) for d in both], "doc long")
+    from fdblucene_spark.operators.build import assign_dense_doc_ids
+
+    base = assign_dense_doc_ids(df, ["conv_id", "turn_idx"])
+    joined = base.join(ids, "doc").select("role").distinct().collect()
+    assert [r["role"] for r in joined] == ["assistant"]
+
+
 def test_fetch_across_fields(spark, idx):
     root, _ = idx
     s = Searcher(spark, root)
