@@ -102,10 +102,65 @@ norms AS (
 )"""
 
 
-def _bm25_sql(terms: list[str], mode: str, k: int, phrase: bool = False) -> str:
+TX_N_CONVS = 200
+TX_DIR = os.path.join(_GATE_ROOT, "tx")
+TX_CORPUS = os.path.join(TX_DIR, "corpus.parquet")
+TX_TERMS_OR = ["term00000", "term00777", "needlealpha"]
+TX_PHRASE = ["term00001", "term00000"]
+TX_ROLE = "assistant"
+
+# transcripts tokenization in SQL: unicode letter/number classes match
+# the Python \w+ analyzer (verified 0 mismatches incl. Café/東京/naïve)
+_TX_TOK_RE = r"[^\p{L}\p{N}_]+"
+
+def _ensure_tx_corpus() -> None:
+    if not os.path.exists(TX_CORPUS):
+        from fdblucene_spark.data import synth
+
+        os.makedirs(TX_DIR, exist_ok=True)
+        synth.transcripts_pandas(TX_N_CONVS).to_parquet(TX_CORPUS)
+
+
+def _tx_searcher(spark: SparkSession):
+    """Transcripts index (the north-star corpus shape): tokenized text
+    + keyword role/tool fields over dense (conv_id, turn_idx) ids.
+    Deterministic corpus written once for the DuckDB oracle to read."""
+    from fdblucene_spark.data import synth
+
+    root = os.path.join(TX_DIR, "index")
+    if not IndexCatalog(root).exists():
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        build_index(
+            spark, df, root, key_cols=["conv_id", "turn_idx"], n_shards=8,
+            text_fields={"text": "text"}, keyword_fields={"role": "role", "tool": "tool"},
+            fingerprint="tx-gate",
+        )
+    return Searcher(spark, root)
+
+
+def _bm25_sql(
+    terms: list[str],
+    mode: str,
+    k: int,
+    phrase: bool = False,
+    src_sql: str = "SELECT doc_id, text FROM documents",
+    tok_regex: str = "[^a-z0-9_]+",
+) -> str:
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     n_terms = len(set(terms))
     having = f"HAVING count(*) = {n_terms}" if mode in ("and", "phrase") else ""
+    tok_cte = f"""
+src AS ({src_sql}),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{tok_regex}'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+)"""
     phrase_filter = ""
     if phrase:
         # adjacency via token positions (the positions keyspace of
@@ -130,7 +185,7 @@ tokpos AS (
 )"""
     phrase_where = "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)" if phrase else ""
     return f"""
-WITH {_TOK_CTE}, {_NORM_CTE}{phrase_filter},
+WITH {tok_cte}, {_NORM_CTE}{phrase_filter},
 tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
   WHERE term IN ({tlist}) GROUP BY doc_id, term
@@ -161,6 +216,7 @@ def entry(spark: SparkSession) -> DataFrame:
     multi-term BM25 top-k through the block-max kernel, fetch stored
     fields (broadcast semi-join back to the base table)."""
     sf_dir = "/root/testdata/sf0.001"
+    _ensure_tx_corpus()  # oracle-readable transcripts corpus (tx_* queries)
     s = _searcher(spark, sf_dir)
     hits = s.search(OR_TERMS, k=10, mode="or")
     base = _table(spark, sf_dir, "documents")
@@ -242,6 +298,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "query_id string, n_hits long")
 
     # ---- keyword / numeric operators (L2, L18, L19) ----
+    # ---- transcripts corpus (the north-star input shape) ----
+    def tx_bm25_topk(spark, sf):
+        return _hits_df(_tx_searcher(spark).search(TX_TERMS_OR, k=10000, mode="or"))
+
+    def tx_phrase_match(spark, sf):
+        return _hits_df(_tx_searcher(spark).search(TX_PHRASE, k=10000, mode="phrase"))
+
+    def tx_role_lookup(spark, sf):
+        return _hits_df(_tx_searcher(spark).search([TX_ROLE], k=10000, field="role"))
+
     def ft_numeric_range(spark, sf):
         ev = _table(spark, sf, "events")
         return ev.filter(F.col("value").between(EVENTS_LO, EVENTS_HI)).select("event_id", "value")
@@ -329,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_keyword_field, ft_match_count,
+        tx_bm25_topk, tx_phrase_match, tx_role_lookup,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
@@ -385,6 +452,29 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         "ft_bm25_topk_or": _bm25_sql(OR_TERMS, "or", K_ALL),
         "ft_bm25_topk_and": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
+        "tx_bm25_topk": _bm25_sql(
+            TX_TERMS_OR, "or", 10000,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+        ),
+        "tx_phrase_match": _bm25_sql(
+            TX_PHRASE, "phrase", 10000, phrase=True,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+        ),
+        "tx_role_lookup": f"""
+WITH src AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, role
+  FROM read_parquet('{TX_CORPUS}')
+), n AS (SELECT count(*)::BIGINT AS n_docs FROM src),
+dfs AS (SELECT count(*)::BIGINT AS df FROM src WHERE role = '{TX_ROLE}')
+SELECT doc_id,
+  round((((ln(1 + (n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
+   ((1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)))::FLOAT)::DOUBLE)::FLOAT)::DOUBLE, 3) AS score
+FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
+""",
         "ft_keyword_field": """
 WITH dfs AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
 n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE source IS NOT NULL),
