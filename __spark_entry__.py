@@ -287,6 +287,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_phrase_match(spark, sf):
         return _hits_df(_searcher(spark, sf).search(PHRASE, k=K_ALL, mode="phrase"))
 
+    def ft_bm25_not(spark, sf):
+        # MUST_NOT clause: OR over two terms, excluding docs containing 'dup'
+        return _hits_df(
+            _searcher(spark, sf).search(["hash", "vector"], k=K_ALL, not_terms=["dup"])
+        )
+
     def ft_keyword_field(spark, sf):
         # keyword-field TermQuery (the reference's _id lookup): BM25
         # over a field where every posting has tf=1, dl=1
@@ -394,7 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     for fn in [
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
-        ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_keyword_field, ft_match_count,
+        ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
@@ -475,6 +481,12 @@ SELECT doc_id,
    ((1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)))::FLOAT)::DOUBLE)::FLOAT)::DOUBLE, 3) AS score
 FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
 """,
+        "ft_bm25_not": _bm25_sql(["hash", "vector"], "or", K_ALL).replace(
+            "), agg AS (",
+            """ AND tf.doc_id NOT IN (
+        SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'
+      )), agg AS ("""
+        ),
         "ft_keyword_field": """
 WITH dfs AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
 n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE source IS NOT NULL),

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "3000"))
+    n_convs = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "6000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from pyspark.sql import functions as F
@@ -93,9 +93,11 @@ def main() -> None:
     extra["bm25_local_ms"] = round(queries["bm25_single_local"] * 1000, 1)
 
     # ---- incremental append + compressed-domain merge ----
-    extra_convs = synth.transcripts(spark, n_convs=n_convs + max(200, n_convs // 10)).filter(
+    extra_path = os.path.join(work, "extra.parquet")
+    synth.transcripts(spark, n_convs=n_convs + max(200, n_convs // 10)).filter(
         F.col("conv_id") >= f"conv_{n_convs:06d}"
-    )
+    ).write.parquet(extra_path)  # corpus gen not part of append timing
+    extra_convs = spark.read.parquet(extra_path)
     with timed("append_segment"):
         build_index(
             spark, extra_convs, tx_root,

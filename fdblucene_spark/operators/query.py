@@ -77,12 +77,17 @@ def _score_shard(
     mode: str,
     q_terms: list[str],
     deleted: np.ndarray | None = None,
+    not_terms: list[str] | None = None,
 ) -> pd.DataFrame:
     """Score one query against one shard's blocks. Pure numpy.
 
     q_terms: scoring terms, or for mode='phrase' the phrase token
     sequence in user order (duplicates allowed — scoring always uses
-    the deduplicated set, matching BooleanQuery-of-unique-terms)."""
+    the deduplicated set, matching BooleanQuery-of-unique-terms).
+    not_terms: MUST_NOT clauses — matching docs are excluded and never
+    scored (Lucene BooleanClause.Occur.MUST_NOT; the docID-set EXCEPT
+    of SURVEY.md section 2.7). Exclusion happens inside decode (like
+    liveDocs) so theta seeding and top-k bounds stay safe."""
     uniq_terms = list(dict.fromkeys(q_terms))
     present = [t for t in uniq_terms if t in groups]
     if not present or (mode in ("and", "phrase") and len(present) < len(uniq_terms)):
@@ -101,12 +106,22 @@ def _score_shard(
     mub = {t: float(ubs[t].max()) for t in present}
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
+    excluded = deleted
+    if not_terms:
+        ex_parts = [] if excluded is None or not excluded.size else [excluded]
+        for nt in not_terms:
+            rows = groups.get(nt)
+            if rows is not None:
+                ex_parts.append(_decode_block_rows(rows)[0])
+        if ex_parts:
+            excluded = np.unique(np.concatenate(ex_parts))
+
     def decode_and_score(t: str, rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         d, tf, dlq = _decode_block_rows(rows)
-        if deleted is not None and deleted.size and d.size:
-            # liveDocs mask BEFORE theta seeding / top-k: a deleted doc
-            # must neither rank nor inflate the pruning bound
-            live = ~np.isin(d, deleted)
+        if excluded is not None and excluded.size and d.size:
+            # liveDocs/MUST_NOT mask BEFORE theta seeding / top-k: an
+            # excluded doc must neither rank nor inflate the bound
+            live = ~np.isin(d, excluded)
             d, tf, dlq = d[live], tf[live], dlq[live]
         s = (weights[t] * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
         return d, s
@@ -268,8 +283,18 @@ class Searcher:
             raise ValueError("index built without positions; phrase queries unavailable")
         return uniq, {t: stats[t][0] for t in present}
 
-    def search(self, terms: list[str], k: int, mode: str = "or", field: str = "text") -> DataFrame:
-        """Top-k hits as a DataFrame (doc, score), globally ordered."""
+    def search(
+        self,
+        terms: list[str],
+        k: int,
+        mode: str = "or",
+        field: str = "text",
+        not_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """Top-k hits as a DataFrame (doc, score), globally ordered.
+
+        not_terms: MUST_NOT clauses (same field) — matching docs are
+        excluded without contributing score."""
         prep = self._prep(terms, mode, field)
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
@@ -277,16 +302,17 @@ class Searcher:
         n_docs = self.manifest.n_docs_for(field)
         avgdl = self.manifest.avgdl_for(field)
         deleted = self.deleted
+        nts = sorted(set(not_terms)) if not_terms else []
         # phrase keeps the user-given token sequence (order + repeats
         # define the phrase); other modes use the deduplicated set
         kt = list(terms) if mode == "phrase" else list(term_df)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
-            return _score_shard(groups, term_df, n_docs, avgdl, k, mode, kt, deleted)
+            return _score_shard(groups, term_df, n_docs, avgdl, k, mode, kt, deleted, nts)
 
         scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(list(term_df))
+            (F.col("field") == field) & F.col("term").isin(list(term_df) + nts)
         )
         hits = scan.groupBy("shard").applyInPandas(kernel, schema=HIT_SCHEMA)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
@@ -305,6 +331,7 @@ class Searcher:
             if prep is None:
                 continue
             _, term_df = prep
+            nts = sorted(set(q.get("not_terms") or []))
             specs.append(
                 {
                     "query_id": q["query_id"],
@@ -315,9 +342,11 @@ class Searcher:
                     "term_df": term_df,
                     "n_docs": self.manifest.n_docs_for(field),
                     "avgdl": self.manifest.avgdl_for(field),
+                    "not_terms": nts,
                 }
             )
             all_terms.update(term_df)
+            all_terms.update(nts)
             all_fields.add(field)
         if not specs:
             return self.spark.createDataFrame([], BATCH_HIT_SCHEMA)
@@ -333,7 +362,7 @@ class Searcher:
                 groups = by_field.get(sp["field"], {})
                 r = _score_shard(
                     groups, sp["term_df"], sp["n_docs"], sp["avgdl"], sp["k"], sp["mode"],
-                    sp["q_terms"], deleted,
+                    sp["q_terms"], deleted, sp["not_terms"],
                 )
                 if len(r):
                     r = r.copy()
@@ -392,7 +421,12 @@ class Searcher:
         return scan.mapInPandas(dec, schema=schema)
 
     def search_local(
-        self, terms: list[str], k: int, mode: str = "or", field: str = "text"
+        self,
+        terms: list[str],
+        k: int,
+        mode: str = "or",
+        field: str = "text",
+        not_terms: list[str] | None = None,
     ) -> pd.DataFrame:
         """Low-latency single-query path: same segment files, same
         scoring kernel, but the (pushdown-pruned) block scan and the
@@ -408,17 +442,18 @@ class Searcher:
         if prep is None:
             return pd.DataFrame({"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
         _, term_df = prep
+        nts = sorted(set(not_terms)) if not_terms else []
         files = []
         for p in self.manifest.segment_paths(self.root, "postings"):
             files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
         dset = pads.dataset(files, format="parquet")
-        flt = (pads.field("field") == field) & pads.field("term").isin(list(term_df))
+        flt = (pads.field("field") == field) & pads.field("term").isin(list(term_df) + nts)
         pdf = dset.to_table(filter=flt).to_pandas()
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
         kt = list(terms) if mode == "phrase" else list(term_df)
         hits = _score_shard(
             groups, term_df, self.manifest.n_docs_for(field),
-            self.manifest.avgdl_for(field), k, mode, kt, self.deleted,
+            self.manifest.avgdl_for(field), k, mode, kt, self.deleted, nts,
         )
         hits = hits.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
         return hits.head(k).reset_index(drop=True)

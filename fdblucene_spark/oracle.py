@@ -71,7 +71,13 @@ def _term_scores(idx: OracleIndex, term: str) -> dict[int, float]:
     return dict(zip(docs.tolist(), scores.tolist()))
 
 
-def search(idx: OracleIndex, terms: list[str], k: int, mode: str = "or") -> list[tuple]:
+def search(
+    idx: OracleIndex,
+    terms: list[str],
+    k: int,
+    mode: str = "or",
+    not_terms: list[str] | None = None,
+) -> list[tuple]:
     """Top-k [(doc_key, float32 score)] — score desc, docid asc ties.
 
     Scoring uses the deduplicated term set (the engine contract:
@@ -93,6 +99,8 @@ def search(idx: OracleIndex, terms: list[str], k: int, mode: str = "or") -> list
         live = set()
         for m in per_term:
             live |= m.keys()
+    for nt in not_terms or []:
+        live -= set(idx.postings.get(nt, {}).keys())  # MUST_NOT
     acc: dict[int, float] = {}
     for m in per_term:
         for d, s in m.items():

@@ -177,6 +177,64 @@ def test_fetch_stored_fields(spark, built, corpus_pdf):
         assert src == r["text"]  # per-turn text equality invariant
 
 
+def test_must_not_clause(spark, built, oracle_index):
+    root, _ = built
+    s = Searcher(spark, root)
+    terms, nots = ["term00004", "term00021"], ["term00000"]
+    exp = oracle.search(oracle_index, terms, 50, "or", not_terms=nots)
+    got = [(r["doc"], r["score"]) for r in s.search(terms, 50, not_terms=nots).collect()]
+    assert [d for d, _ in exp] == [d for d, _ in got]
+    # local path agrees too
+    loc = s.search_local(terms, 50, not_terms=nots)
+    assert loc["doc"].tolist() == [d for d, _ in got]
+    # excluded docs truly absent
+    with_t0 = {r["doc"] for r in s.search(nots, 10**6).collect()}
+    assert not with_t0 & {d for d, _ in got}
+
+
+def test_hot_term_salted_across_shards(spark, built):
+    # Zipf head term (>20% of turns) must be split across all shards —
+    # the north-rule skew handling is structural, not incidental
+    root, m = built
+    postings = spark.read.parquet(*m.segments and [f"{root}/{m.segments[0].path}/postings"])
+    from pyspark.sql import functions as F
+
+    shards = (
+        postings.filter(F.col("term") == "term00000")
+        .select("shard").distinct().count()
+    )
+    assert shards == m.n_shards
+
+
+def test_small_blocks_rank_identity(spark, oracle_index, tmp_path_factory):
+    # block_size=8 forces dozens of blocks per posting list: exercises
+    # block-max pruning, block boundaries, and multi-block decode hard
+    root = str(tmp_path_factory.mktemp("idx-b8"))
+    df = synth.transcripts(spark, n_convs=N_CONVS)
+    build_index(
+        spark, df, root, key_cols=["conv_id", "turn_idx"], n_shards=4, block_size=8
+    )
+    s = Searcher(spark, root)
+    qs = synth.reference_queries(20)
+    batch = s.search_batch(qs.to_dict("records")).toPandas()
+    for _, q in qs.iterrows():
+        exp = oracle.search(oracle_index, q["terms"], q["k"], q["mode"])
+        sub = batch[batch["query_id"] == q["query_id"]]
+        assert [d for d, _ in exp] == sub["doc"].tolist(), (q["query_id"], q["mode"])
+
+
+def test_positions_off_phrase_errors(spark, tmp_path_factory):
+    import pandas as pd
+
+    root = str(tmp_path_factory.mktemp("idx-nopos"))
+    df = spark.createDataFrame(pd.DataFrame({"doc": [0], "text": ["a b c"]}))
+    build_index(spark, df, root, doc_col="doc", n_shards=1, store_positions=False)
+    s = Searcher(spark, root)
+    assert s.search(["a", "b"], 5, mode="and").count() == 1  # AND fine
+    with pytest.raises(ValueError, match="positions"):
+        s.search(["a", "b"], 5, mode="phrase")
+
+
 def test_no_rowwise_python_anywhere(spark, built):
     root, _ = built
     s = Searcher(spark, root)
