@@ -455,21 +455,38 @@ def build_index(
         fields_spec=fields_spec,
     )
 
-    # write order: data first (invisible), stats second, manifest last
-    blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))
-    termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))
-    doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))
+    # write order: data first (invisible), stats second, manifest last.
+    # The three table writes are independent jobs over the frozen
+    # inverted relation — run them CONCURRENTLY (Spark schedules tasks
+    # from parallel actions into idle slots; the dict writes are light
+    # while the blocks shuffle dominates). Same for the stats reads.
+    from concurrent.futures import ThreadPoolExecutor
 
-    dl_read = spark.read.parquet(os.path.join(seg_dir, "doclen"))
-    dstats_rows = dl_read.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.min("doc").alias("doc_min"),
-        F.max("doc").alias("doc_max"),
-    ).collect()
-    tstats_rows = spark.read.parquet(os.path.join(seg_dir, "termdict")).groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
-    ).collect()
+    with ThreadPoolExecutor(3) as pool:
+        jobs = [
+            pool.submit(lambda: blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))),
+            pool.submit(lambda: termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))),
+            pool.submit(lambda: doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))),
+        ]
+        for j in jobs:
+            j.result()
+
+    def _dstats():
+        return spark.read.parquet(os.path.join(seg_dir, "doclen")).groupBy("field").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.min("doc").alias("doc_min"),
+            F.max("doc").alias("doc_max"),
+        ).collect()
+
+    def _tstats():
+        return spark.read.parquet(os.path.join(seg_dir, "termdict")).groupBy("field").agg(
+            F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
+        ).collect()
+
+    with ThreadPoolExecutor(2) as pool:
+        fd, ft = pool.submit(_dstats), pool.submit(_tstats)
+        dstats_rows, tstats_rows = fd.result(), ft.result()
     field_stats: dict[str, dict] = {}
     for r in dstats_rows:
         field_stats[r["field"]] = {

@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..functions import codec
 from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
-from .build import POSTINGS_SCHEMA, _dir_bytes
+from .build import POSTINGS_SCHEMA
 
 TERMDICT_SCHEMA = T.StructType(
     [
