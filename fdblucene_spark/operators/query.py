@@ -18,13 +18,18 @@ section 3.2). Plan shape per query:
 shard kernel loops queries over the already-grouped blocks), which
 amortizes scheduling overhead — the shape a real query service uses.
 
-The kernel implements safe block-max pruning (the WAND bound): block
-B of term t is skippable iff ub_t(B) + sum_{t'!=t} max_ub(t') < theta,
-where theta is a lower bound on the k-th best score (seeded by solo-
-scoring the highest-impact term). A pruned block provably contains no
-true top-k doc and every true top-k doc keeps its exact score (bound
-monotonicity: functions/bm25.max_block_score). Scores are Lucene-8-
-exact — the rank-identical contract (BASELINE.json north_rule).
+The kernel implements safe block-max pruning (the WAND bound),
+LOCALIZED per block: block B of term t is skippable iff
+ub_t(B) + sum_{t'!=t} (max_ub(t') if t' has any block whose docID
+range overlaps B's, else 0) < theta, where theta is a lower bound on
+the k-th best score (seeded by solo-scoring the highest-impact term).
+The locality is what makes pruning fire: with a global other-term
+bound, theta (which comes from single-term scores) can never exceed
+it. A pruned block provably contains no true top-k doc — a doc in B
+can only receive t' contributions if t' overlaps B's range — and
+every surviving top-k doc keeps its exact score (bound monotonicity:
+functions/bm25.max_block_score). Scores are Lucene-8-exact — the
+rank-identical contract (BASELINE.json north_rule).
 """
 
 from __future__ import annotations
@@ -78,6 +83,7 @@ def _score_shard(
     q_terms: list[str],
     deleted: np.ndarray | None = None,
     not_terms: list[str] | None = None,
+    stats_out: dict | None = None,
 ) -> pd.DataFrame:
     """Score one query against one shard's blocks. Pure numpy.
 
@@ -104,6 +110,10 @@ def _score_shard(
         for t in present
     }
     mub = {t: float(ubs[t].max()) for t in present}
+    if stats_out is not None:
+        stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + sum(
+            len(groups[t]) for t in present
+        )
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     excluded = deleted
@@ -117,6 +127,8 @@ def _score_shard(
             excluded = np.unique(np.concatenate(ex_parts))
 
     def decode_and_score(t: str, rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        if stats_out is not None:
+            stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + len(rows)
         d, tf, dlq = _decode_block_rows(rows)
         if excluded is not None and excluded.size and d.size:
             # liveDocs/MUST_NOT mask BEFORE theta seeding / top-k: an
@@ -131,11 +143,35 @@ def _score_shard(
         d, s = decode_and_score(seed, groups[seed])
         decoded[seed] = (d, s)
         theta = float(np.partition(s, s.size - k)[s.size - k]) if s.size >= k else 0.0
+        # block-max WAND bound, localized per block: another term can
+        # contribute to docs in block b ONLY if it has a block whose
+        # docID range overlaps b's. UB(b) = ub_t(b) + sum over other
+        # terms of (their max block ub if they overlap b's range else
+        # 0). A global other-term bound can never prune (theta is
+        # seeded from single-term scores <= that bound); the localized
+        # one prunes every head-term block outside the rare terms'
+        # ranges. Overlap test: blocks sorted by min_doc + running max
+        # of max_doc (ranges may interleave across shards/segments).
+        ranges = {}
+        for t in present:
+            lo = groups[t]["min_doc"].to_numpy(np.int64)
+            hi = groups[t]["max_doc"].to_numpy(np.int64)
+            o = np.argsort(lo, kind="mergesort")
+            ranges[t] = (lo[o], np.maximum.accumulate(hi[o]))
         for t in present:
             if t == seed:
                 continue
-            others = sum(mub[t2] for t2 in present if t2 != t)
-            keep = ubs[t].astype(np.float64) + others >= theta
+            lo_b = groups[t]["min_doc"].to_numpy(np.int64)
+            hi_b = groups[t]["max_doc"].to_numpy(np.int64)
+            add = np.zeros(len(lo_b), dtype=np.float64)
+            for t2 in present:
+                if t2 == t:
+                    continue
+                lo2, cummax_hi2 = ranges[t2]
+                i1 = np.searchsorted(lo2, hi_b, side="right")
+                overlaps = (i1 > 0) & (cummax_hi2[np.maximum(i1 - 1, 0)] >= lo_b)
+                add = add + np.where(overlaps, mub[t2], 0.0)
+            keep = ubs[t].astype(np.float64) + add >= theta
             decoded[t] = decode_and_score(t, groups[t].iloc[np.flatnonzero(keep)])
     else:
         order = sorted(present, key=lambda t: term_df[t])
@@ -457,6 +493,40 @@ class Searcher:
         )
         hits = hits.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
         return hits.head(k).reset_index(drop=True)
+
+    def profile_local(
+        self, terms: list[str], k: int, mode: str = "or", field: str = "text"
+    ) -> dict:
+        """Run the driver-local query and report block-max pruning
+        effectiveness: candidate blocks vs blocks actually decoded
+        (the observable footprint of the WAND bound)."""
+        prep = self._prep(terms, mode, field)
+        if prep is None:
+            return {"blocks_total": 0, "blocks_decoded": 0, "hits": 0}
+        _, term_df = prep
+        files = []
+        for p in self.manifest.segment_paths(self.root, "postings"):
+            files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
+        dset = pads.dataset(files, format="parquet")
+        flt = (pads.field("field") == field) & pads.field("term").isin(list(term_df))
+        pdf = dset.to_table(filter=flt).to_pandas()
+        stats: dict = {}
+        kt = list(terms) if mode == "phrase" else list(term_df)
+        # per-shard like the distributed kernel, so theta/pruning match
+        hits_n = 0
+        for _, sub in pdf.groupby("shard", sort=False):
+            groups = {t: g for t, g in sub.groupby("term", sort=False)}
+            r = _score_shard(
+                groups, term_df, self.manifest.n_docs_for(field),
+                self.manifest.avgdl_for(field), k, mode, kt, self.deleted,
+                None, stats,
+            )
+            hits_n += len(r)
+        stats.setdefault("blocks_total", 0)
+        stats.setdefault("blocks_decoded", 0)
+        stats["blocks_pruned"] = stats["blocks_total"] - stats["blocks_decoded"]
+        stats["hits"] = hits_n
+        return stats
 
     def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155)."""
