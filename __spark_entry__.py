@@ -40,13 +40,25 @@ MATCH_COUNT_QUERIES = [
     ("mc_batchstream_or", ["batch", "stream"], "or"),
 ]
 K_ALL = 500
+# composable-search fixtures (BooleanQuery occurs + doc-values range)
+SHOULD_TERMS = ["dup", "hash", "vector"]
+SHOULD_MSM = 2
+FILT_LO, FILT_HI = 100, 500
+MIXED_MUST = "key"
+MIXED_SHOULD = ["vector", "hash"]
+MIXED_NOT = "dup"
+DELETE_MOD = 7  # ft_delete_search tombstones doc_id % 7 == 0
+# keyword-field norm cache entry: dl=1, avgdl=1.0 exactly (float32 chain)
+_KW_CACHE_F32 = (
+    "((1.2::FLOAT * (0.25::FLOAT + (0.75::FLOAT * 1::FLOAT) / 1::FLOAT))::FLOAT)::DOUBLE"
+)
 EVENTS_LO, EVENTS_HI = 100.0, 200.0
 TOP_EVENTS = 100
 ANN_QUERY_ID = 0
 ANN_K = 25
 JACCARD_T = 0.1
 
-_GATE_ROOT = "/tmp/sparklucene_gate_v2"  # bump on index format change
+_GATE_ROOT = "/tmp/sparklucene_gate_v3"  # bump on index format change
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -67,6 +79,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             spark, docs, root, doc_col="doc_id", n_shards=8, fingerprint=sf_dir,
             text_fields={"text": "text"},
             keyword_fields={"source": "source", "lang": "lang"},
+            stored_fields={"n_chars": "n_chars", "source": "source"},
         )
     return Searcher(spark, root)
 
@@ -75,6 +88,47 @@ def _hits_df(hits: DataFrame) -> DataFrame:
     return hits.select(
         F.col("doc").alias("doc_id"), F.round(F.col("score").cast("double"), 3).alias("score")
     )
+
+
+def _del_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with a live delete list (doc_id % DELETE_MOD == 0
+    tombstoned): L21 against the oracle. Deletes keep corpus stats
+    (Lucene liveDocs semantics), so the twin scores on the full corpus
+    and drops tombstones at the end."""
+    from fdblucene_spark.operators.deletes import delete_docs
+
+    root = os.path.join(_index_root(sf_dir), "del")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8, fingerprint=sf_dir + "-del")
+        delete_docs(
+            spark, root,
+            docs.filter(F.col("doc_id") % DELETE_MOD == 0).select(F.col("doc_id").alias("doc")),
+        )
+    return Searcher(spark, root)
+
+
+def _merged_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Two half-corpus indexes combined via addIndexes (L20, the
+    reference's writer3.addIndexes(dir1, dir2) shape,
+    SimpleFDBDirectoryTest.java:161-187). Halves are contiguous docID
+    ranges, so the rebase offsets cancel and the merged docIDs equal
+    the original doc_ids — the twin is plain full-corpus BM25."""
+    from fdblucene_spark.operators.merge import add_indexes
+
+    base = os.path.join(_index_root(sf_dir), "merged")
+    dest = os.path.join(base, "dest")
+    if not IndexCatalog(dest).exists():
+        docs = _table(spark, sf_dir, "documents")
+        cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+        ra, rb = os.path.join(base, "a"), os.path.join(base, "b")
+        for root, part in [(ra, docs.filter(F.col("doc_id") <= cut)),
+                           (rb, docs.filter(F.col("doc_id") > cut))]:
+            if not IndexCatalog(root).exists():
+                build_index(spark, part, root, doc_col="doc_id", n_shards=8,
+                            fingerprint=root)
+        add_indexes(spark, dest, [ra, rb])
+    return Searcher(spark, dest)
 
 
 # --------------------------------------------------------------- SQL pieces
@@ -139,6 +193,17 @@ def _tx_searcher(spark: SparkSession):
     return Searcher(spark, root)
 
 
+# Lucene 8 BM25Scorer norm cache, reproduced op-for-op in float32
+# (BM25Similarity builds a float[256]: k1 * ((1-b) + b*LENGTH_TABLE[i]
+# / avgdl) with float arithmetic at every step; avgdl itself is a
+# float). DuckDB FLOAT arithmetic is IEEE binary32, verified bitwise
+# against the numpy chain in functions/bm25.norm_cache32.
+_NORM_CACHE_F32 = (
+    "((1.2::FLOAT * (0.25::FLOAT + (0.75::FLOAT * n.dlq_len::FLOAT) / s.avgdl::FLOAT))"
+    "::FLOAT)::DOUBLE"
+)
+
+
 def _bm25_sql(
     terms: list[str],
     mode: str,
@@ -146,10 +211,16 @@ def _bm25_sql(
     phrase: bool = False,
     src_sql: str = "SELECT doc_id, text FROM documents",
     tok_regex: str = "[^a-z0-9_]+",
+    extra_where: str = "",
+    having: str | None = None,
 ) -> str:
+    """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
+    scores CTE (doc-set filters: keyword/numeric/delete predicates).
+    having: overrides the per-doc HAVING (boolean-occur gates)."""
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     n_terms = len(set(terms))
-    having = f"HAVING count(*) = {n_terms}" if mode in ("and", "phrase") else ""
+    if having is None:
+        having = f"HAVING count(*) = {n_terms}" if mode in ("and", "phrase") else ""
     tok_cte = f"""
 src AS ({src_sql}),
 toks AS (
@@ -192,15 +263,15 @@ tf AS (
 ), dfs AS (
   SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
 ), scores AS (
-  SELECT tf.doc_id,
+  SELECT tf.doc_id, tf.term,
     ((ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
-     ((tf.tf::DOUBLE / (tf.tf::DOUBLE + 1.2 * (1 - 0.75 + 0.75 * n.dlq_len / s.avgdl)))::FLOAT)::DOUBLE
+     ((tf.tf::DOUBLE / (tf.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
     )::FLOAT AS s32
   FROM tf
   JOIN norms n ON n.doc_id = tf.doc_id
   JOIN dfs ON dfs.term = tf.term
   CROSS JOIN stats s
-  WHERE 1=1 {phrase_where}
+  WHERE 1=1 {phrase_where} {extra_where}
 ), agg AS (
   SELECT doc_id, (sum(s32::DOUBLE))::FLOAT AS score32
   FROM scores GROUP BY doc_id {having}
@@ -298,6 +369,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over a field where every posting has tf=1, dl=1
         return _hits_df(_searcher(spark, sf).search(["src3"], k=K_ALL, field="source"))
 
+    # ---- composable BooleanQuery surface (the reference's combined
+    # query shape: README.md:54-57, SimpleFDBDirectoryTest.java:153,202-207)
+    def ft_bm25_should(spark, sf):
+        # minimum_should_match=2 over 3 SHOULD terms
+        clauses = [{"term": t, "occur": "should"} for t in SHOULD_TERMS]
+        return _hits_df(
+            _searcher(spark, sf).search_boolean(clauses, k=K_ALL, min_should_match=SHOULD_MSM)
+        )
+
+    def ft_bm25_filtered(spark, sf):
+        # BM25 over text SHOULD terms + keyword-field FILTER + numeric
+        # doc-values range, ONE query (filter clauses score nothing)
+        clauses = [{"term": t, "occur": "should"} for t in OR_TERMS] + [
+            {"field": "source", "term": "src3", "occur": "filter"}
+        ]
+        return _hits_df(
+            _searcher(spark, sf).search_boolean(
+                clauses, k=K_ALL, min_should_match=1,
+                numeric=[{"field": "n_chars", "lo": FILT_LO, "hi": FILT_HI}],
+            )
+        )
+
+    def ft_bm25_mixed(spark, sf):
+        # mixed occurs: MUST + SHOULD + MUST_NOT in one BooleanQuery
+        clauses = (
+            [{"term": MIXED_MUST, "occur": "must"}]
+            + [{"term": t, "occur": "should"} for t in MIXED_SHOULD]
+            + [{"term": MIXED_NOT, "occur": "must_not"}]
+        )
+        return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
+
+    def ft_delete_search(spark, sf):
+        return _hits_df(_del_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
+
+    def ft_merge_addindexes(spark, sf):
+        return _hits_df(_merged_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
+
     def ft_match_count(spark, sf):
         s = _searcher(spark, sf)
         rows = [(qid, s.count(terms, mode)) for qid, terms, mode in MATCH_COUNT_QUERIES]
@@ -363,15 +471,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
         return similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K)
 
+    def _ann_index(spark, sf, kind):
+        # persisted, catalog-managed ANN index (built once per sf):
+        # the probe reads ONLY matching bucket= partitions
+        root = os.path.join(_index_root(sf), f"ann-{kind}")
+        if not IndexCatalog(root).exists():
+            emb = _table(spark, sf, "embeddings")
+            similarity.build_ann_index(spark, emb, "vec_id", "embedding", root, kind=kind)
+        return similarity.AnnIndex(spark, root)
+
     def ann_lsh_topk(spark, sf):
         emb = _table(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
-        return similarity.lsh_cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K)
+        idx = _ann_index(spark, sf, "lsh")
+        return idx.topk(list(qv), ANN_K).select(F.col("id").alias("vec_id"), "cosine")
 
     def ann_ivf_topk(spark, sf):
         emb = _table(spark, sf, "embeddings")
         qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
-        return similarity.ivf_cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K, nprobe=6)
+        idx = _ann_index(spark, sf, "ivf")
+        return idx.topk(list(qv), ANN_K, nprobe=6).select(F.col("id").alias("vec_id"), "cosine")
 
     # ---- multimodal plumbing ----
     def mm_media_stats(spark, sf):
@@ -379,11 +498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.media_stats(media)
 
     def mm_features(spark, sf):
+        # oracle-checkable feature path: byte-histogram pooling over the
+        # binary payload (same Arrow plumbing as the stubbed decoder;
+        # ratios multiplied back to exact per-bin counts for the hash)
         media = multimodal.synthesize_media(_table(spark, sf, "documents"), "doc_id", "text")
-        feats = multimodal.extract_features(media, fake=True)
-        return feats.select(
-            "media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0")
-        )
+        feats = multimodal.byte_histogram_features(media)
+        cnt = lambda i: F.round(  # noqa: E731
+            F.element_at("feature", i + 1).cast("double") * F.col("n_bytes")
+        ).cast("long").alias(f"c{i}")
+        return feats.select("media_id", "kind", "n_bytes", cnt(2), cnt(6), cnt(7))
 
     # ---- classic aggregation sanity (Catalyst partial+final agg) ----
     def agg_lineitem_pricing(spark, sf):
@@ -401,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
+        ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
@@ -478,22 +602,42 @@ WITH src AS (
 dfs AS (SELECT count(*)::BIGINT AS df FROM src WHERE role = '{TX_ROLE}')
 SELECT doc_id,
   round((((ln(1 + (n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
-   ((1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)))::FLOAT)::DOUBLE)::FLOAT)::DOUBLE, 3) AS score
+   ((1.0 / (1.0 + {_KW_CACHE_F32}))::FLOAT)::DOUBLE)::FLOAT)::DOUBLE, 3) AS score
 FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
 """,
-        "ft_bm25_not": _bm25_sql(["hash", "vector"], "or", K_ALL).replace(
-            "), agg AS (",
-            """ AND tf.doc_id NOT IN (
-        SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'
-      )), agg AS ("""
+        "ft_bm25_not": _bm25_sql(
+            ["hash", "vector"], "or", K_ALL,
+            extra_where="AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')",
         ),
-        "ft_keyword_field": """
+        "ft_bm25_should": _bm25_sql(
+            SHOULD_TERMS, "or", K_ALL, having=f"HAVING count(*) >= {SHOULD_MSM}"
+        ),
+        "ft_bm25_filtered": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src3' "
+                f"AND n_chars BETWEEN {FILT_LO} AND {FILT_HI})"
+            ),
+        ),
+        "ft_bm25_mixed": _bm25_sql(
+            [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE term = '{MIXED_NOT}')"
+            ),
+            having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+        ),
+        "ft_delete_search": _bm25_sql(
+            OR_TERMS, "or", K_ALL, extra_where=f"AND tf.doc_id % {DELETE_MOD} <> 0"
+        ),
+        "ft_merge_addindexes": _bm25_sql(AND_TERMS, "and", K_ALL),
+        "ft_keyword_field": f"""
 WITH dfs AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
 n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE source IS NOT NULL),
 hits AS (
   SELECT d.doc_id,
     ((ln(1 + (n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
-     ((1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)))::FLOAT)::DOUBLE)::FLOAT AS s32
+     ((1.0 / (1.0 + {_KW_CACHE_F32}))::FLOAT)::DOUBLE)::FLOAT AS s32
   FROM documents d JOIN dfs ON dfs.source = d.source CROSS JOIN n
   WHERE d.source = 'src3'
 )
@@ -520,10 +664,10 @@ FROM events GROUP BY event_type
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
-        # ann_lsh_topk: intentionally no SQL oracle (approximate
-        # operator; recall vs brute force is pytest-verified instead)
-        # mm_features: no SQL oracle (md5-seeded fake decoder is not
-        # SQL-expressible; plumbing is pytest-verified)
+        # ann_lsh_topk / ann_ivf_topk: intentionally no SQL oracle
+        # (approximate operators; recall vs brute force + partition-
+        # prune behavior are pytest-verified instead)
+        "mm_features": multimodal.byte_histogram_sql("documents", "doc_id", "text", (2, 6, 7)),
         "mm_media_stats": multimodal.media_stats_sql("documents", "doc_id", "text"),
         "agg_lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,

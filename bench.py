@@ -106,14 +106,36 @@ def main() -> None:
     with timed("merge_concat"):
         merge_segments(spark, tx_root, mode="concat")
 
+    # ---- phrase query batch (vectorized position-adjacency kernel) ----
+    vocab_head = [f"term{i:05d}" for i in range(20)]
+    phrase_qset = [
+        {"query_id": f"p{i:02d}", "terms": [vocab_head[i % 20], vocab_head[(i + 1) % 20]],
+         "k": 10, "mode": "phrase"}
+        for i in range(20)
+    ]
+    with timed("phrase_batch20"):
+        s.search_batch(phrase_qset).toPandas()
+    extra["phrase_ms_per_query_batch"] = round(queries["phrase_batch20"] / 20 * 1000, 1)
+
     # ---- documents corpus: build + search (driver tables) ----
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     doc_root = os.path.join(work, "idx_docs")
     with timed("build_documents"):
-        build_index(spark, docs, doc_root, doc_col="doc_id", n_shards=16)
+        build_index(spark, docs, doc_root, doc_col="doc_id", n_shards=16,
+                    keyword_fields={"source": "source"},
+                    stored_fields={"n_chars": "n_chars"})
     sd = Searcher(spark, doc_root)
     with timed("bm25_documents"):
         sd.search(["dup", "hash", "vector"], k=100).collect()
+    with timed("bm25_boolean_filtered"):
+        # composable query: text SHOULD terms + keyword FILTER + numeric
+        # doc-values range in one call
+        sd.search_boolean(
+            [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"},
+             {"field": "source", "term": "src3", "occur": "filter"}],
+            k=100, min_should_match=1,
+            numeric=[{"field": "n_chars", "lo": 100, "hi": 500}],
+        ).collect()
 
     # ---- pipeline ops at sf scale ----
     with timed("dedup_minhash"):
@@ -122,6 +144,11 @@ def main() -> None:
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     with timed("ann_cosine_topk"):
         similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), 25).collect()
+    ann_root = os.path.join(work, "idx_ann")
+    with timed("ann_build_ivf"):
+        similarity.build_ann_index(spark, emb, "vec_id", "embedding", ann_root, kind="ivf")
+    with timed("ann_ivf_probe"):
+        similarity.AnnIndex(spark, ann_root).topk(list(qv), 25, nprobe=4).collect()
 
     total = round(sum(v for k, v in queries.items() if k != "gen_transcripts"), 3)
     out = {

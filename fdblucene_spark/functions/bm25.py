@@ -106,15 +106,31 @@ def idf(df: np.ndarray | float, n_docs: int) -> np.ndarray:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)).astype(np.float32)
 
 
+def norm_cache32(avgdl: float) -> np.ndarray:
+    """The 256-entry float[] norm cache of Lucene 8 BM25Similarity,
+    reproduced op-for-op in float32: Java evaluates
+    `k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl)` with float
+    arithmetic at every step, avgdl itself being
+    `(float) (sumTotalTermFreq / (double) docCount)`
+    (BM25Similarity.scorer / avgFieldLength). Keeping the cache in
+    float64 (as we did in round 1) drifts by last-ulp amounts that can
+    flip near-tie ranks vs real Lucene — pinned by a golden test."""
+    avg32 = np.float32(avgdl)
+    lt32 = LENGTH_TABLE.astype(np.float32)  # float[] LENGTH_TABLE: 4-bit mantissa, exact
+    return (np.float32(K1) * (np.float32(1.0 - B) + np.float32(B) * lt32 / avg32)).astype(
+        np.float32
+    )
+
+
 def tf_norm(tf: np.ndarray, dlq: np.ndarray, avgdl: float) -> np.ndarray:
     """tf / (tf + k1*(1-b+b*dl/avgdl)) with dl = LENGTH_TABLE[dlq], float32.
 
-    Matches Lucene 8 BM25Scorer.score: the k1*(...) factor is a
-    per-norm double cache; the division result is cast to float.
+    Matches Lucene 8 BM25Scorer.score: the k1*(...) factor is the
+    float[] cache (norm_cache32); the division `freq / (freq + norm)`
+    promotes both float32 operands to double and casts back to float.
     """
-    norm_cache = K1 * (1.0 - B + B * LENGTH_TABLE.astype(np.float64) / float(avgdl))
-    denom_add = norm_cache[np.asarray(dlq, dtype=np.int64)]
-    tf = np.asarray(tf, dtype=np.float64)
+    denom_add = norm_cache32(avgdl)[np.asarray(dlq, dtype=np.int64)].astype(np.float64)
+    tf = np.asarray(tf, dtype=np.float64)  # freq=(float)termFreq, exact for tf < 2^24
     return (tf / (tf + denom_add)).astype(np.float32)
 
 

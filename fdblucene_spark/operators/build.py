@@ -383,6 +383,7 @@ def build_index(
     store_positions: bool = True,
     append: bool = False,
     fingerprint: str | None = None,
+    stored_fields: dict[str, str] | None = None,
 ) -> Manifest:
     """Build (or append) one segment and commit a new snapshot.
 
@@ -396,6 +397,14 @@ def build_index(
     value = one term, no analysis — id/enum lookup fields). The first
     text field is the primary field whose stats fill the legacy
     top-level SegmentMeta numbers.
+
+    stored_fields maps stored name -> source column: written as the
+    segment's `stored` table (shard, doc, cols...) — the index-owned
+    stored-field / doc-values store (reference: StoredField round-trip
+    via reader.document, SimpleFDBDirectoryTest.java:156-157, and
+    NumericDocValuesField range+sort, README.md:54-57). Numeric range
+    predicates in Searcher.search/search_boolean scan it with Parquet
+    column pruning + predicate pushdown.
     """
     catalog = IndexCatalog(root)
     parent: Manifest | None = None
@@ -405,6 +414,18 @@ def build_index(
             raise ValueError(f"index exists at {root}; pass append=True")
         if parent.analyzer != ANALYZER_VERSION or parent.block_size != block_size or parent.n_shards != n_shards:
             raise ValueError("index config mismatch (analyzer/block_size/n_shards pinned at creation)")
+        if bool(parent.properties.get("store_positions", True)) != bool(store_positions):
+            raise ValueError(
+                "index config mismatch: store_positions pinned at creation "
+                f"({parent.properties.get('store_positions', True)}); segments must agree "
+                "or phrase queries would miss/crash on mixed blocks"
+            )
+        if sorted(parent.properties.get("stored_fields", [])) != sorted(stored_fields or {}):
+            raise ValueError(
+                "index config mismatch: stored_fields pinned at creation "
+                f"({sorted(parent.properties.get('stored_fields', []))}); an append must "
+                "store the same fields or fetch/doc-values queries would miss docs"
+            )
         if fingerprint and any(
             s.lineage and s.lineage[0].get("fingerprint") == fingerprint for s in parent.segments
         ):
@@ -434,7 +455,8 @@ def build_index(
             f"field set mismatch: index has {sorted(parent.fields())}, "
             f"append brings {sorted(s['field'] for s in fields_spec)}"
         )
-    src_cols = sorted({s["col"] for s in fields_spec})
+    stored_fields = dict(stored_fields or {})
+    src_cols = sorted({s["col"] for s in fields_spec} | set(stored_fields.values()))
 
     if doc_col is not None:
         docs_df = corpus.select(F.col(doc_col).cast("long").alias("doc"), *src_cols)
@@ -462,12 +484,24 @@ def build_index(
     # while the blocks shuffle dominates). Same for the stats reads.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(3) as pool:
+    with ThreadPoolExecutor(4) as pool:
         jobs = [
             pool.submit(lambda: blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))),
             pool.submit(lambda: termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))),
             pool.submit(lambda: doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))),
         ]
+        if stored_fields:
+            # index-owned stored/doc-values table, co-sharded with the
+            # postings (shard = doc % n_shards) so per-shard kernels can
+            # receive doc-values filters as a cogrouped side input
+            stored = docs_df.select(
+                F.pmod(F.col("doc"), F.lit(n_shards)).cast("int").alias("shard"),
+                F.col("doc"),
+                *[F.col(c).alias(f) for f, c in sorted(stored_fields.items())],
+            )
+            jobs.append(
+                pool.submit(lambda: stored.write.mode("errorifexists").parquet(os.path.join(seg_dir, "stored")))
+            )
         for j in jobs:
             j.result()
 
@@ -558,7 +592,15 @@ def build_index(
             n_shards=n_shards,
             segments=(attempt_parent.segments if attempt_parent else []) + [seg],
             parent_version=attempt_parent.version if attempt_parent else None,
-            properties={"store_positions": store_positions, "primary_field": primary},
+            # start from the parent's properties: an append must CARRY
+            # FORWARD deletes_path/n_deletes (and any future keys) — or
+            # tombstoned docs would resurrect in the new snapshot
+            properties={
+                **(attempt_parent.properties if attempt_parent else {}),
+                "store_positions": store_positions,
+                "primary_field": primary,
+                "stored_fields": sorted(stored_fields),
+            },
         )
         try:
             return catalog.commit(manifest)

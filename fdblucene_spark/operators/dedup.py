@@ -251,18 +251,57 @@ FROM bitsum GROUP BY {id_col}
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    max_bucket: int = 1000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) over distinct word-shingle sets, for pairs
-    sharing at least one shingle. Exact verification operator."""
+    """(id_a, id_b, jaccard) over distinct word-shingle sets — EXACT
+    jaccard for every emitted pair.
+
+    Skew safety (the quadratic-bucket hazard of a raw shingle
+    self-join): candidate pairs are generated only from shingles whose
+    doc-bucket is <= max_bucket (a near-universal shingle is dropped
+    from candidate GENERATION — it would make the join quadratic while
+    discriminating nothing); the intersection count for each surviving
+    candidate is then computed EXACTLY over the full shingle sets, so
+    jaccard values are never approximated. The only recall loss is a
+    pair whose every shared shingle is hotter than max_bucket —
+    vanishingly unlikely above any useful threshold. Alternatively
+    pass `candidates` (id_a, id_b) from lsh_candidate_pairs to skip
+    generation entirely (the verify-LSH-candidates role)."""
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    if candidates is None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("shingle")
+        )
+        cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        a, b = cold.alias("a"), cold.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+    # exact |A ∩ B| per candidate pair: candidate-driven joins, sized
+    # sum(|A|) over candidates — bounded by the capped generation
+    pa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    pb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        candidates.join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))

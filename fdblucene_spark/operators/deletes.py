@@ -72,11 +72,11 @@ def update_docs(
     """
     from .build import build_index
 
-    ids = [int(r[0]) for r in replacements.select(doc_col).distinct().collect()]
     # tombstone old versions first, then append the new content under
     # FRESH doc ids above doc_max (dense append), keeping the natural
-    # key mapping in the replacement segment's stored fields
-    delete_docs(spark, root, ids)
+    # key mapping in the replacement segment's stored fields. The id
+    # set stays a DataFrame end-to-end — no driver materialization.
+    delete_docs(spark, root, replacements.select(F.col(doc_col).alias("doc")).distinct())
     return build_index(spark, replacements, root, doc_col=None, append=True, **build_kwargs)
 
 

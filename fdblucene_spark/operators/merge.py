@@ -138,6 +138,7 @@ def _write_merged(
     doclen: DataFrame,
     lineage_extra: dict,
     properties: dict | None = None,
+    stored: DataFrame | None = None,
 ) -> Manifest:
     version = catalog.next_version()
     segment_id = f"seg-v{version:06d}-merge-{uuid.uuid4().hex[:8]}"
@@ -146,6 +147,8 @@ def _write_merged(
     blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))
     termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))
     doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))
+    if stored is not None:
+        stored.write.mode("errorifexists").parquet(os.path.join(seg_dir, "stored"))
     dstats_rows = spark.read.parquet(os.path.join(seg_dir, "doclen")).groupBy("field").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -206,6 +209,11 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
     doclen = spark.read.parquet(*manifest.segment_paths(root, "doclen"))
     store_positions = bool(manifest.properties.get("store_positions", True))
     properties = dict(manifest.properties)
+    stored = None
+    if properties.get("stored_fields"):
+        stored_paths = [p for p in manifest.segment_paths(root, "stored") if os.path.isdir(p)]
+        if stored_paths:
+            stored = spark.read.parquet(*stored_paths)
     if mode == "concat":
         w = Window.partitionBy("field", "term", "shard").orderBy("min_doc", "block_id")
         blocks = postings.withColumn(
@@ -224,8 +232,12 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
                     os.path.join(root, manifest.properties["deletes_path"]), columns=["doc"]
                 )["doc"].to_numpy().astype(np.int64)
             )
-            dels_df = spark.createDataFrame([(int(d),) for d in deleted], "doc long")
+            dels_df = spark.read.parquet(
+                os.path.join(root, manifest.properties["deletes_path"])
+            ).select("doc")
             doclen = doclen.join(F.broadcast(dels_df), "doc", "left_anti")
+            if stored is not None:
+                stored = stored.join(F.broadcast(dels_df), "doc", "left_anti")
             properties.pop("deletes_path", None)
             properties.pop("n_deletes", None)
         blocks = postings.groupBy("field", "term", "shard").applyInPandas(
@@ -246,7 +258,9 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
         "inputs": [s.segment_id for s in manifest.segments],
         "deletes_applied": bool(has_deletes and mode == "repack"),
     }
-    return _write_merged(spark, catalog, manifest, blocks, termdict, doclen, lineage, properties)
+    return _write_merged(
+        spark, catalog, manifest, blocks, termdict, doclen, lineage, properties, stored
+    )
 
 
 def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Manifest:
@@ -266,14 +280,27 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         lo = min((s.doc_min for s in m.segments), default=0)
         offsets.append(acc - lo)
         acc += m.doc_max + 1 - lo
+    stored_sets = [sorted(m.properties.get("stored_fields", [])) for m in manifests]
+    if any(s != stored_sets[0] for s in stored_sets[1:]):
+        raise ValueError(f"cannot addIndexes across mismatched stored_fields: {stored_sets}")
+    carry_stored = bool(stored_sets[0])
     postings = None
     doclen = None
+    stored = None
     termdicts = []
     for root, m, off in zip(src_roots, manifests, offsets):
         if m.properties.get("deletes_path"):
             raise ValueError("apply deletes (merge repack) before addIndexes")
-        p = spark.read.parquet(*m.segment_paths(root, "postings")).withColumn(
-            "doc_off", F.lit(off).cast("long")
+        # rebase shard along with doc: the offset is constant per
+        # source, so (doc + off) % n_shards == (shard + off) % n_shards
+        # for every doc of the source — the shard == doc % n_shards
+        # invariant (which co-locates deletes/doc-values side inputs
+        # with their postings shard) survives the rebase.
+        new_shard = F.pmod(F.col("shard") + F.lit(off), F.lit(base.n_shards)).cast("int")
+        p = (
+            spark.read.parquet(*m.segment_paths(root, "postings"))
+            .withColumn("doc_off", F.lit(off).cast("long"))
+            .withColumn("shard", new_shard)
         )
         d = spark.read.parquet(*m.segment_paths(root, "doclen")).withColumn(
             "doc", F.col("doc") + F.lit(off)
@@ -281,6 +308,14 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         postings = p if postings is None else postings.unionByName(p)
         doclen = d if doclen is None else doclen.unionByName(d)
         termdicts.append(spark.read.parquet(*m.segment_paths(root, "termdict")))
+        if carry_stored:
+            st_paths = [q for q in m.segment_paths(root, "stored") if os.path.isdir(q)]
+            st = (
+                spark.read.parquet(*st_paths)
+                .withColumn("doc", F.col("doc") + F.lit(off))
+                .withColumn("shard", new_shard)
+            )
+            stored = st if stored is None else stored.unionByName(st)
     termdict = termdicts[0]
     for t in termdicts[1:]:
         termdict = termdict.unionByName(t)
@@ -291,9 +326,6 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     blocks = postings.groupBy("field", "term", "shard").applyInPandas(
         _repack_factory(base.block_size, store_positions), schema=POSTINGS_SCHEMA
     )
-    # shard stays the source's doc%n_shards even after rebase: it is a
-    # salt, and all of a doc's postings still share one shard value,
-    # which is the only property query/merge kernels rely on.
     synthetic_parent = Manifest(
         version=dest_cat.next_version() - 1 if dest_cat.exists() else 0,
         analyzer=base.analyzer,
@@ -303,7 +335,11 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         properties={"store_positions": store_positions},
     )
     lineage = {"op": "addIndexes", "inputs": src_roots, "offsets": offsets}
+    props = {
+        "store_positions": store_positions,
+        "primary_field": base.properties.get("primary_field", "text"),
+        "stored_fields": stored_sets[0],
+    }
     return _write_merged(
-        spark, dest_cat, synthetic_parent, blocks, termdict, doclen, lineage,
-        {"store_positions": store_positions},
+        spark, dest_cat, synthetic_parent, blocks, termdict, doclen, lineage, props, stored
     )

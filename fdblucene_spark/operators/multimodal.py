@@ -121,6 +121,65 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def byte_histogram_features(media: DataFrame, n_bins: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic, ORACLE-CHECKABLE feature extractor: the feature
+    vector is the normalized histogram of payload byte values
+    (bin = byte >> 4, 16 bins) — the same mapInPandas Arrow plumbing
+    as extract_features (binary in, fixed-dim float32 out, per-batch
+    numpy bincount) but SQL-expressible, so the gate can hash-match it
+    against a DuckDB twin. The media DECODE stub boundary is
+    unchanged: decode_image still raises without fake=True."""
+    shift = 8 - int(n_bins).bit_length() + 1  # 16 bins -> >> 4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b >> shift, minlength=n_bins).astype(np.float64)
+                feats.append((hist / max(b.size, 1)).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": pdf["meta"].map(lambda m: int(m["n_bytes"])).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def byte_histogram_sql(table: str, id_col: str, text_col: str, bins: tuple[int, ...]) -> str:
+    """DuckDB twin of synthesize_media >> byte_histogram_features for
+    the requested bins, reported as exact COUNTS (the gate multiplies
+    the float32 ratio back by n_bytes and rounds — exact as long as
+    float32 relative error < 0.5/count, which holds for any payload
+    under ~10^6 bytes). ASCII-only corpus verified, so ascii(char) ==
+    byte value."""
+    bin_cols = ",\n       ".join(
+        f"count(CASE WHEN bin = {b} THEN 1 END)::BIGINT AS c{b}" for b in bins
+    )
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id,
+         ['image','audio','video'][({id_col} % 3 + 1)::INT] AS kind,
+         {text_col} AS payload,
+         strlen({text_col})::BIGINT AS n_bytes
+  FROM {table}
+), chars AS (
+  SELECT media_id, kind, n_bytes,
+         (ascii(substr(payload, unnest(range(1, strlen(payload)::INT + 1))::INT, 1)) // 16)::INT AS bin
+  FROM m
+)
+SELECT media_id, kind, n_bytes,
+       {bin_cols}
+FROM chars GROUP BY media_id, kind, n_bytes
+"""
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Per-kind payload accounting (pure Catalyst): rows, bytes, avg."""
     return media.groupBy("kind").agg(

@@ -14,12 +14,28 @@ section 3.2). Plan shape per query:
   global orderBy(score desc, doc asc).limit(k)             [L15]
   optional semi-join back to the base table                [L10]
 
+Deletes and doc-set filters (numeric doc-values ranges, external
+allow-lists) flow into the kernels as a COGROUPED per-shard side
+input (shard = doc % n_shards, so each kernel sees exactly its docs'
+tombstones/allow rows) — never as a driver-pickled array, so a
+billion tombstones at 100 TB stream through the same shuffle
+machinery as the postings themselves. In-kernel membership tests are
+sorted-array searchsorted probes, O(n log m).
+
 `search_batch` evaluates a whole query SET in one Spark job (the
 shard kernel loops queries over the already-grouped blocks), which
 amortizes scheduling overhead — the shape a real query service uses.
 
-The kernel implements safe block-max pruning (the WAND bound),
-LOCALIZED per block: block B of term t is skippable iff
+`search_boolean` is the composable surface (Lucene BooleanQuery
+semantics): per-clause occur = must | should | filter | must_not
+across any indexed field, plus minimum_should_match and numeric
+doc-values range predicates applied BEFORE scoring — the reference's
+own combined query shape (README.md:54-57 numeric range + sort next
+to text search; SimpleFDBDirectoryTest.java:153,202-207 keyword
+TermQuery beside text fields).
+
+The single-field kernel implements safe block-max pruning (the WAND
+bound), LOCALIZED per block: block B of term t is skippable iff
 ub_t(B) + sum_{t'!=t} (max_ub(t') if t' has any block whose docID
 range overlaps B's, else 0) < theta, where theta is a lower bound on
 the k-th best score (seeded by solo-scoring the highest-impact term).
@@ -62,7 +78,45 @@ BATCH_HIT_SCHEMA = T.StructType(
     ]
 )
 
+COUNT_SCHEMA = T.StructType([T.StructField("n", T.LongType(), False)])
+
+AUX_DEL = "del"
+
 _EMPTY = pd.DataFrame({"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
+
+
+def _sorted_probe(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Boolean mask: vals[i] in sorted_arr (searchsorted, O(n log m))."""
+    idx = np.searchsorted(sorted_arr, vals)
+    ok = idx < sorted_arr.size
+    hit = np.zeros(vals.size, dtype=bool)
+    if ok.any():
+        hit[ok] = sorted_arr[idx[ok]] == vals[ok]
+    return hit
+
+
+def _split_aux(
+    aux: pd.DataFrame | None, allow_kinds: list[str]
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Per-shard aux rows (doc, kind) -> (deleted_sorted, allowed_sorted).
+
+    allowed semantics: None = unconstrained; empty = nothing allowed in
+    this shard (each expected allow kind intersects — a kind with zero
+    rows in the shard genuinely allows nothing here, because allow
+    rows are co-sharded with the docs they reference)."""
+    dels: np.ndarray | None = None
+    if aux is not None and len(aux):
+        d = aux.loc[aux["kind"] == AUX_DEL, "doc"].to_numpy(np.int64)
+        if d.size:
+            dels = np.unique(d)
+    allowed: np.ndarray | None = None
+    for kind in allow_kinds:
+        if aux is not None and len(aux):
+            a = np.unique(aux.loc[aux["kind"] == kind, "doc"].to_numpy(np.int64))
+        else:
+            a = np.empty(0, dtype=np.int64)
+        allowed = a if allowed is None else np.intersect1d(allowed, a, assume_unique=True)
+    return dels, allowed
 
 
 def _decode_block_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -84,6 +138,7 @@ def _score_shard(
     deleted: np.ndarray | None = None,
     not_terms: list[str] | None = None,
     stats_out: dict | None = None,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one query against one shard's blocks. Pure numpy.
 
@@ -93,7 +148,12 @@ def _score_shard(
     not_terms: MUST_NOT clauses — matching docs are excluded and never
     scored (Lucene BooleanClause.Occur.MUST_NOT; the docID-set EXCEPT
     of SURVEY.md section 2.7). Exclusion happens inside decode (like
-    liveDocs) so theta seeding and top-k bounds stay safe."""
+    liveDocs) so theta seeding and top-k bounds stay safe.
+    deleted: SORTED unique docIDs to exclude (liveDocs complement).
+    allowed: SORTED unique docIDs a hit must belong to (None = all);
+    applied inside decode, before theta seeding, like deletes."""
+    if allowed is not None and allowed.size == 0:
+        return _EMPTY
     uniq_terms = list(dict.fromkeys(q_terms))
     present = [t for t in uniq_terms if t in groups]
     if not present or (mode in ("and", "phrase") and len(present) < len(uniq_terms)):
@@ -133,8 +193,11 @@ def _score_shard(
         if excluded is not None and excluded.size and d.size:
             # liveDocs/MUST_NOT mask BEFORE theta seeding / top-k: an
             # excluded doc must neither rank nor inflate the bound
-            live = ~np.isin(d, excluded)
+            live = ~_sorted_probe(excluded, d)
             d, tf, dlq = d[live], tf[live], dlq[live]
+        if allowed is not None and d.size:
+            m = _sorted_probe(allowed, d)
+            d, tf, dlq = d[m], tf[m], dlq[m]
         s = (weights[t] * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
         return d, s
 
@@ -223,39 +286,211 @@ def _phrase_filter(
     cand: np.ndarray,
     acc: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Keep candidates where q_terms occur at consecutive positions (L17)."""
+    """Keep candidates where q_terms occur at consecutive positions (L17).
+
+    Vectorized position-adjacency: per phrase slot, every candidate
+    (doc, position) pair is packed into one int64 key (doc << shift |
+    pos) and sorted; slot i+1 survival is a single searchsorted probe
+    of `starts + 1` — no per-document Python loop, so a high-df phrase
+    costs O(P log P) numpy, not O(docs) interpreter time."""
     if cand.size == 0:
         return cand, acc
-    pos_maps: list[dict[int, np.ndarray]] = []
+    # pass 1: gather (doc, pos) arrays per phrase slot, candidates only
+    slot_docs: list[np.ndarray] = []
+    slot_pos: list[np.ndarray] = []
+    max_pos = 0
     for t in q_terms:
-        mp: dict[int, np.ndarray] = {}
+        dparts: list[np.ndarray] = []
+        pparts: list[np.ndarray] = []
         rows = groups.get(t)
         if rows is not None:
-            for _, r in rows.iterrows():
+            for _, r in rows.iterrows():  # per block; heavy work vectorized
                 d = codec.decode_doc_block(r["docs"])
-                sel = np.isin(d, cand, assume_unique=True)
-                if not sel.any():
+                sel_mask = np.isin(d, cand, assume_unique=True)
+                if not sel_mask.any():
                     continue
                 tf = codec.decode_tf_block(r["tfs"])
-                flat, starts = codec.decode_positions_block(r["positions"], tf)
-                for i in np.flatnonzero(sel):
-                    s = int(starts[i])
-                    mp[int(d[i])] = flat[s : s + int(tf[i])]
-        pos_maps.append(mp)
-    keep = np.zeros(cand.size, dtype=bool)
-    for j, dc in enumerate(cand):
-        dc = int(dc)
-        starts = set(pos_maps[0].get(dc, np.empty(0)).tolist())
-        for off in range(1, len(q_terms)):
-            nxt = pos_maps[off].get(dc)
-            if nxt is None:
-                starts = set()
-                break
-            starts &= {int(p) - off for p in nxt}
-            if not starts:
-                break
-        keep[j] = bool(starts)
+                flat, starts_arr = codec.decode_positions_block(r["positions"], tf)
+                sel = np.flatnonzero(sel_mask)
+                lens = tf[sel]
+                total = int(lens.sum())
+                csum = np.cumsum(lens) - lens
+                gather = np.repeat(starts_arr[sel], lens) + (
+                    np.arange(total, dtype=np.int64) - np.repeat(csum, lens)
+                )
+                dparts.append(np.repeat(d[sel], lens))
+                pparts.append(flat[gather])
+        dd = np.concatenate(dparts) if dparts else np.empty(0, dtype=np.int64)
+        pp = np.concatenate(pparts) if pparts else np.empty(0, dtype=np.int64)
+        if pp.size:
+            max_pos = max(max_pos, int(pp.max()))
+        slot_docs.append(dd)
+        slot_pos.append(pp)
+    # pass 2: pack keys with a shift wide enough for max_pos + phrase len
+    shift = max(21, int(max_pos + len(q_terms)).bit_length() + 1)
+    keys = []
+    for dd, pp in zip(slot_docs, slot_pos):
+        kk = (dd << shift) | pp
+        kk.sort()
+        keys.append(kk)
+    starts = keys[0]
+    for off in range(1, len(q_terms)):
+        if starts.size == 0:
+            break
+        starts = starts[_sorted_probe(keys[off], starts + off)]
+    docs_hit = np.unique(starts >> shift) if starts.size else np.empty(0, dtype=np.int64)
+    keep = np.isin(cand, docs_hit, assume_unique=True)
     return cand[keep], acc[keep]
+
+
+def _count_shard(
+    groups: dict[str, pd.DataFrame],
+    mode: str,
+    q_terms: list[str],
+    deleted: np.ndarray | None,
+) -> int:
+    """totalHits for one shard: matched-doc set cardinality, no scores,
+    no hit materialization (L22)."""
+    uniq_terms = list(dict.fromkeys(q_terms))
+    present = [t for t in uniq_terms if t in groups]
+    if not present or (mode in ("and", "phrase") and len(present) < len(uniq_terms)):
+        return 0
+
+    def docs_of(t: str) -> np.ndarray:
+        return np.unique(_decode_block_rows(groups[t])[0])
+
+    if mode == "or":
+        cand = np.unique(np.concatenate([docs_of(t) for t in present]))
+    else:
+        order = sorted(present, key=lambda t: len(groups[t]))
+        cand = docs_of(order[0])
+        for t in order[1:]:
+            if cand.size == 0:
+                return 0
+            cand = np.intersect1d(cand, docs_of(t), assume_unique=True)
+    if deleted is not None and deleted.size and cand.size:
+        cand = cand[~_sorted_probe(deleted, cand)]
+    if mode == "phrase" and cand.size:
+        cand, _ = _phrase_filter(groups, q_terms, cand, np.zeros(cand.size))
+    return int(cand.size)
+
+
+OCCURS = ("must", "should", "filter", "must_not")
+
+
+def _score_shard_boolean(
+    by_field: dict[str, dict[str, pd.DataFrame]],
+    spec: dict,
+    deleted: np.ndarray | None,
+    allowed: np.ndarray | None,
+) -> pd.DataFrame:
+    """Mixed-occur Boolean evaluation for one shard (BooleanQuery).
+
+    spec: {"must"/"should"/"filter"/"must_not": [(field, term, w32,
+    avgdl)], "k": int, "msm": int}. Scoring clauses are must+should;
+    filter/must_not gate membership without contributing score.
+    A doc's postings for every field live in ONE shard (shard =
+    doc % n_shards), so per-shard evaluation is exact."""
+    if allowed is not None and allowed.size == 0:
+        return _EMPTY
+    k, msm = spec["k"], spec["msm"]
+
+    def rows_of(f: str, t: str) -> pd.DataFrame | None:
+        return by_field.get(f, {}).get(t)
+
+    # excluded = deletes U must_not matches
+    ex_parts = [deleted] if deleted is not None and deleted.size else []
+    for f, t, _, _ in spec["must_not"]:
+        rows = rows_of(f, t)
+        if rows is not None:
+            ex_parts.append(_decode_block_rows(rows)[0])
+    excluded = np.unique(np.concatenate(ex_parts)) if ex_parts else None
+
+    def live_docs(f: str, t: str) -> np.ndarray:
+        rows = rows_of(f, t)
+        if rows is None:
+            return np.empty(0, dtype=np.int64)
+        d = np.unique(_decode_block_rows(rows)[0])
+        if excluded is not None and d.size:
+            d = d[~_sorted_probe(excluded, d)]
+        return d
+
+    # candidate narrowing: allowed ∩ filters ∩ musts (rare-first)
+    cand = allowed  # sorted unique or None
+    for f, t, _, _ in spec["filter"]:
+        d = live_docs(f, t)
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+
+    def decode_scored(f, t, w, avgdl, restrict):
+        rows = rows_of(f, t)
+        if rows is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if restrict is not None and restrict.size:
+            keep = (rows["max_doc"].to_numpy() >= restrict[0]) & (
+                rows["min_doc"].to_numpy() <= restrict[-1]
+            )
+            rows = rows.iloc[np.flatnonzero(keep)]
+        d, tf, dlq = _decode_block_rows(rows)
+        if excluded is not None and excluded.size and d.size:
+            live = ~_sorted_probe(excluded, d)
+            d, tf, dlq = d[live], tf[live], dlq[live]
+        if restrict is not None and d.size:
+            m = _sorted_probe(restrict, d)
+            d, tf, dlq = d[m], tf[m], dlq[m]
+        s = (w * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
+        return d, s
+
+    must_data = []
+    for f, t, w, avgdl in spec["must"]:
+        d, s = decode_scored(f, t, w, avgdl, cand)
+        must_data.append((d, s))
+        du = np.sort(d)
+        cand = du if cand is None else np.intersect1d(cand, du, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+
+    should_data = [
+        decode_scored(f, t, w, avgdl, cand) for f, t, w, avgdl in spec["should"]
+    ]
+
+    if cand is not None:
+        acc = np.zeros(cand.size, dtype=np.float64)
+        should_hits = np.zeros(cand.size, dtype=np.int64)
+        for d, s in must_data:
+            m = _sorted_probe(cand, d)
+            pos = np.searchsorted(cand, d[m])
+            acc[pos] += s[m].astype(np.float64)
+        for d, s in should_data:
+            pos = np.searchsorted(cand, d)  # already restricted to cand
+            acc[pos] += s.astype(np.float64)
+            should_hits[pos] += 1
+        sel = should_hits >= msm
+        uniq, total = cand[sel], acc[sel]
+    else:
+        # pure-should disjunction (+ minimum_should_match)
+        if not should_data:
+            return _EMPTY
+        all_docs = np.concatenate([d for d, _ in should_data])
+        if all_docs.size == 0:
+            return _EMPTY
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        hits = np.zeros(uniq.size, dtype=np.int64)
+        off = 0
+        for d, s in should_data:
+            idx = inv[off : off + d.size]
+            acc[idx] += s.astype(np.float64)
+            hits[idx] += 1
+            off += d.size
+        sel = hits >= max(msm, 1)
+        uniq, total = uniq[sel], acc[sel]
+    score32 = total.astype(np.float32)
+    if uniq.size > k:
+        idx = np.lexsort((uniq, -score32))[:k]
+        uniq, score32 = uniq[idx], score32[idx]
+    return pd.DataFrame({"doc": uniq.astype(np.int64), "score": score32})
 
 
 class Searcher:
@@ -276,21 +511,113 @@ class Searcher:
             self._td_files.extend(
                 os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
             )
-        # liveDocs: the snapshot's delete list, shipped to kernels so
-        # deleted docs neither rank nor affect pruning bounds (L21).
-        # Stats (df/ttf/avgdl) still include deleted docs until a
-        # repack merge applies them physically — Lucene semantics.
-        self.deleted: "np.ndarray | None" = None
+        self._deleted_cache: np.ndarray | None = None
+
+    # ---------------------------------------------------------- side inputs
+    @property
+    def deleted(self) -> np.ndarray | None:
+        """SORTED delete list for the DRIVER-LOCAL paths only
+        (search_local / profile_local — a query-service node holds its
+        tombstones in memory like Lucene's liveDocs). The distributed
+        kernels never touch this: deletes reach them per-shard via
+        _aux_frames, so nothing index-sized is driver-materialized."""
         rel = self.manifest.properties.get("deletes_path")
-        if rel:
+        if not rel:
+            return None
+        if self._deleted_cache is None:
             import pyarrow.parquet as pq
 
-            self.deleted = (
-                pq.read_table(os.path.join(root, rel), columns=["doc"])["doc"]
+            arr = (
+                pq.read_table(os.path.join(self.root, rel), columns=["doc"])["doc"]
                 .to_numpy()
                 .astype(np.int64)
             )
+            arr.sort()
+            self._deleted_cache = arr
+        return self._deleted_cache
 
+    def _stored_df(self) -> DataFrame:
+        paths = [
+            p
+            for p in self.manifest.segment_paths(self.root, "stored")
+            if os.path.isdir(p)
+        ]
+        if not paths:
+            raise ValueError(
+                "index has no stored/doc-values table; build with stored_fields=..."
+            )
+        return self.spark.read.parquet(*paths)
+
+    def _aux_frames(
+        self,
+        numeric: list[dict] | None = None,
+        allowed_docs: DataFrame | None = None,
+    ) -> tuple[DataFrame | None, list[str]]:
+        """Per-shard side input for the kernels: (shard, doc, kind).
+
+        kind='del' rows are the snapshot's tombstones; each allow kind
+        is one doc-set constraint a hit must satisfy (numeric
+        doc-values conjunction, external allow-list). Everything stays
+        a DataFrame — the shuffle co-locates aux rows with the
+        postings shard that owns those docs."""
+        ns = self.manifest.n_shards
+        parts: list[DataFrame] = []
+        kinds: list[str] = []
+        rel = self.manifest.properties.get("deletes_path")
+        if rel:
+            dels = self.spark.read.parquet(os.path.join(self.root, rel))
+            parts.append(
+                dels.select(
+                    F.pmod(F.col("doc"), F.lit(ns)).cast("int").alias("shard"),
+                    F.col("doc").cast("long").alias("doc"),
+                    F.lit(AUX_DEL).alias("kind"),
+                )
+            )
+        if numeric:
+            dv = self._stored_df()
+            pred = F.lit(True)
+            for cl in numeric:
+                c = F.col(cl["field"])
+                if cl.get("lo") is not None:
+                    pred = pred & (c >= F.lit(cl["lo"]))
+                if cl.get("hi") is not None:
+                    pred = pred & (c <= F.lit(cl["hi"]))
+            parts.append(
+                dv.filter(pred).select(
+                    "shard", F.col("doc").cast("long").alias("doc"), F.lit("allow_dv").alias("kind")
+                )
+            )
+            kinds.append("allow_dv")
+        if allowed_docs is not None:
+            parts.append(
+                allowed_docs.select(
+                    F.pmod(F.col("doc"), F.lit(ns)).cast("int").alias("shard"),
+                    F.col("doc").cast("long").alias("doc"),
+                    F.lit("allow_ext").alias("kind"),
+                )
+            )
+            kinds.append("allow_ext")
+        if not parts:
+            return None, []
+        aux = parts[0]
+        for p in parts[1:]:
+            aux = aux.unionByName(p)
+        return aux, kinds
+
+    def _apply_kernel(self, scan: DataFrame, kernel_fn, schema, aux: DataFrame | None):
+        """groupBy(shard).applyInPandas, cogrouping the aux side input
+        when one exists. kernel_fn(postings_pdf, aux_pdf_or_None)."""
+        if aux is None:
+            return scan.groupBy("shard").applyInPandas(
+                lambda pdf: kernel_fn(pdf, None), schema=schema
+            )
+        return (
+            scan.groupBy("shard")
+            .cogroup(aux.groupBy("shard"))
+            .applyInPandas(lambda left, right: kernel_fn(left, right), schema=schema)
+        )
+
+    # ------------------------------------------------------------- term seek
     def term_stats(self, terms: Iterable[str], field: str = "text") -> dict[str, tuple[int, int]]:
         """(field, term) -> (df, ttf) across segments. Driver-side
         pyarrow scan with predicate pushdown — the term-dictionary seek
@@ -319,6 +646,7 @@ class Searcher:
             raise ValueError("index built without positions; phrase queries unavailable")
         return uniq, {t: stats[t][0] for t in present}
 
+    # ----------------------------------------------------------------- search
     def search(
         self,
         terms: list[str],
@@ -326,31 +654,125 @@ class Searcher:
         mode: str = "or",
         field: str = "text",
         not_terms: list[str] | None = None,
+        numeric: list[dict] | None = None,
+        allowed_docs: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k hits as a DataFrame (doc, score), globally ordered.
 
         not_terms: MUST_NOT clauses (same field) — matching docs are
-        excluded without contributing score."""
+        excluded without contributing score.
+        numeric: doc-values range predicates applied before scoring,
+        [{field, lo, hi}] over the index's stored table (L18 inside
+        the same query — reference README.md:54-57).
+        allowed_docs: external allow-list DataFrame with a `doc`
+        column; hits must belong to it."""
         prep = self._prep(terms, mode, field)
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         _, term_df = prep
         n_docs = self.manifest.n_docs_for(field)
         avgdl = self.manifest.avgdl_for(field)
-        deleted = self.deleted
         nts = sorted(set(not_terms)) if not_terms else []
         # phrase keeps the user-given token sequence (order + repeats
         # define the phrase); other modes use the deduplicated set
         kt = list(terms) if mode == "phrase" else list(term_df)
+        aux, allow_kinds = self._aux_frames(numeric, allowed_docs)
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
-            return _score_shard(groups, term_df, n_docs, avgdl, k, mode, kt, deleted, nts)
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            return _score_shard(
+                groups, term_df, n_docs, avgdl, k, mode, kt, dels, nts, allowed=allowed
+            )
 
         scan = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(list(term_df) + nts)
         )
-        hits = scan.groupBy("shard").applyInPandas(kernel, schema=HIT_SCHEMA)
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    def search_boolean(
+        self,
+        clauses: list[dict],
+        k: int,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+        allowed_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """Composable BooleanQuery (the reference's combined surface):
+        clauses = [{field, term, occur}] with occur in must | should |
+        filter | must_not, mixed freely across text and keyword fields,
+        plus numeric doc-values ranges — all evaluated in ONE query,
+        scores = float64 sum of the float32 per-clause BM25 scores of
+        matched must+should clauses (filter/must_not score nothing).
+
+        min_should_match: default Lucene semantics — 0 when any
+        must/filter/numeric constraint exists, else 1."""
+        norm: dict[str, list] = {o: [] for o in OCCURS}
+        for c in clauses:
+            occ = c.get("occur", "should")
+            if occ not in OCCURS:
+                raise ValueError(f"unknown occur {occ!r}")
+            norm[occ].append((c.get("field", "text"), c["term"]))
+        has_constraint = bool(
+            norm["must"] or norm["filter"] or numeric or allowed_docs is not None
+        )
+        msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
+
+        # per-field term stats (driver-side termdict seeks)
+        by_field_terms: dict[str, set[str]] = {}
+        for occ in OCCURS:
+            for f, t in norm[occ]:
+                by_field_terms.setdefault(f, set()).add(t)
+        stats: dict[tuple[str, str], tuple[int, int]] = {}
+        for f, ts in by_field_terms.items():
+            for t, st in self.term_stats(sorted(ts), field=f).items():
+                stats[(f, t)] = st
+
+        def scored(entries):
+            out = []
+            for f, t in entries:
+                st = stats.get((f, t))
+                if st is None:
+                    out.append(None)
+                    continue
+                w = np.float32(bm25.idf(float(st[0]), self.manifest.n_docs_for(f)))
+                out.append((f, t, w, self.manifest.avgdl_for(f)))
+            return out
+
+        must = scored(norm["must"])
+        if any(m is None for m in must):  # a must term absent from the corpus
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        filters = [s for s in scored(norm["filter"]) if s is not None]
+        if len(filters) < len(norm["filter"]):  # a filter term absent
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        should = [s for s in scored(norm["should"]) if s is not None]
+        mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
+        if msm > len(should):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        if not must and not filters and not should and numeric is None and allowed_docs is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        spec = {"must": must, "should": should, "filter": filters, "must_not": mnot,
+                "k": int(k), "msm": int(msm)}
+        aux, allow_kinds = self._aux_frames(numeric, allowed_docs)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            by_field = {
+                f: {t: g for t, g in sub.groupby("term", sort=False)}
+                for f, sub in pdf.groupby("field", sort=False)
+            }
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            return _score_shard_boolean(by_field, spec, dels, allowed)
+
+        pred = F.lit(False)
+        for f, ts in by_field_terms.items():
+            if any((f, t) in stats for t in ts):
+                pred = pred | (
+                    (F.col("field") == f)
+                    & F.col("term").isin([t for t in ts if (f, t) in stats])
+                )
+        scan = self._postings.filter(pred)
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
     def search_batch(self, queries: list[dict]) -> DataFrame:
@@ -386,19 +808,20 @@ class Searcher:
             all_fields.add(field)
         if not specs:
             return self.spark.createDataFrame([], BATCH_HIT_SCHEMA)
-        deleted = self.deleted
+        aux, allow_kinds = self._aux_frames()
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
             by_field = {
                 f: {t: g for t, g in sub.groupby("term", sort=False)}
                 for f, sub in pdf.groupby("field", sort=False)
             }
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
             outs = []
             for sp in specs:
                 groups = by_field.get(sp["field"], {})
                 r = _score_shard(
                     groups, sp["term_df"], sp["n_docs"], sp["avgdl"], sp["k"], sp["mode"],
-                    sp["q_terms"], deleted, sp["not_terms"],
+                    sp["q_terms"], dels, sp["not_terms"],
                 )
                 if len(r):
                     r = r.copy()
@@ -414,7 +837,7 @@ class Searcher:
         scan = self._postings.filter(
             F.col("field").isin(sorted(all_fields)) & F.col("term").isin(sorted(all_terms))
         )
-        hits = scan.groupBy("shard").applyInPandas(kernel, schema=BATCH_HIT_SCHEMA)
+        hits = self._apply_kernel(scan, kernel, BATCH_HIT_SCHEMA, aux)
         ks = {sp["query_id"]: sp["k"] for sp in specs}
         k_df = F.create_map(*[F.lit(x) for kv in ks.items() for x in kv])
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc"))
@@ -456,6 +879,17 @@ class Searcher:
         )
         return scan.mapInPandas(dec, schema=schema)
 
+    def _local_blocks(self, fields_terms: dict[str, list[str]]) -> pd.DataFrame:
+        files = []
+        for p in self.manifest.segment_paths(self.root, "postings"):
+            files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
+        dset = pads.dataset(files, format="parquet")
+        flt = None
+        for f, ts in fields_terms.items():
+            leg = (pads.field("field") == f) & pads.field("term").isin(ts)
+            flt = leg if flt is None else (flt | leg)
+        return dset.to_table(filter=flt).to_pandas()
+
     def search_local(
         self,
         terms: list[str],
@@ -479,12 +913,7 @@ class Searcher:
             return pd.DataFrame({"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
         _, term_df = prep
         nts = sorted(set(not_terms)) if not_terms else []
-        files = []
-        for p in self.manifest.segment_paths(self.root, "postings"):
-            files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
-        dset = pads.dataset(files, format="parquet")
-        flt = (pads.field("field") == field) & pads.field("term").isin(list(term_df) + nts)
-        pdf = dset.to_table(filter=flt).to_pandas()
+        pdf = self._local_blocks({field: list(term_df) + nts})
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
         kt = list(terms) if mode == "phrase" else list(term_df)
         hits = _score_shard(
@@ -504,12 +933,7 @@ class Searcher:
         if prep is None:
             return {"blocks_total": 0, "blocks_decoded": 0, "hits": 0}
         _, term_df = prep
-        files = []
-        for p in self.manifest.segment_paths(self.root, "postings"):
-            files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
-        dset = pads.dataset(files, format="parquet")
-        flt = (pads.field("field") == field) & pads.field("term").isin(list(term_df))
-        pdf = dset.to_table(filter=flt).to_pandas()
+        pdf = self._local_blocks({field: list(term_df)})
         stats: dict = {}
         kt = list(terms) if mode == "phrase" else list(term_df)
         # per-shard like the distributed kernel, so theta/pruning match
@@ -529,11 +953,48 @@ class Searcher:
         return stats
 
     def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
-        """totalHits (reference: SimpleFDBDirectoryTest.java:155)."""
-        n = max(self.n_docs, 1)
-        return self.search(terms, k=n, mode=mode, field=field).count()
+        """totalHits (reference: SimpleFDBDirectoryTest.java:155).
+
+        Kernel-side: each shard counts its matched docIDs (no scores,
+        no global sort, no hit materialization) and the counts sum —
+        shards partition the doc space, so the sum is exact. No k
+        bound, so fields whose docCount exceeds the primary field's
+        are counted fully."""
+        prep = self._prep(terms, mode, field)
+        if prep is None:
+            return 0
+        _, term_df = prep
+        kt = list(terms) if mode == "phrase" else list(term_df)
+        aux, _ = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, _ = _split_aux(aux_pdf, [])
+            return pd.DataFrame({"n": [_count_shard(groups, mode, kt, dels)]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(term_df))
+        )
+        per_shard = self._apply_kernel(scan, kernel, COUNT_SCHEMA, aux)
+        row = per_shard.agg(F.sum("n")).first()[0]
+        return int(row or 0)
 
     def fetch(self, hits: DataFrame, base: DataFrame, doc_col: str) -> DataFrame:
-        """Stored-field retrieval: broadcast semi-join of top-k docIDs
-        back to the base table (L10; reference reader.document)."""
+        """Stored-field retrieval from a caller-supplied base table:
+        broadcast semi-join of top-k docIDs (L10)."""
         return base.join(F.broadcast(hits), base[doc_col] == hits["doc"], "inner").drop("doc")
+
+    def fetch_stored(self, hits: DataFrame, fields: list[str] | None = None) -> DataFrame:
+        """Index-OWNED stored-field retrieval (reference:
+        reader.document, SimpleFDBDirectoryTest.java:156-157; the
+        ("s", docID, field) keyspace of DATA.md:27-28): materialize
+        hits from the index's own stored table — no base table needed.
+        Broadcast join (top-k is small) against the columnar stored
+        files; column pruning keeps the scan to the requested fields."""
+        stored = self._stored_df()
+        avail = [c for c in stored.columns if c not in ("shard", "doc")]
+        cols = fields if fields is not None else avail
+        missing = sorted(set(cols) - set(avail))
+        if missing:
+            raise ValueError(f"fields not stored in this index: {missing} (stored: {avail})")
+        return stored.select("doc", *cols).join(F.broadcast(hits), "doc", "inner")

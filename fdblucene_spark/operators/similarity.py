@@ -16,6 +16,8 @@ cell-pruned exact re-rank).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -109,7 +111,12 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """ANN top-k: candidates from buckets within `probe_hamming` bit
     flips of the query bucket, exact cosine re-rank inside. Recall vs
-    brute force is property-tested (tests/test_similarity.py)."""
+    brute force is property-tested (tests/test_pipeline_ops.py).
+
+    This inline form recomputes the bucket over the whole corpus per
+    query — fine for one-off batch jobs; a query service should build
+    the bucket column ONCE with build_ann_index (partition-pruned
+    probes)."""
     planes = lsh_planes(len(query_vec), n_planes)
     q = np.asarray(query_vec, dtype=np.float64)
     qbits = int(sum((1 << j) for j, p in enumerate(planes) if float(p @ q) > 0))
@@ -210,6 +217,134 @@ def ivf_cosine_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+ANN_LSH_FORMAT = "ann-lsh-v1"
+ANN_IVF_FORMAT = "ann-ivf-v1"
+
+
+def build_ann_index(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    root: str,
+    kind: str = "ivf",
+    n_centroids: int = 16,
+    n_planes: int = 8,
+    seed: int = LSH_SEED,
+):
+    """Persist the ANN partitioning ONCE as a catalog-managed table
+    PARTITIONED BY bucket — the index artifact the inline variants
+    lack. Reuses the engine's snapshot manifest (atomic CURRENT
+    publish + version pinning, sources/manifest.py): the tiny model
+    state (IVF centroids / LSH plane seed) rides in
+    manifest.properties; the vectors land under
+    data/segments/<id>/vectors/bucket=<b>/ so a probe is a
+    PARTITION-PRUNED scan (only matching bucket directories are read —
+    at 10^9+ vectors the non-probed cells cost zero IO)."""
+    import json
+
+    from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
+
+    catalog = IndexCatalog(root)
+    dim = len(df.select(vec_col).first()[0])
+    if kind == "ivf":
+        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
+        assigned = with_ivf_cluster(df, vec_col, centroids, out_col="bucket")
+        fmt = ANN_IVF_FORMAT
+        model = {"kind": "ivf", "centroids": centroids.tolist(), "dim": dim}
+        n_buckets = int(centroids.shape[0])
+    elif kind == "lsh":
+        planes = lsh_planes(dim, n_planes, seed=seed)
+        assigned = with_lsh_bucket(df, vec_col, planes, out_col="bucket")
+        fmt = ANN_LSH_FORMAT
+        model = {"kind": "lsh", "n_planes": n_planes, "seed": seed, "dim": dim}
+        n_buckets = 1 << n_planes
+    else:
+        raise ValueError(f"unknown ANN kind {kind!r}")
+    version = catalog.next_version()
+    segment_id = f"ann-v{version:06d}-{kind}"
+    rel = catalog.new_segment_path(segment_id)
+    seg_dir = os.path.join(root, rel)
+    (
+        assigned.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(os.path.join(seg_dir, "vectors"))
+    )
+    n = spark.read.parquet(os.path.join(seg_dir, "vectors")).count()
+    seg_bytes, seg_hash = dir_fingerprint(seg_dir)
+    seg = SegmentMeta(
+        segment_id=segment_id, path=rel, n_docs=int(n), sum_dl=0, n_terms=0,
+        n_postings=int(n), doc_min=0, doc_max=int(n), bytes=seg_bytes,
+        lineage=[{"op": f"ann-build-{kind}", "n_vectors": int(n)}],
+        content_hash=seg_hash,
+    )
+    manifest = Manifest(
+        version=version, analyzer=fmt, block_size=0, n_shards=n_buckets,
+        segments=[seg],
+        properties={"model": json.loads(json.dumps(model)), "id_col": id_col, "vec_col": vec_col},
+    )
+    return catalog.commit(manifest)
+
+
+class AnnIndex:
+    """Pinned-snapshot reader over a persisted ANN index: probe-bucket
+    selection happens driver-side on the tiny model, the scan reads
+    ONLY the matching bucket=<b> partitions (verified by
+    tests/test_pipeline_ops.py: input-file pruning), exact cosine
+    re-rank inside."""
+
+    def __init__(self, spark, root: str, version: int | None = None):
+        from ..sources.manifest import IndexCatalog
+
+        self.spark = spark
+        self.root = root
+        self.manifest = IndexCatalog(root).load(version)
+        self.model = self.manifest.properties["model"]
+        seg = self.manifest.segments[0]
+        self._vectors = spark.read.parquet(os.path.join(root, seg.path, "vectors"))
+
+    def probe_buckets(self, query_vec: list[float], nprobe: int = 4, probe_hamming: int = 1) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        if self.model["kind"] == "ivf":
+            qn = np.linalg.norm(q)
+            if qn == 0:
+                raise ValueError("query vector has zero norm; cosine undefined")
+            cent = np.asarray(self.model["centroids"], dtype=np.float64)
+            sims = cent @ (q / qn)
+            return [int(c) for c in np.argsort(-sims)[:nprobe]]
+        planes = lsh_planes(self.model["dim"], self.model["n_planes"], self.model["seed"])
+        qbits = int(sum((1 << j) for j, p in enumerate(planes) if float(p @ q) > 0))
+        probe = [qbits]
+        if probe_hamming >= 1:
+            probe += [qbits ^ (1 << j) for j in range(self.model["n_planes"])]
+        if probe_hamming >= 2:
+            probe += [
+                qbits ^ (1 << i) ^ (1 << j)
+                for i in range(self.model["n_planes"])
+                for j in range(i + 1, self.model["n_planes"])
+            ]
+        return probe
+
+    def scan(self, query_vec: list[float], nprobe: int = 4, probe_hamming: int = 1) -> DataFrame:
+        """Partition-pruned candidate scan (no re-rank)."""
+        return self._vectors.filter(
+            F.col("bucket").isin(self.probe_buckets(query_vec, nprobe, probe_hamming))
+        )
+
+    def topk(self, query_vec: list[float], k: int, nprobe: int = 4, probe_hamming: int = 1) -> DataFrame:
+        cands = self.scan(query_vec, nprobe, probe_hamming)
+        return (
+            cosine_scores(cands, "id", "vec", query_vec)
+            .orderBy(F.desc("cosine"), F.asc("id"))
+            .limit(k)
+        )
 
 
 def cosine_near_dup_pairs(

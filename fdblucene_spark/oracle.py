@@ -140,3 +140,101 @@ def _phrase_match(idx: OracleIndex, terms: list[str]) -> set[int]:
 def count_matches(idx: OracleIndex, terms: list[str], mode: str = "or") -> int:
     """totalHits analogue (reference: SimpleFDBDirectoryTest.java:155)."""
     return len(search(idx, terms, k=idx.n_docs or 1, mode=mode))
+
+
+def boolean_search(
+    rows: list[dict],
+    key_col: str,
+    clauses: list[dict],
+    k: int,
+    min_should_match: int | None = None,
+    numeric: list[dict] | None = None,
+    keyword_fields: tuple[str, ...] = (),
+) -> list[tuple]:
+    """Naive multi-field BooleanQuery referee (Lucene semantics) for
+    Searcher.search_boolean: occur in must|should|filter|must_not,
+    minimum_should_match, numeric range predicates. rows are plain
+    dicts; docid = row position (must mirror the engine's docID
+    assignment in the test). Per-field stats match the engine/Lucene:
+    n_docs and avgdl count only docs that HAVE the field (>=1 token),
+    norms are SmallFloat-quantized."""
+    fields = sorted({c.get("field", "text") for c in clauses})
+    tok: dict[str, list[list[str]]] = {}
+    for f in fields:
+        if f in keyword_fields:
+            tok[f] = [[r[f]] if r.get(f) is not None else [] for r in rows]
+        else:
+            tok[f] = [tokenize_text(r.get(f) or "") for r in rows]
+    stats = {}
+    for f in fields:
+        dls = np.array([len(ts) for ts in tok[f]], dtype=np.int64)
+        nd = int((dls > 0).sum())
+        stats[f] = {
+            "n_docs": nd,
+            "avgdl": float(dls.sum()) / nd if nd else 0.0,
+            "dlq": bm25.quantize_doclen(np.maximum(dls, 1)),
+            "dls": dls,
+        }
+
+    def matches(f: str, t: str) -> dict[int, int]:
+        return {
+            i: ts.count(t) for i, ts in enumerate(tok[f]) if stats[f]["dls"][i] > 0 and t in ts
+        }
+
+    def scores_of(f: str, t: str) -> dict[int, float]:
+        m = matches(f, t)
+        if not m:
+            return {}
+        st = stats[f]
+        ids = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+        tfs = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+        s = bm25.term_score(tfs, st["dlq"][ids], len(m), st["n_docs"], st["avgdl"])
+        return dict(zip(ids.tolist(), s.tolist()))
+
+    norm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
+    for c in clauses:
+        norm[c.get("occur", "should")].append((c.get("field", "text"), c["term"]))
+    has_constraint = bool(norm["must"] or norm["filter"] or numeric)
+    msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
+
+    excluded = set()
+    for f, t in norm["must_not"]:
+        excluded |= set(matches(f, t))
+    allowed = set(range(len(rows)))
+    for cl in numeric or []:
+        lo, hi = cl.get("lo"), cl.get("hi")
+        allowed &= {
+            i
+            for i, r in enumerate(rows)
+            if r.get(cl["field"]) is not None
+            and (lo is None or r[cl["field"]] >= lo)
+            and (hi is None or r[cl["field"]] <= hi)
+        }
+    must_scores = [scores_of(f, t) for f, t in norm["must"]]
+    if any(not m for m in must_scores):
+        return []
+    filter_sets = [set(matches(f, t)) for f, t in norm["filter"]]
+    should_scores = [scores_of(f, t) for f, t in norm["should"]]
+
+    cand = allowed - excluded
+    for fs in filter_sets:
+        cand &= fs
+    for m in must_scores:
+        cand &= set(m)
+    if not has_constraint and numeric is None:
+        union = set()
+        for m in should_scores:
+            union |= set(m)
+        cand &= union
+    out = []
+    for d in cand:
+        sh = sum(1 for m in should_scores if d in m)
+        if sh < max(msm, 0 if has_constraint else 1):
+            continue
+        acc = 0.0
+        for m in must_scores + should_scores:
+            if d in m:
+                acc += m[d]  # float64 sum of float32 addends
+        out.append((d, float(np.float32(acc))))
+    out.sort(key=lambda kv: (-np.float32(kv[1]), kv[0]))
+    return [(rows[d][key_col], s) for d, s in out[:k]]

@@ -223,8 +223,14 @@ class IndexCatalog:
         return manifest
 
     def next_version(self) -> int:
-        cur = self.current_version()
-        return 1 if cur is None else cur + 1
+        """One past the newest version — by CURRENT *or* by manifest
+        file. A writer can crash between manifest-file creation (the
+        O_EXCL CAS) and the CURRENT rename; deriving next_version from
+        CURRENT alone would then return the orphaned version forever
+        and every committer would spin on CommitConflict."""
+        cur = self.current_version() or 0
+        newest = max(self.versions(), default=0)
+        return max(cur, newest) + 1
 
     def new_segment_path(self, segment_id: str) -> str:
         """Immutable, collision-free data path (not yet visible)."""

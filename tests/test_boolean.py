@@ -1,0 +1,262 @@
+"""Composable Boolean search + stored fields + delete plumbing.
+
+Covers the round-2 surface: mixed-occur BooleanQuery rank-identity vs
+the pure-Python referee (oracle.boolean_search), numeric doc-values
+ranges inside one query, index-owned stored-field fetch, config pins,
+append-after-delete tombstone persistence, and the no-driver-
+materialization contract of the cogrouped delete path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fdblucene_spark import oracle
+from fdblucene_spark.operators.build import build_index
+from fdblucene_spark.operators.deletes import delete_docs
+from fdblucene_spark.operators.merge import add_indexes, merge_segments
+from fdblucene_spark.operators.query import Searcher
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi",
+]
+
+
+def _mk_rows(n=240, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        ln = int(rng.integers(3, 40))
+        text = " ".join(rng.choice(WORDS, size=ln, p=_zipf(len(WORDS))))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "role": ["user", "assistant", "tool"][i % 3],
+                "n_chars": len(text),
+            }
+        )
+    return rows
+
+
+def _zipf(n):
+    w = 1.0 / np.arange(1, n + 1)
+    return w / w.sum()
+
+
+@pytest.fixture(scope="module")
+def bool_index(spark, tmp_path_factory):
+    rows = _mk_rows()
+    root = str(tmp_path_factory.mktemp("bool") / "idx")
+    df = spark.createDataFrame(rows)
+    build_index(
+        spark, df, root, doc_col="doc_id", n_shards=4,
+        text_fields={"text": "text"}, keyword_fields={"role": "role"},
+        stored_fields={"text": "text", "role": "role", "n_chars": "n_chars"},
+    )
+    return rows, root
+
+
+BOOL_CASES = [
+    # (clauses, msm, numeric)
+    ([{"term": "alpha", "occur": "must"}], None, None),
+    ([{"term": "alpha", "occur": "must"}, {"term": "beta", "occur": "should"},
+      {"term": "gamma", "occur": "should"}], None, None),
+    ([{"term": "alpha", "occur": "should"}, {"term": "beta", "occur": "should"},
+      {"term": "zeta", "occur": "should"}], 2, None),
+    ([{"term": "alpha", "occur": "must"}, {"term": "beta", "occur": "must_not"}], None, None),
+    ([{"term": "alpha", "occur": "should"}, {"term": "beta", "occur": "should"},
+      {"field": "role", "term": "assistant", "occur": "filter"}], None, None),
+    ([{"term": "alpha", "occur": "must"},
+      {"field": "role", "term": "tool", "occur": "filter"},
+      {"term": "mu", "occur": "should"}], None, None),
+    ([{"term": "alpha", "occur": "should"}, {"term": "beta", "occur": "should"}],
+     None, [{"field": "n_chars", "lo": 50, "hi": 160}]),
+    ([{"term": "alpha", "occur": "must"}, {"term": "kappa", "occur": "must_not"},
+      {"field": "role", "term": "user", "occur": "filter"}],
+     None, [{"field": "n_chars", "lo": 30, "hi": None}]),
+    # scoring keyword clause next to text clauses (cross-field scoring)
+    ([{"term": "alpha", "occur": "should"},
+      {"field": "role", "term": "assistant", "occur": "should"}], 1, None),
+    # numeric-only (constant-score filter query)
+    ([], None, [{"field": "n_chars", "lo": 20, "hi": 60}]),
+    # must term absent from the corpus -> empty
+    ([{"term": "notaword", "occur": "must"}, {"term": "alpha", "occur": "should"}], None, None),
+]
+
+
+def test_boolean_rank_identity(spark, bool_index):
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    for i, (clauses, msm, numeric) in enumerate(BOOL_CASES):
+        exp = oracle.boolean_search(
+            rows, "doc_id", clauses, k=30, min_should_match=msm,
+            numeric=numeric, keyword_fields=("role",),
+        )
+        got = [
+            (r["doc"], float(np.float32(r["score"])))
+            for r in s.search_boolean(clauses, k=30, min_should_match=msm, numeric=numeric).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], f"case {i}: rank mismatch"
+        np.testing.assert_array_equal(
+            np.array([x for _, x in got], dtype=np.float32),
+            np.array([x for _, x in exp], dtype=np.float32),
+            err_msg=f"case {i}: score mismatch",
+        )
+
+
+def test_boolean_with_deletes(spark, bool_index):
+    rows, root = bool_index
+    victims = [r["doc_id"] for r in rows if r["doc_id"] % 5 == 0]
+    delete_docs(spark, root, victims)
+    s = Searcher(spark, root)
+    live_rows = [r for r in rows if r["doc_id"] % 5 != 0]
+    clauses = [{"term": "alpha", "occur": "must"}, {"term": "beta", "occur": "should"}]
+    # referee semantics: deletes remove docs but NOT corpus stats ->
+    # emulate by scoring on the full corpus then dropping victims
+    exp = [
+        (d, sc)
+        for d, sc in oracle.boolean_search(rows, "doc_id", clauses, k=500, keyword_fields=("role",))
+        if d % 5 != 0
+    ][:30]
+    got = [(r["doc"], float(np.float32(r["score"]))) for r in s.search_boolean(clauses, k=30).collect()]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert len(live_rows) > 0  # sanity
+
+
+def test_numeric_range_in_plain_search(spark, bool_index):
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    got = s.search(["alpha"], k=500, numeric=[{"field": "n_chars", "lo": 40, "hi": 120}])
+    exp = oracle.boolean_search(
+        rows, "doc_id", [{"term": "alpha", "occur": "must"}], k=500,
+        numeric=[{"field": "n_chars", "lo": 40, "hi": 120}], keyword_fields=("role",),
+    )
+    exp = [d for d, _ in exp if d % 5 != 0]  # deletes from previous test are sticky
+    assert [r["doc"] for r in got.collect()] == exp
+
+
+def test_fetch_stored_roundtrip(spark, bool_index):
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    hits = s.search(["alpha"], k=5)
+    out = s.fetch_stored(hits, ["text", "n_chars"]).collect()
+    assert len(out) == 5
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in out:
+        assert r["text"] == by_id[r["doc"]]["text"]
+        assert r["n_chars"] == by_id[r["doc"]]["n_chars"]
+    with pytest.raises(ValueError, match="not stored"):
+        s.fetch_stored(hits, ["nope"])
+
+
+def test_count_kernel_side_no_bound(spark, tmp_path_factory):
+    # keyword field present on MORE docs than the primary text field:
+    # the old k=primary-n_docs bound would truncate totalHits
+    rows = [
+        {"doc_id": i, "text": ("alpha" if i < 3 else ""), "role": "assistant"}
+        for i in range(50)
+    ]
+    root = str(tmp_path_factory.mktemp("cnt") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        text_fields={"text": "text"}, keyword_fields={"role": "role"},
+    )
+    s = Searcher(spark, root)
+    assert s.count(["assistant"], field="role") == 50  # > primary n_docs (3)
+    assert s.count(["alpha"]) == 3
+
+
+def test_append_after_delete_keeps_tombstones(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("appdel") / "idx")
+    rows1 = [{"doc_id": i, "text": f"alpha word{i}"} for i in range(20)]
+    rows2 = [{"doc_id": 100 + i, "text": f"alpha word{100 + i}"} for i in range(10)]
+    build_index(spark, spark.createDataFrame(rows1), root, doc_col="doc_id", n_shards=2)
+    delete_docs(spark, root, [0, 1, 2])
+    build_index(spark, spark.createDataFrame(rows2), root, doc_col="doc_id", n_shards=2, append=True)
+    s = Searcher(spark, root)
+    assert s.manifest.properties.get("deletes_path"), "append dropped the delete list"
+    docs = {r["doc"] for r in s.search(["alpha"], k=100).collect()}
+    assert docs.isdisjoint({0, 1, 2}), "tombstoned docs resurrected after append"
+    assert {100, 109} <= docs
+
+
+def test_store_positions_pin(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pin") / "idx")
+    rows = [{"doc_id": 0, "text": "alpha beta"}]
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", store_positions=True)
+    with pytest.raises(ValueError, match="store_positions"):
+        build_index(
+            spark, spark.createDataFrame(rows), root, doc_col="doc_id",
+            store_positions=False, append=True,
+        )
+    with pytest.raises(ValueError, match="stored_fields"):
+        build_index(
+            spark, spark.createDataFrame(rows), root, doc_col="doc_id", append=True,
+            stored_fields={"text": "text"},
+        )
+
+
+def test_many_deletes_stay_distributed(spark, tmp_path_factory):
+    """10^6 tombstones: the search path must not materialize them on
+    the driver (they flow per-shard via the cogrouped aux input)."""
+    root = str(tmp_path_factory.mktemp("bigdel") / "idx")
+    n = 2000
+    rows = [{"doc_id": i, "text": "alpha" if i % 2 == 0 else "beta"} for i in range(n)]
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    # delete list: 10^6 ids, only the even ids < n actually exist
+    dels = spark.range(0, 1_000_000, 2).select(F.col("id").alias("doc"))
+    delete_docs(spark, root, dels)
+    s = Searcher(spark, root)
+    hits = s.search(["alpha"], k=n).collect()
+    assert len(hits) == 0  # every alpha doc (even ids) tombstoned
+    beta = s.search(["beta"], k=n).collect()
+    assert len(beta) == n // 2
+    assert s._deleted_cache is None, "distributed search materialized deletes on the driver"
+    assert s.count(["beta"]) == n // 2 and s.count(["alpha"]) == 0
+
+
+def test_merge_carries_stored_and_numeric(spark, bool_index, tmp_path_factory):
+    rows, root = bool_index
+    merge_segments(spark, root, mode="repack")  # applies the sticky deletes
+    s = Searcher(spark, root)
+    assert not s.manifest.properties.get("deletes_path")
+    got = s.fetch_stored(s.search(["alpha"], k=3), ["n_chars"]).collect()
+    assert len(got) == 3
+    by_id = {r["doc_id"]: r["n_chars"] for r in rows}
+    assert all(r["n_chars"] == by_id[r["doc"]] for r in got)
+    # numeric filter still works against the merged stored table, and
+    # repack removed tombstoned docs from it
+    n_stored = s._stored_df().count()
+    assert n_stored == len([r for r in rows if r["doc_id"] % 5 != 0])
+
+
+def test_add_indexes_rebased_shard_invariant(spark, tmp_path_factory):
+    """After addIndexes rebase, shard == doc % n_shards must still hold
+    (the cogrouped delete/doc-values side input depends on it)."""
+    base = tmp_path_factory.mktemp("addidx")
+    rows_a = [{"doc_id": i, "text": f"alpha tok{i}", "n": i} for i in range(30)]
+    rows_b = [{"doc_id": i, "text": f"beta tok{i}", "n": i} for i in range(20)]
+    ra, rb, dest = str(base / "a"), str(base / "b"), str(base / "dest")
+    for r, rs in [(ra, rows_a), (rb, rows_b)]:
+        build_index(spark, spark.createDataFrame(rs), r, doc_col="doc_id", n_shards=4,
+                    stored_fields={"n": "n"})
+    add_indexes(spark, dest, [ra, rb])
+    s = Searcher(spark, dest)
+    pdf = s._postings.select("shard", "min_doc", "max_doc").toPandas()
+    ns = s.manifest.n_shards
+    assert ((pdf["min_doc"] % ns) == pdf["shard"]).all()
+    assert ((pdf["max_doc"] % ns) == pdf["shard"]).all()
+    # second source rebased above the first: docs 30..49
+    assert s.manifest.doc_max == 49
+    # deletes against the merged index flow through the invariant
+    delete_docs(spark, dest, [31, 33])
+    s2 = Searcher(spark, dest)
+    docs = {r["doc"] for r in s2.search(["beta"], k=100).collect()}
+    assert docs.isdisjoint({31, 33}) and len(docs) == 18
+    # stored table rebased too: doc 30 is rows_b[0] (n=0)
+    st = {r["doc"]: r["n"] for r in s2.fetch_stored(s2.search(["beta"], k=100), ["n"]).collect()}
+    assert st[30] == 0 and st[49] == 19

@@ -198,3 +198,72 @@ def test_ivf_recall_and_determinism(emb_df):
     c1 = similarity.ivf_centroids(emb_df, "embedding", n_centroids=4)
     c2 = similarity.ivf_centroids(emb_df, "embedding", n_centroids=4)
     assert np.allclose(c1, c2)
+
+
+# ------------------------------------------------------ persisted ANN index
+def test_persisted_ann_partition_pruned(spark, emb_df, tmp_path_factory):
+    """The persisted index answers identically to the inline variant
+    AND its probe scan reads only matching bucket= partitions."""
+    base = tmp_path_factory.mktemp("ann")
+    q = emb_df.filter(F.col("vec_id") == 3).first()["embedding"]
+
+    for kind, inline in [
+        ("lsh", lambda: similarity.lsh_cosine_topk(
+            emb_df, "vec_id", "embedding", list(q), 5, n_planes=6, probe_hamming=2)),
+        ("ivf", lambda: similarity.ivf_cosine_topk(
+            emb_df, "vec_id", "embedding", list(q), 5, n_centroids=4, nprobe=3)),
+    ]:
+        root = str(base / kind)
+        similarity.build_ann_index(
+            spark, emb_df, "vec_id", "embedding", root, kind=kind,
+            n_planes=6, n_centroids=4,
+        )
+        idx = similarity.AnnIndex(spark, root)
+        kwargs = {"probe_hamming": 2} if kind == "lsh" else {"nprobe": 3}
+        got = idx.topk(list(q), 5, **kwargs).toPandas()
+        exp = inline().toPandas()
+        assert got["id"].tolist() == exp["vec_id"].tolist(), kind
+        assert (got["cosine"].to_numpy() == exp["cosine"].to_numpy()).all(), kind
+
+        # partition pruning: the candidate scan touches ONLY the probed
+        # bucket directories (directory-level pruning on the partition col)
+        scan = idx.scan(list(q), **kwargs)
+        probed = set(idx.probe_buckets(list(q), **kwargs))
+        touched = {f for f in scan.inputFiles()}
+        import re as _re
+
+        buckets_touched = {int(_re.search(r"bucket=(\d+)", f).group(1)) for f in touched}
+        assert buckets_touched <= probed, kind
+        all_files = idx._vectors.inputFiles()
+        assert len(touched) < len(all_files), f"{kind}: probe scanned every partition"
+
+
+def test_byte_histogram_features_match_numpy(docs_df):
+    media = multimodal.synthesize_media(docs_df, "doc_id", "text")
+    feats = multimodal.byte_histogram_features(media).orderBy("media_id").collect()
+    for r, (doc_id, text) in zip(feats, DOCS):
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        hist = np.bincount(b >> 4, minlength=16) / max(b.size, 1)
+        assert np.allclose(np.array(r["feature"]), hist.astype(np.float32))
+        assert r["n_bytes"] == b.size
+    assert_no_rowwise_python(multimodal.byte_histogram_features(media))
+
+
+def test_ngram_jaccard_skewed_bucket_capped(spark):
+    """A near-universal shingle must not blow up candidate generation,
+    and surviving pairs keep EXACT jaccard values."""
+    rows = [{"doc_id": i, "text": "the common shingle everyone shares plus unique"
+             + f" w{i}a w{i}b w{i}c"} for i in range(60)]
+    rows += [{"doc_id": 100, "text": "zeta yeta xeta weta veta"},
+             {"doc_id": 101, "text": "zeta yeta xeta weta veta"}]
+    df = spark.createDataFrame(rows)
+    # cap low enough that the shared head shingles are dropped from
+    # candidate generation; the identical tail pair must still surface
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9, max_bucket=10).toPandas()
+    got = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False, name=None)}
+    assert (100, 101) in got
+    assert out.set_index(["id_a", "id_b"]).loc[(100, 101), "jaccard"] == 1.0
+    # candidate pass-through mode (verify-LSH-candidates role)
+    cands = spark.createDataFrame([(100, 101)], "id_a long, id_b long")
+    out2 = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9, candidates=cands).toPandas()
+    assert out2["jaccard"].tolist() == [1.0]
