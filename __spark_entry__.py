@@ -400,6 +400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
 
+    def ft_sorted_search(spark, sf):
+        # Lucene Sort-by-NumericDocValues inside the index (L19 within
+        # the query surface, not a separate Catalyst table scan)
+        return (
+            _searcher(spark, sf)
+            .search_sorted([LOOKUP_TERM], k=100, sort_field="n_chars")
+            .select(F.col("doc").alias("doc_id"), "n_chars")
+        )
+
     def ft_delete_search(spark, sf):
         return _hits_df(_del_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
@@ -524,7 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
-        ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_delete_search, ft_merge_addindexes,
+        ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
+        ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
@@ -627,6 +637,12 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
             ),
             having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
         ),
+        "ft_sorted_search": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 100
+""",
         "ft_delete_search": _bm25_sql(
             OR_TERMS, "or", K_ALL, extra_where=f"AND tf.doc_id % {DELETE_MOD} <> 0"
         ),

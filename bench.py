@@ -116,6 +116,14 @@ def main() -> None:
     with timed("phrase_batch20"):
         s.search_batch(phrase_qset).toPandas()
     extra["phrase_ms_per_query_batch"] = round(queries["phrase_batch20"] / 20 * 1000, 1)
+    # apples-to-apples OR baseline: the SAME head-term pairs without
+    # the positional-adjacency verification
+    or_qset = [dict(q, mode="or") for q in phrase_qset]
+    with timed("or_head_batch20"):
+        s.search_batch(or_qset).toPandas()
+    extra["phrase_vs_or_ratio"] = round(
+        queries["phrase_batch20"] / max(queries["or_head_batch20"], 1e-9), 2
+    )
 
     # ---- documents corpus: build + search (driver tables) ----
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

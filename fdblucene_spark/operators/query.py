@@ -343,18 +343,18 @@ def _phrase_filter(
     return cand[keep], acc[keep]
 
 
-def _count_shard(
+def _match_shard(
     groups: dict[str, pd.DataFrame],
     mode: str,
     q_terms: list[str],
     deleted: np.ndarray | None,
-) -> int:
-    """totalHits for one shard: matched-doc set cardinality, no scores,
-    no hit materialization (L22)."""
+) -> np.ndarray:
+    """Matched docIDs for one shard — no scores (L22/L19 helper)."""
+    empty = np.empty(0, dtype=np.int64)
     uniq_terms = list(dict.fromkeys(q_terms))
     present = [t for t in uniq_terms if t in groups]
     if not present or (mode in ("and", "phrase") and len(present) < len(uniq_terms)):
-        return 0
+        return empty
 
     def docs_of(t: str) -> np.ndarray:
         return np.unique(_decode_block_rows(groups[t])[0])
@@ -366,13 +366,24 @@ def _count_shard(
         cand = docs_of(order[0])
         for t in order[1:]:
             if cand.size == 0:
-                return 0
+                return empty
             cand = np.intersect1d(cand, docs_of(t), assume_unique=True)
     if deleted is not None and deleted.size and cand.size:
         cand = cand[~_sorted_probe(deleted, cand)]
     if mode == "phrase" and cand.size:
         cand, _ = _phrase_filter(groups, q_terms, cand, np.zeros(cand.size))
-    return int(cand.size)
+    return cand
+
+
+def _count_shard(
+    groups: dict[str, pd.DataFrame],
+    mode: str,
+    q_terms: list[str],
+    deleted: np.ndarray | None,
+) -> int:
+    """totalHits for one shard: matched-doc set cardinality, no scores,
+    no hit materialization (L22)."""
+    return int(_match_shard(groups, mode, q_terms, deleted).size)
 
 
 OCCURS = ("must", "should", "filter", "must_not")
@@ -719,6 +730,21 @@ class Searcher:
         )
         msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
+        # pure-disjunction special case: a SHOULD-only single-field
+        # query with msm<=1 IS the or-mode query — route it through the
+        # block-max WAND kernel (the boolean kernel cannot prune, the
+        # or kernel prunes ~97% of head-term blocks)
+        if not has_constraint and msm <= 1 and norm["should"]:
+            fields = {f for f, _ in norm["should"]}
+            if len(fields) == 1:
+                fld = next(iter(fields))
+                nts = [t for f, t in norm["must_not"] if f == fld]
+                if len(nts) == len(norm["must_not"]):
+                    return self.search(
+                        [t for _, t in norm["should"]], k, mode="or", field=fld,
+                        not_terms=nts or None,
+                    )
+
         # per-field term stats (driver-side termdict seeks)
         by_field_terms: dict[str, set[str]] = {}
         for occ in OCCURS:
@@ -774,6 +800,99 @@ class Searcher:
         scan = self._postings.filter(pred)
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    def search_boolean_batch(self, queries: list[dict]) -> DataFrame:
+        """Batched composable queries in ONE Spark job (the boolean
+        analogue of search_batch): queries = [{query_id, clauses, k,
+        min_should_match?}]. Numeric/allowed_docs filters are
+        per-snapshot, not per-query — use search_boolean for those.
+        Returns (query_id, doc, score), per-query top-k ordered."""
+        specs = []
+        fields_terms: dict[str, set[str]] = {}
+        for q in queries:
+            norm: dict[str, list] = {o: [] for o in OCCURS}
+            for c in q["clauses"]:
+                occ = c.get("occur", "should")
+                if occ not in OCCURS:
+                    raise ValueError(f"unknown occur {occ!r}")
+                norm[occ].append((c.get("field", "text"), c["term"]))
+            has_constraint = bool(norm["must"] or norm["filter"])
+            msm = q.get("min_should_match")
+            msm = msm if msm is not None else (0 if has_constraint else 1)
+            need: dict[str, set[str]] = {}
+            for occ in OCCURS:
+                for f, t in norm[occ]:
+                    need.setdefault(f, set()).add(t)
+            stats: dict[tuple[str, str], tuple[int, int]] = {}
+            for f, ts in need.items():
+                for t, st in self.term_stats(sorted(ts), field=f).items():
+                    stats[(f, t)] = st
+
+            def scored(entries):
+                out = []
+                for f, t in entries:
+                    st = stats.get((f, t))
+                    if st is None:
+                        out.append(None)
+                        continue
+                    w = np.float32(bm25.idf(float(st[0]), self.manifest.n_docs_for(f)))
+                    out.append((f, t, w, self.manifest.avgdl_for(f)))
+                return out
+
+            must = scored(norm["must"])
+            filters = [s for s in scored(norm["filter"]) if s is not None]
+            should = [s for s in scored(norm["should"]) if s is not None]
+            mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
+            if (
+                any(m is None for m in must)
+                or len(filters) < len(norm["filter"])
+                or msm > len(should)
+                or (not must and not filters and not should)
+            ):
+                continue  # provably-empty query: skip entirely
+            specs.append(
+                {"query_id": q["query_id"], "must": must, "should": should,
+                 "filter": filters, "must_not": mnot, "k": int(q["k"]), "msm": int(msm)}
+            )
+            for (f, t), _ in stats.items():
+                fields_terms.setdefault(f, set()).add(t)
+        if not specs:
+            return self.spark.createDataFrame([], BATCH_HIT_SCHEMA)
+        aux, _ = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            by_field = {
+                f: {t: g for t, g in sub.groupby("term", sort=False)}
+                for f, sub in pdf.groupby("field", sort=False)
+            }
+            dels, _ = _split_aux(aux_pdf, [])
+            outs = []
+            for sp in specs:
+                r = _score_shard_boolean(by_field, sp, dels, None)
+                if len(r):
+                    r = r.copy()
+                    r.insert(0, "query_id", sp["query_id"])
+                    outs.append(r)
+            if not outs:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="str"), "doc": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float32")}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        pred = F.lit(False)
+        for f, ts in fields_terms.items():
+            pred = pred | ((F.col("field") == f) & F.col("term").isin(sorted(ts)))
+        hits = self._apply_kernel(self._postings.filter(pred), kernel, BATCH_HIT_SCHEMA, aux)
+        ks = {sp["query_id"]: sp["k"] for sp in specs}
+        k_map = F.create_map(*[F.lit(x) for kv in ks.items() for x in kv])
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc"))
+        return (
+            hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k_map[F.col("query_id")])
+            .drop("rn")
+            .orderBy("query_id", F.desc("score"), F.asc("doc"))
+        )
 
     def search_batch(self, queries: list[dict]) -> DataFrame:
         """Evaluate many queries in one job. queries: [{query_id, terms,
@@ -978,6 +1097,47 @@ class Searcher:
         per_shard = self._apply_kernel(scan, kernel, COUNT_SCHEMA, aux)
         row = per_shard.agg(F.sum("n")).first()[0]
         return int(row or 0)
+
+    def search_sorted(
+        self,
+        terms: list[str],
+        k: int,
+        sort_field: str,
+        ascending: bool = False,
+        mode: str = "or",
+        field: str = "text",
+    ) -> DataFrame:
+        """Top-k matches ordered by a STORED numeric field instead of
+        relevance — Lucene's Sort over NumericDocValues inside the
+        same index (reference: NumericDocValuesField sorting,
+        README.md:56-57). Plan: per-shard matched-docID kernel (no
+        scores), join to the index's stored table (column-pruned to
+        the sort field), global TakeOrdered(k). Returns
+        (doc, <sort_field>); ties break docID ascending."""
+        prep = self._prep(terms, mode, field)
+        if prep is None:
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("doc", T.LongType(), False)])
+            ).withColumn(sort_field, F.lit(None))
+        _, term_df = prep
+        kt = list(terms) if mode == "phrase" else list(term_df)
+        aux, _ = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, _ = _split_aux(aux_pdf, [])
+            return pd.DataFrame({"doc": _match_shard(groups, mode, kt, dels)})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(term_df))
+        )
+        matched = self._apply_kernel(
+            scan, kernel,
+            T.StructType([T.StructField("doc", T.LongType(), False)]), aux,
+        )
+        stored = self._stored_df().select("doc", sort_field)
+        order = F.asc(sort_field) if ascending else F.desc(sort_field)
+        return matched.join(stored, "doc").orderBy(order, F.asc("doc")).limit(k)
 
     def fetch(self, hits: DataFrame, base: DataFrame, doc_col: str) -> DataFrame:
         """Stored-field retrieval from a caller-supplied base table:

@@ -259,7 +259,10 @@ class IndexCatalog:
         keep = set(versions[-keep_versions:])
         live: set[str] = set()
         for v in keep:
-            m = self.load(v)
+            try:
+                m = self.load(v)
+            except (json.JSONDecodeError, KeyError, TypeError):
+                continue  # half-written orphan from a crashed writer
             live |= {s.path for s in m.segments}
         seg_root = os.path.join(self.root, "data", "segments")
         removed = []

@@ -87,3 +87,30 @@ def test_combine_scores_float32_of_float64_sum():
     got = bm25.combine_scores(parts)
     assert got.dtype == np.float32
     assert abs(float(got[0]) - np.float32(np.float64(np.float32(0.1)) + np.float64(np.float32(0.2)))) == 0
+
+
+def test_norm_cache_is_float32_like_lucene():
+    """Lucene 8 BM25Similarity keeps the per-norm cache in a float[]
+    (float32 at every arithmetic step, avgdl itself a float). Golden-
+    pins the float32 chain so neither engine nor oracle can silently
+    drift back to a float64 cache (which differs by last-ulp amounts
+    that flip near-tie ranks vs real Lucene)."""
+    avgdl = 57.3219
+    cache = bm25.norm_cache32(avgdl)
+    assert cache.dtype == np.float32
+    # golden bit patterns for a handful of entries (computed once from
+    # the float32 chain; a float64 cache rounds differently)
+    golden = {
+        0: np.float32(1.2) * (np.float32(0.25) + np.float32(0.75) * np.float32(0.0) / np.float32(avgdl)),
+        1: np.float32(0.3157008),
+        255: np.float32(31609898.0),
+    }
+    for i, want in golden.items():
+        assert cache[i].view(np.int32) == np.float32(want).view(np.int32), i
+    # float64 chain must NOT match everywhere (the bug being pinned out)
+    f64 = bm25.K1 * (1.0 - bm25.B + bm25.B * bm25.LENGTH_TABLE.astype(np.float64) / avgdl)
+    assert (cache != f64.astype(np.float32)).any()
+    # tf_norm consumes the float32 cache through a double division
+    tfn = bm25.tf_norm(np.array([3]), np.array([1]), avgdl)
+    want = np.float32(3.0 / (3.0 + float(cache[1])))
+    assert tfn[0].view(np.int32) == want.view(np.int32)

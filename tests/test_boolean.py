@@ -260,3 +260,73 @@ def test_add_indexes_rebased_shard_invariant(spark, tmp_path_factory):
     # stored table rebased too: doc 30 is rows_b[0] (n=0)
     st = {r["doc"]: r["n"] for r in s2.fetch_stored(s2.search(["beta"], k=100), ["n"]).collect()}
     assert st[30] == 0 and st[49] == 19
+
+
+def test_search_sorted_by_docvalue(spark, tmp_path_factory):
+    rows = _mk_rows(80, seed=11)
+    root = str(tmp_path_factory.mktemp("sorted") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
+        keyword_fields={"role": "role"}, stored_fields={"n_chars": "n_chars"},
+    )
+    s = Searcher(spark, root)
+    got = [(r["doc"], r["n_chars"]) for r in
+           s.search_sorted(["alpha"], k=10, sort_field="n_chars").collect()]
+    from fdblucene_spark.functions.analysis import tokenize_text
+    matched = [r for r in rows if "alpha" in tokenize_text(r["text"])]
+    exp = sorted(matched, key=lambda r: (-r["n_chars"], r["doc_id"]))[:10]
+    assert got == [(r["doc_id"], r["n_chars"]) for r in exp]
+    # ascending + AND mode
+    got2 = [r["doc"] for r in
+            s.search_sorted(["alpha", "beta"], k=5, sort_field="n_chars",
+                            ascending=True, mode="and").collect()]
+    m2 = [r for r in rows
+          if {"alpha", "beta"} <= set(tokenize_text(r["text"]))]
+    exp2 = [r["doc_id"] for r in sorted(m2, key=lambda r: (r["n_chars"], r["doc_id"]))[:5]]
+    assert got2 == exp2
+
+
+def test_boolean_pure_should_delegates_to_wand_path(spark, bool_index):
+    """SHOULD-only single-field queries route through the or-mode WAND
+    kernel; results must equal the boolean kernel's semantics."""
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    clauses = [{"term": "alpha", "occur": "should"}, {"term": "beta", "occur": "should"},
+               {"term": "gamma", "occur": "must_not"}]
+    got = [(r["doc"], float(np.float32(r["score"])))
+           for r in s.search_boolean(clauses, k=20).collect()]
+    direct = [(r["doc"], float(np.float32(r["score"])))
+              for r in s.search(["alpha", "beta"], k=20, not_terms=["gamma"]).collect()]
+    assert got == direct
+    # and rank-identical to the referee. Earlier tests in this module
+    # tombstoned ids %5==0 AND repack-merged, which applies deletes
+    # PHYSICALLY and recomputes df/avgdl (Lucene merge semantics) — so
+    # the referee scores over the live corpus directly.
+    live_rows = [r for r in rows if r["doc_id"] % 5 != 0]
+    exp = oracle.boolean_search(live_rows, "doc_id", clauses, k=20, keyword_fields=("role",))
+    assert got == exp
+
+
+def test_boolean_batch_matches_single(spark, bool_index):
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    qs = [
+        {"query_id": "q0", "clauses": [{"term": "alpha", "occur": "must"},
+                                       {"term": "beta", "occur": "should"}], "k": 15},
+        {"query_id": "q1", "clauses": [{"term": "alpha", "occur": "should"},
+                                       {"term": "beta", "occur": "should"},
+                                       {"term": "zeta", "occur": "should"}],
+         "k": 10, "min_should_match": 2},
+        {"query_id": "q2", "clauses": [{"field": "role", "term": "tool", "occur": "filter"},
+                                       {"term": "mu", "occur": "should"}], "k": 10},
+        {"query_id": "q3", "clauses": [{"term": "notaword", "occur": "must"}], "k": 5},
+    ]
+    batch = s.search_boolean_batch(qs).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc"], float(np.float32(r["score"]))))
+    for q in qs:
+        single = [(r["doc"], float(np.float32(r["score"])))
+                  for r in s.search_boolean(q["clauses"], k=q["k"],
+                                            min_should_match=q.get("min_should_match")).collect()]
+        assert by_q.get(q["query_id"], []) == single, q["query_id"]

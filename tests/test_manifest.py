@@ -91,3 +91,30 @@ def test_expire_orphans(tmp_index_root):
     removed = cat.expire_orphans(keep_versions=3)
     assert removed == ["data/segments/seg-orphan"]
     assert os.path.isdir(live) and not os.path.isdir(orphan)
+
+
+def test_orphaned_manifest_does_not_wedge_next_version(tmp_index_root):
+    """A writer can crash between manifest-file creation (O_EXCL CAS)
+    and the CURRENT rename. next_version must skip past the orphan
+    instead of returning it forever (which would spin every committer
+    on CommitConflict)."""
+    cat = IndexCatalog(tmp_index_root)
+    cat.commit(_manifest(1, [_seg(1)]))
+    # simulate the crash: manifest v2 file exists, CURRENT still -> v1
+    orphan = os.path.join(cat.manifest_dir, "manifest.v000002.json")
+    with open(orphan, "w") as f:
+        f.write("{}")  # half-written is fine; only its existence matters
+    assert cat.current_version() == 1
+    assert cat.next_version() == 3  # skips the orphan
+    cat.commit(_manifest(cat.next_version(), [_seg(1), _seg(2)]))
+    assert cat.load().version == 3
+
+
+def test_expire_orphans_tolerates_half_written_manifest(tmp_index_root):
+    cat = IndexCatalog(tmp_index_root)
+    cat.commit(_manifest(1, [_seg(1)]))
+    with open(os.path.join(cat.manifest_dir, "manifest.v000002.json"), "w") as f:
+        f.write('{"version": 2')  # truncated mid-write
+    removed = cat.expire_orphans(keep_versions=3)
+    assert removed == []  # v1's segment stays live; no crash
+    assert cat.load().version == 1
