@@ -48,6 +48,8 @@ MIXED_MUST = "key"
 MIXED_SHOULD = ["vector", "hash"]
 MIXED_NOT = "dup"
 DELETE_MOD = 7  # ft_delete_search tombstones doc_id % 7 == 0
+PREFIX_Q = "s"      # expands to scan/slow/small/sort/spark/stream
+FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 # keyword-field norm cache entry: dl=1, avgdl=1.0 exactly (float32 chain)
 _KW_CACHE_F32 = (
     "((1.2::FLOAT * (0.25::FLOAT + (0.75::FLOAT * 1::FLOAT) / 1::FLOAT))::FLOAT)::DOUBLE"
@@ -162,6 +164,7 @@ TX_CORPUS = os.path.join(TX_DIR, "corpus.parquet")
 TX_TERMS_OR = ["term00000", "term00777", "needlealpha"]
 TX_PHRASE = ["term00001", "term00000"]
 TX_ROLE = "assistant"
+TX_TS_LO, TX_TS_HI = "2026-01-01 00:00:05", "2026-01-01 00:00:30"
 
 # transcripts tokenization in SQL: unicode letter/number classes match
 # the Python \w+ analyzer (verified 0 mismatches incl. Café/東京/naïve)
@@ -181,13 +184,14 @@ def _tx_searcher(spark: SparkSession):
     Deterministic corpus written once for the DuckDB oracle to read."""
     from fdblucene_spark.data import synth
 
-    root = os.path.join(TX_DIR, "index")
+    root = os.path.join(TX_DIR, "index_v2")
     if not IndexCatalog(root).exists():
         _ensure_tx_corpus()
         df = synth.transcripts(spark, n_convs=TX_N_CONVS)
         build_index(
             spark, df, root, key_cols=["conv_id", "turn_idx"], n_shards=8,
             text_fields={"text": "text"}, keyword_fields={"role": "role", "tool": "tool"},
+            stored_fields={"ts": "ts"},
             fingerprint="tx-gate",
         )
     return Searcher(spark, root)
@@ -213,11 +217,23 @@ def _bm25_sql(
     tok_regex: str = "[^a-z0-9_]+",
     extra_where: str = "",
     having: str | None = None,
+    terms_sql: str | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
-    having: overrides the per-doc HAVING (boolean-occur gates)."""
-    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    having: overrides the per-doc HAVING (boolean-occur gates).
+    terms_sql: a predicate-on-`term` SQL fragment replacing the literal
+    term list — the MultiTermQuery expansion twin (prefix/fuzzy); the
+    expansion is capped like the engine: top N by (df desc, term asc)."""
+    if terms_sql is not None:
+        term_pred = (
+            "term IN (SELECT term FROM ("
+            "SELECT term, count(DISTINCT doc_id) AS xdf FROM tok GROUP BY term"
+            f") WHERE {terms_sql} ORDER BY xdf DESC, term ASC LIMIT 50)"
+        )
+    else:
+        tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        term_pred = f"term IN ({tlist})"
     n_terms = len(set(terms))
     if having is None:
         having = f"HAVING count(*) = {n_terms}" if mode in ("and", "phrase") else ""
@@ -259,7 +275,7 @@ tokpos AS (
 WITH {tok_cte}, {_NORM_CTE}{phrase_filter},
 tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
-  WHERE term IN ({tlist}) GROUP BY doc_id, term
+  WHERE {term_pred} GROUP BY doc_id, term
 ), dfs AS (
   SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
 ), scores AS (
@@ -400,6 +416,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
 
+    def ft_prefix_search(spark, sf):
+        # PrefixQuery (scoring-boolean rewrite): distributed termdict
+        # expansion -> WAND-pruned BM25 disjunction
+        return _hits_df(_searcher(spark, sf).search_prefix(PREFIX_Q, k=K_ALL))
+
+    def ft_fuzzy_search(spark, sf):
+        # FuzzyQuery: termdict expansion at levenshtein <= 2
+        return _hits_df(_searcher(spark, sf).search_fuzzy(FUZZY_Q, k=K_ALL, max_edits=2))
+
     def ft_sorted_search(spark, sf):
         # Lucene Sort-by-NumericDocValues inside the index (L19 within
         # the query surface, not a separate Catalyst table scan)
@@ -430,6 +455,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def tx_role_lookup(spark, sf):
         return _hits_df(_tx_searcher(spark).search([TX_ROLE], k=10000, field="role"))
+
+    def tx_bm25_filtered(spark, sf):
+        # THE flagship real-world query shape (north-star corpus):
+        # "turns matching [terms] where role='user' and ts in range,
+        # ranked by BM25" — one composable call
+        clauses = [{"term": t, "occur": "should"} for t in TX_TERMS_OR] + [
+            {"field": "role", "term": "user", "occur": "filter"}
+        ]
+        return _hits_df(
+            _tx_searcher(spark).search_boolean(
+                clauses, k=10000, min_should_match=1,
+                numeric=[{"field": "ts", "lo": TX_TS_LO, "hi": TX_TS_HI}],
+            )
+        )
 
     def ft_numeric_range(spark, sf):
         ev = _table(spark, sf, "events")
@@ -534,8 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
+        ft_prefix_search, ft_fuzzy_search,
         ft_delete_search, ft_merge_addindexes,
-        tx_bm25_topk, tx_phrase_match, tx_role_lookup,
+        tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
@@ -615,6 +655,18 @@ SELECT doc_id,
    ((1.0 / (1.0 + {_KW_CACHE_F32}))::FLOAT)::DOUBLE)::FLOAT)::DOUBLE, 3) AS score
 FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
 """,
+        "tx_bm25_filtered": _bm25_sql(
+            TX_TERMS_OR, "or", 10000,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+            extra_where=(
+                "AND tf.doc_id IN (SELECT doc_id FROM ("
+                "SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, role, ts "
+                f"FROM read_parquet('{TX_CORPUS}')"
+                f") WHERE role = 'user' AND ts BETWEEN TIMESTAMP '{TX_TS_LO}' AND TIMESTAMP '{TX_TS_HI}')"
+            ),
+        ),
         "ft_bm25_not": _bm25_sql(
             ["hash", "vector"], "or", K_ALL,
             extra_where="AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')",
@@ -636,6 +688,12 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 f"WHERE term = '{MIXED_NOT}')"
             ),
             having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+        ),
+        "ft_prefix_search": _bm25_sql(
+            [], "or", K_ALL, terms_sql=f"term LIKE '{PREFIX_Q}%'"
+        ),
+        "ft_fuzzy_search": _bm25_sql(
+            [], "or", K_ALL, terms_sql=f"levenshtein(term, '{FUZZY_Q}') <= 2"
         ),
         "ft_sorted_search": f"""
 WITH {_TOK_CTE}

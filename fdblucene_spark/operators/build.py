@@ -464,8 +464,13 @@ def build_index(
         if not key_cols:
             raise ValueError("need doc_col or key_cols")
         doc_base = (parent.doc_max + 1) if parent else 0
+        # prune to the columns the index actually consumes BEFORE the
+        # ids freeze — the freeze is a full corpus write, and unindexed
+        # columns (e.g. a transcript's tool/ts when only text is
+        # indexed) would be written and re-read for nothing
+        needed = sorted(set(key_cols) | set(src_cols))
         with_ids = assign_dense_doc_ids(
-            corpus, key_cols, doc_base=doc_base,
+            corpus.select(*needed), key_cols, doc_base=doc_base,
             freeze_dir=os.path.join(seg_dir, "_tmp_ids"),
         )
         docs_df = with_ids.select("doc", *src_cols)

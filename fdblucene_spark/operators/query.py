@@ -702,6 +702,72 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
+    def expand_terms(
+        self,
+        field: str = "text",
+        prefix: str | None = None,
+        fuzzy: str | None = None,
+        max_edits: int = 2,
+        max_expansions: int = 50,
+    ) -> list[str]:
+        """MultiTermQuery expansion (Lucene PrefixQuery / FuzzyQuery
+        term enumeration) as a DISTRIBUTED termdict job: startsWith
+        pushes down to the Parquet scan; levenshtein is JVM codegen —
+        no driver-side vocabulary materialization, so a 10^8-term
+        dictionary expands fine. Selection = top `max_expansions` by
+        (df desc, term asc), Lucene's top-terms rewrite cap.
+
+        Note: edit distance is classic Levenshtein (Spark/DuckDB
+        built-in), NOT Lucene's Damerau variant — transpositions count
+        as 2 edits here; documented divergence."""
+        td = self.spark.read.parquet(
+            *self.manifest.segment_paths(self.root, "termdict")
+        ).filter(F.col("field") == field)
+        if prefix is not None:
+            td = td.filter(F.col("term").startswith(prefix))
+        if fuzzy is not None:
+            td = td.filter(
+                F.length("term").between(len(fuzzy) - max_edits, len(fuzzy) + max_edits)
+                & (F.levenshtein(F.col("term"), F.lit(fuzzy)) <= max_edits)
+            )
+        rows = (
+            td.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_prefix(
+        self, prefix: str, k: int, field: str = "text", max_expansions: int = 50, **kw
+    ) -> DataFrame:
+        """PrefixQuery under SCORING_BOOLEAN_REWRITE: expand against
+        the term dictionary, then one BM25 disjunction over the
+        expansions (WAND-pruned or-path)."""
+        terms = self.expand_terms(field, prefix=prefix, max_expansions=max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        return self.search(terms, k, mode="or", field=field, **kw)
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int,
+        field: str = "text",
+        max_edits: int = 2,
+        max_expansions: int = 50,
+        **kw,
+    ) -> DataFrame:
+        """FuzzyQuery under SCORING_BOOLEAN_REWRITE (edit distance
+        <= max_edits, exact term included at distance 0)."""
+        terms = self.expand_terms(
+            field, fuzzy=term, max_edits=max_edits, max_expansions=max_expansions
+        )
+        if not terms:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        return self.search(terms, k, mode="or", field=field, **kw)
+
     def search_boolean(
         self,
         clauses: list[dict],

@@ -1,0 +1,134 @@
+"""Streaming operators over transcript/document streams (SURVEY §2.9).
+
+The reference has no streaming surface; these are the Structured
+Streaming counterparts a 100 TB transcript pipeline needs around the
+incremental indexing sink (incremental.py):
+
+- streaming_exact_dedup: watermarked dropDuplicates on a content
+  fingerprint — Spark's built-in stateful dedup operator; state is
+  bounded by the watermark horizon.
+- streaming_windowed_term_counts: vectorized tokenize -> explode ->
+  windowed count with a watermark (late rows beyond the delay are
+  dropped, state expires) — the classic late-data windowed agg.
+- conversation_stats_tracker: CUSTOM stateful operator via
+  applyInPandasWithState (the pattern for semantics the built-ins
+  can't express): per-conversation running turn/token counters that
+  update across micro-batches and emit the running value each batch.
+
+All tokenization is Arrow-vectorized (functions/analysis) — no
+per-row Python anywhere (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.analysis import tokens_udf
+
+
+def content_fingerprint(text_col: str):
+    """Deterministic content key: xxhash64 of the analyzed token
+    stream (so whitespace/case variants dedup together)."""
+    return F.xxhash64(F.concat_ws("\x1f", tokens_udf(F.col(text_col))))
+
+
+def streaming_exact_dedup(
+    stream: DataFrame, text_col: str, ts_col: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once content dedup over a stream: keep the first
+    arrival of each fingerprint within the watermark horizon.
+    State size is O(distinct fingerprints inside the horizon)."""
+    return (
+        stream.withColumn("fp", content_fingerprint(text_col))
+        .withWatermark(ts_col, delay)
+        .dropDuplicates(["fp"])
+    )
+
+
+def streaming_windowed_term_counts(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    window: str = "1 minute",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """(window, term, n) with late-data handling: watermark bounds the
+    aggregation state; a row later than `delay` past the max seen
+    event time is dropped, completed windows emit finally (append
+    mode) or incrementally (update mode)."""
+    toks = stream.withWatermark(ts_col, delay).select(
+        F.col(ts_col), F.explode(tokens_udf(F.col(text_col))).alias("term")
+    )
+    return toks.groupBy(F.window(F.col(ts_col), window), "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+CONV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turns_seen", T.LongType(), False),
+        T.StructField("tokens_seen", T.LongType(), False),
+        T.StructField("last_turn_idx", T.LongType(), False),
+    ]
+)
+
+_CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turns", T.LongType(), False),
+        T.StructField("tokens", T.LongType(), False),
+        T.StructField("last_idx", T.LongType(), False),
+    ]
+)
+
+
+def conversation_stats_tracker(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-conversation stats that accumulate across micro-batches —
+    the shape of any "session state" operator (conversation length
+    caps, per-conv quota enforcement, incremental features).
+
+    Input stream needs (conv_id, turn_idx, n_tokens). Emits one row
+    per conversation per micro-batch with the RUNNING totals. State
+    is three longs per live conversation; pass timeout_ms to expire
+    idle conversations (ProcessingTimeTimeout)."""
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        turns, tokens, last_idx = (state.get if state.exists else (0, 0, -1))
+        for pdf in pdf_iter:
+            turns += len(pdf)
+            tokens += int(pdf["n_tokens"].sum())
+            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+        state.update((turns, tokens, last_idx))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turns_seen": [turns],
+                "tokens_seen": [tokens],
+                "last_turn_idx": [last_idx],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        track, CONV_STATS_SCHEMA, _CONV_STATE_SCHEMA, "update", timeout
+    )
+
+
+def with_token_counts(stream: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_tokens (vectorized analyzer length) — the input shape
+    conversation_stats_tracker consumes."""
+    return stream.withColumn("n_tokens", F.size(tokens_udf(F.col(text_col))).cast("long"))

@@ -330,3 +330,29 @@ def test_boolean_batch_matches_single(spark, bool_index):
                   for r in s.search_boolean(q["clauses"], k=q["k"],
                                             min_should_match=q.get("min_should_match")).collect()]
         assert by_q.get(q["query_id"], []) == single, q["query_id"]
+
+
+def test_prefix_and_fuzzy_expansion(spark, tmp_path_factory):
+    rows = _mk_rows(100, seed=13)
+    root = str(tmp_path_factory.mktemp("mtq") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+    # term enumeration (distributed termdict job)
+    assert s.expand_terms(prefix="the") == ["theta"]
+    assert set(s.expand_terms(fuzzy="beta", max_edits=1)) == {"beta", "eta", "zeta"}
+    # scoring-boolean rewrite == plain OR over the expansion set
+    got = [(r["doc"], float(np.float32(r["score"])))
+           for r in s.search_fuzzy("beta", k=25, max_edits=1).collect()]
+    direct = [(r["doc"], float(np.float32(r["score"])))
+              for r in s.search(["beta", "eta", "zeta"], k=25, mode="or").collect()]
+    assert got == direct
+    # expansion cap: top-N by (df desc, term asc)
+    top2 = s.expand_terms(prefix="", max_expansions=2)
+    from fdblucene_spark.functions.analysis import tokenize_text
+    import collections
+    df_count: collections.Counter = collections.Counter()
+    for r in rows:
+        for t in set(tokenize_text(r["text"])):
+            df_count[t] += 1
+    exp_top2 = [t for t, _ in sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
+    assert top2 == exp_top2

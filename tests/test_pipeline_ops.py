@@ -225,17 +225,26 @@ def test_persisted_ann_partition_pruned(spark, emb_df, tmp_path_factory):
         assert got["id"].tolist() == exp["vec_id"].tolist(), kind
         assert (got["cosine"].to_numpy() == exp["cosine"].to_numpy()).all(), kind
 
-        # partition pruning: the candidate scan touches ONLY the probed
-        # bucket directories (directory-level pruning on the partition col)
+        # partition pruning: the probe filter must land in the scan's
+        # PartitionFilters (directory-level pruning on the partition
+        # column), not a post-scan Filter. (inputFiles() is NOT a
+        # reliable pruning probe — it can list the relation's files
+        # pre-pruning — so assert on the physical plan instead.)
         scan = idx.scan(list(q), **kwargs)
         probed = set(idx.probe_buckets(list(q), **kwargs))
-        touched = {f for f in scan.inputFiles()}
-        import re as _re
+        from fdblucene_spark.plans.explain import physical_plan
 
-        buckets_touched = {int(_re.search(r"bucket=(\d+)", f).group(1)) for f in touched}
-        assert buckets_touched <= probed, kind
-        all_files = idx._vectors.inputFiles()
-        assert len(touched) < len(all_files), f"{kind}: probe scanned every partition"
+        plan = physical_plan(scan)
+        part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert part_lines, f"{kind}: no PartitionFilters in scan plan:\n{plan}"
+        assert any("bucket" in ln for ln in part_lines), kind
+        # and the scan actually returns only probed buckets (semantic
+        # containment), strictly fewer rows than the full table
+        rows = scan.select("bucket").distinct().collect()
+        assert {r["bucket"] for r in rows} <= probed, kind
+        assert scan.count() < idx._vectors.count(), (
+            f"{kind}: probe scanned every partition"
+        )
 
 
 def test_byte_histogram_features_match_numpy(docs_df):
