@@ -965,8 +965,7 @@ class Searcher:
         k, mode}]. Returns (query_id, doc, score) with per-query top-k,
         ordered within each query by (score desc, doc asc)."""
         specs = []
-        all_terms: set[str] = set()
-        all_fields: set[str] = set()
+        fields_terms: dict[str, set[str]] = {}
         for q in queries:
             mode = q.get("mode", "or")
             field = q.get("field", "text")
@@ -988,9 +987,8 @@ class Searcher:
                     "not_terms": nts,
                 }
             )
-            all_terms.update(term_df)
-            all_terms.update(nts)
-            all_fields.add(field)
+            fields_terms.setdefault(field, set()).update(term_df)
+            fields_terms.setdefault(field, set()).update(nts)
         if not specs:
             return self.spark.createDataFrame([], BATCH_HIT_SCHEMA)
         aux, allow_kinds = self._aux_frames()
@@ -1019,9 +1017,13 @@ class Searcher:
                 )
             return pd.concat(outs, ignore_index=True)
 
-        scan = self._postings.filter(
-            F.col("field").isin(sorted(all_fields)) & F.col("term").isin(sorted(all_terms))
-        )
+        # per-field term predicate: a term queried only in field A is
+        # not scanned for field B (tighter pushdown than the
+        # cross-product fields x terms filter)
+        pred = F.lit(False)
+        for f, ts in fields_terms.items():
+            pred = pred | ((F.col("field") == f) & F.col("term").isin(sorted(ts)))
+        scan = self._postings.filter(pred)
         hits = self._apply_kernel(scan, kernel, BATCH_HIT_SCHEMA, aux)
         ks = {sp["query_id"]: sp["k"] for sp in specs}
         k_df = F.create_map(*[F.lit(x) for kv in ks.items() for x in kv])

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 LSH_SEED = 42
 
@@ -171,6 +172,71 @@ def ivf_centroids(
     return cent
 
 
+def ivf_centroids_distributed(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 4,
+    seed: int = LSH_SEED,
+    sample: int = 2048,
+) -> np.ndarray:
+    """Distributed spherical k-means over the FULL corpus — the scale
+    path when a bounded sample can't represent 10^9 vectors.
+
+    Init = the deterministic-sample centroids (ivf_centroids); each
+    Lloyd iteration is ONE narrow Spark pass: an Arrow-batched kernel
+    assigns its batch (gemm) and emits per-(batch, cluster) PARTIAL
+    unit-vector sums — so the shuffle carries n_batches x n_centroids
+    skinny rows, never N x dim exploded rows — then a tiny groupBy
+    reduces them and the driver renormalizes the n_centroids x dim
+    result (the model state an IVF index ships anyway). Empty clusters
+    keep their previous centroid. Deterministic: no RNG after init."""
+    cent = ivf_centroids(df, vec_col, n_centroids=n_centroids, sample=sample, seed=seed)
+    dim = cent.shape[1]
+    spark = df.sparkSession
+    sum_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("s", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    for _ in range(iters):
+        c = cent.astype(np.float64)
+
+        def partials(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                assign = (x @ c.T).argmax(axis=1)
+                rows = []
+                for j in np.unique(assign):
+                    m = assign == j
+                    rows.append((int(j), int(m.sum()), x[m].sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "s"])
+
+        agg = (
+            df.select(vec_col)
+            .mapInPandas(partials, schema=sum_schema)
+            .groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.col("s")[i]).alias(f"d{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = cent.copy()
+        for r in agg:
+            v = np.array([r[f"d{i}"] for i in range(dim)], dtype=np.float64)
+            nn = np.linalg.norm(v)
+            if nn > 0:
+                new[int(r["cluster"])] = v / nn
+        cent = new
+    return cent
+
+
 def with_ivf_cluster(
     df: DataFrame, vec_col: str, centroids: np.ndarray, out_col: str = "cluster"
 ) -> DataFrame:
@@ -233,6 +299,8 @@ def build_ann_index(
     n_centroids: int = 16,
     n_planes: int = 8,
     seed: int = LSH_SEED,
+    distributed_kmeans: bool = False,
+    kmeans_iters: int = 4,
 ):
     """Persist the ANN partitioning ONCE as a catalog-managed table
     PARTITIONED BY bucket — the index artifact the inline variants
@@ -250,7 +318,12 @@ def build_ann_index(
     catalog = IndexCatalog(root)
     dim = len(df.select(vec_col).first()[0])
     if kind == "ivf":
-        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
+        if distributed_kmeans:
+            centroids = ivf_centroids_distributed(
+                df, vec_col, n_centroids=n_centroids, iters=kmeans_iters, seed=seed
+            )
+        else:
+            centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
         assigned = with_ivf_cluster(df, vec_col, centroids, out_col="bucket")
         fmt = ANN_IVF_FORMAT
         model = {"kind": "ivf", "centroids": centroids.tolist(), "dim": dim}

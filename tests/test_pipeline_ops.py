@@ -276,3 +276,36 @@ def test_ngram_jaccard_skewed_bucket_capped(spark):
     cands = spark.createDataFrame([(100, 101)], "id_a long, id_b long")
     out2 = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9, candidates=cands).toPandas()
     assert out2["jaccard"].tolist() == [1.0]
+
+
+def test_distributed_kmeans_improves_and_is_deterministic(spark, emb_df):
+    """Full-corpus Lloyd iterations must not degrade the clustering
+    objective (mean cosine to assigned centroid) vs the sample-only
+    init, and must be deterministic (no RNG after init)."""
+    init = similarity.ivf_centroids(emb_df, "embedding", n_centroids=4)
+    dist1 = similarity.ivf_centroids_distributed(emb_df, "embedding", n_centroids=4, iters=3)
+    dist2 = similarity.ivf_centroids_distributed(emb_df, "embedding", n_centroids=4, iters=3)
+    assert np.allclose(dist1, dist2)
+    assert np.allclose(np.linalg.norm(dist1, axis=1), 1.0)
+
+    x = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in emb_df.collect()])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def objective(cent):
+        return float((x @ cent.T).max(axis=1).mean())
+
+    assert objective(dist1) >= objective(init) - 1e-9
+    # persisted-index integration: distributed centroids flow through
+    got = None
+    import tempfile
+    root = tempfile.mkdtemp(prefix="annd-")
+    similarity.build_ann_index(
+        spark, emb_df, "vec_id", "embedding", root, kind="ivf",
+        n_centroids=4, distributed_kmeans=True, kmeans_iters=2,
+    )
+    idx = similarity.AnnIndex(spark, root)
+    q = emb_df.filter(F.col("vec_id") == 3).first()["embedding"]
+    got = idx.topk(list(q), 5, nprobe=3).toPandas()
+    exact = similarity.cosine_topk(emb_df, "vec_id", "embedding", list(q), 5).toPandas()
+    recall = len(set(got["id"]) & set(exact["vec_id"])) / 5
+    assert recall >= 0.6
