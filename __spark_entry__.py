@@ -50,6 +50,8 @@ MIXED_NOT = "dup"
 DELETE_MOD = 7  # ft_delete_search tombstones doc_id % 7 == 0
 PREFIX_Q = "s"      # expands to scan/slow/small/sort/spark/stream
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
+PAGE = 100          # ft_search_after page size
+DISMAX_TIE = 0.3
 # keyword-field norm cache entry: dl=1, avgdl=1.0 exactly (float32 chain)
 _KW_CACHE_F32 = (
     "((1.2::FLOAT * (0.25::FLOAT + (0.75::FLOAT * 1::FLOAT) / 1::FLOAT))::FLOAT)::DOUBLE"
@@ -218,6 +220,8 @@ def _bm25_sql(
     extra_where: str = "",
     having: str | None = None,
     terms_sql: str | None = None,
+    offset: int = 0,
+    agg_expr: str = "(sum(s32::DOUBLE))::FLOAT",
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
@@ -289,11 +293,11 @@ tf AS (
   CROSS JOIN stats s
   WHERE 1=1 {phrase_where} {extra_where}
 ), agg AS (
-  SELECT doc_id, (sum(s32::DOUBLE))::FLOAT AS score32
+  SELECT doc_id, {agg_expr} AS score32
   FROM scores GROUP BY doc_id {having}
 )
 SELECT doc_id, round(score32::DOUBLE, 3) AS score
-FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k}
+FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
@@ -415,6 +419,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             + [{"term": MIXED_NOT, "occur": "must_not"}]
         )
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
+
+    def ft_search_after(spark, sf):
+        # searchAfter paging (Lucene IndexSearcher.searchAfter): page 2
+        # of the OR query — cursor = exact (float32 score, doc) of the
+        # previous page's last hit; strictly-after == rank offset here
+        # because ties break deterministically by docID
+        s = _searcher(spark, sf)
+        page1 = s.search(OR_TERMS, k=PAGE, mode="or").collect()
+        cur = (float(page1[-1]["score"]), int(page1[-1]["doc"]))
+        return _hits_df(s.search(OR_TERMS, k=K_ALL, mode="or", after=cur))
+
+    def ft_dismax(spark, sf):
+        # DisjunctionMaxQuery: max + tie * (sum - max) over per-term
+        # BM25 scores (tie = DISMAX_TIE)
+        return _hits_df(
+            _searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or", dismax_tie=DISMAX_TIE)
+        )
 
     def ft_prefix_search(spark, sf):
         # PrefixQuery (scoring-boolean rewrite): distributed termdict
@@ -573,7 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
-        ft_prefix_search, ft_fuzzy_search,
+        ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
@@ -688,6 +709,13 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 f"WHERE term = '{MIXED_NOT}')"
             ),
             having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+        ),
+        "ft_search_after": _bm25_sql(OR_TERMS, "or", K_ALL, offset=PAGE),
+        "ft_dismax": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            agg_expr=(
+                f"(max(s32::DOUBLE) + {DISMAX_TIE} * (sum(s32::DOUBLE) - max(s32::DOUBLE)))::FLOAT"
+            ),
         ),
         "ft_prefix_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"term LIKE '{PREFIX_Q}%'"

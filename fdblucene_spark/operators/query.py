@@ -139,6 +139,8 @@ def _score_shard(
     not_terms: list[str] | None = None,
     stats_out: dict | None = None,
     allowed: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
+    dismax_tie: float | None = None,
 ) -> pd.DataFrame:
     """Score one query against one shard's blocks. Pure numpy.
 
@@ -151,7 +153,17 @@ def _score_shard(
     liveDocs) so theta seeding and top-k bounds stay safe.
     deleted: SORTED unique docIDs to exclude (liveDocs complement).
     allowed: SORTED unique docIDs a hit must belong to (None = all);
-    applied inside decode, before theta seeding, like deletes."""
+    applied inside decode, before theta seeding, like deletes.
+    after: (score, doc) searchAfter cursor — keep only hits STRICTLY
+    after it in (score desc, doc asc) order. Block-max pruning is
+    disabled for cursor queries: theta would have to be seeded from
+    docs whose FINAL score passes the cut, which single-term scores
+    cannot witness, so no safe non-trivial bound exists pre-summation.
+    dismax_tie: DisjunctionMaxQuery scoring — per-doc score becomes
+    max + tie * (sum - max) instead of the disjunction sum (or mode
+    only). The WAND bound stays SAFE: a solo term score lower-bounds
+    the dismax total (>= max >= solo) for theta seeding, and the sum
+    upper-bound dominates dismax for tie <= 1."""
     if allowed is not None and allowed.size == 0:
         return _EMPTY
     uniq_terms = list(dict.fromkeys(q_terms))
@@ -205,7 +217,11 @@ def _score_shard(
         seed = max(present, key=lambda t: mub[t])
         d, s = decode_and_score(seed, groups[seed])
         decoded[seed] = (d, s)
-        theta = float(np.partition(s, s.size - k)[s.size - k]) if s.size >= k else 0.0
+        theta = (
+            float(np.partition(s, s.size - k)[s.size - k])
+            if (s.size >= k and after is None)
+            else 0.0
+        )
         # block-max WAND bound, localized per block: another term can
         # contribute to docs in block b ONLY if it has a block whose
         # docID range overlaps b's. UB(b) = ub_t(b) + sum over other
@@ -260,20 +276,30 @@ def _score_shard(
         return _EMPTY
     uniq, inv = np.unique(all_docs, return_inverse=True)
     acc = np.zeros(uniq.size, dtype=np.float64)
+    mx = np.zeros(uniq.size, dtype=np.float64)
     hits = np.zeros(uniq.size, dtype=np.int64)
     off = 0
     for t in present:
         d, s = decoded[t]
         idx = inv[off : off + d.size]
-        acc[idx] += s.astype(np.float64)  # float64 sum of float32 addends
+        s64 = s.astype(np.float64)
+        acc[idx] += s64  # float64 sum of float32 addends
+        if dismax_tie is not None:
+            np.maximum.at(mx, idx, s64)
         hits[idx] += 1
         off += d.size
+    if dismax_tie is not None:
+        acc = mx + float(dismax_tie) * (acc - mx)
     if mode in ("and", "phrase"):
         sel = hits == len(present)
         uniq, acc = uniq[sel], acc[sel]
     if mode == "phrase":
         uniq, acc = _phrase_filter(groups, q_terms, uniq, acc)
     score32 = acc.astype(np.float32)
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), int(after[1])
+        keep = (score32 < a_s) | ((score32 == a_s) & (uniq > a_d))
+        uniq, score32 = uniq[keep], score32[keep]
     if uniq.size > k:
         idx = np.lexsort((uniq, -score32))[:k]  # local heap top-k
         uniq, score32 = uniq[idx], score32[idx]
@@ -667,6 +693,8 @@ class Searcher:
         not_terms: list[str] | None = None,
         numeric: list[dict] | None = None,
         allowed_docs: DataFrame | None = None,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
     ) -> DataFrame:
         """Top-k hits as a DataFrame (doc, score), globally ordered.
 
@@ -676,7 +704,15 @@ class Searcher:
         [{field, lo, hi}] over the index's stored table (L18 inside
         the same query — reference README.md:54-57).
         allowed_docs: external allow-list DataFrame with a `doc`
-        column; hits must belong to it."""
+        column; hits must belong to it.
+        after: searchAfter cursor (score, doc) of the previous page's
+        last hit — returns the next k strictly after it (Lucene
+        IndexSearcher.searchAfter). Disables block-max pruning (no
+        safe pre-summation bound exists for a final-score cut).
+        dismax_tie: score hits as DisjunctionMaxQuery with this
+        tie-breaker (max + tie * (sum - max)); mode must be 'or'."""
+        if dismax_tie is not None and mode != "or":
+            raise ValueError("dismax_tie requires mode='or'")
         prep = self._prep(terms, mode, field)
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
@@ -693,7 +729,8 @@ class Searcher:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
             dels, allowed = _split_aux(aux_pdf, allow_kinds)
             return _score_shard(
-                groups, term_df, n_docs, avgdl, k, mode, kt, dels, nts, allowed=allowed
+                groups, term_df, n_docs, avgdl, k, mode, kt, dels, nts,
+                allowed=allowed, after=after, dismax_tie=dismax_tie,
             )
 
         scan = self._postings.filter(
@@ -1084,6 +1121,8 @@ class Searcher:
         mode: str = "or",
         field: str = "text",
         not_terms: list[str] | None = None,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
     ) -> pd.DataFrame:
         """Low-latency single-query path: same segment files, same
         scoring kernel, but the (pushdown-pruned) block scan and the
@@ -1106,6 +1145,7 @@ class Searcher:
         hits = _score_shard(
             groups, term_df, self.manifest.n_docs_for(field),
             self.manifest.avgdl_for(field), k, mode, kt, self.deleted, nts,
+            after=after, dismax_tie=dismax_tie,
         )
         hits = hits.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
         return hits.head(k).reset_index(drop=True)

@@ -77,12 +77,16 @@ def search(
     k: int,
     mode: str = "or",
     not_terms: list[str] | None = None,
+    after: tuple[float, int] | None = None,
+    dismax_tie: float | None = None,
 ) -> list[tuple]:
     """Top-k [(doc_key, float32 score)] — score desc, docid asc ties.
 
     Scoring uses the deduplicated term set (the engine contract:
     BooleanQuery of unique terms). Phrase matching uses the terms in
     the caller's order, duplicates allowed — the phrase IS the order.
+    after: searchAfter cursor (score, docid), strictly-after paging.
+    dismax_tie: DisjunctionMax scoring max + tie * (sum - max).
     """
     seq = list(terms)
     terms = sorted(set(terms))
@@ -102,11 +106,22 @@ def search(
     for nt in not_terms or []:
         live -= set(idx.postings.get(nt, {}).keys())  # MUST_NOT
     acc: dict[int, float] = {}
+    mx: dict[int, float] = {}
     for m in per_term:
         for d, s in m.items():
             if d in live:
                 acc[d] = acc.get(d, 0.0) + s  # float64 sum of float32 addends
-    ranked = sorted(acc.items(), key=lambda kv: (-np.float32(kv[1]), kv[0]))
+                mx[d] = max(mx.get(d, 0.0), s)
+    if dismax_tie is not None:
+        acc = {d: mx[d] + float(dismax_tie) * (acc[d] - mx[d]) for d in acc}
+    items = list(acc.items())
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), int(after[1])
+        items = [
+            (d, s) for d, s in items
+            if np.float32(s) < a_s or (np.float32(s) == a_s and d > a_d)
+        ]
+    ranked = sorted(items, key=lambda kv: (-np.float32(kv[1]), kv[0]))
     return [(idx.doc_keys[d], float(np.float32(s))) for d, s in ranked[:k]]
 
 

@@ -356,3 +356,37 @@ def test_prefix_and_fuzzy_expansion(spark, tmp_path_factory):
             df_count[t] += 1
     exp_top2 = [t for t, _ in sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
     assert top2 == exp_top2
+
+
+def test_search_after_and_dismax(spark, tmp_path_factory):
+    rows = _mk_rows(150, seed=23)
+    root = str(tmp_path_factory.mktemp("page") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+    from fdblucene_spark.oracle import build_oracle_index, search as osearch
+
+    oidx = build_oracle_index([r["doc_id"] for r in rows], [r["text"] for r in rows])
+    terms = ["alpha", "beta", "gamma"]
+
+    # searchAfter: pages concatenate to the full ranking, no overlap
+    full = osearch(oidx, terms, 1000)
+    page1 = [(r["doc"], r["score"]) for r in s.search(terms, k=20).collect()]
+    assert [d for d, _ in page1] == [d for d, _ in full[:20]]
+    cur = (float(page1[-1][1]), int(page1[-1][0]))
+    page2 = [(r["doc"], r["score"]) for r in s.search(terms, k=20, after=cur).collect()]
+    assert [d for d, _ in page2] == [d for d, _ in full[20:40]]
+    exp2 = osearch(oidx, terms, 20, after=cur)
+    assert [d for d, _ in page2] == [d for d, _ in exp2]
+    # local path pages identically
+    loc2 = s.search_local(terms, 20, after=cur)
+    assert loc2["doc"].tolist() == [d for d, _ in page2]
+
+    # dismax: engine == oracle, and differs from the plain sum ranking
+    got = [(r["doc"], float(np.float32(r["score"]))) for r in
+           s.search(terms, k=30, dismax_tie=0.3).collect()]
+    exp = osearch(oidx, terms, 30, dismax_tie=0.3)
+    assert got == [(d, float(np.float32(x))) for d, x in exp]
+    plain = [r["doc"] for r in s.search(terms, k=30).collect()]
+    assert [d for d, _ in got] != plain  # tie-broken max ranking is distinct
+    with pytest.raises(ValueError, match="dismax"):
+        s.search(terms, k=5, mode="and", dismax_tie=0.5)
