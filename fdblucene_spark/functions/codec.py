@@ -171,12 +171,52 @@ def decode_positions_block(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.
     return flat, starts
 
 
+def encode_offsets_interleaved(
+    flat_starts: np.ndarray, flat_lens: np.ndarray, seg_starts: np.ndarray
+) -> list[bytes]:
+    """Per-posting character-offset cells: (start-gap, length) pairs
+    interleaved and varbyte-packed, start deltas restarting at each
+    posting (the ("pp", ...) -> (startOffset, endOffset) payload of the
+    reference's DATA.md:54, minus payloads). seg_starts indexes
+    flat_starts at each posting boundary."""
+    s = np.ascontiguousarray(flat_starts, dtype=np.int64)
+    ln = np.ascontiguousarray(flat_lens, dtype=np.int64)
+    if s.size == 0:
+        return []
+    gaps = np.empty_like(s)
+    gaps[0] = s[0]
+    np.subtract(s[1:], s[:-1], out=gaps[1:])
+    gaps[seg_starts] = s[seg_starts]  # delta restarts at each posting
+    inter = np.empty(2 * s.size, dtype=np.uint64)
+    inter[0::2] = gaps.astype(np.uint64)
+    inter[1::2] = ln.astype(np.uint64)
+    return varbyte_encode_split(inter, 2 * np.ascontiguousarray(seg_starts, dtype=np.int64))
+
+
+def decode_offsets_block(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Block offsets binary -> (flat_starts, flat_ends, posting_starts)."""
+    vals = varbyte_decode(buf).astype(np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts_idx = np.cumsum(t) - t
+    gaps = vals[0::2]
+    lens = vals[1::2]
+    if gaps.size == 0:
+        return gaps, gaps, starts_idx
+    csum = np.cumsum(gaps)
+    prev_end = np.zeros(t.size, dtype=np.int64)
+    prev_end[1:] = csum[starts_idx[1:] - 1]
+    flat_starts = csum - np.repeat(prev_end, t)
+    return flat_starts, flat_starts + lens, starts_idx
+
+
 def pack_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     flat_positions: np.ndarray | None,
     dlq: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    flat_off_starts: np.ndarray | None = None,
+    flat_off_lens: np.ndarray | None = None,
 ) -> list[dict]:
     """Split one (term[, shard]) posting list into compressed blocks.
 
@@ -196,7 +236,7 @@ def pack_blocks(
     if n == 0:
         return out
     pos_starts = None
-    if flat_positions is not None:
+    if flat_positions is not None or flat_off_starts is not None:
         pos_starts = np.cumsum(tfs) - tfs
     for b, lo in enumerate(range(0, n, block_size)):
         hi = min(lo + block_size, n)
@@ -208,6 +248,16 @@ def pack_blocks(
             pos_bytes = encode_positions_block(flat_positions[plo:phi], t)
         else:
             pos_bytes = b""
+        off_bytes = None
+        if flat_off_starts is not None:
+            plo = int(pos_starts[lo])
+            phi = int(pos_starts[hi - 1] + tfs[hi - 1])
+            seg = np.cumsum(t) - t
+            off_bytes = b"".join(
+                encode_offsets_interleaved(
+                    flat_off_starts[plo:phi], flat_off_lens[plo:phi], seg
+                )
+            )
         out.append(
             {
                 "block_id": b,
@@ -220,6 +270,7 @@ def pack_blocks(
                 "tfs": encode_tf_block(t),
                 "dlqs": np.ascontiguousarray(dlq[lo:hi], dtype=np.uint8).tobytes(),
                 "positions": pos_bytes,
+                "offsets": off_bytes,
             }
         )
     return out

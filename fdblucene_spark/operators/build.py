@@ -61,6 +61,7 @@ INVERTED_SCHEMA = T.StructType(
         T.StructField("dl", T.LongType(), False),
         T.StructField("dlq", T.IntegerType(), False),
         T.StructField("positions", T.BinaryType(), True),
+        T.StructField("offsets", T.BinaryType(), True),
     ]
 )
 
@@ -79,6 +80,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dlqs", T.BinaryType(), False),
         T.StructField("positions", T.BinaryType(), True),
+        T.StructField("offsets", T.BinaryType(), True),
     ]
 )
 
@@ -143,17 +145,45 @@ DEFAULT_FIELDS = ({"field": "text", "col": "text", "analyzer": "standard"},)
 
 
 def _invert_text(
-    fld: str, docs: np.ndarray, texts: pd.Series, store_positions: bool, token_re: re.Pattern
+    fld: str,
+    docs: np.ndarray,
+    texts: pd.Series,
+    store_positions: bool,
+    token_re: re.Pattern,
+    store_offsets: bool = False,
 ) -> pd.DataFrame | None:
-    """Per-batch inversion of one tokenized field."""
-    tok_lists = texts.fillna("").str.lower().str.findall(token_re)
+    """Per-batch inversion of one tokenized field.
+
+    store_offsets (opt-in; requires positions): also records per-
+    occurrence character (start, length) on the LOWERCASED text (the
+    ("pp",...) -> (startOffset, endOffset) payload of DATA.md:54).
+    The offsets path tokenizes with finditer per doc — slower than the
+    vectorized findall, which is why the hot default path is untouched."""
+    if store_offsets:
+        lowered = texts.fillna("").str.lower()
+        toks_l: list[list[str]] = []
+        st_l: list[list[int]] = []
+        ln_l: list[list[int]] = []
+        for txt in lowered:
+            tt, ss, ll = [], [], []
+            for m in token_re.finditer(txt):
+                tt.append(m.group(0))
+                ss.append(m.start())
+                ll.append(m.end() - m.start())
+            toks_l.append(tt)
+            st_l.append(ss)
+            ln_l.append(ll)
+        tok_lists = pd.Series(toks_l, index=texts.index)
+    else:
+        tok_lists = texts.fillna("").str.lower().str.findall(token_re)
     lens = tok_lists.str.len().to_numpy(np.int64)
     total = int(lens.sum())
     if total == 0:
         return None
     keep = lens > 0  # docs with no tokens produce no postings
+    keep_idx = np.flatnonzero(keep)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[keep]])
-    row_rep = np.repeat(np.flatnonzero(keep), lens[keep])
+    row_rep = np.repeat(keep_idx, lens[keep])
     starts = np.cumsum(lens[keep]) - lens[keep]
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[keep])
     codes, uniques = pd.factorize(flat_terms, sort=False)
@@ -181,6 +211,14 @@ def _invert_text(
         out["positions"] = codec.varbyte_encode_split(gaps, pstarts)
     else:
         out["positions"] = None
+    if store_offsets:
+        flat_st = np.concatenate([np.asarray(st_l[i], dtype=np.int64) for i in keep_idx])
+        flat_ln = np.concatenate([np.asarray(ln_l[i], dtype=np.int64) for i in keep_idx])
+        out["offsets"] = codec.encode_offsets_interleaved(
+            flat_st[order], flat_ln[order], pstarts
+        )
+    else:
+        out["offsets"] = None
     return out
 
 
@@ -202,6 +240,7 @@ def _invert_keyword(fld: str, docs: np.ndarray, values: pd.Series, store_positio
         }
     )
     out["positions"] = b"\x00" if store_positions else None  # single position 0
+    out["offsets"] = None  # keyword fields carry no character offsets
     return out
 
 
@@ -209,6 +248,7 @@ def _invert_factory(
     store_positions: bool,
     fields_spec: tuple[dict, ...] = DEFAULT_FIELDS,
     token_re: re.Pattern = _TOKEN_RE,
+    store_offsets: bool = False,
 ):
     """Tokenize + per-doc inversion kernel (the in-memory segment),
     one output row per (field, doc, term)."""
@@ -223,7 +263,10 @@ def _invert_factory(
                 if spec["analyzer"] == "keyword":
                     sub = _invert_keyword(spec["field"], docs, pdf[spec["col"]], store_positions)
                 else:
-                    sub = _invert_text(spec["field"], docs, pdf[spec["col"]], store_positions, token_re)
+                    sub = _invert_text(
+                        spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
+                        store_offsets,
+                    )
                 if sub is not None:
                     outs.append(sub)
             if outs:
@@ -232,9 +275,16 @@ def _invert_factory(
     return invert
 
 
-def _pack_factory(block_size: int, store_positions: bool):
+def _pack_factory(block_size: int, store_positions: bool, store_offsets: bool = False):
     """Whole-partition vectorized block packer: one varbyte pass for
     all doc-gaps/tfs in the partition, per-block cost = byte slices."""
+
+    def _slice_cells(col: np.ndarray, n: int, bstarts, bends) -> list[bytes]:
+        # concatenate per-posting binary cells into per-block binaries
+        lens = np.fromiter((len(x) for x in col), dtype=np.int64, count=n)
+        buf = b"".join(col.tolist())
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        return [buf[offs[a]: offs[b]] for a, b in zip(bstarts.tolist(), bends.tolist())]
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdfs = [p for p in batches if len(p)]
@@ -286,13 +336,16 @@ def _pack_factory(block_size: int, store_positions: bool):
         dlq_buf = dlqs.astype(np.uint8).tobytes()
         dlq_bytes = [dlq_buf[a:b] for a, b in zip(bstarts.tolist(), bends.tolist())]
         if store_positions:
-            pos_col = pdf["positions"].to_numpy()[order]
-            plens = np.fromiter((len(x) for x in pos_col), dtype=np.int64, count=n)
-            pbuf = b"".join(pos_col.tolist())
-            poffs = np.concatenate(([0], np.cumsum(plens)))
-            pos_bytes = [pbuf[poffs[a] : poffs[b]] for a, b in zip(bstarts.tolist(), bends.tolist())]
+            pos_bytes = _slice_cells(pdf["positions"].to_numpy()[order], n, bstarts, bends)
         else:
             pos_bytes = None
+        if store_offsets:
+            off_col = pdf["offsets"].to_numpy()[order]
+            # keyword-field postings carry no offsets cell (None)
+            off_col = np.array([x if x is not None else b"" for x in off_col], dtype=object)
+            off_bytes = _slice_cells(off_col, n, bstarts, bends)
+        else:
+            off_bytes = None
         yield pd.DataFrame(
             {
                 "field": fields_arr[bstarts],
@@ -308,6 +361,7 @@ def _pack_factory(block_size: int, store_positions: bool):
                 "tfs": tf_bytes,
                 "dlqs": dlq_bytes,
                 "positions": pos_bytes,
+                "offsets": off_bytes,
             }
         )
 
@@ -322,6 +376,7 @@ def build_postings(
     pack_partitions: int | None = None,
     freeze_dir: str | None = None,
     fields_spec: list[dict] | tuple[dict, ...] | None = None,
+    store_offsets: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(doc, field cols...) -> (blocks, termdict, doclen, inverted).
 
@@ -334,9 +389,12 @@ def build_postings(
     """
     if fields_spec is None:
         fields_spec = DEFAULT_FIELDS
+    if store_offsets and not store_positions:
+        raise ValueError("store_offsets requires store_positions")
     src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
     inverted = docs_df.select(*src_cols).mapInPandas(
-        _invert_factory(store_positions, tuple(fields_spec)), schema=INVERTED_SCHEMA
+        _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets),
+        schema=INVERTED_SCHEMA,
     )
     if freeze_dir is not None:
         inverted.write.mode("errorifexists").parquet(freeze_dir)
@@ -353,9 +411,11 @@ def build_postings(
     if pack_partitions is None:
         pack_partitions = docs_df.sparkSession.sparkContext.defaultParallelism
     blocks = (
-        withshard.select("field", "term", "shard", "doc", "tf", "dlq", "positions")
+        withshard.select("field", "term", "shard", "doc", "tf", "dlq", "positions", "offsets")
         .repartition(pack_partitions, "field", "term", "shard")
-        .mapInPandas(_pack_factory(block_size, store_positions), schema=POSTINGS_SCHEMA)
+        .mapInPandas(
+            _pack_factory(block_size, store_positions, store_offsets), schema=POSTINGS_SCHEMA
+        )
     )
     return blocks, termdict, doclen, inverted
 
@@ -384,6 +444,7 @@ def build_index(
     append: bool = False,
     fingerprint: str | None = None,
     stored_fields: dict[str, str] | None = None,
+    store_offsets: bool = False,
 ) -> Manifest:
     """Build (or append) one segment and commit a new snapshot.
 
@@ -419,6 +480,11 @@ def build_index(
                 "index config mismatch: store_positions pinned at creation "
                 f"({parent.properties.get('store_positions', True)}); segments must agree "
                 "or phrase queries would miss/crash on mixed blocks"
+            )
+        if bool(parent.properties.get("store_offsets", False)) != bool(store_offsets):
+            raise ValueError(
+                "index config mismatch: store_offsets pinned at creation "
+                f"({parent.properties.get('store_offsets', False)})"
             )
         if sorted(parent.properties.get("stored_fields", [])) != sorted(stored_fields or {}):
             raise ValueError(
@@ -477,7 +543,7 @@ def build_index(
 
     blocks, termdict, doclen, inverted = build_postings(
         docs_df, n_shards=n_shards, block_size=block_size,
-        store_positions=store_positions,
+        store_positions=store_positions, store_offsets=store_offsets,
         freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
         fields_spec=fields_spec,
     )
@@ -603,6 +669,7 @@ def build_index(
             properties={
                 **(attempt_parent.properties if attempt_parent else {}),
                 "store_positions": store_positions,
+                "store_offsets": bool(store_offsets),
                 "primary_field": primary,
                 "stored_fields": sorted(stored_fields),
             },

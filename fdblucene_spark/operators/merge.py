@@ -52,26 +52,43 @@ TERMDICT_SCHEMA = T.StructType(
 )
 
 
-def _repack_factory(block_size: int, store_positions: bool, deleted: np.ndarray | None = None):
+def _repack_factory(
+    block_size: int,
+    store_positions: bool,
+    deleted: np.ndarray | None = None,
+    store_offsets: bool = False,
+):
     """Per-(term, shard) numpy block repack; optional docID offset col
-    and physical delete application."""
+    and physical delete application. Positions AND character offsets
+    (when stored) survive the repack: both are per-occurrence flat
+    arrays filtered/reordered with the same posting gather."""
 
     def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         fld, term, shard = key[0], key[1], int(key[2])
         pdf = pdf.sort_values(["min_doc", "block_id"], ignore_index=True)
-        docs_l, tfs_l, pos_l, dlq_l = [], [], [], []
+        # a (field, term, shard) group is single-field; keyword-field
+        # blocks carry no offsets cell even in an offsets index
+        has_off = bool(store_offsets and len(pdf) and pdf.iloc[0]["offsets"])
+        docs_l, tfs_l, pos_l, dlq_l, ost_l, oln_l = [], [], [], [], [], []
         for _, r in pdf.iterrows():
             d = codec.decode_doc_block(r["docs"])
             t = codec.decode_tf_block(r["tfs"])
             q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
             flat = None
+            ost = oln = None
             if store_positions:
                 flat, _ = codec.decode_positions_block(r["positions"], t)
+            if has_off:
+                o_s, o_e, _ = codec.decode_offsets_block(r["offsets"], t)
+                ost, oln = o_s, o_e - o_s
             off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
             if deleted is not None and deleted.size and d.size:
                 live = ~np.isin(d, deleted)
+                occ_live = np.repeat(live, t)
                 if store_positions:
-                    flat = flat[np.repeat(live, t)]
+                    flat = flat[occ_live]
+                if has_off:
+                    ost, oln = ost[occ_live], oln[occ_live]
                 d, t, q = d[live], t[live], q[live]
             if d.size == 0:
                 continue
@@ -80,28 +97,40 @@ def _repack_factory(block_size: int, store_positions: bool, deleted: np.ndarray 
             dlq_l.append(q)
             if store_positions:
                 pos_l.append(flat)
+            if has_off:
+                ost_l.append(ost)
+                oln_l.append(oln)
         if not docs_l:
             return pd.DataFrame({f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}).iloc[:0]
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dlqs = np.concatenate(dlq_l)
         flat_pos = np.concatenate(pos_l) if store_positions else None
+        flat_ost = np.concatenate(ost_l) if has_off else None
+        flat_oln = np.concatenate(oln_l) if has_off else None
         order = np.argsort(docs, kind="mergesort")
         if not np.array_equal(order, np.arange(docs.size)):
+            bounds = np.cumsum(tfs) - tfs
+            gather = np.concatenate(
+                [np.arange(bounds[i], bounds[i] + tfs[i]) for i in order]
+            ) if (store_positions or has_off) else None
             if store_positions:
-                bounds = np.cumsum(tfs) - tfs
-                flat_pos = np.concatenate(
-                    [flat_pos[bounds[i]: bounds[i] + tfs[i]] for i in order]
-                )
+                flat_pos = flat_pos[gather]
+            if has_off:
+                flat_ost, flat_oln = flat_ost[gather], flat_oln[gather]
             docs, tfs, dlqs = docs[order], tfs[order], dlqs[order]
         rows = []
-        for blk in codec.pack_blocks(docs, tfs, flat_pos, dlqs, block_size):
+        for blk in codec.pack_blocks(
+            docs, tfs, flat_pos, dlqs, block_size,
+            flat_off_starts=flat_ost, flat_off_lens=flat_oln,
+        ):
             rows.append(
                 (
                     fld, term, shard, blk["block_id"], blk["n"], blk["min_doc"],
                     blk["max_doc"], blk["max_tf"], blk["min_dlq"], blk["docs"],
                     blk["tfs"], blk["dlqs"],
                     blk["positions"] if store_positions else None,
+                    blk["offsets"],
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
@@ -241,7 +270,10 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
             properties.pop("deletes_path", None)
             properties.pop("n_deletes", None)
         blocks = postings.groupBy("field", "term", "shard").applyInPandas(
-            _repack_factory(manifest.block_size, store_positions, deleted),
+            _repack_factory(
+                manifest.block_size, store_positions, deleted,
+                store_offsets=bool(properties.get("store_offsets", False)),
+            ),
             schema=POSTINGS_SCHEMA,
         )
         if has_deletes:
@@ -280,6 +312,9 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         lo = min((s.doc_min for s in m.segments), default=0)
         offsets.append(acc - lo)
         acc += m.doc_max + 1 - lo
+    off_sets = [bool(m.properties.get("store_offsets", False)) for m in manifests]
+    if any(o != off_sets[0] for o in off_sets[1:]):
+        raise ValueError("cannot addIndexes across mismatched store_offsets")
     stored_sets = [sorted(m.properties.get("stored_fields", [])) for m in manifests]
     if any(s != stored_sets[0] for s in stored_sets[1:]):
         raise ValueError(f"cannot addIndexes across mismatched stored_fields: {stored_sets}")
@@ -324,7 +359,8 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     )
     store_positions = all(m.properties.get("store_positions", True) for m in manifests)
     blocks = postings.groupBy("field", "term", "shard").applyInPandas(
-        _repack_factory(base.block_size, store_positions), schema=POSTINGS_SCHEMA
+        _repack_factory(base.block_size, store_positions, store_offsets=off_sets[0]),
+        schema=POSTINGS_SCHEMA,
     )
     synthetic_parent = Manifest(
         version=dest_cat.next_version() - 1 if dest_cat.exists() else 0,
@@ -337,6 +373,7 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     lineage = {"op": "addIndexes", "inputs": src_roots, "offsets": offsets}
     props = {
         "store_positions": store_positions,
+        "store_offsets": off_sets[0],
         "primary_field": base.properties.get("primary_field", "text"),
         "stored_fields": stored_sets[0],
     }

@@ -1103,6 +1103,52 @@ class Searcher:
         )
         return scan.mapInPandas(dec, schema=schema)
 
+    def offsets(self, terms: list[str], field: str = "text") -> DataFrame:
+        """Per-occurrence character offsets -> (term, doc, pos, start,
+        end) — the highlight surface (reference: ("pp", field, term,
+        docID, pos) -> (startOffset, endOffset), DATA.md:54). Requires
+        an index built with store_offsets=True; offsets are measured on
+        the LOWERCASED text (identical to the original for ASCII)."""
+        if not self.manifest.properties.get("store_offsets", False):
+            raise ValueError("index built without store_offsets; rebuild with store_offsets=True")
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(set(terms)))
+        )
+
+        def dec(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                outs = []
+                for _, r in pdf.iterrows():
+                    d = codec.decode_doc_block(r["docs"])
+                    tf = codec.decode_tf_block(r["tfs"])
+                    pos, _ = codec.decode_positions_block(r["positions"], tf)
+                    st, en, _ = codec.decode_offsets_block(r["offsets"], tf)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": r["term"],
+                                "doc": np.repeat(d, tf),
+                                "pos": pos,
+                                "start": st,
+                                "end": en,
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True)
+
+        schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("doc", T.LongType(), False),
+                T.StructField("pos", T.LongType(), False),
+                T.StructField("start", T.LongType(), False),
+                T.StructField("end", T.LongType(), False),
+            ]
+        )
+        return scan.mapInPandas(dec, schema=schema)
+
     def _local_blocks(self, fields_terms: dict[str, list[str]]) -> pd.DataFrame:
         files = []
         for p in self.manifest.segment_paths(self.root, "postings"):

@@ -390,3 +390,51 @@ def test_search_after_and_dismax(spark, tmp_path_factory):
     assert [d for d, _ in got] != plain  # tie-broken max ranking is distinct
     with pytest.raises(ValueError, match="dismax"):
         s.search(terms, k=5, mode="and", dismax_tie=0.5)
+
+
+def test_offsets_roundtrip_and_survive_repack(spark, tmp_path_factory):
+    import re as _re
+
+    rows = [{"doc_id": i, "text": f"Alpha beta w{i} alpha gamma"} for i in range(30)]
+    root = str(tmp_path_factory.mktemp("off") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        keyword_fields={}, store_offsets=True,
+    )
+    s = Searcher(spark, root)
+
+    def expected(term):
+        out = []
+        for r in rows:
+            low = r["text"].lower()
+            for pos, m in enumerate(_re.finditer(r"\w+", low)):
+                if m.group(0) == term:
+                    out.append((r["doc_id"], pos, m.start(), m.end()))
+        return sorted(out)
+
+    got = sorted(
+        (r["doc"], r["pos"], r["start"], r["end"])
+        for r in s.offsets(["alpha"]).collect()
+    )
+    assert got == expected("alpha")
+    # config pin: an append must agree on store_offsets
+    with pytest.raises(ValueError, match="store_offsets"):
+        build_index(spark, spark.createDataFrame(rows[:1]), root, doc_col="doc_id",
+                    n_shards=2, append=True, store_offsets=False)
+    # offsets survive delete + physical repack (occurrence-level gather)
+    delete_docs(spark, root, [0, 7])
+    merge_segments(spark, root, mode="repack")
+    s2 = Searcher(spark, root)
+    got2 = sorted(
+        (r["doc"], r["pos"], r["start"], r["end"])
+        for r in s2.offsets(["alpha"]).collect()
+    )
+    assert got2 == [t for t in expected("alpha") if t[0] not in (0, 7)]
+    # search results unaffected by carrying offsets
+    hits = {r["doc"] for r in s2.search(["beta"], k=50).collect()}
+    assert hits == {r["doc_id"] for r in rows} - {0, 7}
+    # an index without offsets refuses the API with a clear error
+    root2 = str(tmp_path_factory.mktemp("nooff") / "idx")
+    build_index(spark, spark.createDataFrame(rows[:3]), root2, doc_col="doc_id", n_shards=2)
+    with pytest.raises(ValueError, match="store_offsets"):
+        Searcher(spark, root2).offsets(["alpha"])
