@@ -47,7 +47,10 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE
-from ..sources.manifest import CommitConflict, IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
+from ..sources.manifest import (
+    CommitConflict, IndexCatalog, Manifest, SegmentMeta, dir_fingerprint,
+    table_file_lists,
+)
 
 DEFAULT_N_SHARDS = 16
 DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
@@ -646,6 +649,7 @@ def build_index(
         lineage=lineage,
         field_stats=field_stats,
         content_hash=seg_hash,
+        files=table_file_lists(seg_dir),
     )
     # Lock-free multi-writer commit (reference: FDBIndexWriter drops
     # the Directory lock, README.md:33-38): on a lost CAS race, reload
@@ -672,6 +676,7 @@ def build_index(
                 "store_offsets": bool(store_offsets),
                 "primary_field": primary,
                 "stored_fields": sorted(stored_fields),
+                "keyword_fields": sorted(keyword_fields),
             },
         )
         try:

@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import codec
-from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
+from ..sources.manifest import (
+    IndexCatalog, Manifest, SegmentMeta, dir_fingerprint, table_file_lists,
+)
 from .build import POSTINGS_SCHEMA
 
 TERMDICT_SCHEMA = T.StructType(
@@ -209,6 +211,7 @@ def _write_merged(
         lineage=[lineage_extra],
         field_stats=field_stats,
         content_hash=seg_hash,
+        files=table_file_lists(seg_dir),
     )
     merged = Manifest(
         version=version,

@@ -85,6 +85,54 @@ AUX_DEL = "del"
 _EMPTY = pd.DataFrame({"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner):
+    insert / delete / substitute / transpose-adjacent each cost 1,
+    with further edits allowed between the transposed pair — matching
+    Lucene FuzzyQuery's transpositions=true semantics and DuckDB's
+    damerau_levenshtein (e.g. d('ca','abc') == 2, where the restricted
+    OSA variant would say 3), so the oracle twin is exact."""
+    la, lb = len(a), len(b)
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db  # noqa: E741
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,           # substitute / match
+                d[i + 1][j] + 1,          # insert
+                d[i][j + 1] + 1,          # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _damerau_udf(query: str):
+    """Arrow-batched exact Damerau distance vs a fixed query term.
+    Runs ONLY on the JVM-prefiltered candidate sliver (length window +
+    levenshtein <= 2*max_edits pushed to the scan), so the per-string
+    DP never sees the full vocabulary."""
+
+    @F.pandas_udf("int")
+    def dmr(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: damerau_levenshtein(query, t)).astype("int32")
+
+    return dmr
+
+
 def _sorted_probe(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Boolean mask: vals[i] in sorted_arr (searchsorted, O(n log m))."""
     idx = np.searchsorted(sorted_arr, vals)
@@ -164,6 +212,15 @@ def _score_shard(
     only). The WAND bound stays SAFE: a solo term score lower-bounds
     the dismax total (>= max >= solo) for theta seeding, and the sum
     upper-bound dominates dismax for tie <= 1."""
+    if dismax_tie is not None:
+        # validated HERE (not only in Searcher.search) so every entry
+        # point — search_local included — rejects invalid combinations:
+        # dismax on 'and'/'phrase' is undefined, and tie > 1 breaks the
+        # WAND safety argument (the sum no longer dominates dismax)
+        if mode != "or":
+            raise ValueError("dismax_tie requires mode='or'")
+        if not (0.0 <= dismax_tie <= 1.0):
+            raise ValueError("dismax_tie must be in [0, 1]")
     if allowed is not None and allowed.size == 0:
         return _EMPTY
     uniq_terms = list(dict.fromkeys(q_terms))
@@ -222,34 +279,26 @@ def _score_shard(
             if (s.size >= k and after is None)
             else 0.0
         )
-        # block-max WAND bound, localized per block: another term can
-        # contribute to docs in block b ONLY if it has a block whose
-        # docID range overlaps b's. UB(b) = ub_t(b) + sum over other
-        # terms of (their max block ub if they overlap b's range else
-        # 0). A global other-term bound can never prune (theta is
-        # seeded from single-term scores <= that bound); the localized
-        # one prunes every head-term block outside the rare terms'
-        # ranges. Overlap test: blocks sorted by min_doc + running max
-        # of max_doc (ranges may interleave across shards/segments).
-        ranges = {}
-        for t in present:
-            lo = groups[t]["min_doc"].to_numpy(np.int64)
-            hi = groups[t]["max_doc"].to_numpy(np.int64)
-            o = np.argsort(lo, kind="mergesort")
-            ranges[t] = (lo[o], np.maximum.accumulate(hi[o]))
+        # block-max WAND bound, localized per block AND per range:
+        # another term can contribute to docs in block b ONLY if it has
+        # a block whose docID range overlaps b's — and then at most the
+        # max ub among its OVERLAPPING blocks (range-max, not the
+        # term-global max: one high-impact block anywhere would inflate
+        # a global mub and kill pruning for every head-term block).
+        ranges = {
+            t: _sorted_block_index(
+                groups[t]["min_doc"].to_numpy(np.int64),
+                groups[t]["max_doc"].to_numpy(np.int64),
+                ubs[t].astype(np.float64),
+            )
+            for t in present
+        }
         for t in present:
             if t == seed:
                 continue
             lo_b = groups[t]["min_doc"].to_numpy(np.int64)
             hi_b = groups[t]["max_doc"].to_numpy(np.int64)
-            add = np.zeros(len(lo_b), dtype=np.float64)
-            for t2 in present:
-                if t2 == t:
-                    continue
-                lo2, cummax_hi2 = ranges[t2]
-                i1 = np.searchsorted(lo2, hi_b, side="right")
-                overlaps = (i1 > 0) & (cummax_hi2[np.maximum(i1 - 1, 0)] >= lo_b)
-                add = add + np.where(overlaps, mub[t2], 0.0)
+            add = _overlap_bound(lo_b, hi_b, [ranges[t2] for t2 in present if t2 != t])
             keep = ubs[t].astype(np.float64) + add >= theta
             decoded[t] = decode_and_score(t, groups[t].iloc[np.flatnonzero(keep)])
     else:
@@ -415,22 +464,128 @@ def _count_shard(
 OCCURS = ("must", "should", "filter", "must_not")
 
 
+def _blocks_with_candidates(lo: np.ndarray, hi: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Mask of blocks whose [min_doc, max_doc] contains >= 1 candidate
+    docID (cand SORTED unique). EXACT presence test per block — much
+    tighter than a global [cand.min(), cand.max()] range check when
+    candidates are sparse (a selective filter beside head terms)."""
+    if cand.size == 0:
+        return np.zeros(lo.size, dtype=bool)
+    i = np.searchsorted(cand, lo, side="left")
+    ok = i < cand.size
+    out = np.zeros(lo.size, dtype=bool)
+    out[ok] = cand[i[ok]] <= hi[ok]
+    return out
+
+
+class _RangeMax:
+    """O(1) range-maximum queries after an O(n log n) sparse-table
+    build — vectorized over query batches. Used to localize the WAND
+    bound PER BLOCK RANGE: the bound adds the max ub among the other
+    clause's blocks that overlap THIS block's docID range, not the
+    clause-global max (which one high-impact block anywhere in the
+    docID space would inflate, killing pruning for every block)."""
+
+    def __init__(self, vals: np.ndarray):
+        self.levels = [vals]
+        n = vals.size
+        k = 1
+        while (1 << k) <= n:
+            p = self.levels[k - 1]
+            half = 1 << (k - 1)
+            m = n - (1 << k) + 1
+            self.levels.append(np.maximum(p[:m], p[half : half + m]))
+            k += 1
+
+    def query(self, j0: np.ndarray, j1: np.ndarray) -> np.ndarray:
+        """max over [j0, j1) per element; empty ranges -> 0."""
+        out = np.zeros(j0.size, dtype=np.float64)
+        ln = j1 - j0
+        valid = np.flatnonzero(ln > 0)
+        if valid.size == 0:
+            return out
+        ks = np.log2(ln[valid]).astype(np.int64)  # floor(log2), ln >= 1
+        res = np.empty(valid.size, dtype=np.float64)
+        for kk in np.unique(ks):
+            mk = ks == kk
+            lev = self.levels[kk]
+            a = j0[valid][mk]
+            b = j1[valid][mk] - (1 << int(kk))
+            res[mk] = np.maximum(lev[a], lev[b])
+        out[valid] = res
+        return out
+
+
+def _sorted_block_index(lo: np.ndarray, hi: np.ndarray, ubs: np.ndarray) -> dict:
+    """Overlap index for one clause's blocks: sorted min_doc + running
+    max of max_doc (ranges may interleave across segments) + a range-
+    max table over the sorted ubs. The [j0, j1) window derived from
+    (cummax_hi >= lo_b, lo <= hi_b) is a SUPERSET of the truly
+    overlapping blocks when ranges interleave, so the queried max is
+    conservative — safe, exact in the common disjoint-range case."""
+    o = np.argsort(lo, kind="mergesort")
+    return {
+        "lo": lo[o],
+        "cummax_hi": np.maximum.accumulate(hi[o]),
+        "rmq": _RangeMax(ubs[o].astype(np.float64)),
+    }
+
+
+def _overlap_bound(lo_b: np.ndarray, hi_b: np.ndarray, others: list[dict]) -> np.ndarray:
+    """Localized WAND bound contribution: for each block [lo_b, hi_b],
+    the sum over OTHER scoring clauses of the max ub among that
+    clause's OVERLAPPING blocks (range-max, not clause-global max).
+    A global other-clause bound can never prune (theta is seeded from
+    partial scores <= that bound); a clause-global mub still can't
+    prune head-x-head queries where every clause overlaps everywhere —
+    the range-max makes the bound track the LOCAL score landscape."""
+    add = np.zeros(lo_b.size, dtype=np.float64)
+    for idx in others:
+        j1 = np.searchsorted(idx["lo"], hi_b, side="right")
+        j0 = np.searchsorted(idx["cummax_hi"], lo_b, side="left")
+        add += idx["rmq"].query(np.minimum(j0, j1), j1)
+    return add
+
+
 def _score_shard_boolean(
     by_field: dict[str, dict[str, pd.DataFrame]],
     spec: dict,
     deleted: np.ndarray | None,
     allowed: np.ndarray | None,
+    stats_out: dict | None = None,
 ) -> pd.DataFrame:
     """Mixed-occur Boolean evaluation for one shard (BooleanQuery).
 
     spec: {"must"/"should"/"filter"/"must_not": [(field, term, w32,
-    avgdl)], "k": int, "msm": int}. Scoring clauses are must+should;
+    avgdl)], "k": int, "msm": int, "after": (score, doc) | None,
+    "dismax_tie": float | None}. Scoring clauses are must+should
+    (w32 already folds any per-clause boost, Lucene BoostQuery);
     filter/must_not gate membership without contributing score.
     A doc's postings for every field live in ONE shard (shard =
-    doc % n_shards), so per-shard evaluation is exact."""
+    doc % n_shards), so per-shard evaluation is exact.
+
+    Block-max pruning (msm-aware, the boolean analogue of the
+    single-field WAND path):
+    - a doc with >= m_eff should-hits must hit one of the
+      (n_should - m_eff + 1) RAREST should clauses — so the remaining
+      (m_eff - 1) head clauses decode only blocks that CONTAIN a
+      candidate (exact restriction, _blocks_with_candidates);
+    - theta = k-th best combined partial score among docs PROVEN
+      qualified so far (all musts matched via cand + should-hits >=
+      m_eff; partial sums lower-bound finals by monotonicity — for
+      dismax, max + tie*(sum-max) is monotone in added clauses for
+      tie <= 1); a block is skipped iff ub(b) + sum of OTHER scoring
+      clauses' overlapping max-ubs < theta. A pruned block's docs have
+      true total < theta <= true k-th qualified score, so neither
+      their (undercounted) score nor their (undercounted) hit count
+      can change the top-k. searchAfter cursors disable theta (no
+      safe pre-summation bound for a final-score cut), never the
+      exact candidate restriction."""
     if allowed is not None and allowed.size == 0:
         return _EMPTY
     k, msm = spec["k"], spec["msm"]
+    after = spec.get("after")
+    tie = spec.get("dismax_tie")
 
     def rows_of(f: str, t: str) -> pd.DataFrame | None:
         return by_field.get(f, {}).get(t)
@@ -452,78 +607,257 @@ def _score_shard_boolean(
             d = d[~_sorted_probe(excluded, d)]
         return d
 
-    # candidate narrowing: allowed ∩ filters ∩ musts (rare-first)
+    # candidate narrowing: (allowed - excluded) ∩ filters ∩ musts.
+    # allowed-origin candidates must drop deletes/must_not matches here
+    # (a numeric-range-only query on an index with tombstones must not
+    # return deleted docs) — the filter path excludes inside live_docs.
     cand = allowed  # sorted unique or None
+    if cand is not None and excluded is not None and cand.size:
+        cand = cand[~_sorted_probe(excluded, cand)]
     for f, t, _, _ in spec["filter"]:
         d = live_docs(f, t)
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if cand.size == 0:
             return _EMPTY
 
-    def decode_scored(f, t, w, avgdl, restrict):
+    # per-scoring-clause block metadata: ub per block (w32 includes
+    # boost; tf_norm is max at (max_tf, min_dlq)) + overlap index
+    scoring = list(spec["must"]) + list(spec["should"])
+    n_must = len(spec["must"])
+    meta: list[dict | None] = []
+    for f, t, w, avgdl in scoring:
         rows = rows_of(f, t)
         if rows is None:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        if restrict is not None and restrict.size:
-            keep = (rows["max_doc"].to_numpy() >= restrict[0]) & (
-                rows["min_doc"].to_numpy() <= restrict[-1]
+            meta.append(None)
+            continue
+        lo = rows["min_doc"].to_numpy(np.int64)
+        hi = rows["max_doc"].to_numpy(np.int64)
+        ubs = (
+            np.float32(w)
+            * bm25.tf_norm(
+                rows["max_tf"].to_numpy(np.int64), rows["min_dlq"].to_numpy(np.int64), avgdl
             )
-            rows = rows.iloc[np.flatnonzero(keep)]
+        ).astype(np.float64)
+        meta.append({"rows": rows, "lo": lo, "hi": hi, "ubs": ubs, "oidx": None})
+        if stats_out is not None:
+            stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + len(rows)
+
+    decoded: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(scoring)
+
+    def _oidx(j: int) -> dict:
+        m = meta[j]
+        if m["oidx"] is None:  # built lazily, only once pruning fires
+            m["oidx"] = _sorted_block_index(m["lo"], m["hi"], m["ubs"])
+        return m["oidx"]
+
+    def _ub_with_overlap(ci: int) -> np.ndarray:
+        m = meta[ci]
+        others = [_oidx(j) for j in range(len(meta)) if j != ci and meta[j] is not None]
+        return m["ubs"] + _overlap_bound(m["lo"], m["hi"], others)
+
+    def _decode_rows(ci: int, rows: pd.DataFrame, restrict: np.ndarray | None):
+        if stats_out is not None:
+            stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + len(rows)
         d, tf, dlq = _decode_block_rows(rows)
         if excluded is not None and excluded.size and d.size:
             live = ~_sorted_probe(excluded, d)
             d, tf, dlq = d[live], tf[live], dlq[live]
         if restrict is not None and d.size:
-            m = _sorted_probe(restrict, d)
-            d, tf, dlq = d[m], tf[m], dlq[m]
+            mm = _sorted_probe(restrict, d)
+            d, tf, dlq = d[mm], tf[mm], dlq[mm]
+        _, _, w, avgdl = scoring[ci]
         s = (w * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
         return d, s
 
-    must_data = []
-    for f, t, w, avgdl in spec["must"]:
-        d, s = decode_scored(f, t, w, avgdl, cand)
-        must_data.append((d, s))
+    def decode_clause(ci: int, restrict: np.ndarray | None, theta: float) -> tuple[np.ndarray, np.ndarray]:
+        m = meta[ci]
+        if m is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        rows = m["rows"]
+        keep = np.ones(len(rows), dtype=bool)
+        if restrict is not None:
+            keep &= _blocks_with_candidates(m["lo"], m["hi"], restrict)
+        if theta > 0.0:
+            keep &= _ub_with_overlap(ci) >= theta
+        if not keep.all():
+            rows = rows.iloc[np.flatnonzero(keep)]
+        return _decode_rows(ci, rows, restrict)
+
+    def decode_clause_chunked(ci: int, restrict: np.ndarray | None, theta_fn) -> tuple[np.ndarray, np.ndarray]:
+        """Chunked should-clause decode with theta REFRESH: blocks are
+        decoded in geometrically growing chunks; after each chunk the
+        k-th-qualified bound is recomputed (newly proven-qualified docs
+        raise it) and the remaining blocks are re-filtered. This is
+        what makes head-term msm>=2 queries prune: theta does not exist
+        before the second clause starts, but it exists after that
+        clause's FIRST chunk — the rest of the clause (and all later
+        clauses) decode only blocks whose ub + overlapping other-clause
+        ubs clear the bound."""
+        m = meta[ci]
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        if m is None:
+            return empty
+        keep = np.ones(len(m["rows"]), dtype=bool)
+        if restrict is not None:
+            keep &= _blocks_with_candidates(m["lo"], m["hi"], restrict)
+        theta = theta_fn()
+        bound: np.ndarray | None = None
+        if theta > 0.0:
+            bound = _ub_with_overlap(ci)
+            keep &= bound >= theta
+        idxs = np.flatnonzero(keep)
+        parts_d: list[np.ndarray] = []
+        parts_s: list[np.ndarray] = []
+        pos, chunk = 0, 8
+        while pos < idxs.size:
+            take = idxs[pos : pos + chunk]
+            d, s = _decode_rows(ci, m["rows"].iloc[take], restrict)
+            parts_d.append(d)
+            parts_s.append(s)
+            pos += take.size
+            if pos >= idxs.size:
+                break
+            # partial result visible to the bound computation
+            decoded[ci] = (np.concatenate(parts_d), np.concatenate(parts_s))
+            new_theta = theta_fn()
+            if new_theta > theta:
+                theta = new_theta
+                if bound is None:
+                    bound = _ub_with_overlap(ci)
+                rest = idxs[pos:]
+                idxs = np.concatenate([idxs[:pos], rest[bound[rest] >= theta]])
+            chunk *= 2
+        if not parts_d:
+            return empty
+        return np.concatenate(parts_d), np.concatenate(parts_s)
+
+    def combine64(acc: np.ndarray, mx: np.ndarray) -> np.ndarray:
+        if tie is not None:
+            return mx + float(tie) * (acc - mx)
+        return acc
+
+    def current_theta(m_eff: int, must_done: bool) -> float:
+        """k-th best combined partial among docs proven qualified so
+        far; partials lower-bound finals (monotone combine), so this
+        theta is a safe bound floor. 0.0 with a searchAfter cursor."""
+        if after is not None or not must_done:
+            return 0.0
+        parts = [(d, s, i >= n_must) for i, (d, s) in enumerate(
+            (dc if dc is not None else (None, None)) for dc in decoded) if d is not None]
+        if not parts:
+            return 0.0
+        all_docs = np.concatenate([d for d, _, _ in parts])
+        if all_docs.size == 0:
+            return 0.0
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        mx = np.zeros(uniq.size, dtype=np.float64)
+        shits = np.zeros(uniq.size, dtype=np.int64)
+        off = 0
+        for d, s, is_should in parts:
+            idx = inv[off : off + d.size]
+            s64 = s.astype(np.float64)
+            acc[idx] += s64
+            if tie is not None:
+                np.maximum.at(mx, idx, s64)
+            if is_should:
+                shits[idx] += 1
+            off += d.size
+        if cand is not None:
+            ok = _sorted_probe(cand, uniq) & (shits >= m_eff)
+        else:
+            ok = shits >= m_eff
+        vals = combine64(acc, mx)[ok]
+        if vals.size < k:
+            return 0.0
+        return float(np.partition(vals, vals.size - k)[vals.size - k])
+
+    # --- musts: rarest-first intersection chain (restricted decode) ---
+    must_order = sorted(range(n_must), key=lambda i: -scoring[i][2])  # w desc = df asc
+    for ci in must_order:
+        d, s = decode_clause(ci, cand, 0.0)
+        decoded[ci] = (d, s)
         du = np.sort(d)
         cand = du if cand is None else np.intersect1d(cand, du, assume_unique=True)
         if cand.size == 0:
             return _EMPTY
 
-    should_data = [
-        decode_scored(f, t, w, avgdl, cand) for f, t, w, avgdl in spec["should"]
-    ]
+    # --- shoulds: mandatory (rarest n_s - m_eff + 1) then theta-pruned heads ---
+    n_s = len(spec["should"])
+    constrained = cand is not None
+    m_eff = msm if constrained else max(msm, 1)
+    should_idx = sorted(range(n_must, len(scoring)), key=lambda i: -scoring[i][2])
+    if m_eff >= 1:
+        n_mand = max(n_s - m_eff + 1, 0)
+    else:
+        n_mand = 0  # every candidate qualifies; all shoulds are theta-prunable
+    mandatory, heads = should_idx[:n_mand], should_idx[n_mand:]
+    theta_fn = lambda: current_theta(m_eff, must_done=True)  # noqa: E731
+    for ci in mandatory:
+        decoded[ci] = decode_clause_chunked(ci, cand, theta_fn)
+    # heads restrict to docs that can still qualify: with m_eff >= 1 a
+    # qualifying doc must hit >= 1 mandatory should (it cannot reach
+    # m_eff hits from the m_eff - 1 heads alone)
+    if m_eff >= 1 and n_s:
+        hit_parts = [decoded[ci][0] for ci in mandatory if decoded[ci] is not None]
+        hit_docs = (
+            np.unique(np.concatenate(hit_parts)) if hit_parts else np.empty(0, dtype=np.int64)
+        )
+        head_restrict = (
+            np.intersect1d(cand, hit_docs, assume_unique=True) if constrained else hit_docs
+        )
+    else:
+        head_restrict = cand
+    for ci in heads:
+        decoded[ci] = decode_clause_chunked(ci, head_restrict, theta_fn)
 
-    if cand is not None:
+    # --- final aggregation ---
+    if constrained:
         acc = np.zeros(cand.size, dtype=np.float64)
+        mx = np.zeros(cand.size, dtype=np.float64)
         should_hits = np.zeros(cand.size, dtype=np.int64)
-        for d, s in must_data:
+        for i, dc in enumerate(decoded):
+            if dc is None:
+                continue
+            d, s = dc
             m = _sorted_probe(cand, d)
             pos = np.searchsorted(cand, d[m])
-            acc[pos] += s[m].astype(np.float64)
-        for d, s in should_data:
-            pos = np.searchsorted(cand, d)  # already restricted to cand
-            acc[pos] += s.astype(np.float64)
-            should_hits[pos] += 1
+            s64 = s[m].astype(np.float64)
+            acc[pos] += s64
+            if tie is not None:
+                np.maximum.at(mx, pos, s64)
+            if i >= n_must:
+                should_hits[pos] += 1
         sel = should_hits >= msm
-        uniq, total = cand[sel], acc[sel]
+        uniq, total = cand[sel], combine64(acc, mx)[sel]
     else:
         # pure-should disjunction (+ minimum_should_match)
-        if not should_data:
+        parts = [dc for dc in decoded[n_must:] if dc is not None]
+        if not parts:
             return _EMPTY
-        all_docs = np.concatenate([d for d, _ in should_data])
+        all_docs = np.concatenate([d for d, _ in parts])
         if all_docs.size == 0:
             return _EMPTY
         uniq, inv = np.unique(all_docs, return_inverse=True)
         acc = np.zeros(uniq.size, dtype=np.float64)
+        mx = np.zeros(uniq.size, dtype=np.float64)
         hits = np.zeros(uniq.size, dtype=np.int64)
         off = 0
-        for d, s in should_data:
+        for d, s in parts:
             idx = inv[off : off + d.size]
-            acc[idx] += s.astype(np.float64)
+            s64 = s.astype(np.float64)
+            acc[idx] += s64
+            if tie is not None:
+                np.maximum.at(mx, idx, s64)
             hits[idx] += 1
             off += d.size
-        sel = hits >= max(msm, 1)
-        uniq, total = uniq[sel], acc[sel]
+        sel = hits >= m_eff
+        uniq, total = uniq[sel], combine64(acc, mx)[sel]
     score32 = total.astype(np.float32)
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), int(after[1])
+        keep = (score32 < a_s) | ((score32 == a_s) & (uniq > a_d))
+        uniq, score32 = uniq[keep], score32[keep]
     if uniq.size > k:
         idx = np.lexsort((uniq, -score32))[:k]
         uniq, score32 = uniq[idx], score32[idx]
@@ -543,12 +877,24 @@ class Searcher:
         self._postings = spark.read.parquet(
             *self.manifest.segment_paths(root, "postings")
         )
-        self._td_files: list[str] = []
-        for p in self.manifest.segment_paths(root, "termdict"):
-            self._td_files.extend(
-                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
-            )
+        self._seek_count = 0  # driver-side termdict scans issued (observability)
+        self._td_files = self._table_files("termdict")
         self._deleted_cache: np.ndarray | None = None
+
+    def _table_files(self, table: str) -> list[str]:
+        """Parquet data files of one table across segments, from the
+        MANIFEST's per-table file lists (recorded at commit) — no
+        directory listing, so the Searcher works against object stores
+        where LIST is slow/eventually-consistent. Falls back to
+        os.listdir only for legacy manifests that predate file lists."""
+        out: list[str] = []
+        for s in self.manifest.segments:
+            base = os.path.join(self.root, s.path, table)
+            names = (s.files or {}).get(table)
+            if names is None:  # legacy manifest
+                names = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+            out.extend(os.path.join(base, n) for n in names)
+        return out
 
     # ---------------------------------------------------------- side inputs
     @property
@@ -655,33 +1001,57 @@ class Searcher:
         )
 
     # ------------------------------------------------------------- term seek
-    def term_stats(self, terms: Iterable[str], field: str = "text") -> dict[str, tuple[int, int]]:
-        """(field, term) -> (df, ttf) across segments. Driver-side
-        pyarrow scan with predicate pushdown — the term-dictionary seek
-        (L11); the termdict is orders of magnitude smaller than
-        postings and this avoids a Spark job per query. (On a cluster
-        the same files are on shared storage; pyarrow reads them
-        equally well.)"""
-        terms = list(terms)
-        if not terms:
+    def term_stats_multi(
+        self, fields_terms: dict[str, Iterable[str]]
+    ) -> dict[tuple[str, str], tuple[int, int]]:
+        """(field, term) -> (df, ttf) across segments for MANY fields/
+        terms in ONE driver-side pyarrow scan with predicate pushdown —
+        the term-dictionary seek (L11). The termdict is orders of
+        magnitude smaller than postings and this avoids a Spark job per
+        query; batch surfaces (search_batch / search_boolean_batch)
+        route through here so a 50-query batch issues ONE seek, not 50.
+        (On a cluster the same files are on shared storage; pyarrow
+        reads them equally well.)"""
+        legs = None
+        for f, ts in fields_terms.items():
+            ts = sorted(set(ts))
+            if not ts:
+                continue
+            leg = (pads.field("field") == f) & pads.field("term").isin(ts)
+            legs = leg if legs is None else (legs | leg)
+        if legs is None:
             return {}
         dset = pads.dataset(self._td_files, format="parquet")
-        flt = pads.field("term").isin(terms) & (pads.field("field") == field)
-        tbl = dset.to_table(filter=flt)
+        self._seek_count += 1
+        tbl = dset.to_table(filter=legs)
         if tbl.num_rows == 0:
             return {}
-        pdf = tbl.to_pandas().groupby("term", sort=False)[["df", "ttf"]].sum()
-        return {t: (int(r["df"]), int(r["ttf"])) for t, r in pdf.iterrows()}
+        pdf = tbl.to_pandas().groupby(["field", "term"], sort=False)[["df", "ttf"]].sum()
+        return {
+            (f, t): (int(r["df"]), int(r["ttf"])) for (f, t), r in pdf.iterrows()
+        }
 
-    def _prep(self, terms: list[str], mode: str, field: str = "text"):
+    def term_stats(self, terms: Iterable[str], field: str = "text") -> dict[str, tuple[int, int]]:
+        """Single-field convenience wrapper over term_stats_multi."""
+        multi = self.term_stats_multi({field: list(terms)})
+        return {t: st for (_, t), st in multi.items()}
+
+    def _prep(
+        self,
+        terms: list[str],
+        mode: str,
+        field: str = "text",
+        stats: dict[tuple[str, str], tuple[int, int]] | None = None,
+    ):
         uniq = sorted(set(terms))
-        stats = self.term_stats(uniq, field=field)
-        present = [t for t in uniq if t in stats]
+        if stats is None:
+            stats = self.term_stats_multi({field: uniq})
+        present = [t for t in uniq if (field, t) in stats]
         if not present or (mode in ("and", "phrase") and len(present) < len(uniq)):
             return None
         if mode == "phrase" and not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; phrase queries unavailable")
-        return uniq, {t: stats[t][0] for t in present}
+        return uniq, {t: stats[(field, t)][0] for t in present}
 
     # ----------------------------------------------------------------- search
     def search(
@@ -746,6 +1116,7 @@ class Searcher:
         fuzzy: str | None = None,
         max_edits: int = 2,
         max_expansions: int = 50,
+        transpositions: bool = False,
     ) -> list[str]:
         """MultiTermQuery expansion (Lucene PrefixQuery / FuzzyQuery
         term enumeration) as a DISTRIBUTED termdict job: startsWith
@@ -754,19 +1125,29 @@ class Searcher:
         dictionary expands fine. Selection = top `max_expansions` by
         (df desc, term asc), Lucene's top-terms rewrite cap.
 
-        Note: edit distance is classic Levenshtein (Spark/DuckDB
-        built-in), NOT Lucene's Damerau variant — transpositions count
-        as 2 edits here; documented divergence."""
+        transpositions=False: classic Levenshtein (Spark/DuckDB
+        built-in; a transposition costs 2 edits).
+        transpositions=True: Damerau-Levenshtein, matching Lucene
+        FuzzyQuery's default (a transposition costs 1 edit) — the
+        cheap JVM prefilter (length window + levenshtein <= 2*max_edits,
+        valid because lev <= 2*damerau) narrows the vocabulary first,
+        then an Arrow-batched pandas UDF computes the exact unrestricted
+        Damerau distance on the surviving sliver (identical to DuckDB's
+        damerau_levenshtein, so the oracle twin is exact)."""
         td = self.spark.read.parquet(
             *self.manifest.segment_paths(self.root, "termdict")
         ).filter(F.col("field") == field)
         if prefix is not None:
             td = td.filter(F.col("term").startswith(prefix))
         if fuzzy is not None:
+            lev_cap = 2 * max_edits if transpositions else max_edits
             td = td.filter(
                 F.length("term").between(len(fuzzy) - max_edits, len(fuzzy) + max_edits)
-                & (F.levenshtein(F.col("term"), F.lit(fuzzy)) <= max_edits)
+                & (F.levenshtein(F.col("term"), F.lit(fuzzy)) <= lev_cap)
             )
+            if transpositions:
+                dmr = _damerau_udf(fuzzy)
+                td = td.filter(dmr(F.col("term")) <= F.lit(max_edits))
         rows = (
             td.groupBy("term")
             .agg(F.sum("df").alias("df"))
@@ -794,12 +1175,16 @@ class Searcher:
         field: str = "text",
         max_edits: int = 2,
         max_expansions: int = 50,
+        transpositions: bool = False,
         **kw,
     ) -> DataFrame:
         """FuzzyQuery under SCORING_BOOLEAN_REWRITE (edit distance
-        <= max_edits, exact term included at distance 0)."""
+        <= max_edits, exact term included at distance 0).
+        transpositions=True matches Lucene FuzzyQuery's default
+        Damerau-Levenshtein (a transposition = 1 edit)."""
         terms = self.expand_terms(
-            field, fuzzy=term, max_edits=max_edits, max_expansions=max_expansions
+            field, fuzzy=term, max_edits=max_edits, max_expansions=max_expansions,
+            transpositions=transpositions,
         )
         if not terms:
             return self.spark.createDataFrame([], HIT_SCHEMA)
@@ -812,32 +1197,48 @@ class Searcher:
         min_should_match: int | None = None,
         numeric: list[dict] | None = None,
         allowed_docs: DataFrame | None = None,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
     ) -> DataFrame:
         """Composable BooleanQuery (the reference's combined surface):
-        clauses = [{field, term, occur}] with occur in must | should |
-        filter | must_not, mixed freely across text and keyword fields,
-        plus numeric doc-values ranges — all evaluated in ONE query,
-        scores = float64 sum of the float32 per-clause BM25 scores of
-        matched must+should clauses (filter/must_not score nothing).
+        clauses = [{field, term, occur, boost?}] with occur in must |
+        should | filter | must_not, mixed freely across text and
+        keyword fields, plus numeric doc-values ranges — all evaluated
+        in ONE query, scores = float64 sum of the float32 per-clause
+        BM25 scores of matched must+should clauses (filter/must_not
+        score nothing). boost multiplies the clause's float32 weight
+        before scoring (Lucene BoostQuery: weight = boost * idf, float
+        arithmetic).
 
         min_should_match: default Lucene semantics — 0 when any
-        must/filter/numeric constraint exists, else 1."""
+        must/filter/numeric constraint exists, else 1.
+        after: searchAfter cursor (score, doc) — next k strictly after
+        it in (score desc, doc asc); disables theta pruning (kernel
+        docstring), never the exact candidate restriction.
+        dismax_tie: combine scoring clauses as DisjunctionMaxQuery
+        (max + tie * (sum - max), 0 <= tie <= 1) instead of the sum."""
+        if dismax_tie is not None and not (0.0 <= dismax_tie <= 1.0):
+            raise ValueError("dismax_tie must be in [0, 1]")
         norm: dict[str, list] = {o: [] for o in OCCURS}
+        boosts: dict[tuple[str, str, str], float] = {}
         for c in clauses:
             occ = c.get("occur", "should")
             if occ not in OCCURS:
                 raise ValueError(f"unknown occur {occ!r}")
-            norm[occ].append((c.get("field", "text"), c["term"]))
+            f = c.get("field", "text")
+            norm[occ].append((f, c["term"]))
+            b = float(c.get("boost", 1.0))
+            if b != 1.0:
+                boosts[(occ, f, c["term"])] = b
         has_constraint = bool(
             norm["must"] or norm["filter"] or numeric or allowed_docs is not None
         )
         msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
         # pure-disjunction special case: a SHOULD-only single-field
-        # query with msm<=1 IS the or-mode query — route it through the
-        # block-max WAND kernel (the boolean kernel cannot prune, the
-        # or kernel prunes ~97% of head-term blocks)
-        if not has_constraint and msm <= 1 and norm["should"]:
+        # query with msm<=1 and no boosts IS the or-mode query — route
+        # it through the single-field block-max WAND kernel
+        if not has_constraint and msm <= 1 and norm["should"] and not boosts:
             fields = {f for f, _ in norm["should"]}
             if len(fields) == 1:
                 fld = next(iter(fields))
@@ -845,20 +1246,17 @@ class Searcher:
                 if len(nts) == len(norm["must_not"]):
                     return self.search(
                         [t for _, t in norm["should"]], k, mode="or", field=fld,
-                        not_terms=nts or None,
+                        not_terms=nts or None, after=after, dismax_tie=dismax_tie,
                     )
 
-        # per-field term stats (driver-side termdict seeks)
+        # per-field term stats (driver-side termdict seeks, one scan)
         by_field_terms: dict[str, set[str]] = {}
         for occ in OCCURS:
             for f, t in norm[occ]:
                 by_field_terms.setdefault(f, set()).add(t)
-        stats: dict[tuple[str, str], tuple[int, int]] = {}
-        for f, ts in by_field_terms.items():
-            for t, st in self.term_stats(sorted(ts), field=f).items():
-                stats[(f, t)] = st
+        stats = self.term_stats_multi(by_field_terms)
 
-        def scored(entries):
+        def scored(occ, entries):
             out = []
             for f, t in entries:
                 st = stats.get((f, t))
@@ -866,23 +1264,26 @@ class Searcher:
                     out.append(None)
                     continue
                 w = np.float32(bm25.idf(float(st[0]), self.manifest.n_docs_for(f)))
+                b = boosts.get((occ, f, t))
+                if b is not None:
+                    w = np.float32(np.float32(b) * w)  # BoostQuery: float mult
                 out.append((f, t, w, self.manifest.avgdl_for(f)))
             return out
 
-        must = scored(norm["must"])
+        must = scored("must", norm["must"])
         if any(m is None for m in must):  # a must term absent from the corpus
             return self.spark.createDataFrame([], HIT_SCHEMA)
-        filters = [s for s in scored(norm["filter"]) if s is not None]
+        filters = [s for s in scored("filter", norm["filter"]) if s is not None]
         if len(filters) < len(norm["filter"]):  # a filter term absent
             return self.spark.createDataFrame([], HIT_SCHEMA)
-        should = [s for s in scored(norm["should"]) if s is not None]
+        should = [s for s in scored("should", norm["should"]) if s is not None]
         mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
         if msm > len(should):
             return self.spark.createDataFrame([], HIT_SCHEMA)
         if not must and not filters and not should and numeric is None and allowed_docs is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         spec = {"must": must, "should": should, "filter": filters, "must_not": mnot,
-                "k": int(k), "msm": int(msm)}
+                "k": int(k), "msm": int(msm), "after": after, "dismax_tie": dismax_tie}
         aux, allow_kinds = self._aux_frames(numeric, allowed_docs)
 
         def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
@@ -910,8 +1311,9 @@ class Searcher:
         min_should_match?}]. Numeric/allowed_docs filters are
         per-snapshot, not per-query — use search_boolean for those.
         Returns (query_id, doc, score), per-query top-k ordered."""
-        specs = []
-        fields_terms: dict[str, set[str]] = {}
+        # ONE driver-side termdict seek for the whole batch
+        norms = []
+        need_all: dict[str, set[str]] = {}
         for q in queries:
             norm: dict[str, list] = {o: [] for o in OCCURS}
             for c in q["clauses"]:
@@ -919,17 +1321,15 @@ class Searcher:
                 if occ not in OCCURS:
                     raise ValueError(f"unknown occur {occ!r}")
                 norm[occ].append((c.get("field", "text"), c["term"]))
+                need_all.setdefault(c.get("field", "text"), set()).add(c["term"])
+            norms.append(norm)
+        stats = self.term_stats_multi(need_all)
+        specs = []
+        fields_terms: dict[str, set[str]] = {}
+        for q, norm in zip(queries, norms):
             has_constraint = bool(norm["must"] or norm["filter"])
             msm = q.get("min_should_match")
             msm = msm if msm is not None else (0 if has_constraint else 1)
-            need: dict[str, set[str]] = {}
-            for occ in OCCURS:
-                for f, t in norm[occ]:
-                    need.setdefault(f, set()).add(t)
-            stats: dict[tuple[str, str], tuple[int, int]] = {}
-            for f, ts in need.items():
-                for t, st in self.term_stats(sorted(ts), field=f).items():
-                    stats[(f, t)] = st
 
             def scored(entries):
                 out = []
@@ -957,8 +1357,10 @@ class Searcher:
                 {"query_id": q["query_id"], "must": must, "should": should,
                  "filter": filters, "must_not": mnot, "k": int(q["k"]), "msm": int(msm)}
             )
-            for (f, t), _ in stats.items():
-                fields_terms.setdefault(f, set()).add(t)
+            for occ in OCCURS:
+                for f, t in norm[occ]:
+                    if (f, t) in stats:
+                        fields_terms.setdefault(f, set()).add(t)
         if not specs:
             return self.spark.createDataFrame([], BATCH_HIT_SCHEMA)
         aux, _ = self._aux_frames()
@@ -1001,12 +1403,19 @@ class Searcher:
         """Evaluate many queries in one job. queries: [{query_id, terms,
         k, mode}]. Returns (query_id, doc, score) with per-query top-k,
         ordered within each query by (score desc, doc asc)."""
+        # ONE driver-side termdict seek for the whole batch
+        need_all: dict[str, set[str]] = {}
+        for q in queries:
+            fld = q.get("field", "text")
+            need_all.setdefault(fld, set()).update(q["terms"])
+            need_all[fld].update(q.get("not_terms") or [])
+        all_stats = self.term_stats_multi(need_all)
         specs = []
         fields_terms: dict[str, set[str]] = {}
         for q in queries:
             mode = q.get("mode", "or")
             field = q.get("field", "text")
-            prep = self._prep(list(q["terms"]), mode, field)
+            prep = self._prep(list(q["terms"]), mode, field, stats=all_stats)
             if prep is None:
                 continue
             _, term_df = prep
@@ -1111,6 +1520,12 @@ class Searcher:
         the LOWERCASED text (identical to the original for ASCII)."""
         if not self.manifest.properties.get("store_offsets", False):
             raise ValueError("index built without store_offsets; rebuild with store_offsets=True")
+        if field in self.manifest.properties.get("keyword_fields", []):
+            raise ValueError(
+                f"offsets are not stored for keyword field {field!r} "
+                "(keyword postings carry no character offsets; only analyzed "
+                "text fields do)"
+            )
         scan = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(list(set(terms)))
         )
@@ -1121,6 +1536,11 @@ class Searcher:
                     continue
                 outs = []
                 for _, r in pdf.iterrows():
+                    if not r["offsets"]:
+                        raise ValueError(
+                            f"no offsets stored for field/term {r['field']!r}/"
+                            f"{r['term']!r} (keyword-field postings carry none)"
+                        )
                     d = codec.decode_doc_block(r["docs"])
                     tf = codec.decode_tf_block(r["tfs"])
                     pos, _ = codec.decode_positions_block(r["positions"], tf)
@@ -1150,10 +1570,7 @@ class Searcher:
         return scan.mapInPandas(dec, schema=schema)
 
     def _local_blocks(self, fields_terms: dict[str, list[str]]) -> pd.DataFrame:
-        files = []
-        for p in self.manifest.segment_paths(self.root, "postings"):
-            files.extend(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
-        dset = pads.dataset(files, format="parquet")
+        dset = pads.dataset(self._table_files("postings"), format="parquet")
         flt = None
         for f, ts in fields_terms.items():
             leg = (pads.field("field") == f) & pads.field("term").isin(ts)
@@ -1224,6 +1641,75 @@ class Searcher:
         stats["blocks_pruned"] = stats["blocks_total"] - stats["blocks_decoded"]
         stats["hits"] = hits_n
         return stats
+
+    def profile_boolean_local(
+        self,
+        clauses: list[dict],
+        k: int,
+        min_should_match: int | None = None,
+        dismax_tie: float | None = None,
+    ) -> dict:
+        """Driver-local run of the composable boolean kernel with
+        pruning counters: candidate blocks vs blocks actually decoded —
+        the observable footprint of the msm-aware block-max bound and
+        the exact candidate restriction (_score_shard_boolean
+        docstring). Same spec + kernel as search_boolean, evaluated
+        per shard so theta/pruning behave exactly as distributed."""
+        norm: dict[str, list] = {o: [] for o in OCCURS}
+        boosts: dict[tuple[str, str, str], float] = {}
+        for c in clauses:
+            occ = c.get("occur", "should")
+            f = c.get("field", "text")
+            norm[occ].append((f, c["term"]))
+            b = float(c.get("boost", 1.0))
+            if b != 1.0:
+                boosts[(occ, f, c["term"])] = b
+        has_constraint = bool(norm["must"] or norm["filter"])
+        msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
+        by_field_terms: dict[str, set[str]] = {}
+        for occ in OCCURS:
+            for f, t in norm[occ]:
+                by_field_terms.setdefault(f, set()).add(t)
+        stats = self.term_stats_multi(by_field_terms)
+        empty = {"blocks_total": 0, "blocks_decoded": 0, "blocks_pruned": 0, "hits": 0}
+
+        def scored(occ, entries):
+            out = []
+            for f, t in entries:
+                st = stats.get((f, t))
+                if st is None:
+                    out.append(None)
+                    continue
+                w = np.float32(bm25.idf(float(st[0]), self.manifest.n_docs_for(f)))
+                b = boosts.get((occ, f, t))
+                if b is not None:
+                    w = np.float32(np.float32(b) * w)
+                out.append((f, t, w, self.manifest.avgdl_for(f)))
+            return out
+
+        must = scored("must", norm["must"])
+        filters = [s for s in scored("filter", norm["filter"]) if s is not None]
+        should = [s for s in scored("should", norm["should"]) if s is not None]
+        mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
+        if any(m is None for m in must) or len(filters) < len(norm["filter"]) or msm > len(should):
+            return empty
+        spec = {"must": must, "should": should, "filter": filters, "must_not": mnot,
+                "k": int(k), "msm": int(msm), "after": None, "dismax_tie": dismax_tie}
+        pdf = self._local_blocks({f: sorted(ts) for f, ts in by_field_terms.items()})
+        out: dict = {}
+        hits_n = 0
+        for _, sub in pdf.groupby("shard", sort=False):
+            by_field = {
+                f: {t: g for t, g in s2.groupby("term", sort=False)}
+                for f, s2 in sub.groupby("field", sort=False)
+            }
+            r = _score_shard_boolean(by_field, spec, self.deleted, None, out)
+            hits_n += len(r)
+        out.setdefault("blocks_total", 0)
+        out.setdefault("blocks_decoded", 0)
+        out["blocks_pruned"] = out["blocks_total"] - out["blocks_decoded"]
+        out["hits"] = hits_n
+        return out
 
     def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155).

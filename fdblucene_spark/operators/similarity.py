@@ -313,7 +313,9 @@ def build_ann_index(
     at 10^9+ vectors the non-probed cells cost zero IO)."""
     import json
 
-    from ..sources.manifest import IndexCatalog, Manifest, SegmentMeta, dir_fingerprint
+    from ..sources.manifest import (
+        IndexCatalog, Manifest, SegmentMeta, dir_fingerprint, table_file_lists,
+    )
 
     catalog = IndexCatalog(root)
     dim = len(df.select(vec_col).first()[0])
@@ -357,6 +359,7 @@ def build_ann_index(
         n_postings=int(n), doc_min=0, doc_max=int(n), bytes=seg_bytes,
         lineage=[{"op": f"ann-build-{kind}", "n_vectors": int(n)}],
         content_hash=seg_hash,
+        files=table_file_lists(seg_dir),
     )
     manifest = Manifest(
         version=version, analyzer=fmt, block_size=0, n_shards=n_buckets,

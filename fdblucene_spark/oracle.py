@@ -165,6 +165,8 @@ def boolean_search(
     min_should_match: int | None = None,
     numeric: list[dict] | None = None,
     keyword_fields: tuple[str, ...] = (),
+    after: tuple[float, int] | None = None,
+    dismax_tie: float | None = None,
 ) -> list[tuple]:
     """Naive multi-field BooleanQuery referee (Lucene semantics) for
     Searcher.search_boolean: occur in must|should|filter|must_not,
@@ -207,8 +209,30 @@ def boolean_search(
         return dict(zip(ids.tolist(), s.tolist()))
 
     norm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
+    boosts: dict[tuple[str, str, str], float] = {}
     for c in clauses:
-        norm[c.get("occur", "should")].append((c.get("field", "text"), c["term"]))
+        occ = c.get("occur", "should")
+        f = c.get("field", "text")
+        norm[occ].append((f, c["term"]))
+        if c.get("boost", 1.0) != 1.0:
+            boosts[(occ, f, c["term"])] = float(c["boost"])
+
+    def boosted(occ, f, t):
+        # BoostQuery: weight = float32(boost) * float32(idf) is folded
+        # BEFORE tf_norm (Lucene precomputes the scorer weight), so the
+        # float32 association must match the engine's kernel
+        m = matches(f, t)
+        if not m:
+            return {}
+        b = boosts.get((occ, f, t))
+        st = stats[f]
+        ids = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+        tfs = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+        w = np.float32(bm25.idf(float(len(m)), st["n_docs"]))
+        if b is not None:
+            w = np.float32(np.float32(b) * w)
+        sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
+        return dict(zip(ids.tolist(), sc.tolist()))
     has_constraint = bool(norm["must"] or norm["filter"] or numeric)
     msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
@@ -225,11 +249,11 @@ def boolean_search(
             and (lo is None or r[cl["field"]] >= lo)
             and (hi is None or r[cl["field"]] <= hi)
         }
-    must_scores = [scores_of(f, t) for f, t in norm["must"]]
+    must_scores = [boosted("must", f, t) for f, t in norm["must"]]
     if any(not m for m in must_scores):
         return []
     filter_sets = [set(matches(f, t)) for f, t in norm["filter"]]
-    should_scores = [scores_of(f, t) for f, t in norm["should"]]
+    should_scores = [boosted("should", f, t) for f, t in norm["should"]]
 
     cand = allowed - excluded
     for fs in filter_sets:
@@ -247,9 +271,19 @@ def boolean_search(
         if sh < max(msm, 0 if has_constraint else 1):
             continue
         acc = 0.0
+        mx = 0.0
         for m in must_scores + should_scores:
             if d in m:
                 acc += m[d]  # float64 sum of float32 addends
+                mx = max(mx, m[d])
+        if dismax_tie is not None:
+            acc = mx + float(dismax_tie) * (acc - mx)
         out.append((d, float(np.float32(acc))))
     out.sort(key=lambda kv: (-np.float32(kv[1]), kv[0]))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), int(after[1])
+        out = [
+            (d, s) for d, s in out
+            if (np.float32(s) < a_s) or (np.float32(s) == a_s and d > a_d)
+        ]
     return [(rows[d][key_col], s) for d, s in out[:k]]

@@ -58,6 +58,22 @@ def dir_fingerprint(path: str) -> tuple[int, str]:
     return total, h.hexdigest()[:32]
 
 
+def table_file_lists(seg_dir: str) -> dict[str, list[str]]:
+    """table -> sorted parquet data file names for one segment dir,
+    captured ONCE at commit time (the writer just produced the files,
+    so the listing is cheap and consistent) and recorded in
+    SegmentMeta.files for listing-free reads."""
+    out: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(seg_dir)):
+        sub = os.path.join(seg_dir, name)
+        if not os.path.isdir(sub) or name.startswith(("_", ".")):
+            continue
+        files = sorted(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        if files:
+            out[name] = files
+    return out
+
+
 class CommitConflict(Exception):
     """Another writer published this version first (optimistic CAS lost)."""
 
@@ -87,6 +103,12 @@ class SegmentMeta:
     # catalog-level analogue of the reference's per-file CRC32
     # (FDBIndexOutput.getChecksum, FDBIndexOutput.java:93,113-115)
     content_hash: str = ""
+    # table -> sorted parquet data file names, recorded at commit (the
+    # reference's file catalog, DATA.md file metadata keyspace): readers
+    # resolve data files from the MANIFEST, never from directory
+    # listings — object-store LIST is slow and eventually consistent.
+    # Empty for legacy manifests (readers fall back to listdir).
+    files: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return dict(self.__dict__)

@@ -438,3 +438,201 @@ def test_offsets_roundtrip_and_survive_repack(spark, tmp_path_factory):
     build_index(spark, spark.createDataFrame(rows[:3]), root2, doc_col="doc_id", n_shards=2)
     with pytest.raises(ValueError, match="store_offsets"):
         Searcher(spark, root2).offsets(["alpha"])
+
+
+# --------------------------------------------------------------- round 3
+
+
+def _small_index(spark, tmp_path_factory, name, n=160, seed=11):
+    rows = _mk_rows(n=n, seed=seed)
+    root = str(tmp_path_factory.mktemp(name) / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
+        text_fields={"text": "text"}, keyword_fields={"role": "role"},
+        stored_fields={"n_chars": "n_chars", "role": "role"},
+    )
+    return rows, root
+
+
+def test_allowed_only_candidates_exclude_deletes_and_must_not(spark, tmp_path_factory):
+    """ADVICE r2 (high): a candidate set that originates SOLELY from
+    allowed (numeric range) with msm=0 must still drop deletes and
+    MUST_NOT matches — oracle semantics: cand = allowed - excluded."""
+    rows, root = _small_index(spark, tmp_path_factory, "bexc")
+    victims = [r["doc_id"] for r in rows if r["doc_id"] % 4 == 0]
+    delete_docs(spark, root, victims)
+    s = Searcher(spark, root)
+    numeric = [{"field": "n_chars", "lo": 10, "hi": 250}]
+    cases = [
+        ([], None),                                                  # numeric-only
+        ([{"term": "alpha", "occur": "should"}], None),              # should+numeric, msm=0
+        ([{"term": "alpha", "occur": "should"},
+          {"term": "beta", "occur": "must_not"}], None),             # + must_not
+    ]
+    for i, (clauses, msm) in enumerate(cases):
+        exp = [
+            t for t in oracle.boolean_search(
+                rows, "doc_id", clauses, k=10**6, min_should_match=msm,
+                numeric=numeric, keyword_fields=("role",),
+            )
+            if t[0] % 4 != 0
+        ][:40]
+        got = [
+            (r["doc"], float(np.float32(r["score"])))
+            for r in s.search_boolean(clauses, k=40, min_should_match=msm, numeric=numeric).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], f"case {i}: rank mismatch"
+        for d, _ in got:
+            assert d % 4 != 0, f"case {i}: deleted doc {d} returned"
+
+
+def test_boolean_boosts_after_dismax_rank_identity(spark, tmp_path_factory):
+    rows, root = _small_index(spark, tmp_path_factory, "bnew", seed=13)
+    s = Searcher(spark, root)
+    # per-clause boosts (BoostQuery): boosted should-only query must
+    # NOT delegate to the single-field kernel and must match the referee
+    boosted = [
+        {"term": "alpha", "occur": "should", "boost": 2.0},
+        {"term": "beta", "occur": "should", "boost": 0.5},
+        {"term": "gamma", "occur": "should"},
+    ]
+    exp = oracle.boolean_search(rows, "doc_id", boosted, k=30, keyword_fields=("role",))
+    got = [
+        (r["doc"], float(np.float32(r["score"])))
+        for r in s.search_boolean(boosted, k=30).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_array_equal(
+        np.array([x for _, x in got], dtype=np.float32),
+        np.array([x for _, x in exp], dtype=np.float32),
+    )
+    # boost on a must + filter mix
+    mixed = [
+        {"term": "alpha", "occur": "must", "boost": 1.5},
+        {"term": "mu", "occur": "should"},
+        {"field": "role", "term": "user", "occur": "filter"},
+    ]
+    exp = oracle.boolean_search(rows, "doc_id", mixed, k=30, keyword_fields=("role",))
+    got = [(r["doc"], float(np.float32(r["score"])))
+           for r in s.search_boolean(mixed, k=30).collect()]
+    assert got == [(d, float(np.float32(x))) for d, x in exp]
+
+    # searchAfter on the composable surface: page 2 == ranks [5, 25)
+    clauses = [
+        {"term": "alpha", "occur": "should"},
+        {"term": "beta", "occur": "should"},
+        {"field": "role", "term": "assistant", "occur": "filter"},
+    ]
+    full = s.search_boolean(clauses, k=25).collect()
+    cur = (float(full[4]["score"]), int(full[4]["doc"]))
+    page2 = s.search_boolean(clauses, k=20, after=cur).collect()
+    assert [r["doc"] for r in page2] == [r["doc"] for r in full[5:25]]
+    exp_after = oracle.boolean_search(
+        rows, "doc_id", clauses, k=20, keyword_fields=("role",), after=cur
+    )
+    assert [r["doc"] for r in page2] == [d for d, _ in exp_after]
+
+    # dismax over the scoring clauses of a constrained query
+    exp_dm = oracle.boolean_search(
+        rows, "doc_id", clauses, k=30, keyword_fields=("role",), dismax_tie=0.3
+    )
+    got_dm = [(r["doc"], float(np.float32(r["score"])))
+              for r in s.search_boolean(clauses, k=30, dismax_tie=0.3).collect()]
+    assert got_dm == [(d, float(np.float32(x))) for d, x in exp_dm]
+    with pytest.raises(ValueError, match="dismax_tie"):
+        s.search_boolean(clauses, k=5, dismax_tie=1.5)
+
+
+def test_boolean_blockmax_pruning_msm2_head_terms(spark, tmp_path_factory):
+    """Judge r2 item 1 done-condition: on a head-term msm=2 query the
+    profile counter must show >50% of candidate blocks pruned, with
+    rank identity vs the referee preserved."""
+    n = 4096
+    rows = []
+    for i in range(n):
+        if i < 16:  # hot docs: tf=8 per head term, same doc length
+            text = " ".join(["h1 h2 h3"] * 8)
+        else:
+            filler = " ".join(f"f{(i + j) % 7}" for j in range(21))
+            text = f"h1 h2 h3 {filler}"
+        rows.append({"doc_id": i, "text": text})
+    root = str(tmp_path_factory.mktemp("bprune") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=1)
+    s = Searcher(spark, root)
+    clauses = [{"term": t, "occur": "should"} for t in ("h1", "h2", "h3")]
+    prof = s.profile_boolean_local(clauses, k=10, min_should_match=2)
+    assert prof["hits"] == 10
+    assert prof["blocks_total"] > 0
+    pruned_frac = prof["blocks_pruned"] / prof["blocks_total"]
+    assert pruned_frac > 0.5, f"only {pruned_frac:.0%} pruned ({prof})"
+    # pruning must not change results: distributed run vs referee
+    exp = oracle.boolean_search(rows, "doc_id", clauses, k=10, min_should_match=2)
+    got = [(r["doc"], float(np.float32(r["score"])))
+           for r in s.search_boolean(clauses, k=10, min_should_match=2).collect()]
+    assert got == [(d, float(np.float32(x))) for d, x in exp]
+
+
+def test_batch_surfaces_issue_one_termdict_seek(spark, tmp_path_factory):
+    rows, root = _small_index(spark, tmp_path_factory, "bseek", seed=17)
+    s = Searcher(spark, root)
+    assert s._seek_count == 0
+    qs = [{"query_id": f"q{i}", "terms": [WORDS[i], WORDS[i + 1]], "k": 5}
+          for i in range(10)]
+    s.search_batch(qs).collect()
+    assert s._seek_count == 1, "a 10-query batch must issue exactly one termdict seek"
+    bqs = [{"query_id": f"b{i}", "k": 5,
+            "clauses": [{"term": WORDS[i], "occur": "must"},
+                        {"term": WORDS[i + 2], "occur": "should"}]}
+           for i in range(8)]
+    s.search_boolean_batch(bqs).collect()
+    assert s._seek_count == 2, "a boolean batch must add exactly one more seek"
+
+
+def test_fuzzy_damerau_transpositions(spark, tmp_path_factory):
+    rows = [
+        {"doc_id": 0, "text": "sort things"},
+        {"doc_id": 1, "text": "sotr things"},   # transposition: damerau 1, lev 2
+        {"doc_id": 2, "text": "sorta things"},  # insert: 1 edit both ways
+        {"doc_id": 3, "text": "srot things"},   # transposition: damerau 1 (s-r-o-t? check), lev 2
+        {"doc_id": 4, "text": "xyzq things"},
+    ]
+    root = str(tmp_path_factory.mktemp("dmr") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2)
+    s = Searcher(spark, root)
+    lev1 = set(s.expand_terms(fuzzy="sort", max_edits=1))
+    dmr1 = set(s.expand_terms(fuzzy="sort", max_edits=1, transpositions=True))
+    assert "sotr" not in lev1 and "sotr" in dmr1  # 1 transposition = 1 Damerau edit
+    assert "sorta" in lev1 and "sorta" in dmr1
+    assert "xyzq" not in dmr1
+    # engine expansion == DuckDB damerau_levenshtein (the oracle twin)
+    import duckdb
+    from fdblucene_spark.operators.query import damerau_levenshtein
+    vocab = {t for r in rows for t in r["text"].split()}
+    con = duckdb.connect()
+    for t in sorted(vocab):
+        assert damerau_levenshtein("sort", t) == con.execute(
+            "select damerau_levenshtein('sort', ?)", [t]
+        ).fetchone()[0]
+    exp = {t for t in vocab if damerau_levenshtein("sort", t) <= 1}
+    assert dmr1 == exp
+    hits = {r["doc"] for r in s.search_fuzzy("sort", k=10, max_edits=1, transpositions=True).collect()}
+    assert hits == {0, 1, 2, 3}
+
+
+def test_searcher_reads_need_no_directory_listing(spark, tmp_path_factory, monkeypatch):
+    """Judge r2 item 9: the manifest records per-table file lists at
+    commit; Searcher term seeks + driver-local search must work with
+    os.listdir unavailable (object-store deployments)."""
+    rows, root = _small_index(spark, tmp_path_factory, "nolist", seed=19)
+    import os as _os
+
+    def boom(path):
+        raise AssertionError(f"os.listdir called for {path}")
+
+    with monkeypatch.context() as m:
+        m.setattr(_os, "listdir", boom)
+        s = Searcher(spark, root)
+        st = s.term_stats(["alpha", "beta"])
+        assert st["alpha"][0] > 0
+        hits = s.search_local(["alpha", "beta"], k=5)
+        assert len(hits) == 5
