@@ -62,7 +62,12 @@ ANN_QUERY_ID = 0
 ANN_K = 25
 JACCARD_T = 0.1
 
-_GATE_ROOT = "/tmp/sparklucene_gate_v3"  # bump on index format change
+_GATE_ROOT = "/tmp/sparklucene_gate_v4"  # bump on index format change
+# v4 = manifest file lists + keyword_fields property + deterministic
+# IVF sample (orderBy id) so the ANN oracles reproduce the exact model
+BOOSTS = {"dup": 2.0, "hash": 0.5}  # ft_bm25_boosted per-clause boosts
+TX_FUZZY_Q = "term00001"  # ft_fuzzy_damerau: digit transpositions = 1 edit
+ANN_NPROBE_IVF = 6
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -209,6 +214,19 @@ _NORM_CACHE_F32 = (
     "::FLOAT)::DOUBLE"
 )
 
+_IDF_F32 = "(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)"
+
+
+def _weight_sql(boosts: dict[str, float] | None) -> str:
+    """float32 per-term weight: idf, or float32(boost * idf) when the
+    term carries a BoostQuery boost (Lucene weight-precompute order)."""
+    if not boosts:
+        return _IDF_F32
+    whens = " ".join(
+        f"WHEN '{t}' THEN {b!r}::FLOAT" for t, b in sorted(boosts.items())
+    )
+    return f"((CASE tf.term {whens} ELSE 1.0::FLOAT END * {_IDF_F32})::FLOAT)"
+
 
 def _bm25_sql(
     terms: list[str],
@@ -222,13 +240,17 @@ def _bm25_sql(
     terms_sql: str | None = None,
     offset: int = 0,
     agg_expr: str = "(sum(s32::DOUBLE))::FLOAT",
+    boosts: dict[str, float] | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
     having: overrides the per-doc HAVING (boolean-occur gates).
     terms_sql: a predicate-on-`term` SQL fragment replacing the literal
     term list — the MultiTermQuery expansion twin (prefix/fuzzy); the
-    expansion is capped like the engine: top N by (df desc, term asc)."""
+    expansion is capped like the engine: top N by (df desc, term asc).
+    boosts: per-term BoostQuery weights folded as float32(boost * idf)
+    — the same association order as Lucene's precomputed scorer weight
+    and the engine's kernel."""
     if terms_sql is not None:
         term_pred = (
             "term IN (SELECT term FROM ("
@@ -284,7 +306,7 @@ tf AS (
   SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
 ), scores AS (
   SELECT tf.doc_id, tf.term,
-    ((ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
+    (({_weight_sql(boosts)})::DOUBLE *
      ((tf.tf::DOUBLE / (tf.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
     )::FLOAT AS s32
   FROM tf
@@ -298,6 +320,126 @@ tf AS (
 )
 SELECT doc_id, round(score32::DOUBLE, 3) AS score
 FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+"""
+
+
+# ------------------------------------------------------- ANN oracle twins
+# The persisted ANN indexes are fully deterministic (fixed seed, LSH
+# planes from seed, IVF centroids from a sort-by-id sample), so both
+# bucket functions are SQL-expressible with model literals:
+#   LSH bucket  = sum_j 1<<j * (dot(v, plane_j) > 0)
+#   IVF cluster = argmax_c dot(v / |v|, centroid_c)
+# Dot products that feed SIGN / ARGMAX / probe decisions are emitted as
+# explicit left-to-right `+` chains — bit-identical to the Catalyst
+# F.aggregate fold and to the engine's _seq_dot.
+# the driver compares at sf0.01; tools/gate_check.py overrides this to
+# its own sf dir so the model literals match the data under comparison
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _emb_matrix():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(_ORACLE_SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = t.to_pandas().sort_values("vec_id", ignore_index=True)
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+
+
+def _chain_dot_sql(col: str, vec) -> str:
+    """Explicit left-to-right double dot of a column list vs literals."""
+    return "(" + " + ".join(
+        f"{col}[{i + 1}]::DOUBLE * {float(v)!r}" for i, v in enumerate(vec)
+    ) + ")"
+
+
+def _lsh_bucket_sql(col: str, planes) -> str:
+    cases = " + ".join(
+        f"(CASE WHEN {_chain_dot_sql(col, pl)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, pl in enumerate(planes)
+    )
+    return f"({cases})::BIGINT"
+
+
+def _cosine_rerank_sql(dim: int, k: int) -> str:
+    """Shared exact-rerank tail over cands(vec_id, embedding) x q(qv)."""
+    return f"""
+scored AS (
+  SELECT cands.vec_id,
+         list_sum(list_transform(range(1, {dim + 1}),
+                  i -> cands.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         (sqrt(list_sum(list_transform(cands.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+          sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM cands, q
+)
+SELECT vec_id, round(c, 3) AS cosine FROM scored ORDER BY c DESC, vec_id ASC LIMIT {k}"""
+
+
+def _ann_lsh_sql() -> str:
+    from fdblucene_spark.operators.similarity import LSH_SEED, lsh_planes
+
+    x = _emb_matrix()
+    planes = lsh_planes(x.shape[1], 8, LSH_SEED)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+qb AS (SELECT {_lsh_bucket_sql('qv', planes)} AS b FROM q),
+probe AS (
+  SELECT b FROM qb
+  UNION ALL
+  SELECT xor(qb.b, (1::BIGINT << jj.j)) FROM qb, (SELECT unnest(range(0, {len(planes)})) AS j) jj
+),
+cands AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  WHERE {_lsh_bucket_sql('e.embedding', planes)} IN (SELECT b FROM probe)
+),
+{_cosine_rerank_sql(x.shape[1], ANN_K)}
+"""
+
+
+def _ann_ivf_sql() -> str:
+    from fdblucene_spark.operators.similarity import LSH_SEED, lloyd_spherical
+
+    x = _emb_matrix()
+    cent = lloyd_spherical(x[:2048], 16, 8, LSH_SEED)  # == build_ann_index's model
+    dim = x.shape[1]
+    cent_rows = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(v)) for v in cent[c]))
+        for c in range(cent.shape[0])
+    )
+    cdotq = "(" + " + ".join(
+        f"cv[{i + 1}] * q.qv[{i + 1}]::DOUBLE" for i in range(dim)
+    ) + ")"
+    xdotc = "(" + " + ".join(
+        f"(nrm.embedding[{i + 1}]::DOUBLE / nrm.n) * cv[{i + 1}]" for i in range(dim)
+    ) + ")"
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) t(c, cv)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+probe AS (
+  SELECT c FROM cent, q ORDER BY {cdotq} DESC, c ASC LIMIT {ANN_NPROBE_IVF}
+),
+nrm AS (
+  SELECT vec_id, embedding,
+         greatest(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS n
+  FROM embeddings
+),
+sims AS (
+  SELECT nrm.vec_id, cent.c, {xdotc} AS s FROM nrm CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+cands AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  WHERE a.cluster IN (SELECT c FROM probe)
+),
+{_cosine_rerank_sql(dim, ANN_K)}
 """
 
 
@@ -435,6 +577,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 scores (tie = DISMAX_TIE)
         return _hits_df(
             _searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or", dismax_tie=DISMAX_TIE)
+        )
+
+    def ft_bm25_boosted(spark, sf):
+        # per-clause BoostQuery weights inside the composable surface
+        # (weight = float32(boost * idf), Lucene precompute order);
+        # boosts force the boolean kernel (no or-path delegation)
+        clauses = [
+            {"term": t, "occur": "should", **({"boost": BOOSTS[t]} if t in BOOSTS else {})}
+            for t in OR_TERMS
+        ]
+        return _hits_df(
+            _searcher(spark, sf).search_boolean(clauses, k=K_ALL, min_should_match=1)
+        )
+
+    def ft_boolean_after(spark, sf):
+        # searchAfter paging on the composable boolean surface: page 2
+        # of the msm=2 query through the pruning kernel (theta pruning
+        # disables itself for cursor queries; the exact candidate
+        # restriction stays on)
+        s = _searcher(spark, sf)
+        clauses = [{"term": t, "occur": "should"} for t in SHOULD_TERMS]
+        page1 = s.search_boolean(clauses, k=PAGE, min_should_match=SHOULD_MSM).collect()
+        cur = (float(page1[-1]["score"]), int(page1[-1]["doc"]))
+        return _hits_df(
+            s.search_boolean(clauses, k=K_ALL, min_should_match=SHOULD_MSM, after=cur)
+        )
+
+    def ft_fuzzy_damerau(spark, sf):
+        # Lucene FuzzyQuery's DEFAULT edit distance (transpositions=1):
+        # digit-swapped transcript terms (term00010) are 1 Damerau edit
+        # from term00001 but 2 classic-Levenshtein edits
+        return _hits_df(
+            _tx_searcher(spark).search_fuzzy(
+                TX_FUZZY_Q, k=10000, max_edits=1, transpositions=True
+            )
         )
 
     def ft_prefix_search(spark, sf):
@@ -594,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
+        ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
@@ -766,9 +944,20 @@ FROM events GROUP BY event_type
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
-        # ann_lsh_topk / ann_ivf_topk: intentionally no SQL oracle
-        # (approximate operators; recall vs brute force + partition-
-        # prune behavior are pytest-verified instead)
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "ft_bm25_boosted": _bm25_sql(OR_TERMS, "or", K_ALL, boosts=BOOSTS),
+        "ft_boolean_after": _bm25_sql(
+            SHOULD_TERMS, "or", K_ALL,
+            having=f"HAVING count(*) >= {SHOULD_MSM}", offset=PAGE,
+        ),
+        "ft_fuzzy_damerau": _bm25_sql(
+            [], "or", 10000,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+            terms_sql=f"damerau_levenshtein(term, '{TX_FUZZY_Q}') <= 1",
+        ),
         "mm_features": multimodal.byte_histogram_sql("documents", "doc_id", "text", (2, 6, 7)),
         "mm_media_stats": multimodal.media_stats_sql("documents", "doc_id", "text"),
         "agg_lineitem_pricing": """

@@ -255,35 +255,40 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) over distinct word-shingle sets — EXACT
-    jaccard for every emitted pair.
+    jaccard for every emitted pair; with the defaults, EXACT recall
+    too (every qualifying pair emitted).
 
-    Skew safety (the quadratic-bucket hazard of a raw shingle
-    self-join): candidate pairs are generated only from shingles whose
-    doc-bucket is <= max_bucket (a near-universal shingle is dropped
-    from candidate GENERATION — it would make the join quadratic while
+    max_bucket (OPT-IN skew guard for the quadratic-bucket hazard of a
+    raw shingle self-join at corpus scale): when set, candidate pairs
+    are generated only from shingles whose doc-bucket is <= max_bucket
+    (a near-universal shingle would make the join quadratic while
     discriminating nothing); the intersection count for each surviving
-    candidate is then computed EXACTLY over the full shingle sets, so
-    jaccard values are never approximated. The only recall loss is a
-    pair whose every shared shingle is hotter than max_bucket —
-    vanishingly unlikely above any useful threshold. Alternatively
-    pass `candidates` (id_a, id_b) from lsh_candidate_pairs to skip
-    generation entirely (the verify-LSH-candidates role)."""
+    candidate is still computed EXACTLY over the full shingle sets, so
+    jaccard values are never approximated — the only recall loss is a
+    pair whose EVERY shared shingle is hotter than max_bucket. The cap
+    is opt-in precisely because that loss is silent (e.g. short
+    near-duplicate boilerplate built entirely from hot shingles).
+    Alternatively pass `candidates` (id_a, id_b) from
+    lsh_candidate_pairs to skip generation entirely (the
+    verify-LSH-candidates role at 100 TB)."""
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .select("shingle")
-        )
-        cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        cold = sh
+        if max_bucket is not None:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_bucket)
+                .select("shingle")
+            )
+            cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
         a, b = cold.alias("a"), cold.alias("b")
         candidates = (
             a.join(

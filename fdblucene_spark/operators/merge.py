@@ -54,20 +54,100 @@ TERMDICT_SCHEMA = T.StructType(
 )
 
 
+def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """vals[i] in sorted_arr via searchsorted — O(n log m), no hashing."""
+    idx = np.searchsorted(sorted_arr, vals)
+    ok = idx < sorted_arr.size
+    hit = np.zeros(vals.size, dtype=bool)
+    if ok.any():
+        hit[ok] = sorted_arr[idx[ok]] == vals[ok]
+    return hit
+
+
+def _repack_group(
+    fld: str,
+    term: str,
+    shard: int,
+    pdf: pd.DataFrame,
+    block_size: int,
+    store_positions: bool,
+    store_offsets: bool,
+    deleted: np.ndarray | None,
+) -> pd.DataFrame:
+    """One (field, term, shard) group's numpy block repack; optional
+    docID offset col and physical delete application (deleted = SORTED
+    unique docIDs, probed with searchsorted). Positions AND character
+    offsets (when stored) survive the repack: both are per-occurrence
+    flat arrays filtered/reordered with the same posting gather."""
+    pdf = pdf.sort_values(["min_doc", "block_id"], ignore_index=True)
+    return _repack_core(fld, term, shard, pdf, block_size, store_positions,
+                        store_offsets, deleted)
+
+
 def _repack_factory(
     block_size: int,
     store_positions: bool,
-    deleted: np.ndarray | None = None,
     store_offsets: bool = False,
 ):
-    """Per-(term, shard) numpy block repack; optional docID offset col
-    and physical delete application. Positions AND character offsets
-    (when stored) survive the repack: both are per-occurrence flat
-    arrays filtered/reordered with the same posting gather."""
+    """Per-(field, term, shard) repack kernel for the NO-DELETES paths
+    (segment consolidation, addIndexes rebase): full (field, term,
+    shard) parallelism. The delete-applying path uses
+    _repack_shard_factory instead — a per-shard COGROUP with the
+    tombstone list, so delete application stays distributed (never a
+    driver-pickled array; reference scale contract, README.md:33-38)."""
 
     def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        fld, term, shard = key[0], key[1], int(key[2])
-        pdf = pdf.sort_values(["min_doc", "block_id"], ignore_index=True)
+        return _repack_group(
+            key[0], key[1], int(key[2]), pdf, block_size, store_positions,
+            store_offsets, None,
+        )
+
+    return repack
+
+
+def _repack_shard_factory(block_size: int, store_positions: bool, store_offsets: bool):
+    """Cogrouped per-shard repack WITH physical delete application:
+    left = one shard's posting blocks, right = that shard's tombstones
+    (shard = doc % n_shards co-locates them — same aux-cogroup pattern
+    as the query path's _aux_frames). Parallelism = n_shards, the knob
+    an operator raises with corpus size; a billion tombstones stream
+    through the shuffle like any other table and each kernel sees only
+    its shard's slice, probed via sorted searchsorted."""
+
+    def repack(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}
+        ).iloc[:0]
+        if left.empty:
+            return empty
+        deleted = None
+        if right is not None and len(right):
+            deleted = np.unique(right["doc"].to_numpy(np.int64))
+        outs = []
+        for (fld, term), pdf in left.groupby(["field", "term"], sort=False):
+            shard = int(pdf.iloc[0]["shard"])
+            r = _repack_group(
+                fld, term, shard, pdf, block_size, store_positions,
+                store_offsets, deleted,
+            )
+            if len(r):
+                outs.append(r)
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return repack
+
+
+def _repack_core(
+    fld: str,
+    term: str,
+    shard: int,
+    pdf: pd.DataFrame,
+    block_size: int,
+    store_positions: bool,
+    store_offsets: bool,
+    deleted: np.ndarray | None,
+) -> pd.DataFrame:
+    if True:  # noqa: indentation kept for the shared body below
         # a (field, term, shard) group is single-field; keyword-field
         # blocks carry no offsets cell even in an offsets index
         has_off = bool(store_offsets and len(pdf) and pdf.iloc[0]["offsets"])
@@ -85,7 +165,7 @@ def _repack_factory(
                 ost, oln = o_s, o_e - o_s
             off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
             if deleted is not None and deleted.size and d.size:
-                live = ~np.isin(d, deleted)
+                live = ~_sorted_member(deleted, d)
                 occ_live = np.repeat(live, t)
                 if store_positions:
                     flat = flat[occ_live]
@@ -136,8 +216,6 @@ def _repack_factory(
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
-
-    return repack
 
 
 def termdict_from_blocks(blocks: DataFrame) -> DataFrame:
@@ -255,30 +333,40 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
             F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
         )
     elif mode == "repack":
-        deleted = None
+        store_off = bool(properties.get("store_offsets", False))
         if has_deletes:
-            import pyarrow.parquet as pq
-
-            deleted = (
-                pq.read_table(
-                    os.path.join(root, manifest.properties["deletes_path"]), columns=["doc"]
-                )["doc"].to_numpy().astype(np.int64)
-            )
+            # DISTRIBUTED delete application: tombstones cogroup with
+            # the postings per shard (shard = doc % n_shards, the same
+            # co-location invariant the query path's _aux_frames uses),
+            # so nothing index-sized ever lands on the driver and each
+            # repack kernel probes only its shard's sorted slice. The
+            # doclen/stored anti-joins are plain joins — AQE broadcasts
+            # a small delete list by itself and shuffles a huge one.
             dels_df = spark.read.parquet(
                 os.path.join(root, manifest.properties["deletes_path"])
             ).select("doc")
-            doclen = doclen.join(F.broadcast(dels_df), "doc", "left_anti")
+            dels_aux = dels_df.select(
+                F.pmod(F.col("doc"), F.lit(manifest.n_shards)).cast("int").alias("shard"),
+                F.col("doc").cast("long").alias("doc"),
+            )
+            doclen = doclen.join(dels_df, "doc", "left_anti")
             if stored is not None:
-                stored = stored.join(F.broadcast(dels_df), "doc", "left_anti")
+                stored = stored.join(dels_df, "doc", "left_anti")
             properties.pop("deletes_path", None)
             properties.pop("n_deletes", None)
-        blocks = postings.groupBy("field", "term", "shard").applyInPandas(
-            _repack_factory(
-                manifest.block_size, store_positions, deleted,
-                store_offsets=bool(properties.get("store_offsets", False)),
-            ),
-            schema=POSTINGS_SCHEMA,
-        )
+            blocks = (
+                postings.groupBy("shard")
+                .cogroup(dels_aux.groupBy("shard"))
+                .applyInPandas(
+                    _repack_shard_factory(manifest.block_size, store_positions, store_off),
+                    schema=POSTINGS_SCHEMA,
+                )
+            )
+        else:
+            blocks = postings.groupBy("field", "term", "shard").applyInPandas(
+                _repack_factory(manifest.block_size, store_positions, store_offsets=store_off),
+                schema=POSTINGS_SCHEMA,
+            )
         if has_deletes:
             # surviving postings changed -> recompute exact stats
             termdict = termdict_from_blocks(blocks)

@@ -54,11 +54,7 @@ def cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int
 ) -> DataFrame:
     """Exact brute-force top-k by cosine (desc), id asc tie-break."""
-    return (
-        cosine_scores(df, id_col, vec_col, query_vec)
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    return _topk_by_raw_cosine(df, id_col, vec_col, query_vec, k)
 
 
 def cosine_topk_sql(table: str, id_col: str, vec_col: str, query_id: int, k: int) -> str:
@@ -87,6 +83,37 @@ def lsh_planes(dim: int, n_planes: int = 8, seed: int = LSH_SEED) -> np.ndarray:
     """Deterministic random hyperplanes (normal components)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left-to-right float64 dot — bit-identical to the
+    Catalyst F.aggregate fold and to an explicit SQL `+` chain, so
+    driver-side probe-bucket selection agrees with the stored bucket
+    column and with the DuckDB oracle at the last ulp (numpy's @ uses
+    pairwise/SIMD summation, which can flip the sign of a near-zero
+    hyperplane dot)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _topk_by_raw_cosine(df: DataFrame, id_col: str, vec_col: str, query_vec, k: int) -> DataFrame:
+    """Top-k by the UNROUNDED double cosine (ties at the displayed
+    3-decimal rounding must not decide top-k membership — the oracle
+    orders by the raw value), id asc tie-break; output rounds to 3."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm; cosine undefined")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    raw = (_dot(v, q) / (_norm(v) * F.lit(qn))).alias("_c")
+    return (
+        df.select(F.col(id_col), raw)
+        .orderBy(F.desc("_c"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_c"), 3).alias("cosine"))
+    )
 
 
 def with_lsh_bucket(
@@ -120,7 +147,7 @@ def lsh_cosine_topk(
     probes)."""
     planes = lsh_planes(len(query_vec), n_planes)
     q = np.asarray(query_vec, dtype=np.float64)
-    qbits = int(sum((1 << j) for j, p in enumerate(planes) if float(p @ q) > 0))
+    qbits = int(sum((1 << j) for j, p in enumerate(planes) if _seq_dot(p, q) > 0))
     probe = [qbits]
     if probe_hamming >= 1:
         probe += [qbits ^ (1 << j) for j in range(n_planes)]
@@ -132,31 +159,15 @@ def lsh_cosine_topk(
         ]
     bucketed = with_lsh_bucket(df, vec_col, planes)
     cands = bucketed.filter(F.col("bucket").isin(probe))
-    return (
-        cosine_scores(cands, id_col, vec_col, query_vec)
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    return _topk_by_raw_cosine(cands, id_col, vec_col, query_vec, k)
 
 
-def ivf_centroids(
-    df: DataFrame,
-    vec_col: str,
-    n_centroids: int = 16,
-    sample: int = 2048,
-    iters: int = 8,
-    seed: int = LSH_SEED,
-) -> np.ndarray:
-    """Spherical k-means centroids from a deterministic sample.
-
-    Driver-side Lloyd iterations on <= `sample` unit-normalized
-    vectors — the centroid table is tiny model state (exactly what an
-    IVF index ships to every executor); assignment of the full corpus
-    stays distributed (with_ivf_cluster).
-    """
-    rows = df.select(vec_col).limit(sample).collect()
-    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+def lloyd_spherical(x: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means Lloyd iterations on a float64 sample matrix —
+    the shared numerical core: the engine runs it on a Spark-collected
+    sample and the DuckDB oracle generator reruns it on the same rows
+    read via pyarrow, producing BIT-IDENTICAL centroid literals."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -172,6 +183,33 @@ def ivf_centroids(
     return cent
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = LSH_SEED,
+    id_col: str | None = None,
+) -> np.ndarray:
+    """Spherical k-means centroids from a DETERMINISTIC sample: the
+    first `sample` rows by id_col (TakeOrdered — cheap at any corpus
+    size). Without id_col the sample is whatever limit() returns —
+    fine for throwaway jobs, but a persisted index (build_ann_index)
+    always passes id_col so rebuilds and SQL oracles reproduce the
+    exact model.
+
+    Driver-side Lloyd iterations on <= `sample` unit-normalized
+    vectors — the centroid table is tiny model state (exactly what an
+    IVF index ships to every executor); assignment of the full corpus
+    stays distributed (with_ivf_cluster).
+    """
+    src = df.orderBy(id_col) if id_col is not None else df
+    rows = src.select(vec_col).limit(sample).collect()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    return lloyd_spherical(x, n_centroids, iters, seed)
+
+
 def ivf_centroids_distributed(
     df: DataFrame,
     vec_col: str,
@@ -179,6 +217,7 @@ def ivf_centroids_distributed(
     iters: int = 4,
     seed: int = LSH_SEED,
     sample: int = 2048,
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Distributed spherical k-means over the FULL corpus — the scale
     path when a bounded sample can't represent 10^9 vectors.
@@ -191,7 +230,9 @@ def ivf_centroids_distributed(
     reduces them and the driver renormalizes the n_centroids x dim
     result (the model state an IVF index ships anyway). Empty clusters
     keep their previous centroid. Deterministic: no RNG after init."""
-    cent = ivf_centroids(df, vec_col, n_centroids=n_centroids, sample=sample, seed=seed)
+    cent = ivf_centroids(
+        df, vec_col, n_centroids=n_centroids, sample=sample, seed=seed, id_col=id_col
+    )
     dim = cent.shape[1]
     spark = df.sparkSession
     sum_schema = T.StructType(
@@ -270,7 +311,7 @@ def ivf_cosine_topk(
     table is partitioned/bucketed by it, so the probe is a partition-
     pruned scan; here assignment runs inline."""
     if centroids is None:
-        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids)
+        centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, id_col=id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn == 0:
@@ -278,11 +319,7 @@ def ivf_cosine_topk(
     sims = centroids @ (q / qn)
     probe = [int(c) for c in np.argsort(-sims)[:nprobe]]
     cands = with_ivf_cluster(df, vec_col, centroids).filter(F.col("cluster").isin(probe))
-    return (
-        cosine_scores(cands, id_col, vec_col, query_vec)
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    return _topk_by_raw_cosine(cands, id_col, vec_col, query_vec, k)
 
 
 ANN_LSH_FORMAT = "ann-lsh-v1"
@@ -322,10 +359,13 @@ def build_ann_index(
     if kind == "ivf":
         if distributed_kmeans:
             centroids = ivf_centroids_distributed(
-                df, vec_col, n_centroids=n_centroids, iters=kmeans_iters, seed=seed
+                df, vec_col, n_centroids=n_centroids, iters=kmeans_iters, seed=seed,
+                id_col=id_col,
             )
         else:
-            centroids = ivf_centroids(df, vec_col, n_centroids=n_centroids, seed=seed)
+            centroids = ivf_centroids(
+                df, vec_col, n_centroids=n_centroids, seed=seed, id_col=id_col
+            )
         assigned = with_ivf_cluster(df, vec_col, centroids, out_col="bucket")
         fmt = ANN_IVF_FORMAT
         model = {"kind": "ivf", "centroids": centroids.tolist(), "dim": dim}
@@ -389,14 +429,15 @@ class AnnIndex:
     def probe_buckets(self, query_vec: list[float], nprobe: int = 4, probe_hamming: int = 1) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
         if self.model["kind"] == "ivf":
-            qn = np.linalg.norm(q)
-            if qn == 0:
+            if np.linalg.norm(q) == 0:
                 raise ValueError("query vector has zero norm; cosine undefined")
             cent = np.asarray(self.model["centroids"], dtype=np.float64)
-            sims = cent @ (q / qn)
-            return [int(c) for c in np.argsort(-sims)[:nprobe]]
+            # sequential dots (no norm division — argsort-invariant):
+            # the SQL oracle's ORDER BY sum-chain matches bit-for-bit
+            sims = np.array([_seq_dot(c, q) for c in cent])
+            return [int(c) for c in np.argsort(-sims, kind="stable")[:nprobe]]
         planes = lsh_planes(self.model["dim"], self.model["n_planes"], self.model["seed"])
-        qbits = int(sum((1 << j) for j, p in enumerate(planes) if float(p @ q) > 0))
+        qbits = int(sum((1 << j) for j, p in enumerate(planes) if _seq_dot(p, q) > 0))
         probe = [qbits]
         if probe_hamming >= 1:
             probe += [qbits ^ (1 << j) for j in range(self.model["n_planes"])]
@@ -416,11 +457,7 @@ class AnnIndex:
 
     def topk(self, query_vec: list[float], k: int, nprobe: int = 4, probe_hamming: int = 1) -> DataFrame:
         cands = self.scan(query_vec, nprobe, probe_hamming)
-        return (
-            cosine_scores(cands, "id", "vec", query_vec)
-            .orderBy(F.desc("cosine"), F.asc("id"))
-            .limit(k)
-        )
+        return _topk_by_raw_cosine(cands, "id", "vec", query_vec, k)
 
 
 def cosine_near_dup_pairs(
@@ -429,12 +466,42 @@ def cosine_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     n_planes: int = 8,
+    max_bucket: int | None = 10_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed self-join (pairs
-    must share a bucket), exact cosine filter >= threshold."""
+    must share a bucket), exact cosine filter >= threshold.
+
+    max_bucket caps the self-join's quadratic hazard: real embedding
+    corpora CLUSTER, and one crowded bucket (> max_bucket vectors)
+    would make the join O(bucket^2) — such buckets are dropped from
+    pair GENERATION (same skew guard as dedup.lsh_candidate_pairs).
+    Pass max_bucket=None for the exact uncapped join on corpora known
+    to be spread, or pass `candidates` (id_a, id_b) — e.g. from a
+    persisted AnnIndex probe — to skip bucket generation entirely;
+    the cosine filter stays exact either way."""
+    if candidates is not None:
+        lv_src = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        rv_src = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        pairs = candidates.join(lv_src, "id_a").join(rv_src, "id_b")
+        lv = F.transform(F.col("_va"), lambda x: x.cast("double"))
+        rv = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+        return (
+            pairs.select(
+                "id_a", "id_b",
+                F.round(_dot(lv, rv) / (_norm(lv) * _norm(rv)), 4).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
     dim = len(df.select(vec_col).first()[0])
     planes = lsh_planes(dim, n_planes)
     b = with_lsh_bucket(df, vec_col, planes).select(id_col, vec_col, "bucket")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        b = b.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r,

@@ -4,9 +4,9 @@ The reference has no streaming surface; these are the Structured
 Streaming counterparts a 100 TB transcript pipeline needs around the
 incremental indexing sink (incremental.py):
 
-- streaming_exact_dedup: watermarked dropDuplicates on a content
-  fingerprint — Spark's built-in stateful dedup operator; state is
-  bounded by the watermark horizon.
+- streaming_exact_dedup: dropDuplicatesWithinWatermark on a content
+  fingerprint — Spark's built-in stateful dedup operator with state
+  eviction genuinely bounded by the watermark horizon.
 - streaming_windowed_term_counts: vectorized tokenize -> explode ->
   windowed count with a watermark (late rows beyond the delay are
   dropped, state expires) — the classic late-data windowed agg.
@@ -39,13 +39,23 @@ def content_fingerprint(text_col: str):
 def streaming_exact_dedup(
     stream: DataFrame, text_col: str, ts_col: str, delay: str = "10 minutes"
 ) -> DataFrame:
-    """Exactly-once content dedup over a stream: keep the first
-    arrival of each fingerprint within the watermark horizon.
-    State size is O(distinct fingerprints inside the horizon)."""
+    """Content dedup over a stream: keep the first arrival of each
+    fingerprint, dropping duplicates whose event times fall within the
+    watermark horizon of the first arrival.
+
+    Uses dropDuplicatesWithinWatermark (Spark 3.5+): Spark evicts a
+    key's state once the watermark passes its event time, so state is
+    genuinely bounded by the horizon. (Plain dropDuplicates(["fp"])
+    only evicts when the event-time column is PART of the dedup subset
+    — with key=[fp] its state grows without bound; that was the
+    round-2 implementation's silent leak.) Trade-off: a duplicate
+    arriving AFTER the horizon is re-emitted — at 100 TB that is the
+    correct contract, because unbounded-horizon dedup is a batch job
+    (dedup.exact_duplicates), not stream state."""
     return (
         stream.withColumn("fp", content_fingerprint(text_col))
         .withWatermark(ts_col, delay)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
     )
 
 

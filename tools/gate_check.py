@@ -51,6 +51,7 @@ def frame_hash(df: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir  # ANN model literals track the data
     import __spark_entry__ as entrymod
     from fdblucene_spark.session import get_spark
 
