@@ -145,6 +145,18 @@ def main() -> None:
             numeric=[{"field": "n_chars", "lo": 100, "hi": 500}],
         ).collect()
 
+    with timed("bm25_boolean_msm2"):
+        # head-term minimum_should_match=2 through the msm-aware
+        # block-max pruning path (round-3 kernel)
+        sd.search_boolean(
+            [{"term": t, "occur": "should"} for t in ("dup", "hash", "vector")],
+            k=100, min_should_match=2,
+        ).collect()
+    with timed("fuzzy_damerau"):
+        # Damerau expansion: JVM prefilter + Arrow-batched exact DP,
+        # then a WAND-pruned disjunction over the expansions
+        s.search_fuzzy("term00042", k=100, max_edits=1, transpositions=True).collect()
+
     # ---- pipeline ops at sf scale ----
     with timed("dedup_minhash"):
         dedup.minhash_signatures(docs, "doc_id", "text").count()
