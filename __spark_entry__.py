@@ -99,6 +99,17 @@ def _hits_df(hits: DataFrame) -> DataFrame:
     )
 
 
+def _pay_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with per-occurrence payloads (the ("pp",...) payload slot,
+    DATA.md:55; built-in producer = token character length)."""
+    root = os.path.join(_index_root(sf_dir), "pay")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-pay", store_payloads=True)
+    return Searcher(spark, root)
+
+
 def _del_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index with a live delete list (doc_id % DELETE_MOD == 0
     tombstoned): L21 against the oracle. Deletes keep corpus stats
@@ -632,6 +643,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc").alias("doc_id"), "n_chars")
         )
 
+    def ft_payloads(spark, sf):
+        # per-occurrence payload surface: (doc, pos, payload) for one
+        # term; the oracle recomputes token positions + lengths in SQL
+        return (
+            _pay_searcher(spark, sf)
+            .payloads([LOOKUP_TERM])
+            .select(F.col("doc").alias("doc_id"), "pos", "payload")
+        )
+
     def ft_delete_search(spark, sf):
         return _hits_df(_del_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
@@ -771,7 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
-        ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau,
+        ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
@@ -906,6 +926,15 @@ WITH {_TOK_CTE}
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 100
+""",
+        "ft_payloads": f"""
+WITH {_TOK_CTE}, tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+)
+SELECT doc_id, (tp.p - 1)::BIGINT AS pos, length(tp.t)::BIGINT AS payload
+FROM tokpos WHERE tp.t = '{LOOKUP_TERM}'
 """,
         "ft_delete_search": _bm25_sql(
             OR_TERMS, "or", K_ALL, extra_where=f"AND tf.doc_id % {DELETE_MOD} <> 0"

@@ -209,6 +209,16 @@ def decode_offsets_block(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.nd
     return flat_starts, flat_starts + lens, starts_idx
 
 
+def decode_payloads_block(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Block payloads binary -> (flat_values, posting_starts): one
+    unsigned varint payload per occurrence, aligned with the positions
+    layout (the payload slot of the reference's ("pp", field, term,
+    docID, pos) -> (startOffset, endOffset, payload), DATA.md:55)."""
+    vals = varbyte_decode(buf).astype(np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    return vals, np.cumsum(t) - t
+
+
 def pack_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -217,6 +227,7 @@ def pack_blocks(
     block_size: int = BLOCK_SIZE,
     flat_off_starts: np.ndarray | None = None,
     flat_off_lens: np.ndarray | None = None,
+    flat_payloads: np.ndarray | None = None,
 ) -> list[dict]:
     """Split one (term[, shard]) posting list into compressed blocks.
 
@@ -236,7 +247,7 @@ def pack_blocks(
     if n == 0:
         return out
     pos_starts = None
-    if flat_positions is not None or flat_off_starts is not None:
+    if flat_positions is not None or flat_off_starts is not None or flat_payloads is not None:
         pos_starts = np.cumsum(tfs) - tfs
     for b, lo in enumerate(range(0, n, block_size)):
         hi = min(lo + block_size, n)
@@ -258,6 +269,11 @@ def pack_blocks(
                     flat_off_starts[plo:phi], flat_off_lens[plo:phi], seg
                 )
             )
+        pay_bytes = None
+        if flat_payloads is not None:
+            plo = int(pos_starts[lo])
+            phi = int(pos_starts[hi - 1] + tfs[hi - 1])
+            pay_bytes = varbyte_encode(flat_payloads[plo:phi].astype(np.uint64))
         out.append(
             {
                 "block_id": b,
@@ -271,6 +287,7 @@ def pack_blocks(
                 "dlqs": np.ascontiguousarray(dlq[lo:hi], dtype=np.uint8).tobytes(),
                 "positions": pos_bytes,
                 "offsets": off_bytes,
+                "payloads": pay_bytes,
             }
         )
     return out

@@ -65,6 +65,7 @@ INVERTED_SCHEMA = T.StructType(
         T.StructField("dlq", T.IntegerType(), False),
         T.StructField("positions", T.BinaryType(), True),
         T.StructField("offsets", T.BinaryType(), True),
+        T.StructField("payloads", T.BinaryType(), True),
     ]
 )
 
@@ -84,6 +85,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("dlqs", T.BinaryType(), False),
         T.StructField("positions", T.BinaryType(), True),
         T.StructField("offsets", T.BinaryType(), True),
+        T.StructField("payloads", T.BinaryType(), True),
     ]
 )
 
@@ -154,6 +156,7 @@ def _invert_text(
     store_positions: bool,
     token_re: re.Pattern,
     store_offsets: bool = False,
+    store_payloads: bool = False,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
 
@@ -161,7 +164,15 @@ def _invert_text(
     occurrence character (start, length) on the LOWERCASED text (the
     ("pp",...) -> (startOffset, endOffset) payload of DATA.md:54).
     The offsets path tokenizes with finditer per doc — slower than the
-    vectorized findall, which is why the hot default path is untouched."""
+    vectorized findall, which is why the hot default path is untouched.
+
+    store_payloads (opt-in; requires positions): one unsigned varint
+    payload per occurrence in positions order — the payload slot of the
+    reference's ("pp", field, term, docID, pos) keyspace (DATA.md:55).
+    Built-in producer: the token's character length (the classic
+    payload demo); swap the producer HERE, where a Lucene TokenFilter
+    would run — the storage slot, codec, merge carry-through and query
+    surface are payload-agnostic."""
     if store_offsets:
         lowered = texts.fillna("").str.lower()
         toks_l: list[list[str]] = []
@@ -222,6 +233,13 @@ def _invert_text(
         )
     else:
         out["offsets"] = None
+    if store_payloads:
+        flat_plens = np.fromiter((len(t) for t in flat_terms), dtype=np.int64, count=total)
+        out["payloads"] = codec.varbyte_encode_split(
+            flat_plens[order].astype(np.uint64), pstarts
+        )
+    else:
+        out["payloads"] = None
     return out
 
 
@@ -244,6 +262,7 @@ def _invert_keyword(fld: str, docs: np.ndarray, values: pd.Series, store_positio
     )
     out["positions"] = b"\x00" if store_positions else None  # single position 0
     out["offsets"] = None  # keyword fields carry no character offsets
+    out["payloads"] = None  # ... and no payloads
     return out
 
 
@@ -252,6 +271,7 @@ def _invert_factory(
     fields_spec: tuple[dict, ...] = DEFAULT_FIELDS,
     token_re: re.Pattern = _TOKEN_RE,
     store_offsets: bool = False,
+    store_payloads: bool = False,
 ):
     """Tokenize + per-doc inversion kernel (the in-memory segment),
     one output row per (field, doc, term)."""
@@ -268,7 +288,7 @@ def _invert_factory(
                 else:
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
-                        store_offsets,
+                        store_offsets, store_payloads,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -278,7 +298,8 @@ def _invert_factory(
     return invert
 
 
-def _pack_factory(block_size: int, store_positions: bool, store_offsets: bool = False):
+def _pack_factory(block_size: int, store_positions: bool, store_offsets: bool = False,
+                  store_payloads: bool = False):
     """Whole-partition vectorized block packer: one varbyte pass for
     all doc-gaps/tfs in the partition, per-block cost = byte slices."""
 
@@ -349,6 +370,12 @@ def _pack_factory(block_size: int, store_positions: bool, store_offsets: bool = 
             off_bytes = _slice_cells(off_col, n, bstarts, bends)
         else:
             off_bytes = None
+        if store_payloads:
+            pay_col = pdf["payloads"].to_numpy()[order]
+            pay_col = np.array([x if x is not None else b"" for x in pay_col], dtype=object)
+            pay_bytes = _slice_cells(pay_col, n, bstarts, bends)
+        else:
+            pay_bytes = None
         yield pd.DataFrame(
             {
                 "field": fields_arr[bstarts],
@@ -365,6 +392,7 @@ def _pack_factory(block_size: int, store_positions: bool, store_offsets: bool = 
                 "dlqs": dlq_bytes,
                 "positions": pos_bytes,
                 "offsets": off_bytes,
+                "payloads": pay_bytes,
             }
         )
 
@@ -380,6 +408,7 @@ def build_postings(
     freeze_dir: str | None = None,
     fields_spec: list[dict] | tuple[dict, ...] | None = None,
     store_offsets: bool = False,
+    store_payloads: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(doc, field cols...) -> (blocks, termdict, doclen, inverted).
 
@@ -394,9 +423,12 @@ def build_postings(
         fields_spec = DEFAULT_FIELDS
     if store_offsets and not store_positions:
         raise ValueError("store_offsets requires store_positions")
+    if store_payloads and not store_positions:
+        raise ValueError("store_payloads requires store_positions")
     src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
     inverted = docs_df.select(*src_cols).mapInPandas(
-        _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets),
+        _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets,
+                        store_payloads=store_payloads),
         schema=INVERTED_SCHEMA,
     )
     if freeze_dir is not None:
@@ -414,10 +446,12 @@ def build_postings(
     if pack_partitions is None:
         pack_partitions = docs_df.sparkSession.sparkContext.defaultParallelism
     blocks = (
-        withshard.select("field", "term", "shard", "doc", "tf", "dlq", "positions", "offsets")
+        withshard.select("field", "term", "shard", "doc", "tf", "dlq", "positions",
+                         "offsets", "payloads")
         .repartition(pack_partitions, "field", "term", "shard")
         .mapInPandas(
-            _pack_factory(block_size, store_positions, store_offsets), schema=POSTINGS_SCHEMA
+            _pack_factory(block_size, store_positions, store_offsets, store_payloads),
+            schema=POSTINGS_SCHEMA,
         )
     )
     return blocks, termdict, doclen, inverted
@@ -448,6 +482,7 @@ def build_index(
     fingerprint: str | None = None,
     stored_fields: dict[str, str] | None = None,
     store_offsets: bool = False,
+    store_payloads: bool = False,
 ) -> Manifest:
     """Build (or append) one segment and commit a new snapshot.
 
@@ -488,6 +523,11 @@ def build_index(
             raise ValueError(
                 "index config mismatch: store_offsets pinned at creation "
                 f"({parent.properties.get('store_offsets', False)})"
+            )
+        if bool(parent.properties.get("store_payloads", False)) != bool(store_payloads):
+            raise ValueError(
+                "index config mismatch: store_payloads pinned at creation "
+                f"({parent.properties.get('store_payloads', False)})"
             )
         if sorted(parent.properties.get("stored_fields", [])) != sorted(stored_fields or {}):
             raise ValueError(
@@ -547,6 +587,7 @@ def build_index(
     blocks, termdict, doclen, inverted = build_postings(
         docs_df, n_shards=n_shards, block_size=block_size,
         store_positions=store_positions, store_offsets=store_offsets,
+        store_payloads=store_payloads,
         freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
         fields_spec=fields_spec,
     )
@@ -674,6 +715,7 @@ def build_index(
                 **(attempt_parent.properties if attempt_parent else {}),
                 "store_positions": store_positions,
                 "store_offsets": bool(store_offsets),
+                "store_payloads": bool(store_payloads),
                 "primary_field": primary,
                 "stored_fields": sorted(stored_fields),
                 "keyword_fields": sorted(keyword_fields),

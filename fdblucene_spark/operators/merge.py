@@ -54,6 +54,16 @@ TERMDICT_SCHEMA = T.StructType(
 )
 
 
+def _ensure_postings_cols(df: DataFrame) -> DataFrame:
+    """Add any POSTINGS_SCHEMA columns missing from an older segment's
+    files as typed nulls (schema evolution: e.g. the payloads column) —
+    merges mix segment generations freely."""
+    for f in POSTINGS_SCHEMA.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
 def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """vals[i] in sorted_arr via searchsorted — O(n log m), no hashing."""
     idx = np.searchsorted(sorted_arr, vals)
@@ -73,6 +83,7 @@ def _repack_group(
     store_positions: bool,
     store_offsets: bool,
     deleted: np.ndarray | None,
+    store_payloads: bool = False,
 ) -> pd.DataFrame:
     """One (field, term, shard) group's numpy block repack; optional
     docID offset col and physical delete application (deleted = SORTED
@@ -81,13 +92,14 @@ def _repack_group(
     flat arrays filtered/reordered with the same posting gather."""
     pdf = pdf.sort_values(["min_doc", "block_id"], ignore_index=True)
     return _repack_core(fld, term, shard, pdf, block_size, store_positions,
-                        store_offsets, deleted)
+                        store_offsets, deleted, store_payloads)
 
 
 def _repack_factory(
     block_size: int,
     store_positions: bool,
     store_offsets: bool = False,
+    store_payloads: bool = False,
 ):
     """Per-(field, term, shard) repack kernel for the NO-DELETES paths
     (segment consolidation, addIndexes rebase): full (field, term,
@@ -99,13 +111,14 @@ def _repack_factory(
     def repack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _repack_group(
             key[0], key[1], int(key[2]), pdf, block_size, store_positions,
-            store_offsets, None,
+            store_offsets, None, store_payloads,
         )
 
     return repack
 
 
-def _repack_shard_factory(block_size: int, store_positions: bool, store_offsets: bool):
+def _repack_shard_factory(block_size: int, store_positions: bool, store_offsets: bool,
+                          store_payloads: bool = False):
     """Cogrouped per-shard repack WITH physical delete application:
     left = one shard's posting blocks, right = that shard's tombstones
     (shard = doc % n_shards co-locates them — same aux-cogroup pattern
@@ -128,7 +141,7 @@ def _repack_shard_factory(block_size: int, store_positions: bool, store_offsets:
             shard = int(pdf.iloc[0]["shard"])
             r = _repack_group(
                 fld, term, shard, pdf, block_size, store_positions,
-                store_offsets, deleted,
+                store_offsets, deleted, store_payloads,
             )
             if len(r):
                 outs.append(r)
@@ -146,23 +159,29 @@ def _repack_core(
     store_positions: bool,
     store_offsets: bool,
     deleted: np.ndarray | None,
+    store_payloads: bool = False,
 ) -> pd.DataFrame:
     if True:  # noqa: indentation kept for the shared body below
         # a (field, term, shard) group is single-field; keyword-field
         # blocks carry no offsets cell even in an offsets index
         has_off = bool(store_offsets and len(pdf) and pdf.iloc[0]["offsets"])
-        docs_l, tfs_l, pos_l, dlq_l, ost_l, oln_l = [], [], [], [], [], []
+        has_pay = bool(
+            store_payloads and len(pdf) and "payloads" in pdf.columns and pdf.iloc[0]["payloads"]
+        )
+        docs_l, tfs_l, pos_l, dlq_l, ost_l, oln_l, pay_l = [], [], [], [], [], [], []
         for _, r in pdf.iterrows():
             d = codec.decode_doc_block(r["docs"])
             t = codec.decode_tf_block(r["tfs"])
             q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
             flat = None
-            ost = oln = None
+            ost = oln = pay = None
             if store_positions:
                 flat, _ = codec.decode_positions_block(r["positions"], t)
             if has_off:
                 o_s, o_e, _ = codec.decode_offsets_block(r["offsets"], t)
                 ost, oln = o_s, o_e - o_s
+            if has_pay:
+                pay, _ = codec.decode_payloads_block(r["payloads"], t)
             off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
             if deleted is not None and deleted.size and d.size:
                 live = ~_sorted_member(deleted, d)
@@ -171,6 +190,8 @@ def _repack_core(
                     flat = flat[occ_live]
                 if has_off:
                     ost, oln = ost[occ_live], oln[occ_live]
+                if has_pay:
+                    pay = pay[occ_live]
                 d, t, q = d[live], t[live], q[live]
             if d.size == 0:
                 continue
@@ -182,6 +203,8 @@ def _repack_core(
             if has_off:
                 ost_l.append(ost)
                 oln_l.append(oln)
+            if has_pay:
+                pay_l.append(pay)
         if not docs_l:
             return pd.DataFrame({f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}).iloc[:0]
         docs = np.concatenate(docs_l)
@@ -190,21 +213,25 @@ def _repack_core(
         flat_pos = np.concatenate(pos_l) if store_positions else None
         flat_ost = np.concatenate(ost_l) if has_off else None
         flat_oln = np.concatenate(oln_l) if has_off else None
+        flat_pay = np.concatenate(pay_l) if has_pay else None
         order = np.argsort(docs, kind="mergesort")
         if not np.array_equal(order, np.arange(docs.size)):
             bounds = np.cumsum(tfs) - tfs
             gather = np.concatenate(
                 [np.arange(bounds[i], bounds[i] + tfs[i]) for i in order]
-            ) if (store_positions or has_off) else None
+            ) if (store_positions or has_off or has_pay) else None
             if store_positions:
                 flat_pos = flat_pos[gather]
             if has_off:
                 flat_ost, flat_oln = flat_ost[gather], flat_oln[gather]
+            if has_pay:
+                flat_pay = flat_pay[gather]
             docs, tfs, dlqs = docs[order], tfs[order], dlqs[order]
         rows = []
         for blk in codec.pack_blocks(
             docs, tfs, flat_pos, dlqs, block_size,
             flat_off_starts=flat_ost, flat_off_lens=flat_oln,
+            flat_payloads=flat_pay,
         ):
             rows.append(
                 (
@@ -213,6 +240,7 @@ def _repack_core(
                     blk["tfs"], blk["dlqs"],
                     blk["positions"] if store_positions else None,
                     blk["offsets"],
+                    blk["payloads"],
                 )
             )
         return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
@@ -314,7 +342,9 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
     has_deletes = bool(manifest.properties.get("deletes_path"))
     if len(manifest.segments) <= 1 and mode == "concat" and not has_deletes:
         return manifest
-    postings = spark.read.parquet(*manifest.segment_paths(root, "postings"))
+    postings = _ensure_postings_cols(
+        spark.read.parquet(*manifest.segment_paths(root, "postings"))
+    )
     termdict_raw = spark.read.parquet(*manifest.segment_paths(root, "termdict"))
     doclen = spark.read.parquet(*manifest.segment_paths(root, "doclen"))
     store_positions = bool(manifest.properties.get("store_positions", True))
@@ -334,6 +364,7 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
         )
     elif mode == "repack":
         store_off = bool(properties.get("store_offsets", False))
+        store_pay = bool(properties.get("store_payloads", False))
         if has_deletes:
             # DISTRIBUTED delete application: tombstones cogroup with
             # the postings per shard (shard = doc % n_shards, the same
@@ -358,13 +389,16 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
                 postings.groupBy("shard")
                 .cogroup(dels_aux.groupBy("shard"))
                 .applyInPandas(
-                    _repack_shard_factory(manifest.block_size, store_positions, store_off),
+                    _repack_shard_factory(
+                        manifest.block_size, store_positions, store_off, store_pay
+                    ),
                     schema=POSTINGS_SCHEMA,
                 )
             )
         else:
             blocks = postings.groupBy("field", "term", "shard").applyInPandas(
-                _repack_factory(manifest.block_size, store_positions, store_offsets=store_off),
+                _repack_factory(manifest.block_size, store_positions,
+                                store_offsets=store_off, store_payloads=store_pay),
                 schema=POSTINGS_SCHEMA,
             )
         if has_deletes:
@@ -406,6 +440,9 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     off_sets = [bool(m.properties.get("store_offsets", False)) for m in manifests]
     if any(o != off_sets[0] for o in off_sets[1:]):
         raise ValueError("cannot addIndexes across mismatched store_offsets")
+    pay_sets = [bool(m.properties.get("store_payloads", False)) for m in manifests]
+    if any(p != pay_sets[0] for p in pay_sets[1:]):
+        raise ValueError("cannot addIndexes across mismatched store_payloads")
     stored_sets = [sorted(m.properties.get("stored_fields", [])) for m in manifests]
     if any(s != stored_sets[0] for s in stored_sets[1:]):
         raise ValueError(f"cannot addIndexes across mismatched stored_fields: {stored_sets}")
@@ -424,7 +461,7 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         # with their postings shard) survives the rebase.
         new_shard = F.pmod(F.col("shard") + F.lit(off), F.lit(base.n_shards)).cast("int")
         p = (
-            spark.read.parquet(*m.segment_paths(root, "postings"))
+            _ensure_postings_cols(spark.read.parquet(*m.segment_paths(root, "postings")))
             .withColumn("doc_off", F.lit(off).cast("long"))
             .withColumn("shard", new_shard)
         )
@@ -450,7 +487,8 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     )
     store_positions = all(m.properties.get("store_positions", True) for m in manifests)
     blocks = postings.groupBy("field", "term", "shard").applyInPandas(
-        _repack_factory(base.block_size, store_positions, store_offsets=off_sets[0]),
+        _repack_factory(base.block_size, store_positions, store_offsets=off_sets[0],
+                        store_payloads=pay_sets[0]),
         schema=POSTINGS_SCHEMA,
     )
     synthetic_parent = Manifest(
@@ -465,6 +503,7 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     props = {
         "store_positions": store_positions,
         "store_offsets": off_sets[0],
+        "store_payloads": pay_sets[0],
         "primary_field": base.properties.get("primary_field", "text"),
         "stored_fields": stored_sets[0],
     }

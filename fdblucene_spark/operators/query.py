@@ -1569,6 +1569,62 @@ class Searcher:
         )
         return scan.mapInPandas(dec, schema=schema)
 
+    def payloads(self, terms: list[str], field: str = "text") -> DataFrame:
+        """Per-occurrence payloads -> (term, doc, pos, payload) — the
+        payload slot of the reference's ("pp", field, term, docID, pos)
+        -> (startOffset, endOffset, payload) keyspace (DATA.md:55).
+        Requires an index built with store_payloads=True. The built-in
+        producer stores each token's character length (swap it in
+        build._invert_text where a Lucene TokenFilter would run; the
+        slot, codec, merge carry-through and this surface are
+        payload-agnostic)."""
+        if not self.manifest.properties.get("store_payloads", False):
+            raise ValueError(
+                "index built without store_payloads; rebuild with store_payloads=True"
+            )
+        if field in self.manifest.properties.get("keyword_fields", []):
+            raise ValueError(f"payloads are not stored for keyword field {field!r}")
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(set(terms)))
+        )
+
+        def dec(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                outs = []
+                for _, r in pdf.iterrows():
+                    if not r["payloads"]:
+                        raise ValueError(
+                            f"no payloads stored for field/term {r['field']!r}/"
+                            f"{r['term']!r} (keyword-field postings carry none)"
+                        )
+                    d = codec.decode_doc_block(r["docs"])
+                    tf = codec.decode_tf_block(r["tfs"])
+                    pos, _ = codec.decode_positions_block(r["positions"], tf)
+                    pay, _ = codec.decode_payloads_block(r["payloads"], tf)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": r["term"],
+                                "doc": np.repeat(d, tf),
+                                "pos": pos,
+                                "payload": pay,
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True)
+
+        schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("doc", T.LongType(), False),
+                T.StructField("pos", T.LongType(), False),
+                T.StructField("payload", T.LongType(), False),
+            ]
+        )
+        return scan.mapInPandas(dec, schema=schema)
+
     def _local_blocks(self, fields_terms: dict[str, list[str]]) -> pd.DataFrame:
         dset = pads.dataset(self._table_files("postings"), format="parquet")
         flt = None

@@ -670,3 +670,72 @@ def test_repack_deletes_stay_distributed(spark, tmp_path_factory, monkeypatch):
     assert s.term_stats(["beta"])["beta"][0] == n // 2
     assert "alpha" not in s.term_stats(["alpha"])
     assert s.manifest.n_docs == n // 2
+
+
+def test_payloads_roundtrip_and_survive_repack(spark, tmp_path_factory):
+    """Payload slot of the ("pp", field, term, docID, pos) keyspace
+    (reference DATA.md:55): opt-in store_payloads mirrors store_offsets
+    — per-occurrence varints survive delete + physical repack AND
+    addIndexes rebase. Built-in producer = token character length."""
+    import re as _re
+
+    rows = _mk_rows(n=24, seed=23)
+    root = str(tmp_path_factory.mktemp("pay") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        store_payloads=True,
+    )
+    s = Searcher(spark, root)
+
+    def expected(term, rws):
+        out = []
+        for r in rws:
+            low = r["text"].lower()
+            for pos, m in enumerate(_re.finditer(r"\w+", low)):
+                if m.group(0) == term:
+                    out.append((r["doc_id"], pos, len(m.group(0))))
+        return sorted(out)
+
+    got = sorted(
+        (r["doc"], r["pos"], r["payload"]) for r in s.payloads(["alpha"]).collect()
+    )
+    assert got == expected("alpha", rows)
+    # config pin: an append must agree on store_payloads
+    with pytest.raises(ValueError, match="store_payloads"):
+        build_index(spark, spark.createDataFrame(rows[:1]), root, doc_col="doc_id",
+                    n_shards=2, append=True, store_payloads=False)
+    # payloads survive delete + physical repack (occurrence-level gather)
+    delete_docs(spark, root, [1, 5])
+    merge_segments(spark, root, mode="repack")
+    s2 = Searcher(spark, root)
+    got2 = sorted(
+        (r["doc"], r["pos"], r["payload"]) for r in s2.payloads(["alpha"]).collect()
+    )
+    assert got2 == [t for t in expected("alpha", rows) if t[0] not in (1, 5)]
+    # addIndexes carries payloads through the rebase repack
+    ra = str(tmp_path_factory.mktemp("paya") / "idx")
+    rb = str(tmp_path_factory.mktemp("payb") / "idx")
+    dest = str(tmp_path_factory.mktemp("payd") / "idx")
+    build_index(spark, spark.createDataFrame(rows[:12]), ra, doc_col="doc_id",
+                n_shards=2, store_payloads=True)
+    build_index(spark, spark.createDataFrame(rows[12:]), rb, doc_col="doc_id",
+                n_shards=2, store_payloads=True)
+    add_indexes(spark, dest, [ra, rb])
+    s3 = Searcher(spark, dest)
+    got3 = sorted(
+        (r["doc"], r["pos"], r["payload"]) for r in s3.payloads(["alpha"]).collect()
+    )
+    assert got3 == expected("alpha", rows)
+    # an index without payloads refuses the API with a clear error
+    root2 = str(tmp_path_factory.mktemp("nopay") / "idx")
+    build_index(spark, spark.createDataFrame(rows[:3]), root2, doc_col="doc_id", n_shards=2)
+    with pytest.raises(ValueError, match="store_payloads"):
+        Searcher(spark, root2).payloads(["alpha"])
+    # schema evolution: a payload-less index still repacks cleanly
+    # (missing column filled with typed nulls by _ensure_postings_cols)
+    build_index(spark, spark.createDataFrame(rows[3:6]), root2, doc_col="doc_id",
+                n_shards=2, append=True)
+    merge_segments(spark, root2, mode="repack")
+    assert {r["doc"] for r in Searcher(spark, root2).search(["alpha"], k=50).collect()} == {
+        r["doc_id"] for r in rows[:6] if "alpha" in r["text"].lower()
+    }

@@ -6,7 +6,8 @@ instruction in the round brief).
 Each level runs in its OWN subprocess/JVM so nothing is shared.
 Throughput = turns / build_index wall seconds; efficiency =
 throughput(4N) / (4 x throughput(N)). Also reports the batched BM25
-latency at both levels. Writes/updates BENCH/BASELINE.md.
+latency at both levels. Writes BENCH/SCALING_LATEST.md (the
+curated narrative lives in BENCH/BASELINE.md; merge numbers there).
 
 Default pair is local[2] vs local[8]: a plain-multiprocessing probe
 (no Spark) shows this VM sustains 28 effective cores of pure CPU but
@@ -135,7 +136,7 @@ def main():
     }
     print(json.dumps(summary))
 
-    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    md_path = os.path.join(REPO, "BENCH", "SCALING_LATEST.md")
     os.makedirs(os.path.dirname(md_path), exist_ok=True)
     with open(md_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured engine numbers
