@@ -227,18 +227,22 @@ def _score_shard(
     present = [t for t in uniq_terms if t in groups]
     if not present or (mode in ("and", "phrase") and len(present) < len(uniq_terms)):
         return _EMPTY
+    if mode == "or":
+        # the disjunction IS a pure-should BooleanQuery — route through
+        # the boolean kernel (identical float path: same w32 weights,
+        # float64 sum of float32 addends, dismax combine, after cut,
+        # top-k lexsort) to get its stronger pruning: rarest-first
+        # chunked decode with incremental theta refresh + range-max
+        # localized bounds, instead of the old seed-solo theta.
+        should = [
+            (None, t, np.float32(bm25.idf(float(term_df[t]), n_docs)), avgdl)
+            for t in present
+        ]
+        mnot = [(None, t, np.float32(0.0), 1.0) for t in (not_terms or [])]
+        spec = {"must": [], "should": should, "filter": [], "must_not": mnot,
+                "k": k, "msm": 1, "after": after, "dismax_tie": dismax_tie}
+        return _score_shard_boolean({None: groups}, spec, deleted, allowed, stats_out)
     weights = {t: np.float32(bm25.idf(float(term_df[t]), n_docs)) for t in present}
-    ubs = {
-        t: bm25.max_block_score(
-            groups[t]["max_tf"].to_numpy(np.int64),
-            groups[t]["min_dlq"].to_numpy(np.int64),
-            np.full(len(groups[t]), term_df[t], dtype=np.float64),
-            n_docs,
-            avgdl,
-        )
-        for t in present
-    }
-    mub = {t: float(ubs[t].max()) for t in present}
     if stats_out is not None:
         stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + sum(
             len(groups[t]) for t in present
@@ -270,55 +274,25 @@ def _score_shard(
         s = (weights[t] * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
         return d, s
 
-    if mode == "or":
-        seed = max(present, key=lambda t: mub[t])
-        d, s = decode_and_score(seed, groups[seed])
-        decoded[seed] = (d, s)
-        theta = (
-            float(np.partition(s, s.size - k)[s.size - k])
-            if (s.size >= k and after is None)
-            else 0.0
+    # and / phrase: rarest-first intersection chain (or-mode delegated
+    # to the boolean kernel above)
+    order = sorted(present, key=lambda t: term_df[t])
+    rare = order[0]
+    d0, s0 = decode_and_score(rare, groups[rare])
+    decoded[rare] = (d0, s0)
+    cand = d0
+    for t in order[1:]:
+        rows = groups[t]
+        if cand.size == 0:
+            decoded[t] = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+            continue
+        keep = (rows["max_doc"].to_numpy() >= cand.min()) & (
+            rows["min_doc"].to_numpy() <= cand.max()
         )
-        # block-max WAND bound, localized per block AND per range:
-        # another term can contribute to docs in block b ONLY if it has
-        # a block whose docID range overlaps b's — and then at most the
-        # max ub among its OVERLAPPING blocks (range-max, not the
-        # term-global max: one high-impact block anywhere would inflate
-        # a global mub and kill pruning for every head-term block).
-        ranges = {
-            t: _sorted_block_index(
-                groups[t]["min_doc"].to_numpy(np.int64),
-                groups[t]["max_doc"].to_numpy(np.int64),
-                ubs[t].astype(np.float64),
-            )
-            for t in present
-        }
-        for t in present:
-            if t == seed:
-                continue
-            lo_b = groups[t]["min_doc"].to_numpy(np.int64)
-            hi_b = groups[t]["max_doc"].to_numpy(np.int64)
-            add = _overlap_bound(lo_b, hi_b, [ranges[t2] for t2 in present if t2 != t])
-            keep = ubs[t].astype(np.float64) + add >= theta
-            decoded[t] = decode_and_score(t, groups[t].iloc[np.flatnonzero(keep)])
-    else:
-        order = sorted(present, key=lambda t: term_df[t])
-        rare = order[0]
-        d0, s0 = decode_and_score(rare, groups[rare])
-        decoded[rare] = (d0, s0)
-        cand = d0
-        for t in order[1:]:
-            rows = groups[t]
-            if cand.size == 0:
-                decoded[t] = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
-                continue
-            keep = (rows["max_doc"].to_numpy() >= cand.min()) & (
-                rows["min_doc"].to_numpy() <= cand.max()
-            )
-            d, s = decode_and_score(t, rows.iloc[np.flatnonzero(keep)])
-            m = np.isin(d, cand, assume_unique=True)
-            decoded[t] = (d[m], s[m])
-            cand = np.intersect1d(cand, d[m], assume_unique=True)
+        d, s = decode_and_score(t, rows.iloc[np.flatnonzero(keep)])
+        m = np.isin(d, cand, assume_unique=True)
+        decoded[t] = (d[m], s[m])
+        cand = np.intersect1d(cand, d[m], assume_unique=True)
 
     all_docs = np.concatenate([decoded[t][0] for t in present])
     if all_docs.size == 0:
@@ -643,6 +617,8 @@ def _score_shard_boolean(
             stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + len(rows)
 
     decoded: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(scoring)
+    complete: set[int] = set()  # clauses whose decode has finished
+    doc_idx: dict[int, dict] = {}  # ci -> exact per-doc score range-max
 
     def _oidx(j: int) -> dict:
         m = meta[j]
@@ -650,10 +626,38 @@ def _score_shard_boolean(
             m["oidx"] = _sorted_block_index(m["lo"], m["hi"], m["ubs"])
         return m["oidx"]
 
+    def _doc_idx(j: int) -> dict:
+        if j not in doc_idx:
+            d, sc = decoded[j]
+            o = np.argsort(d, kind="mergesort")
+            doc_idx[j] = {"docs": d[o], "rmq": _RangeMax(sc[o].astype(np.float64))}
+        return doc_idx[j]
+
     def _ub_with_overlap(ci: int) -> np.ndarray:
+        """Per-block upper bound on any doc's total in the block:
+        ub(b) + per-clause contribution caps. An ALREADY-DECODED clause
+        contributes at most the max of its EXACT per-doc scores inside
+        [min_doc, max_doc] (doc-level range-max) — crucially 0 when it
+        has no doc there, where block metadata would charge a sparse
+        high-impact block's ub against every block its wide docID range
+        overlaps. (Safe: a doc dropped by that clause's own theta
+        pruning is already provably below theta; a doc dropped by the
+        exact candidate restriction cannot qualify at all.) Clauses not
+        yet decoded contribute their overlapping blocks' range-max ub."""
         m = meta[ci]
-        others = [_oidx(j) for j in range(len(meta)) if j != ci and meta[j] is not None]
-        return m["ubs"] + _overlap_bound(m["lo"], m["hi"], others)
+        bound = m["ubs"].copy()
+        lo_b, hi_b = m["lo"], m["hi"]
+        for j in range(len(meta)):
+            if j == ci or meta[j] is None:
+                continue
+            if j in complete and decoded[j] is not None:
+                di = _doc_idx(j)
+                j0 = np.searchsorted(di["docs"], lo_b, side="left")
+                j1 = np.searchsorted(di["docs"], hi_b, side="right")
+                bound += di["rmq"].query(j0, j1)
+            else:
+                bound += _overlap_bound(lo_b, hi_b, [_oidx(j)])
+        return bound
 
     def _decode_rows(ci: int, rows: pd.DataFrame, restrict: np.ndarray | None):
         if stats_out is not None:
@@ -777,6 +781,7 @@ def _score_shard_boolean(
     for ci in must_order:
         d, s = decode_clause(ci, cand, 0.0)
         decoded[ci] = (d, s)
+        complete.add(ci)
         du = np.sort(d)
         cand = du if cand is None else np.intersect1d(cand, du, assume_unique=True)
         if cand.size == 0:
@@ -795,6 +800,7 @@ def _score_shard_boolean(
     theta_fn = lambda: current_theta(m_eff, must_done=True)  # noqa: E731
     for ci in mandatory:
         decoded[ci] = decode_clause_chunked(ci, cand, theta_fn)
+        complete.add(ci)
     # heads restrict to docs that can still qualify: with m_eff >= 1 a
     # qualifying doc must hit >= 1 mandatory should (it cannot reach
     # m_eff hits from the m_eff - 1 heads alone)
@@ -810,6 +816,7 @@ def _score_shard_boolean(
         head_restrict = cand
     for ci in heads:
         decoded[ci] = decode_clause_chunked(ci, head_restrict, theta_fn)
+        complete.add(ci)
 
     # --- final aggregation ---
     if constrained:
