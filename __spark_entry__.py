@@ -688,6 +688,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def tx_phrase_filtered(spark, sf):
+        # PhraseQuery nested in a BooleanQuery beside a keyword filter
+        # and a timestamp doc-values range — the full Lucene composition
+        # in ONE composable call (phrase matches score as the sum of
+        # their terms' BM25 scores, identical to mode="phrase")
+        clauses = [
+            {"phrase": TX_PHRASE, "occur": "must"},
+            {"field": "role", "term": "user", "occur": "filter"},
+        ]
+        return _hits_df(
+            _tx_searcher(spark).search_boolean(
+                clauses, k=10000,
+                numeric=[{"field": "ts", "lo": TX_TS_LO, "hi": TX_TS_HI}],
+            )
+        )
+
     def ft_numeric_range(spark, sf):
         ev = _table(spark, sf, "events")
         return ev.filter(F.col("value").between(EVENTS_LO, EVENTS_HI)).select("event_id", "value")
@@ -794,7 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_delete_search, ft_merge_addindexes,
-        tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
+        tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
@@ -953,6 +969,18 @@ hits AS (
 SELECT doc_id, round(s32::DOUBLE, 3) AS score FROM hits
 """,
         "ft_match_count": f"WITH {_TOK_CTE}\n" + "\nUNION ALL\n".join(mc_parts),
+        "tx_phrase_filtered": _bm25_sql(
+            TX_PHRASE, "phrase", 10000, phrase=True,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+            extra_where=(
+                "AND tf.doc_id IN (SELECT doc_id FROM ("
+                "SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, role, ts "
+                f"FROM read_parquet('{TX_CORPUS}')"
+                f") WHERE role = 'user' AND ts BETWEEN TIMESTAMP '{TX_TS_LO}' AND TIMESTAMP '{TX_TS_HI}')"
+            ),
+        ),
         "ft_numeric_range": f"""
 SELECT event_id, value FROM events WHERE value BETWEEN {EVENTS_LO} AND {EVENTS_HI}
 """,

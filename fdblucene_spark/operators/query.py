@@ -560,11 +560,13 @@ def _score_shard_boolean(
     k, msm = spec["k"], spec["msm"]
     after = spec.get("after")
     tie = spec.get("dismax_tie")
+    # phrase clauses: {occur: [(field, terms_tuple, {term: w32}, avgdl)]}
+    phrases: dict = spec.get("phrases") or {}
 
     def rows_of(f: str, t: str) -> pd.DataFrame | None:
         return by_field.get(f, {}).get(t)
 
-    # excluded = deletes U must_not matches
+    # excluded = deletes U must_not matches (term and phrase)
     ex_parts = [deleted] if deleted is not None and deleted.size else []
     for f, t, _, _ in spec["must_not"]:
         rows = rows_of(f, t)
@@ -581,6 +583,59 @@ def _score_shard_boolean(
             d = d[~_sorted_probe(excluded, d)]
         return d
 
+    def eval_phrase(f, terms, wmap, avgdl, restrict):
+        """One phrase clause against this shard: decode its unique
+        terms (restricted), intersect, sum their float32 scores in
+        float64, then positional-adjacency filter (_phrase_filter).
+        Returns (matching docs SORTED, float64 per-doc phrase score)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        sub = by_field.get(f) or {}
+        uniq = list(dict.fromkeys(terms))
+        if any(t not in sub for t in uniq):
+            return empty
+        per = []
+        cand_p = restrict  # sorted unique or None
+        for t in sorted(uniq, key=lambda t: len(sub[t])):
+            rows = sub[t]
+            if stats_out is not None:
+                stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + len(rows)
+            if cand_p is not None:
+                lo = rows["min_doc"].to_numpy(np.int64)
+                hi = rows["max_doc"].to_numpy(np.int64)
+                keep = _blocks_with_candidates(lo, hi, cand_p)
+                if not keep.all():
+                    rows = rows.iloc[np.flatnonzero(keep)]
+            if stats_out is not None:
+                stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + len(rows)
+            d, tf, dlq = _decode_block_rows(rows)
+            if excluded is not None and excluded.size and d.size:
+                live = ~_sorted_probe(excluded, d)
+                d, tf, dlq = d[live], tf[live], dlq[live]
+            if cand_p is not None and d.size:
+                mm = _sorted_probe(cand_p, d)
+                d, tf, dlq = d[mm], tf[mm], dlq[mm]
+            s = (wmap[t] * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
+            per.append((d, s))
+            du = np.sort(d)
+            # d is already within cand_p (restricted decode), so the
+            # intersection chain reduces to du
+            cand_p = du
+            if cand_p.size == 0:
+                return empty
+        acc = np.zeros(cand_p.size, dtype=np.float64)
+        for d, s in per:
+            m = _sorted_probe(cand_p, d)
+            acc[np.searchsorted(cand_p, d[m])] += s[m].astype(np.float64)
+        docs_m, acc_m = _phrase_filter(sub, list(terms), cand_p, acc)
+        return docs_m, acc_m
+
+    # phrase MUST_NOT matches join the exclusion set
+    for f, terms, wmap, avgdl in phrases.get("must_not", []):
+        d, _ = eval_phrase(f, terms, wmap, avgdl, None)
+        if d.size:
+            parts = [d] if excluded is None else [excluded, d]
+            excluded = np.unique(np.concatenate(parts))
+
     # candidate narrowing: (allowed - excluded) ∩ filters ∩ musts.
     # allowed-origin candidates must drop deletes/must_not matches here
     # (a numeric-range-only query on an index with tombstones must not
@@ -593,13 +648,31 @@ def _score_shard_boolean(
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if cand.size == 0:
             return _EMPTY
+    for f, terms, wmap, avgdl in phrases.get("filter", []):
+        d, _ = eval_phrase(f, terms, wmap, avgdl, cand)
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
 
-    # per-scoring-clause block metadata: ub per block (w32 includes
-    # boost; tf_norm is max at (max_tf, min_dlq)) + overlap index
-    scoring = list(spec["must"]) + list(spec["should"])
-    n_must = len(spec["must"])
+    # scoring clause list: [term musts, phrase musts, term shoulds,
+    # phrase shoulds] — phrase entries carry meta None (no block-level
+    # machinery; they decode eagerly and register exact per-doc scores,
+    # which the bound machinery then uses via the doc-level range-max)
+    p_must = list(phrases.get("must", []))
+    p_should = list(phrases.get("should", []))
+    scoring = list(spec["must"]) + [None] * len(p_must) + list(spec["should"]) + [None] * len(p_should)
+    n_tm = len(spec["must"])
+    n_must = n_tm + len(p_must)
+    n_ts = len(spec["should"])
+    pm_idx = list(range(n_tm, n_must))
+    ts_idx0 = n_must
+    ps_idx = list(range(n_must + n_ts, len(scoring)))
     meta: list[dict | None] = []
-    for f, t, w, avgdl in scoring:
+    for entry in scoring:
+        if entry is None:
+            meta.append(None)
+            continue
+        f, t, w, avgdl = entry
         rows = rows_of(f, t)
         if rows is None:
             meta.append(None)
@@ -648,14 +721,15 @@ def _score_shard_boolean(
         bound = m["ubs"].copy()
         lo_b, hi_b = m["lo"], m["hi"]
         for j in range(len(meta)):
-            if j == ci or meta[j] is None:
+            if j == ci:
                 continue
             if j in complete and decoded[j] is not None:
+                # includes phrase pseudo-clauses (meta None, decoded eagerly)
                 di = _doc_idx(j)
                 j0 = np.searchsorted(di["docs"], lo_b, side="left")
                 j1 = np.searchsorted(di["docs"], hi_b, side="right")
                 bound += di["rmq"].query(j0, j1)
-            else:
+            elif meta[j] is not None:
                 bound += _overlap_bound(lo_b, hi_b, [_oidx(j)])
         return bound
 
@@ -776,8 +850,8 @@ def _score_shard_boolean(
             return 0.0
         return float(np.partition(vals, vals.size - k)[vals.size - k])
 
-    # --- musts: rarest-first intersection chain (restricted decode) ---
-    must_order = sorted(range(n_must), key=lambda i: -scoring[i][2])  # w desc = df asc
+    # --- musts: rarest-first term intersection chain, then phrase musts ---
+    must_order = sorted(range(n_tm), key=lambda i: -scoring[i][2])  # w desc = df asc
     for ci in must_order:
         d, s = decode_clause(ci, cand, 0.0)
         decoded[ci] = (d, s)
@@ -786,14 +860,30 @@ def _score_shard_boolean(
         cand = du if cand is None else np.intersect1d(cand, du, assume_unique=True)
         if cand.size == 0:
             return _EMPTY
+    for j, (f, terms, wmap, avgdl) in enumerate(p_must):
+        ci = pm_idx[j]
+        d, s64 = eval_phrase(f, terms, wmap, avgdl, cand)
+        decoded[ci] = (d, s64)
+        complete.add(ci)
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
 
-    # --- shoulds: mandatory (rarest n_s - m_eff + 1) then theta-pruned heads ---
-    n_s = len(spec["should"])
+    # --- shoulds: phrase shoulds decode eagerly; term shoulds split into
+    # mandatory (rarest) + theta-pruned heads ---
+    n_s = n_ts + len(p_should)
     constrained = cand is not None
     m_eff = msm if constrained else max(msm, 1)
-    should_idx = sorted(range(n_must, len(scoring)), key=lambda i: -scoring[i][2])
+    for j, (f, terms, wmap, avgdl) in enumerate(p_should):
+        ci = ps_idx[j]
+        decoded[ci] = eval_phrase(f, terms, wmap, avgdl, cand)
+        complete.add(ci)
+    should_idx = sorted(range(ts_idx0, ts_idx0 + n_ts), key=lambda i: -scoring[i][2])
     if m_eff >= 1:
-        n_mand = max(n_s - m_eff + 1, 0)
+        # a doc with >= m_eff should hits must hit one of the
+        # (n_s - m_eff + 1) rarest shoulds; phrase shoulds are already
+        # fully decoded, so they fill mandatory slots first
+        n_mand = max(n_s - m_eff + 1 - len(p_should), 0)
     else:
         n_mand = 0  # every candidate qualifies; all shoulds are theta-prunable
     mandatory, heads = should_idx[:n_mand], should_idx[n_mand:]
@@ -802,10 +892,10 @@ def _score_shard_boolean(
         decoded[ci] = decode_clause_chunked(ci, cand, theta_fn)
         complete.add(ci)
     # heads restrict to docs that can still qualify: with m_eff >= 1 a
-    # qualifying doc must hit >= 1 mandatory should (it cannot reach
-    # m_eff hits from the m_eff - 1 heads alone)
+    # qualifying doc must hit >= 1 mandatory should (phrase shoulds
+    # included — it cannot reach m_eff hits from the heads alone)
     if m_eff >= 1 and n_s:
-        hit_parts = [decoded[ci][0] for ci in mandatory if decoded[ci] is not None]
+        hit_parts = [decoded[ci][0] for ci in list(mandatory) + ps_idx if decoded[ci] is not None]
         hit_docs = (
             np.unique(np.concatenate(hit_parts)) if hit_parts else np.empty(0, dtype=np.int64)
         )
@@ -1208,14 +1298,19 @@ class Searcher:
         dismax_tie: float | None = None,
     ) -> DataFrame:
         """Composable BooleanQuery (the reference's combined surface):
-        clauses = [{field, term, occur, boost?}] with occur in must |
-        should | filter | must_not, mixed freely across text and
+        clauses = [{field, term, occur, boost?}] or
+        [{field, phrase: [t1, t2, ...], occur, boost?}] with occur in
+        must | should | filter | must_not, mixed freely across text and
         keyword fields, plus numeric doc-values ranges — all evaluated
         in ONE query, scores = float64 sum of the float32 per-clause
         BM25 scores of matched must+should clauses (filter/must_not
-        score nothing). boost multiplies the clause's float32 weight
-        before scoring (Lucene BoostQuery: weight = boost * idf, float
-        arithmetic).
+        score nothing). A phrase clause matches docs where its tokens
+        occur at consecutive positions (PhraseQuery nested inside a
+        BooleanQuery — the standard Lucene composition) and scores as
+        the sum of its unique terms' BM25 scores on matching docs
+        (identical to mode="phrase"). boost multiplies the clause's
+        float32 weight(s) before scoring (Lucene BoostQuery: weight =
+        boost * idf, float arithmetic).
 
         min_should_match: default Lucene semantics — 0 when any
         must/filter/numeric constraint exists, else 1.
@@ -1227,25 +1322,38 @@ class Searcher:
         if dismax_tie is not None and not (0.0 <= dismax_tie <= 1.0):
             raise ValueError("dismax_tie must be in [0, 1]")
         norm: dict[str, list] = {o: [] for o in OCCURS}
-        boosts: dict[tuple[str, str, str], float] = {}
+        pnorm: dict[str, list] = {o: [] for o in OCCURS}
+        boosts: dict[tuple, float] = {}
         for c in clauses:
             occ = c.get("occur", "should")
             if occ not in OCCURS:
                 raise ValueError(f"unknown occur {occ!r}")
             f = c.get("field", "text")
-            norm[occ].append((f, c["term"]))
             b = float(c.get("boost", 1.0))
-            if b != 1.0:
-                boosts[(occ, f, c["term"])] = b
+            if "phrase" in c:
+                terms = tuple(c["phrase"])
+                if not terms:
+                    raise ValueError("empty phrase clause")
+                pnorm[occ].append((f, terms))
+                if b != 1.0:
+                    boosts[(occ, f, terms)] = b
+            else:
+                norm[occ].append((f, c["term"]))
+                if b != 1.0:
+                    boosts[(occ, f, c["term"])] = b
+        has_phrases = any(pnorm[o] for o in OCCURS)
+        if has_phrases and not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; phrase clauses unavailable")
         has_constraint = bool(
-            norm["must"] or norm["filter"] or numeric or allowed_docs is not None
+            norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"]
+            or numeric or allowed_docs is not None
         )
         msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
         # pure-disjunction special case: a SHOULD-only single-field
         # query with msm<=1 and no boosts IS the or-mode query — route
         # it through the single-field block-max WAND kernel
-        if not has_constraint and msm <= 1 and norm["should"] and not boosts:
+        if not has_constraint and msm <= 1 and norm["should"] and not boosts and not has_phrases:
             fields = {f for f, _ in norm["should"]}
             if len(fields) == 1:
                 fld = next(iter(fields))
@@ -1261,6 +1369,8 @@ class Searcher:
         for occ in OCCURS:
             for f, t in norm[occ]:
                 by_field_terms.setdefault(f, set()).add(t)
+            for f, terms in pnorm[occ]:
+                by_field_terms.setdefault(f, set()).update(terms)
         stats = self.term_stats_multi(by_field_terms)
 
         def scored(occ, entries):
@@ -1277,20 +1387,43 @@ class Searcher:
                 out.append((f, t, w, self.manifest.avgdl_for(f)))
             return out
 
+        def scored_phrase(occ, entries):
+            out = []
+            for f, terms in entries:
+                if any((f, t) not in stats for t in terms):
+                    out.append(None)  # a phrase term absent: cannot match
+                    continue
+                b = boosts.get((occ, f, terms))
+                wmap = {}
+                for t in set(terms):
+                    w = np.float32(bm25.idf(float(stats[(f, t)][0]), self.manifest.n_docs_for(f)))
+                    if b is not None:
+                        w = np.float32(np.float32(b) * w)
+                    wmap[t] = w
+                out.append((f, list(terms), wmap, self.manifest.avgdl_for(f)))
+            return out
+
         must = scored("must", norm["must"])
-        if any(m is None for m in must):  # a must term absent from the corpus
+        p_must = scored_phrase("must", pnorm["must"])
+        if any(m is None for m in must + p_must):  # a must clause cannot match
             return self.spark.createDataFrame([], HIT_SCHEMA)
         filters = [s for s in scored("filter", norm["filter"]) if s is not None]
-        if len(filters) < len(norm["filter"]):  # a filter term absent
+        p_filters = scored_phrase("filter", pnorm["filter"])
+        if len(filters) < len(norm["filter"]) or any(p is None for p in p_filters):
             return self.spark.createDataFrame([], HIT_SCHEMA)
         should = [s for s in scored("should", norm["should"]) if s is not None]
+        p_should = [p for p in scored_phrase("should", pnorm["should"]) if p is not None]
         mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
-        if msm > len(should):
+        p_not = [p for p in scored_phrase("must_not", pnorm["must_not"]) if p is not None]
+        if msm > len(should) + len(p_should):
             return self.spark.createDataFrame([], HIT_SCHEMA)
-        if not must and not filters and not should and numeric is None and allowed_docs is None:
+        if (not must and not p_must and not filters and not p_filters and not should
+                and not p_should and numeric is None and allowed_docs is None):
             return self.spark.createDataFrame([], HIT_SCHEMA)
         spec = {"must": must, "should": should, "filter": filters, "must_not": mnot,
-                "k": int(k), "msm": int(msm), "after": after, "dismax_tie": dismax_tie}
+                "k": int(k), "msm": int(msm), "after": after, "dismax_tie": dismax_tie,
+                "phrases": {"must": p_must, "should": p_should, "filter": p_filters,
+                            "must_not": p_not}}
         aux, allow_kinds = self._aux_frames(numeric, allowed_docs)
 
         def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
@@ -1327,6 +1460,11 @@ class Searcher:
                 occ = c.get("occur", "should")
                 if occ not in OCCURS:
                     raise ValueError(f"unknown occur {occ!r}")
+                if "phrase" in c:
+                    raise ValueError(
+                        "phrase clauses are not supported in search_boolean_batch; "
+                        "use search_boolean per query"
+                    )
                 norm[occ].append((c.get("field", "text"), c["term"]))
                 need_all.setdefault(c.get("field", "text"), set()).add(c["term"])
             norms.append(norm)
@@ -1723,6 +1861,8 @@ class Searcher:
         for c in clauses:
             occ = c.get("occur", "should")
             f = c.get("field", "text")
+            if "phrase" in c:
+                raise ValueError("phrase clauses are not supported in profile_boolean_local")
             norm[occ].append((f, c["term"]))
             b = float(c.get("boost", 1.0))
             if b != 1.0:

@@ -209,13 +209,57 @@ def boolean_search(
         return dict(zip(ids.tolist(), s.tolist()))
 
     norm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
-    boosts: dict[tuple[str, str, str], float] = {}
+    pnorm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
+    boosts: dict[tuple, float] = {}
     for c in clauses:
         occ = c.get("occur", "should")
         f = c.get("field", "text")
+        if "phrase" in c:
+            pnorm[occ].append((f, tuple(c["phrase"])))
+            if c.get("boost", 1.0) != 1.0:
+                boosts[(occ, f, tuple(c["phrase"]))] = float(c["boost"])
+            continue
         norm[occ].append((f, c["term"]))
         if c.get("boost", 1.0) != 1.0:
             boosts[(occ, f, c["term"])] = float(c["boost"])
+
+    def phrase_matches(f: str, terms: tuple) -> set[int]:
+        n = len(terms)
+        out = set()
+        for i, ts in enumerate(tok[f]):
+            if stats[f]["dls"][i] <= 0:
+                continue
+            for j in range(len(ts) - n + 1):
+                if tuple(ts[j : j + n]) == terms:
+                    out.add(i)
+                    break
+        return out
+
+    def phrase_scores(occ: str, f: str, terms: tuple) -> dict[int, float]:
+        # PhraseQuery-in-BooleanQuery: doc matches iff the tokens occur
+        # consecutively; clause value = float64 sum of the unique
+        # terms' float32 BM25 scores on that doc (same as mode=phrase)
+        if any(not matches(f, t) for t in set(terms)):
+            return {}
+        hit = phrase_matches(f, terms)
+        if not hit:
+            return {}
+        b = boosts.get((occ, f, terms))
+        per = {}
+        for t in dict.fromkeys(terms):
+            m = matches(f, t)
+            st = stats[f]
+            ids = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+            tfs = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+            w = np.float32(bm25.idf(float(len(m)), st["n_docs"]))
+            if b is not None:
+                w = np.float32(np.float32(b) * w)
+            sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
+            per[t] = dict(zip(ids.tolist(), sc.tolist()))
+        return {
+            d: float(sum(float(per[t].get(d, 0.0)) for t in dict.fromkeys(terms)))
+            for d in hit
+        }
 
     def boosted(occ, f, t):
         # BoostQuery: weight = float32(boost) * float32(idf) is folded
@@ -233,12 +277,16 @@ def boolean_search(
             w = np.float32(np.float32(b) * w)
         sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
         return dict(zip(ids.tolist(), sc.tolist()))
-    has_constraint = bool(norm["must"] or norm["filter"] or numeric)
+    has_constraint = bool(
+        norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"] or numeric
+    )
     msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
     excluded = set()
     for f, t in norm["must_not"]:
         excluded |= set(matches(f, t))
+    for f, terms in pnorm["must_not"]:
+        excluded |= set(phrase_scores("must_not", f, terms))
     allowed = set(range(len(rows)))
     for cl in numeric or []:
         lo, hi = cl.get("lo"), cl.get("hi")
@@ -249,11 +297,17 @@ def boolean_search(
             and (lo is None or r[cl["field"]] >= lo)
             and (hi is None or r[cl["field"]] <= hi)
         }
-    must_scores = [boosted("must", f, t) for f, t in norm["must"]]
+    must_scores = [boosted("must", f, t) for f, t in norm["must"]] + [
+        phrase_scores("must", f, terms) for f, terms in pnorm["must"]
+    ]
     if any(not m for m in must_scores):
         return []
-    filter_sets = [set(matches(f, t)) for f, t in norm["filter"]]
-    should_scores = [boosted("should", f, t) for f, t in norm["should"]]
+    filter_sets = [set(matches(f, t)) for f, t in norm["filter"]] + [
+        set(phrase_scores("filter", f, terms)) for f, terms in pnorm["filter"]
+    ]
+    should_scores = [boosted("should", f, t) for f, t in norm["should"]] + [
+        phrase_scores("should", f, terms) for f, terms in pnorm["should"]
+    ]
 
     cand = allowed - excluded
     for fs in filter_sets:

@@ -739,3 +739,44 @@ def test_payloads_roundtrip_and_survive_repack(spark, tmp_path_factory):
     assert {r["doc"] for r in Searcher(spark, root2).search(["alpha"], k=50).collect()} == {
         r["doc_id"] for r in rows[:6] if "alpha" in r["text"].lower()
     }
+
+
+def test_boolean_phrase_clauses_rank_identity(spark, tmp_path_factory):
+    """PhraseQuery nested inside BooleanQuery (the standard Lucene
+    composition): phrase clauses in every occur slot, beside term
+    clauses, filters, numeric ranges and boosts — rank- and
+    score-identical to the referee."""
+    rows, root = _small_index(spark, tmp_path_factory, "bphr", seed=29)
+    s = Searcher(spark, root)
+    cases = [
+        ([{"phrase": ["alpha", "beta"], "occur": "must"}], None, None),
+        ([{"phrase": ["alpha", "beta"], "occur": "must"},
+          {"field": "role", "term": "user", "occur": "filter"}], None,
+         [{"field": "n_chars", "lo": 30, "hi": None}]),
+        ([{"phrase": ["alpha", "beta"], "occur": "should"},
+          {"term": "gamma", "occur": "should"}], 1, None),
+        ([{"term": "alpha", "occur": "must"},
+          {"phrase": ["beta", "gamma"], "occur": "must_not"}], None, None),
+        ([{"phrase": ["alpha", "beta"], "occur": "must", "boost": 2.0},
+          {"term": "mu", "occur": "should"}], None, None),
+        # phrase should counted toward minimum_should_match
+        ([{"phrase": ["alpha", "beta"], "occur": "should"},
+          {"term": "zeta", "occur": "should"},
+          {"term": "gamma", "occur": "should"}], 2, None),
+    ]
+    for i, (clauses, msm, numeric) in enumerate(cases):
+        exp = oracle.boolean_search(
+            rows, "doc_id", clauses, k=30, min_should_match=msm,
+            numeric=numeric, keyword_fields=("role",),
+        )
+        got = [
+            (r["doc"], float(np.float32(r["score"])))
+            for r in s.search_boolean(clauses, k=30, min_should_match=msm, numeric=numeric).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], f"case {i}: rank mismatch"
+        np.testing.assert_array_equal(
+            np.array([x for _, x in got], dtype=np.float32),
+            np.array([x for _, x in exp], dtype=np.float32),
+            err_msg=f"case {i}: score mismatch",
+        )
+        assert len(got) > 0 or i in (3,), f"case {i}: unexpectedly empty"
