@@ -1287,38 +1287,21 @@ class Searcher:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         return self.search(terms, k, mode="or", field=field, **kw)
 
-    def search_boolean(
+    def _boolean_spec(
         self,
         clauses: list[dict],
         k: int,
-        min_should_match: int | None = None,
-        numeric: list[dict] | None = None,
-        allowed_docs: DataFrame | None = None,
-        after: tuple[float, int] | None = None,
-        dismax_tie: float | None = None,
-    ) -> DataFrame:
-        """Composable BooleanQuery (the reference's combined surface):
-        clauses = [{field, term, occur, boost?}] or
-        [{field, phrase: [t1, t2, ...], occur, boost?}] with occur in
-        must | should | filter | must_not, mixed freely across text and
-        keyword fields, plus numeric doc-values ranges — all evaluated
-        in ONE query, scores = float64 sum of the float32 per-clause
-        BM25 scores of matched must+should clauses (filter/must_not
-        score nothing). A phrase clause matches docs where its tokens
-        occur at consecutive positions (PhraseQuery nested inside a
-        BooleanQuery — the standard Lucene composition) and scores as
-        the sum of its unique terms' BM25 scores on matching docs
-        (identical to mode="phrase"). boost multiplies the clause's
-        float32 weight(s) before scoring (Lucene BoostQuery: weight =
-        boost * idf, float arithmetic).
-
-        min_should_match: default Lucene semantics — 0 when any
-        must/filter/numeric constraint exists, else 1.
-        after: searchAfter cursor (score, doc) — next k strictly after
-        it in (score desc, doc asc); disables theta pruning (kernel
-        docstring), never the exact candidate restriction.
-        dismax_tie: combine scoring clauses as DisjunctionMaxQuery
-        (max + tie * (sum - max), 0 <= tie <= 1) instead of the sum."""
+        min_should_match: int | None,
+        extra_constraint: bool,
+        after: tuple[float, int] | None,
+        dismax_tie: float | None,
+    ) -> dict:
+        """Shared clause normalization for the composable surfaces
+        (search_boolean and search_boolean_local): clause dicts ->
+        kernel spec + scan-term map. Returns {"spec": dict | None
+        (None = provably empty), "delegate": (field, terms, not_terms)
+        when the query is a plain single-field disjunction the or-path
+        should serve, "by_field_terms", "stats"}."""
         if dismax_tie is not None and not (0.0 <= dismax_tie <= 1.0):
             raise ValueError("dismax_tie must be in [0, 1]")
         norm: dict[str, list] = {o: [] for o in OCCURS}
@@ -1346,23 +1329,22 @@ class Searcher:
             raise ValueError("index built without positions; phrase clauses unavailable")
         has_constraint = bool(
             norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"]
-            or numeric or allowed_docs is not None
+            or extra_constraint
         )
         msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
         # pure-disjunction special case: a SHOULD-only single-field
-        # query with msm<=1 and no boosts IS the or-mode query — route
-        # it through the single-field block-max WAND kernel
+        # query with msm<=1 and no boosts IS the or-mode query — the
+        # caller routes it through its single-field block-max path
         if not has_constraint and msm <= 1 and norm["should"] and not boosts and not has_phrases:
             fields = {f for f, _ in norm["should"]}
             if len(fields) == 1:
                 fld = next(iter(fields))
                 nts = [t for f, t in norm["must_not"] if f == fld]
                 if len(nts) == len(norm["must_not"]):
-                    return self.search(
-                        [t for _, t in norm["should"]], k, mode="or", field=fld,
-                        not_terms=nts or None, after=after, dismax_tie=dismax_tie,
-                    )
+                    return {"spec": None,
+                            "delegate": (fld, [t for _, t in norm["should"]], nts),
+                            "by_field_terms": {}, "stats": {}}
 
         # per-field term stats (driver-side termdict seeks, one scan)
         by_field_terms: dict[str, set[str]] = {}
@@ -1406,24 +1388,150 @@ class Searcher:
         must = scored("must", norm["must"])
         p_must = scored_phrase("must", pnorm["must"])
         if any(m is None for m in must + p_must):  # a must clause cannot match
-            return self.spark.createDataFrame([], HIT_SCHEMA)
+            return {"spec": None, "delegate": None,
+                    "by_field_terms": by_field_terms, "stats": stats}
         filters = [s for s in scored("filter", norm["filter"]) if s is not None]
         p_filters = scored_phrase("filter", pnorm["filter"])
         if len(filters) < len(norm["filter"]) or any(p is None for p in p_filters):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
+            return {"spec": None, "delegate": None,
+                    "by_field_terms": by_field_terms, "stats": stats}
         should = [s for s in scored("should", norm["should"]) if s is not None]
         p_should = [p for p in scored_phrase("should", pnorm["should"]) if p is not None]
         mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
         p_not = [p for p in scored_phrase("must_not", pnorm["must_not"]) if p is not None]
         if msm > len(should) + len(p_should):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
+            return {"spec": None, "delegate": None,
+                    "by_field_terms": by_field_terms, "stats": stats}
         if (not must and not p_must and not filters and not p_filters and not should
-                and not p_should and numeric is None and allowed_docs is None):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
+                and not p_should and not extra_constraint):
+            return {"spec": None, "delegate": None,
+                    "by_field_terms": by_field_terms, "stats": stats}
         spec = {"must": must, "should": should, "filter": filters, "must_not": mnot,
                 "k": int(k), "msm": int(msm), "after": after, "dismax_tie": dismax_tie,
                 "phrases": {"must": p_must, "should": p_should, "filter": p_filters,
                             "must_not": p_not}}
+        return {"spec": spec, "delegate": None,
+                "by_field_terms": by_field_terms, "stats": stats}
+
+    def _numeric_allowed_local(self, numeric: list[dict]) -> np.ndarray:
+        """Driver-side doc-values range evaluation: pyarrow scan of the
+        stored table (predicate pushdown + column pruning) -> SORTED
+        allowed docIDs. The stored table is orders of magnitude
+        smaller than postings; this is the query-service analogue of
+        the cogrouped aux input."""
+        import pyarrow as pa
+
+        files = self._table_files("stored")
+        if not files:
+            raise ValueError(
+                "index has no stored/doc-values table; build with stored_fields=..."
+            )
+        dset = pads.dataset(files, format="parquet")
+        flt = None
+        for cl in numeric:
+            typ = dset.schema.field(cl["field"]).type
+            for key, op in (("lo", "ge"), ("hi", "le")):
+                val = cl.get(key)
+                if val is None:
+                    continue
+                if pa.types.is_timestamp(typ) and isinstance(val, str):
+                    val = pd.Timestamp(val)
+                fld = pads.field(cl["field"])
+                leg = (fld >= val) if op == "ge" else (fld <= val)
+                flt = leg if flt is None else (flt & leg)
+        tbl = dset.to_table(filter=flt, columns=["doc"])
+        return np.unique(tbl["doc"].to_numpy().astype(np.int64))
+
+    def search_boolean_local(
+        self,
+        clauses: list[dict],
+        k: int,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
+    ) -> pd.DataFrame:
+        """Driver-local composable BooleanQuery: same normalization and
+        numpy kernel as search_boolean, but the pushdown-pruned block
+        scan and doc-values evaluation run in the driver process — no
+        Spark job at all (the query-service node shape, like
+        search_local for the single-field surface). Results are
+        identical to search_boolean."""
+        empty = pd.DataFrame(
+            {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+        )
+        res = self._boolean_spec(
+            clauses, k, min_should_match, extra_constraint=bool(numeric),
+            after=after, dismax_tie=dismax_tie,
+        )
+        if res["delegate"] is not None:
+            fld, terms, nts = res["delegate"]
+            return self.search_local(terms, k, mode="or", field=fld,
+                                     not_terms=nts or None, after=after,
+                                     dismax_tie=dismax_tie)
+        if res["spec"] is None:
+            return empty
+        allowed = self._numeric_allowed_local(numeric) if numeric else None
+        pdf = self._local_blocks(
+            {f: sorted(ts) for f, ts in res["by_field_terms"].items()}
+        )
+        outs = []
+        for _, sub in pdf.groupby("shard", sort=False):
+            by_field = {
+                f: {t: g for t, g in s2.groupby("term", sort=False)}
+                for f, s2 in sub.groupby("field", sort=False)
+            }
+            r = _score_shard_boolean(by_field, res["spec"], self.deleted, allowed)
+            if len(r):
+                outs.append(r)
+        hits = pd.concat(outs, ignore_index=True) if outs else empty
+        hits = hits.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
+        return hits.head(k).reset_index(drop=True)
+
+    def search_boolean(
+        self,
+        clauses: list[dict],
+        k: int,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+        allowed_docs: DataFrame | None = None,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
+    ) -> DataFrame:
+        """Composable BooleanQuery (the reference's combined surface):
+        clauses = [{field, term, occur, boost?}] or
+        [{field, phrase: [t1, t2, ...], occur, boost?}] with occur in
+        must | should | filter | must_not, mixed freely across text and
+        keyword fields, plus numeric doc-values ranges — all evaluated
+        in ONE query, scores = float64 sum of the float32 per-clause
+        BM25 scores of matched must+should clauses (filter/must_not
+        score nothing). A phrase clause matches docs where its tokens
+        occur at consecutive positions (PhraseQuery nested inside a
+        BooleanQuery — the standard Lucene composition) and scores as
+        the sum of its unique terms' BM25 scores on matching docs
+        (identical to mode="phrase"). boost multiplies the clause's
+        float32 weight(s) before scoring (Lucene BoostQuery: weight =
+        boost * idf, float arithmetic).
+
+        min_should_match: default Lucene semantics — 0 when any
+        must/filter/numeric constraint exists, else 1.
+        after: searchAfter cursor (score, doc) — next k strictly after
+        it in (score desc, doc asc); disables theta pruning (kernel
+        docstring), never the exact candidate restriction.
+        dismax_tie: combine scoring clauses as DisjunctionMaxQuery
+        (max + tie * (sum - max), 0 <= tie <= 1) instead of the sum."""
+        res = self._boolean_spec(
+            clauses, k, min_should_match,
+            extra_constraint=bool(numeric or allowed_docs is not None),
+            after=after, dismax_tie=dismax_tie,
+        )
+        if res["delegate"] is not None:
+            fld, terms, nts = res["delegate"]
+            return self.search(terms, k, mode="or", field=fld, not_terms=nts or None,
+                               after=after, dismax_tie=dismax_tie)
+        if res["spec"] is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        spec, by_field_terms, stats = res["spec"], res["by_field_terms"], res["stats"]
         aux, allow_kinds = self._aux_frames(numeric, allowed_docs)
 
         def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:

@@ -780,3 +780,44 @@ def test_boolean_phrase_clauses_rank_identity(spark, tmp_path_factory):
             err_msg=f"case {i}: score mismatch",
         )
         assert len(got) > 0 or i in (3,), f"case {i}: unexpectedly empty"
+
+
+def test_search_boolean_local_matches_distributed(spark, tmp_path_factory):
+    """Driver-local composable path (no Spark job): identical results
+    to the distributed search_boolean across occurs, numeric ranges,
+    phrase clauses, boosts, paging and dismax."""
+    rows, root = _small_index(spark, tmp_path_factory, "bloc", seed=31)
+    s = Searcher(spark, root)
+    cases = [
+        ([{"term": "alpha", "occur": "must"}, {"term": "beta", "occur": "should"}], None, None, {}),
+        ([{"term": "alpha", "occur": "should"}, {"term": "beta", "occur": "should"},
+          {"term": "zeta", "occur": "should"}], 2, None, {}),
+        ([{"term": "alpha", "occur": "should"},
+          {"field": "role", "term": "assistant", "occur": "filter"}], None,
+         [{"field": "n_chars", "lo": 40, "hi": 200}], {}),
+        ([{"phrase": ["alpha", "beta"], "occur": "must"},
+          {"term": "gamma", "occur": "must_not"}], None, None, {}),
+        ([{"term": "alpha", "occur": "should", "boost": 2.0},
+          {"term": "beta", "occur": "should"}], 1, None, {"dismax_tie": 0.4}),
+        # delegation path: plain single-field disjunction
+        ([{"term": "alpha", "occur": "should"}, {"term": "beta", "occur": "should"}],
+         None, None, {}),
+    ]
+    for i, (clauses, msm, numeric, kw) in enumerate(cases):
+        dist = [
+            (r["doc"], float(np.float32(r["score"])))
+            for r in s.search_boolean(clauses, k=25, min_should_match=msm,
+                                      numeric=numeric, **kw).collect()
+        ]
+        loc = [
+            (int(r["doc"]), float(np.float32(r["score"])))
+            for _, r in s.search_boolean_local(clauses, k=25, min_should_match=msm,
+                                               numeric=numeric, **kw).iterrows()
+        ]
+        assert loc == dist, f"case {i}: local != distributed"
+    # paging on the local path
+    clauses = [{"term": "alpha", "occur": "must"}, {"term": "beta", "occur": "should"}]
+    full = s.search_boolean_local(clauses, k=20)
+    cur = (float(full.iloc[4]["score"]), int(full.iloc[4]["doc"]))
+    page2 = s.search_boolean_local(clauses, k=10, after=cur)
+    assert page2["doc"].tolist() == full["doc"].tolist()[5:15]
