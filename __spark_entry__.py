@@ -49,6 +49,8 @@ MIXED_SHOULD = ["vector", "hash"]
 MIXED_NOT = "dup"
 DELETE_MOD = 7  # ft_delete_search tombstones doc_id % 7 == 0
 PREFIX_Q = "s"      # expands to scan/slow/small/sort/spark/stream
+WILDCARD_Q = "s?a*"  # expands to scan/small/spark (WildcardQuery)
+TRANGE_LO, TRANGE_HI = "query", "sort"  # TermRangeQuery bounds
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 PAGE = 100          # ft_search_after page size
 DISMAX_TIE = 0.3
@@ -625,6 +627,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_wildcard_search(spark, sf):
+        # Lucene WildcardQuery: anchored-regex termdict expansion with
+        # literal-prefix pushdown, then a pruned BM25 disjunction
+        return _hits_df(_searcher(spark, sf).search_wildcard(WILDCARD_Q, k=K_ALL))
+
+    def ft_term_range(spark, sf):
+        # Lucene TermRangeQuery: lexicographic term-dictionary range
+        return _hits_df(
+            _searcher(spark, sf).search_term_range(TRANGE_LO, TRANGE_HI, k=K_ALL)
+        )
+
     def ft_prefix_search(spark, sf):
         # PrefixQuery (scoring-boolean rewrite): distributed termdict
         # expansion -> WAND-pruned BM25 disjunction
@@ -809,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
+        ft_wildcard_search, ft_term_range,
         ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
@@ -930,6 +944,13 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
             agg_expr=(
                 f"(max(s32::DOUBLE) + {DISMAX_TIE} * (sum(s32::DOUBLE) - max(s32::DOUBLE)))::FLOAT"
             ),
+        ),
+        "ft_wildcard_search": _bm25_sql(
+            [], "or", K_ALL, terms_sql="regexp_matches(term, '^s.a.*$')"
+        ),
+        "ft_term_range": _bm25_sql(
+            [], "or", K_ALL,
+            terms_sql=f"term >= '{TRANGE_LO}' AND term <= '{TRANGE_HI}'",
         ),
         "ft_prefix_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"term LIKE '{PREFIX_Q}%'"

@@ -51,6 +51,7 @@ rank-identical contract (BASELINE.json north_rule).
 from __future__ import annotations
 
 import os
+import re
 from typing import Iterable
 
 import numpy as np
@@ -79,6 +80,22 @@ BATCH_HIT_SCHEMA = T.StructType(
 )
 
 COUNT_SCHEMA = T.StructType([T.StructField("n", T.LongType(), False)])
+
+def wildcard_regex(pattern: str) -> str:
+    """Lucene WildcardQuery pattern -> anchored regex (* = .*; ? = .;
+    everything else literal). Identical semantics in Java regex (Spark
+    rlike) and DuckDB regexp_matches for these constructs, so the SQL
+    oracle twin is exact."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
 
 AUX_DEL = "del"
 
@@ -1214,6 +1231,8 @@ class Searcher:
         max_edits: int = 2,
         max_expansions: int = 50,
         transpositions: bool = False,
+        wildcard: str | None = None,
+        term_range: tuple[str | None, str | None] | None = None,
     ) -> list[str]:
         """MultiTermQuery expansion (Lucene PrefixQuery / FuzzyQuery
         term enumeration) as a DISTRIBUTED termdict job: startsWith
@@ -1230,12 +1249,30 @@ class Searcher:
         valid because lev <= 2*damerau) narrows the vocabulary first,
         then an Arrow-batched pandas UDF computes the exact unrestricted
         Damerau distance on the surviving sliver (identical to DuckDB's
-        damerau_levenshtein, so the oracle twin is exact)."""
+        damerau_levenshtein, so the oracle twin is exact).
+
+        wildcard: Lucene WildcardQuery pattern (* = any sequence, ? =
+        one char; everything else literal) - compiled to an anchored
+        regex; the literal prefix up to the first wildcard pushes down
+        as startsWith like Lucene's prefix-accelerated automaton.
+        term_range: Lucene TermRangeQuery (lo, hi), inclusive, either
+        side open with None - plain lexicographic column predicates."""
         td = self.spark.read.parquet(
             *self.manifest.segment_paths(self.root, "termdict")
         ).filter(F.col("field") == field)
         if prefix is not None:
             td = td.filter(F.col("term").startswith(prefix))
+        if wildcard is not None:
+            lit_prefix = re.split(r"[*?]", wildcard, maxsplit=1)[0]
+            if lit_prefix:
+                td = td.filter(F.col("term").startswith(lit_prefix))
+            td = td.filter(F.col("term").rlike(wildcard_regex(wildcard)))
+        if term_range is not None:
+            lo, hi = term_range
+            if lo is not None:
+                td = td.filter(F.col("term") >= lo)
+            if hi is not None:
+                td = td.filter(F.col("term") <= hi)
         if fuzzy is not None:
             lev_cap = 2 * max_edits if transpositions else max_edits
             td = td.filter(
@@ -1283,6 +1320,34 @@ class Searcher:
             field, fuzzy=term, max_edits=max_edits, max_expansions=max_expansions,
             transpositions=transpositions,
         )
+        if not terms:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        return self.search(terms, k, mode="or", field=field, **kw)
+
+    def search_wildcard(
+        self, pattern: str, k: int, field: str = "text", max_expansions: int = 50, **kw
+    ) -> DataFrame:
+        """Lucene WildcardQuery under SCORING_BOOLEAN_REWRITE: expand
+        the pattern against the term dictionary (literal-prefix
+        pushdown + anchored regex), then one BM25 disjunction over
+        the expansions (pruned or-path)."""
+        terms = self.expand_terms(field, wildcard=pattern, max_expansions=max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        return self.search(terms, k, mode="or", field=field, **kw)
+
+    def search_term_range(
+        self,
+        lo: str | None,
+        hi: str | None,
+        k: int,
+        field: str = "text",
+        max_expansions: int = 50,
+        **kw,
+    ) -> DataFrame:
+        """Lucene TermRangeQuery (inclusive; None = open side) under
+        SCORING_BOOLEAN_REWRITE over the term dictionary."""
+        terms = self.expand_terms(field, term_range=(lo, hi), max_expansions=max_expansions)
         if not terms:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         return self.search(terms, k, mode="or", field=field, **kw)

@@ -821,3 +821,30 @@ def test_search_boolean_local_matches_distributed(spark, tmp_path_factory):
     cur = (float(full.iloc[4]["score"]), int(full.iloc[4]["doc"]))
     page2 = s.search_boolean_local(clauses, k=10, after=cur)
     assert page2["doc"].tolist() == full["doc"].tolist()[5:15]
+
+
+def test_wildcard_and_term_range_expansion(spark, tmp_path_factory):
+    rows = [
+        {"doc_id": 0, "text": "scan the table fast"},
+        {"doc_id": 1, "text": "small spark stream"},
+        {"doc_id": 2, "text": "sort and merge rows"},
+        {"doc_id": 3, "text": "slow query plan"},
+    ]
+    root = str(tmp_path_factory.mktemp("wild") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2)
+    s = Searcher(spark, root)
+    assert set(s.expand_terms(wildcard="s?a*")) == {"scan", "small", "spark"}
+    assert set(s.expand_terms(wildcard="*ort")) == {"sort"}  # leading wildcard
+    assert set(s.expand_terms(term_range=("query", "sort"))) == {
+        "query", "rows", "scan", "slow", "small", "sort"
+    }
+    assert set(s.expand_terms(term_range=(None, "fast"))) == {"and", "fast"}
+    # surfaces == plain disjunction over the expansion set
+    got = [(r["doc"], r["score"]) for r in s.search_wildcard("s?a*", k=10).collect()]
+    exp = [(r["doc"], r["score"])
+           for r in s.search(["scan", "small", "spark"], k=10, mode="or").collect()]
+    assert got == exp
+    got = [r["doc"] for r in s.search_term_range("query", "sort", k=10).collect()]
+    exp = [r["doc"] for r in s.search(["query", "rows", "scan", "slow", "small", "sort"],
+                                      k=10, mode="or").collect()]
+    assert got == exp
