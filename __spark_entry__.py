@@ -741,6 +741,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_lsh_pairs(spark, sf):
         return dedup.lsh_candidate_pairs(_table(spark, sf, "documents"), "doc_id", "text")
 
+    def dedup_components(spark, sf):
+        # dedup cluster resolution: LSH candidate pairs -> connected
+        # components (component = min reachable id, the canonical doc)
+        docs = _table(spark, sf, "documents")
+        pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+        return dedup.connected_components(docs, "doc_id", pairs)
+
     def dedup_simhash(spark, sf):
         return dedup.simhash_signatures(_table(spark, sf, "documents"), "doc_id", "text")
 
@@ -827,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
+        dedup_components,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
         ann_cosine_topk, ann_lsh_topk, ann_ivf_topk, mm_media_stats, mm_features,
         agg_lineitem_pricing,
@@ -1016,6 +1024,7 @@ FROM events GROUP BY event_type
         "dedup_minhash_sig": dedup.minhash_signatures_sql("documents", "doc_id", "text"),
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs_sql("documents", "doc_id", "text"),
         "dedup_simhash": dedup.simhash_signatures_sql("documents", "doc_id", "text"),
+        "dedup_components": dedup.connected_components_sql("documents", "doc_id", "text"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", "doc_id", "text", JACCARD_T),
         "text_token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
         "text_quality": textstats.quality_scores_sql("documents", "doc_id", "text"),

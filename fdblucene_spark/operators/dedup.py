@@ -342,3 +342,94 @@ JOIN sizes sa ON sa.{id_col} = i.id_a
 JOIN sizes sb ON sb.{id_col} = i.id_b
 WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter)::DOUBLE, 4) >= {threshold}
 """
+
+
+def connected_components(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    max_iter: int = 25,
+    freeze_dir: str | None = None,
+) -> DataFrame:
+    """Dedup cluster resolution: (id, component) where component = the
+    MIN id reachable through the candidate-pair graph — the step after
+    LSH/jaccard that turns pairwise duplicates into groups with one
+    canonical keeper (`component == id`).
+
+    Algorithm: iterative min-label propagation over the undirected
+    edge list — each round is one join + partial/final min aggregate
+    (all Catalyst; labels and edges shuffle on the same key), with an
+    EXACT convergence check (sum of label changes == 0), so the result
+    is correct whenever the loop returns. Rounds needed = graph
+    diameter; duplicate clusters are near-cliques (diameter 2-3), so
+    3-4 rounds close a typical corpus. A pathological million-node
+    chain would need the O(log n) large-star/small-star alternation
+    instead — raise max_iter or pre-cut such chains with a similarity
+    threshold; the loop RAISES rather than returning wrong labels if
+    it has not converged.
+
+    freeze_dir: optional directory to materialize labels each round
+    (breaks the growing lineage exactly like the build's freeze
+    pattern; required for >5ish rounds at scale)."""
+    import os as _os
+
+    spark = df.sparkSession
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp"))
+    for it in range(max_iter):
+        # neighbor minimum in one shuffle: candidate label for dst =
+        # min over incoming neighbors' current labels
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("_chg"),
+            )
+        )
+        if freeze_dir is not None:
+            p = _os.path.join(freeze_dir, f"cc_round_{it}")
+            new_labels.write.mode("errorifexists").parquet(p)
+            new_labels = spark.read.parquet(p)
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")
+        ).first()["n"]
+        labels = new_labels.drop("_chg")
+        if not changed:
+            return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); raise max_iter"
+    )
+
+
+def connected_components_sql(
+    table: str, id_col: str, text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES, band_size: int = DEFAULT_BAND_SIZE,
+) -> str:
+    """DuckDB twin: recursive transitive closure over the LSH candidate
+    pairs, component = min reachable id."""
+    pairs = lsh_candidate_pairs_sql(table, id_col, text_col, num_hashes, band_size)
+    return f"""
+WITH RECURSIVE cand AS ({pairs}),
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(id, comp) AS (
+  SELECT {id_col}, {id_col}::BIGINT FROM {table}
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN cedges e ON e.src = r.id
+)
+SELECT id AS {id_col}, min(comp)::BIGINT AS component FROM reach GROUP BY id
+"""

@@ -339,3 +339,35 @@ def test_distributed_kmeans_improves_and_is_deterministic(spark, emb_df):
     exact = similarity.cosine_topk(emb_df, "vec_id", "embedding", list(q), 5).toPandas()
     recall = len(set(got["id"]) & set(exact["vec_id"])) / 5
     assert recall >= 0.6
+
+
+def test_connected_components_clusters(spark, tmp_path_factory):
+    """Dedup cluster resolution: known component structure incl. a
+    chain, singletons, the freeze path, and the convergence guard."""
+    import pandas as _pd
+
+    from fdblucene_spark.operators.dedup import connected_components
+
+    ids = _pd.DataFrame({"id": list(range(10))})
+    # components: {0,1,2,3} (chain), {4,5} (pair), {6}..{9} singletons
+    pairs = _pd.DataFrame({"id_a": [0, 1, 2, 4], "id_b": [1, 2, 3, 5]})
+    df = spark.createDataFrame(ids)
+    pdf = spark.createDataFrame(pairs)
+    got = {
+        int(r["id"]): int(r["component"])
+        for r in connected_components(df, "id", pdf).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8, 9: 9}
+    # freeze path produces the same labels
+    froot = str(tmp_path_factory.mktemp("ccfreeze"))
+    got_f = {
+        int(r["id"]): int(r["component"])
+        for r in connected_components(df, "id", pdf, freeze_dir=froot).collect()
+    }
+    assert got_f == got
+    # non-convergence raises instead of returning wrong labels
+    import pytest as _pytest
+
+    chain = _pd.DataFrame({"id_a": list(range(8)), "id_b": list(range(1, 9))})
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, "id", spark.createDataFrame(chain), max_iter=2)
