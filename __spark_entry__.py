@@ -53,6 +53,7 @@ WILDCARD_Q = "s?a*"  # expands to scan/small/spark (WildcardQuery)
 TRANGE_LO, TRANGE_HI = "query", "sort"  # TermRangeQuery bounds
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 PAGE = 100          # ft_search_after page size
+NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
 DISMAX_TIE = 0.3
 # keyword-field norm cache entry: dl=1, avgdl=1.0 exactly (float32 chain)
 _KW_CACHE_F32 = (
@@ -254,6 +255,7 @@ def _bm25_sql(
     offset: int = 0,
     agg_expr: str = "(sum(s32::DOUBLE))::FLOAT",
     boosts: dict[str, float] | None = None,
+    near: tuple[str, str, int, bool] | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
@@ -288,6 +290,25 @@ toks AS (
   SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
 )"""
     phrase_filter = ""
+    if near is not None:
+        # SpanNearQuery twin: tb within `window` positions of ta
+        # (ordered: strictly after) via the token-position relation
+        ta, tb, w, ordered = near
+        cond = (
+            f"f1.p - f0.p BETWEEN 1 AND {w}" if ordered
+            else f"abs(f1.p - f0.p) <= {w}"
+        )
+        phrase_filter = f""",
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), phrasedocs AS (
+  SELECT DISTINCT f0.doc_id FROM flat f0, flat f1
+  WHERE f0.t = '{ta}' AND f1.t = '{tb}' AND f1.doc_id = f0.doc_id AND {cond}
+)"""
     if phrase:
         # adjacency via token positions (the positions keyspace of
         # DATA.md:54): term_i at p, term_{i+1} at p+1 ... chained joins
@@ -309,7 +330,9 @@ tokpos AS (
   SELECT DISTINCT f0.doc_id FROM {', '.join(joins)}
   WHERE {' AND '.join(conds)}
 )"""
-    phrase_where = "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)" if phrase else ""
+    phrase_where = (
+        "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)" if (phrase or near) else ""
+    )
     return f"""
 WITH {tok_cte}, {_NORM_CTE}{phrase_filter},
 tf AS (
@@ -529,6 +552,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ft_bm25_topk_and(spark, sf):
         return _hits_df(_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
+
+    def ft_near_search(spark, sf):
+        # SpanNearQuery (two clauses, unordered): value within 3
+        # positions of key, scored like a phrase match
+        return _hits_df(
+            _searcher(spark, sf).search_near(NEAR_A, NEAR_B, k=K_ALL, window=NEAR_W)
+        )
 
     def ft_phrase_match(spark, sf):
         return _hits_df(_searcher(spark, sf).search(PHRASE, k=K_ALL, mode="phrase"))
@@ -829,7 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
-        ft_wildcard_search, ft_term_range,
+        ft_wildcard_search, ft_term_range, ft_near_search,
         ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
@@ -889,6 +919,9 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         "ft_bm25_topk_or": _bm25_sql(OR_TERMS, "or", K_ALL),
         "ft_bm25_topk_and": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
+        "ft_near_search": _bm25_sql(
+            [NEAR_A, NEAR_B], "and", K_ALL, near=(NEAR_A, NEAR_B, NEAR_W, False)
+        ),
         "tx_bm25_topk": _bm25_sql(
             TX_TERMS_OR, "or", 10000,
             src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "

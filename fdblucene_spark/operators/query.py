@@ -409,6 +409,68 @@ def _phrase_filter(
     return cand[keep], acc[keep]
 
 
+def _near_filter(
+    groups: dict[str, pd.DataFrame],
+    ta: str,
+    tb: str,
+    window: int,
+    ordered: bool,
+    cand: np.ndarray,
+    acc: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep candidates where tb occurs within `window` positions of
+    ta (SpanNearQuery with two clauses; ordered=True requires tb AFTER
+    ta). Same packed-key vectorization as _phrase_filter: every
+    (doc, pos) pair becomes doc << shift | pos; existence of a
+    neighbor inside [key - w, key + w] is two searchsorted probes —
+    the shift is wide enough that a window can never cross a doc
+    boundary. No per-document Python loop."""
+    if cand.size == 0:
+        return cand, acc
+
+    def gather(t):
+        dparts, pparts = [], []
+        rows = groups.get(t)
+        if rows is not None:
+            for _, r in rows.iterrows():
+                d = codec.decode_doc_block(r["docs"])
+                sel_mask = np.isin(d, cand, assume_unique=True)
+                if not sel_mask.any():
+                    continue
+                tf = codec.decode_tf_block(r["tfs"])
+                flat, starts_arr = codec.decode_positions_block(r["positions"], tf)
+                sel = np.flatnonzero(sel_mask)
+                lens = tf[sel]
+                total = int(lens.sum())
+                csum = np.cumsum(lens) - lens
+                g = np.repeat(starts_arr[sel], lens) + (
+                    np.arange(total, dtype=np.int64) - np.repeat(csum, lens)
+                )
+                dparts.append(np.repeat(d[sel], lens))
+                pparts.append(flat[g])
+        dd = np.concatenate(dparts) if dparts else np.empty(0, dtype=np.int64)
+        pp = np.concatenate(pparts) if pparts else np.empty(0, dtype=np.int64)
+        return dd, pp
+
+    da, pa = gather(ta)
+    db, pb = gather(tb)
+    if da.size == 0 or db.size == 0:
+        keep = np.zeros(cand.size, dtype=bool)
+        return cand[keep], acc[keep]
+    max_pos = int(max(pa.max(), pb.max()))
+    shift = max(21, int(max_pos + window + 1).bit_length() + 1)
+    ka = (da << shift) | pa
+    kb = np.sort((db << shift) | pb)
+    lo = ka + (1 if ordered else -window)
+    hi = ka + window
+    i_lo = np.searchsorted(kb, lo, side="left")
+    i_hi = np.searchsorted(kb, hi, side="right")
+    hit = i_hi > i_lo
+    docs_hit = np.unique(ka[hit] >> shift) if hit.any() else np.empty(0, dtype=np.int64)
+    keep = np.isin(cand, docs_hit, assume_unique=True)
+    return cand[keep], acc[keep]
+
+
 def _match_shard(
     groups: dict[str, pd.DataFrame],
     mode: str,
@@ -1323,6 +1385,61 @@ class Searcher:
         if not terms:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         return self.search(terms, k, mode="or", field=field, **kw)
+
+    def search_near(
+        self,
+        term_a: str,
+        term_b: str,
+        k: int,
+        window: int = 3,
+        ordered: bool = False,
+        field: str = "text",
+    ) -> DataFrame:
+        """Proximity query (Lucene SpanNearQuery with two clauses /
+        sloppy two-term phrase): docs where term_b occurs within
+        `window` positions of term_a (ordered=True: strictly after).
+        Scores like mode=phrase: float64 sum of both terms' float32
+        BM25 scores on matching docs. window >= 1; window=1 ordered
+        == the exact two-term phrase."""
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        if term_a == term_b:
+            raise ValueError("search_near needs two distinct terms")
+        if not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; proximity queries unavailable")
+        prep = self._prep([term_a, term_b], "and", field)
+        if prep is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _, term_df = prep
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        aux, allow_kinds = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            hits = _score_shard(
+                groups, term_df, n_docs, avgdl, 10 ** 9, "and",
+                [term_a, term_b], dels, None, allowed=allowed,
+            )
+            if not len(hits):
+                return hits
+            cand = hits["doc"].to_numpy(np.int64)
+            order = np.argsort(cand)
+            cand = cand[order]
+            acc = hits["score"].to_numpy()[order].astype(np.float64)
+            docs_m, acc_m = _near_filter(groups, term_a, term_b, window, ordered, cand, acc)
+            score32 = acc_m.astype(np.float32)
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score32))[:k]
+                docs_m, score32 = docs_m[idx], score32[idx]
+            return pd.DataFrame({"doc": docs_m.astype(np.int64), "score": score32})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin([term_a, term_b])
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
     def search_wildcard(
         self, pattern: str, k: int, field: str = "text", max_expansions: int = 50, **kw

@@ -848,3 +848,37 @@ def test_wildcard_and_term_range_expansion(spark, tmp_path_factory):
     exp = [r["doc"] for r in s.search(["query", "rows", "scan", "slow", "small", "sort"],
                                       k=10, mode="or").collect()]
     assert got == exp
+
+
+def test_search_near_semantics(spark, tmp_path_factory):
+    """SpanNearQuery semantics: window bounds, ordered direction, and
+    phrase equivalence at window=1 ordered."""
+    rows = [
+        {"doc_id": 0, "text": "key value pair"},            # adjacent, ordered
+        {"doc_id": 1, "text": "key one two three value"},   # distance 4
+        {"doc_id": 2, "text": "value then key"},            # reverse, distance 2
+        {"doc_id": 3, "text": "key alone here"},            # missing value
+        {"doc_id": 4, "text": "key one value"},             # distance 2, ordered
+    ]
+    root = str(tmp_path_factory.mktemp("near") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2)
+    s = Searcher(spark, root)
+
+    def docs(window, ordered):
+        return {r["doc"] for r in s.search_near("key", "value", k=10, window=window,
+                                                ordered=ordered).collect()}
+
+    assert docs(1, True) == {0}                    # == exact phrase
+    assert docs(2, True) == {0, 4}
+    assert docs(2, False) == {0, 2, 4}             # unordered picks up doc 2
+    assert docs(4, True) == {0, 1, 4}
+    assert docs(4, False) == {0, 1, 2, 4}
+    # phrase equivalence at window=1 ordered: same docs AND same scores
+    ph = {(r["doc"], r["score"]) for r in s.search(["key", "value"], k=10, mode="phrase").collect()}
+    nr = {(r["doc"], r["score"]) for r in s.search_near("key", "value", k=10, window=1,
+                                                        ordered=True).collect()}
+    assert ph == nr
+    with pytest.raises(ValueError, match="distinct"):
+        s.search_near("key", "key", k=5)
+    with pytest.raises(ValueError, match="window"):
+        s.search_near("key", "value", k=5, window=0)
