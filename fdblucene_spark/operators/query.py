@@ -1295,6 +1295,7 @@ class Searcher:
         transpositions: bool = False,
         wildcard: str | None = None,
         term_range: tuple[str | None, str | None] | None = None,
+        regex: str | None = None,
     ) -> list[str]:
         """MultiTermQuery expansion (Lucene PrefixQuery / FuzzyQuery
         term enumeration) as a DISTRIBUTED termdict job: startsWith
@@ -1335,6 +1336,12 @@ class Searcher:
                 td = td.filter(F.col("term") >= lo)
             if hi is not None:
                 td = td.filter(F.col("term") <= hi)
+        if regex is not None:
+            # Lucene RegexpQuery: anchored whole-term match (Java regex
+            # via rlike; stick to syntax common to Java/RE2 if an
+            # external oracle must reproduce the expansion)
+            anchored = regex if regex.startswith("^") else "^" + regex + "$"
+            td = td.filter(F.col("term").rlike(anchored))
         if fuzzy is not None:
             lev_cap = 2 * max_edits if transpositions else max_edits
             td = td.filter(

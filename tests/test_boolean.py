@@ -882,3 +882,13 @@ def test_search_near_semantics(spark, tmp_path_factory):
         s.search_near("key", "key", k=5)
     with pytest.raises(ValueError, match="window"):
         s.search_near("key", "value", k=5, window=0)
+
+
+def test_regex_expansion(spark, tmp_path_factory):
+    rows = [{"doc_id": 0, "text": "scan sort spark merge row rows"}]
+    root = str(tmp_path_factory.mktemp("rgx") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=1)
+    s = Searcher(spark, root)
+    assert set(s.expand_terms(regex="s.*")) == {"scan", "sort", "spark"}
+    assert set(s.expand_terms(regex="rows?")) == {"row", "rows"}
+    assert set(s.expand_terms(regex="(scan|merge)")) == {"scan", "merge"}
