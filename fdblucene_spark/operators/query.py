@@ -34,16 +34,28 @@ own combined query shape (README.md:54-57 numeric range + sort next
 to text search; SimpleFDBDirectoryTest.java:153,202-207 keyword
 TermQuery beside text fields).
 
-The single-field kernel implements safe block-max pruning (the WAND
-bound), LOCALIZED per block: block B of term t is skippable iff
-ub_t(B) + sum_{t'!=t} (max_ub(t') if t' has any block whose docID
-range overlaps B's, else 0) < theta, where theta is a lower bound on
-the k-th best score (seeded by solo-scoring the highest-impact term).
-The locality is what makes pruning fire: with a global other-term
-bound, theta (which comes from single-term scores) can never exceed
-it. A pruned block provably contains no true top-k doc — a doc in B
-can only receive t' contributions if t' overlaps B's range — and
-every surviving top-k doc keeps its exact score (bound monotonicity:
+ALL scoring paths run through ONE kernel (_score_shard_boolean; the
+single-field or-mode delegates into it as a pure-should query), which
+implements safe block-max pruning three ways at once:
+
+1. theta = k-th best combined PARTIAL score among docs already proven
+   qualified (partials lower-bound finals by monotonicity); clauses
+   decode rarest-first in geometrically growing chunks with theta
+   refreshed between chunks, so the bound exists before the head
+   clauses decode;
+2. the per-block bound localizes per docID RANGE: an undecoded other
+   clause contributes the max ub among its OVERLAPPING blocks (sparse
+   -table range-max — a term-global max would let one high-impact
+   block anywhere kill pruning everywhere), and an already-decoded
+   clause contributes the max of its EXACT per-doc scores inside the
+   range (zero where it has no doc — a sparse rare-term block whose
+   range spans the shard no longer poisons every bound);
+3. minimum_should_match restricts head-clause decode to docs that hit
+   at least one of the (n - msm + 1) rarest clauses — an exact
+   restriction, not a bound.
+
+A pruned block provably contains no true top-k doc, and every
+surviving top-k doc keeps its exact score (bound monotonicity:
 functions/bm25.max_block_score). Scores are Lucene-8-exact — the
 rank-identical contract (BASELINE.json north_rule).
 """
