@@ -39,8 +39,13 @@ def delete_docs(spark: SparkSession, root: str, doc_ids: DataFrame | list[int]) 
     if old_rel:
         old = spark.read.parquet(os.path.join(root, old_rel))
         dels = dels.unionByName(old).distinct()
+    # natural partitioning: a billion-tombstone list writes in
+    # parallel (coalesce(1) would funnel it through one task); both
+    # the Spark readers and the driver-local pyarrow reader handle a
+    # multi-file directory. Each publish rewrites the full union —
+    # the same write amplification as Lucene's per-commit liveDocs.
     rel = os.path.join("data", "deletes", f"del-{uuid.uuid4().hex[:12]}")
-    dels.coalesce(1).write.parquet(os.path.join(root, rel))
+    dels.write.parquet(os.path.join(root, rel))
     n_del = spark.read.parquet(os.path.join(root, rel)).count()
     new = Manifest(
         version=catalog.next_version(),
@@ -85,5 +90,8 @@ def live_filter(spark: SparkSession, root: str, manifest: Manifest, hits: DataFr
     rel = manifest.properties.get("deletes_path")
     if not rel:
         return hits
+    # no forced broadcast: AQE broadcasts a small list by itself and
+    # shuffles a billion-row one (a driver-forced broadcast of an
+    # unbounded delete list is the anti-pattern the kernels avoid)
     dels = spark.read.parquet(os.path.join(root, rel))
-    return hits.join(F.broadcast(dels), "doc", "left_anti")
+    return hits.join(dels, "doc", "left_anti")
