@@ -2079,6 +2079,73 @@ class Searcher:
         )
         return scan.mapInPandas(dec, schema=schema)
 
+    def highlight(
+        self,
+        terms: list[str],
+        k: int,
+        field: str = "text",
+        source_col: str = "text",
+        mode: str = "or",
+        pre: str = "<em>",
+        post: str = "</em>",
+        max_window: int = 160,
+    ) -> DataFrame:
+        """Top-k search with highlighted snippets — the surface the
+        offsets keyspace exists for (reference: ("pp",...) ->
+        (startOffset, endOffset), DATA.md:54; Lucene Highlighter).
+        Returns (doc, score, snippet): the best window of the stored
+        source text with every query-term occurrence wrapped in
+        pre/post. Requires store_offsets=True and the source column in
+        stored_fields. Assembly runs driver-side over the k hits (a
+        presentation step, k is small); the search and the offsets
+        decode stay distributed. Offsets are measured on the
+        LOWERCASED text — identical indices for ASCII sources."""
+        hits = self.search(terms, k, mode=mode, field=field)
+        rows = hits.collect()
+        out_schema = T.StructType(
+            [
+                T.StructField("doc", T.LongType(), False),
+                T.StructField("score", T.FloatType(), False),
+                T.StructField("snippet", T.StringType(), False),
+            ]
+        )
+        if not rows:
+            return self.spark.createDataFrame([], out_schema)
+        hit_docs = [int(r["doc"]) for r in rows]
+        spans: dict[int, list[tuple[int, int]]] = {}
+        occ = (
+            self.offsets(list(set(terms)), field=field)
+            .filter(F.col("doc").isin(hit_docs))
+            .collect()
+        )
+        for r in occ:
+            spans.setdefault(int(r["doc"]), []).append((int(r["start"]), int(r["end"])))
+        texts = {
+            int(r["doc"]): r[source_col]
+            for r in self.fetch_stored(hits.select("doc", "score"), [source_col]).collect()
+        }
+        out = []
+        for r in rows:
+            d = int(r["doc"])
+            text = texts.get(d) or ""
+            ss = sorted(set(spans.get(d, [])))
+            if not ss:
+                out.append((d, float(r["score"]), text[:max_window]))
+                continue
+            # window: start at the first span, extend to max_window
+            w_lo = max(0, ss[0][0] - max(0, (max_window - (ss[0][1] - ss[0][0])) // 4))
+            w_hi = min(len(text), w_lo + max_window)
+            inside = [(a, b) for a, b in ss if a >= w_lo and b <= w_hi]
+            frag = text[w_lo:w_hi]
+            for a, b in sorted(inside, reverse=True):  # right-to-left insert
+                frag = frag[: a - w_lo] + pre + frag[a - w_lo : b - w_lo] + post + frag[b - w_lo :]
+            if w_lo > 0:
+                frag = "..." + frag
+            if w_hi < len(text):
+                frag = frag + "..."
+            out.append((d, float(r["score"]), frag))
+        return self.spark.createDataFrame(out, out_schema)
+
     def _local_blocks(self, fields_terms: dict[str, list[str]]) -> pd.DataFrame:
         dset = pads.dataset(self._table_files("postings"), format="parquet")
         flt = None

@@ -892,3 +892,34 @@ def test_regex_expansion(spark, tmp_path_factory):
     assert set(s.expand_terms(regex="s.*")) == {"scan", "sort", "spark"}
     assert set(s.expand_terms(regex="rows?")) == {"row", "rows"}
     assert set(s.expand_terms(regex="(scan|merge)")) == {"scan", "merge"}
+
+
+def test_highlight_snippets(spark, tmp_path_factory):
+    """Highlighter surface over the offsets keyspace: every query-term
+    occurrence wrapped, window truncation with ellipses, clean errors
+    without offsets/stored text."""
+    rows = [
+        {"doc_id": 0, "text": "alpha starts here and alpha returns later in the line"},
+        {"doc_id": 1, "text": ("x " * 120) + "alpha deep in a long document " + ("y " * 120)},
+        {"doc_id": 2, "text": "no match here"},
+    ]
+    root = str(tmp_path_factory.mktemp("hl") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        store_offsets=True, stored_fields={"text": "text"},
+    )
+    s = Searcher(spark, root)
+    got = {r["doc"]: r["snippet"] for r in s.highlight(["alpha"], k=5).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].count("<em>alpha</em>") == 2          # both occurrences wrapped
+    assert "<em>alpha</em> deep" in got[1]
+    assert got[1].startswith("...") and got[1].endswith("...")  # windowed
+    assert len(got[1]) <= 160 + len("...") * 2 + len("<em></em>")
+    # unhighlighted text round-trips exactly
+    assert got[0].replace("<em>", "").replace("</em>", "") == rows[0]["text"]
+    # no offsets -> clear error
+    root2 = str(tmp_path_factory.mktemp("hl2") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root2, doc_col="doc_id", n_shards=2,
+                stored_fields={"text": "text"})
+    with pytest.raises(ValueError, match="store_offsets"):
+        Searcher(spark, root2).highlight(["alpha"], k=5).collect()
