@@ -248,3 +248,44 @@ def test_no_rowwise_python_anywhere(spark, built):
     blocks, termdict, doclen, inverted = build_postings(docs, n_shards=2)
     for d in (blocks, termdict, doclen):
         assert_no_rowwise_python(d)
+
+
+def test_pruning_rank_identity_selective_broad_small_k(spark, tmp_path_factory):
+    """Rank identity UNDER HEAVY PRUNING: the selective+broad shape
+    (rare needle beside two head terms) at small k is where the
+    doc-level bound prunes ~95% of blocks — the result must still be
+    identical to the exhaustive referee, and the profile counter must
+    confirm pruning actually fired (safe-but-inert bounds are a known
+    failure mode)."""
+    rng = np.random.default_rng(41)
+    n = 4000
+    rows = []
+    texts = []
+    for i in range(n):
+        toks = ["head1" if rng.random() < 0.6 else "h1x",
+                "head2" if rng.random() < 0.5 else "h2x"]
+        toks += [f"f{int(rng.integers(0, 50))}" for _ in range(int(rng.integers(5, 15)))]
+        if rng.random() < 0.01:  # random spread: every SHARD gets needles
+            toks.append("needle")
+        rng.shuffle(toks)
+        text = " ".join(toks)
+        rows.append({"doc_id": i, "text": text})
+        texts.append(text)
+    root = str(tmp_path_factory.mktemp("prune") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+                block_size=16)  # many small blocks so chunked theta pruning can fire
+    s = Searcher(spark, root)
+    oidx = oracle.build_oracle_index(list(range(n)), texts)
+    for k in (3, 5, 10):
+        exp = oracle.search(oidx, ["needle", "head1", "head2"], k, "or")
+        got = [(r["doc"], r["score"])
+               for r in s.search(["needle", "head1", "head2"], k, mode="or").collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], f"k={k} rank mismatch"
+        np.testing.assert_array_equal(
+            np.array([x for _, x in got], dtype=np.float32),
+            np.array([x for _, x in exp], dtype=np.float32),
+            err_msg=f"k={k} score mismatch",
+        )
+    prof = s.profile_local(["needle", "head1", "head2"], k=5, mode="or")
+    frac = prof["blocks_pruned"] / max(prof["blocks_total"], 1)
+    assert frac > 0.5, f"pruning inert: only {frac:.0%} pruned ({prof})"
