@@ -711,6 +711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tx_bm25_topk(spark, sf):
         return _hits_df(_tx_searcher(spark).search(TX_TERMS_OR, k=10000, mode="or"))
 
+    def tx_bm25_top10(spark, sf):
+        # SMALL-k query on the big corpus: per-shard theta seeding and
+        # block pruning actually fire here (the k=10000 gates decode
+        # everything) — the oracle proves pruning changes nothing
+        return _hits_df(_tx_searcher(spark).search(TX_TERMS_OR, k=10, mode="or"))
+
     def tx_phrase_match(spark, sf):
         return _hits_df(_tx_searcher(spark).search(TX_PHRASE, k=10000, mode="phrase"))
 
@@ -861,7 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search,
         ft_delete_search, ft_merge_addindexes,
-        tx_bm25_topk, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
+        tx_bm25_topk, tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
         dedup_components,
@@ -924,6 +930,12 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         ),
         "tx_bm25_topk": _bm25_sql(
             TX_TERMS_OR, "or", 10000,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+        ),
+        "tx_bm25_top10": _bm25_sql(
+            TX_TERMS_OR, "or", 10,
             src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
                     f"FROM read_parquet('{TX_CORPUS}')",
             tok_regex=_TX_TOK_RE,
