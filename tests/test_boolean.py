@@ -923,3 +923,70 @@ def test_highlight_snippets(spark, tmp_path_factory):
                 stored_fields={"text": "text"})
     with pytest.raises(ValueError, match="store_offsets"):
         Searcher(spark, root2).highlight(["alpha"], k=5).collect()
+
+
+# --------------------------------------------------------------- round 4
+
+
+def test_occurrence_docs_pushdown(spark, tmp_path_factory):
+    """offsets()/payloads() docs= allow-set: results identical to the
+    post-filter, the hit-range predicate reaches the Parquet scan, and
+    the counter proves blocks decoded << total for a head term with a
+    small hit set (the r3 perf-weak highlight path)."""
+    from fdblucene_spark.plans import explain
+
+    rows = [{"doc_id": i, "text": f"alpha w{i} alpha tail"} for i in range(400)]
+    root = str(tmp_path_factory.mktemp("occ") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        block_size=16, store_offsets=True, store_payloads=True,
+    )
+    s = Searcher(spark, root)
+    want = [3, 5, 250]
+
+    full = sorted(
+        (r["doc"], r["pos"], r["start"], r["end"])
+        for r in s.offsets(["alpha"]).collect()
+    )
+    assert len(full) == 2 * 400
+    restricted_df = s.offsets(["alpha"], docs=want)
+    got = sorted(
+        (r["doc"], r["pos"], r["start"], r["end"]) for r in restricted_df.collect()
+    )
+    assert got == [t for t in full if t[0] in want]
+    # the block range prune reaches the scan (min_doc/max_doc pushdown)
+    scan_lines = explain.pushed_filters(restricted_df)
+    assert "min_doc" in scan_lines and "max_doc" in scan_lines
+
+    pay_full = sorted(
+        (r["doc"], r["pos"], r["payload"]) for r in s.payloads(["alpha"]).collect()
+    )
+    pay_got = sorted(
+        (r["doc"], r["pos"], r["payload"])
+        for r in s.payloads(["alpha"], docs=want).collect()
+    )
+    assert pay_got == [t for t in pay_full if t[0] in want]
+
+    # counter: a head term (df=400, ~25 blocks at block_size=16) with 3
+    # allowed docs decodes only the blocks owning them
+    prof = s.profile_occurrences_local(["alpha"], kind="offsets", docs=want)
+    assert prof["blocks_total"] >= 20
+    assert prof["blocks_decoded"] <= 4
+    assert prof["rows"] == 2 * len(want)
+    prof_pay = s.profile_occurrences_local(["alpha"], kind="payloads", docs=want)
+    assert prof_pay["blocks_decoded"] <= 4
+
+    # empty allow-set decodes nothing
+    prof0 = s.profile_occurrences_local(["alpha"], kind="offsets", docs=[9999])
+    assert prof0["blocks_decoded"] == 0 and prof0["rows"] == 0
+
+    # highlight rides the pushdown and still renders every occurrence
+    root_hl = str(tmp_path_factory.mktemp("occ") / "hl")
+    build_index(
+        spark, spark.createDataFrame(rows), root_hl, doc_col="doc_id", n_shards=2,
+        block_size=16, store_offsets=True, stored_fields={"text": "text"},
+    )
+    hl = Searcher(spark, root_hl)
+    snip = {r["doc"]: r["snippet"] for r in hl.highlight(["alpha"], k=3).collect()}
+    assert len(snip) == 3
+    assert all(v.count("<em>alpha</em>") == 2 for v in snip.values())
