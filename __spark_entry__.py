@@ -54,6 +54,8 @@ TRANGE_LO, TRANGE_HI = "query", "sort"  # TermRangeQuery bounds
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 PAGE = 100          # ft_search_after page size
 NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
+SPAN3_TERMS, SPAN3_SLOP = ["sort", "merge", "the"], 2  # ft_span_near3 (ordered)
+REGEXP_Q = ".*(or|ue).*"  # ft_regexp_search (RegexpQuery expansion)
 DISMAX_TIE = 0.3
 # keyword-field norm cache entry: dl=1, avgdl=1.0 exactly (float32 chain)
 _KW_CACHE_F32 = (
@@ -256,6 +258,7 @@ def _bm25_sql(
     agg_expr: str = "(sum(s32::DOUBLE))::FLOAT",
     boosts: dict[str, float] | None = None,
     near: tuple[str, str, int, bool] | None = None,
+    span: tuple[list[str], int, bool] | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
@@ -290,6 +293,36 @@ toks AS (
   SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
 )"""
     phrase_filter = ""
+    if span is not None:
+        # N-clause SpanNearQuery twin: one position per clause, span
+        # width <= slop + (n-1), in clause order when in_order — a
+        # positions self-join over the token-position relation
+        sterms, sslop, s_ord = span
+        ns = len(sterms)
+        w = sslop + ns - 1
+        joins = ", ".join(f"flat f{i}" for i in range(ns))
+        conds = [f"f{i}.t = '{t}'" for i, t in enumerate(sterms)]
+        conds += [f"f{i}.doc_id = f0.doc_id" for i in range(1, ns)]
+        if s_ord:
+            conds += [f"f{i}.p > f{i - 1}.p" for i in range(1, ns)]
+            conds.append(f"f{ns - 1}.p - f0.p <= {w}")
+        else:
+            ps = ", ".join(f"f{i}.p" for i in range(ns))
+            conds.append(f"greatest({ps}) - least({ps}) <= {w}")
+            conds += [
+                f"f{i}.p <> {'f' + str(j)}.p" for i in range(ns) for j in range(i + 1, ns)
+            ]
+        phrase_filter = f""",
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), phrasedocs AS (
+  SELECT DISTINCT f0.doc_id FROM {joins}
+  WHERE {' AND '.join(conds)}
+)"""
     if near is not None:
         # SpanNearQuery twin: tb within `window` positions of ta
         # (ordered: strictly after) via the token-position relation
@@ -331,7 +364,9 @@ tokpos AS (
   WHERE {' AND '.join(conds)}
 )"""
     phrase_where = (
-        "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)" if (phrase or near) else ""
+        "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)"
+        if (phrase or near or span is not None)
+        else ""
     )
     return f"""
 WITH {tok_cte}, {_NORM_CTE}{phrase_filter},
@@ -559,6 +594,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_df(
             _searcher(spark, sf).search_near(NEAR_A, NEAR_B, k=K_ALL, window=NEAR_W)
         )
+
+    def ft_span_near3(spark, sf):
+        # N-clause SpanNearQuery (3 terms, slop=2, in order): greedy
+        # minimal-chain span matcher over the positions keyspace,
+        # scored like the and-mode kernel on matching docs
+        return _hits_df(
+            _searcher(spark, sf).search_span_near(
+                SPAN3_TERMS, k=K_ALL, slop=SPAN3_SLOP, in_order=True
+            )
+        )
+
+    def ft_regexp_search(spark, sf):
+        # Lucene RegexpQuery: anchored whole-term regex expansion over
+        # the distributed termdict, then a pruned BM25 disjunction
+        return _hits_df(_searcher(spark, sf).search_regexp(REGEXP_Q, k=K_ALL))
 
     def ft_phrase_match(spark, sf):
         return _hits_df(_searcher(spark, sf).search(PHRASE, k=K_ALL, mode="phrase"))
@@ -865,7 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
-        ft_wildcard_search, ft_term_range, ft_near_search,
+        ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
+        ft_regexp_search,
         ft_delete_search, ft_merge_addindexes,
         tx_bm25_topk, tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
@@ -927,6 +978,12 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
         "ft_near_search": _bm25_sql(
             [NEAR_A, NEAR_B], "and", K_ALL, near=(NEAR_A, NEAR_B, NEAR_W, False)
+        ),
+        "ft_span_near3": _bm25_sql(
+            SPAN3_TERMS, "and", K_ALL, span=(SPAN3_TERMS, SPAN3_SLOP, True)
+        ),
+        "ft_regexp_search": _bm25_sql(
+            [], "or", K_ALL, terms_sql=f"regexp_matches(term, '^{REGEXP_Q}$')"
         ),
         "tx_bm25_topk": _bm25_sql(
             TX_TERMS_OR, "or", 10000,

@@ -514,64 +514,105 @@ def _phrase_filter(
     return cand[keep], acc[keep]
 
 
-def _near_filter(
+def _gather_positions(
+    groups: dict[str, pd.DataFrame], t: str, cand: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, positions) of every occurrence of term t restricted to
+    the candidate doc set — the shared occurrence gather of the span
+    filters (vectorized posting-slice arithmetic, no per-doc loop)."""
+    dparts, pparts = [], []
+    rows = groups.get(t)
+    if rows is not None:
+        for _, r in rows.iterrows():
+            d = codec.decode_doc_block(r["docs"])
+            sel_mask = np.isin(d, cand, assume_unique=True)
+            if not sel_mask.any():
+                continue
+            tf = codec.decode_tf_block(r["tfs"])
+            flat, starts_arr = codec.decode_positions_block(r["positions"], tf)
+            sel = np.flatnonzero(sel_mask)
+            lens = tf[sel]
+            total = int(lens.sum())
+            csum = np.cumsum(lens) - lens
+            g = np.repeat(starts_arr[sel], lens) + (
+                np.arange(total, dtype=np.int64) - np.repeat(csum, lens)
+            )
+            dparts.append(np.repeat(d[sel], lens))
+            pparts.append(flat[g])
+    dd = np.concatenate(dparts) if dparts else np.empty(0, dtype=np.int64)
+    pp = np.concatenate(pparts) if pparts else np.empty(0, dtype=np.int64)
+    return dd, pp
+
+
+def _span_near_filter(
     groups: dict[str, pd.DataFrame],
-    ta: str,
-    tb: str,
-    window: int,
-    ordered: bool,
+    clause_terms: list[str],
+    slop: int,
+    in_order: bool,
     cand: np.ndarray,
     acc: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Keep candidates where tb occurs within `window` positions of
-    ta (SpanNearQuery with two clauses; ordered=True requires tb AFTER
-    ta). Same packed-key vectorization as _phrase_filter: every
-    (doc, pos) pair becomes doc << shift | pos; existence of a
-    neighbor inside [key - w, key + w] is two searchsorted probes —
-    the shift is wide enough that a window can never cross a doc
-    boundary. No per-document Python loop."""
+    """Lucene SpanNearQuery over N single-term clauses: keep candidate
+    docs holding one position per clause with total span width
+    <= slop + (n-1), ordered (strictly increasing in clause order) or
+    unordered. Packed-key vectorization (doc << shift | pos; shift wide
+    enough that a window never crosses a doc boundary), no per-document
+    Python loop:
+
+    - in_order: greedy minimal chain — for every slot-1 occurrence,
+      each later slot advances to its SMALLEST position strictly after
+      the previous slot's (one searchsorted per slot over the whole
+      batch). Greedy minimizes the final position for a given start,
+      so a chain exists iff the greedy one fits the window.
+    - unordered: every occurrence is a candidate window start x; the
+      match test is, per DISTINCT term, `count of its occurrences in
+      [x, x+w] >= multiplicity in the clause list` (two searchsorted
+      per term). Distinct terms can never share a position (one token
+      per position), so counting gives a distinct-position assignment.
+    """
     if cand.size == 0:
         return cand, acc
-
-    def gather(t):
-        dparts, pparts = [], []
-        rows = groups.get(t)
-        if rows is not None:
-            for _, r in rows.iterrows():
-                d = codec.decode_doc_block(r["docs"])
-                sel_mask = np.isin(d, cand, assume_unique=True)
-                if not sel_mask.any():
-                    continue
-                tf = codec.decode_tf_block(r["tfs"])
-                flat, starts_arr = codec.decode_positions_block(r["positions"], tf)
-                sel = np.flatnonzero(sel_mask)
-                lens = tf[sel]
-                total = int(lens.sum())
-                csum = np.cumsum(lens) - lens
-                g = np.repeat(starts_arr[sel], lens) + (
-                    np.arange(total, dtype=np.int64) - np.repeat(csum, lens)
-                )
-                dparts.append(np.repeat(d[sel], lens))
-                pparts.append(flat[g])
-        dd = np.concatenate(dparts) if dparts else np.empty(0, dtype=np.int64)
-        pp = np.concatenate(pparts) if pparts else np.empty(0, dtype=np.int64)
-        return dd, pp
-
-    da, pa = gather(ta)
-    db, pb = gather(tb)
-    if da.size == 0 or db.size == 0:
-        keep = np.zeros(cand.size, dtype=bool)
-        return cand[keep], acc[keep]
-    max_pos = int(max(pa.max(), pb.max()))
-    shift = max(21, int(max_pos + window + 1).bit_length() + 1)
-    ka = (da << shift) | pa
-    kb = np.sort((db << shift) | pb)
-    lo = ka + (1 if ordered else -window)
-    hi = ka + window
-    i_lo = np.searchsorted(kb, lo, side="left")
-    i_hi = np.searchsorted(kb, hi, side="right")
-    hit = i_hi > i_lo
-    docs_hit = np.unique(ka[hit] >> shift) if hit.any() else np.empty(0, dtype=np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    max_pos = 0
+    for t in dict.fromkeys(clause_terms):
+        dd, pp = _gather_positions(groups, t, cand)
+        if dd.size == 0:
+            keep = np.zeros(cand.size, dtype=bool)
+            return cand[keep], acc[keep]
+        max_pos = max(max_pos, int(pp.max()))
+        occ[t] = (dd, pp)
+    n = len(clause_terms)
+    w = slop + n - 1
+    shift = max(21, int(max_pos + w + 1).bit_length() + 1)
+    keys = {t: np.sort((dd << shift) | pp) for t, (dd, pp) in occ.items()}
+    if in_order:
+        start = keys[clause_terms[0]]
+        cur = start
+        ok = np.ones(cur.size, dtype=bool)
+        for t in clause_terms[1:]:
+            kt = keys[t]
+            idx = np.searchsorted(kt, cur + 1, side="left")
+            valid = ok & (idx < kt.size)
+            nxt = kt[np.minimum(idx, kt.size - 1)]
+            valid &= (nxt >> shift) == (start >> shift)
+            cur, ok = nxt, valid
+            if not ok.any():
+                break
+        hit = ok & ((cur - start) <= w)  # same doc -> key delta == pos delta
+    else:
+        need: dict[str, int] = {}
+        for t in clause_terms:
+            need[t] = need.get(t, 0) + 1
+        start = np.unique(np.concatenate([keys[t] for t in need]))
+        hit = np.ones(start.size, dtype=bool)
+        for t, m in need.items():
+            kt = keys[t]
+            cnt = np.searchsorted(kt, start + w, side="right") - np.searchsorted(
+                kt, start, side="left"
+            )
+            hit &= cnt >= m
+    docs_hit = np.unique(start[hit] >> shift) if hit.any() else empty
     keep = np.isin(cand, docs_hit, assume_unique=True)
     return cand[keep], acc[keep]
 
@@ -1512,27 +1553,54 @@ class Searcher:
         `window` positions of term_a (ordered=True: strictly after).
         Scores like mode=phrase: float64 sum of both terms' float32
         BM25 scores on matching docs. window >= 1; window=1 ordered
-        == the exact two-term phrase."""
+        == the exact two-term phrase. Thin wrapper over the N-clause
+        search_span_near (window == slop + 1 in Lucene slop units)."""
         if window < 1:
             raise ValueError("window must be >= 1")
         if term_a == term_b:
             raise ValueError("search_near needs two distinct terms")
+        return self.search_span_near(
+            [term_a, term_b], k, slop=window - 1, in_order=ordered, field=field
+        )
+
+    def search_span_near(
+        self,
+        clause_terms: list[str],
+        k: int,
+        slop: int = 0,
+        in_order: bool = False,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene SpanNearQuery with N single-term clauses: docs where
+        one position per clause fits a span of width <= slop + (n-1)
+        — in clause order when in_order=True (SpanNearQuery(clauses,
+        slop, inOrder); the proximity surface of the reference's
+        delegated Lucene feature set, README.md:53). slop=0 in_order
+        over distinct terms == the exact phrase, score-identical.
+        Scores like mode=phrase: float64 sum of the distinct terms'
+        float32 BM25 scores on matching docs; ties break docID asc."""
+        if len(clause_terms) < 2:
+            raise ValueError("search_span_near needs >= 2 clause terms")
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
         if not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; proximity queries unavailable")
-        prep = self._prep([term_a, term_b], "and", field)
+        uniq_terms = list(dict.fromkeys(clause_terms))
+        prep = self._prep(uniq_terms, "and", field)
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         _, term_df = prep
         n_docs = self.manifest.n_docs_for(field)
         avgdl = self.manifest.avgdl_for(field)
         aux, allow_kinds = self._aux_frames()
+        kt = list(clause_terms)
 
         def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
             dels, allowed = _split_aux(aux_pdf, allow_kinds)
             hits = _score_shard(
                 groups, term_df, n_docs, avgdl, 10 ** 9, "and",
-                [term_a, term_b], dels, None, allowed=allowed,
+                uniq_terms, dels, None, allowed=allowed,
             )
             if not len(hits):
                 return hits
@@ -1540,7 +1608,7 @@ class Searcher:
             order = np.argsort(cand)
             cand = cand[order]
             acc = hits["score"].to_numpy()[order].astype(np.float64)
-            docs_m, acc_m = _near_filter(groups, term_a, term_b, window, ordered, cand, acc)
+            docs_m, acc_m = _span_near_filter(groups, kt, slop, in_order, cand, acc)
             score32 = acc_m.astype(np.float32)
             if docs_m.size > k:
                 idx = np.lexsort((docs_m, -score32))[:k]
@@ -1548,7 +1616,7 @@ class Searcher:
             return pd.DataFrame({"doc": docs_m.astype(np.int64), "score": score32})
 
         scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin([term_a, term_b])
+            (F.col("field") == field) & F.col("term").isin(uniq_terms)
         )
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
@@ -1577,6 +1645,20 @@ class Searcher:
         """Lucene TermRangeQuery (inclusive; None = open side) under
         SCORING_BOOLEAN_REWRITE over the term dictionary."""
         terms = self.expand_terms(field, term_range=(lo, hi), max_expansions=max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        return self.search(terms, k, mode="or", field=field, **kw)
+
+    def search_regexp(
+        self, pattern: str, k: int, field: str = "text", max_expansions: int = 50, **kw
+    ) -> DataFrame:
+        """Lucene RegexpQuery under SCORING_BOOLEAN_REWRITE: anchored
+        whole-term regex expansion against the distributed term
+        dictionary (expand_terms regex=), then one BM25 disjunction
+        over the expansions (pruned or-path). Stick to regex syntax
+        common to Java and RE2 when an external oracle must reproduce
+        the expansion."""
+        terms = self.expand_terms(field, regex=pattern, max_expansions=max_expansions)
         if not terms:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         return self.search(terms, k, mode="or", field=field, **kw)

@@ -990,3 +990,74 @@ def test_occurrence_docs_pushdown(spark, tmp_path_factory):
     snip = {r["doc"]: r["snippet"] for r in hl.highlight(["alpha"], k=3).collect()}
     assert len(snip) == 3
     assert all(v.count("<em>alpha</em>") == 2 for v in snip.values())
+
+
+def test_span_near_n_clause(spark, tmp_path_factory):
+    """N-clause SpanNearQuery vs a brute-force span matcher: ordered
+    (greedy minimal chain) and unordered (window counting, incl.
+    duplicate-term multiplicity), plus score identity with the and-mode
+    kernel and the slop=0 ordered == phrase equivalence."""
+    import itertools
+    import re as _re
+
+    rng = np.random.default_rng(11)
+    vocab = ["ape", "bee", "cat", "dog", "elk", "fox"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=int(rng.integers(4, 14))))}
+        for i in range(140)
+    ]
+    root = str(tmp_path_factory.mktemp("span") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+
+    def brute(terms, slop, in_order):
+        n = len(terms)
+        w = slop + n - 1
+        out = set()
+        for r in rows:
+            toks = _re.findall(r"\w+", r["text"].lower())
+            poss = [[i for i, x in enumerate(toks) if x == t] for t in terms]
+            if any(not p for p in poss):
+                continue
+            for sel in itertools.product(*poss):
+                if len(set(sel)) != n:
+                    continue
+                if in_order and any(b <= a for a, b in zip(sel, sel[1:])):
+                    continue
+                if max(sel) - min(sel) <= w:
+                    out.add(r["doc_id"])
+                    break
+        return out
+
+    cases = [
+        (["ape", "bee", "cat"], 0, True),
+        (["ape", "bee", "cat"], 2, True),
+        (["ape", "bee", "cat"], 1, False),
+        (["dog", "elk", "fox", "ape"], 3, False),
+        (["cat", "dog", "cat"], 2, False),   # duplicate term: multiplicity 2
+        (["cat", "dog", "cat"], 1, True),    # duplicate term, ordered chain
+    ]
+    for terms, slop, in_order in cases:
+        got = {r["doc"] for r in
+               s.search_span_near(terms, k=500, slop=slop, in_order=in_order).collect()}
+        assert got == brute(terms, slop, in_order), (terms, slop, in_order)
+
+    # score identity: span hits score exactly like the and-mode kernel
+    terms = ["ape", "bee", "cat"]
+    spans = {(r["doc"], r["score"]) for r in
+             s.search_span_near(terms, k=500, slop=2, in_order=False).collect()}
+    andhits = {(r["doc"], r["score"]) for r in s.search(terms, k=500, mode="and").collect()}
+    span_docs = {d for d, _ in spans}
+    assert spans == {(d, sc) for d, sc in andhits if d in span_docs}
+
+    # slop=0 ordered == exact phrase (hits AND scores)
+    ph = {(r["doc"], r["score"]) for r in
+          s.search(["ape", "bee"], k=500, mode="phrase").collect()}
+    sp = {(r["doc"], r["score"]) for r in
+          s.search_span_near(["ape", "bee"], k=500, slop=0, in_order=True).collect()}
+    assert ph == sp
+
+    with pytest.raises(ValueError, match="clause terms"):
+        s.search_span_near(["ape"], k=5)
+    with pytest.raises(ValueError, match="slop"):
+        s.search_span_near(["ape", "bee"], k=5, slop=-1)
