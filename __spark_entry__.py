@@ -56,6 +56,7 @@ PAGE = 100          # ft_search_after page size
 NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
 SPAN3_TERMS, SPAN3_SLOP = ["sort", "merge", "the"], 2  # ft_span_near3 (ordered)
 REGEXP_Q = ".*(or|ue).*"  # ft_regexp_search (RegexpQuery expansion)
+NESTED_SUB_TERMS, NESTED_SUB_MSM = ["dup", "hash", "vector"], 2  # ft_bm25_nested
 DISMAX_TIE = 0.3
 # keyword-field norm cache entry: dl=1, avgdl=1.0 exactly (float32 chain)
 _KW_CACHE_F32 = (
@@ -655,6 +656,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
 
+    def ft_bm25_nested(spark, sf):
+        # nested BooleanQuery (one level): MUST term + a SHOULD
+        # sub-query with its own min_should_match — the sub matches
+        # docs holding >= 2 of its terms and contributes the sum of
+        # its matched clauses' scores as ONE pseudo-clause
+        clauses = [
+            {"term": MIXED_MUST, "occur": "must"},
+            {"occur": "should", "min_should_match": NESTED_SUB_MSM,
+             "clauses": [{"term": t, "occur": "should"} for t in NESTED_SUB_TERMS]},
+        ]
+        return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
+
     def ft_search_after(spark, sf):
         # searchAfter paging (Lucene IndexSearcher.searchAfter): page 2
         # of the OR query — cursor = exact (float32 score, doc) of the
@@ -912,7 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
-        ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_sorted_search,
+        ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested, ft_sorted_search,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
@@ -1047,6 +1060,17 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 f"WHERE term = '{MIXED_NOT}')"
             ),
             having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+        ),
+        "ft_bm25_nested": _bm25_sql(
+            [MIXED_MUST] + NESTED_SUB_TERMS, "or", K_ALL,
+            having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+            agg_expr=(
+                f"(sum(CASE WHEN term = '{MIXED_MUST}' THEN s32::DOUBLE ELSE 0 END) + "
+                f"CASE WHEN count(CASE WHEN term IN ({', '.join(repr(t) for t in NESTED_SUB_TERMS)}) "
+                f"THEN 1 END) >= {NESTED_SUB_MSM} "
+                f"THEN sum(CASE WHEN term IN ({', '.join(repr(t) for t in NESTED_SUB_TERMS)}) "
+                "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
+            ),
         ),
         "ft_search_after": _bm25_sql(OR_TERMS, "or", K_ALL, offset=PAGE),
         "ft_dismax": _bm25_sql(

@@ -787,6 +787,10 @@ def _score_shard_boolean(
     tie = spec.get("dismax_tie")
     # phrase clauses: {occur: [(field, terms_tuple, {term: w32}, avgdl)]}
     phrases: dict = spec.get("phrases") or {}
+    # nested boolean sub-queries (one level): {occur: [sub_spec]} with
+    # sub_spec = {"must"/"should"/"filter"/"must_not": [(f, t, w32,
+    # avgdl)], "msm": int}
+    subs: dict = spec.get("subs") or {}
 
     def rows_of(f: str, t: str) -> pd.DataFrame | None:
         return by_field.get(f, {}).get(t)
@@ -854,9 +858,100 @@ def _score_shard_boolean(
         docs_m, acc_m = _phrase_filter(sub, list(terms), cand_p, acc)
         return docs_m, acc_m
 
-    # phrase MUST_NOT matches join the exclusion set
+    def eval_sub(sub: dict, restrict: np.ndarray | None):
+        """One nested BooleanQuery clause against this shard (one
+        nesting level; Lucene composes BooleanQuery arbitrarily, this
+        covers the overwhelmingly common single nesting). Evaluated
+        eagerly like a phrase pseudo-clause: membership = the sub's own
+        must/filter/must_not/msm evaluation, clause value = float64 sum
+        of its matched must+should float32 scores (the same
+        association-free float contract as phrase clauses, so the SQL
+        twin is a two-level grouped sum). Returns (matching docs
+        SORTED, float64 per-doc sub score)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        sub_ex = None
+        for f, t, _, _ in sub["must_not"]:
+            rows = rows_of(f, t)
+            if rows is not None:
+                d = np.unique(_decode_block_rows(rows)[0])
+                if d.size:
+                    parts = [d] if sub_ex is None else [sub_ex, d]
+                    sub_ex = np.unique(np.concatenate(parts))
+
+        def dec(f, t, w, avgdl, cand_s):
+            rows = rows_of(f, t)
+            if rows is None:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            if stats_out is not None:
+                stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + len(rows)
+            if cand_s is not None:
+                lo = rows["min_doc"].to_numpy(np.int64)
+                hi = rows["max_doc"].to_numpy(np.int64)
+                keep = _blocks_with_candidates(lo, hi, cand_s)
+                if not keep.all():
+                    rows = rows.iloc[np.flatnonzero(keep)]
+            if stats_out is not None:
+                stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + len(rows)
+            d, tf, dlq = _decode_block_rows(rows)
+            for ex in (excluded, sub_ex):
+                if ex is not None and ex.size and d.size:
+                    live = ~_sorted_probe(ex, d)
+                    d, tf, dlq = d[live], tf[live], dlq[live]
+            if cand_s is not None and d.size:
+                mm = _sorted_probe(cand_s, d)
+                d, tf, dlq = d[mm], tf[mm], dlq[mm]
+            s = (w * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
+            return d, s
+
+        cand_s = restrict
+        per: list[tuple[np.ndarray, np.ndarray]] = []
+        for f, t, w, avgdl in sorted(sub["must"], key=lambda e: -e[2]):
+            d, s = dec(f, t, w, avgdl, cand_s)
+            if d.size == 0:
+                return empty
+            per.append((d, s))
+            cand_s = np.sort(d)
+        for f, t, _, _ in sub["filter"]:
+            d = live_docs(f, t)
+            cand_s = d if cand_s is None else np.intersect1d(cand_s, d, assume_unique=True)
+            if cand_s.size == 0:
+                return empty
+        shoulds = [dec(f, t, w, avgdl, cand_s) for f, t, w, avgdl in sub["should"]]
+        msm_s = sub["msm"]
+        if cand_s is None:
+            parts = [d for d, _ in shoulds if d.size]
+            if not parts:
+                return empty
+            member = np.unique(np.concatenate(parts))
+        else:
+            member = cand_s
+        for ex in (excluded, sub_ex):
+            if ex is not None and ex.size and member.size:
+                member = member[~_sorted_probe(ex, member)]
+        if msm_s >= 1:
+            if not shoulds:
+                return empty
+            hits = np.zeros(member.size, dtype=np.int64)
+            for d, _ in shoulds:
+                m = _sorted_probe(member, d)
+                hits[np.searchsorted(member, d[m])] += 1
+            member = member[hits >= msm_s]
+        if member.size == 0:
+            return empty
+        acc = np.zeros(member.size, dtype=np.float64)
+        for d, s in per + shoulds:
+            m = _sorted_probe(member, d)
+            acc[np.searchsorted(member, d[m])] += s[m].astype(np.float64)
+        return member, acc
+
+    # phrase / sub-query MUST_NOT matches join the exclusion set
     for f, terms, wmap, avgdl in phrases.get("must_not", []):
         d, _ = eval_phrase(f, terms, wmap, avgdl, None)
+        if d.size:
+            parts = [d] if excluded is None else [excluded, d]
+            excluded = np.unique(np.concatenate(parts))
+    for sub in subs.get("must_not", []):
+        d, _ = eval_sub(sub, None)
         if d.size:
             parts = [d] if excluded is None else [excluded, d]
             excluded = np.unique(np.concatenate(parts))
@@ -878,13 +973,30 @@ def _score_shard_boolean(
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if cand.size == 0:
             return _EMPTY
+    for sub in subs.get("filter", []):
+        d, _ = eval_sub(sub, cand)
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
 
-    # scoring clause list: [term musts, phrase musts, term shoulds,
-    # phrase shoulds] — phrase entries carry meta None (no block-level
-    # machinery; they decode eagerly and register exact per-doc scores,
-    # which the bound machinery then uses via the doc-level range-max)
-    p_must = list(phrases.get("must", []))
-    p_should = list(phrases.get("should", []))
+    # scoring clause list: [term musts, pseudo musts, term shoulds,
+    # pseudo shoulds] — pseudo entries (phrase clauses and nested
+    # boolean sub-queries) carry meta None (no block-level machinery;
+    # they decode eagerly and register exact per-doc scores, which the
+    # bound machinery then uses via the doc-level range-max)
+    p_must = [("ph", e) for e in phrases.get("must", [])] + [
+        ("sub", e) for e in subs.get("must", [])
+    ]
+    p_should = [("ph", e) for e in phrases.get("should", [])] + [
+        ("sub", e) for e in subs.get("should", [])
+    ]
+
+    def eval_pseudo(entry, restrict):
+        kind, e = entry
+        if kind == "ph":
+            f, terms, wmap, avgdl = e
+            return eval_phrase(f, terms, wmap, avgdl, restrict)
+        return eval_sub(e, restrict)
     scoring = list(spec["must"]) + [None] * len(p_must) + list(spec["should"]) + [None] * len(p_should)
     n_tm = len(spec["must"])
     n_must = n_tm + len(p_must)
@@ -1085,9 +1197,9 @@ def _score_shard_boolean(
         cand = du if cand is None else np.intersect1d(cand, du, assume_unique=True)
         if cand.size == 0:
             return _EMPTY
-    for j, (f, terms, wmap, avgdl) in enumerate(p_must):
+    for j, entry in enumerate(p_must):
         ci = pm_idx[j]
-        d, s64 = eval_phrase(f, terms, wmap, avgdl, cand)
+        d, s64 = eval_pseudo(entry, cand)
         decoded[ci] = (d, s64)
         complete.add(ci)
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
@@ -1099,9 +1211,9 @@ def _score_shard_boolean(
     n_s = n_ts + len(p_should)
     constrained = cand is not None
     m_eff = msm if constrained else max(msm, 1)
-    for j, (f, terms, wmap, avgdl) in enumerate(p_should):
+    for j, entry in enumerate(p_should):
         ci = ps_idx[j]
-        decoded[ci] = eval_phrase(f, terms, wmap, avgdl, cand)
+        decoded[ci] = eval_pseudo(entry, cand)
         complete.add(ci)
     should_idx = sorted(range(ts_idx0, ts_idx0 + n_ts), key=lambda i: -scoring[i][2])
     if m_eff >= 1:
@@ -1682,6 +1794,7 @@ class Searcher:
             raise ValueError("dismax_tie must be in [0, 1]")
         norm: dict[str, list] = {o: [] for o in OCCURS}
         pnorm: dict[str, list] = {o: [] for o in OCCURS}
+        snorm: dict[str, list] = {o: [] for o in OCCURS}
         boosts: dict[tuple, float] = {}
         for c in clauses:
             occ = c.get("occur", "should")
@@ -1696,23 +1809,45 @@ class Searcher:
                 pnorm[occ].append((f, terms))
                 if b != 1.0:
                     boosts[(occ, f, terms)] = b
+            elif "clauses" in c:
+                # nested BooleanQuery clause, one level deep: inner
+                # clauses are plain term clauses; an outer boost
+                # multiplies into every inner weight (Lucene BoostQuery
+                # rewrite folds boosts multiplicatively down the tree)
+                subcs = []
+                for sc_ in c["clauses"]:
+                    if "clauses" in sc_ or "phrase" in sc_:
+                        raise ValueError(
+                            "nested boolean sub-queries compose term clauses "
+                            "only (one nesting level)"
+                        )
+                    occ2 = sc_.get("occur", "should")
+                    if occ2 not in OCCURS:
+                        raise ValueError(f"unknown occur {occ2!r}")
+                    tb = b * float(sc_.get("boost", 1.0))
+                    subcs.append((occ2, sc_.get("field", "text"), sc_["term"], tb))
+                if not subcs:
+                    raise ValueError("empty nested clause list")
+                snorm[occ].append({"clauses": subcs, "msm": c.get("min_should_match")})
             else:
                 norm[occ].append((f, c["term"]))
                 if b != 1.0:
                     boosts[(occ, f, c["term"])] = b
         has_phrases = any(pnorm[o] for o in OCCURS)
+        has_subs = any(snorm[o] for o in OCCURS)
         if has_phrases and not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; phrase clauses unavailable")
         has_constraint = bool(
             norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"]
-            or extra_constraint
+            or snorm["must"] or snorm["filter"] or extra_constraint
         )
         msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
         # pure-disjunction special case: a SHOULD-only single-field
         # query with msm<=1 and no boosts IS the or-mode query — the
         # caller routes it through its single-field block-max path
-        if not has_constraint and msm <= 1 and norm["should"] and not boosts and not has_phrases:
+        if (not has_constraint and msm <= 1 and norm["should"] and not boosts
+                and not has_phrases and not has_subs):
             fields = {f for f, _ in norm["should"]}
             if len(fields) == 1:
                 fld = next(iter(fields))
@@ -1729,6 +1864,9 @@ class Searcher:
                 by_field_terms.setdefault(f, set()).add(t)
             for f, terms in pnorm[occ]:
                 by_field_terms.setdefault(f, set()).update(terms)
+            for e in snorm[occ]:
+                for _, f2, t2, _ in e["clauses"]:
+                    by_field_terms.setdefault(f2, set()).add(t2)
         stats = self.term_stats_multi(by_field_terms)
 
         def scored(occ, entries):
@@ -1761,31 +1899,73 @@ class Searcher:
                 out.append((f, list(terms), wmap, self.manifest.avgdl_for(f)))
             return out
 
+        def scored_sub(entries):
+            """Nested sub-query -> kernel sub_spec; None = provably
+            cannot match (an inner must/filter term absent, or inner
+            msm unreachable)."""
+            out = []
+            for e in entries:
+                sm: dict = {"must": [], "should": [], "filter": [], "must_not": []}
+                dead = False
+                for occ2, f2, t2, tb in e["clauses"]:
+                    st = stats.get((f2, t2))
+                    if st is None:
+                        if occ2 in ("must", "filter"):
+                            dead = True
+                            break
+                        continue  # absent should/must_not: drop
+                    if occ2 == "must_not":
+                        sm[occ2].append((f2, t2, np.float32(0.0), 1.0))
+                        continue
+                    w = np.float32(bm25.idf(float(st[0]), self.manifest.n_docs_for(f2)))
+                    if tb != 1.0:
+                        w = np.float32(np.float32(tb) * w)
+                    sm[occ2].append((f2, t2, w, self.manifest.avgdl_for(f2)))
+                if dead:
+                    out.append(None)
+                    continue
+                has_c = bool(sm["must"] or sm["filter"])
+                msm_s = e["msm"] if e["msm"] is not None else (0 if has_c else 1)
+                if msm_s > len(sm["should"]) or not (has_c or sm["should"]):
+                    out.append(None)
+                    continue
+                sm["msm"] = int(msm_s)
+                out.append(sm)
+            return out
+
         must = scored("must", norm["must"])
         p_must = scored_phrase("must", pnorm["must"])
-        if any(m is None for m in must + p_must):  # a must clause cannot match
+        s_must = scored_sub(snorm["must"])
+        if any(m is None for m in must + p_must + s_must):  # a must clause cannot match
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
         filters = [s for s in scored("filter", norm["filter"]) if s is not None]
         p_filters = scored_phrase("filter", pnorm["filter"])
-        if len(filters) < len(norm["filter"]) or any(p is None for p in p_filters):
+        s_filters = scored_sub(snorm["filter"])
+        if (len(filters) < len(norm["filter"]) or any(p is None for p in p_filters)
+                or any(s is None for s in s_filters)):
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
         should = [s for s in scored("should", norm["should"]) if s is not None]
         p_should = [p for p in scored_phrase("should", pnorm["should"]) if p is not None]
+        s_should = [s for s in scored_sub(snorm["should"]) if s is not None]
         mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
         p_not = [p for p in scored_phrase("must_not", pnorm["must_not"]) if p is not None]
-        if msm > len(should) + len(p_should):
+        s_not = [s for s in scored_sub(snorm["must_not"]) if s is not None]
+        if msm > len(should) + len(p_should) + len(s_should):
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
-        if (not must and not p_must and not filters and not p_filters and not should
-                and not p_should and not extra_constraint):
+        if (not must and not p_must and not s_must and not filters and not p_filters
+                and not s_filters and not should and not p_should and not s_should
+                and not extra_constraint):
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
         spec = {"must": must, "should": should, "filter": filters, "must_not": mnot,
                 "k": int(k), "msm": int(msm), "after": after, "dismax_tie": dismax_tie,
                 "phrases": {"must": p_must, "should": p_should, "filter": p_filters,
-                            "must_not": p_not}}
+                            "must_not": p_not},
+                "subs": {"must": s_must, "should": s_should, "filter": s_filters,
+                         "must_not": s_not}}
         return {"spec": spec, "delegate": None,
                 "by_field_terms": by_field_terms, "stats": stats}
 
@@ -1876,12 +2056,18 @@ class Searcher:
     ) -> DataFrame:
         """Composable BooleanQuery (the reference's combined surface):
         clauses = [{field, term, occur, boost?}] or
-        [{field, phrase: [t1, t2, ...], occur, boost?}] with occur in
-        must | should | filter | must_not, mixed freely across text and
-        keyword fields, plus numeric doc-values ranges — all evaluated
-        in ONE query, scores = float64 sum of the float32 per-clause
-        BM25 scores of matched must+should clauses (filter/must_not
-        score nothing). A phrase clause matches docs where its tokens
+        [{field, phrase: [t1, t2, ...], occur, boost?}] or a nested
+        boolean sub-query {clauses: [...], occur, min_should_match?,
+        boost?} (one nesting level; inner clauses are term clauses)
+        with occur in must | should | filter | must_not, mixed freely
+        across text and keyword fields, plus numeric doc-values ranges
+        — all evaluated in ONE query, scores = float64 sum of the
+        float32 per-clause BM25 scores of matched must+should clauses
+        (filter/must_not score nothing). A nested sub-query matches
+        docs satisfying its own must/filter/must_not/min_should_match
+        and contributes the sum of its matched scoring clauses; an
+        outer boost folds multiplicatively into every inner weight
+        (Lucene BoostQuery rewrite). A phrase clause matches docs where its tokens
         occur at consecutive positions (PhraseQuery nested inside a
         BooleanQuery — the standard Lucene composition) and scores as
         the sum of its unique terms' BM25 scores on matching docs
@@ -2410,8 +2596,10 @@ class Searcher:
         for c in clauses:
             occ = c.get("occur", "should")
             f = c.get("field", "text")
-            if "phrase" in c:
-                raise ValueError("phrase clauses are not supported in profile_boolean_local")
+            if "phrase" in c or "clauses" in c:
+                raise ValueError(
+                    "phrase/nested clauses are not supported in profile_boolean_local"
+                )
             norm[occ].append((f, c["term"]))
             b = float(c.get("boost", 1.0))
             if b != 1.0:

@@ -210,8 +210,33 @@ def boolean_search(
 
     norm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
     pnorm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
+    snorm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
+    for c in clauses:
+        if "clauses" in c:
+            occ = c.get("occur", "should")
+            snorm[occ].append(c)
+    # fields referenced only inside nested sub-queries still need stats
+    sub_fields = sorted(
+        {sc.get("field", "text") for subs in snorm.values() for c in subs
+         for sc in c["clauses"]} - set(fields)
+    )
+    for f in sub_fields:
+        if f in keyword_fields:
+            tok[f] = [[r[f]] if r.get(f) is not None else [] for r in rows]
+        else:
+            tok[f] = [tokenize_text(r.get(f) or "") for r in rows]
+        dls = np.array([len(ts) for ts in tok[f]], dtype=np.int64)
+        nd = int((dls > 0).sum())
+        stats[f] = {
+            "n_docs": nd,
+            "avgdl": float(dls.sum()) / nd if nd else 0.0,
+            "dlq": bm25.quantize_doclen(np.maximum(dls, 1)),
+            "dls": dls,
+        }
     boosts: dict[tuple, float] = {}
     for c in clauses:
+        if "clauses" in c:
+            continue
         occ = c.get("occur", "should")
         f = c.get("field", "text")
         if "phrase" in c:
@@ -277,8 +302,65 @@ def boolean_search(
             w = np.float32(np.float32(b) * w)
         sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
         return dict(zip(ids.tolist(), sc.tolist()))
+
+    def sub_scores(c: dict) -> dict[int, float]:
+        """Nested BooleanQuery clause (one level): membership = its own
+        must/filter/must_not/min_should_match evaluation; value =
+        float64 sum of matched must+should float32 scores. An outer
+        boost folds multiplicatively into every inner weight (Lucene
+        BoostQuery rewrite)."""
+        b_out = float(c.get("boost", 1.0))
+
+        def inner(f2, t2, tb):
+            m = matches(f2, t2)
+            if not m:
+                return {}
+            st = stats[f2]
+            ids = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+            tfs = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+            w = np.float32(bm25.idf(float(len(m)), st["n_docs"]))
+            if tb != 1.0:
+                w = np.float32(np.float32(tb) * w)
+            sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
+            return dict(zip(ids.tolist(), sc.tolist()))
+
+        s_must, s_should, s_filter, s_ex = [], [], [], set()
+        for sc_ in c["clauses"]:
+            occ2 = sc_.get("occur", "should")
+            f2 = sc_.get("field", "text")
+            tb = b_out * float(sc_.get("boost", 1.0))
+            if occ2 == "must_not":
+                s_ex |= set(matches(f2, sc_["term"]))
+            elif occ2 == "filter":
+                s_filter.append(set(matches(f2, sc_["term"])))
+            else:
+                sc2 = inner(f2, sc_["term"], tb)
+                (s_must if occ2 == "must" else s_should).append(sc2)
+        if any(not m for m in s_must) or any(not fs for fs in s_filter):
+            return {}
+        has_c = bool(s_must or s_filter)
+        msm_s = c.get("min_should_match")
+        msm_s = msm_s if msm_s is not None else (0 if has_c else 1)
+        member = set(range(len(rows))) - s_ex
+        for m in s_must:
+            member &= set(m)
+        for fs in s_filter:
+            member &= fs
+        if not has_c:
+            union = set()
+            for m in s_should:
+                union |= set(m)
+            member &= union
+        out2 = {}
+        for d in member:
+            sh = sum(1 for m in s_should if d in m)
+            if sh < msm_s:
+                continue
+            out2[d] = float(sum(float(m[d]) for m in s_must + s_should if d in m))
+        return out2
     has_constraint = bool(
-        norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"] or numeric
+        norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"]
+        or snorm["must"] or snorm["filter"] or numeric
     )
     msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
@@ -287,6 +369,8 @@ def boolean_search(
         excluded |= set(matches(f, t))
     for f, terms in pnorm["must_not"]:
         excluded |= set(phrase_scores("must_not", f, terms))
+    for c in snorm["must_not"]:
+        excluded |= set(sub_scores(c))
     allowed = set(range(len(rows)))
     for cl in numeric or []:
         lo, hi = cl.get("lo"), cl.get("hi")
@@ -297,17 +381,23 @@ def boolean_search(
             and (lo is None or r[cl["field"]] >= lo)
             and (hi is None or r[cl["field"]] <= hi)
         }
-    must_scores = [boosted("must", f, t) for f, t in norm["must"]] + [
-        phrase_scores("must", f, terms) for f, terms in pnorm["must"]
-    ]
+    must_scores = (
+        [boosted("must", f, t) for f, t in norm["must"]]
+        + [phrase_scores("must", f, terms) for f, terms in pnorm["must"]]
+        + [sub_scores(c) for c in snorm["must"]]
+    )
     if any(not m for m in must_scores):
         return []
-    filter_sets = [set(matches(f, t)) for f, t in norm["filter"]] + [
-        set(phrase_scores("filter", f, terms)) for f, terms in pnorm["filter"]
-    ]
-    should_scores = [boosted("should", f, t) for f, t in norm["should"]] + [
-        phrase_scores("should", f, terms) for f, terms in pnorm["should"]
-    ]
+    filter_sets = (
+        [set(matches(f, t)) for f, t in norm["filter"]]
+        + [set(phrase_scores("filter", f, terms)) for f, terms in pnorm["filter"]]
+        + [set(sub_scores(c)) for c in snorm["filter"]]
+    )
+    should_scores = (
+        [boosted("should", f, t) for f, t in norm["should"]]
+        + [phrase_scores("should", f, terms) for f, terms in pnorm["should"]]
+        + [sub_scores(c) for c in snorm["should"]]
+    )
 
     cand = allowed - excluded
     for fs in filter_sets:

@@ -1061,3 +1061,66 @@ def test_span_near_n_clause(spark, tmp_path_factory):
         s.search_span_near(["ape"], k=5)
     with pytest.raises(ValueError, match="slop"):
         s.search_span_near(["ape", "bee"], k=5, slop=-1)
+
+
+def test_nested_boolean_subqueries(spark, tmp_path_factory):
+    """Nested BooleanQuery clauses (one level): sub-query as
+    must/should/filter/must_not pseudo-clause, inner msm, boost folding
+    (outer x inner, Lucene BoostQuery rewrite), keyword-field inner
+    clauses — rank+score identity vs the pure-Python referee, and the
+    driver-local path matches the distributed one."""
+    rng = np.random.default_rng(5)
+    W = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    p = np.arange(1, len(W) + 1, dtype=float)[::-1]
+    p /= p.sum()
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(W, size=int(rng.integers(3, 30)), p=p)),
+         "role": ["user", "assistant", "tool"][i % 3]}
+        for i in range(300)
+    ]
+    root = str(tmp_path_factory.mktemp("nested") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
+                keyword_fields={"role": "role"})
+    s = Searcher(spark, root)
+
+    cases = [
+        [{"term": "alpha", "occur": "must"},
+         {"occur": "must", "min_should_match": 2,
+          "clauses": [{"term": "beta"}, {"term": "gamma"}, {"term": "delta"}]}],
+        [{"term": "zeta", "occur": "should"},
+         {"occur": "should",
+          "clauses": [{"term": "beta", "occur": "must"}, {"term": "gamma", "occur": "should"}]}],
+        [{"term": "alpha", "occur": "should"},
+         {"occur": "filter", "clauses": [{"term": "beta"}, {"term": "gamma"}],
+          "min_should_match": 1}],
+        [{"term": "alpha", "occur": "should"},
+         {"occur": "must_not",
+          "clauses": [{"term": "eta", "occur": "must"}, {"term": "theta", "occur": "must"}]}],
+        [{"term": "alpha", "occur": "must"},
+         {"occur": "should", "boost": 2.0,
+          "clauses": [{"term": "beta", "boost": 1.5}, {"term": "gamma"}]}],
+        [{"occur": "must", "min_should_match": 1,
+          "clauses": [{"term": "beta"}, {"field": "role", "term": "user"}]},
+         {"term": "gamma", "occur": "should"}],
+    ]
+    for cl in cases:
+        exp = oracle.boolean_search(rows, "doc_id", cl, k=300, keyword_fields=("role",))
+        got = [(r["doc"], float(np.float32(r["score"])))
+               for r in s.search_boolean(cl, k=300).collect()]
+        assert got == [(d, float(np.float32(x))) for d, x in exp], cl
+    # driver-local identity
+    loc = s.search_boolean_local(cases[0], k=300)
+    dist = s.search_boolean(cases[0], k=300).collect()
+    assert [(int(r["doc"]), float(r["score"])) for r in dist] == list(
+        zip(loc["doc"].astype(int), loc["score"].astype(float))
+    )
+    # an unreachable nested must (inner term absent) is provably empty
+    dead = [{"term": "alpha", "occur": "should"},
+            {"occur": "must", "clauses": [{"term": "zzzznope", "occur": "must"}]}]
+    assert s.search_boolean(dead, k=10).count() == 0
+    # two nesting levels rejected with a clear error
+    with pytest.raises(ValueError, match="one nesting level"):
+        s.search_boolean(
+            [{"occur": "must", "clauses": [{"clauses": [{"term": "alpha"}]}]}], k=5
+        )
