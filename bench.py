@@ -106,6 +106,29 @@ def main() -> None:
     with timed("merge_concat"):
         merge_segments(spark, tx_root, mode="concat")
 
+    # ---- tiered merge policy: 3 tiny appends, then ONE partial merge
+    # of the small tier (the big consolidated segment is not rewritten;
+    # contrast with merge_concat above, which rewrites everything) ----
+    from fdblucene_spark.operators.merge import maybe_merge
+
+    lo = n_convs
+    for i in range(3):
+        tiny = extra_convs.filter(
+            (F.col("conv_id") >= f"conv_{lo + i * 50:06d}")
+            & (F.col("conv_id") < f"conv_{lo + (i + 1) * 50:06d}")
+        )
+        build_index(spark, tiny, tx_root, key_cols=["conv_id", "turn_idx"],
+                    n_shards=max(16, cpus), append=True)
+    from fdblucene_spark.sources.manifest import IndexCatalog
+
+    pre_ids = {s_.segment_id for s_ in IndexCatalog(tx_root).load().segments}
+    with timed("merge_tiered"):
+        m_t = maybe_merge(spark, tx_root, max_segments=2, tier_factor=3.0)
+    new_segs = [s_ for s_ in m_t.segments if s_.segment_id not in pre_ids]
+    extra["tiered_segments_after"] = len(m_t.segments)
+    extra["tiered_rewrote_mb"] = round(sum(s_.bytes for s_ in new_segs) / 1e6, 2)
+    extra["full_merge_rewrote_mb"] = extra["index_mb"]
+
     # ---- phrase query batch (vectorized position-adjacency kernel) ----
     vocab_head = [f"term{i:05d}" for i in range(20)]
     phrase_qset = [

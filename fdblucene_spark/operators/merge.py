@@ -276,6 +276,7 @@ def _write_merged(
     lineage_extra: dict,
     properties: dict | None = None,
     stored: DataFrame | None = None,
+    keep_segments: list[SegmentMeta] | None = None,
 ) -> Manifest:
     version = catalog.next_version()
     segment_id = f"seg-v{version:06d}-merge-{uuid.uuid4().hex[:8]}"
@@ -324,7 +325,7 @@ def _write_merged(
         analyzer=manifest.analyzer,
         block_size=manifest.block_size,
         n_shards=manifest.n_shards,
-        segments=[seg],
+        segments=list(keep_segments or []) + [seg],
         parent_version=manifest.version,
         properties=dict(properties if properties is not None else manifest.properties),
     )
@@ -418,6 +419,109 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
     return _write_merged(
         spark, catalog, manifest, blocks, termdict, doclen, lineage, properties, stored
     )
+
+
+def merge_partial(
+    spark: SparkSession, root: str, segment_ids: list[str], mode: str = "concat"
+) -> Manifest:
+    """Merge ONLY the named segments into one, leaving the rest of the
+    manifest untouched — the building block of the tiered merge policy
+    (Lucene merges segment subsets continuously; the reference gets
+    this via writer.addIndexes/background merges,
+    SimpleFDBDirectoryTest.java:161-187, while merge_segments is the
+    all-or-nothing consolidation).
+
+    concat: compressed-domain (block lists renumbered in docID order,
+    zero decode). repack: re-packs the selected segments' blocks to
+    full block_size — pure recompression; a pending delete list stays
+    pending (merge_segments(mode="repack") remains the delete-applying
+    operation, so partial merges never make global df/ttf stats
+    inconsistent between merged and untouched segments)."""
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    ids = set(segment_ids)
+    sel = [s for s in manifest.segments if s.segment_id in ids]
+    keep = [s for s in manifest.segments if s.segment_id not in ids]
+    if len(sel) != len(ids):
+        missing = ids - {s.segment_id for s in sel}
+        raise ValueError(f"unknown segment ids: {sorted(missing)}")
+    if len(sel) < 2:
+        return manifest
+
+    def paths(table: str) -> list[str]:
+        return [os.path.join(root, s.path, table) for s in sel]
+
+    postings = _ensure_postings_cols(spark.read.parquet(*paths("postings")))
+    doclen = spark.read.parquet(*paths("doclen"))
+    properties = dict(manifest.properties)
+    store_positions = bool(properties.get("store_positions", True))
+    stored = None
+    if properties.get("stored_fields"):
+        sp = [p for p in paths("stored") if os.path.isdir(p)]
+        if sp:
+            stored = spark.read.parquet(*sp)
+    termdict = (
+        spark.read.parquet(*paths("termdict"))
+        .groupBy("field", "term")
+        .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
+    )
+    if mode == "concat":
+        w = Window.partitionBy("field", "term", "shard").orderBy("min_doc", "block_id")
+        blocks = postings.withColumn(
+            "block_id", (F.row_number().over(w) - F.lit(1)).cast("int")
+        ).select(*[f.name for f in POSTINGS_SCHEMA.fields])
+    elif mode == "repack":
+        blocks = postings.groupBy("field", "term", "shard").applyInPandas(
+            _repack_factory(
+                manifest.block_size, store_positions,
+                store_offsets=bool(properties.get("store_offsets", False)),
+                store_payloads=bool(properties.get("store_payloads", False)),
+            ),
+            schema=POSTINGS_SCHEMA,
+        )
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
+    lineage = {"op": f"merge-partial-{mode}", "inputs": [s.segment_id for s in sel]}
+    return _write_merged(
+        spark, catalog, manifest, blocks, termdict, doclen, lineage, properties,
+        stored, keep_segments=keep,
+    )
+
+
+def maybe_merge(
+    spark: SparkSession,
+    root: str,
+    max_segments: int = 10,
+    tier_factor: float = 10.0,
+    mode: str = "concat",
+) -> Manifest:
+    """Tiered merge policy (Lucene TieredMergePolicy analogue) for
+    continuous-append operation: a no-op while the snapshot holds
+    <= max_segments segments; above the bound, ONE partial merge of
+    the smallest size tier — at least enough segments to bring the
+    count back to the bound, extended to every further segment still
+    within tier_factor x the smallest (a burst of small appends
+    collapses in one merge instead of cascading) — and never a larger
+    segment that doesn't need rewriting. Under continuous append at
+    100x scale this caps segment count (and with it query-side scan
+    fan-in) without ever paying a full-index rewrite; an operator
+    calls it after appends, like Lucene's background merge scheduler."""
+    if max_segments < 1:
+        raise ValueError("max_segments must be >= 1")
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    if len(manifest.segments) <= max_segments:
+        return manifest
+    segs = sorted(manifest.segments, key=lambda s: (s.bytes, s.segment_id))
+    need = len(segs) - max_segments + 1
+    take = list(segs[:need])
+    floor = max(1, segs[0].bytes)
+    for s in segs[need:]:
+        if s.bytes <= tier_factor * floor:
+            take.append(s)
+        else:
+            break
+    return merge_partial(spark, root, [s.segment_id for s in take], mode=mode)
 
 
 def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Manifest:

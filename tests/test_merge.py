@@ -136,3 +136,65 @@ def test_build_after_merge_appends(spark, appended):
         spark, extra, appended, key_cols=["conv_id", "turn_idx"], n_shards=4, append=True
     )
     assert len(m.segments) >= 2
+
+
+def test_tiered_merge_policy(spark, tmp_path_factory):
+    """maybe_merge (TieredMergePolicy analogue): N small appends stay
+    bounded at max_segments, rank identity is preserved, only the small
+    tier is rewritten (the big base segment's files are untouched), and
+    it is a no-op below the bound."""
+    import os
+
+    from fdblucene_spark.operators.merge import maybe_merge, merge_partial
+
+    root = str(tmp_path_factory.mktemp("idx-tier"))
+    base = synth.transcripts(spark, n_convs=40)
+    build_index(spark, base, root, key_cols=["conv_id", "turn_idx"], n_shards=4)
+    base_seg = IndexCatalog(root).load().segments[0]
+
+    # no-op below the bound
+    m0 = maybe_merge(spark, root, max_segments=4)
+    assert [s.segment_id for s in m0.segments] == [base_seg.segment_id]
+
+    n_total = 40
+    for i in range(6):  # 6 small appends of 2 convs each
+        b = _conv_range(spark, n_total, n_total + 2)
+        build_index(spark, b, root, key_cols=["conv_id", "turn_idx"],
+                    n_shards=4, append=True)
+        n_total += 2
+        # tier_factor=3: at this toy scale parquet footer overhead
+        # flattens size ratios, so the default 10x would pull the big
+        # base segment into the small tier
+        m = maybe_merge(spark, root, max_segments=4, tier_factor=3.0)
+        assert len(m.segments) <= 4, f"after append {i}"
+        # the big base segment is never selected into a small-tier merge
+        assert base_seg.segment_id in {s.segment_id for s in m.segments}
+
+    # rank identity vs a single-shot build over the union
+    pdf = synth.transcripts_pandas(n_total).sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    oidx = oracle.build_oracle_index(list(range(len(pdf))), pdf["text"].tolist())
+    s = Searcher(spark, root)
+    for terms, mode in [(["term00001", "term00010"], "or"), (["term00000"], "or"),
+                        (["term00001", "term00000"], "phrase")]:
+        exp = oracle.search(oidx, terms, 50, mode)
+        got = [(r["doc"], r["score"]) for r in s.search(list(terms), 50, mode).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (terms, mode)
+
+    # repack-mode partial merge preserves results too
+    man = IndexCatalog(root).load()
+    small = [x.segment_id for x in man.segments if x.segment_id != base_seg.segment_id]
+    if len(small) >= 2:
+        merge_partial(spark, root, small, mode="repack")
+        s2 = Searcher(spark, root)
+        exp = oracle.search(oidx, ["term00001", "term00010"], 50, "or")
+        got = [(r["doc"], r["score"])
+               for r in s2.search(["term00001", "term00010"], 50, "or").collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+
+    # unknown segment id -> clear error; single id -> no-op
+    with pytest.raises(ValueError, match="unknown segment"):
+        merge_partial(spark, root, ["nope"])
+    man2 = IndexCatalog(root).load()
+    assert merge_partial(spark, root, [man2.segments[0].segment_id]).version == man2.version
