@@ -150,6 +150,110 @@ def _repack_shard_factory(block_size: int, store_positions: bool, store_offsets:
     return repack
 
 
+def _decode_group(
+    pdf: pd.DataFrame,
+    store_positions: bool,
+    store_offsets: bool,
+    deleted: np.ndarray | None,
+    store_payloads: bool = False,
+) -> dict | None:
+    """Decode one posting group's blocks to flat arrays SORTED by docID
+    (per-occurrence arrays gathered with the same permutation), with
+    optional docID rebase (doc_off column) and physical delete
+    application. Shared by the repack and reshard kernels. A group is
+    single-field; keyword-field blocks carry no offsets cell even in
+    an offsets index."""
+    has_off = bool(store_offsets and len(pdf) and pdf.iloc[0]["offsets"])
+    has_pay = bool(
+        store_payloads and len(pdf) and "payloads" in pdf.columns and pdf.iloc[0]["payloads"]
+    )
+    docs_l, tfs_l, pos_l, dlq_l, ost_l, oln_l, pay_l = [], [], [], [], [], [], []
+    for _, r in pdf.iterrows():
+        d = codec.decode_doc_block(r["docs"])
+        t = codec.decode_tf_block(r["tfs"])
+        q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
+        flat = None
+        ost = oln = pay = None
+        if store_positions:
+            flat, _ = codec.decode_positions_block(r["positions"], t)
+        if has_off:
+            o_s, o_e, _ = codec.decode_offsets_block(r["offsets"], t)
+            ost, oln = o_s, o_e - o_s
+        if has_pay:
+            pay, _ = codec.decode_payloads_block(r["payloads"], t)
+        off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
+        if deleted is not None and deleted.size and d.size:
+            live = ~_sorted_member(deleted, d)
+            occ_live = np.repeat(live, t)
+            if store_positions:
+                flat = flat[occ_live]
+            if has_off:
+                ost, oln = ost[occ_live], oln[occ_live]
+            if has_pay:
+                pay = pay[occ_live]
+            d, t, q = d[live], t[live], q[live]
+        if d.size == 0:
+            continue
+        docs_l.append(d + off)
+        tfs_l.append(t)
+        dlq_l.append(q)
+        if store_positions:
+            pos_l.append(flat)
+        if has_off:
+            ost_l.append(ost)
+            oln_l.append(oln)
+        if has_pay:
+            pay_l.append(pay)
+    if not docs_l:
+        return None
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dlqs = np.concatenate(dlq_l)
+    flat_pos = np.concatenate(pos_l) if store_positions else None
+    flat_ost = np.concatenate(ost_l) if has_off else None
+    flat_oln = np.concatenate(oln_l) if has_off else None
+    flat_pay = np.concatenate(pay_l) if has_pay else None
+    order = np.argsort(docs, kind="mergesort")
+    if not np.array_equal(order, np.arange(docs.size)):
+        bounds = np.cumsum(tfs) - tfs
+        gather = np.concatenate(
+            [np.arange(bounds[i], bounds[i] + tfs[i]) for i in order]
+        ) if (store_positions or has_off or has_pay) else None
+        if store_positions:
+            flat_pos = flat_pos[gather]
+        if has_off:
+            flat_ost, flat_oln = flat_ost[gather], flat_oln[gather]
+        if has_pay:
+            flat_pay = flat_pay[gather]
+        docs, tfs, dlqs = docs[order], tfs[order], dlqs[order]
+    return {
+        "docs": docs, "tfs": tfs, "dlqs": dlqs, "pos": flat_pos,
+        "ost": flat_ost, "oln": flat_oln, "pay": flat_pay,
+        "has_off": has_off, "has_pay": has_pay,
+    }
+
+
+def _pack_group_rows(
+    fld: str, term: str, shard: int, g: dict, block_size: int, store_positions: bool
+) -> list[tuple]:
+    rows = []
+    for blk in codec.pack_blocks(
+        g["docs"], g["tfs"], g["pos"], g["dlqs"], block_size,
+        flat_off_starts=g["ost"], flat_off_lens=g["oln"], flat_payloads=g["pay"],
+    ):
+        rows.append(
+            (
+                fld, term, shard, blk["block_id"], blk["n"], blk["min_doc"],
+                blk["max_doc"], blk["max_tf"], blk["min_dlq"], blk["docs"],
+                blk["tfs"], blk["dlqs"],
+                blk["positions"] if store_positions else None,
+                blk["offsets"],
+                blk["payloads"],
+            )
+        )
+    return rows
+
+
 def _repack_core(
     fld: str,
     term: str,
@@ -161,89 +265,11 @@ def _repack_core(
     deleted: np.ndarray | None,
     store_payloads: bool = False,
 ) -> pd.DataFrame:
-    if True:  # noqa: indentation kept for the shared body below
-        # a (field, term, shard) group is single-field; keyword-field
-        # blocks carry no offsets cell even in an offsets index
-        has_off = bool(store_offsets and len(pdf) and pdf.iloc[0]["offsets"])
-        has_pay = bool(
-            store_payloads and len(pdf) and "payloads" in pdf.columns and pdf.iloc[0]["payloads"]
-        )
-        docs_l, tfs_l, pos_l, dlq_l, ost_l, oln_l, pay_l = [], [], [], [], [], [], []
-        for _, r in pdf.iterrows():
-            d = codec.decode_doc_block(r["docs"])
-            t = codec.decode_tf_block(r["tfs"])
-            q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
-            flat = None
-            ost = oln = pay = None
-            if store_positions:
-                flat, _ = codec.decode_positions_block(r["positions"], t)
-            if has_off:
-                o_s, o_e, _ = codec.decode_offsets_block(r["offsets"], t)
-                ost, oln = o_s, o_e - o_s
-            if has_pay:
-                pay, _ = codec.decode_payloads_block(r["payloads"], t)
-            off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
-            if deleted is not None and deleted.size and d.size:
-                live = ~_sorted_member(deleted, d)
-                occ_live = np.repeat(live, t)
-                if store_positions:
-                    flat = flat[occ_live]
-                if has_off:
-                    ost, oln = ost[occ_live], oln[occ_live]
-                if has_pay:
-                    pay = pay[occ_live]
-                d, t, q = d[live], t[live], q[live]
-            if d.size == 0:
-                continue
-            docs_l.append(d + off)
-            tfs_l.append(t)
-            dlq_l.append(q)
-            if store_positions:
-                pos_l.append(flat)
-            if has_off:
-                ost_l.append(ost)
-                oln_l.append(oln)
-            if has_pay:
-                pay_l.append(pay)
-        if not docs_l:
-            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}).iloc[:0]
-        docs = np.concatenate(docs_l)
-        tfs = np.concatenate(tfs_l)
-        dlqs = np.concatenate(dlq_l)
-        flat_pos = np.concatenate(pos_l) if store_positions else None
-        flat_ost = np.concatenate(ost_l) if has_off else None
-        flat_oln = np.concatenate(oln_l) if has_off else None
-        flat_pay = np.concatenate(pay_l) if has_pay else None
-        order = np.argsort(docs, kind="mergesort")
-        if not np.array_equal(order, np.arange(docs.size)):
-            bounds = np.cumsum(tfs) - tfs
-            gather = np.concatenate(
-                [np.arange(bounds[i], bounds[i] + tfs[i]) for i in order]
-            ) if (store_positions or has_off or has_pay) else None
-            if store_positions:
-                flat_pos = flat_pos[gather]
-            if has_off:
-                flat_ost, flat_oln = flat_ost[gather], flat_oln[gather]
-            if has_pay:
-                flat_pay = flat_pay[gather]
-            docs, tfs, dlqs = docs[order], tfs[order], dlqs[order]
-        rows = []
-        for blk in codec.pack_blocks(
-            docs, tfs, flat_pos, dlqs, block_size,
-            flat_off_starts=flat_ost, flat_off_lens=flat_oln,
-            flat_payloads=flat_pay,
-        ):
-            rows.append(
-                (
-                    fld, term, shard, blk["block_id"], blk["n"], blk["min_doc"],
-                    blk["max_doc"], blk["max_tf"], blk["min_dlq"], blk["docs"],
-                    blk["tfs"], blk["dlqs"],
-                    blk["positions"] if store_positions else None,
-                    blk["offsets"],
-                    blk["payloads"],
-                )
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+    g = _decode_group(pdf, store_positions, store_offsets, deleted, store_payloads)
+    if g is None:
+        return pd.DataFrame({f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}).iloc[:0]
+    rows = _pack_group_rows(fld, term, shard, g, block_size, store_positions)
+    return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
 
 def termdict_from_blocks(blocks: DataFrame) -> DataFrame:
@@ -522,6 +548,99 @@ def maybe_merge(
         else:
             break
     return merge_partial(spark, root, [s.segment_id for s in take], mode=mode)
+
+
+def reshard(spark: SparkSession, root: str, n_shards: int) -> Manifest:
+    """Rewrite the index with a new shard count (shard = doc %
+    n_shards). n_shards is pinned at index creation and is THE kernel
+    parallelism knob — at 100x corpus growth an operator reshards to
+    add parallelism instead of rebuilding from the source corpus.
+    Per-(field, term) kernel: decode once, split occurrences by new
+    shard, re-pack — one wide shuffle over the compressed blocks, no
+    source-text re-analysis. The stored table's shard column is pure
+    Catalyst (pmod). Rank identity is exact: shard assignment only
+    partitions the doc space (every kernel evaluates per-shard and
+    results merge by score), it never affects scores.
+
+    Consolidates all segments (like merge) and keeps a pending delete
+    list pending — deletes co-locate via doc % n_shards computed at
+    query time, so they follow the new layout automatically."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    if n_shards == manifest.n_shards:
+        return manifest
+    postings = _ensure_postings_cols(
+        spark.read.parquet(*manifest.segment_paths(root, "postings"))
+    )
+    doclen = spark.read.parquet(*manifest.segment_paths(root, "doclen"))
+    termdict = (
+        spark.read.parquet(*manifest.segment_paths(root, "termdict"))
+        .groupBy("field", "term")
+        .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
+    )
+    properties = dict(manifest.properties)
+    store_positions = bool(properties.get("store_positions", True))
+    store_off = bool(properties.get("store_offsets", False))
+    store_pay = bool(properties.get("store_payloads", False))
+    stored = None
+    if properties.get("stored_fields"):
+        sp = [p for p in manifest.segment_paths(root, "stored") if os.path.isdir(p)]
+        if sp:
+            stored = spark.read.parquet(*sp).withColumn(
+                "shard", F.pmod(F.col("doc"), F.lit(n_shards)).cast("int")
+            )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        fld, term = key[0], key[1]
+        g = _decode_group(pdf, store_positions, store_off, None, store_pay)
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}
+        ).iloc[:0]
+        if g is None:
+            return empty
+        shards = g["docs"] % n_shards
+        rows: list[tuple] = []
+        for sh in np.unique(shards):
+            sel = shards == sh
+            occ = np.repeat(sel, g["tfs"])
+            sub = {
+                "docs": g["docs"][sel], "tfs": g["tfs"][sel], "dlqs": g["dlqs"][sel],
+                "pos": g["pos"][occ] if g["pos"] is not None else None,
+                "ost": g["ost"][occ] if g["ost"] is not None else None,
+                "oln": g["oln"][occ] if g["oln"] is not None else None,
+                "pay": g["pay"][occ] if g["pay"] is not None else None,
+            }
+            rows.extend(
+                _pack_group_rows(fld, term, int(sh), sub, manifest.block_size, store_positions)
+            )
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    blocks = postings.groupBy("field", "term").applyInPandas(
+        kernel, schema=POSTINGS_SCHEMA
+    )
+    # carry the new shard count through _write_merged via a synthetic
+    # parent (the same trick add_indexes uses for a fresh dest)
+    parent = Manifest(
+        version=manifest.version,
+        analyzer=manifest.analyzer,
+        block_size=manifest.block_size,
+        n_shards=n_shards,
+        segments=manifest.segments,
+        properties=properties,
+    )
+    lineage = {
+        "op": "reshard",
+        "inputs": [s.segment_id for s in manifest.segments],
+        "n_shards_from": manifest.n_shards,
+        "n_shards_to": n_shards,
+    }
+    return _write_merged(
+        spark, catalog, parent, blocks, termdict, doclen, lineage, properties, stored
+    )
 
 
 def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Manifest:

@@ -198,3 +198,64 @@ def test_tiered_merge_policy(spark, tmp_path_factory):
         merge_partial(spark, root, ["nope"])
     man2 = IndexCatalog(root).load()
     assert merge_partial(spark, root, [man2.segments[0].segment_id]).version == man2.version
+
+
+def test_reshard_rank_identity(spark, tmp_path_factory):
+    """reshard(n_shards): build at 4 shards, reshard to 16 (and down to
+    2) — identical hits AND scores on or/and/phrase/boolean paths,
+    pending deletes still honored, offsets survive, stored-table shard
+    column follows the new layout."""
+    import numpy as np
+    from fdblucene_spark.operators.deletes import delete_docs
+    from fdblucene_spark.operators.merge import reshard
+
+    root = str(tmp_path_factory.mktemp("idx-reshard"))
+    df = synth.transcripts(spark, n_convs=50)
+    build_index(spark, df, root, key_cols=["conv_id", "turn_idx"], n_shards=4,
+                store_offsets=True, stored_fields={"ts": "ts"})
+    delete_docs(spark, root, list(range(0, 200, 7)))
+    s0 = Searcher(spark, root)
+    qs = [(["term00001", "term00010"], "or"), (["term00000", "term00002"], "and"),
+          (["term00001", "term00000"], "phrase")]
+    before = {
+        (tuple(t), m): [(r["doc"], r["score"]) for r in s0.search(list(t), 80, m).collect()]
+        for t, m in qs
+    }
+    off_before = sorted(
+        (r["doc"], r["pos"], r["start"], r["end"])
+        for r in s0.offsets(["term00001"]).collect()
+    )
+
+    for new_n in (16, 2):
+        m = reshard(spark, root, new_n)
+        assert m.n_shards == new_n
+        s1 = Searcher(spark, root)
+        assert s1.manifest.n_shards == new_n
+        for (t, mode), exp in before.items():
+            got = [(r["doc"], r["score"]) for r in s1.search(list(t), 80, mode).collect()]
+            assert got == exp, (new_n, t, mode)
+        # postings shard column really follows doc % new_n
+        pdf = spark.read.parquet(*m.segment_paths(root, "postings")).select(
+            "shard", "min_doc", "max_doc").toPandas()
+        assert (pdf["min_doc"].to_numpy() % new_n == pdf["shard"].to_numpy()).all()
+        assert (pdf["max_doc"].to_numpy() % new_n == pdf["shard"].to_numpy()).all()
+        # stored table co-location invariant
+        st = spark.read.parquet(
+            *[p for p in m.segment_paths(root, "stored")]).select("shard", "doc").toPandas()
+        assert (st["doc"].to_numpy() % new_n == st["shard"].to_numpy()).all()
+        # boolean path with a numeric doc-values range still works
+        hits = s1.search_boolean(
+            [{"term": "term00001", "occur": "should"}], k=20, min_should_match=1,
+        ).collect()
+        assert len(hits) > 0
+        off_after = sorted(
+            (r["doc"], r["pos"], r["start"], r["end"])
+            for r in s1.offsets(["term00001"]).collect()
+        )
+        assert off_after == off_before
+
+    # no-op on same shard count; validation
+    v = IndexCatalog(root).load().version
+    assert reshard(spark, root, 2).version == v
+    with pytest.raises(ValueError, match="n_shards"):
+        reshard(spark, root, 0)
