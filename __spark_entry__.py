@@ -134,6 +134,49 @@ def _del_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _reshard_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built at 4 shards then resharded to 16 (the post-build
+    kernel-parallelism knob, merge.reshard). Rank/score identity with
+    the plain index is the gate's claim: shard assignment partitions
+    the doc space, never the scores — the twin is the ordinary
+    full-corpus BM25 SQL."""
+    from fdblucene_spark.operators.merge import reshard
+
+    root = os.path.join(_index_root(sf_dir), "reshard")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=4,
+                    fingerprint=sf_dir + "-reshard")
+    if IndexCatalog(root).load().n_shards != 16:  # crash-safe idempotence
+        reshard(spark, root, 16)
+    return Searcher(spark, root)
+
+
+def _tiered_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index grown by appends under the tiered merge policy: 70% base
+    build + three 10% appends, then ONE maybe_merge pass that partial-
+    merges the small tier (base untouched). The twin is plain
+    full-corpus BM25 — the policy must be invisible to results."""
+    from fdblucene_spark.operators.merge import maybe_merge
+
+    root = os.path.join(_index_root(sf_dir), "tiered")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        c1, c2, c3 = (
+            int(x) for x in docs.approxQuantile("doc_id", [0.7, 0.8, 0.9], 0.0)
+        )
+        build_index(spark, docs.filter(F.col("doc_id") <= c1), root,
+                    doc_col="doc_id", n_shards=8, fingerprint=sf_dir + "-tier0")
+        for i, (lo, hi) in enumerate([(c1, c2), (c2, c3), (c3, None)]):
+            part = docs.filter(F.col("doc_id") > lo)
+            if hi is not None:
+                part = part.filter(F.col("doc_id") <= hi)
+            build_index(spark, part, root, doc_col="doc_id", n_shards=8,
+                        append=True, fingerprint=f"{sf_dir}-tier{i + 1}")
+        maybe_merge(spark, root, max_segments=2, tier_factor=3.0)
+    return Searcher(spark, root)
+
+
 def _merged_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Two half-corpus indexes combined via addIndexes (L20, the
     reference's writer3.addIndexes(dir1, dir2) shape,
@@ -764,6 +807,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_merge_addindexes(spark, sf):
         return _hits_df(_merged_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
 
+    def ft_reshard_search(spark, sf):
+        # reshard 4 -> 16 shards, then the standard OR query: results
+        # must be bit-identical to the untouched-layout oracle
+        return _hits_df(_reshard_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
+
+    def ft_tiered_search(spark, sf):
+        # base + 3 appends + one tiered partial merge; full-corpus twin
+        return _hits_df(_tiered_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
+
     def ft_match_count(spark, sf):
         s = _searcher(spark, sf)
         rows = [(qid, s.count(terms, mode)) for qid, terms, mode in MATCH_COUNT_QUERIES]
@@ -930,7 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
         ft_regexp_search,
-        ft_delete_search, ft_merge_addindexes,
+        ft_delete_search, ft_merge_addindexes, ft_reshard_search, ft_tiered_search,
         tx_bm25_topk, tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
@@ -1111,6 +1163,8 @@ FROM tokpos WHERE tp.t = '{LOOKUP_TERM}'
             OR_TERMS, "or", K_ALL, extra_where=f"AND tf.doc_id % {DELETE_MOD} <> 0"
         ),
         "ft_merge_addindexes": _bm25_sql(AND_TERMS, "and", K_ALL),
+        "ft_reshard_search": _bm25_sql(OR_TERMS, "or", K_ALL),
+        "ft_tiered_search": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_keyword_field": f"""
 WITH dfs AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
 n AS (SELECT count(*)::BIGINT AS n_docs FROM documents WHERE source IS NOT NULL),

@@ -2296,26 +2296,41 @@ class Searcher:
             .orderBy("query_id", F.desc("score"), F.asc("doc"))
         )
 
-    def postings(self, terms: list[str], field: str = "text") -> DataFrame:
+    def postings(
+        self, terms: list[str], field: str = "text", docs: Iterable[int] | None = None
+    ) -> DataFrame:
         """Decode stored posting blocks for `terms` -> (term, doc, tf).
 
         The inspection/export surface of the logical postings relation
         (reference: ("pm", field, term, docID) -> freq, DATA.md:53) —
         also the correctness probe that exercises codec + storage
-        round-trip end-to-end."""
-        scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(list(set(terms)))
-        )
+        round-trip end-to-end. docs: optional docID allow-set with the
+        same two-level prune as offsets()/payloads() (scan-level
+        min_doc/max_doc pushdown + exact block containment +
+        posting mask)."""
+        docs_arr = _as_doc_set(docs)
+        scan = self._occ_scan(terms, field, docs_arr)
 
         def dec(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
+                if docs_arr is not None and len(pdf):
+                    lo = pdf["min_doc"].to_numpy(np.int64)
+                    hi = pdf["max_doc"].to_numpy(np.int64)
+                    pdf = pdf.iloc[np.flatnonzero(_blocks_with_candidates(lo, hi, docs_arr))]
                 outs = []
                 for _, r in pdf.iterrows():
                     d = codec.decode_doc_block(r["docs"])
                     tf = codec.decode_tf_block(r["tfs"])
+                    if docs_arr is not None:
+                        keep = _sorted_probe(docs_arr, d)
+                        if not keep.any():
+                            continue
+                        d, tf = d[keep], tf[keep]
                     outs.append(pd.DataFrame({"term": r["term"], "doc": d, "tf": tf}))
+                if not outs:
+                    continue
                 yield pd.concat(outs, ignore_index=True)
 
         schema = T.StructType(

@@ -27,9 +27,19 @@ def indexing_sink(
     block_size: int = DEFAULT_BLOCK_SIZE,
     store_positions: bool = True,
     stream_id: str = "stream",
+    max_segments: int | None = None,
+    tier_factor: float = 10.0,
 ):
     """Returns a foreachBatch function: stream.writeStream
-    .foreachBatch(indexing_sink(root, key_cols=[...])).start()."""
+    .foreachBatch(indexing_sink(root, key_cols=[...])).start().
+
+    max_segments: enable the tiered merge policy inside the sink —
+    after each micro-batch append, `maybe_merge` runs as Lucene's
+    background merge scheduler would, so a long-running stream keeps a
+    bounded segment count (and bounded query-side scan fan-in) without
+    any operator intervention or full-index rewrites. The merge commits
+    its own manifest version AFTER the append's, so a replayed batch
+    still hits the append's idempotent-fingerprint no-op path first."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -49,5 +59,9 @@ def indexing_sink(
             append=IndexCatalog(root).exists(),
             fingerprint=f"{stream_id}:{batch_id}",
         )
+        if max_segments is not None:
+            from ..operators.merge import maybe_merge
+
+            maybe_merge(spark, root, max_segments=max_segments, tier_factor=tier_factor)
 
     return sink

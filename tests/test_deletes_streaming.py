@@ -137,3 +137,51 @@ def test_streaming_replay_is_idempotent(spark, base):
     v1 = IndexCatalog(base).current_version()
     sink(extra, 7)  # replay
     assert IndexCatalog(base).current_version() == v1
+
+
+def test_streaming_sink_with_merge_policy(spark, tmp_path_factory):
+    """indexing_sink(max_segments=): the tiered merge policy runs
+    inside foreachBatch like a background merge scheduler — many
+    micro-batch appends keep the snapshot's segment count bounded, and
+    the final index is rank-identical to a one-shot batch build."""
+    import os
+
+    from fdblucene_spark.sources.manifest import IndexCatalog
+
+    src = str(tmp_path_factory.mktemp("mp-src"))
+    ckpt = str(tmp_path_factory.mktemp("mp-ckpt"))
+    root = str(tmp_path_factory.mktemp("idx-mp"))
+
+    full = synth.transcripts(spark, n_convs=24)
+    # 8 micro-batches of 3 convs each (one file per batch)
+    for i in range(8):
+        lo, hi = f"conv_{i * 3:06d}", f"conv_{(i + 1) * 3:06d}"
+        full.filter((full.conv_id >= lo) & (full.conv_id < hi)).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    q = (
+        spark.readStream.schema(synth.TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(
+            indexing_sink(root, key_cols=["conv_id", "turn_idx"], n_shards=4,
+                          stream_id="mp", max_segments=3, tier_factor=50.0)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    man = IndexCatalog(root).load()
+    assert len(man.segments) <= 3, [s.segment_id for s in man.segments]
+
+    pdf = synth.transcripts_pandas(24).sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    oidx = oracle.build_oracle_index(list(range(len(pdf))), pdf["text"].tolist())
+    s = Searcher(spark, root)
+    assert s.n_docs == oidx.n_docs
+    for terms, mode in [(["term00001", "term00010"], "or"),
+                        (["term00001", "term00000"], "phrase")]:
+        exp = oracle.search(oidx, terms, 20, mode)
+        got = [(r["doc"], r["score"]) for r in s.search(list(terms), 20, mode).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (terms, mode)
