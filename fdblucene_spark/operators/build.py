@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 import uuid
 from typing import Iterator
 
@@ -90,6 +91,38 @@ POSTINGS_SCHEMA = T.StructType(
 )
 
 
+def _pid_counts_from_footers(freeze_dir: str) -> dict[int, int] | None:
+    """Per-partition row counts of the frozen ids relation from Parquet
+    FOOTER METADATA alone — no Spark job. Every file a task writes
+    holds rows of exactly one shuffle partition, so the partition id
+    (the high 31 bits of `_mid`) is constant per file and recoverable
+    from the column's min statistic; the row count is in the footer.
+    A driver-side footer read is O(files), independent of row count —
+    this scales to any corpus (footers are KBs each) and removes one
+    whole Spark job (~1-2 s fixed cost) from every build. Returns None
+    if any footer lacks `_mid` statistics (fallback: the Spark job)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    try:
+        names = [n for n in os.listdir(freeze_dir) if n.endswith(".parquet")]
+        for name in names:
+            meta = pq.read_metadata(os.path.join(freeze_dir, name))
+            if meta.num_rows == 0:
+                continue
+            idx = {meta.schema.column(i).name: i for i in range(len(meta.schema))}
+            if "_mid" not in idx:
+                return None
+            st = meta.row_group(0).column(idx["_mid"]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            p = int(st.min) >> 33
+            counts[p] = counts.get(p, 0) + meta.num_rows
+    except OSError:
+        return None
+    return counts
+
+
 def assign_dense_doc_ids(
     df: DataFrame,
     key_cols: list[str],
@@ -130,8 +163,10 @@ def assign_dense_doc_ids(
     )
     keyed.write.mode("errorifexists").parquet(freeze_dir)
     frozen = spark.read.parquet(freeze_dir)
-    pid = F.shiftright(F.col("_mid"), 33).alias("pid")
-    counts = dict(frozen.groupBy(pid).count().collect())
+    counts = _pid_counts_from_footers(freeze_dir)
+    if counts is None:  # stats missing (non-default writer config): Spark job
+        pid = F.shiftright(F.col("_mid"), 33).alias("pid")
+        counts = dict(frozen.groupBy(pid).count().collect())
     offsets = []
     acc = doc_base
     for p in sorted(counts):
@@ -567,6 +602,14 @@ def build_index(
     stored_fields = dict(stored_fields or {})
     src_cols = sorted({s["col"] for s in fields_spec} | set(stored_fields.values()))
 
+    phase_t: dict[str, float] = {}  # wall seconds per build phase (S26 observability)
+    _t0 = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        phase_t[name] = round(time.time() - _t0, 2)
+        _t0 = time.time()
+
     if doc_col is not None:
         docs_df = corpus.select(F.col(doc_col).cast("long").alias("doc"), *src_cols)
     else:
@@ -583,6 +626,7 @@ def build_index(
             freeze_dir=os.path.join(seg_dir, "_tmp_ids"),
         )
         docs_df = with_ids.select("doc", *src_cols)
+    _mark("ids_freeze")
 
     blocks, termdict, doclen, inverted = build_postings(
         docs_df, n_shards=n_shards, block_size=block_size,
@@ -591,6 +635,7 @@ def build_index(
         freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
         fields_spec=fields_spec,
     )
+    _mark("invert_freeze")
 
     # write order: data first (invisible), stats second, manifest last.
     # The three table writes are independent jobs over the frozen
@@ -619,6 +664,7 @@ def build_index(
             )
         for j in jobs:
             j.result()
+    _mark("table_writes")
 
     def _dstats():
         return spark.read.parquet(os.path.join(seg_dir, "doclen")).groupBy("field").agg(
@@ -633,9 +679,24 @@ def build_index(
             F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
         ).collect()
 
-    with ThreadPoolExecutor(2) as pool:
-        fd, ft = pool.submit(_dstats), pool.submit(_tstats)
-        dstats_rows, tstats_rows = fd.result(), ft.result()
+    def _lineage_rows():
+        return (
+            spark.read.parquet(os.path.join(seg_dir, "postings"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                F.sum(
+                    F.length("docs") + F.length("tfs") + F.length("dlqs")
+                    + F.coalesce(F.length("positions"), F.lit(0))
+                ).alias("payload_bytes"),
+            )
+            .collect()
+        )
+
+    with ThreadPoolExecutor(3) as pool:
+        fd, ft, fl = pool.submit(_dstats), pool.submit(_tstats), pool.submit(_lineage_rows)
+        dstats_rows, tstats_rows, lineage_rows = fd.result(), ft.result(), fl.result()
     field_stats: dict[str, dict] = {}
     for r in dstats_rows:
         field_stats[r["field"]] = {
@@ -647,22 +708,11 @@ def build_index(
     pstats = field_stats.get(primary, {"n_docs": 0, "sum_dl": 0, "n_terms": 0, "n_postings": 0})
     doc_min = min((int(r["doc_min"]) for r in dstats_rows), default=0)
     doc_max = max((int(r["doc_max"]) for r in dstats_rows), default=-1)
-    # per-partition lineage: one record per shard (segment IDs, doc/term
-    # counts, bytes — BASELINE.json north_star metrics)
-    lineage_rows = (
-        spark.read.parquet(os.path.join(seg_dir, "postings"))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.sum(
-                F.length("docs") + F.length("tfs") + F.length("dlqs")
-                + F.coalesce(F.length("positions"), F.lit(0))
-            ).alias("payload_bytes"),
-        )
-        .collect()
-    )
-    lineage = [{"fingerprint": fingerprint}] + [
+    # (per-partition lineage — one record per shard: segment IDs,
+    # doc/term counts, bytes (BASELINE.json north_star metrics) — is
+    # collected in _lineage_rows above, concurrent with the stats jobs)
+    _mark("stats_jobs")
+    lineage = [{"fingerprint": fingerprint, "phase_seconds": phase_t}] + [
         r.asDict() for r in sorted(lineage_rows, key=lambda r: r["shard"])
     ]
     # drop the frozen intermediates (ids, inverted) before sizing
@@ -673,6 +723,7 @@ def build_index(
     # fingerprint AFTER dropping intermediates: the hash must describe
     # exactly the published segment contents
     seg_bytes, seg_hash = dir_fingerprint(seg_dir)
+    _mark("finalize")
 
     # n_docs = docs with >=1 token in the PRIMARY field (Lucene's
     # per-field docCount — docs lacking the field don't count for its
