@@ -1554,6 +1554,7 @@ class Searcher:
         wildcard: str | None = None,
         term_range: tuple[str | None, str | None] | None = None,
         regex: str | None = None,
+        prefix_length: int = 0,
     ) -> list[str]:
         """MultiTermQuery expansion (Lucene PrefixQuery / FuzzyQuery
         term enumeration) as a DISTRIBUTED termdict job: startsWith
@@ -1601,6 +1602,13 @@ class Searcher:
             anchored = regex if regex.startswith("^") else "^" + regex + "$"
             td = td.filter(F.col("term").rlike(anchored))
         if fuzzy is not None:
+            if prefix_length > 0:
+                # FuzzyQuery prefixLength: the first N chars must match
+                # exactly (edits confined to the suffix) — a startsWith
+                # predicate that pushes down to the termdict scan like
+                # PrefixQuery's, shrinking the candidate set before any
+                # distance work (Lucene's prefix-accelerated automaton)
+                td = td.filter(F.col("term").startswith(fuzzy[:prefix_length]))
             lev_cap = 2 * max_edits if transpositions else max_edits
             td = td.filter(
                 F.length("term").between(len(fuzzy) - max_edits, len(fuzzy) + max_edits)
@@ -1637,15 +1645,18 @@ class Searcher:
         max_edits: int = 2,
         max_expansions: int = 50,
         transpositions: bool = False,
+        prefix_length: int = 0,
         **kw,
     ) -> DataFrame:
         """FuzzyQuery under SCORING_BOOLEAN_REWRITE (edit distance
         <= max_edits, exact term included at distance 0).
         transpositions=True matches Lucene FuzzyQuery's default
-        Damerau-Levenshtein (a transposition = 1 edit)."""
+        Damerau-Levenshtein (a transposition = 1 edit); prefix_length
+        = Lucene FuzzyQuery prefixLength (first N chars exact,
+        pushdown-accelerated)."""
         terms = self.expand_terms(
             field, fuzzy=term, max_edits=max_edits, max_expansions=max_expansions,
-            transpositions=transpositions,
+            transpositions=transpositions, prefix_length=prefix_length,
         )
         if not terms:
             return self.spark.createDataFrame([], HIT_SCHEMA)
@@ -2665,6 +2676,69 @@ class Searcher:
         out["blocks_pruned"] = out["blocks_total"] - out["blocks_decoded"]
         out["hits"] = hits_n
         return out
+
+    def explain(self, doc: int, terms: list[str], field: str = "text") -> dict:
+        """Scoring explanation for one document (Lucene
+        IndexSearcher.explain): per-term breakdown of exactly what the
+        kernel computes — df/ttf, idf (float32), tf, quantized doc
+        length (dlq + its decoded representable length), the float32
+        tf-norm, and the float32 per-term score — plus the float32
+        total (float64 sum of float32 addends, the kernel's
+        association). Driver-local: a pyarrow seek with
+        field/term/min_doc/max_doc pushdown touches only the blocks
+        that can contain the doc. The returned total is bit-identical
+        to the doc's score in search()/search_local() or-mode results."""
+        uniq = sorted(set(terms))
+        stats = self.term_stats_multi({field: uniq})
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        dels = self.deleted
+        is_deleted = bool(
+            dels is not None and dels.size and _sorted_probe(dels, np.array([doc]))[0]
+        )
+        dset = pads.dataset(self._table_files("postings"), format="parquet")
+        flt = (
+            (pads.field("field") == field)
+            & pads.field("term").isin(uniq)
+            & (pads.field("min_doc") <= doc)
+            & (pads.field("max_doc") >= doc)
+        )
+        pdf = dset.to_table(filter=flt).to_pandas()
+        clauses = []
+        acc = 0.0  # float64 sum of float32 addends, kernel association
+        for t in uniq:
+            st = stats.get((field, t))
+            entry: dict = {"term": t, "matched": False}
+            if st is not None:
+                df_t, ttf_t = st
+                w32 = np.float32(bm25.idf(float(df_t), n_docs))
+                entry.update(df=int(df_t), ttf=int(ttf_t), idf32=float(w32))
+                rows = pdf[pdf["term"] == t]
+                for _, r in rows.iterrows():
+                    d = codec.decode_doc_block(r["docs"])
+                    i = int(np.searchsorted(d, doc))
+                    if i < d.size and d[i] == doc:
+                        tf = int(codec.decode_tf_block(r["tfs"])[i])
+                        dlq = int(np.frombuffer(r["dlqs"], dtype=np.uint8)[i])
+                        tfn32 = bm25.tf_norm(
+                            np.array([tf], dtype=np.int64),
+                            np.array([dlq], dtype=np.int64), avgdl,
+                        ).astype(np.float32)[0]
+                        s32 = np.float32(w32 * tfn32)
+                        entry.update(
+                            matched=True, tf=tf, dlq=dlq,
+                            norm_len=int(bm25.LENGTH_TABLE[dlq]),
+                            tf_norm32=float(tfn32), score32=float(s32),
+                        )
+                        acc += float(s32)
+                        break
+            clauses.append(entry)
+        total32 = 0.0 if is_deleted else float(np.float32(acc))
+        return {
+            "doc": int(doc), "field": field, "deleted": is_deleted,
+            "n_docs": int(n_docs), "avgdl": float(avgdl),
+            "total32": total32, "clauses": clauses,
+        }
 
     def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155).

@@ -1124,3 +1124,46 @@ def test_nested_boolean_subqueries(spark, tmp_path_factory):
         s.search_boolean(
             [{"occur": "must", "clauses": [{"clauses": [{"term": "alpha"}]}]}], k=5
         )
+
+
+def test_explain_and_fuzzy_prefix_length(spark, tmp_path_factory):
+    """Searcher.explain: per-term breakdown whose float32 total is
+    bit-identical to the search score; FuzzyQuery prefix_length
+    confines edits to the suffix with a pushdown prefix predicate."""
+    rows = _mk_rows(120)
+    root = str(tmp_path_factory.mktemp("expl") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+    terms = ["alpha", "beta", "gamma"]
+    hits = s.search_local(terms, 15)
+    assert len(hits)
+    for _, h in hits.iterrows():
+        ex = s.explain(int(h["doc"]), terms)
+        assert np.float32(ex["total32"]) == np.float32(h["score"]), h["doc"]
+        matched = [c for c in ex["clauses"] if c["matched"]]
+        assert matched
+        for c in matched:
+            # components recombine: score32 == f32(idf32 * tf_norm32)
+            assert np.float32(c["score32"]) == np.float32(
+                np.float32(c["idf32"]) * np.float32(c["tf_norm32"])
+            )
+            assert c["tf"] >= 1 and c["df"] >= 1 and c["norm_len"] >= 1
+    # a doc missing a term: clause unmatched, total excludes it
+    ex0 = s.explain(int(hits.iloc[0]["doc"]), ["alpha", "zzznope"])
+    assert any(not c["matched"] and c["term"] == "zzznope" for c in ex0["clauses"])
+    # deleted doc explains as deleted with total 0
+    delete_docs(spark, root, [int(hits.iloc[0]["doc"])])
+    s2 = Searcher(spark, root)
+    exd = s2.explain(int(hits.iloc[0]["doc"]), terms)
+    assert exd["deleted"] and exd["total32"] == 0.0
+
+    # prefix_length: expansions must keep the exact prefix
+    exp_all = s.expand_terms(fuzzy="alpha", max_edits=2)
+    exp_pfx = s.expand_terms(fuzzy="alpha", max_edits=2, prefix_length=3)
+    assert set(exp_pfx) <= set(exp_all)
+    assert all(t.startswith("alp") for t in exp_pfx)
+    assert "alpha" in exp_pfx
+    # search_fuzzy threads it through
+    got = {r["doc"] for r in s.search_fuzzy("alpha", k=200, max_edits=2,
+                                            prefix_length=3).collect()}
+    assert got  # non-empty and well-formed
