@@ -641,8 +641,44 @@ def build_index(
     # The three table writes are independent jobs over the frozen
     # inverted relation — run them CONCURRENTLY (Spark schedules tasks
     # from parallel actions into idle slots; the dict writes are light
-    # while the blocks shuffle dominates). Same for the stats reads.
+    # while the blocks shuffle dominates).
+    #
+    # Segment/field stats and per-shard lineage ride ON the write jobs
+    # as observed metrics (CollectMetrics: JVM-side conditional
+    # aggregates evaluated while rows stream to Parquet) — zero extra
+    # Spark jobs. The field set and shard domain are both known at
+    # plan time (fields_spec; 0..n_shards-1), so grouped stats unroll
+    # into per-group conditional aggregates.
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    all_fields = [s["field"] for s in fields_spec]
+    obs_dl, obs_td, obs_bl = Observation(), Observation(), Observation()
+    dl_exprs = [F.min("doc").alias("doc_min"), F.max("doc").alias("doc_max")]
+    td_exprs = []
+    for i, fld_ in enumerate(all_fields):
+        c = F.col("field") == fld_
+        dl_exprs += [
+            F.count(F.when(c, 1)).alias(f"nd_{i}"),
+            F.sum(F.when(c, F.col("dl"))).alias(f"sdl_{i}"),
+        ]
+        td_exprs += [
+            F.count(F.when(c, 1)).alias(f"nt_{i}"),
+            F.sum(F.when(c, F.col("df"))).alias(f"np_{i}"),
+        ]
+    bl_exprs = []
+    for s_ in range(n_shards):
+        c = F.col("shard") == s_
+        bl_exprs += [
+            F.count(F.when(c, 1)).alias(f"nb_{s_}"),
+            F.sum(F.when(c, F.col("n"))).alias(f"npost_{s_}"),
+            F.sum(F.when(c, F.length("docs") + F.length("tfs") + F.length("dlqs")
+                         + F.coalesce(F.length("positions"), F.lit(0)))).alias(f"pb_{s_}"),
+        ]
+    blocks = blocks.observe(obs_bl, *bl_exprs)
+    termdict = termdict.observe(obs_td, *td_exprs)
+    doclen = doclen.observe(obs_dl, *dl_exprs)
 
     with ThreadPoolExecutor(4) as pool:
         jobs = [
@@ -666,54 +702,32 @@ def build_index(
             j.result()
     _mark("table_writes")
 
-    def _dstats():
-        return spark.read.parquet(os.path.join(seg_dir, "doclen")).groupBy("field").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-            F.min("doc").alias("doc_min"),
-            F.max("doc").alias("doc_max"),
-        ).collect()
-
-    def _tstats():
-        return spark.read.parquet(os.path.join(seg_dir, "termdict")).groupBy("field").agg(
-            F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
-        ).collect()
-
-    def _lineage_rows():
-        return (
-            spark.read.parquet(os.path.join(seg_dir, "postings"))
-            .groupBy("shard")
-            .agg(
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum("n").alias("n_postings"),
-                F.sum(
-                    F.length("docs") + F.length("tfs") + F.length("dlqs")
-                    + F.coalesce(F.length("positions"), F.lit(0))
-                ).alias("payload_bytes"),
-            )
-            .collect()
-        )
-
-    with ThreadPoolExecutor(3) as pool:
-        fd, ft, fl = pool.submit(_dstats), pool.submit(_tstats), pool.submit(_lineage_rows)
-        dstats_rows, tstats_rows, lineage_rows = fd.result(), ft.result(), fl.result()
+    # the write jobs are done — their observed metrics ARE the stats
+    # (the r3-era read-back jobs are gone; ~1-2 s fixed cost per build)
+    mdl, mtd, mbl = obs_dl.get, obs_td.get, obs_bl.get
     field_stats: dict[str, dict] = {}
-    for r in dstats_rows:
-        field_stats[r["field"]] = {
-            "n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"] or 0),
+    for i, fld_ in enumerate(all_fields):
+        nd, nt = int(mdl[f"nd_{i}"]), int(mtd[f"nt_{i}"])
+        if nd == 0 and nt == 0:
+            continue  # field absent from this segment (matches the old groupBy shape)
+        field_stats[fld_] = {
+            "n_docs": nd,
+            "sum_dl": int(mdl[f"sdl_{i}"] or 0),
+            "n_terms": nt,
+            "n_postings": int(mtd[f"np_{i}"] or 0),
         }
-    for r in tstats_rows:
-        field_stats.setdefault(r["field"], {})["n_terms"] = int(r["n_terms"])
-        field_stats[r["field"]]["n_postings"] = int(r["n_postings"] or 0)
     pstats = field_stats.get(primary, {"n_docs": 0, "sum_dl": 0, "n_terms": 0, "n_postings": 0})
-    doc_min = min((int(r["doc_min"]) for r in dstats_rows), default=0)
-    doc_max = max((int(r["doc_max"]) for r in dstats_rows), default=-1)
-    # (per-partition lineage — one record per shard: segment IDs,
-    # doc/term counts, bytes (BASELINE.json north_star metrics) — is
-    # collected in _lineage_rows above, concurrent with the stats jobs)
+    doc_min = int(mdl["doc_min"]) if mdl["doc_min"] is not None else 0
+    doc_max = int(mdl["doc_max"]) if mdl["doc_max"] is not None else -1
+    # per-partition lineage — one record per shard: segment IDs,
+    # doc/term counts, bytes (BASELINE.json north_star metrics)
     _mark("stats_jobs")
     lineage = [{"fingerprint": fingerprint, "phase_seconds": phase_t}] + [
-        r.asDict() for r in sorted(lineage_rows, key=lambda r: r["shard"])
+        {"shard": s_, "n_blocks": int(mbl[f"nb_{s_}"]),
+         "n_postings": int(mbl[f"npost_{s_}"] or 0),
+         "payload_bytes": int(mbl[f"pb_{s_}"] or 0)}
+        for s_ in range(n_shards)
+        if int(mbl[f"nb_{s_}"])
     ]
     # drop the frozen intermediates (ids, inverted) before sizing
     import shutil

@@ -308,26 +308,51 @@ def _write_merged(
     segment_id = f"seg-v{version:06d}-merge-{uuid.uuid4().hex[:8]}"
     rel = catalog.new_segment_path(segment_id)
     seg_dir = os.path.join(catalog.root, rel)
-    blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))
-    termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))
-    doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))
-    if stored is not None:
-        stored.write.mode("errorifexists").parquet(os.path.join(seg_dir, "stored"))
-    dstats_rows = spark.read.parquet(os.path.join(seg_dir, "doclen")).groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.min("doc").alias("doc_min"),
-        F.max("doc").alias("doc_max"),
-    ).collect()
-    tstats_rows = spark.read.parquet(os.path.join(seg_dir, "termdict")).groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
-    ).collect()
+    # field/segment stats ride on the write jobs as observed metrics
+    # (same zero-extra-job pattern as build_index): the field domain is
+    # known from the source manifest, so the per-field groupBy unrolls
+    # into conditional aggregates evaluated while rows stream out. The
+    # independent table writes run concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    all_fields = manifest.fields()
+    obs_dl, obs_td = Observation(), Observation()
+    dl_exprs = [F.min("doc").alias("doc_min"), F.max("doc").alias("doc_max")]
+    td_exprs = []
+    for i, fld_ in enumerate(all_fields):
+        c = F.col("field") == fld_
+        dl_exprs += [
+            F.count(F.when(c, 1)).alias(f"nd_{i}"),
+            F.sum(F.when(c, F.col("dl"))).alias(f"sdl_{i}"),
+        ]
+        td_exprs += [
+            F.count(F.when(c, 1)).alias(f"nt_{i}"),
+            F.sum(F.when(c, F.col("df"))).alias(f"np_{i}"),
+        ]
+    doclen = doclen.observe(obs_dl, *dl_exprs)
+    termdict = termdict.observe(obs_td, *td_exprs)
+    with ThreadPoolExecutor(4) as pool:
+        jobs = [
+            pool.submit(lambda: blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))),
+            pool.submit(lambda: termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))),
+            pool.submit(lambda: doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))),
+        ]
+        if stored is not None:
+            jobs.append(pool.submit(lambda: stored.write.mode("errorifexists").parquet(os.path.join(seg_dir, "stored"))))
+        for j in jobs:
+            j.result()
+    mdl, mtd = obs_dl.get, obs_td.get
     field_stats: dict[str, dict] = {}
-    for r in dstats_rows:
-        field_stats[r["field"]] = {"n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"] or 0)}
-    for r in tstats_rows:
-        field_stats.setdefault(r["field"], {})["n_terms"] = int(r["n_terms"])
-        field_stats[r["field"]]["n_postings"] = int(r["n_postings"] or 0)
+    for i, fld_ in enumerate(all_fields):
+        nd, nt = int(mdl[f"nd_{i}"]), int(mtd[f"nt_{i}"])
+        if nd == 0 and nt == 0:
+            continue
+        field_stats[fld_] = {
+            "n_docs": nd, "sum_dl": int(mdl[f"sdl_{i}"] or 0),
+            "n_terms": nt, "n_postings": int(mtd[f"np_{i}"] or 0),
+        }
     primary = (properties or manifest.properties).get("primary_field", "text")
     pstats = field_stats.get(primary) or next(iter(field_stats.values()), {})
     seg_bytes, seg_hash = dir_fingerprint(seg_dir)
@@ -338,8 +363,8 @@ def _write_merged(
         sum_dl=int(pstats.get("sum_dl", 0)),
         n_terms=int(pstats.get("n_terms", 0)),
         n_postings=int(pstats.get("n_postings", 0)),
-        doc_min=min((int(r["doc_min"]) for r in dstats_rows), default=0),
-        doc_max=max((int(r["doc_max"]) for r in dstats_rows), default=-1),
+        doc_min=int(mdl["doc_min"]) if mdl["doc_min"] is not None else 0,
+        doc_max=int(mdl["doc_max"]) if mdl["doc_max"] is not None else -1,
         bytes=seg_bytes,
         lineage=[lineage_extra],
         field_stats=field_stats,
