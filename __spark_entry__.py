@@ -57,7 +57,12 @@ NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
 SPAN3_TERMS, SPAN3_SLOP = ["sort", "merge", "the"], 2  # ft_span_near3 (ordered)
 REGEXP_Q = ".*(or|ue).*"  # ft_regexp_search (RegexpQuery expansion)
 NESTED_SUB_TERMS, NESTED_SUB_MSM = ["dup", "hash", "vector"], 2  # ft_bm25_nested
+# ft_bm25_nested_deep: depth-2 sub-query with boost folding (2.0 x 0.75)
+NESTED_DEEP_T1 = "merge"
+NESTED_DEEP_SUB, NESTED_DEEP_MSM = ["scan", "sort", "stream"], 2
+NESTED_DEEP_BOOSTS = {"merge": 2.0, "scan": 1.5, "sort": 1.5, "stream": 1.5}
 DISMAX_TIE = 0.3
+CONST_BOOST = 2.5  # ft_constant_score (exactly float32-representable)
 # keyword-field norm cache entry: dl=1, avgdl=1.0 exactly (float32 chain)
 _KW_CACHE_F32 = (
     "((1.2::FLOAT * (0.25::FLOAT + (0.75::FLOAT * 1::FLOAT) / 1::FLOAT))::FLOAT)::DOUBLE"
@@ -711,6 +716,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
 
+    def ft_bm25_nested_deep(spark, sf):
+        # arbitrary-depth nested BooleanQuery: MUST term + a SHOULD
+        # sub-query holding a term AND a deeper sub-query with its own
+        # min_should_match; boosts fold multiplicatively down the tree
+        # (outer 2.0 x inner 0.75 = leaf weight 1.5, Lucene BoostQuery
+        # rewrite). The deep node contributes the sum of its matched
+        # clauses only when >= msm of them match.
+        clauses = [
+            {"term": MIXED_MUST, "occur": "must"},
+            {"occur": "should", "boost": 2.0, "clauses": [
+                {"term": NESTED_DEEP_T1},
+                {"occur": "should", "boost": 0.75,
+                 "min_should_match": NESTED_DEEP_MSM,
+                 "clauses": [{"term": t} for t in NESTED_DEEP_SUB]},
+            ]},
+        ]
+        return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
+
+    def ft_constant_score(spark, sf):
+        # Lucene ConstantScoreQuery(BooleanQuery): membership is the
+        # wrapped boolean's; every match scores exactly float32(boost),
+        # so ties break docID asc and the top-k are the k lowest
+        # matching docIDs
+        clauses = [{"term": MIXED_MUST, "occur": "must"},
+                   {"term": MIXED_NOT, "occur": "must_not"}]
+        return _hits_df(
+            _searcher(spark, sf).search_constant_score(clauses, k=K_ALL, boost=CONST_BOOST)
+        )
+
+    def ft_match_all(spark, sf):
+        # Lucene MatchAllDocsQuery: every live doc scores 1.0; top-k =
+        # k lowest live docIDs (doclen scan -> distinct -> anti-join
+        # tombstones -> TakeOrderedAndProject)
+        return _hits_df(_searcher(spark, sf).search_all(k=K_ALL))
+
     def ft_search_after(spark, sf):
         # searchAfter paging (Lucene IndexSearcher.searchAfter): page 2
         # of the OR query — cursor = exact (float32 score, doc) of the
@@ -977,7 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for fn in [
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats, ft_term_lookup,
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
-        ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested, ft_sorted_search,
+        ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested,
+        ft_bm25_nested_deep, ft_constant_score, ft_match_all, ft_sorted_search,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
@@ -1124,6 +1165,40 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
             ),
         ),
+        "ft_bm25_nested_deep": _bm25_sql(
+            [MIXED_MUST, NESTED_DEEP_T1] + NESTED_DEEP_SUB, "or", K_ALL,
+            having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+            boosts=NESTED_DEEP_BOOSTS,
+            agg_expr=(
+                f"(sum(CASE WHEN term IN ('{MIXED_MUST}', '{NESTED_DEEP_T1}') "
+                "THEN s32::DOUBLE ELSE 0 END) + "
+                f"CASE WHEN count(CASE WHEN term IN ({', '.join(repr(t) for t in NESTED_DEEP_SUB)}) "
+                f"THEN 1 END) >= {NESTED_DEEP_MSM} "
+                f"THEN sum(CASE WHEN term IN ({', '.join(repr(t) for t in NESTED_DEEP_SUB)}) "
+                "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
+            ),
+        ),
+        "ft_constant_score": f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+)
+SELECT DISTINCT doc_id, {CONST_BOOST} AS score FROM tok
+WHERE term = '{MIXED_MUST}'
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = '{MIXED_NOT}')
+ORDER BY doc_id ASC LIMIT {K_ALL}
+""",
+        "ft_match_all": f"""
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE source IS NOT NULL OR lang IS NOT NULL OR
+  len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9_]+'),
+      t -> t <> '')) > 0
+ORDER BY doc_id ASC LIMIT {K_ALL}
+""",
         "ft_search_after": _bm25_sql(OR_TERMS, "or", K_ALL, offset=PAGE),
         "ft_dismax": _bm25_sql(
             OR_TERMS, "or", K_ALL,

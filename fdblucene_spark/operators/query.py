@@ -663,6 +663,20 @@ def _count_shard(
 OCCURS = ("must", "should", "filter", "must_not")
 
 
+def _walk_sub_terms(cl_list: list[dict], by_field_terms: dict[str, set]) -> None:
+    """Collect every (field, term) a nested boolean clause tree touches
+    (terms, phrase tokens, and recursively nested sub-queries) so one
+    termdict seek covers the whole tree."""
+    for sc in cl_list:
+        f = sc.get("field", "text")
+        if "phrase" in sc:
+            by_field_terms.setdefault(f, set()).update(sc["phrase"])
+        elif "clauses" in sc:
+            _walk_sub_terms(sc["clauses"], by_field_terms)
+        else:
+            by_field_terms.setdefault(f, set()).add(sc["term"])
+
+
 def _blocks_with_candidates(lo: np.ndarray, hi: np.ndarray, cand: np.ndarray) -> np.ndarray:
     """Mask of blocks whose [min_doc, max_doc] contains >= 1 candidate
     docID (cand SORTED unique). EXACT presence test per block — much
@@ -785,11 +799,13 @@ def _score_shard_boolean(
     k, msm = spec["k"], spec["msm"]
     after = spec.get("after")
     tie = spec.get("dismax_tie")
+    const = spec.get("const")  # ConstantScoreQuery boost, or None
     # phrase clauses: {occur: [(field, terms_tuple, {term: w32}, avgdl)]}
     phrases: dict = spec.get("phrases") or {}
-    # nested boolean sub-queries (one level): {occur: [sub_spec]} with
-    # sub_spec = {"must"/"should"/"filter"/"must_not": [(f, t, w32,
-    # avgdl)], "msm": int}
+    # nested boolean sub-queries (recursive, any depth):
+    # {occur: [sub_node]} with sub_node = {"must"/"should"/"filter"/
+    # "must_not": [(f, t, w32, avgdl)], "phrases": {occur: [...]},
+    # "subs": {occur: [sub_node]}, "msm": int, "tie": float | None}
     subs: dict = spec.get("subs") or {}
 
     def rows_of(f: str, t: str) -> pd.DataFrame | None:
@@ -859,16 +875,20 @@ def _score_shard_boolean(
         return docs_m, acc_m
 
     def eval_sub(sub: dict, restrict: np.ndarray | None):
-        """One nested BooleanQuery clause against this shard (one
-        nesting level; Lucene composes BooleanQuery arbitrarily, this
-        covers the overwhelmingly common single nesting). Evaluated
-        eagerly like a phrase pseudo-clause: membership = the sub's own
+        """One nested BooleanQuery clause against this shard, at any
+        depth (Lucene composes BooleanQuery arbitrarily): inner clauses
+        may be terms, phrases, or further nested sub-queries, each with
+        its own occur/msm/boost/dismax_tie. Evaluated eagerly like a
+        phrase pseudo-clause: membership = the node's own
         must/filter/must_not/msm evaluation, clause value = float64 sum
-        of its matched must+should float32 scores (the same
-        association-free float contract as phrase clauses, so the SQL
-        twin is a two-level grouped sum). Returns (matching docs
-        SORTED, float64 per-doc sub score)."""
+        of its matched scoring clauses' values (or the dismax combine
+        when the node carries a tie) — the same association-free float
+        contract as phrase clauses, so the SQL twin is an n-level
+        grouped sum. Returns (matching docs SORTED, float64 per-doc
+        sub score)."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        sub_phr = sub.get("phrases") or {o: [] for o in OCCURS}
+        sub_sub = sub.get("subs") or {o: [] for o in OCCURS}
         sub_ex = None
         for f, t, _, _ in sub["must_not"]:
             rows = rows_of(f, t)
@@ -877,6 +897,16 @@ def _score_shard_boolean(
                 if d.size:
                     parts = [d] if sub_ex is None else [sub_ex, d]
                     sub_ex = np.unique(np.concatenate(parts))
+        for f, terms, wmap, avgdl in sub_phr["must_not"]:
+            d, _ = eval_phrase(f, terms, wmap, avgdl, None)
+            if d.size:
+                parts = [d] if sub_ex is None else [sub_ex, d]
+                sub_ex = np.unique(np.concatenate(parts))
+        for child in sub_sub["must_not"]:
+            d, _ = eval_sub(child, None)
+            if d.size:
+                parts = [d] if sub_ex is None else [sub_ex, d]
+                sub_ex = np.unique(np.concatenate(parts))
 
         def dec(f, t, w, avgdl, cand_s):
             rows = rows_of(f, t)
@@ -911,12 +941,37 @@ def _score_shard_boolean(
                 return empty
             per.append((d, s))
             cand_s = np.sort(d)
+        for f, terms, wmap, avgdl in sub_phr["must"]:
+            d, s = eval_phrase(f, terms, wmap, avgdl, cand_s)
+            if d.size == 0:
+                return empty
+            per.append((d, s))
+            cand_s = d  # eval_phrase returns sorted docs
+        for child in sub_sub["must"]:
+            d, s = eval_sub(child, cand_s)
+            if d.size == 0:
+                return empty
+            per.append((d, s))
+            cand_s = d  # eval_sub returns sorted docs
         for f, t, _, _ in sub["filter"]:
             d = live_docs(f, t)
             cand_s = d if cand_s is None else np.intersect1d(cand_s, d, assume_unique=True)
             if cand_s.size == 0:
                 return empty
+        for f, terms, wmap, avgdl in sub_phr["filter"]:
+            d, _ = eval_phrase(f, terms, wmap, avgdl, cand_s)
+            cand_s = d if cand_s is None else np.intersect1d(cand_s, d, assume_unique=True)
+            if cand_s.size == 0:
+                return empty
+        for child in sub_sub["filter"]:
+            d, _ = eval_sub(child, cand_s)
+            cand_s = d if cand_s is None else np.intersect1d(cand_s, d, assume_unique=True)
+            if cand_s.size == 0:
+                return empty
         shoulds = [dec(f, t, w, avgdl, cand_s) for f, t, w, avgdl in sub["should"]]
+        shoulds += [eval_phrase(f, terms, wmap, avgdl, cand_s)
+                    for f, terms, wmap, avgdl in sub_phr["should"]]
+        shoulds += [eval_sub(child, cand_s) for child in sub_sub["should"]]
         msm_s = sub["msm"]
         if cand_s is None:
             parts = [d for d, _ in shoulds if d.size]
@@ -938,10 +993,18 @@ def _score_shard_boolean(
             member = member[hits >= msm_s]
         if member.size == 0:
             return empty
+        tie_s = sub.get("tie")
         acc = np.zeros(member.size, dtype=np.float64)
+        mx = np.zeros(member.size, dtype=np.float64)
         for d, s in per + shoulds:
             m = _sorted_probe(member, d)
-            acc[np.searchsorted(member, d[m])] += s[m].astype(np.float64)
+            pos = np.searchsorted(member, d[m])
+            s64 = s[m].astype(np.float64)
+            acc[pos] += s64
+            if tie_s is not None:
+                np.maximum.at(mx, pos, s64)
+        if tie_s is not None:  # nested DisjunctionMaxQuery combine
+            acc = mx + tie_s * (acc - mx)
         return member, acc
 
     # phrase / sub-query MUST_NOT matches join the exclusion set
@@ -1154,8 +1217,9 @@ def _score_shard_boolean(
     def current_theta(m_eff: int, must_done: bool) -> float:
         """k-th best combined partial among docs proven qualified so
         far; partials lower-bound finals (monotone combine), so this
-        theta is a safe bound floor. 0.0 with a searchAfter cursor."""
-        if after is not None or not must_done:
+        theta is a safe bound floor. 0.0 with a searchAfter cursor or
+        under constant-score (BM25 bounds don't order const matches)."""
+        if after is not None or const is not None or not must_done:
             return 0.0
         parts = [(d, s, i >= n_must) for i, (d, s) in enumerate(
             (dc if dc is not None else (None, None)) for dc in decoded) if d is not None]
@@ -1288,6 +1352,8 @@ def _score_shard_boolean(
         sel = hits >= m_eff
         uniq, total = uniq[sel], combine64(acc, mx)[sel]
     score32 = total.astype(np.float32)
+    if const is not None:  # ConstantScoreQuery: every match scores boost
+        score32 = np.full(uniq.size, np.float32(const), dtype=np.float32)
     if after is not None:
         a_s, a_d = np.float32(after[0]), int(after[1])
         keep = (score32 < a_s) | ((score32 == a_s) & (uniq > a_d))
@@ -1794,6 +1860,7 @@ class Searcher:
         extra_constraint: bool,
         after: tuple[float, int] | None,
         dismax_tie: float | None,
+        allow_delegate: bool = True,
     ) -> dict:
         """Shared clause normalization for the composable surfaces
         (search_boolean and search_boolean_local): clause dicts ->
@@ -1821,30 +1888,31 @@ class Searcher:
                 if b != 1.0:
                     boosts[(occ, f, terms)] = b
             elif "clauses" in c:
-                # nested BooleanQuery clause, one level deep: inner
-                # clauses are plain term clauses; an outer boost
-                # multiplies into every inner weight (Lucene BoostQuery
-                # rewrite folds boosts multiplicatively down the tree)
-                subcs = []
-                for sc_ in c["clauses"]:
-                    if "clauses" in sc_ or "phrase" in sc_:
-                        raise ValueError(
-                            "nested boolean sub-queries compose term clauses "
-                            "only (one nesting level)"
-                        )
-                    occ2 = sc_.get("occur", "should")
-                    if occ2 not in OCCURS:
-                        raise ValueError(f"unknown occur {occ2!r}")
-                    tb = b * float(sc_.get("boost", 1.0))
-                    subcs.append((occ2, sc_.get("field", "text"), sc_["term"], tb))
-                if not subcs:
+                # nested BooleanQuery clause, arbitrary depth: inner
+                # clauses may be terms, phrases, or further nested
+                # boolean/dismax sub-queries (Lucene composes
+                # BooleanQuery freely); an outer boost multiplies into
+                # every inner weight (Lucene BoostQuery rewrite folds
+                # boosts multiplicatively down the tree). Validation +
+                # weighting happen in _build_sub_node after stats.
+                if not c["clauses"]:
                     raise ValueError("empty nested clause list")
-                snorm[occ].append({"clauses": subcs, "msm": c.get("min_should_match")})
+                snorm[occ].append({"raw": c["clauses"], "boost": b,
+                                   "msm": c.get("min_should_match"),
+                                   "tie": c.get("dismax_tie")})
             else:
                 norm[occ].append((f, c["term"]))
                 if b != 1.0:
                     boosts[(occ, f, c["term"])] = b
-        has_phrases = any(pnorm[o] for o in OCCURS)
+        def _tree_has_phrase(cl_list) -> bool:
+            return any(
+                "phrase" in sc or ("clauses" in sc and _tree_has_phrase(sc["clauses"]))
+                for sc in cl_list
+            )
+
+        has_phrases = any(pnorm[o] for o in OCCURS) or any(
+            _tree_has_phrase(e["raw"]) for o in OCCURS for e in snorm[o]
+        )
         has_subs = any(snorm[o] for o in OCCURS)
         if has_phrases and not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; phrase clauses unavailable")
@@ -1857,8 +1925,8 @@ class Searcher:
         # pure-disjunction special case: a SHOULD-only single-field
         # query with msm<=1 and no boosts IS the or-mode query — the
         # caller routes it through its single-field block-max path
-        if (not has_constraint and msm <= 1 and norm["should"] and not boosts
-                and not has_phrases and not has_subs):
+        if (allow_delegate and not has_constraint and msm <= 1 and norm["should"]
+                and not boosts and not has_phrases and not has_subs):
             fields = {f for f, _ in norm["should"]}
             if len(fields) == 1:
                 fld = next(iter(fields))
@@ -1876,8 +1944,7 @@ class Searcher:
             for f, terms in pnorm[occ]:
                 by_field_terms.setdefault(f, set()).update(terms)
             for e in snorm[occ]:
-                for _, f2, t2, _ in e["clauses"]:
-                    by_field_terms.setdefault(f2, set()).add(t2)
+                _walk_sub_terms(e["raw"], by_field_terms)
         stats = self.term_stats_multi(by_field_terms)
 
         def scored(occ, entries):
@@ -1910,39 +1977,81 @@ class Searcher:
                 out.append((f, list(terms), wmap, self.manifest.avgdl_for(f)))
             return out
 
-        def scored_sub(entries):
-            """Nested sub-query -> kernel sub_spec; None = provably
-            cannot match (an inner must/filter term absent, or inner
-            msm unreachable)."""
-            out = []
-            for e in entries:
-                sm: dict = {"must": [], "should": [], "filter": [], "must_not": []}
-                dead = False
-                for occ2, f2, t2, tb in e["clauses"]:
-                    st = stats.get((f2, t2))
+        def _build_sub_node(cl_list, boost, msm_in, tie_in):
+            """Nested sub-query -> recursive kernel node; None =
+            provably cannot match (an inner must/filter clause absent
+            or dead, or inner msm unreachable). Inner clauses may be
+            terms, phrases, or further nested boolean/dismax
+            sub-queries — full Lucene BooleanQuery composition. The
+            accumulated boost product folds into every leaf weight
+            (BoostQuery rewrite)."""
+            if tie_in is not None and not (0.0 <= tie_in <= 1.0):
+                raise ValueError("dismax_tie must be in [0, 1]")
+            sm: dict = {"must": [], "should": [], "filter": [], "must_not": [],
+                        "phrases": {o: [] for o in OCCURS},
+                        "subs": {o: [] for o in OCCURS}}
+            for sc_ in cl_list:
+                occ2 = sc_.get("occur", "should")
+                if occ2 not in OCCURS:
+                    raise ValueError(f"unknown occur {occ2!r}")
+                f2 = sc_.get("field", "text")
+                b2 = boost * float(sc_.get("boost", 1.0))
+                if "phrase" in sc_:
+                    terms = tuple(sc_["phrase"])
+                    if not terms:
+                        raise ValueError("empty phrase clause")
+                    if any((f2, t) not in stats for t in terms):
+                        if occ2 in ("must", "filter"):
+                            return None
+                        continue  # absent should/must_not phrase: drop
+                    wmap = {}
+                    for t in set(terms):
+                        w = np.float32(bm25.idf(float(stats[(f2, t)][0]), self.manifest.n_docs_for(f2)))
+                        if b2 != 1.0:
+                            w = np.float32(np.float32(b2) * w)
+                        wmap[t] = w
+                    sm["phrases"][occ2].append((f2, list(terms), wmap, self.manifest.avgdl_for(f2)))
+                elif "clauses" in sc_:
+                    if not sc_["clauses"]:
+                        raise ValueError("empty nested clause list")
+                    child = _build_sub_node(
+                        sc_["clauses"], b2, sc_.get("min_should_match"),
+                        sc_.get("dismax_tie"),
+                    )
+                    if child is None:
+                        if occ2 in ("must", "filter"):
+                            return None
+                        continue  # dead should/must_not sub: drop
+                    sm["subs"][occ2].append(child)
+                else:
+                    st = stats.get((f2, sc_["term"]))
                     if st is None:
                         if occ2 in ("must", "filter"):
-                            dead = True
-                            break
+                            return None
                         continue  # absent should/must_not: drop
                     if occ2 == "must_not":
-                        sm[occ2].append((f2, t2, np.float32(0.0), 1.0))
+                        sm["must_not"].append((f2, sc_["term"], np.float32(0.0), 1.0))
                         continue
                     w = np.float32(bm25.idf(float(st[0]), self.manifest.n_docs_for(f2)))
-                    if tb != 1.0:
-                        w = np.float32(np.float32(tb) * w)
-                    sm[occ2].append((f2, t2, w, self.manifest.avgdl_for(f2)))
-                if dead:
-                    out.append(None)
-                    continue
-                has_c = bool(sm["must"] or sm["filter"])
-                msm_s = e["msm"] if e["msm"] is not None else (0 if has_c else 1)
-                if msm_s > len(sm["should"]) or not (has_c or sm["should"]):
-                    out.append(None)
-                    continue
-                sm["msm"] = int(msm_s)
-                out.append(sm)
-            return out
+                    if b2 != 1.0:
+                        w = np.float32(np.float32(b2) * w)
+                    sm[occ2].append((f2, sc_["term"], w, self.manifest.avgdl_for(f2)))
+            has_c = bool(sm["must"] or sm["filter"] or sm["phrases"]["must"]
+                         or sm["phrases"]["filter"] or sm["subs"]["must"]
+                         or sm["subs"]["filter"])
+            n_sh = len(sm["should"]) + len(sm["phrases"]["should"]) + len(sm["subs"]["should"])
+            msm_s = msm_in if msm_in is not None else (0 if has_c else 1)
+            if msm_s > n_sh or not (has_c or n_sh):
+                return None
+            sm["msm"] = int(msm_s)
+            sm["tie"] = tie_in
+            return sm
+
+        def scored_sub(entries):
+            return [
+                _build_sub_node(e["raw"], e["boost"], e["msm"], e.get("tie"))
+                for e in entries
+            ]
 
         must = scored("must", norm["must"])
         p_must = scored_phrase("must", pnorm["must"])
@@ -2017,6 +2126,7 @@ class Searcher:
         numeric: list[dict] | None = None,
         after: tuple[float, int] | None = None,
         dismax_tie: float | None = None,
+        _const: float | None = None,
     ) -> pd.DataFrame:
         """Driver-local composable BooleanQuery: same normalization and
         numpy kernel as search_boolean, but the pushdown-pruned block
@@ -2029,8 +2139,10 @@ class Searcher:
         )
         res = self._boolean_spec(
             clauses, k, min_should_match, extra_constraint=bool(numeric),
-            after=after, dismax_tie=dismax_tie,
+            after=after, dismax_tie=dismax_tie, allow_delegate=_const is None,
         )
+        if res["spec"] is not None and _const is not None:
+            res["spec"]["const"] = float(_const)
         if res["delegate"] is not None:
             fld, terms, nts = res["delegate"]
             return self.search_local(terms, k, mode="or", field=fld,
@@ -2064,21 +2176,25 @@ class Searcher:
         allowed_docs: DataFrame | None = None,
         after: tuple[float, int] | None = None,
         dismax_tie: float | None = None,
+        _const: float | None = None,
     ) -> DataFrame:
         """Composable BooleanQuery (the reference's combined surface):
         clauses = [{field, term, occur, boost?}] or
         [{field, phrase: [t1, t2, ...], occur, boost?}] or a nested
         boolean sub-query {clauses: [...], occur, min_should_match?,
-        boost?} (one nesting level; inner clauses are term clauses)
-        with occur in must | should | filter | must_not, mixed freely
-        across text and keyword fields, plus numeric doc-values ranges
-        — all evaluated in ONE query, scores = float64 sum of the
-        float32 per-clause BM25 scores of matched must+should clauses
-        (filter/must_not score nothing). A nested sub-query matches
-        docs satisfying its own must/filter/must_not/min_should_match
-        and contributes the sum of its matched scoring clauses; an
-        outer boost folds multiplicatively into every inner weight
-        (Lucene BoostQuery rewrite). A phrase clause matches docs where its tokens
+        boost?, dismax_tie?} — nested to ANY depth, with inner clauses
+        again terms, phrases, or sub-queries (full Lucene BooleanQuery
+        composition) — with occur in must | should | filter |
+        must_not, mixed freely across text and keyword fields, plus
+        numeric doc-values ranges — all evaluated in ONE query, scores
+        = float64 sum of the float32 per-clause BM25 scores of matched
+        must+should clauses (filter/must_not score nothing). A nested
+        sub-query matches docs satisfying its own
+        must/filter/must_not/min_should_match and contributes the sum
+        of its matched scoring clauses — or their DisjunctionMaxQuery
+        combine when the node carries dismax_tie; an outer boost folds
+        multiplicatively into every inner weight (Lucene BoostQuery
+        rewrite). A phrase clause matches docs where its tokens
         occur at consecutive positions (PhraseQuery nested inside a
         BooleanQuery — the standard Lucene composition) and scores as
         the sum of its unique terms' BM25 scores on matching docs
@@ -2096,8 +2212,10 @@ class Searcher:
         res = self._boolean_spec(
             clauses, k, min_should_match,
             extra_constraint=bool(numeric or allowed_docs is not None),
-            after=after, dismax_tie=dismax_tie,
+            after=after, dismax_tie=dismax_tie, allow_delegate=_const is None,
         )
+        if res["spec"] is not None and _const is not None:
+            res["spec"]["const"] = float(_const)
         if res["delegate"] is not None:
             fld, terms, nts = res["delegate"]
             return self.search(terms, k, mode="or", field=fld, not_terms=nts or None,
@@ -2125,6 +2243,71 @@ class Searcher:
         scan = self._postings.filter(pred)
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    def search_constant_score(
+        self,
+        clauses: list[dict],
+        k: int,
+        boost: float = 1.0,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+        allowed_docs: DataFrame | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Lucene ConstantScoreQuery(BooleanQuery(...)): membership is
+        the wrapped boolean's (same clause dicts, occurs, msm, phrases,
+        nested sub-queries, numeric ranges as search_boolean) but every
+        matching doc scores exactly float32(boost) — so the top-k are
+        the k LOWEST docIDs among matches (score ties break docID asc)
+        and `after` pages through them. BM25 block-max pruning is
+        disabled (score bounds don't order constant matches); the
+        candidate-restriction machinery still applies."""
+        return self.search_boolean(
+            clauses, k, min_should_match, numeric, allowed_docs,
+            after=after, _const=float(boost),
+        )
+
+    def search_constant_score_local(
+        self,
+        clauses: list[dict],
+        k: int,
+        boost: float = 1.0,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+        after: tuple[float, int] | None = None,
+    ) -> pd.DataFrame:
+        """Driver-local ConstantScoreQuery — identical results to
+        search_constant_score with no Spark job (see
+        search_boolean_local)."""
+        return self.search_boolean_local(
+            clauses, k, min_should_match, numeric, after=after,
+            _const=float(boost),
+        )
+
+    def search_all(self, k: int, after_doc: int | None = None) -> DataFrame:
+        """Lucene MatchAllDocsQuery: every live (non-deleted) doc in
+        the snapshot matches with score 1.0; ordering is docID asc
+        (score ties break by doc), so the top-k are the k lowest live
+        docIDs after `after_doc`. Distributed shape: doclen-table scan
+        (one row per (field, doc) — far smaller than postings) ->
+        distinct -> anti-join tombstones -> TakeOrderedAndProject;
+        no full sort materializes."""
+        dl = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "doclen"))
+        docs = dl.select(F.col("doc").cast("long").alias("doc"))
+        if after_doc is not None:
+            docs = docs.filter(F.col("doc") > F.lit(int(after_doc)))
+        docs = docs.distinct()
+        rel = self.manifest.properties.get("deletes_path")
+        if rel:
+            dels = self.spark.read.parquet(os.path.join(self.root, rel)).select(
+                F.col("doc").cast("long").alias("doc")
+            )
+            docs = docs.join(dels, "doc", "left_anti")
+        return (
+            docs.orderBy(F.asc("doc"))
+            .limit(k)
+            .select(F.col("doc"), F.lit(1.0).cast("float").alias("score"))
+        )
 
     def search_boolean_batch(self, queries: list[dict]) -> DataFrame:
         """Batched composable queries in ONE Spark job (the boolean

@@ -215,11 +215,19 @@ def boolean_search(
         if "clauses" in c:
             occ = c.get("occur", "should")
             snorm[occ].append(c)
-    # fields referenced only inside nested sub-queries still need stats
-    sub_fields = sorted(
-        {sc.get("field", "text") for subs in snorm.values() for c in subs
-         for sc in c["clauses"]} - set(fields)
-    )
+    # fields referenced only inside nested sub-queries (at any depth)
+    # still need stats
+    def _walk_fields(cl_list, acc):
+        for sc in cl_list:
+            acc.add(sc.get("field", "text"))
+            if "clauses" in sc:
+                _walk_fields(sc["clauses"], acc)
+
+    _subf: set = set()
+    for subs in snorm.values():
+        for c in subs:
+            _walk_fields(c["clauses"], _subf)
+    sub_fields = sorted(_subf - set(fields))
     for f in sub_fields:
         if f in keyword_fields:
             tok[f] = [[r[f]] if r.get(f) is not None else [] for r in rows]
@@ -303,18 +311,31 @@ def boolean_search(
         sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
         return dict(zip(ids.tolist(), sc.tolist()))
 
-    def sub_scores(c: dict) -> dict[int, float]:
-        """Nested BooleanQuery clause (one level): membership = its own
-        must/filter/must_not/min_should_match evaluation; value =
-        float64 sum of matched must+should float32 scores. An outer
-        boost folds multiplicatively into every inner weight (Lucene
-        BoostQuery rewrite)."""
-        b_out = float(c.get("boost", 1.0))
+    def _inner_term(f2, t2, tb):
+        m = matches(f2, t2)
+        if not m:
+            return {}
+        st = stats[f2]
+        ids = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+        tfs = np.fromiter(m.values(), dtype=np.int64, count=len(m))
+        w = np.float32(bm25.idf(float(len(m)), st["n_docs"]))
+        if tb != 1.0:
+            w = np.float32(np.float32(tb) * w)
+        sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
+        return dict(zip(ids.tolist(), sc.tolist()))
 
-        def inner(f2, t2, tb):
-            m = matches(f2, t2)
-            if not m:
-                return {}
+    def _inner_phrase(f2, terms, tb):
+        # PhraseQuery nested in a sub-query: same contract as
+        # phrase_scores but with the accumulated boost product folded
+        # into each unique term's float32 weight
+        if any(not matches(f2, t) for t in set(terms)):
+            return {}
+        hit = phrase_matches(f2, tuple(terms))
+        if not hit:
+            return {}
+        per = {}
+        for t in dict.fromkeys(terms):
+            m = matches(f2, t)
             st = stats[f2]
             ids = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
             tfs = np.fromiter(m.values(), dtype=np.int64, count=len(m))
@@ -322,25 +343,41 @@ def boolean_search(
             if tb != 1.0:
                 w = np.float32(np.float32(tb) * w)
             sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
-            return dict(zip(ids.tolist(), sc.tolist()))
+            per[t] = dict(zip(ids.tolist(), sc.tolist()))
+        return {
+            d: float(sum(float(per[t].get(d, 0.0)) for t in dict.fromkeys(terms)))
+            for d in hit
+        }
 
+    def _eval_node(cl_list, b_out, msm_in, tie_in) -> dict[int, float]:
+        """Nested BooleanQuery node, recursive (any depth): membership
+        = its own must/filter/must_not/min_should_match evaluation;
+        value = float64 sum of matched scoring clauses (or their
+        dismax combine when the node carries dismax_tie). The
+        accumulated boost product folds into every leaf weight (Lucene
+        BoostQuery rewrite)."""
         s_must, s_should, s_filter, s_ex = [], [], [], set()
-        for sc_ in c["clauses"]:
+        for sc_ in cl_list:
             occ2 = sc_.get("occur", "should")
             f2 = sc_.get("field", "text")
             tb = b_out * float(sc_.get("boost", 1.0))
-            if occ2 == "must_not":
-                s_ex |= set(matches(f2, sc_["term"]))
-            elif occ2 == "filter":
-                s_filter.append(set(matches(f2, sc_["term"])))
+            if "phrase" in sc_:
+                m2 = _inner_phrase(f2, tuple(sc_["phrase"]), tb)
+            elif "clauses" in sc_:
+                m2 = _eval_node(sc_["clauses"], tb, sc_.get("min_should_match"),
+                                sc_.get("dismax_tie"))
             else:
-                sc2 = inner(f2, sc_["term"], tb)
-                (s_must if occ2 == "must" else s_should).append(sc2)
+                m2 = _inner_term(f2, sc_["term"], tb)
+            if occ2 == "must_not":
+                s_ex |= set(m2)
+            elif occ2 == "filter":
+                s_filter.append(set(m2))
+            else:
+                (s_must if occ2 == "must" else s_should).append(m2)
         if any(not m for m in s_must) or any(not fs for fs in s_filter):
             return {}
         has_c = bool(s_must or s_filter)
-        msm_s = c.get("min_should_match")
-        msm_s = msm_s if msm_s is not None else (0 if has_c else 1)
+        msm_s = msm_in if msm_in is not None else (0 if has_c else 1)
         member = set(range(len(rows))) - s_ex
         for m in s_must:
             member &= set(m)
@@ -356,8 +393,17 @@ def boolean_search(
             sh = sum(1 for m in s_should if d in m)
             if sh < msm_s:
                 continue
-            out2[d] = float(sum(float(m[d]) for m in s_must + s_should if d in m))
+            vals = [float(m[d]) for m in s_must + s_should if d in m]
+            if tie_in is not None and vals:
+                mx = max(vals)
+                out2[d] = mx + tie_in * (sum(vals) - mx)
+            else:
+                out2[d] = float(sum(vals))
         return out2
+
+    def sub_scores(c: dict) -> dict[int, float]:
+        return _eval_node(c["clauses"], float(c.get("boost", 1.0)),
+                          c.get("min_should_match"), c.get("dismax_tie"))
     has_constraint = bool(
         norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"]
         or snorm["must"] or snorm["filter"] or numeric

@@ -1119,11 +1119,105 @@ def test_nested_boolean_subqueries(spark, tmp_path_factory):
     dead = [{"term": "alpha", "occur": "should"},
             {"occur": "must", "clauses": [{"term": "zzzznope", "occur": "must"}]}]
     assert s.search_boolean(dead, k=10).count() == 0
-    # two nesting levels rejected with a clear error
-    with pytest.raises(ValueError, match="one nesting level"):
-        s.search_boolean(
-            [{"occur": "must", "clauses": [{"clauses": [{"term": "alpha"}]}]}], k=5
-        )
+
+    # -- arbitrary-depth composition: sub-queries inside sub-queries,
+    # phrases as inner clauses, per-node boost folding and msm, and a
+    # nested DisjunctionMaxQuery node — rank+score identity vs the
+    # recursive referee
+    deep_cases = [
+        # depth 2: (alpha AND (beta OR (gamma AND delta)))
+        [{"term": "alpha", "occur": "must"},
+         {"occur": "must", "clauses": [
+             {"term": "beta"},
+             {"clauses": [{"term": "gamma", "occur": "must"},
+                          {"term": "delta", "occur": "must"}]}]}],
+        # depth 3 with boosts at every level (multiplicative folding)
+        [{"occur": "should", "boost": 2.0, "clauses": [
+            {"term": "beta", "boost": 1.5},
+            {"occur": "should", "boost": 0.5, "clauses": [
+                {"term": "gamma"},
+                {"occur": "should", "boost": 3.0,
+                 "clauses": [{"term": "delta", "boost": 0.25}]}]}]},
+         {"term": "alpha", "occur": "should"}],
+        # phrase inside a nested sub-query, sub as filter
+        [{"term": "alpha", "occur": "should"},
+         {"occur": "filter", "clauses": [
+             {"phrase": ["beta", "gamma"], "occur": "should"},
+             {"term": "epsilon", "occur": "should"}], "min_should_match": 1}],
+        # nested sub with its own msm over mixed term + sub shoulds
+        [{"occur": "must", "min_should_match": 2, "clauses": [
+            {"term": "beta"},
+            {"term": "gamma"},
+            {"clauses": [{"term": "delta", "occur": "must"},
+                         {"field": "role", "term": "user", "occur": "filter"}]}]}],
+        # nested DisjunctionMaxQuery node (dismax as a clause)
+        [{"term": "alpha", "occur": "must"},
+         {"occur": "should", "dismax_tie": 0.3,
+          "clauses": [{"term": "beta"}, {"term": "gamma"}, {"term": "delta"}]}],
+        # deep must_not: exclude docs matching a nested conjunction
+        [{"term": "alpha", "occur": "should"},
+         {"occur": "must_not", "clauses": [
+             {"term": "eta", "occur": "must"},
+             {"occur": "must", "clauses": [{"term": "beta", "occur": "should"},
+                                           {"term": "gamma", "occur": "should"}]}]}],
+    ]
+    for cl in deep_cases:
+        exp = oracle.boolean_search(rows, "doc_id", cl, k=300, keyword_fields=("role",))
+        got = [(r["doc"], float(np.float32(r["score"])))
+               for r in s.search_boolean(cl, k=300).collect()]
+        assert got == [(d, float(np.float32(x))) for d, x in exp], cl
+        loc = s.search_boolean_local(cl, k=300)
+        assert got == list(zip(loc["doc"].astype(int),
+                               loc["score"].astype(np.float32).astype(float))), cl
+
+
+def test_constant_score_and_match_all(spark, tmp_path_factory):
+    """ConstantScoreQuery: membership = the wrapped boolean's, every
+    match scores exactly float32(boost), top-k = k lowest matching
+    docIDs, searchAfter pages. MatchAllDocsQuery: every live doc,
+    score 1.0, docID asc, tombstones excluded."""
+    rows = _mk_rows(180)
+    root = str(tmp_path_factory.mktemp("cs") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
+                keyword_fields={"role": "role"}, stored_fields={"n_chars": "n_chars"})
+    s = Searcher(spark, root)
+
+    clauses = [{"term": "alpha", "occur": "must"},
+               {"term": "beta", "occur": "must_not"},
+               {"field": "role", "term": "user", "occur": "filter"}]
+    # referee membership: all matching docs via the boolean oracle
+    member = sorted(d for d, _ in oracle.boolean_search(
+        rows, "doc_id", clauses, k=len(rows), keyword_fields=("role",)))
+    assert member, "fixture must match something"
+    k = max(len(member) - 2, 1)
+    got = s.search_constant_score(clauses, k=k, boost=2.5).collect()
+    assert [int(r["doc"]) for r in got] == member[:k]
+    assert all(r["score"] == np.float32(2.5) for r in got)
+    # local path identity
+    loc = s.search_constant_score_local(clauses, k=k, boost=2.5)
+    assert list(loc["doc"].astype(int)) == member[:k]
+    assert all(v == np.float32(2.5) for v in loc["score"])
+    # paging: after the first page's last hit -> the remaining matches
+    cur = (float(got[-1]["score"]), int(got[-1]["doc"]))
+    page2 = s.search_constant_score(clauses, k=10, boost=2.5, after=cur).collect()
+    assert [int(r["doc"]) for r in page2] == member[k:k + 10]
+    # numeric doc-values restriction composes
+    hi = int(np.median([r["n_chars"] for r in rows]))
+    filt = [d for d in member
+            if rows[d]["n_chars"] <= hi]
+    gotn = s.search_constant_score(clauses, k=len(rows), boost=1.0,
+                                   numeric=[{"field": "n_chars", "hi": hi}]).collect()
+    assert [int(r["doc"]) for r in gotn] == filt
+
+    # match-all: every doc (all have role), docID asc, score 1.0
+    all_docs = s.search_all(k=50).collect()
+    assert [int(r["doc"]) for r in all_docs] == list(range(50))
+    assert all(r["score"] == 1.0 for r in all_docs)
+    assert [int(r["doc"]) for r in s.search_all(k=5, after_doc=100).collect()] == [101, 102, 103, 104, 105]
+    # tombstones drop out
+    delete_docs(spark, root, [0, 2])
+    s2 = Searcher(spark, root)
+    assert [int(r["doc"]) for r in s2.search_all(k=4).collect()] == [1, 3, 4, 5]
 
 
 def test_explain_and_fuzzy_prefix_length(spark, tmp_path_factory):
