@@ -734,6 +734,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
 
+    def ft_query_parser(spark, sf):
+        # classic QueryParser string surface: `key AND (vector^2 hash)
+        # -dup` compiles (Lucene addClause semantics) to MUST(key) +
+        # MUST(nested SHOULD group with a BoostQuery leaf) +
+        # MUST_NOT(dup) and evaluates through search_boolean — the
+        # twin is the flat-sum SQL of that boolean (nested msm=1)
+        return _hits_df(
+            _searcher(spark, sf).search_parsed(
+                f"{MIXED_MUST} AND ({MIXED_SHOULD[0]}^2 {MIXED_SHOULD[1]}) "
+                f"-{MIXED_NOT}",
+                k=K_ALL,
+            )
+        )
+
+    def ft_query_parser_prefix(spark, sf):
+        # QueryParser multi-term leaf: `s*` lexes to a PrefixQuery
+        # marker, expands against the term dictionary under the
+        # scoring-boolean rewrite (top-50 by df), and must equal
+        # search_prefix / the ft_prefix_search twin exactly
+        return _hits_df(
+            _searcher(spark, sf).search_parsed(f"{PREFIX_Q}*", k=K_ALL)
+        )
+
     def ft_constant_score(spark, sf):
         # Lucene ConstantScoreQuery(BooleanQuery): membership is the
         # wrapped boolean's; every match scores exactly float32(boost),
@@ -1019,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested,
         ft_bm25_nested_deep, ft_constant_score, ft_match_all, ft_sorted_search,
+        ft_query_parser, ft_query_parser_prefix,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
@@ -1164,6 +1188,22 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 f"THEN sum(CASE WHEN term IN ({', '.join(repr(t) for t in NESTED_SUB_TERMS)}) "
                 "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
             ),
+        ),
+        "ft_query_parser": _bm25_sql(
+            [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,
+            boosts={MIXED_SHOULD[0]: 2.0},
+            extra_where=(
+                "AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE term = '{MIXED_NOT}')"
+            ),
+            having=(
+                f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1 "
+                f"AND count(CASE WHEN term IN "
+                f"({', '.join(repr(t) for t in MIXED_SHOULD)}) THEN 1 END) >= 1"
+            ),
+        ),
+        "ft_query_parser_prefix": _bm25_sql(
+            [], "or", K_ALL, terms_sql=f"term LIKE '{PREFIX_Q}%'"
         ),
         "ft_bm25_nested_deep": _bm25_sql(
             [MIXED_MUST, NESTED_DEEP_T1] + NESTED_DEEP_SUB, "or", K_ALL,

@@ -677,6 +677,24 @@ def _walk_sub_terms(cl_list: list[dict], by_field_terms: dict[str, set]) -> None
             by_field_terms.setdefault(f, set()).add(sc["term"])
 
 
+def _reject_unrewritable(cl_list: list[dict]) -> None:
+    """Parsed-query markers the boolean kernel cannot evaluate inline:
+    *:* and sloppy phrases are whole-query dispatches (search_all /
+    search_span_near); anywhere deeper they must fail loudly rather
+    than silently change semantics."""
+    from ..functions.queryparser import QueryParseError
+
+    for sc in cl_list:
+        if sc.get("match_all"):
+            raise QueryParseError("*:* is only supported as the whole query")
+        if "phrase" in sc and sc.get("slop", 0) > 0:
+            raise QueryParseError(
+                "sloppy phrases are only supported as the whole query "
+                "(use search_span_near for proximity inside a boolean)")
+        if "clauses" in sc:
+            _reject_unrewritable(sc["clauses"])
+
+
 def _blocks_with_candidates(lo: np.ndarray, hi: np.ndarray, cand: np.ndarray) -> np.ndarray:
     """Mask of blocks whose [min_doc, max_doc] contains >= 1 candidate
     docID (cand SORTED unique). EXACT presence test per block — much
@@ -2308,6 +2326,133 @@ class Searcher:
             .limit(k)
             .select(F.col("doc"), F.lit(1.0).cast("float").alias("score"))
         )
+
+    def search_parsed(
+        self,
+        query: str,
+        k: int,
+        default_field: str = "text",
+        default_operator: str = "or",
+        numeric_fields: Iterable[str] = (),
+        max_expansions: int = 50,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
+    ) -> DataFrame:
+        """Classic Lucene QueryParser string -> one composable query.
+        The string syntax (fields, +/-/AND/OR/NOT, phrases with slop,
+        boosts, wildcards, fuzzy, regexp, ranges, *:*) is compiled by
+        functions/queryparser.py to search_boolean clause dicts with
+        Lucene's exact addClause occur semantics; multi-term leaves
+        (prefix/wildcard/fuzzy/regexp/term-range) are expanded here
+        against the term dictionary under the scoring-boolean rewrite
+        — the same distributed expansion path as search_prefix /
+        search_fuzzy — then the whole tree evaluates in ONE Spark job.
+
+        Keyword fields are read from the manifest (no analysis, exact
+        values); pass `numeric_fields` to route `[lo TO hi]` ranges on
+        those fields to the doc-values constraint path (L24) instead
+        of the term dictionary. A whole-query sloppy phrase dispatches
+        to search_span_near; `*:*` dispatches to search_all."""
+        from ..functions.queryparser import QueryParseError, parse_query
+
+        kwf = set(self.manifest.properties.get("keyword_fields", []))
+        parsed = parse_query(
+            query, default_field=default_field,
+            default_operator=default_operator,
+            keyword_fields=kwf, numeric_fields=set(numeric_fields),
+        )
+        cl = parsed.clauses
+        if not cl:
+            if parsed.numeric:
+                raise QueryParseError(
+                    "a numeric range needs at least one text/keyword clause "
+                    "(use match-all + fetch_stored for pure doc-values scans)")
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        if len(cl) == 1 and cl[0].get("match_all"):
+            if parsed.numeric:
+                raise QueryParseError("*:* cannot combine with a numeric range")
+            return self.search_all(k)
+        if (
+            len(cl) == 1 and "phrase" in cl[0] and cl[0].get("slop", 0) > 0
+            and not parsed.numeric and cl[0].get("occur") in ("should", "must")
+        ):
+            c = cl[0]
+            if "boost" in c:
+                raise QueryParseError("sloppy phrases do not take a boost")
+            return self.search_span_near(
+                c["phrase"], k, slop=c["slop"], in_order=False, field=c["field"]
+            )
+        _reject_unrewritable(cl)
+        cl = self._expand_parsed(cl, max_expansions)
+        return self.search_boolean(
+            cl, k, numeric=parsed.numeric or None, after=after,
+            dismax_tie=dismax_tie,
+        )
+
+    def _expand_parsed(self, clauses: list[dict], max_expansions: int) -> list[dict]:
+        """Rewrite multiterm markers from the parser into concrete
+        clauses: each expands to a nested SHOULD group over its
+        termdict matches (Lucene SCORING_BOOLEAN_REWRITE — every
+        expanded term keeps its own idf, identical to search_prefix).
+        An empty expansion becomes an impossible term so the clause's
+        occur semantics (a must that can't match empties the query, a
+        should contributes nothing) flow through _boolean_spec's
+        absent-term handling unchanged."""
+        from ..functions.queryparser import _DEAD_TERM
+
+        out = []
+        for c in clauses:
+            c = dict(c)
+            if "clauses" in c:
+                c["clauses"] = self._expand_parsed(c["clauses"], max_expansions)
+                out.append(c)
+                continue
+            mt = c.pop("multiterm", None)
+            if mt is None:
+                out.append(c)
+                continue
+            f, kind = c["field"], mt["kind"]
+            if kind == "prefix":
+                terms = self.expand_terms(f, prefix=mt["prefix"],
+                                          max_expansions=max_expansions)
+            elif kind == "wildcard":
+                terms = self.expand_terms(f, wildcard=mt["pattern"],
+                                          max_expansions=max_expansions)
+            elif kind == "fuzzy":
+                terms = self.expand_terms(
+                    f, fuzzy=mt["term"], max_edits=mt["max_edits"],
+                    transpositions=True, max_expansions=max_expansions,
+                )
+            elif kind == "regexp":
+                terms = self.expand_terms(f, regex=mt["pattern"],
+                                          max_expansions=max_expansions)
+            elif kind == "term_range":
+                terms = self.expand_terms(f, term_range=(mt["lo"], mt["hi"]),
+                                          max_expansions=max_expansions)
+                if not mt["lo_inc"]:
+                    terms = [t for t in terms if t != mt["lo"]]
+                if not mt["hi_inc"]:
+                    terms = [t for t in terms if t != mt["hi"]]
+            else:  # pragma: no cover - parser emits only the kinds above
+                raise ValueError(f"unknown multiterm kind {kind!r}")
+            occ = c.get("occur", "should")
+            if not terms:
+                out.append({"field": f, "term": _DEAD_TERM, "occur": occ})
+            elif len(terms) == 1:
+                node = {"field": f, "term": terms[0], "occur": occ}
+                if "boost" in c:
+                    node["boost"] = c["boost"]
+                out.append(node)
+            else:
+                node = {
+                    "clauses": [{"field": f, "term": t, "occur": "should"}
+                                for t in terms],
+                    "occur": occ,
+                }
+                if "boost" in c:
+                    node["boost"] = c["boost"]
+                out.append(node)
+        return out
 
     def search_boolean_batch(self, queries: list[dict]) -> DataFrame:
         """Batched composable queries in ONE Spark job (the boolean
