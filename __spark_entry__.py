@@ -77,6 +77,9 @@ _GATE_ROOT = "/tmp/sparklucene_gate_v4"  # bump on index format change
 # v4 = manifest file lists + keyword_fields property + deterministic
 # IVF sample (orderBy id) so the ANN oracles reproduce the exact model
 BOOSTS = {"dup": 2.0, "hash": 0.5}  # ft_bm25_boosted per-clause boosts
+# ft_facet_ranges: deliberately overlapping buckets (Lucene range
+# facets count a doc in every range containing it)
+FACET_RANGES = [("short", None, 120), ("mid", 80, 400), ("long", 300, None)]
 TX_FUZZY_Q = "term00001"  # ft_fuzzy_damerau: digit transpositions = 1 edit
 ANN_NPROBE_IVF = 6
 
@@ -757,6 +760,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf).search_parsed(f"{PREFIX_Q}*", k=K_ALL)
         )
 
+    def ft_facets(spark, sf):
+        # Lucene term facets: per-`source` match counts over the FULL
+        # match set of MUST(key) -dup (matched-doc kernel -> stored
+        # join -> groupBy count), ordered count desc then value asc
+        clauses = [{"term": MIXED_MUST, "occur": "must"},
+                   {"term": MIXED_NOT, "occur": "must_not"}]
+        return _searcher(spark, sf).facet_counts(clauses, "source", top_n=10)
+
+    def ft_facet_ranges(spark, sf):
+        # Lucene LongRangeFacetCounts: OVERLAPPING n_chars buckets
+        # counted in one conditional-sum pass over all matches of the
+        # OR query (each doc counts in every bucket containing it)
+        clauses = [{"term": t, "occur": "should"} for t in OR_TERMS]
+        return _searcher(spark, sf).facet_ranges(clauses, "n_chars", FACET_RANGES)
+
     def ft_constant_score(spark, sf):
         # Lucene ConstantScoreQuery(BooleanQuery): membership is the
         # wrapped boolean's; every match scores exactly float32(boost),
@@ -1042,7 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not, ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested,
         ft_bm25_nested_deep, ft_constant_score, ft_match_all, ft_sorted_search,
-        ft_query_parser, ft_query_parser_prefix,
+        ft_query_parser, ft_query_parser_prefix, ft_facets, ft_facet_ranges,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
@@ -1189,6 +1207,42 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
             ),
         ),
+        "ft_facets": f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_MUST}'
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_NOT}')
+)
+SELECT d.source AS facet, count(*)::BIGINT AS count
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY facet ORDER BY count DESC, facet ASC LIMIT 10
+""",
+        "ft_facet_ranges": f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), matched AS (
+  SELECT DISTINCT doc_id FROM tok
+  WHERE term IN ({', '.join(repr(t) for t in OR_TERMS)})
+), j AS (
+  SELECT d.n_chars FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT 'short' AS bucket, count(CASE WHEN n_chars <= 120 THEN 1 END)::BIGINT AS count FROM j
+UNION ALL
+SELECT 'mid', count(CASE WHEN n_chars BETWEEN 80 AND 400 THEN 1 END)::BIGINT FROM j
+UNION ALL
+SELECT 'long', count(CASE WHEN n_chars >= 300 THEN 1 END)::BIGINT FROM j
+""",
         "ft_query_parser": _bm25_sql(
             [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,
             boosts={MIXED_SHOULD[0]: 2.0},

@@ -2327,6 +2327,115 @@ class Searcher:
             .select(F.col("doc"), F.lit(1.0).cast("float").alias("score"))
         )
 
+    def matching_docs(
+        self,
+        clauses: list[dict],
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+        allowed_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """ALL live docIDs matching a composable boolean query (no
+        top-k cut, no scores) — the doc-set surface under faceting,
+        export pipelines, and allowed-docs composition. Same clause
+        dicts / occur / msm / phrase / nested / numeric semantics as
+        search_boolean; evaluation is the same per-shard kernel in
+        constant-score mode (BM25 weights never computed, pruning off
+        — every match must surface). Returns a DataFrame with one
+        `doc` column, unordered: order is meaningless for a set, and
+        leaving it unsorted keeps the plan shuffle-free past the
+        postings decode."""
+        res = self._boolean_spec(
+            clauses, 1 << 60, min_should_match,
+            extra_constraint=bool(numeric or allowed_docs is not None),
+            after=None, dismax_tie=None, allow_delegate=False,
+        )
+        doc_schema = T.StructType([T.StructField("doc", T.LongType(), False)])
+        if res["spec"] is None:
+            return self.spark.createDataFrame([], doc_schema)
+        spec, by_field_terms, stats = res["spec"], res["by_field_terms"], res["stats"]
+        spec["const"] = 1.0
+        aux, allow_kinds = self._aux_frames(numeric, allowed_docs)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            by_field = {
+                f: {t: g for t, g in sub.groupby("term", sort=False)}
+                for f, sub in pdf.groupby("field", sort=False)
+            }
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            return _score_shard_boolean(by_field, spec, dels, allowed)[["doc"]]
+
+        pred = F.lit(False)
+        for f, ts in by_field_terms.items():
+            if any((f, t) in stats for t in ts):
+                pred = pred | (
+                    (F.col("field") == f)
+                    & F.col("term").isin([t for t in ts if (f, t) in stats])
+                )
+        scan = self._postings.filter(pred)
+        return self._apply_kernel(scan, kernel, doc_schema, aux)
+
+    def facet_counts(
+        self,
+        clauses: list[dict],
+        facet_field: str,
+        top_n: int = 10,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene-facets analogue (SortedSetDocValues term facets):
+        per-value match counts of a STORED field over ALL docs
+        matching the query — not just the top-k hits. Returns
+        (facet, count) ordered count desc, value asc, capped at
+        top_n. Plan: matched-doc kernel (postings-pruned scan, no
+        scores) -> join the index's stored table on doc (column-pruned
+        to the facet field) -> groupBy + count with map-side partial
+        aggregation; the only shuffles are the doc join and the final
+        tiny per-value agg, so the shape survives a 100x corpus."""
+        matched = self.matching_docs(clauses, min_should_match, numeric)
+        stored = self._stored_df().select("doc", facet_field)
+        return (
+            matched.join(stored, "doc")
+            .groupBy(F.col(facet_field).alias("facet"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("facet"))
+            .limit(top_n)
+        )
+
+    def facet_ranges(
+        self,
+        clauses: list[dict],
+        numeric_field: str,
+        ranges: list[tuple],
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene LongRangeFacetCounts analogue: per-range match
+        counts of a stored numeric field over ALL matching docs.
+        ranges = [(label, lo, hi)] inclusive, None = open side;
+        ranges may OVERLAP (each doc counts in every range containing
+        it, Lucene's semantics) — implemented as one conditional-sum
+        aggregate per range in a single pass, no explode, then
+        unpivoted to (bucket, count) preserving the given order."""
+        matched = self.matching_docs(clauses, min_should_match, numeric)
+        stored = self._stored_df().select("doc", numeric_field)
+        joined = matched.join(stored, "doc")
+        aggs = []
+        for label, lo, hi in ranges:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(numeric_field) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(numeric_field) <= F.lit(hi))
+            aggs.append(
+                F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+                .cast("long").alias(str(label))
+            )
+        wide = joined.agg(*aggs)
+        stack = ", ".join(f"'{label}', `{label}`" for label, _, _ in ranges)
+        return wide.selectExpr(
+            f"stack({len(ranges)}, {stack}) as (bucket, count)"
+        )
+
     def search_parsed(
         self,
         query: str,

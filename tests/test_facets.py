@@ -1,0 +1,120 @@
+"""Facet counting + the matching-docs set surface.
+
+Lucene facets count per-value / per-range matches over the FULL match
+set of a query (FacetsCollector + SortedSetDocValues /
+LongRangeFacetCounts), not just the top-k page. The oracle here is
+brute force over the fixture rows: re-tokenize, evaluate the boolean
+predicate per doc, aggregate in Python, compare exactly.
+"""
+
+import collections
+
+import numpy as np
+import pytest
+
+from fdblucene_spark.functions.analysis import tokenize_text
+from fdblucene_spark.operators.build import build_index
+from fdblucene_spark.operators.query import Searcher
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi",
+]
+
+
+def _zipf(n):
+    w = 1.0 / np.arange(1, n + 1)
+    return w / w.sum()
+
+
+@pytest.fixture(scope="module")
+def facet_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(300):
+        ln = int(rng.integers(3, 40))
+        text = " ".join(rng.choice(WORDS, size=ln, p=_zipf(len(WORDS))))
+        rows.append({"doc_id": i, "text": text,
+                     "role": ["user", "assistant", "tool"][i % 3],
+                     "n_chars": len(text)})
+    root = str(tmp_path_factory.mktemp("facets") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
+        text_fields={"text": "text"}, keyword_fields={"role": "role"},
+        stored_fields={"role": "role", "n_chars": "n_chars"},
+    )
+    return rows, Searcher(spark, root)
+
+
+def _match(rows, must=(), must_not=()):
+    out = set()
+    for r in rows:
+        toks = set(tokenize_text(r["text"]))
+        if all(t in toks for t in must) and not any(t in toks for t in must_not):
+            out.add(r["doc_id"])
+    return out
+
+
+CLAUSES = [{"term": "alpha", "occur": "must"},
+           {"term": "gamma", "occur": "must_not"}]
+
+
+def test_matching_docs_is_the_full_set(facet_index):
+    rows, s = facet_index
+    want = _match(rows, must=["alpha"], must_not=["gamma"])
+    got = {r["doc"] for r in s.matching_docs(CLAUSES).collect()}
+    assert got == want and len(want) > 20  # not a top-k cut
+
+
+def test_matching_docs_numeric(facet_index):
+    rows, s = facet_index
+    want = {d for d in _match(rows, must=["alpha"])
+            if 50 <= rows[d]["n_chars"] <= 160}
+    got = {r["doc"] for r in s.matching_docs(
+        [{"term": "alpha", "occur": "must"}],
+        numeric=[{"field": "n_chars", "lo": 50, "hi": 160}]).collect()}
+    assert got == want
+
+
+def test_facet_counts(facet_index):
+    rows, s = facet_index
+    matched = _match(rows, must=["alpha"], must_not=["gamma"])
+    want = collections.Counter(rows[d]["role"] for d in matched)
+    got = {(r["facet"], r["count"]) for r in
+           s.facet_counts(CLAUSES, "role", top_n=10).collect()}
+    assert got == set(want.items())
+
+
+def test_facet_counts_top_n_ordering(facet_index):
+    rows, s = facet_index
+    out = s.facet_counts(CLAUSES, "role", top_n=2).collect()
+    assert len(out) == 2
+    counts = [r["count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_facet_ranges_overlapping(facet_index):
+    rows, s = facet_index
+    matched = _match(rows, must=["alpha"], must_not=["gamma"])
+    ranges = [("short", None, 120), ("mid", 80, 400), ("long", 300, None)]
+    vals = [rows[d]["n_chars"] for d in matched]
+    want = [
+        ("short", sum(v <= 120 for v in vals)),
+        ("mid", sum(80 <= v <= 400 for v in vals)),
+        ("long", sum(v >= 300 for v in vals)),
+    ]
+    got = [(r["bucket"], r["count"])
+           for r in s.facet_ranges(CLAUSES, "n_chars", ranges).collect()]
+    assert got == want
+    # overlap: a doc with 80 <= n_chars <= 120 counts in BOTH buckets
+    assert sum(c for _, c in want) >= len(vals)
+
+
+def test_facet_empty_query(facet_index):
+    _, s = facet_index
+    dead = [{"term": "zzznope", "occur": "must"}]
+    assert s.matching_docs(dead).count() == 0
+    assert s.facet_counts(dead, "role").count() == 0
+    got = {r["bucket"]: r["count"] for r in
+           s.facet_ranges(dead, "n_chars", [("all", None, None)]).collect()}
+    assert got == {"all": 0}
