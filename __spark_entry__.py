@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fdblucene_spark.functions import bm25
 from fdblucene_spark.operators import dedup, multimodal, similarity, textstats
@@ -80,6 +81,13 @@ BOOSTS = {"dup": 2.0, "hash": 0.5}  # ft_bm25_boosted per-clause boosts
 # ft_facet_ranges: deliberately overlapping buckets (Lucene range
 # facets count a doc in every range containing it)
 FACET_RANGES = [("short", None, 120), ("mid", 80, 400), ("long", 300, None)]
+SUGGEST_Q = "stor"  # ft_suggest: distance-2 tie (slow, sort) broken by df
+# ft_mlt sample: tf>=2 keeps key/dup/hash/vector/scan; 'solo' fails
+# min_term_freq, 'zzznope' fails min_doc_freq — selection is decided
+# by integer thresholds only, so the SQL twin is the literal OR set
+MLT_TEXT = ("key key dup dup hash hash vector vector scan scan "
+            "solo zzznope zzznope")
+MLT_TERMS = ["key", "dup", "hash", "vector", "scan"]
 TX_FUZZY_Q = "term00001"  # ft_fuzzy_damerau: digit transpositions = 1 edit
 ANN_NPROBE_IVF = 6
 
@@ -760,6 +768,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf).search_parsed(f"{PREFIX_Q}*", k=K_ALL)
         )
 
+    def ft_suggest(spark, sf):
+        # DirectSpellChecker: Damerau candidates for a misspelling,
+        # ranked distance asc / df desc / term asc (distributed
+        # termdict expansion + driver rank on the bounded list)
+        rows = _searcher(spark, sf).suggest(
+            SUGGEST_Q, max_edits=2, max_suggestions=5, prefix_length=1
+        )
+        schema = T.StructType([
+            T.StructField("term", T.StringType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("distance", T.LongType()),
+        ])
+        return spark.createDataFrame(
+            [(r["term"], r["df"], r["distance"]) for r in rows], schema)
+
+    def ft_mlt(spark, sf):
+        # MoreLikeThis: sample text -> tf/df-thresholded term
+        # selection (one termdict seek) -> one BM25 OR query; the
+        # thresholds are integer-exact so the twin is the known set
+        return _hits_df(
+            _searcher(spark, sf).more_like_this(
+                MLT_TEXT, k=K_ALL, min_term_freq=2, min_doc_freq=5)
+        )
+
     def ft_facets(spark, sf):
         # Lucene term facets: per-`source` match counts over the FULL
         # match set of MUST(key) -dup (matched-doc kernel -> stored
@@ -1061,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested,
         ft_bm25_nested_deep, ft_constant_score, ft_match_all, ft_sorted_search,
         ft_query_parser, ft_query_parser_prefix, ft_facets, ft_facet_ranges,
+        ft_suggest, ft_mlt,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
@@ -1207,6 +1240,30 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
             ),
         ),
+        "ft_suggest": f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), v AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+), cand AS (
+  -- the engine's expansion prefilters + top-50-by-df cap, verbatim
+  SELECT term, df FROM v
+  WHERE term LIKE '{SUGGEST_Q[:1]}%'
+    AND length(term) BETWEEN {len(SUGGEST_Q) - 2} AND {len(SUGGEST_Q) + 2}
+    AND levenshtein(term, '{SUGGEST_Q}') <= 4
+    AND damerau_levenshtein(term, '{SUGGEST_Q}') <= 2
+  ORDER BY df DESC, term ASC LIMIT 50
+)
+SELECT term, df, damerau_levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance
+FROM cand WHERE term <> '{SUGGEST_Q}'
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5
+""",
+        "ft_mlt": _bm25_sql(MLT_TERMS, "or", K_ALL),
         "ft_facets": f"""
 WITH src AS (SELECT doc_id, text FROM documents),
 toks AS (

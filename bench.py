@@ -154,7 +154,7 @@ def main() -> None:
     with timed("build_documents"):
         build_index(spark, docs, doc_root, doc_col="doc_id", n_shards=16,
                     keyword_fields={"source": "source"},
-                    stored_fields={"n_chars": "n_chars"})
+                    stored_fields={"n_chars": "n_chars", "source": "source"})
     sd = Searcher(spark, doc_root)
     with timed("bm25_documents"):
         sd.search(["dup", "hash", "vector"], k=100).collect()
@@ -174,6 +174,20 @@ def main() -> None:
         sd.search_boolean(
             [{"term": t, "occur": "should"} for t in ("dup", "hash", "vector")],
             k=100, min_should_match=2,
+        ).collect()
+    with timed("query_parser"):
+        # classic QueryParser string -> ONE boolean job (round-4
+        # surface): must + boosted group + must_not + numeric range
+        sd.search_parsed(
+            "dup AND (hash^2 vector) -slow n_chars:[100 TO 500]",
+            k=100, numeric_fields={"n_chars"},
+        ).collect()
+    with timed("facet_counts"):
+        # term facets over the FULL match set (matched-doc kernel ->
+        # stored join -> partial agg)
+        sd.facet_counts(
+            [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"}],
+            "source", top_n=10,
         ).collect()
     with timed("fuzzy_damerau"):
         # Damerau expansion: JVM prefilter + Arrow-batched exact DP,

@@ -266,15 +266,56 @@ def _apply_boost(node: dict, boost: float | None) -> dict:
     return node
 
 
+def _apply_boost_opt(node: dict | None, boost: float | None) -> dict | None:
+    return None if node is None else _apply_boost(node, boost)
+
+
 class _Parser:
     def __init__(self, toks, default_field, default_and,
                  keyword_fields, numeric_fields):
         self.toks = toks
         self.pos = 0
-        self.default_field = default_field
+        # default_field: one field name, or a MultiFieldQueryParser
+        # spec — list of fields / {field: boost} — fanning every
+        # unfielded leaf out across the fields as a SHOULD group with
+        # per-field boosts (Lucene MultiFieldQueryParser semantics)
+        if isinstance(default_field, str):
+            self.default_fields = [(default_field, 1.0)]
+        elif isinstance(default_field, dict):
+            self.default_fields = [(f, float(b)) for f, b in default_field.items()]
+        else:
+            self.default_fields = [(f, 1.0) for f in default_field]
+        if not self.default_fields:
+            raise QueryParseError("default_field must name at least one field")
         self.default_and = default_and
         self.keyword_fields = set(keyword_fields)
         self.numeric_fields = set(numeric_fields)
+
+    def _fan_out(self, fld: str | None, mk) -> dict | None:
+        """Build an atom's clause node: mk(field) -> node | None. With
+        an explicit field (or a single default) this is just mk; with
+        multiple default fields the per-field nodes combine as a
+        SHOULD group carrying the per-field boosts (MultiFieldQuery-
+        Parser's BooleanQuery-per-term expansion)."""
+        if fld is not None:
+            return mk(fld)
+        if len(self.default_fields) == 1:
+            return mk(self.default_fields[0][0])
+        subs = []
+        for f, b in self.default_fields:
+            node = mk(f)
+            if node is None:
+                continue
+            node = _apply_boost(node, b)
+            node["occur"] = "should"
+            subs.append(node)
+        if not subs:
+            return None
+        if len(subs) == 1:
+            node = dict(subs[0])
+            node.pop("occur", None)
+            return node
+        return {"clauses": subs}
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -313,7 +354,6 @@ class _Parser:
         if t[0] == "FIELD":
             fld = t[1]
             t = self.next()
-        f = fld or self.default_field
         if t[0] == "LPAREN":
             inner = self.parse_group(fld, top=False)
             closing = self.next()  # RPAREN (parse_group stopped on it)
@@ -329,84 +369,103 @@ class _Parser:
             return _apply_boost(node, boost)
         if t[0] == "PHRASE":
             words, slop, boost = t[1], t[2], t[3]
-            if f in self.keyword_fields:
-                terms = [" ".join(words)] if words else []
-            else:
-                terms = [tok for w in words for tok in tokenize_text(w)]
-            if not terms:
-                return None
-            if len(terms) == 1:
-                return _apply_boost({"field": f, "term": terms[0]}, boost)
-            node = {"field": f, "phrase": terms}
-            if slop:
-                node["slop"] = int(slop)
-            return _apply_boost(node, boost)
+
+            def mk_phrase(f):
+                if f in self.keyword_fields:
+                    terms = [" ".join(words)] if words else []
+                else:
+                    terms = [tok for w in words for tok in tokenize_text(w)]
+                if not terms:
+                    return None
+                if len(terms) == 1:
+                    return {"field": f, "term": terms[0]}
+                node = {"field": f, "phrase": terms}
+                if slop:
+                    node["slop"] = int(slop)
+                return node
+
+            return _apply_boost_opt(self._fan_out(fld, mk_phrase), boost)
         if t[0] == "REGEXP":
-            return _apply_boost(
-                {"field": f, "multiterm": {"kind": "regexp", "pattern": t[1]}},
-                t[2],
+            pattern, boost = t[1], t[2]
+            return _apply_boost_opt(
+                self._fan_out(fld, lambda f: {
+                    "field": f, "multiterm": {"kind": "regexp", "pattern": pattern}}),
+                boost,
             )
         if t[0] == "RANGE":
             lo, hi, lo_inc, hi_inc, boost = t[1], t[2], t[3], t[4], t[5]
-            if f in self.numeric_fields:
-                node = {"field": f, "numeric_range": (
-                    None if lo is None else float(lo),
-                    None if hi is None else float(hi),
-                    lo_inc, hi_inc)}
-                return _apply_boost(node, boost)
-            if f not in self.keyword_fields:
-                lo = lo.lower() if lo is not None else None
-                hi = hi.lower() if hi is not None else None
-            node = {"field": f, "multiterm": {
-                "kind": "term_range", "lo": lo, "hi": hi,
-                "lo_inc": lo_inc, "hi_inc": hi_inc}}
-            return _apply_boost(node, boost)
+
+            def mk_range(f):
+                if f in self.numeric_fields:
+                    return {"field": f, "numeric_range": (
+                        None if lo is None else float(lo),
+                        None if hi is None else float(hi),
+                        lo_inc, hi_inc)}
+                rlo, rhi = lo, hi
+                if f not in self.keyword_fields:
+                    rlo = rlo.lower() if rlo is not None else None
+                    rhi = rhi.lower() if rhi is not None else None
+                return {"field": f, "multiterm": {
+                    "kind": "term_range", "lo": rlo, "hi": rhi,
+                    "lo_inc": lo_inc, "hi_inc": hi_inc}}
+
+            return _apply_boost_opt(self._fan_out(fld, mk_range), boost)
         if t[0] == "TERM":
             word, has_wild, edits, boost = t[1], t[2], t[3], t[4]
-            if word == "*" and f == "*":
+            if word == "*" and fld == "*":
                 return {"match_all": True}
             if has_wild:
-                # Lucene does not analyze wildcard terms — lowercase only
-                pat = word if f in self.keyword_fields else word.lower()
-                core = pat[:-1]
-                if pat.endswith("*") and "*" not in core and "?" not in core and core:
-                    node = {"field": f, "multiterm": {"kind": "prefix", "prefix": core}}
-                else:
-                    node = {"field": f, "multiterm": {"kind": "wildcard", "pattern": pat}}
-                return _apply_boost(node, boost)
+                def mk_wild(f):
+                    # Lucene does not analyze wildcard terms — lowercase only
+                    pat = word if f in self.keyword_fields else word.lower()
+                    core = pat[:-1]
+                    if pat.endswith("*") and "*" not in core and "?" not in core and core:
+                        return {"field": f, "multiterm": {"kind": "prefix", "prefix": core}}
+                    return {"field": f, "multiterm": {"kind": "wildcard", "pattern": pat}}
+
+                return _apply_boost_opt(self._fan_out(fld, mk_wild), boost)
             if edits is not None:
-                term = word if f in self.keyword_fields else word.lower()
-                max_edits = 2 if edits == -1 else min(int(edits), 2)
-                if max_edits == 0:
-                    return _apply_boost({"field": f, "term": term}, boost)
-                node = {"field": f, "multiterm": {
-                    "kind": "fuzzy", "term": term, "max_edits": max_edits}}
-                return _apply_boost(node, boost)
-            if f in self.keyword_fields:
-                return _apply_boost({"field": f, "term": word}, boost)
-            toks = tokenize_text(word)
-            if not toks:
-                return None
-            if len(toks) == 1:
-                return _apply_boost({"field": f, "term": toks[0]}, boost)
-            # multi-token analysis -> SHOULD group (Lucene default,
-            # autoGeneratePhraseQueries=false)
-            node = {"clauses": [
-                {"field": f, "term": tk, "occur": "should"} for tk in toks
-            ]}
-            return _apply_boost(node, boost)
+                def mk_fuzzy(f):
+                    term = word if f in self.keyword_fields else word.lower()
+                    max_edits = 2 if edits == -1 else min(int(edits), 2)
+                    if max_edits == 0:
+                        return {"field": f, "term": term}
+                    return {"field": f, "multiterm": {
+                        "kind": "fuzzy", "term": term, "max_edits": max_edits}}
+
+                return _apply_boost_opt(self._fan_out(fld, mk_fuzzy), boost)
+
+            def mk_term(f):
+                if f in self.keyword_fields:
+                    return {"field": f, "term": word}
+                toks = tokenize_text(word)
+                if not toks:
+                    return None
+                if len(toks) == 1:
+                    return {"field": f, "term": toks[0]}
+                # multi-token analysis -> SHOULD group (Lucene default,
+                # autoGeneratePhraseQueries=false)
+                return {"clauses": [
+                    {"field": f, "term": tk, "occur": "should"} for tk in toks
+                ]}
+
+            return _apply_boost_opt(self._fan_out(fld, mk_term), boost)
         raise QueryParseError(f"unexpected token {t[0]}")
 
 
 def parse_query(
     q: str,
-    default_field: str = "text",
+    default_field: str | dict | list = "text",
     default_operator: str = "or",
     keyword_fields: set[str] | frozenset[str] = frozenset(),
     numeric_fields: set[str] | frozenset[str] = frozenset(),
 ) -> ParsedQuery:
     """Compile a classic-QueryParser string to search_boolean clause
-    dicts. Numeric ranges on fields listed in `numeric_fields` are
+    dicts. default_field may be one field name, or a
+    MultiFieldQueryParser spec (list of fields or {field: boost}):
+    every leaf without an explicit field then fans out across the
+    fields as a SHOULD group with the per-field boosts.
+    Numeric ranges on fields listed in `numeric_fields` are
     lifted out of the clause tree into ParsedQuery.numeric (they are
     doc-values constraints, not postings queries) — legal only at the
     top level with must/filter occur, like Lucene's common practice of

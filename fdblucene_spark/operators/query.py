@@ -2327,6 +2327,89 @@ class Searcher:
             .select(F.col("doc"), F.lit(1.0).cast("float").alias("score"))
         )
 
+    def suggest(
+        self,
+        term: str,
+        field: str = "text",
+        max_edits: int = 2,
+        max_suggestions: int = 5,
+        prefix_length: int = 1,
+        min_df: int = 1,
+    ) -> list[dict]:
+        """Spell suggestion (Lucene DirectSpellChecker): dictionary
+        terms within Damerau edit distance of `term`, ranked distance
+        asc, then df desc, then term asc — closer corrections first,
+        popularity breaking ties. Candidate enumeration is the same
+        distributed termdict job as FuzzyQuery (JVM length/levenshtein
+        prefilter + exact Arrow DP, prefix_length pushdown, top-50 by
+        df cap); the final rank + distance recompute run driver-side
+        on that bounded list. Returns [{term, df, distance}]."""
+        cands = self.expand_terms(
+            field, fuzzy=term, max_edits=max_edits, max_expansions=50,
+            transpositions=True, prefix_length=prefix_length,
+        )
+        cands = [c for c in cands if c != term]
+        if not cands:
+            return []
+        stats = self.term_stats_multi({field: set(cands)})
+        out = []
+        for c in cands:
+            st = stats.get((field, c))
+            df = int(st[0]) if st else 0
+            if df < min_df:
+                continue
+            out.append({"term": c, "df": df,
+                        "distance": damerau_levenshtein(c, term)})
+        out.sort(key=lambda r: (r["distance"], -r["df"], r["term"]))
+        return out[:max_suggestions]
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int,
+        field: str = "text",
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        exclude_doc: int | None = None,
+    ) -> DataFrame:
+        """Lucene MoreLikeThis: build an OR query from the sample
+        text's most characteristic terms — analyze the text, keep
+        terms with tf >= min_term_freq whose corpus df >= min_doc_freq,
+        rank by tf * idf (ties term asc), take the top
+        max_query_terms, and run one BM25 disjunction. The sample is
+        ONE document (driver-side tokenize is bounded by its length);
+        df comes from the one-seek term dictionary; the query itself
+        is the ordinary WAND-pruned or-path, so MLT costs one
+        termdict seek + one search job regardless of corpus size.
+        exclude_doc drops the source doc from the hits (Lucene's
+        common interestingTerms usage)."""
+        from ..functions.analysis import tokenize_text
+
+        tf: dict[str, int] = {}
+        for t in tokenize_text(text):
+            tf[t] = tf.get(t, 0) + 1
+        cand = {t: n for t, n in tf.items() if n >= min_term_freq}
+        if not cand:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        stats = self.term_stats_multi({field: set(cand)})
+        n_docs = self.manifest.n_docs_for(field)
+        scored = []
+        for t, n in cand.items():
+            st = stats.get((field, t))
+            if st is None or int(st[0]) < min_doc_freq:
+                continue
+            scored.append((float(n) * float(bm25.idf(float(st[0]), n_docs)), t))
+        if not scored:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        terms = [t for _, t in scored[:max_query_terms]]
+        hits = self.search(terms, k + (1 if exclude_doc is not None else 0),
+                           mode="or", field=field)
+        if exclude_doc is not None:
+            hits = hits.filter(F.col("doc") != F.lit(int(exclude_doc))).limit(k)
+        return hits
+
     def matching_docs(
         self,
         clauses: list[dict],
@@ -2440,7 +2523,7 @@ class Searcher:
         self,
         query: str,
         k: int,
-        default_field: str = "text",
+        default_field: str | dict | list = "text",
         default_operator: str = "or",
         numeric_fields: Iterable[str] = (),
         max_expansions: int = 50,

@@ -248,6 +248,82 @@ def test_parsed_query_dataclass():
     assert isinstance(p, ParsedQuery) and p.clauses == [] and p.numeric == []
 
 
+def test_multifield_fan_out():
+    # MultiFieldQueryParser: unfielded leaves fan out across the
+    # default fields as a SHOULD group with per-field boosts
+    assert _cl("alpha", default_field=["body", "title"]) == [
+        {
+            "clauses": [
+                {"field": "body", "term": "alpha", "occur": "should"},
+                {"field": "title", "term": "alpha", "occur": "should"},
+            ],
+            "occur": "should",
+        }
+    ]
+    assert _cl("alpha", default_field={"body": 1.0, "title": 2.0}) == [
+        {
+            "clauses": [
+                {"field": "body", "term": "alpha", "occur": "should"},
+                {"field": "title", "term": "alpha", "boost": 2.0,
+                 "occur": "should"},
+            ],
+            "occur": "should",
+        }
+    ]
+
+
+def test_multifield_explicit_field_wins():
+    assert _cl("title:alpha", default_field=["body", "title"]) == [
+        {"field": "title", "term": "alpha", "occur": "should"}
+    ]
+
+
+def test_multifield_keyword_mix():
+    # analysis is per target field: text fields lowercase, keyword
+    # fields keep the raw token
+    assert _cl("Alpha", default_field=["body", "uid"],
+               keyword_fields={"uid"}) == [
+        {
+            "clauses": [
+                {"field": "body", "term": "alpha", "occur": "should"},
+                {"field": "uid", "term": "Alpha", "occur": "should"},
+            ],
+            "occur": "should",
+        }
+    ]
+
+
+def test_multifield_single_entry_is_plain():
+    assert _cl("alpha", default_field=["body"]) == [
+        {"field": "body", "term": "alpha", "occur": "should"}
+    ]
+
+
+def test_multifield_phrase_and_prefix():
+    assert _cl('"alpha beta"', default_field=["body", "title"]) == [
+        {
+            "clauses": [
+                {"field": "body", "phrase": ["alpha", "beta"], "occur": "should"},
+                {"field": "title", "phrase": ["alpha", "beta"], "occur": "should"},
+            ],
+            "occur": "should",
+        }
+    ]
+    assert _cl("alp*", default_field=["body", "title"]) == [
+        {
+            "clauses": [
+                {"field": "body",
+                 "multiterm": {"kind": "prefix", "prefix": "alp"},
+                 "occur": "should"},
+                {"field": "title",
+                 "multiterm": {"kind": "prefix", "prefix": "alp"},
+                 "occur": "should"},
+            ],
+            "occur": "should",
+        }
+    ]
+
+
 # ----------------------------------------------------------- end-to-end
 
 WORDS = [
@@ -366,6 +442,39 @@ def test_parsed_match_all(qp_index):
 
 def test_parsed_empty_query(qp_index):
     assert qp_index.search_parsed("", 5).count() == 0
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(120):
+        body = " ".join(rng.choice(WORDS, size=int(rng.integers(3, 30)),
+                                   p=_zipf(len(WORDS))))
+        title = " ".join(rng.choice(WORDS[:8], size=3))
+        rows.append({"doc_id": i, "body": body, "title": title})
+    root = str(tmp_path_factory.mktemp("qpmf") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        text_fields={"body": "body", "title": "title"},
+    )
+    return Searcher(spark, root)
+
+
+def test_parsed_multifield_end_to_end(mf_index):
+    s = mf_index
+    got = s.search_parsed("alpha beta", 10,
+                          default_field={"body": 1.0, "title": 2.0})
+    want = s.search_boolean(
+        [{"clauses": [
+            {"field": "body", "term": "alpha", "occur": "should"},
+            {"field": "title", "term": "alpha", "boost": 2.0, "occur": "should"}],
+          "occur": "should"},
+         {"clauses": [
+             {"field": "body", "term": "beta", "occur": "should"},
+             {"field": "title", "term": "beta", "boost": 2.0, "occur": "should"}],
+          "occur": "should"}], 10)
+    assert _rows(got) == _rows(want)
 
 
 def test_parsed_rejects_nested_markers(qp_index):
