@@ -82,6 +82,7 @@ BOOSTS = {"dup": 2.0, "hash": 0.5}  # ft_bm25_boosted per-clause boosts
 # facets count a doc in every range containing it)
 FACET_RANGES = [("short", None, 120), ("mid", 80, 400), ("long", 300, None)]
 SUGGEST_Q = "stor"  # ft_suggest: distance-2 tie (slow, sort) broken by df
+SPAN_FIRST_END = 3  # ft_span_first: term within the first 3 positions
 # ft_mlt sample: tf>=2 keeps key/dup/hash/vector/scan; 'solo' fails
 # min_term_freq, 'zzznope' fails min_doc_freq — selection is decided
 # by integer thresholds only, so the SQL twin is the literal OR set
@@ -768,6 +769,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf).search_parsed(f"{PREFIX_Q}*", k=K_ALL)
         )
 
+    def ft_span_first(spark, sf):
+        # Lucene SpanFirstQuery: docs with MIXED_MUST in the first
+        # SPAN_FIRST_END positions (0-based pos < end), scored as the
+        # term's ordinary BM25 on the surviving docs
+        return _hits_df(
+            _searcher(spark, sf).search_span_first(
+                MIXED_MUST, k=K_ALL, end=SPAN_FIRST_END)
+        )
+
     def ft_suggest(spark, sf):
         # DirectSpellChecker: Damerau candidates for a misspelling,
         # ranked distance asc / df desc / term asc (distributed
@@ -1093,7 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested,
         ft_bm25_nested_deep, ft_constant_score, ft_match_all, ft_sorted_search,
         ft_query_parser, ft_query_parser_prefix, ft_facets, ft_facet_ranges,
-        ft_suggest, ft_mlt,
+        ft_suggest, ft_mlt, ft_span_first,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
@@ -1238,6 +1248,15 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 f"THEN 1 END) >= {NESTED_SUB_MSM} "
                 f"THEN sum(CASE WHEN term IN ({', '.join(repr(t) for t in NESTED_SUB_TERMS)}) "
                 "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
+            ),
+        ),
+        "ft_span_first": _bm25_sql(
+            [MIXED_MUST], "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id IN (SELECT DISTINCT doc_id FROM ("
+                "SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1), "
+                "i -> struct_pack(p := i, t := ts[i]))) AS tp FROM toks"
+                f") WHERE tp.t = '{MIXED_MUST}' AND tp.p <= {SPAN_FIRST_END})"
             ),
         ),
         "ft_suggest": f"""

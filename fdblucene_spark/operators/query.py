@@ -1828,6 +1828,64 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
+    def search_span_first(
+        self,
+        term: str,
+        k: int,
+        end: int,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene SpanFirstQuery(SpanTermQuery(term), end): docs where
+        the term occurs within the first `end` positions — a
+        single-term span (end = pos + 1, 0-based) must satisfy
+        span.end <= end, i.e. some occurrence at position < end.
+        Scores follow the span-query convention used by
+        search_span_near: the term's full float32 BM25 score on
+        matching docs (ties docID asc). Same shape as the other
+        positional queries: score candidates once, then one
+        positions-decode filter per shard — no extra Spark job."""
+        if end <= 0:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        if not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; span queries unavailable")
+        prep = self._prep([term], "or", field)
+        if prep is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _, term_df = prep
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        aux, allow_kinds = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            hits = _score_shard(
+                groups, term_df, n_docs, avgdl, 10 ** 9, "or",
+                [term], dels, None, allowed=allowed,
+            )
+            if not len(hits):
+                return hits
+            cand = hits["doc"].to_numpy(np.int64)
+            order = np.argsort(cand)
+            cand = cand[order]
+            score = hits["score"].to_numpy()[order]
+            dd, pp = _gather_positions(groups, term, cand)
+            early = np.unique(dd[pp < end])
+            keep = np.isin(cand, early, assume_unique=True)
+            docs_m, score_m = cand[keep], score[keep]
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score_m))[:k]
+                docs_m, score_m = docs_m[idx], score_m[idx]
+            return pd.DataFrame(
+                {"doc": docs_m.astype(np.int64), "score": score_m.astype(np.float32)}
+            )
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & (F.col("term") == term)
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
     def search_wildcard(
         self, pattern: str, k: int, field: str = "text", max_expansions: int = 50, **kw
     ) -> DataFrame:

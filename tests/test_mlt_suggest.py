@@ -134,3 +134,29 @@ def test_mlt_exclude_doc(ms_index):
 def test_mlt_empty_selection(ms_index):
     _, s = ms_index
     assert s.more_like_this("zzz yyy", 5, min_term_freq=2).count() == 0
+
+
+def test_span_first_matches_brute_force(ms_index):
+    rows, s = ms_index
+    end = 3
+    want = {r["doc_id"] for r in rows
+            if "alpha" in tokenize_text(r["text"])[:end]}
+    got = s.search_span_first("alpha", 10_000, end=end).collect()
+    assert {r["doc"] for r in got} == want and 0 < len(want) < 250
+    # scores = the term's ordinary BM25 score on the surviving docs
+    base = {r["doc"]: r["score"] for r in s.search(["alpha"], 10_000).collect()}
+    assert all(r["score"] == base[r["doc"]] for r in got)
+    # ordered score desc, doc asc
+    keys = [(-r["score"], r["doc"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_span_first_edges(ms_index):
+    _, s = ms_index
+    assert s.search_span_first("alpha", 5, end=0).count() == 0
+    assert s.search_span_first("zzznope", 5, end=10).count() == 0
+    # end past every doc length == plain single-term search
+    full = s.search(["alpha"], 10_000).collect()
+    wide = s.search_span_first("alpha", 10_000, end=10_000).collect()
+    assert [(r["doc"], r["score"]) for r in full] == \
+           [(r["doc"], r["score"]) for r in wide]
