@@ -65,6 +65,24 @@ def test_lucene_and_or_quirk():
     ]
 
 
+def test_or_then_and_promotes_middle():
+    # classic grammar: `a OR b AND c` -> AND promotes the PREVIOUS
+    # clause (b) and requires c -> [a, +b, +c]
+    assert _cl("alpha OR beta AND gamma") == [
+        {"field": "text", "term": "alpha", "occur": "should"},
+        {"field": "text", "term": "beta", "occur": "must"},
+        {"field": "text", "term": "gamma", "occur": "must"},
+    ]
+
+
+def test_and_never_promotes_prohibited():
+    # AND's previous-clause promotion skips prohibited clauses
+    assert _cl("-alpha AND beta") == [
+        {"field": "text", "term": "alpha", "occur": "must_not"},
+        {"field": "text", "term": "beta", "occur": "must"},
+    ]
+
+
 def test_and_not():
     assert _cl("alpha AND NOT beta") == [
         {"field": "text", "term": "alpha", "occur": "must"},
