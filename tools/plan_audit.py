@@ -1,0 +1,102 @@
+"""Physical-plan audit of the round-4 query surfaces.
+
+Builds a small index, then prints the load-bearing lines of each new
+operator's physical plan (scans with PushedFilters/ReadSchema,
+python-eval nodes, joins, aggregates) and asserts the invariants the
+100-TB design depends on:
+
+- no row-wise Python anywhere (ArrowEvalPython / MapInPandas only);
+- the postings scan under every kernel carries the (field, term)
+  predicate (pushed to Parquet);
+- facet_counts' stored-table scan is pruned to (doc, facet_field);
+- facet aggregation has a partial_count (map-side combine) before the
+  exchange.
+
+Usage: python tools/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from fdblucene_spark.operators.build import build_index  # noqa: E402
+from fdblucene_spark.operators.query import Searcher  # noqa: E402
+from fdblucene_spark.plans.explain import (  # noqa: E402
+    assert_no_rowwise_python,
+    physical_plan,
+)
+from fdblucene_spark.session import get_spark  # noqa: E402
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def main() -> int:
+    spark = get_spark("plan-audit", cores=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    rng = np.random.default_rng(5)
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(WORDS, size=int(rng.integers(3, 30)))),
+         "role": ["user", "assistant"][i % 2],
+         "n_chars": int(rng.integers(20, 400))}
+        for i in range(400)
+    ]
+    root = os.path.join(tempfile.mkdtemp(prefix="audit-"), "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id",
+                n_shards=4, text_fields={"text": "text"},
+                keyword_fields={"role": "role"},
+                stored_fields={"role": "role", "n_chars": "n_chars"})
+    s = Searcher(spark, root)
+
+    surfaces = {
+        "search_parsed": s.search_parsed("alpha AND (beta gamma)^2 -delta", 10),
+        "search_span_first": s.search_span_first("alpha", 10, end=3),
+        "matching_docs": s.matching_docs([{"term": "alpha", "occur": "must"}]),
+        "facet_counts": s.facet_counts(
+            [{"term": "alpha", "occur": "should"},
+             {"term": "beta", "occur": "should"}], "role"),
+        "facet_ranges": s.facet_ranges(
+            [{"term": "alpha", "occur": "must"}], "n_chars",
+            [("lo", None, 100), ("hi", 100, None)]),
+        "more_like_this": s.more_like_this("alpha alpha beta beta", 10,
+                                           min_term_freq=2, min_doc_freq=1),
+    }
+    failures = 0
+    for name, df in surfaces.items():
+        plan = physical_plan(df)
+        try:
+            assert_no_rowwise_python(df)
+        except AssertionError as e:
+            failures += 1
+            print(f"FAIL {name}: {e}")
+            continue
+        keep = [
+            ln.strip() for ln in plan.splitlines()
+            if any(m in ln for m in (
+                "PushedFilters", "ReadSchema", "MapInPandas", "ArrowEval",
+                "HashAggregate", "Exchange", "BroadcastHashJoin",
+                "SortMergeJoin", "TakeOrdered"))
+        ]
+        print(f"== {name} ==")
+        for ln in keep[:14]:
+            print("  " + ln[:160])
+        # postings scans must carry the field/term pushdown
+        if name in ("search_parsed", "search_span_first", "matching_docs"):
+            assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
+        if name == "facet_counts":
+            assert any("ReadSchema" in ln and "role" in ln and "n_chars" not in ln
+                       for ln in keep), "facet stored scan not column-pruned"
+            assert any("partial_count" in ln for ln in plan.splitlines()), \
+                "facet agg missing map-side combine"
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
