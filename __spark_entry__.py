@@ -991,6 +991,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def tx_query_parser(spark, sf):
+        # the QueryParser surface on the north-star transcripts corpus:
+        # unfielded SHOULD terms + a keyword-field MUST_NOT, compiled
+        # to one boolean job (keyword_fields read from the manifest)
+        return _hits_df(
+            _tx_searcher(spark).search_parsed(
+                f"{TX_TERMS_OR[0]} {TX_TERMS_OR[1]} -role:tool", k=10000)
+        )
+
     def ft_numeric_range(spark, sf):
         ev = _table(spark, sf, "events")
         return ev.filter(F.col("value").between(EVENTS_LO, EVENTS_HI)).select("event_id", "value")
@@ -1110,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search,
         ft_delete_search, ft_merge_addindexes, ft_reshard_search, ft_tiered_search,
         tx_bm25_topk, tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered, tx_phrase_filtered,
+        tx_query_parser,
         ft_numeric_range, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash, dedup_ngram_jaccard,
         dedup_components,
@@ -1215,6 +1225,18 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 "SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, role, ts "
                 f"FROM read_parquet('{TX_CORPUS}')"
                 f") WHERE role = 'user' AND ts BETWEEN TIMESTAMP '{TX_TS_LO}' AND TIMESTAMP '{TX_TS_HI}')"
+            ),
+        ),
+        "tx_query_parser": _bm25_sql(
+            TX_TERMS_OR[:2], "or", 10000,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+            extra_where=(
+                "AND tf.doc_id NOT IN (SELECT doc_id FROM ("
+                "SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, role "
+                f"FROM read_parquet('{TX_CORPUS}')"
+                ") WHERE role = 'tool')"
             ),
         ),
         "ft_bm25_not": _bm25_sql(
