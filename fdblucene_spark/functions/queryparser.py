@@ -353,6 +353,8 @@ class _Parser:
         fld = field_ctx
         if t[0] == "FIELD":
             fld = t[1]
+            if self.peek() is None or self.peek()[0] == "RPAREN":
+                raise QueryParseError(f"field '{fld}:' with no value")
             t = self.next()
         if t[0] == "LPAREN":
             inner = self.parse_group(fld, top=False)
