@@ -769,6 +769,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf).search_parsed(f"{PREFIX_Q}*", k=K_ALL)
         )
 
+    def ft_terms_in_set(spark, sf):
+        # Lucene TermInSetQuery: keyword-field membership filter
+        # (source IN {src1, src3}), constant score, docID-asc ties
+        return _hits_df(
+            _searcher(spark, sf).search_terms_in_set(
+                "source", ["src1", "src3"], k=K_ALL)
+        )
+
     def ft_span_first(spark, sf):
         # Lucene SpanFirstQuery: docs with MIXED_MUST in the first
         # SPAN_FIRST_END positions (0-based pos < end), scored as the
@@ -1112,7 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested,
         ft_bm25_nested_deep, ft_constant_score, ft_match_all, ft_sorted_search,
         ft_query_parser, ft_query_parser_prefix, ft_facets, ft_facet_ranges,
-        ft_suggest, ft_mlt, ft_span_first,
+        ft_suggest, ft_mlt, ft_span_first, ft_terms_in_set,
         ft_bm25_boosted, ft_boolean_after, ft_fuzzy_damerau, ft_payloads,
         ft_prefix_search, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_wildcard_search, ft_term_range, ft_near_search, ft_span_near3,
@@ -1272,6 +1280,11 @@ FROM src, n, dfs WHERE src.role = '{TX_ROLE}'
                 "THEN s32::DOUBLE ELSE 0 END) ELSE 0 END)::FLOAT"
             ),
         ),
+        "ft_terms_in_set": f"""
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE source IN ('src1', 'src3')
+ORDER BY doc_id ASC LIMIT {K_ALL}
+""",
         "ft_span_first": _bm25_sql(
             [MIXED_MUST], "or", K_ALL,
             extra_where=(

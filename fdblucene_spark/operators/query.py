@@ -2360,6 +2360,32 @@ class Searcher:
             _const=float(boost),
         )
 
+    def search_terms_in_set(
+        self,
+        field: str,
+        terms: Iterable[str],
+        k: int,
+        boost: float = 1.0,
+        after: tuple[float, int] | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene TermInSetQuery: non-scoring membership in a set of
+        terms on one field — the idiomatic id-list / tag-list filter
+        (e.g. `source IN (...)` over a keyword field). Constant-score
+        semantics: every doc holding ANY of the terms scores exactly
+        float32(boost), ties (i.e. everything) break docID asc, and
+        `after` pages through the set. Evaluates as
+        ConstantScoreQuery(BooleanQuery(SHOULD...)) — one kernel job,
+        the postings scan pruned to exactly these (field, term) rows."""
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        clauses = [{"field": field, "term": t, "occur": "should"} for t in uniq]
+        return self.search_constant_score(
+            clauses, k, boost=boost, min_should_match=1, after=after,
+            numeric=numeric,
+        )
+
     def search_all(self, k: int, after_doc: int | None = None) -> DataFrame:
         """Lucene MatchAllDocsQuery: every live (non-deleted) doc in
         the snapshot matches with score 1.0; ordering is docID asc

@@ -110,6 +110,25 @@ def test_facet_ranges_overlapping(facet_index):
     assert sum(c for _, c in want) >= len(vals)
 
 
+def test_terms_in_set(facet_index):
+    rows, s = facet_index
+    # keyword-field membership filter: roles user OR tool
+    want = sorted(r["doc_id"] for r in rows if r["role"] in ("user", "tool"))
+    got = s.search_terms_in_set("role", ["user", "tool"], 10_000).collect()
+    assert [r["doc"] for r in got] == want          # docID asc (const ties)
+    assert all(r["score"] == 1.0 for r in got)
+    # boost + paging
+    page1 = s.search_terms_in_set("role", ["user", "tool"], 5, boost=2.5).collect()
+    assert [r["doc"] for r in page1] == want[:5]
+    assert all(r["score"] == 2.5 for r in page1)
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc"]))
+    page2 = s.search_terms_in_set("role", ["user", "tool"], 5, boost=2.5,
+                                  after=cur).collect()
+    assert [r["doc"] for r in page2] == want[5:10]
+    # text-field set + empty set
+    assert s.search_terms_in_set("text", [], 10).count() == 0
+
+
 def test_facet_empty_query(facet_index):
     _, s = facet_index
     dead = [{"term": "zzznope", "occur": "must"}]
