@@ -87,16 +87,26 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_distinct = F.size(F.array_distinct(toks))
+    # quality as ONE exact-integer ratio, then a single IEEE division:
+    #   0.4*min(1, n_tok/100) + 0.3*(1-ns/n) + 0.3*(nd/n)
+    # = (min(200n, 2*n_tok*n) + 150(n-ns) + 150nd) / (500n)
+    # The ratio can land EXACTLY on a round-to-4 tie (e.g. 14358/24000
+    # = 0.59825), where Spark (HALF_UP on the shortest decimal repr)
+    # and engines that round the true binary value (DuckDB) disagree
+    # by one final digit. The +1e-12 nudge pushes exact ties upward on
+    # both sides and cannot move any non-tie: with n <= 10^6 the ratio
+    # grid spacing around a boundary is >= 1/(500n*10^4) >> 1e-12.
+    q_num = (
+        F.when(F.size(toks) >= 100, 200 * n).otherwise(2 * F.size(toks) * n)
+        + 150 * (n - n_stop) + 150 * n_distinct
+    )
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.round(n_stop / n, 4).alias("stopword_ratio"),
         F.round(n_distinct / n, 4).alias("distinct_ratio"),
         F.round(
-            0.4 * F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
-            + 0.3 * (1 - n_stop / n)
-            + 0.3 * (n_distinct / n),
-            4,
+            q_num.cast("double") / (500 * n).cast("double") + F.lit(1e-12), 4
         ).alias("quality"),
     )
 
@@ -119,9 +129,12 @@ SELECT {id_col},
        len(ts)::BIGINT AS n_tokens,
        round(n_stop / n::DOUBLE, 4) AS stopword_ratio,
        round(n_distinct / n::DOUBLE, 4) AS distinct_ratio,
-       round(0.4 * least(1.0, len(ts)/100.0)
-             + 0.3 * (1 - n_stop / n::DOUBLE)
-             + 0.3 * (n_distinct / n::DOUBLE), 4) AS quality
+       -- same exact-integer numerator / single division / +1e-12
+       -- tie-nudge as the engine (see quality_scores): bit-identical
+       -- before rounding, and exact .xxxx5 ties round the same way
+       round(((CASE WHEN len(ts) >= 100 THEN 200 * n ELSE 2 * len(ts) * n END)
+              + 150 * (n - n_stop) + 150 * n_distinct)::DOUBLE
+             / (500 * n)::DOUBLE + 1e-12, 4) AS quality
 FROM m
 """
 
