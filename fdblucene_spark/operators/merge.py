@@ -303,6 +303,7 @@ def _write_merged(
     properties: dict | None = None,
     stored: DataFrame | None = None,
     keep_segments: list[SegmentMeta] | None = None,
+    fields_override: list[str] | None = None,
 ) -> Manifest:
     version = catalog.next_version()
     segment_id = f"seg-v{version:06d}-merge-{uuid.uuid4().hex[:8]}"
@@ -317,7 +318,13 @@ def _write_merged(
 
     from pyspark.sql import Observation
 
-    all_fields = manifest.fields()
+    # fields_override: callers whose `manifest` is synthetic (addIndexes
+    # builds a parent with segments=[], so manifest.fields() would
+    # collapse to ['text']) pass the true field domain from their
+    # sources — otherwise keyword/secondary-field stats would be
+    # silently dropped and BM25 idf/norms on those fields would fall
+    # back to primary/global stats.
+    all_fields = list(fields_override) if fields_override else manifest.fields()
     obs_dl, obs_td = Observation(), Observation()
     dl_exprs = [F.min("doc").alias("doc_min"), F.max("doc").alias("doc_max")]
     td_exprs = []
@@ -755,6 +762,14 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         "primary_field": base.properties.get("primary_field", "text"),
         "stored_fields": stored_sets[0],
     }
+    # the true field domain is the union across SOURCE manifests — the
+    # synthetic parent has no segments, so its fields() can't know it
+    union_fields: list[str] = []
+    for m in manifests:
+        for f in m.fields():
+            if f not in union_fields:
+                union_fields.append(f)
     return _write_merged(
-        spark, dest_cat, synthetic_parent, blocks, termdict, doclen, lineage, props, stored
+        spark, dest_cat, synthetic_parent, blocks, termdict, doclen, lineage, props, stored,
+        fields_override=union_fields,
     )

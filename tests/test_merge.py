@@ -259,3 +259,49 @@ def test_reshard_rank_identity(spark, tmp_path_factory):
     assert reshard(spark, root, 2).version == v
     with pytest.raises(ValueError, match="n_shards"):
         reshard(spark, root, 0)
+
+
+def test_add_indexes_multifield_field_stats(spark, tmp_path_factory):
+    """addIndexes of multi-field sources must carry EVERY field's stats
+    into the merged manifest (regression: the synthetic parent has no
+    segments, so deriving the field domain from manifest.fields()
+    collapsed to ['text'] and silently dropped keyword-field stats,
+    skewing idf/norms on those fields). Also covers a primary field not
+    named 'text' — pre-fix that committed a segment with n_docs=0."""
+    r1 = str(tmp_path_factory.mktemp("mf-r1"))
+    r2 = str(tmp_path_factory.mktemp("mf-r2"))
+    dest = str(tmp_path_factory.mktemp("mf-dest"))
+    a = synth.transcripts(spark, n_convs=20)
+    b = _conv_range(spark, 20, 32)
+    kw = dict(key_cols=["conv_id", "turn_idx"], n_shards=4,
+              text_fields={"body": "text"}, keyword_fields={"role": "role"})
+    build_index(spark, a, r1, **kw)
+    build_index(spark, b, r2, **kw)
+    m = add_indexes(spark, dest, [r1, r2])
+    m1, m2 = IndexCatalog(r1).load(), IndexCatalog(r2).load()
+    # primary field is 'body', not 'text' — top-level n_docs must be real
+    assert m.properties["primary_field"] == "body"
+    assert m.n_docs == m1.n_docs + m2.n_docs > 0
+    seg = m.segments[-1]
+    assert set(seg.field_stats) == {"body", "role"}
+    # field_stats must equal a single-shot build over the union (docs
+    # disjoint -> n_docs/sum_dl/n_postings additive; n_terms dedupes,
+    # so compare all four against the union segment, not the sum)
+    union_root = str(tmp_path_factory.mktemp("mf-union"))
+    union = synth.transcripts(spark, n_convs=32)
+    build_index(spark, union, union_root, **kw)
+    useg = IndexCatalog(union_root).load().segments[-1]
+    for fld in ("body", "role"):
+        assert seg.field_stats[fld] == useg.field_stats[fld], fld
+    # keyword-field BM25 on the merged index matches the single-shot
+    # union build (idf depends on the carried role field_stats)
+    got = [(r["doc"], round(r["score"], 5))
+           for r in Searcher(spark, dest).search(["assistant"], 50, field="role").collect()]
+    exp = [(r["doc"], round(r["score"], 5))
+           for r in Searcher(spark, union_root).search(["assistant"], 50, field="role").collect()]
+    assert got == exp
+    # text-field avgdl for the non-'text' primary is field-correct too
+    assert abs(m.avgdl_for("body") - (
+        (m1.field_stat("body", "sum_dl") + m2.field_stat("body", "sum_dl"))
+        / (m1.field_stat("body", "n_docs") + m2.field_stat("body", "n_docs"))
+    )) < 1e-9
