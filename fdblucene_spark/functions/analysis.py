@@ -8,6 +8,12 @@ a versioned analyzer whose id is recorded in the index manifest, so a
 reader can refuse an index built with a different analyzer.
 
 standard_v1: NFC-free lowercase + Unicode word extraction (\\w+).
+standard_v2: standard_v1 + English stopword removal (the classic
+Lucene StopFilter over EnglishAnalyzer's default stop set). Two real
+analyzers make the manifest pin meaningful: an index built with one
+refuses appends built with the other, and a Searcher analyzes query
+text with the index's pinned version.
+
 Tokenization runs Series-at-a-time inside an Arrow-batched pandas UDF
 (BASELINE.json input_hint: no per-row Python UDFs). A pure-JVM
 expression variant (split on non-word chars) is provided for corpora
@@ -27,36 +33,91 @@ from pyspark.sql import types as T
 ANALYZER_VERSION = "standard_v1"
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (the classic 33-word
+# StopAnalyzer list — public Lucene constant)
+ENGLISH_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+# analyzer registry: name -> stop set applied after \w+ lowercasing.
+# Extending = one entry here; the manifest pin / append refusal /
+# query-side analysis all key off the name.
+ANALYZERS: dict[str, frozenset[str]] = {
+    "standard_v1": frozenset(),
+    "standard_v2": ENGLISH_STOPWORDS,
+}
+
 KEYWORD_ANALYZER = "keyword_v1"  # whole value = single term, no lowercase
                                  # (reference: StringField("_id", ...),
                                  #  SimpleFDBDirectoryTest.java:205)
 
 
-def tokenize_text(text: str | None) -> list[str]:
+def stop_set(analyzer: str = ANALYZER_VERSION) -> frozenset[str]:
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r}; have {sorted(ANALYZERS)}")
+    return ANALYZERS[analyzer]
+
+
+def tokenize_text(text: str | None, analyzer: str = ANALYZER_VERSION) -> list[str]:
     """Reference tokenizer for the pytest oracle — same regex, plain Python."""
     if text is None:
         return []
-    return _TOKEN_RE.findall(text.lower())
+    stops = stop_set(analyzer)
+    toks = _TOKEN_RE.findall(text.lower())
+    return [t for t in toks if t not in stops] if stops else toks
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def tokens_udf(texts: pd.Series) -> pd.Series:
-    """Arrow-batched analyzer: Series in, Series of token lists out."""
-    return texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+def _make_tokens_udf(analyzer: str):
+    stops = stop_set(analyzer)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        found = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+        if stops:
+            found = found.apply(lambda ts: [t for t in ts if t not in stops])
+        return found
+
+    return _udf
 
 
-def tokenize_expr_ascii(col: Column) -> Column:
-    """JVM-only tokenizer for ASCII corpora: identical to standard_v1
-    when text contains no non-ASCII word chars. Stays in whole-stage
-    codegen (no Python at all)."""
-    return F.filter(F.split(F.lower(col), r"[^a-z0-9_]+"), lambda t: t != F.lit(""))
+_UDF_CACHE: dict[str, object] = {}
+
+
+def tokens_udf_for(analyzer: str = ANALYZER_VERSION):
+    """Arrow-batched analyzer UDF: Series in, Series of token lists out."""
+    if analyzer not in _UDF_CACHE:
+        _UDF_CACHE[analyzer] = _make_tokens_udf(analyzer)
+    return _UDF_CACHE[analyzer]
+
+
+tokens_udf = tokens_udf_for(ANALYZER_VERSION)  # back-compat alias
+
+
+def tokenize_expr_ascii(col: Column, analyzer: str = ANALYZER_VERSION) -> Column:
+    """JVM-only tokenizer for ASCII corpora: identical to the named
+    analyzer when text contains no non-ASCII word chars. Stays in
+    whole-stage codegen (no Python at all)."""
+    stops = stop_set(analyzer)
+    arr = F.split(F.lower(col), r"[^a-z0-9_]+")
+    if stops:
+        stop_arr = F.array(*[F.lit(s) for s in sorted(stops)])
+        return F.filter(
+            arr, lambda t: (t != F.lit("")) & ~F.array_contains(stop_arr, t)
+        )
+    return F.filter(arr, lambda t: t != F.lit(""))
 
 
 def with_tokens(
-    df: DataFrame, text_col: str = "text", out_col: str = "tokens", ascii_fast_path: bool = False
+    df: DataFrame, text_col: str = "text", out_col: str = "tokens",
+    ascii_fast_path: bool = False, analyzer: str = ANALYZER_VERSION,
 ) -> DataFrame:
     """Add a token-array column using the versioned analyzer."""
-    expr = tokenize_expr_ascii(F.col(text_col)) if ascii_fast_path else tokens_udf(F.col(text_col))
+    expr = (
+        tokenize_expr_ascii(F.col(text_col), analyzer)
+        if ascii_fast_path
+        else tokens_udf_for(analyzer)(F.col(text_col))
+    )
     return df.withColumn(out_col, expr)
 
 

@@ -51,7 +51,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field as dc_field
 
-from .analysis import tokenize_text
+from .analysis import ANALYZER_VERSION, tokenize_text
 
 _DEAD_TERM = "\x00__no_match__"  # impossible term (analyzer strips \x00):
                                  # stands in for an empty multi-term
@@ -272,9 +272,11 @@ def _apply_boost_opt(node: dict | None, boost: float | None) -> dict | None:
 
 class _Parser:
     def __init__(self, toks, default_field, default_and,
-                 keyword_fields, numeric_fields):
+                 keyword_fields, numeric_fields,
+                 analyzer: str = ANALYZER_VERSION):
         self.toks = toks
         self.pos = 0
+        self.analyzer = analyzer
         # default_field: one field name, or a MultiFieldQueryParser
         # spec — list of fields / {field: boost} — fanning every
         # unfielded leaf out across the fields as a SHOULD group with
@@ -376,7 +378,8 @@ class _Parser:
                 if f in self.keyword_fields:
                     terms = [" ".join(words)] if words else []
                 else:
-                    terms = [tok for w in words for tok in tokenize_text(w)]
+                    terms = [tok for w in words
+                             for tok in tokenize_text(w, self.analyzer)]
                 if not terms:
                     return None
                 if len(terms) == 1:
@@ -440,7 +443,7 @@ class _Parser:
             def mk_term(f):
                 if f in self.keyword_fields:
                     return {"field": f, "term": word}
-                toks = tokenize_text(word)
+                toks = tokenize_text(word, self.analyzer)
                 if not toks:
                     return None
                 if len(toks) == 1:
@@ -461,31 +464,49 @@ def parse_query(
     default_operator: str = "or",
     keyword_fields: set[str] | frozenset[str] = frozenset(),
     numeric_fields: set[str] | frozenset[str] = frozenset(),
+    analyzer: str = ANALYZER_VERSION,
 ) -> ParsedQuery:
     """Compile a classic-QueryParser string to search_boolean clause
-    dicts. default_field may be one field name, or a
+    dicts. `analyzer` names the versioned analyzer used on term and
+    phrase text (Searcher.search_parsed passes the index's pinned
+    version, so query text always analyzes the way the corpus did —
+    e.g. under standard_v2 the stopword 'the' vanishes from phrases
+    exactly as it did from the postings). default_field may be one
+    field name, or a
     MultiFieldQueryParser spec (list of fields or {field: boost}):
     every leaf without an explicit field then fans out across the
     fields as a SHOULD group with the per-field boosts.
     Numeric ranges on fields listed in `numeric_fields` are
     lifted out of the clause tree into ParsedQuery.numeric (they are
     doc-values constraints, not postings queries) — legal only at the
-    top level with must/filter occur, like Lucene's common practice of
-    AND-ing a numeric filter onto a text query."""
+    top level as a REQUIRED clause (`+field:[lo TO hi]`, or any clause
+    under default_operator='and'), like Lucene's common practice of
+    AND-ing a numeric filter onto a text query. A should-occur numeric
+    range (a bare `field:[lo TO hi]` under default_operator='or') is
+    REJECTED rather than silently coerced to a mandatory filter: the
+    classic Lucene parser would treat it as an optional SHOULD clause
+    (either sub-query suffices), and this engine applies
+    ParsedQuery.numeric as an AND filter — accepting the string would
+    change its meaning. Write `+field:[lo TO hi]` to state the filter
+    intent explicitly."""
     if default_operator not in ("or", "and"):
         raise QueryParseError("default_operator must be 'or' or 'and'")
     toks = _lex(q)
     p = _Parser(toks, default_field, default_operator == "and",
-                keyword_fields, numeric_fields)
+                keyword_fields, numeric_fields, analyzer)
     clauses = p.parse_group(None, top=True)
     if p.peek() is not None:
         raise QueryParseError("unbalanced )")
     out = ParsedQuery()
     for c in clauses:
         if "numeric_range" in c:
-            if c["occur"] not in ("must", "should"):
+            if c["occur"] != "must":
+                # 'should' would be an optional clause in classic
+                # Lucene but a mandatory AND filter here — reject the
+                # ambiguity instead of changing the query's meaning
                 raise QueryParseError(
-                    "numeric range supports only required/top-level use")
+                    "a numeric range must be a required clause: write "
+                    "+field:[lo TO hi] (or use default_operator='and')")
             lo, hi, lo_inc, hi_inc = c["numeric_range"]
             if not lo_inc or not hi_inc:
                 raise QueryParseError(

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import bm25, codec
-from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE
+from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE, stop_set
 from ..sources.manifest import (
     CommitConflict, IndexCatalog, Manifest, SegmentMeta, dir_fingerprint,
     table_file_lists,
@@ -55,6 +55,11 @@ from ..sources.manifest import (
 
 DEFAULT_N_SHARDS = 16
 DEFAULT_BLOCK_SIZE = codec.BLOCK_SIZE
+# Above this shard count, per-shard lineage switches from unrolled
+# Observation aggregates (3 expressions/shard in one CollectMetrics
+# node — a Catalyst analyzer/codegen blowup at 4096 shards) to a tiny
+# groupBy('shard') read-back over the written postings parquet.
+LINEAGE_UNROLL_MAX_SHARDS = 256
 
 INVERTED_SCHEMA = T.StructType(
     [
@@ -183,6 +188,16 @@ def assign_dense_doc_ids(
 
 DEFAULT_FIELDS = ({"field": "text", "col": "text", "analyzer": "standard"},)
 
+# Sentinel term for doc-roster rows: a doc whose primary text analyzes
+# to ZERO tokens (empty / null / all-stopword under standard_v2) still
+# exists in the index (Lucene liveDocs / MatchAllDocsQuery domain), so
+# the inverter emits one (field, doc, ROSTER_TERM, tf=0, dl=0) row for
+# it — the doclen table then carries every added doc, with no extra
+# distinct+anti-join pass over the corpus. \x00 cannot be produced by
+# any analyzer (\w+ never matches it), so it can't collide with a real
+# term; build_postings filters it out of termdict and postings.
+ROSTER_TERM = "\x00__doc__"
+
 
 def _invert_text(
     fld: str,
@@ -192,8 +207,20 @@ def _invert_text(
     token_re: re.Pattern,
     store_offsets: bool = False,
     store_payloads: bool = False,
+    stops: frozenset[str] = frozenset(),
+    emit_roster: bool = False,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
+
+    emit_roster (set for the PRIMARY field only): docs whose text
+    analyzes to zero tokens emit one ROSTER_TERM/dl=0 row so the
+    doclen table is a complete live-doc roster (MatchAllDocsQuery).
+
+    stops: the pinned analyzer's stopword set (standard_v2's Lucene
+    StopFilter analogue); dropped tokens vanish from postings AND from
+    dl, and on the offsets path their character spans are dropped with
+    them — positions stay the SURVIVING-token ordinals, matching the
+    query-side analyzer so phrase/span adjacency keeps working.
 
     store_offsets (opt-in; requires positions): also records per-
     occurrence character (start, length) on the LOWERCASED text (the
@@ -216,6 +243,8 @@ def _invert_text(
         for txt in lowered:
             tt, ss, ll = [], [], []
             for m in token_re.finditer(txt):
+                if m.group(0) in stops:
+                    continue
                 tt.append(m.group(0))
                 ss.append(m.start())
                 ll.append(m.end() - m.start())
@@ -225,10 +254,12 @@ def _invert_text(
         tok_lists = pd.Series(toks_l, index=texts.index)
     else:
         tok_lists = texts.fillna("").str.lower().str.findall(token_re)
+        if stops:
+            tok_lists = tok_lists.apply(lambda ts: [t for t in ts if t not in stops])
     lens = tok_lists.str.len().to_numpy(np.int64)
     total = int(lens.sum())
     if total == 0:
-        return None
+        return _roster_frame(fld, docs) if emit_roster and len(docs) else None
     keep = lens > 0  # docs with no tokens produce no postings
     keep_idx = np.flatnonzero(keep)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[keep]])
@@ -275,6 +306,27 @@ def _invert_text(
         )
     else:
         out["payloads"] = None
+    if emit_roster and not keep.all():
+        out = pd.concat([out, _roster_frame(fld, docs[~keep])], ignore_index=True)
+    return out
+
+
+def _roster_frame(fld: str, docs: np.ndarray) -> pd.DataFrame:
+    """One ROSTER_TERM row per token-free doc (dl=0, no postings)."""
+    n = len(docs)
+    out = pd.DataFrame(
+        {
+            "field": fld,
+            "doc": docs,
+            "term": ROSTER_TERM,
+            "tf": np.zeros(n, dtype=np.int64),
+            "dl": np.zeros(n, dtype=np.int64),
+            "dlq": np.zeros(n, dtype=np.int32),
+        }
+    )
+    out["positions"] = None
+    out["offsets"] = None
+    out["payloads"] = None
     return out
 
 
@@ -307,9 +359,13 @@ def _invert_factory(
     token_re: re.Pattern = _TOKEN_RE,
     store_offsets: bool = False,
     store_payloads: bool = False,
+    stops: frozenset[str] = frozenset(),
 ):
     """Tokenize + per-doc inversion kernel (the in-memory segment),
     one output row per (field, doc, term)."""
+    primary = next(
+        (s["field"] for s in fields_spec if s["analyzer"] != "keyword"), None
+    )
 
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -323,7 +379,8 @@ def _invert_factory(
                 else:
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
-                        store_offsets, store_payloads,
+                        store_offsets, store_payloads, stops,
+                        emit_roster=spec["field"] == primary,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -444,6 +501,7 @@ def build_postings(
     fields_spec: list[dict] | tuple[dict, ...] | None = None,
     store_offsets: bool = False,
     store_payloads: bool = False,
+    analyzer: str = ANALYZER_VERSION,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(doc, field cols...) -> (blocks, termdict, doclen, inverted).
 
@@ -453,6 +511,12 @@ def build_postings(
     ~10x cheaper than Spark's in-memory columnar cache for this shape
     (millions of tiny rows with binary cells), and it doubles as the
     resumable intermediate of the build.
+
+    doclen carries one row per ADDED doc for the primary field — docs
+    whose primary text analyzes to zero tokens get a dl=0 row. That
+    makes the doclen table a complete live-doc roster (Lucene's
+    maxDoc / MatchAllDocsQuery domain) while per-field stats still
+    count only dl>0 docs (Lucene's per-field docCount).
     """
     if fields_spec is None:
         fields_spec = DEFAULT_FIELDS
@@ -460,19 +524,25 @@ def build_postings(
         raise ValueError("store_offsets requires store_positions")
     if store_payloads and not store_positions:
         raise ValueError("store_payloads requires store_positions")
+    stops = stop_set(analyzer)
     src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
     inverted = docs_df.select(*src_cols).mapInPandas(
         _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets,
-                        store_payloads=store_payloads),
+                        store_payloads=store_payloads, stops=stops),
         schema=INVERTED_SCHEMA,
     )
     if freeze_dir is not None:
         inverted.write.mode("errorifexists").parquet(freeze_dir)
         inverted = docs_df.sparkSession.read.parquet(freeze_dir)
-    withshard = inverted.withColumn(
+    # ROSTER_TERM sentinel rows (one per token-free doc, emitted by the
+    # inverter — no extra corpus pass) reach ONLY doclen: a dl=0 doc
+    # has no postings and no dictionary entry, but search_all
+    # (MatchAllDocsQuery) must still see it, like Lucene's liveDocs
+    posted = inverted.filter(F.col("term") != ROSTER_TERM)
+    withshard = posted.withColumn(
         "shard", F.pmod(F.col("doc"), F.lit(n_shards)).cast("int")
     )
-    termdict = inverted.groupBy("field", "term").agg(
+    termdict = posted.groupBy("field", "term").agg(
         F.count(F.lit(1)).cast("long").alias("df"), F.sum("tf").cast("long").alias("ttf")
     )
     doclen = inverted.groupBy("field", "doc").agg(
@@ -518,8 +588,16 @@ def build_index(
     stored_fields: dict[str, str] | None = None,
     store_offsets: bool = False,
     store_payloads: bool = False,
+    analyzer: str = ANALYZER_VERSION,
 ) -> Manifest:
     """Build (or append) one segment and commit a new snapshot.
+
+    analyzer: versioned text analyzer name from analysis.ANALYZERS
+    (standard_v1 = lowercase \\w+; standard_v2 = v1 + English stopword
+    removal). Pinned in the manifest at creation — appends built with
+    a different analyzer are refused, and Searcher analyzes query
+    strings with the pinned version (reference: FDBDirectory pins
+    pageSize the same way, FDBDirectory.java:416-428).
 
     doc_col: existing int64 unique doc key; OR key_cols for dense-ID
     assignment (e.g. ["conv_id", "turn_idx"] per BASELINE.json docID).
@@ -540,13 +618,14 @@ def build_index(
     predicates in Searcher.search/search_boolean scan it with Parquet
     column pruning + predicate pushdown.
     """
+    stop_set(analyzer)  # validate the name against the registry
     catalog = IndexCatalog(root)
     parent: Manifest | None = None
     if catalog.exists():
         parent = catalog.load()
         if not append:
             raise ValueError(f"index exists at {root}; pass append=True")
-        if parent.analyzer != ANALYZER_VERSION or parent.block_size != block_size or parent.n_shards != n_shards:
+        if parent.analyzer != analyzer or parent.block_size != block_size or parent.n_shards != n_shards:
             raise ValueError("index config mismatch (analyzer/block_size/n_shards pinned at creation)")
         if bool(parent.properties.get("store_positions", True)) != bool(store_positions):
             raise ValueError(
@@ -634,6 +713,7 @@ def build_index(
         store_payloads=store_payloads,
         freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
         fields_spec=fields_spec,
+        analyzer=analyzer,
     )
     _mark("invert_freeze")
 
@@ -658,25 +738,36 @@ def build_index(
     dl_exprs = [F.min("doc").alias("doc_min"), F.max("doc").alias("doc_max")]
     td_exprs = []
     for i, fld_ in enumerate(all_fields):
-        c = F.col("field") == fld_
+        # dl>0: the dl=0 roster rows make doclen a complete doc roster
+        # (MatchAllDocsQuery), but per-field stats count only docs with
+        # >=1 surviving token (Lucene docCount/avgdl semantics)
+        c = (F.col("field") == fld_) & (F.col("dl") > 0)
         dl_exprs += [
             F.count(F.when(c, 1)).alias(f"nd_{i}"),
             F.sum(F.when(c, F.col("dl"))).alias(f"sdl_{i}"),
         ]
+        ct = F.col("field") == fld_
         td_exprs += [
-            F.count(F.when(c, 1)).alias(f"nt_{i}"),
-            F.sum(F.when(c, F.col("df"))).alias(f"np_{i}"),
+            F.count(F.when(ct, 1)).alias(f"nt_{i}"),
+            F.sum(F.when(ct, F.col("df"))).alias(f"np_{i}"),
         ]
-    bl_exprs = []
-    for s_ in range(n_shards):
-        c = F.col("shard") == s_
-        bl_exprs += [
-            F.count(F.when(c, 1)).alias(f"nb_{s_}"),
-            F.sum(F.when(c, F.col("n"))).alias(f"npost_{s_}"),
-            F.sum(F.when(c, F.length("docs") + F.length("tfs") + F.length("dlqs")
-                         + F.coalesce(F.length("positions"), F.lit(0)))).alias(f"pb_{s_}"),
-        ]
-    blocks = blocks.observe(obs_bl, *bl_exprs)
+    # Per-shard lineage unrolls to 3 conditional aggregates per shard in
+    # ONE CollectMetrics node — free at the default 32 shards, but a
+    # Catalyst plan/codegen blowup at spark-submit scale (4096 shards =
+    # ~12k expressions). Above the threshold, lineage comes from a tiny
+    # groupBy('shard') read-back over the written postings instead.
+    unroll_lineage = n_shards <= LINEAGE_UNROLL_MAX_SHARDS
+    if unroll_lineage:
+        bl_exprs = []
+        for s_ in range(n_shards):
+            c = F.col("shard") == s_
+            bl_exprs += [
+                F.count(F.when(c, 1)).alias(f"nb_{s_}"),
+                F.sum(F.when(c, F.col("n"))).alias(f"npost_{s_}"),
+                F.sum(F.when(c, F.length("docs") + F.length("tfs") + F.length("dlqs")
+                             + F.coalesce(F.length("positions"), F.lit(0)))).alias(f"pb_{s_}"),
+            ]
+        blocks = blocks.observe(obs_bl, *bl_exprs)
     termdict = termdict.observe(obs_td, *td_exprs)
     doclen = doclen.observe(obs_dl, *dl_exprs)
 
@@ -704,7 +795,7 @@ def build_index(
 
     # the write jobs are done — their observed metrics ARE the stats
     # (the r3-era read-back jobs are gone; ~1-2 s fixed cost per build)
-    mdl, mtd, mbl = obs_dl.get, obs_td.get, obs_bl.get
+    mdl, mtd = obs_dl.get, obs_td.get
     field_stats: dict[str, dict] = {}
     for i, fld_ in enumerate(all_fields):
         nd, nt = int(mdl[f"nd_{i}"]), int(mtd[f"nt_{i}"])
@@ -721,13 +812,31 @@ def build_index(
     doc_max = int(mdl["doc_max"]) if mdl["doc_max"] is not None else -1
     # per-partition lineage — one record per shard: segment IDs,
     # doc/term counts, bytes (BASELINE.json north_star metrics)
+    if unroll_lineage:
+        mbl = obs_bl.get
+        shard_rows = [
+            (s_, int(mbl[f"nb_{s_}"]), int(mbl[f"npost_{s_}"] or 0),
+             int(mbl[f"pb_{s_}"] or 0))
+            for s_ in range(n_shards)
+        ]
+    else:
+        shard_rows = [
+            (int(r["shard"]), int(r["nb"]), int(r["np"] or 0), int(r["pb"] or 0))
+            for r in spark.read.parquet(os.path.join(seg_dir, "postings"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.sum("n").alias("np"),
+                F.sum(F.length("docs") + F.length("tfs") + F.length("dlqs")
+                      + F.coalesce(F.length("positions"), F.lit(0))).alias("pb"),
+            )
+            .collect()
+        ]
     _mark("stats_jobs")
     lineage = [{"fingerprint": fingerprint, "phase_seconds": phase_t}] + [
-        {"shard": s_, "n_blocks": int(mbl[f"nb_{s_}"]),
-         "n_postings": int(mbl[f"npost_{s_}"] or 0),
-         "payload_bytes": int(mbl[f"pb_{s_}"] or 0)}
-        for s_ in range(n_shards)
-        if int(mbl[f"nb_{s_}"])
+        {"shard": s_, "n_blocks": nb_, "n_postings": np_, "payload_bytes": pb_}
+        for s_, nb_, np_, pb_ in sorted(shard_rows)
+        if nb_
     ]
     # drop the frozen intermediates (ids, inverted) before sizing
     import shutil
@@ -768,7 +877,7 @@ def build_index(
     while True:
         manifest = Manifest(
             version=catalog.next_version(),
-            analyzer=ANALYZER_VERSION,
+            analyzer=analyzer,
             block_size=block_size,
             n_shards=n_shards,
             segments=(attempt_parent.segments if attempt_parent else []) + [seg],
@@ -796,6 +905,6 @@ def build_index(
                     "rebuild against the new snapshot (or use doc_col mode "
                     "for lock-free multi-writer appends)"
                 )
-            if latest.analyzer != ANALYZER_VERSION or latest.block_size != block_size or latest.n_shards != n_shards:
+            if latest.analyzer != analyzer or latest.block_size != block_size or latest.n_shards != n_shards:
                 raise
             attempt_parent = latest

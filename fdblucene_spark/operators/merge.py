@@ -329,14 +329,18 @@ def _write_merged(
     dl_exprs = [F.min("doc").alias("doc_min"), F.max("doc").alias("doc_max")]
     td_exprs = []
     for i, fld_ in enumerate(all_fields):
-        c = F.col("field") == fld_
+        # dl>0: doclen carries dl=0 roster rows (complete live-doc
+        # domain for MatchAllDocsQuery) that must not count toward
+        # per-field docCount/avgdl — same filter as build_index
+        c = (F.col("field") == fld_) & (F.col("dl") > 0)
         dl_exprs += [
             F.count(F.when(c, 1)).alias(f"nd_{i}"),
             F.sum(F.when(c, F.col("dl"))).alias(f"sdl_{i}"),
         ]
+        ct = F.col("field") == fld_
         td_exprs += [
-            F.count(F.when(c, 1)).alias(f"nt_{i}"),
-            F.sum(F.when(c, F.col("df"))).alias(f"np_{i}"),
+            F.count(F.when(ct, 1)).alias(f"nt_{i}"),
+            F.sum(F.when(ct, F.col("df"))).alias(f"np_{i}"),
         ]
     doclen = doclen.observe(obs_dl, *dl_exprs)
     termdict = termdict.observe(obs_td, *td_exprs)

@@ -1392,6 +1392,10 @@ class Searcher:
         self.manifest: Manifest = self.catalog.load(version)  # snapshot pin
         self.n_docs = self.manifest.n_docs
         self.avgdl = self.manifest.avgdl
+        # query text analyzes with the version the index was BUILT
+        # with (manifest pin, S2 analogue) — a standard_v2 index drops
+        # query-side stopwords exactly as its postings did
+        self.analyzer: str = self.manifest.analyzer
         self._postings = spark.read.parquet(
             *self.manifest.segment_paths(root, "postings")
         )
@@ -2393,7 +2397,11 @@ class Searcher:
         docIDs after `after_doc`. Distributed shape: doclen-table scan
         (one row per (field, doc) — far smaller than postings) ->
         distinct -> anti-join tombstones -> TakeOrderedAndProject;
-        no full sort materializes."""
+        no full sort materializes. The doclen table is a COMPLETE
+        live-doc roster: the build emits a dl=0 row for every added
+        doc whose text analyzes to zero tokens (build.ROSTER_TERM),
+        so this matches every added doc, exactly like Lucene's
+        MatchAllDocsQuery over liveDocs."""
         dl = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "doclen"))
         docs = dl.select(F.col("doc").cast("long").alias("doc"))
         if after_doc is not None:
@@ -2471,7 +2479,7 @@ class Searcher:
         from ..functions.analysis import tokenize_text
 
         tf: dict[str, int] = {}
-        for t in tokenize_text(text):
+        for t in tokenize_text(text, self.analyzer):
             tf[t] = tf.get(t, 0) + 1
         cand = {t: n for t, n in tf.items() if n >= min_term_freq}
         if not cand:
@@ -2583,11 +2591,14 @@ class Searcher:
         it, Lucene's semantics) — implemented as one conditional-sum
         aggregate per range in a single pass, no explode, then
         unpivoted to (bucket, count) preserving the given order."""
+        labels = [str(label) for label, _, _ in ranges]
+        if len(set(labels)) != len(labels):
+            raise ValueError(f"facet_ranges labels must be unique: {labels}")
         matched = self.matching_docs(clauses, min_should_match, numeric)
         stored = self._stored_df().select("doc", numeric_field)
         joined = matched.join(stored, "doc")
         aggs = []
-        for label, lo, hi in ranges:
+        for i, (_, lo, hi) in enumerate(ranges):
             cond = F.lit(True)
             if lo is not None:
                 cond = cond & (F.col(numeric_field) >= F.lit(lo))
@@ -2595,12 +2606,21 @@ class Searcher:
                 cond = cond & (F.col(numeric_field) <= F.lit(hi))
             aggs.append(
                 F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
-                .cast("long").alias(str(label))
+                .cast("long").alias(f"__r{i}")
             )
         wide = joined.agg(*aggs)
-        stack = ", ".join(f"'{label}', `{label}`" for label, _, _ in ranges)
-        return wide.selectExpr(
-            f"stack({len(ranges)}, {stack}) as (bucket, count)"
+        # unpivot with typed literals (labels are user data, never SQL
+        # text — quotes/backticks in a label must not reach the parser)
+        kv = F.array(*[
+            F.struct(
+                F.lit(lbl).alias("bucket"),
+                F.col(f"__r{i}").alias("count"),
+            )
+            for i, lbl in enumerate(labels)
+        ])
+        return (
+            wide.select(F.explode(kv).alias("kv"))
+            .select(F.col("kv.bucket").alias("bucket"), F.col("kv.count").alias("count"))
         )
 
     def search_parsed(
@@ -2636,6 +2656,7 @@ class Searcher:
             query, default_field=default_field,
             default_operator=default_operator,
             keyword_fields=kwf, numeric_fields=set(numeric_fields),
+            analyzer=self.analyzer,
         )
         cl = parsed.clauses
         if not cl:

@@ -35,11 +35,13 @@ class OracleIndex:
     sum_df: int
 
 
-def build_oracle_index(doc_keys: list, texts: list[str]) -> OracleIndex:
+def build_oracle_index(
+    doc_keys: list, texts: list[str], analyzer: str = "standard_v1"
+) -> OracleIndex:
     postings: dict[str, dict[int, tuple[int, tuple]]] = defaultdict(dict)
     doclens = np.zeros(len(texts), dtype=np.int64)
     for did, text in enumerate(texts):
-        toks = tokenize_text(text)
+        toks = tokenize_text(text, analyzer)
         doclens[did] = len(toks)
         occ: dict[str, list[int]] = defaultdict(list)
         for pos, t in enumerate(toks):
@@ -48,7 +50,10 @@ def build_oracle_index(doc_keys: list, texts: list[str]) -> OracleIndex:
             postings[t][did] = (len(ps), tuple(ps))
     sum_ttf = int(doclens.sum())
     sum_df = sum(len(v) for v in postings.values())
-    n_docs = len(texts)
+    # Lucene docCount: docs with >=1 surviving token in the field
+    # (a doc whose text analyzes to nothing — empty, or all-stopword
+    # under standard_v2 — carries no norm and no avgdl weight)
+    n_docs = int((doclens > 0).sum())
     avgdl = sum_ttf / n_docs if n_docs else 0.0
     return OracleIndex(
         doc_keys=list(doc_keys),

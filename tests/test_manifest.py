@@ -118,3 +118,40 @@ def test_expire_orphans_tolerates_half_written_manifest(tmp_index_root):
     removed = cat.expire_orphans(keep_versions=3)
     assert removed == []  # v1's segment stays live; no crash
     assert cat.load().version == 1
+
+
+def test_manifest_size_bounded_at_100_segments(tmp_index_root):
+    """Growth guard: the manifest embeds every segment's per-table
+    file lists and per-shard lineage. With maybe_merge bounding live
+    segment count, 100 segments x 32 shards is far beyond steady
+    state — the JSON must stay single-digit MB and round-trip. The
+    100x-beyond-this path is swapping this module for an Iceberg-style
+    manifest LIST (one file per segment, manifest points at them) —
+    documented in README 'Designing for 100 TB'."""
+    cat = IndexCatalog(tmp_index_root)
+    segs = []
+    for i in range(100):
+        s = _seg(i)
+        s.lineage = [{"fingerprint": f"fp-{i}", "phase_seconds": {}}] + [
+            {"shard": sh, "n_blocks": 40, "n_postings": 120000,
+             "payload_bytes": 1 << 20}
+            for sh in range(32)
+        ]
+        s.files = {
+            t: [f"part-{j:05d}-{i:08x}.snappy.parquet" for j in range(32)]
+            for t in ("postings", "termdict", "doclen", "stored")
+        }
+        s.field_stats = {
+            f: {"n_docs": 1000, "sum_dl": 50000, "n_terms": 900,
+                "n_postings": 40000}
+            for f in ("text", "source", "lang")
+        }
+        segs.append(s)
+    cat.commit(_manifest(1, segs))
+    path = os.path.join(cat.manifest_dir, "manifest.v000001.json")
+    size = os.path.getsize(path)
+    assert size < 5 * 1024 * 1024, f"manifest JSON ballooned: {size} bytes"
+    loaded = cat.load()
+    assert len(loaded.segments) == 100
+    assert loaded.segments[42].files["postings"][0].startswith("part-00000")
+    assert loaded.segments[42].lineage[1]["shard"] == 0

@@ -233,9 +233,18 @@ def test_match_all():
 
 
 def test_numeric_range_lifted():
-    p = parse_query("alpha n_chars:[50 TO 160]", numeric_fields={"n_chars"})
+    p = parse_query("alpha +n_chars:[50 TO 160]", numeric_fields={"n_chars"})
     assert p.clauses == [{"field": "text", "term": "alpha", "occur": "should"}]
     assert p.numeric == [{"field": "n_chars", "lo": 50.0, "hi": 160.0}]
+    # default_operator='and' makes every clause required — also legal
+    p2 = parse_query("alpha n_chars:[50 TO 160]", numeric_fields={"n_chars"},
+                     default_operator="and")
+    assert p2.numeric == [{"field": "n_chars", "lo": 50.0, "hi": 160.0}]
+    # a bare (should-occur) range under OR would be an optional clause
+    # in classic Lucene but a mandatory filter here: rejected, the
+    # engine never silently changes the string's meaning
+    with pytest.raises(QueryParseError, match="required"):
+        parse_query("alpha n_chars:[50 TO 160]", numeric_fields={"n_chars"})
     with pytest.raises(QueryParseError):
         parse_query("n_chars:{50 TO 160}", numeric_fields={"n_chars"})
     with pytest.raises(QueryParseError):
@@ -434,7 +443,7 @@ def test_parsed_fuzzy(qp_index):
 
 def test_parsed_numeric(qp_index):
     s = qp_index
-    got = s.search_parsed("alpha n_chars:[50 TO 160]", 10,
+    got = s.search_parsed("alpha +n_chars:[50 TO 160]", 10,
                           numeric_fields={"n_chars"})
     want = s.search_boolean(
         [{"field": "text", "term": "alpha", "occur": "should"}], 10,
