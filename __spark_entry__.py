@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fdblucene_spark.functions import bm25
+from fdblucene_spark.functions.analysis import ENGLISH_STOPWORDS
 from fdblucene_spark.operators import dedup, multimodal, similarity, textstats
 from fdblucene_spark.operators.build import build_index
 from fdblucene_spark.operators.query import Searcher
@@ -93,6 +94,7 @@ MLT_TEXT = ("key key dup dup hash hash vector vector scan scan "
 MLT_TERMS = ["key", "dup", "hash", "vector", "scan"]
 TX_FUZZY_Q = "term00001"  # ft_fuzzy_damerau: digit transpositions = 1 edit
 ANN_NPROBE_IVF = 6
+PIPE_QUALITY_MIN = 0.62  # pipe_curation keeps ~2/3 of docs at sf0.01
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -115,6 +117,19 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             keyword_fields={"source": "source", "lang": "lang"},
             stored_fields={"n_chars": "n_chars", "source": "source"},
         )
+    return Searcher(spark, root)
+
+
+def _v2_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the standard_v2 analyzer (v1 + English
+    stopword removal): exercises the manifest analyzer pin with a
+    REAL second analyzer — stopwords vanish from postings AND doc
+    lengths, shifting every BM25 norm vs the v1 index."""
+    root = os.path.join(_index_root(sf_dir), "v2")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-v2", analyzer="standard_v2")
     return Searcher(spark, root)
 
 
@@ -323,6 +338,7 @@ def _bm25_sql(
     boosts: dict[str, float] | None = None,
     near: tuple[str, str, int, bool] | None = None,
     span: tuple[list[str], int, bool] | None = None,
+    stop_words: tuple[str, ...] = (),
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
@@ -345,11 +361,18 @@ def _bm25_sql(
     n_terms = len(set(terms))
     if having is None:
         having = f"HAVING count(*) = {n_terms}" if mode in ("and", "phrase") else ""
+    # stop_words: the standard_v2 analyzer twin — tokens in the stop
+    # set vanish BEFORE dl/positions, so doc lengths and surviving-
+    # token ordinals match the engine's StopFilter semantics
+    tok_pred = "t -> t <> ''"
+    if stop_words:
+        sw = ", ".join(f"'{w}'" for w in sorted(stop_words))
+        tok_pred = f"t -> t <> '' AND t NOT IN ({sw})"
     tok_cte = f"""
 src AS ({src_sql}),
 toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '{tok_regex}'), t -> t <> '') AS ts
+         list_filter(string_split_regex(lower(text), '{tok_regex}'), {tok_pred}) AS ts
   FROM src
 ), tok AS (
   SELECT doc_id, unnest(ts) AS term FROM toks
@@ -935,6 +958,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc").alias("doc_id"), "pos", "payload")
         )
 
+    def ft_stop_analyzer(spark, sf):
+        # same OR query as ft_bm25_topk_or but against the standard_v2
+        # index: the hit SET can match v1's, the SCORES cannot (stop
+        # removal changes dl/avgdl, hence every norm) — a hash-exact
+        # twin proves the whole v2 chain (invert, stats, norms, idf)
+        return _hits_df(_v2_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
+
     def ft_highlight(spark, sf):
         # snippet assembly from the offsets keyspace (("pp",...) ->
         # (startOffset, endOffset), DATA.md:54; Lucene Highlighter):
@@ -1121,6 +1151,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).cast("long").alias(f"c{i}")
         return feats.select("media_id", "kind", "n_bytes", cnt(2), cnt(6), cnt(7))
 
+    # ---- composite curation pass (training-data pipeline shape) ----
+    def pipe_curation(spark, sf):
+        # dedup keepers ∩ quality floor -> per-doc token budget: the
+        # canonical pre-training curation pass, composed from the
+        # already-gated operators. Plan: three scans collapse under
+        # Catalyst column pruning; one hash-partition window (dedup)
+        # + doc_id joins (AQE-broadcast at gate scale, co-partitioned
+        # shuffle joins at 100 TB)
+        docs = _table(spark, sf, "documents")
+        keep = (
+            dedup.exact_duplicates(docs, "doc_id", "text")
+            .filter(F.col("dup_rank") == 1).select("doc_id")
+        )
+        q = (
+            textstats.quality_scores(docs, "doc_id", "text")
+            .filter(F.col("quality") >= PIPE_QUALITY_MIN)
+            .select("doc_id", "n_tokens", "quality")
+        )
+        tc = textstats.token_counts(docs, "doc_id", "text").select(
+            "doc_id", "n_bpe_ish")
+        return q.join(keep, "doc_id").join(tc, "doc_id")
+
     # ---- classic aggregation sanity (Catalyst partial+final agg) ----
     def agg_lineitem_pricing(spark, sf):
         li = _table(spark, sf, "lineitem")
@@ -1165,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
         ft_reshard_search,
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
+        ft_stop_analyzer, pipe_curation,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1467,6 +1520,9 @@ WITH {_TOK_CTE}, tokpos AS (
 SELECT doc_id, (tp.p - 1)::BIGINT AS pos, length(tp.t)::BIGINT AS payload
 FROM tokpos WHERE tp.t = '{LOOKUP_TERM}'
 """,
+        "ft_stop_analyzer": _bm25_sql(
+            OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
+        ),
         "ft_highlight": f"""
 SELECT h.doc_id, h.score,
        regexp_replace(d.text, '\\b({LOOKUP_TERM})\\b', '<em>\\1</em>', 'g') AS snippet
@@ -1520,6 +1576,15 @@ FROM events GROUP BY event_type
         "dedup_simhash": dedup.simhash_signatures_sql("documents", "doc_id", "text"),
         "dedup_components": dedup.connected_components_sql("documents", "doc_id", "text"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", "doc_id", "text", JACCARD_T),
+        "pipe_curation": f"""
+SELECT q.doc_id, q.n_tokens, q.quality, tc.n_bpe_ish
+FROM ({textstats.quality_scores_sql("documents", "doc_id", "text")}) q
+JOIN ({dedup.exact_duplicates_sql("documents", "doc_id", "text")}) dup
+  ON dup.doc_id = q.doc_id
+JOIN ({textstats.token_counts_sql("documents", "doc_id", "text")}) tc
+  ON tc.doc_id = q.doc_id
+WHERE dup.dup_rank = 1 AND q.quality >= {PIPE_QUALITY_MIN}
+""",
         "text_token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
         "text_quality": textstats.quality_scores_sql("documents", "doc_id", "text"),
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
