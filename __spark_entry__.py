@@ -42,6 +42,7 @@ MATCH_COUNT_QUERIES = [
     ("mc_batchstream_or", ["batch", "stream"], "or"),
 ]
 K_ALL = 500
+GROUP_K, GROUP_LIMIT = 5, 3  # ft_grouped: top groups / docs per group
 # composable-search fixtures (BooleanQuery occurs + doc-values range)
 SHOULD_TERMS = ["dup", "hash", "vector"]
 SHOULD_MSM = 2
@@ -339,6 +340,7 @@ def _bm25_sql(
     near: tuple[str, str, int, bool] | None = None,
     span: tuple[list[str], int, bool] | None = None,
     stop_words: tuple[str, ...] = (),
+    select_override: str | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
@@ -475,9 +477,9 @@ tf AS (
 ), agg AS (
   SELECT doc_id, {agg_expr} AS score32
   FROM scores GROUP BY doc_id {having}
-)
+){select_override if select_override is not None else f'''
 SELECT doc_id, round(score32::DOUBLE, 3) AS score
-FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k} OFFSET {offset}
+FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k} OFFSET {offset}'''}
 """
 
 
@@ -851,6 +853,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clauses = [{"term": t, "occur": "should"} for t in OR_TERMS]
         return _searcher(spark, sf).facet_ranges(clauses, "n_chars", FACET_RANGES)
 
+    def ft_grouped(spark, sf):
+        # Lucene grouping module (TopGroupsCollector, Sort.RELEVANCE):
+        # top GROUP_K `source` groups of the OR match set by best doc
+        # score (ties: lowest best-doc), GROUP_LIMIT docs per group
+        g = _searcher(spark, sf).search_grouped(
+            OR_TERMS, "source", k_groups=GROUP_K, group_limit=GROUP_LIMIT
+        )
+        return g.select(
+            "grp",
+            "grp_rank",
+            F.col("doc").alias("doc_id"),
+            F.round(F.col("score").cast("double"), 3).alias("score"),
+            "doc_rank",
+        )
+
     def ft_constant_score(spark, sf):
         # Lucene ConstantScoreQuery(BooleanQuery): membership is the
         # wrapped boolean's; every match scores exactly float32(boost),
@@ -1108,6 +1125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf):
         return textstats.fingerprints(_table(spark, sf, "documents"), "doc_id", "text")
 
+    def text_repetition(spark, sf):
+        # Gopher-style repetition filters: max same-token run + top /
+        # duplicated n-gram token fractions per doc
+        return textstats.repetition_metrics(
+            _table(spark, sf, "documents"), "doc_id", "text"
+        )
+
     # ---- similarity search ----
     def ann_cosine_topk(spark, sf):
         emb = _table(spark, sf, "embeddings")
@@ -1193,14 +1217,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entries past 50 are r4-driver-signed variants of in-window
     # surfaces; tools/gate_check.py still oracle-checks all of them.
     for fn in [
-        # -- engine surface representatives (29) --
+        # -- engine surface representatives (30) --
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats,
-        ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match, ft_bm25_not,
+        ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match,
         ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested_deep,
-        ft_match_all, ft_query_parser, ft_facet_ranges, ft_suggest, ft_mlt,
+        ft_match_all, ft_query_parser, ft_facet_ranges, ft_suggest,
         ft_boolean_after, ft_fuzzy_damerau,
-        ft_payloads, ft_highlight, ft_regexp_search, ft_span_near3,
+        ft_payloads, ft_highlight, ft_span_near3, ft_grouped,
+        ft_stop_analyzer,
         ft_delete_search, ft_merge_addindexes, ft_tiered_search,
         tx_bm25_topk, tx_phrase_filtered,
         # -- LLM-pipeline + remaining r4-unsigned gates (20) --
@@ -1208,16 +1233,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash,
         dedup_ngram_jaccard, dedup_components,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
+        text_repetition,
         ann_cosine_topk, ann_lsh_topk, ann_ivf_topk, mm_media_stats,
         mm_features, agg_lineitem_pricing,
         # ---------------- driver window ends here (50) ----------------
+        # below the fold: r4-driver-signed variants of in-window
+        # families (ft_bm25_not's MUST_NOT lives on in ft_bm25_mixed;
+        # ft_regexp_search's termdict expansion in ft_fuzzy_damerau;
+        # ft_mlt's selection logic is pytest-covered and its oracle is
+        # ft_bm25_topk_or's shape) — tools/gate_check.py still
+        # oracle-checks every one of them
+        ft_mlt,
         ft_term_lookup, ft_bm25_nested, ft_constant_score, ft_sorted_search,
         ft_query_parser_prefix, ft_facets, ft_span_first, ft_terms_in_set,
         ft_bm25_boosted, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
-        ft_reshard_search,
+        ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
-        ft_stop_analyzer, pipe_curation,
+        pipe_curation,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1402,6 +1435,38 @@ FROM cand WHERE term <> '{SUGGEST_Q}'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5
 """,
         "ft_mlt": _bm25_sql(MLT_TERMS, "or", K_ALL),
+        # Lucene grouping twin: rebuild the full OR match-set scores
+        # (same float32 chain as every BM25 twin), group by `source`,
+        # rank groups by (best score desc, best doc asc), top docs per
+        # group by (score desc, doc asc)
+        "ft_grouped": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=f""",
+joined AS (
+  SELECT a.doc_id, a.score32, d.source AS grp
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+), gheads AS (
+  SELECT grp, max(score32) AS best_score FROM joined GROUP BY grp
+), gbest AS (
+  SELECT j.grp, g.best_score, min(j.doc_id) AS best_doc
+  FROM joined j JOIN gheads g ON g.grp = j.grp AND j.score32 = g.best_score
+  GROUP BY j.grp, g.best_score
+), topg AS (
+  SELECT grp,
+         row_number() OVER (ORDER BY best_score DESC, best_doc ASC) AS grp_rank
+  FROM gbest QUALIFY grp_rank <= {GROUP_K}
+), granked AS (
+  SELECT j.grp, t.grp_rank, j.doc_id, j.score32,
+         row_number() OVER (
+           PARTITION BY j.grp ORDER BY j.score32 DESC, j.doc_id ASC
+         ) AS doc_rank
+  FROM joined j JOIN topg t ON t.grp = j.grp
+)
+SELECT grp, grp_rank::INT AS grp_rank, doc_id,
+       round(score32::DOUBLE, 3) AS score, doc_rank::INT AS doc_rank
+FROM granked WHERE doc_rank <= {GROUP_LIMIT}
+ORDER BY grp_rank, doc_rank""",
+        ),
         "ft_facets": f"""
 WITH src AS (SELECT doc_id, text FROM documents),
 toks AS (
@@ -1589,6 +1654,7 @@ WHERE dup.dup_rank = 1 AND q.quality >= {PIPE_QUALITY_MIN}
         "text_quality": textstats.quality_scores_sql("documents", "doc_id", "text"),
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
+        "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
         "ft_bm25_boosted": _bm25_sql(OR_TERMS, "or", K_ALL, boosts=BOOSTS),
         "ft_boolean_after": _bm25_sql(

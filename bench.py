@@ -24,6 +24,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cal_task(_):
+    """One streaming-bandwidth unit: sort+hash over a 32 MB array.
+
+    Mirrors tools/scaling_bench.py's calibration task so bench windows
+    and scaling windows are comparable.
+    """
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1000, size=4_000_000)
+    for _ in range(3):
+        b = np.sort(a)
+        hashlib.md5(b.tobytes()).digest()
+        a = b + 1
+    return 1
+
+
+def _calibrate() -> dict:
+    """Measure the host's deliverable streaming speedup at 4x procs.
+
+    This VM's CPU/memory-bandwidth delivery drifts minute-to-minute
+    (documented in BENCH/BASELINE.md); recording the same-window
+    streaming ratio alongside every bench run lets a reader separate
+    engine regressions from throttled windows. Ideal ratio is 4.0
+    (8 procs / 2 procs on aggregate tasks/sec); quiet windows on this
+    host deliver >= 2.0, throttled windows < 1.5.
+    """
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (2, 8):
+        with mp.get_context("spawn").Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(_cal_task, range(procs * 3))
+            out[f"cal_tps_{procs}"] = round(procs * 3 / (time.time() - t0), 3)
+    out["cal_stream_ratio"] = round(out["cal_tps_8"] / max(out["cal_tps_2"], 1e-9), 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,6 +89,10 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
     work = tempfile.mkdtemp(prefix="sparklucene-bench-")
+
+    # Host-condition probe BEFORE the measured stages (and again after,
+    # below): same-window streaming ratio, ideal 4.0 — see _calibrate.
+    cal_pre = _calibrate()
 
     def timed(name: str):
         class _T:
@@ -179,7 +224,7 @@ def main() -> None:
         # classic QueryParser string -> ONE boolean job (round-4
         # surface): must + boosted group + must_not + numeric range
         sd.search_parsed(
-            "dup AND (hash^2 vector) -slow n_chars:[100 TO 500]",
+            "dup AND (hash^2 vector) -slow +n_chars:[100 TO 500]",
             k=100, numeric_fields={"n_chars"},
         ).collect()
     with timed("facet_counts"):
@@ -206,6 +251,13 @@ def main() -> None:
         similarity.build_ann_index(spark, emb, "vec_id", "embedding", ann_root, kind="ivf")
     with timed("ann_ivf_probe"):
         similarity.AnnIndex(spark, ann_root).topk(list(qv), 25, nprobe=4).collect()
+
+    cal_post = _calibrate()
+    extra["cal_pre"] = cal_pre
+    extra["cal_post"] = cal_post
+    extra["cal_stream_ratio_min"] = min(
+        cal_pre["cal_stream_ratio"], cal_post["cal_stream_ratio"]
+    )
 
     total = round(sum(v for k, v in queries.items() if k != "gen_transcripts"), 3)
     out = {

@@ -2419,6 +2419,111 @@ class Searcher:
             .select(F.col("doc"), F.lit(1.0).cast("float").alias("score"))
         )
 
+    def _scored_match_set(
+        self, terms: list[str], mode: str = "or", field: str = "text"
+    ) -> DataFrame:
+        """Full scored match set, NO top-k cut and NO global sort —
+        the first-pass shape shared by grouping-style consumers. Each
+        shard's kernel emits every live match (k = corpus doc count,
+        so the per-shard heap never truncates); deletes apply exactly
+        as in `search`."""
+        prep = self._prep(terms, mode, field)
+        if prep is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _, term_df = prep
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        kt = list(terms) if mode == "phrase" else list(term_df)
+        aux, allow_kinds = self._aux_frames(None, None)
+        k_all = int(self.manifest.n_docs) + 1
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            return _score_shard(
+                groups, term_df, n_docs, avgdl, k_all, mode, kt, dels,
+                allowed=allowed,
+            )
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(term_df))
+        )
+        return self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+
+    def search_grouped(
+        self,
+        terms: list[str],
+        group_field: str,
+        k_groups: int = 10,
+        group_limit: int = 2,
+        mode: str = "or",
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene grouping module (TopGroupsCollector /
+        CollapsingTopDocsCollector): the top `k_groups` groups of
+        matching docs keyed by an index-owned stored field, with the
+        best `group_limit` docs inside each group. The reference app
+        runs Lucene's grouping collectors over the same index
+        keyspaces it delegates search to (README.md:54-57).
+
+        Semantics (Lucene two-pass grouping, Sort.RELEVANCE):
+          - the match set is scored exactly like `search` (same BM25
+            float32 chain) with NO top-k cut — grouping, like Lucene's
+            first-pass collector, consumes every match;
+          - groups rank by (best score desc, best doc asc) — group
+            sort by relevance, docID tie-break;
+          - docs within a group rank by (score desc, doc asc), cut to
+            `group_limit` (the groupDocsLimit of the second pass).
+        Docs whose group value is NULL form their own group (Lucene's
+        null-group bucket).
+
+        Distributed shape: postings-kernel scored set -> doc join
+        against the stored table (column-pruned to the group field) ->
+        partial+final agg for group heads -> TakeOrdered k_groups
+        (bounded, broadcast back) -> ONE window shuffle partitioned by
+        group over only the surviving groups' docs. No global sort of
+        the match set; the window sees k_groups groups' rows only.
+        """
+        scored = self._scored_match_set(terms, mode=mode, field=field)
+        stored = self._stored_df()
+        if group_field not in stored.columns:
+            raise ValueError(
+                f"group field {group_field!r} is not stored in this index"
+            )
+        grp = stored.select("doc", F.col(group_field).alias("grp"))
+        joined = scored.join(grp, "doc", "inner")
+        # group heads: max(struct(score, -doc)) = best score, then
+        # lowest doc among its holders — one partial+final agg
+        heads = (
+            joined.groupBy("grp")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score").alias("s"),
+                        (-F.col("doc")).alias("negdoc"),
+                    )
+                ).alias("h")
+            )
+            .select(
+                "grp",
+                F.col("h.s").alias("best_score"),
+                (-F.col("h.negdoc")).cast("long").alias("best_doc"),
+            )
+            .orderBy(F.desc("best_score"), F.asc("best_doc"))
+            .limit(int(k_groups))
+        )
+        # rank the k_groups winners: bounded single-partition window
+        w_rank = Window.orderBy(F.desc("best_score"), F.asc("best_doc"))
+        heads = heads.withColumn("grp_rank", F.row_number().over(w_rank))
+        w_doc = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc"))
+        return (
+            joined.join(F.broadcast(heads.select("grp", "grp_rank")), "grp")
+            .withColumn("doc_rank", F.row_number().over(w_doc))
+            .filter(F.col("doc_rank") <= int(group_limit))
+            .select("grp", "grp_rank", "doc", "score", "doc_rank")
+            .orderBy("grp_rank", "doc_rank")
+        )
+
     def suggest(
         self,
         term: str,

@@ -210,3 +210,175 @@ SELECT {id_col},
        md5({text_col}) AS exact_hash
 FROM {table}
 """
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1;
+    Dolma's repetition taggers): per-document n-gram repetition
+    signals used to drop degenerate / boilerplate text before
+    pretraining.
+
+    Columns (all deterministic; fractions are exact-integer ratios
+    through ONE IEEE division + the same 1e-12 tie-nudge as
+    quality_scores, so the DuckDB twin is bit-identical):
+      n_tokens          analyzer token count
+      max_token_run     longest run of one repeated token ("batch
+                        batch batch" degeneracy), >= 1 when n_tokens>0
+      top_bigram        most frequent word bigram (ties: lexicographic
+                        min), NULL when n_tokens < 2
+      top_bigram_count  its occurrence count (0 when no bigrams)
+      top_bigram_frac   2 * top_bigram_count / n_tokens — the
+                        fraction-of-tokens-in-top-ngram signal
+      dup_bigram_frac   2 * sum(count of bigrams occurring > 1) /
+                        n_tokens (overlaps counted; may exceed 1 on
+                        pathological text — a feature for filtering)
+      dup_trigram_frac  3 * sum(count of trigrams occurring > 1) /
+                        n_tokens
+
+    Distributed shape: max_token_run is a shuffle-free single-pass
+    fold inside the row (Catalyst `aggregate`); the n-gram counts
+    explode to (doc, gram) with map-side partial aggregation — the
+    shuffle is keyed by doc id like every per-doc pipeline op, no
+    corpus-global state anywhere.
+    """
+    toks = tokens_col(text_col)
+    zero = F.lit(0).cast("long")
+    run = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        run.alias("max_token_run"),
+        toks.alias("_ts"),
+    )
+    # word n-grams: 1-based element_at over an index sequence, guarded
+    # for docs shorter than the gram (empty array, not negative slice)
+    def _grams(n: int) -> Column:
+        ts = F.col("_ts")
+        return F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ts, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bg = (
+        base.select(id_col, F.explode(_grams(2)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram").alias("g"))).alias("top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(zero)).alias("dupc"),
+        )
+        .select(
+            id_col,
+            F.col("top.g").alias("top_bigram"),
+            (-F.col("top.nc")).cast("long").alias("top_bigram_count"),
+            F.col("dupc").cast("long").alias("bg_dupc"),
+        )
+    )
+    tg = (
+        base.select(id_col, F.explode(_grams(3)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(zero)).alias("tg_dupc"))
+    )
+    n = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    nudge = F.lit(1e-12)
+    return (
+        base.drop("_ts")
+        .join(bg, id_col, "left")
+        .join(tg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "max_token_run",
+            "top_bigram",
+            F.coalesce("top_bigram_count", zero).alias("top_bigram_count"),
+            F.round(
+                (2 * F.coalesce("top_bigram_count", zero)).cast("double") / n + nudge, 4
+            ).alias("top_bigram_frac"),
+            F.round(
+                (2 * F.coalesce("bg_dupc", zero)).cast("double") / n + nudge, 4
+            ).alias("dup_bigram_frac"),
+            F.round(
+                (3 * F.coalesce("tg_dupc", zero)).cast("double") / n + nudge, 4
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def repetition_metrics_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of repetition_metrics — same grams, same run
+    detection (gaps-and-islands over token positions), same
+    exact-integer ratios + 1e-12 nudge."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), base AS (
+  SELECT {id_col}, ts, len(ts)::BIGINT AS n_tokens FROM toks
+), flat AS (
+  SELECT {id_col}, tp.p AS p, tp.t AS t
+  FROM (SELECT {id_col}, unnest(list_transform(range(1, len(ts) + 1),
+               i -> struct_pack(p := i, t := ts[i]))) AS tp FROM toks)
+), runs AS (
+  SELECT {id_col}, t, p - row_number() OVER (PARTITION BY {id_col}, t ORDER BY p) AS g
+  FROM flat
+), runlen AS (
+  SELECT {id_col}, count(*)::BIGINT AS rl FROM runs GROUP BY {id_col}, t, g
+), maxrun AS (
+  SELECT {id_col}, max(rl)::BIGINT AS max_token_run FROM runlen GROUP BY {id_col}
+), bg AS (
+  SELECT {id_col}, unnest(list_transform(range(1, len(ts)),
+         i -> ts[i] || ' ' || ts[i + 1])) AS gram
+  FROM toks WHERE len(ts) >= 2
+), bgc AS (
+  SELECT {id_col}, gram, count(*)::BIGINT AS c FROM bg GROUP BY {id_col}, gram
+), bga AS (
+  SELECT {id_col},
+         min(struct_pack(nc := -c, g := gram)) AS top,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS bg_dupc
+  FROM bgc GROUP BY {id_col}
+), tg AS (
+  SELECT {id_col}, unnest(list_transform(range(1, len(ts) - 1),
+         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS gram
+  FROM toks WHERE len(ts) >= 3
+), tgc AS (
+  SELECT {id_col}, gram, count(*)::BIGINT AS c FROM tg GROUP BY {id_col}, gram
+), tga AS (
+  SELECT {id_col}, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS tg_dupc
+  FROM tgc GROUP BY {id_col}
+)
+SELECT b.{id_col},
+       b.n_tokens,
+       coalesce(m.max_token_run, 0)::BIGINT AS max_token_run,
+       (bga.top).g AS top_bigram,
+       coalesce(-(bga.top).nc, 0)::BIGINT AS top_bigram_count,
+       round((2 * coalesce(-(bga.top).nc, 0))::DOUBLE / greatest(b.n_tokens, 1) + 1e-12, 4) AS top_bigram_frac,
+       round((2 * coalesce(bga.bg_dupc, 0))::DOUBLE / greatest(b.n_tokens, 1) + 1e-12, 4) AS dup_bigram_frac,
+       round((3 * coalesce(tga.tg_dupc, 0))::DOUBLE / greatest(b.n_tokens, 1) + 1e-12, 4) AS dup_trigram_frac
+FROM base b
+LEFT JOIN maxrun m USING ({id_col})
+LEFT JOIN bga USING ({id_col})
+LEFT JOIN tga USING ({id_col})
+"""

@@ -137,3 +137,69 @@ def test_facet_empty_query(facet_index):
     got = {r["bucket"]: r["count"] for r in
            s.facet_ranges(dead, "n_chars", [("all", None, None)]).collect()}
     assert got == {"all": 0}
+
+
+# ---------------------------------------------------------------- grouping
+# Oracle strategy: grouping correctness is independent of BM25
+# correctness (covered by test_engine/test_bm25), so the oracle takes
+# the engine's OWN full scored match set and regroups it in Python
+# with the documented ordering rules.
+
+
+def _grouped_oracle(rows, s, terms, k_groups, group_limit):
+    scored = [(r["doc"], r["score"]) for r in s._scored_match_set(terms).collect()]
+    by_grp = collections.defaultdict(list)
+    for doc, score in scored:
+        by_grp[rows[doc]["role"]].append((doc, score))
+    heads = []
+    for grp, docs in by_grp.items():
+        best = max(s_ for _, s_ in docs)
+        best_doc = min(d for d, s_ in docs if s_ == best)
+        heads.append((-best, best_doc, grp))
+    heads.sort()
+    out = []
+    for grp_rank, (_, _, grp) in enumerate(heads[:k_groups], start=1):
+        docs = sorted(by_grp[grp], key=lambda p: (-p[1], p[0]))[:group_limit]
+        for doc_rank, (doc, score) in enumerate(docs, start=1):
+            out.append((grp, grp_rank, doc, round(score, 5), doc_rank))
+    return out
+
+
+def test_search_grouped_matches_oracle(facet_index):
+    rows, s = facet_index
+    got = [
+        (r["grp"], r["grp_rank"], r["doc"], round(r["score"], 5), r["doc_rank"])
+        for r in s.search_grouped(["alpha", "beta"], "role",
+                                  k_groups=3, group_limit=2).collect()
+    ]
+    want = _grouped_oracle(rows, s, ["alpha", "beta"], 3, 2)
+    assert got == want
+    assert len(got) == 6  # 3 roles x 2 docs
+
+
+def test_search_grouped_limit_exceeds_group(facet_index):
+    rows, s = facet_index
+    # a rare term -> tiny groups; group_limit larger than any group
+    got = s.search_grouped(["omicron"], "role", k_groups=3, group_limit=999).collect()
+    want = _grouped_oracle(rows, s, ["omicron"], 3, 999)
+    assert [(r["grp"], r["grp_rank"], r["doc"], round(r["score"], 5), r["doc_rank"])
+            for r in got] == want
+    # every matching doc appears exactly once
+    docs = [r["doc"] for r in got]
+    assert len(docs) == len(set(docs))
+
+
+def test_search_grouped_k_groups_cut(facet_index):
+    rows, s = facet_index
+    got = s.search_grouped(["alpha", "beta"], "role",
+                           k_groups=1, group_limit=3).collect()
+    assert {r["grp_rank"] for r in got} == {1}
+    # the surviving group is the oracle's rank-1 group
+    want = _grouped_oracle(rows, s, ["alpha", "beta"], 1, 3)
+    assert [(r["grp"], r["doc"]) for r in got] == [(g, d) for g, _, d, _, _ in want]
+
+
+def test_search_grouped_bad_field_raises(facet_index):
+    _, s = facet_index
+    with pytest.raises(ValueError, match="not stored"):
+        s.search_grouped(["alpha"], "no_such_field")

@@ -371,3 +371,52 @@ def test_connected_components_clusters(spark, tmp_path_factory):
     chain = _pd.DataFrame({"id_a": list(range(8)), "id_b": list(range(1, 9))})
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(df, "id", spark.createDataFrame(chain), max_iter=2)
+
+
+# ----------------------------------------------------- repetition metrics
+def test_repetition_metrics_hand_oracle(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a a a b",        # run of 3, "a a" x2
+                    "x y x y x",      # alternation: no run, dup bi+tri grams
+                    "solo",           # single token: no grams
+                    "",               # empty: all zeros
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_metrics(df, "doc_id", "text").collect()
+    }
+    r0 = out[0]
+    assert (r0["n_tokens"], r0["max_token_run"]) == (4, 3)
+    assert (r0["top_bigram"], r0["top_bigram_count"]) == ("a a", 2)
+    assert r0["top_bigram_frac"] == 1.0      # 2*2/4
+    assert r0["dup_bigram_frac"] == 1.0      # 2*2/4
+    assert r0["dup_trigram_frac"] == 0.0     # "a a a","a a b" unique
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["max_token_run"]) == (5, 1)
+    # "x y" x2 and "y x" x2 tie; lexicographic min wins
+    assert (r1["top_bigram"], r1["top_bigram_count"]) == ("x y", 2)
+    assert r1["top_bigram_frac"] == 0.8      # 2*2/5
+    assert r1["dup_bigram_frac"] == 1.6      # 2*(2+2)/5 (overlap counted)
+    assert r1["dup_trigram_frac"] == 1.2     # "x y x" x2 -> 3*2/5
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["max_token_run"]) == (1, 1)
+    assert r2["top_bigram"] is None and r2["top_bigram_count"] == 0
+    assert r2["top_bigram_frac"] == 0.0
+    r3 = out[3]
+    assert (r3["n_tokens"], r3["max_token_run"]) == (0, 0)
+    assert r3["dup_bigram_frac"] == 0.0 and r3["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_metrics_no_rowwise_python(spark, docs_df):
+    from fdblucene_spark.plans.explain import assert_no_rowwise_python
+
+    out = textstats.repetition_metrics(docs_df, "doc_id", "text")
+    assert_no_rowwise_python(out)
+    assert out.count() == docs_df.count()
