@@ -87,6 +87,12 @@ BOOSTS = {"dup": 2.0, "hash": 0.5}  # ft_bm25_boosted per-clause boosts
 FACET_RANGES = [("short", None, 120), ("mid", 80, 400), ("long", 300, None)]
 SUGGEST_Q = "stor"  # ft_suggest: distance-2 tie (slow, sort) broken by df
 SPAN_FIRST_END = 3  # ft_span_first: term within the first 3 positions
+# ft_span_not: include occ survives unless exclude occ in [p-pre, p+post]
+SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
+# ft_combined_field: BM25F over {text, source} — src3 matches only via
+# the keyword field, dup/hash only via text; both get cross-field norms
+COMB_TERMS = ["dup", "hash", "src3"]
+COMB_W_TEXT, COMB_W_SRC = 1.0, 1.5
 # ft_mlt sample: tf>=2 keeps key/dup/hash/vector/scan; 'solo' fails
 # min_term_freq, 'zzznope' fails min_doc_freq — selection is decided
 # by integer thresholds only, so the SQL twin is the literal OR set
@@ -313,6 +319,77 @@ _NORM_CACHE_F32 = (
 _IDF_F32 = "(ln(1 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)"
 
 
+def _combined_sql(terms: list[str], w_text: float, w_src: float, k: int) -> str:
+    """CombinedFieldQuery (BM25F) twin over fields {text: w_text,
+    source: w_src}: weighted-sum freqs, weighted-sum quantized lengths
+    re-quantized through the SmallFloat grid (the quant-list floor ==
+    LENGTH_TABLE[intToByte4(x)]), max-df/max-docCount pseudo-stats —
+    every float op in the same f32/f64 order as Searcher.search_combined."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    cache = (
+        "((1.2::FLOAT * (0.25::FLOAT + (0.75::FLOAT * n.dlq_len_c::FLOAT)"
+        " / c.avgdl32))::FLOAT)::DOUBLE"
+    )
+    return f"""
+WITH src AS (SELECT doc_id, text, source FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), quant AS (SELECT unnest([{_QUANT_LIST}]) AS ql),
+ntext AS (
+  SELECT doc_id, (SELECT max(ql) FROM quant WHERE ql <= dl) AS dlq_len FROM doclen
+), cstats AS (
+  SELECT greatest(t.n_docs, s.n_docs)::BIGINT AS n_docs_c,
+         (({w_text!r} * t.sum_dl + {w_src!r} * s.n_docs)
+          / greatest(t.n_docs, s.n_docs))::FLOAT AS avgdl32
+  FROM (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM doclen) t,
+       (SELECT count(*)::BIGINT AS n_docs FROM src WHERE source IS NOT NULL) s
+), clen AS (
+  SELECT d.doc_id,
+         floor({w_text!r} * coalesce(nt.dlq_len, 0)
+               + {w_src!r} * (CASE WHEN d.source IS NOT NULL THEN 1 ELSE 0 END)
+               + 0.5) AS len_c
+  FROM src d LEFT JOIN ntext nt USING (doc_id)
+), cnorm AS (
+  SELECT doc_id, (SELECT max(ql) FROM quant WHERE ql <= len_c) AS dlq_len_c FROM clen
+), freqs AS (
+  SELECT doc_id, term, sum(wtf)::FLOAT AS freq FROM (
+    SELECT doc_id, term, {w_text!r} * count(*) AS wtf
+    FROM tok WHERE term IN ({tlist}) GROUP BY doc_id, term
+    UNION ALL
+    SELECT doc_id, source AS term, {w_src!r} AS wtf
+    FROM src WHERE source IN ({tlist})
+  ) GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, max(df)::BIGINT AS df FROM (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM tok WHERE term IN ({tlist}) GROUP BY term
+    UNION ALL
+    SELECT source AS term, count(*)::BIGINT AS df
+    FROM src WHERE source IN ({tlist}) GROUP BY source
+  ) GROUP BY term
+), scores AS (
+  SELECT f.doc_id,
+    ((ln(1 + (c.n_docs_c - dfs.df + 0.5) / (dfs.df + 0.5))::FLOAT)::DOUBLE *
+     ((f.freq::DOUBLE / (f.freq::DOUBLE + {cache}))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM freqs f
+  JOIN dfs USING (term)
+  JOIN cnorm n ON n.doc_id = f.doc_id
+  CROSS JOIN cstats c
+), agg AS (
+  SELECT doc_id, (sum(s32::DOUBLE))::FLOAT AS score32 FROM scores GROUP BY doc_id
+)
+SELECT doc_id, round(score32::DOUBLE, 3) AS score
+FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _weight_sql(boosts: dict[str, float] | None) -> str:
     """float32 per-term weight: idf, or float32(boost * idf) when the
     term carries a BoostQuery boost (Lucene weight-precompute order)."""
@@ -339,6 +416,7 @@ def _bm25_sql(
     boosts: dict[str, float] | None = None,
     near: tuple[str, str, int, bool] | None = None,
     span: tuple[list[str], int, bool] | None = None,
+    span_not: tuple[str, str, int, int] | None = None,
     stop_words: tuple[str, ...] = (),
     select_override: str | None = None,
 ) -> str:
@@ -412,6 +490,24 @@ tokpos AS (
   SELECT DISTINCT f0.doc_id FROM {joins}
   WHERE {' AND '.join(conds)}
 )"""
+    if span_not is not None:
+        # SpanNotQuery twin: an include occurrence at p survives
+        # unless an exclude occurrence e sits in [p - pre, p + post]
+        s_inc, s_exc, s_pre, s_post = span_not
+        phrase_filter = f""",
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), phrasedocs AS (
+  SELECT DISTINCT fi.doc_id FROM flat fi
+  WHERE fi.t = '{s_inc}' AND NOT EXISTS (
+    SELECT 1 FROM flat fe
+    WHERE fe.doc_id = fi.doc_id AND fe.t = '{s_exc}'
+      AND fe.p BETWEEN fi.p - {s_pre} AND fi.p + {s_post})
+)"""
     if near is not None:
         # SpanNearQuery twin: tb within `window` positions of ta
         # (ordered: strictly after) via the token-position relation
@@ -454,7 +550,7 @@ tokpos AS (
 )"""
     phrase_where = (
         "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)"
-        if (phrase or near or span is not None)
+        if (phrase or near or span is not None or span_not is not None)
         else ""
     )
     return f"""
@@ -803,6 +899,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_df(
             _searcher(spark, sf).search_terms_in_set(
                 "source", ["src1", "src3"], k=K_ALL)
+        )
+
+    def ft_combined_field(spark, sf):
+        # Lucene CombinedFieldQuery (BM25F): text + source as one
+        # virtual field (weighted freqs + weighted re-quantized
+        # lengths, max-df/max-docCount pseudo-stats)
+        return _hits_df(
+            _searcher(spark, sf).search_combined(
+                COMB_TERMS, {"text": COMB_W_TEXT, "source": COMB_W_SRC}, k=K_ALL
+            )
+        )
+
+    def ft_span_not(spark, sf):
+        # Lucene SpanNotQuery: docs with a "merge" occurrence that has
+        # no "slow" within 1 position before / 2 after, scored as the
+        # include term's ordinary BM25 on the surviving docs
+        inc, exc, pre, post = SPAN_NOT
+        return _hits_df(
+            _searcher(spark, sf).search_span_not(inc, exc, k=K_ALL, pre=pre, post=post)
         )
 
     def ft_span_first(spark, sf):
@@ -1222,7 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_topk_or, ft_bm25_topk_and, ft_phrase_match,
         ft_keyword_field, ft_match_count,
         ft_bm25_should, ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested_deep,
-        ft_match_all, ft_query_parser, ft_facet_ranges, ft_suggest,
+        ft_match_all, ft_query_parser, ft_facet_ranges, ft_combined_field,
         ft_boolean_after, ft_fuzzy_damerau,
         ft_payloads, ft_highlight, ft_span_near3, ft_grouped,
         ft_stop_analyzer,
@@ -1243,9 +1358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ft_mlt's selection logic is pytest-covered and its oracle is
         # ft_bm25_topk_or's shape) — tools/gate_check.py still
         # oracle-checks every one of them
-        ft_mlt,
+        ft_mlt, ft_suggest,
         ft_term_lookup, ft_bm25_nested, ft_constant_score, ft_sorted_search,
-        ft_query_parser_prefix, ft_facets, ft_span_first, ft_terms_in_set,
+        ft_query_parser_prefix, ft_facets, ft_span_first, ft_span_not,
+        ft_terms_in_set,
         ft_bm25_boosted, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
@@ -1411,6 +1527,10 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
                 f") WHERE tp.t = '{MIXED_MUST}' AND tp.p <= {SPAN_FIRST_END})"
             ),
         ),
+        "ft_span_not": _bm25_sql(
+            [SPAN_NOT[0]], "or", K_ALL, span_not=SPAN_NOT
+        ),
+        "ft_combined_field": _combined_sql(COMB_TERMS, COMB_W_TEXT, COMB_W_SRC, K_ALL),
         "ft_suggest": f"""
 WITH src AS (SELECT doc_id, text FROM documents),
 toks AS (

@@ -1890,6 +1890,248 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
+    def search_span_not(
+        self,
+        include: str,
+        exclude: str,
+        k: int,
+        pre: int = 0,
+        post: int = 0,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene SpanNotQuery(SpanTermQuery(include),
+        SpanTermQuery(exclude), pre, post): docs with an occurrence of
+        `include` that is NOT within `pre` positions after / `post`
+        positions before any `exclude` occurrence — i.e. an include
+        occurrence at position p survives unless some exclude
+        occurrence e satisfies p - pre <= e <= p + post ("merge" not
+        immediately followed by "conflict"). pre=post=0 forbids only
+        same-position overlap (a no-op for single-term spans over
+        distinct terms).
+
+        Scoring follows the span-family convention used by
+        search_span_first: the include term's full float32 BM25 score
+        on matching docs, ties docID asc. Same distributed shape as
+        the other positional queries: candidates score once per shard,
+        then ONE positions-decode pass filters occurrences — a
+        vectorized searchsorted interval test, no per-doc loop and no
+        extra Spark job."""
+        if pre < 0 or post < 0:
+            raise ValueError("pre/post must be >= 0")
+        if not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; span queries unavailable")
+        prep = self._prep([include], "or", field)
+        if prep is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _, term_df = prep
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        aux, allow_kinds = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            hits = _score_shard(
+                groups, term_df, n_docs, avgdl, 10 ** 9, "or",
+                [include], dels, None, allowed=allowed,
+            )
+            if not len(hits):
+                return hits
+            cand = hits["doc"].to_numpy(np.int64)
+            order = np.argsort(cand)
+            cand = cand[order]
+            score = hits["score"].to_numpy()[order]
+            di, pi = _gather_positions(groups, include, cand)
+            de, pe = _gather_positions(groups, exclude, cand)
+            # interval test on a composite (doc, pos) key: include occ
+            # at (d, p) is blocked iff an exclude occ lies in
+            # [(d, p - pre), (d, p + post)] — positions are bounded by
+            # doc length << 2^32, so the key never collides
+            ki = di.astype(np.int64) * (1 << 32) + pi
+            ke = np.sort(de.astype(np.int64) * (1 << 32) + pe)
+            lo = np.searchsorted(ke, ki - pre)
+            hi = np.searchsorted(ke, ki + post, side="right")
+            surviving = np.unique(di[lo == hi])
+            keep = np.isin(cand, surviving, assume_unique=True)
+            docs_m, score_m = cand[keep], score[keep]
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score_m))[:k]
+                docs_m, score_m = docs_m[idx], score_m[idx]
+            return pd.DataFrame(
+                {"doc": docs_m.astype(np.int64), "score": score_m.astype(np.float32)}
+            )
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin([include, exclude])
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    def search_combined(
+        self,
+        terms: list[str],
+        fields: dict[str, float],
+        k: int,
+    ) -> DataFrame:
+        """Lucene CombinedFieldQuery (sandbox module) — BM25F-style
+        cross-field scoring: the query fields act as ONE virtual field
+        whose per-doc term frequency is the weighted sum of per-field
+        frequencies and whose length is the weighted sum of per-field
+        lengths (Robertson et al., "Simple BM25 Extension to Multiple
+        Weighted Fields", CIKM 2004; Lucene's CombinedFieldQuery +
+        MultiNormsLeafSimScorer).
+
+        Pseudo-stats, mirroring Lucene's merged statistics:
+          df_c(t)   = max over fields of df_f(t)
+          n_docs_c  = max over fields of docCount_f
+          avgdl_c   = (sum_f w_f * sum_dl_f) / n_docs_c
+          freq_c(d) = float32(sum_f w_f * tf_f(d))
+          len_c(d)  = floor(sum_f w_f * LENGTH_TABLE[dlq_f(d)] + 0.5),
+                      re-quantized through SmallFloat intToByte4 (the
+                      MultiNormsLeafSimScorer chain)
+          score(t,d)= float32(idf32(df_c) * float32(freq_c /
+                      (freq_c + cache32_c[len_byte])))
+          doc score = float64 sum of per-term float32, cast float32;
+                      ties docID asc.
+        A field the doc lacks contributes nothing to freq or length
+        (Lucene: missing norms are skipped).
+
+        Distributed shape: ONE termdict seek for all (field, term)
+        stats; postings scan pruned to the query's (field, term)
+        pairs; per-(field, doc) quantized lengths cogroup in as a
+        (doc, dlq) side input pruned to the query fields — the
+        per-shard kernel merges freqs across fields (sort + add.at),
+        computes combined norms, and returns its top-k. Norms stream
+        with the shard (columnar scan of the doclen table) rather
+        than random-access like Lucene's norms file — the honest
+        Spark translation of the same data volume. No WAND pruning:
+        cross-field max-score bounds are not safe on summed freqs,
+        so this surface trades pruning for exactness (Lucene's
+        CombinedFieldQuery makes the same trade)."""
+        if not fields:
+            raise ValueError("fields must be a non-empty {field: weight} dict")
+        for f, w in fields.items():
+            if w <= 0:
+                raise ValueError(f"field weight must be > 0 (got {f}={w})")
+        uniq = sorted(set(terms))
+        stats = self.term_stats_multi({f: uniq for f in fields})
+        df_c = {}
+        for t in uniq:
+            best = max((stats[(f, t)][0] for f in fields if (f, t) in stats), default=0)
+            if best > 0:
+                df_c[t] = best
+        if not df_c:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_docs_c = max(self.manifest.n_docs_for(f) for f in fields)
+        sum_dl_c = sum(
+            w * self.manifest.field_stat(f, "sum_dl") for f, w in fields.items()
+        )
+        avgdl_c = sum_dl_c / n_docs_c if n_docs_c else 0.0
+        fields_w = {f: float(w) for f, w in fields.items()}
+        q_terms = sorted(df_c)
+        ns = self.manifest.n_shards
+
+        parts: list[DataFrame] = []
+        base_aux, _ = self._aux_frames()
+        if base_aux is not None:
+            parts.append(base_aux.withColumn("val", F.lit(0).cast("long")))
+        dl_table = self.spark.read.parquet(
+            *self.manifest.segment_paths(self.root, "doclen")
+        )
+        for f in fields_w:
+            parts.append(
+                dl_table.filter(F.col("field") == f).select(
+                    F.pmod(F.col("doc"), F.lit(ns)).cast("int").alias("shard"),
+                    F.col("doc").cast("long").alias("doc"),
+                    F.lit(f"dl:{f}").alias("kind"),
+                    F.col("dlq").cast("long").alias("val"),
+                )
+            )
+        aux = parts[0]
+        for p in parts[1:]:
+            aux = aux.unionByName(p)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            dels: np.ndarray | None = None
+            dl_maps: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            if aux_pdf is not None and len(aux_pdf):
+                d = aux_pdf.loc[aux_pdf["kind"] == AUX_DEL, "doc"].to_numpy(np.int64)
+                if d.size:
+                    dels = np.unique(d)
+                for f in fields_w:
+                    sub = aux_pdf.loc[aux_pdf["kind"] == f"dl:{f}", ["doc", "val"]]
+                    if len(sub):
+                        dd = sub["doc"].to_numpy(np.int64)
+                        vv = sub["val"].to_numpy(np.int64)
+                        o = np.argsort(dd)
+                        dl_maps[f] = (dd[o], vv[o])
+            groups = {
+                (f, t): g for (f, t), g in pdf.groupby(["field", "term"], sort=False)
+            }
+            per_term: list[tuple[str, np.ndarray, np.ndarray]] = []
+            for t in q_terms:
+                dparts, fparts = [], []
+                for f, w in fields_w.items():
+                    g = groups.get((f, t))
+                    if g is None:
+                        continue
+                    d, tf, _ = _decode_block_rows(g)
+                    if dels is not None and dels.size and d.size:
+                        live = ~_sorted_probe(dels, d)
+                        d, tf = d[live], tf[live]
+                    if d.size:
+                        dparts.append(d)
+                        fparts.append(w * tf.astype(np.float64))
+                if not dparts:
+                    continue
+                dd = np.concatenate(dparts)
+                ff = np.concatenate(fparts)
+                ud, inv = np.unique(dd, return_inverse=True)
+                freq = np.zeros(ud.size, np.float64)
+                np.add.at(freq, inv, ff)
+                per_term.append((t, ud, freq.astype(np.float32)))
+            if not per_term:
+                return _EMPTY
+            all_docs = per_term[0][1]
+            for _, ud, _ in per_term[1:]:
+                all_docs = np.union1d(all_docs, ud)
+            comb_len = np.zeros(all_docs.size, np.float64)
+            for f, w in fields_w.items():
+                if f not in dl_maps:
+                    continue
+                dd, vv = dl_maps[f]
+                idx = np.searchsorted(dd, all_docs)
+                idx = np.clip(idx, 0, max(dd.size - 1, 0))
+                hit = dd[idx] == all_docs
+                lens = bm25.LENGTH_TABLE[vv[idx]].astype(np.float64)
+                comb_len[hit] += w * lens[hit]
+            nb = bm25.int_to_byte4(np.floor(comb_len + 0.5).astype(np.int64))
+            cache = bm25.norm_cache32(avgdl_c)
+            norm_c = cache[nb]
+            total = np.zeros(all_docs.size, np.float64)
+            for t, ud, freq32 in per_term:
+                pos = np.searchsorted(all_docs, ud)
+                idf32 = np.float32(bm25.idf(float(df_c[t]), n_docs_c))
+                # same pinned float chain as bm25.tf_norm: float64
+                # divide of exact float32 operands, cast back to f32
+                f64 = freq32.astype(np.float64)
+                tfn = (f64 / (f64 + norm_c[pos].astype(np.float64))).astype(np.float32)
+                total[pos] += (idf32 * tfn).astype(np.float32).astype(np.float64)
+            score32 = total.astype(np.float32)
+            docs_m = all_docs
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score32))[:k]
+                docs_m, score32 = docs_m[idx], score32[idx]
+            return pd.DataFrame(
+                {"doc": docs_m.astype(np.int64), "score": score32}
+            )
+
+        scan = self._postings.filter(
+            F.col("field").isin(list(fields_w)) & F.col("term").isin(q_terms)
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
     def search_wildcard(
         self, pattern: str, k: int, field: str = "text", max_expansions: int = 50, **kw
     ) -> DataFrame:

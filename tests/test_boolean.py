@@ -1261,3 +1261,52 @@ def test_explain_and_fuzzy_prefix_length(spark, tmp_path_factory):
     got = {r["doc"] for r in s.search_fuzzy("alpha", k=200, max_edits=2,
                                             prefix_length=3).collect()}
     assert got  # non-empty and well-formed
+
+
+def test_span_not(spark, tmp_path_factory):
+    """SpanNotQuery vs a brute-force occurrence filter: an include
+    occurrence at p survives unless an exclude occurrence lies in
+    [p - pre, p + post]; docs survive iff any occurrence does, and
+    survivors score exactly like a plain include-term query."""
+    import re as _re
+
+    rng = np.random.default_rng(17)
+    vocab = ["ape", "bee", "cat", "dog", "elk"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=int(rng.integers(3, 16))))}
+        for i in range(160)
+    ]
+    root = str(tmp_path_factory.mktemp("spannot") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+
+    def brute(inc, exc, pre, post):
+        out = set()
+        for r in rows:
+            toks = _re.findall(r"\w+", r["text"].lower())
+            pi = [i for i, x in enumerate(toks) if x == inc]
+            pe = [i for i, x in enumerate(toks) if x == exc]
+            if any(all(not (p - pre <= e <= p + post) for e in pe) for p in pi):
+                out.add(r["doc_id"])
+        return out
+
+    for inc, exc, pre, post in [
+        ("ape", "bee", 0, 0),   # same-position only: everything survives
+        ("ape", "bee", 0, 1),   # "ape bee" blocked
+        ("ape", "bee", 1, 2),
+        ("cat", "dog", 3, 3),
+        ("elk", "zzz", 2, 2),   # exclude term absent: all include docs
+    ]:
+        got = {r["doc"] for r in
+               s.search_span_not(inc, exc, k=500, pre=pre, post=post).collect()}
+        assert got == brute(inc, exc, pre, post), (inc, exc, pre, post)
+
+    # score identity with the plain term query on surviving docs
+    surv = {(r["doc"], r["score"]) for r in
+            s.search_span_not("ape", "bee", k=500, pre=1, post=2).collect()}
+    plain = {(r["doc"], r["score"]) for r in s.search(["ape"], k=500).collect()}
+    surv_docs = {d for d, _ in surv}
+    assert surv == {(d, sc) for d, sc in plain if d in surv_docs}
+
+    with pytest.raises(ValueError, match="pre/post"):
+        s.search_span_not("ape", "bee", k=5, pre=-1)
