@@ -88,11 +88,30 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
+    probes: dict[str, float] = {}
     work = tempfile.mkdtemp(prefix="sparklucene-bench-")
 
     # Host-condition probe BEFORE the measured stages (and again after,
     # below): same-window streaming ratio, ideal 4.0 — see _calibrate.
     cal_pre = _calibrate()
+
+    def _light_probe() -> float:
+        """Seconds for one small (8 MB) sort+hash — a per-stage host
+        speedometer. This VM throttles 5-30x minute-to-minute (two
+        back-to-back r5 bench runs: dedup_minhash 2.4 s then 67.7 s,
+        same code), so each stage timing records the host's local
+        speed next to it; a reader normalizes stage/probe before
+        calling anything a regression. Quiet-window value ~0.1 s."""
+        import hashlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 1000, size=1_000_000)
+        t0 = time.time()
+        b = np.sort(a)
+        hashlib.md5(b.tobytes()).digest()
+        return round(time.time() - t0, 4)
 
     def timed(name: str):
         class _T:
@@ -102,6 +121,7 @@ def main() -> None:
 
             def __exit__(self, *a):
                 queries[name] = round(time.time() - self.t0, 3)
+                probes[name] = _light_probe()
 
         return _T()
 
@@ -255,6 +275,7 @@ def main() -> None:
     cal_post = _calibrate()
     extra["cal_pre"] = cal_pre
     extra["cal_post"] = cal_post
+    extra["stage_probes_sec"] = probes
     extra["cal_stream_ratio_min"] = min(
         cal_pre["cal_stream_ratio"], cal_post["cal_stream_ratio"]
     )
