@@ -1240,6 +1240,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf):
         return textstats.fingerprints(_table(spark, sf, "documents"), "doc_id", "text")
 
+    def text_pii(spark, sf):
+        # PII tagging/redaction: the corpus has no organic PII, so the
+        # gate seeds deterministic emails/IPs/URLs/phones onto a
+        # doc_id-keyed subset and tags THAT (engine and twin seed
+        # identically); counts + redacted-text digest must hash-match
+        docs = _table(spark, sf, "documents")
+        did = F.col("doc_id")
+        seeded = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    did % 7 == 0,
+                    F.concat(F.lit(" contact user"), did.cast("string"),
+                             F.lit("@example.com")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 11 == 0,
+                    F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                             F.lit(".7 see https://example.com/d/"),
+                             did.cast("string")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 13 == 0,
+                    F.concat(F.lit(" call +1555"),
+                             F.lpad((did % 10000).cast("string"), 7, "0")),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return textstats.pii_tags(seeded, "doc_id", "text")
+
     def text_repetition(spark, sf):
         # Gopher-style repetition filters: max same-token run + top /
         # duplicated n-gram token fractions per doc
@@ -1344,11 +1375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_delete_search, ft_merge_addindexes, ft_tiered_search,
         tx_bm25_topk, tx_phrase_filtered,
         # -- LLM-pipeline + remaining r4-unsigned gates (20) --
-        tx_query_parser, ft_numeric_range, ft_sort_topn, ft_keyword_stats,
+        tx_query_parser, ft_sort_topn, ft_keyword_stats,
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash,
         dedup_ngram_jaccard, dedup_components,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
-        text_repetition,
+        text_repetition, text_pii,
         ann_cosine_topk, ann_lsh_topk, ann_ivf_topk, mm_media_stats,
         mm_features, agg_lineitem_pricing,
         # ---------------- driver window ends here (50) ----------------
@@ -1358,7 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ft_mlt's selection logic is pytest-covered and its oracle is
         # ft_bm25_topk_or's shape) — tools/gate_check.py still
         # oracle-checks every one of them
-        ft_mlt, ft_suggest,
+        ft_mlt, ft_suggest, ft_numeric_range,
         ft_term_lookup, ft_bm25_nested, ft_constant_score, ft_sorted_search,
         ft_query_parser_prefix, ft_facets, ft_span_first, ft_span_not,
         ft_terms_in_set,
@@ -1775,6 +1806,21 @@ WHERE dup.dup_rank = 1 AND q.quality >= {PIPE_QUALITY_MIN}
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
+        "text_pii": (
+            """WITH seeded AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' from 10.0.' || (doc_id % 256) || '.7 see https://example.com/d/' || doc_id
+         ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0
+         THEN ' call +1555' || lpad((doc_id % 10000)::VARCHAR, 7, '0') ELSE '' END
+    AS text
+  FROM documents
+)"""
+            + textstats.pii_tags_sql("seeded", "doc_id", "text")
+        ),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
         "ft_bm25_boosted": _bm25_sql(OR_TERMS, "or", K_ALL, boosts=BOOSTS),
         "ft_boolean_after": _bm25_sql(

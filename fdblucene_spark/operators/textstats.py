@@ -382,3 +382,57 @@ LEFT JOIN maxrun m USING ({id_col})
 LEFT JOIN bga USING ({id_col})
 LEFT JOIN tga USING ({id_col})
 """
+
+
+# PII / pattern tagging (training-data curation: scrub-before-train).
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark, JVM codegen) and RE2 (DuckDB twin): character classes,
+# bounded repeats, alternation — no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+\d[\d\-]{7,14}\d",
+}
+
+
+def pii_tags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII occurrence counts + a redacted-text digest —
+    the Dolma/CCNet-style scrub pass a pretraining pipeline runs
+    before tokenization. Columns: n_email / n_ipv4 / n_url / n_phone
+    (match counts per pattern) and redacted_hash (md5 of the text
+    with every match replaced by <TYPE>, applied in the fixed
+    PII_PATTERNS order so the digest is deterministic). Pure Catalyst
+    regexp expressions — whole-stage codegen, zero Python, no
+    shuffle; at 100 TB this is a map-only pass."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.md5(F.to_binary(red, F.lit("utf-8"))).alias("redacted_hash"),
+    )
+
+
+def pii_tags_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of pii_tags (RE2 regexps, same patterns/order)."""
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = text_col
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+SELECT {id_col},
+       {counts},
+       md5({red}) AS redacted_hash
+FROM {table}
+"""

@@ -420,3 +420,34 @@ def test_repetition_metrics_no_rowwise_python(spark, docs_df):
     out = textstats.repetition_metrics(docs_df, "doc_id", "text")
     assert_no_rowwise_python(out)
     assert out.count() == docs_df.count()
+
+
+def test_pii_tags_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "mail a@b.co and c.d+x@e.org at 10.0.0.7 via https://x.io/p?q=1",
+                    "call +1555-123-4567 twice +1555-123-4567",
+                    "clean text only",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.pii_tags(df, "doc_id", "text").collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_url"]) == (2, 1, 1)
+    assert out[1]["n_phone"] == 2
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_url"], out[2]["n_phone"]) == (0, 0, 0, 0)
+    # redaction digest: doc 2 unchanged -> md5(text); docs with hits differ
+    import hashlib
+    assert out[2]["redacted_hash"] == hashlib.md5(b"clean text only").hexdigest()
+    assert out[0]["redacted_hash"] != hashlib.md5(
+        b"mail a@b.co and c.d+x@e.org at 10.0.0.7 via https://x.io/p?q=1").hexdigest()
+
+
+def test_pii_tags_no_rowwise_python(spark, docs_df):
+    out = textstats.pii_tags(docs_df, "doc_id", "text")
+    assert_no_rowwise_python(out)
+    assert out.count() == docs_df.count()
