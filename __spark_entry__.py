@@ -87,6 +87,9 @@ BOOSTS = {"dup": 2.0, "hash": 0.5}  # ft_bm25_boosted per-clause boosts
 FACET_RANGES = [("short", None, 120), ("mid", 80, 400), ("long", 300, None)]
 SUGGEST_Q = "stor"  # ft_suggest: distance-2 tie (slow, sort) broken by df
 SPAN_FIRST_END = 3  # ft_span_first: term within the first 3 positions
+# ft_span_or: SpanNear(SpanTerm, SpanOr(alternatives), SpanTerm) ordered
+SPAN_OR_CLAUSES = ["sort", ("merge", "join"), "the"]
+SPAN_OR_SLOP = 2
 # ft_span_not: include occ survives unless exclude occ in [p-pre, p+post]
 SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
 # ft_combined_field: BM25F over {text, source} — src3 matches only via
@@ -463,12 +466,20 @@ toks AS (
     if span is not None:
         # N-clause SpanNearQuery twin: one position per clause, span
         # width <= slop + (n-1), in clause order when in_order — a
-        # positions self-join over the token-position relation
+        # positions self-join over the token-position relation. A
+        # clause may be a tuple of alternatives (SpanOrQuery): its
+        # position predicate becomes set membership.
         sterms, sslop, s_ord = span
         ns = len(sterms)
         w = sslop + ns - 1
         joins = ", ".join(f"flat f{i}" for i in range(ns))
-        conds = [f"f{i}.t = '{t}'" for i, t in enumerate(sterms)]
+        conds = []
+        for i, t in enumerate(sterms):
+            if isinstance(t, (tuple, list)):
+                alts = ", ".join(f"'{a}'" for a in t)
+                conds.append(f"f{i}.t IN ({alts})")
+            else:
+                conds.append(f"f{i}.t = '{t}'")
         conds += [f"f{i}.doc_id = f0.doc_id" for i in range(1, ns)]
         if s_ord:
             conds += [f"f{i}.p > f{i - 1}.p" for i in range(1, ns)]
@@ -918,6 +929,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inc, exc, pre, post = SPAN_NOT
         return _hits_df(
             _searcher(spark, sf).search_span_not(inc, exc, k=K_ALL, pre=pre, post=post)
+        )
+
+    def ft_span_or(spark, sf):
+        # SpanNearQuery with a SpanOrQuery clause: "sort" then
+        # ("merge" OR "join") then "the", ordered, slop=2 — matching
+        # docs score as the OR disjunction of the terms they contain
+        return _hits_df(
+            _searcher(spark, sf).search_span_near(
+                SPAN_OR_CLAUSES, k=K_ALL, slop=SPAN_OR_SLOP, in_order=True
+            )
         )
 
     def ft_span_first(spark, sf):
@@ -1392,7 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_mlt, ft_suggest, ft_numeric_range,
         ft_term_lookup, ft_bm25_nested, ft_constant_score, ft_sorted_search,
         ft_query_parser_prefix, ft_facets, ft_span_first, ft_span_not,
-        ft_terms_in_set,
+        ft_span_or, ft_terms_in_set,
         ft_bm25_boosted, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
@@ -1562,6 +1583,10 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
             [SPAN_NOT[0]], "or", K_ALL, span_not=SPAN_NOT
         ),
         "ft_combined_field": _combined_sql(COMB_TERMS, COMB_W_TEXT, COMB_W_SRC, K_ALL),
+        "ft_span_or": _bm25_sql(
+            [t for c in SPAN_OR_CLAUSES for t in ((c,) if isinstance(c, str) else c)],
+            "or", K_ALL, span=(SPAN_OR_CLAUSES, SPAN_OR_SLOP, True),
+        ),
         "ft_suggest": f"""
 WITH src AS (SELECT doc_id, text FROM documents),
 toks AS (

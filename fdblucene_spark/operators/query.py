@@ -546,52 +546,62 @@ def _gather_positions(
 
 def _span_near_filter(
     groups: dict[str, pd.DataFrame],
-    clause_terms: list[str],
+    clauses: list[tuple[str, ...]],
     slop: int,
     in_order: bool,
     cand: np.ndarray,
     acc: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Lucene SpanNearQuery over N single-term clauses: keep candidate
-    docs holding one position per clause with total span width
-    <= slop + (n-1), ordered (strictly increasing in clause order) or
-    unordered. Packed-key vectorization (doc << shift | pos; shift wide
-    enough that a window never crosses a doc boundary), no per-document
-    Python loop:
+    """Lucene SpanNearQuery over N clauses, each a SET of alternative
+    terms (singleton = SpanTermQuery; multi = SpanOrQuery of
+    SpanTermQuerys — a clause's position set is the UNION of its
+    alternatives' positions): keep candidate docs holding one position
+    per clause with total span width <= slop + (n-1), ordered
+    (strictly increasing in clause order) or unordered. Packed-key
+    vectorization (doc << shift | pos; shift wide enough that a window
+    never crosses a doc boundary), no per-document Python loop:
 
     - in_order: greedy minimal chain — for every slot-1 occurrence,
       each later slot advances to its SMALLEST position strictly after
       the previous slot's (one searchsorted per slot over the whole
       batch). Greedy minimizes the final position for a given start,
-      so a chain exists iff the greedy one fits the window.
-    - unordered: every occurrence is a candidate window start x; the
-      match test is, per DISTINCT term, `count of its occurrences in
-      [x, x+w] >= multiplicity in the clause list` (two searchsorted
-      per term). Distinct terms can never share a position (one token
-      per position), so counting gives a distinct-position assignment.
+      so a chain exists iff the greedy one fits the window. The
+      argument is untouched by OR clauses: the union set is just a
+      bigger position set per slot.
+    - unordered: single-term clauses ONLY (enforced by the caller) —
+      every occurrence is a candidate window start x; the match test
+      is, per DISTINCT term, `count of its occurrences in [x, x+w] >=
+      multiplicity in the clause list` (two searchsorted per term).
+      Distinct terms can never share a position (one token per
+      position), so counting gives a distinct-position assignment.
     """
     if cand.size == 0:
         return cand, acc
     empty = np.empty(0, dtype=np.int64)
     occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     max_pos = 0
-    for t in dict.fromkeys(clause_terms):
+    for t in dict.fromkeys(t for c in clauses for t in c):
         dd, pp = _gather_positions(groups, t, cand)
-        if dd.size == 0:
-            keep = np.zeros(cand.size, dtype=bool)
-            return cand[keep], acc[keep]
-        max_pos = max(max_pos, int(pp.max()))
+        if dd.size:
+            max_pos = max(max_pos, int(pp.max()))
         occ[t] = (dd, pp)
-    n = len(clause_terms)
+    n = len(clauses)
     w = slop + n - 1
     shift = max(21, int(max_pos + w + 1).bit_length() + 1)
-    keys = {t: np.sort((dd << shift) | pp) for t, (dd, pp) in occ.items()}
+    term_keys = {t: np.sort((dd << shift) | pp) for t, (dd, pp) in occ.items()}
+    keys: list[np.ndarray] = []
+    for c in clauses:
+        parts = [term_keys[t] for t in c if term_keys[t].size]
+        if not parts:
+            # no alternative of this clause occurs in the shard
+            keep = np.zeros(cand.size, dtype=bool)
+            return cand[keep], acc[keep]
+        keys.append(parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts)))
     if in_order:
-        start = keys[clause_terms[0]]
+        start = keys[0]
         cur = start
         ok = np.ones(cur.size, dtype=bool)
-        for t in clause_terms[1:]:
-            kt = keys[t]
+        for kt in keys[1:]:
             idx = np.searchsorted(kt, cur + 1, side="left")
             valid = ok & (idx < kt.size)
             nxt = kt[np.minimum(idx, kt.size - 1)]
@@ -602,12 +612,12 @@ def _span_near_filter(
         hit = ok & ((cur - start) <= w)  # same doc -> key delta == pos delta
     else:
         need: dict[str, int] = {}
-        for t in clause_terms:
-            need[t] = need.get(t, 0) + 1
-        start = np.unique(np.concatenate([keys[t] for t in need]))
+        for c in clauses:
+            need[c[0]] = need.get(c[0], 0) + 1
+        start = np.unique(np.concatenate([term_keys[t] for t in need]))
         hit = np.ones(start.size, dtype=bool)
         for t, m in need.items():
-            kt = keys[t]
+            kt = term_keys[t]
             cnt = np.searchsorted(kt, start + w, side="right") - np.searchsorted(
                 kt, start, side="left"
             )
@@ -1776,41 +1786,65 @@ class Searcher:
 
     def search_span_near(
         self,
-        clause_terms: list[str],
+        clause_terms: list,
         k: int,
         slop: int = 0,
         in_order: bool = False,
         field: str = "text",
     ) -> DataFrame:
-        """Lucene SpanNearQuery with N single-term clauses: docs where
-        one position per clause fits a span of width <= slop + (n-1)
-        — in clause order when in_order=True (SpanNearQuery(clauses,
-        slop, inOrder); the proximity surface of the reference's
-        delegated Lucene feature set, README.md:53). slop=0 in_order
-        over distinct terms == the exact phrase, score-identical.
-        Scores like mode=phrase: float64 sum of the distinct terms'
-        float32 BM25 scores on matching docs; ties break docID asc."""
-        if len(clause_terms) < 2:
+        """Lucene SpanNearQuery with N clauses: docs where one position
+        per clause fits a span of width <= slop + (n-1) — in clause
+        order when in_order=True (SpanNearQuery(clauses, slop,
+        inOrder); the proximity surface of the reference's delegated
+        Lucene feature set, README.md:53). slop=0 in_order over
+        distinct terms == the exact phrase, score-identical.
+
+        A clause is a term (SpanTermQuery) or a list of alternative
+        terms (SpanOrQuery of SpanTermQuerys — the clause matches at
+        the union of the alternatives' positions). OR clauses are
+        supported in ordered mode (the greedy minimal-chain argument
+        is alternative-set-agnostic); unordered mode keeps the
+        single-term counting matcher and rejects OR clauses.
+
+        Scoring: single-term clauses score like mode=phrase — float64
+        sum of ALL the distinct terms' float32 BM25 scores on matching
+        docs (every term is present by construction). With OR clauses
+        a match need not hold every alternative, so matching docs
+        score as the OR disjunction of all alternatives over the terms
+        they DO contain (same float chain); ties break docID asc."""
+        clauses = [
+            (c,) if isinstance(c, str) else tuple(dict.fromkeys(c))
+            for c in clause_terms
+        ]
+        if len(clauses) < 2:
             raise ValueError("search_span_near needs >= 2 clause terms")
+        if any(len(c) == 0 for c in clauses):
+            raise ValueError("empty OR clause")
+        multi = any(len(c) > 1 for c in clauses)
+        if multi and not in_order:
+            raise ValueError("OR clauses (SpanOrQuery) require in_order=True")
         if slop < 0:
             raise ValueError("slop must be >= 0")
         if not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; proximity queries unavailable")
-        uniq_terms = list(dict.fromkeys(clause_terms))
-        prep = self._prep(uniq_terms, "and", field)
+        uniq_terms = list(dict.fromkeys(t for c in clauses for t in c))
+        mode = "or" if multi else "and"
+        prep = self._prep(uniq_terms, mode, field)
         if prep is None:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         _, term_df = prep
+        if multi and any(not any(t in term_df for t in c) for c in clauses):
+            # a clause with no indexed alternative can never match
+            return self.spark.createDataFrame([], HIT_SCHEMA)
         n_docs = self.manifest.n_docs_for(field)
         avgdl = self.manifest.avgdl_for(field)
         aux, allow_kinds = self._aux_frames()
-        kt = list(clause_terms)
 
         def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
             dels, allowed = _split_aux(aux_pdf, allow_kinds)
             hits = _score_shard(
-                groups, term_df, n_docs, avgdl, 10 ** 9, "and",
+                groups, term_df, n_docs, avgdl, 10 ** 9, mode,
                 uniq_terms, dels, None, allowed=allowed,
             )
             if not len(hits):
@@ -1819,7 +1853,7 @@ class Searcher:
             order = np.argsort(cand)
             cand = cand[order]
             acc = hits["score"].to_numpy()[order].astype(np.float64)
-            docs_m, acc_m = _span_near_filter(groups, kt, slop, in_order, cand, acc)
+            docs_m, acc_m = _span_near_filter(groups, clauses, slop, in_order, cand, acc)
             score32 = acc_m.astype(np.float32)
             if docs_m.size > k:
                 idx = np.lexsort((docs_m, -score32))[:k]

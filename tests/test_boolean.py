@@ -1310,3 +1310,67 @@ def test_span_not(spark, tmp_path_factory):
 
     with pytest.raises(ValueError, match="pre/post"):
         s.search_span_not("ape", "bee", k=5, pre=-1)
+
+
+def test_span_near_or_clauses(spark, tmp_path_factory):
+    """SpanNear with SpanOr clauses (ordered): clause positions are
+    the union of the alternatives'; brute force enumerates one
+    position per clause from the union sets."""
+    import itertools
+    import re as _re
+
+    rng = np.random.default_rng(23)
+    vocab = ["ape", "bee", "cat", "dog", "elk"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=int(rng.integers(4, 14))))}
+        for i in range(150)
+    ]
+    root = str(tmp_path_factory.mktemp("spanor") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+
+    def brute(clauses, slop):
+        n = len(clauses)
+        w = slop + n - 1
+        out = set()
+        for r in rows:
+            toks = _re.findall(r"\w+", r["text"].lower())
+            poss = [
+                sorted({i for i, x in enumerate(toks) if x in set(c)})
+                for c in clauses
+            ]
+            if any(not p for p in poss):
+                continue
+            for sel in itertools.product(*poss):
+                if any(b <= a for a, b in zip(sel, sel[1:])):
+                    continue
+                if sel[-1] - sel[0] <= w:
+                    out.add(r["doc_id"])
+                    break
+        return out
+
+    cases = [
+        ([("ape", "bee"), "cat"], 1),
+        (["ape", ("bee", "dog"), "cat"], 2),
+        ([("ape", "cat"), ("bee", "dog")], 0),
+        (["elk", ("ape", "bee", "cat")], 3),
+    ]
+    for clauses, slop in cases:
+        norm = [(c,) if isinstance(c, str) else c for c in clauses]
+        got = {r["doc"] for r in
+               s.search_span_near(clauses, k=500, slop=slop, in_order=True).collect()}
+        assert got == brute(norm, slop), (clauses, slop)
+
+    # OR-clause scoring == OR disjunction over union terms on the match set
+    clauses = ["ape", ("bee", "dog")]
+    spans = {(r["doc"], r["score"]) for r in
+             s.search_span_near(clauses, k=500, slop=2, in_order=True).collect()}
+    union = {(r["doc"], r["score"]) for r in
+             s.search(["ape", "bee", "dog"], k=500, mode="or").collect()}
+    span_docs = {d for d, _ in spans}
+    assert spans == {(d, sc) for d, sc in union if d in span_docs}
+
+    with pytest.raises(ValueError, match="in_order"):
+        s.search_span_near([("ape", "bee"), "cat"], k=5, slop=1, in_order=False)
+    with pytest.raises(ValueError, match="empty"):
+        s.search_span_near([[], "cat"], k=5)
