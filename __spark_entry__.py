@@ -143,6 +143,43 @@ def _v2_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _seeded_plurals(docs: DataFrame) -> DataFrame:
+    """The base corpus has no plural tokens, so the stem gate seeds
+    deterministic plurals onto doc_id-keyed subsets (engine and twin
+    derive the same corpus). queries->query and tables->table merge
+    with EXISTING vocab terms (stemmed df must fold into theirs);
+    boxes->boxe and ponies->pony create new terms."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0, F.lit(" queries tables")).otherwise(F.lit("")),
+            F.when(did % 9 == 0, F.lit(" boxes ponies rows")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_SEEDED_SQL = """SELECT doc_id, text ||
+  CASE WHEN doc_id % 5 = 0 THEN ' queries tables' ELSE '' END ||
+  CASE WHEN doc_id % 9 = 0 THEN ' boxes ponies rows' ELSE '' END AS text
+FROM documents"""
+
+
+def _v3_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the standard_v3 analyzer (v2 stop filter +
+    EnglishMinimalStemFilter) over the plural-seeded corpus: stemmed
+    plurals must fold into existing terms' postings/df (queries ->
+    query) and mint new terms (ponies -> pony), shifting stats and
+    norms accordingly."""
+    root = os.path.join(_index_root(sf_dir), "v3")
+    if not IndexCatalog(root).exists():
+        docs = _seeded_plurals(_table(spark, sf_dir, "documents"))
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-v3", analyzer="standard_v3")
+    return Searcher(spark, root)
+
+
 def _hits_df(hits: DataFrame) -> DataFrame:
     return hits.select(
         F.col("doc").alias("doc_id"), F.round(F.col("score").cast("double"), 3).alias("score")
@@ -421,6 +458,7 @@ def _bm25_sql(
     span: tuple[list[str], int, bool] | None = None,
     span_not: tuple[str, str, int, int] | None = None,
     stop_words: tuple[str, ...] = (),
+    stem: bool = False,
     select_override: str | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
@@ -451,11 +489,24 @@ def _bm25_sql(
     if stop_words:
         sw = ", ".join(f"'{w}'" for w in sorted(stop_words))
         tok_pred = f"t -> t <> '' AND t NOT IN ({sw})"
+    ts_expr = f"list_filter(string_split_regex(lower(text), '{tok_regex}'), {tok_pred})"
+    if stem:
+        # minimal-stem filter AFTER the stop filter — the standard_v3
+        # chain, char-for-char the EnglishMinimalStemmer rules
+        ts_expr = f"""list_transform({ts_expr}, t -> CASE
+    WHEN length(t) < 3 OR t[-1] <> 's' THEN t
+    WHEN t[-2] IN ('u', 's') THEN t
+    WHEN t[-2] = 'e' THEN CASE
+        WHEN length(t) > 3 AND t[-3] = 'i' AND t[-4] NOT IN ('a', 'e')
+          THEN substr(t, 1, length(t) - 3) || 'y'
+        WHEN t[-3] IN ('i', 'a', 'o', 'e') THEN t
+        ELSE substr(t, 1, length(t) - 1) END
+    ELSE substr(t, 1, length(t) - 1) END)"""
     tok_cte = f"""
 src AS ({src_sql}),
 toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '{tok_regex}'), {tok_pred}) AS ts
+         {ts_expr} AS ts
   FROM src
 ), tok AS (
   SELECT doc_id, unnest(ts) AS term FROM toks
@@ -1118,6 +1169,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin proves the whole v2 chain (invert, stats, norms, idf)
         return _hits_df(_v2_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_stem_analyzer(spark, sf):
+        # standard_v3 (stop + minimal stem) over the plural-seeded
+        # corpus: "query"/"table" hits include docs whose only match
+        # was a seeded plural (df/ttf folded), "pony" exists only via
+        # stemming — hash-exact scores prove the whole v3 chain
+        return _hits_df(
+            _v3_searcher(spark, sf).search(
+                ["query", "table", "pony"], k=K_ALL, mode="or"
+            )
+        )
+
     def ft_highlight(spark, sf):
         # snippet assembly from the offsets keyspace (("pp",...) ->
         # (startOffset, endOffset), DATA.md:54; Lucene Highlighter):
@@ -1410,7 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ft_mlt's selection logic is pytest-covered and its oracle is
         # ft_bm25_topk_or's shape) — tools/gate_check.py still
         # oracle-checks every one of them
-        ft_mlt, ft_suggest, ft_numeric_range,
+        ft_mlt, ft_suggest, ft_numeric_range, ft_stem_analyzer,
         ft_term_lookup, ft_bm25_nested, ft_constant_score, ft_sorted_search,
         ft_query_parser_prefix, ft_facets, ft_span_first, ft_span_not,
         ft_span_or, ft_terms_in_set,
@@ -1763,6 +1825,10 @@ FROM tokpos WHERE tp.t = '{LOOKUP_TERM}'
 """,
         "ft_stop_analyzer": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
+        ),
+        "ft_stem_analyzer": _bm25_sql(
+            ["query", "table", "pony"], "or", K_ALL,
+            src_sql=_SEEDED_SQL, stop_words=tuple(ENGLISH_STOPWORDS), stem=True,
         ),
         "ft_highlight": f"""
 SELECT h.doc_id, h.score,

@@ -46,7 +46,39 @@ ENGLISH_STOPWORDS = frozenset(
 ANALYZERS: dict[str, frozenset[str]] = {
     "standard_v1": frozenset(),
     "standard_v2": ENGLISH_STOPWORDS,
+    # v3 = v2 + minimal English plural stemming (Lucene
+    # EnglishMinimalStemFilter; Harman's S-stemmer) AFTER the stop
+    # filter — the filter-chain order is part of the pinned contract
+    "standard_v3": ENGLISH_STOPWORDS,
 }
+
+# analyzers that run the minimal-stem filter after stop removal
+STEM_ANALYZERS = frozenset({"standard_v3"})
+
+
+def stems(analyzer: str = ANALYZER_VERSION) -> bool:
+    stop_set(analyzer)  # validate the name
+    return analyzer in STEM_ANALYZERS
+
+
+def min_stem(w: str) -> str:
+    """Lucene EnglishMinimalStemFilter, char-for-char (the public
+    EnglishMinimalStemmer.stem rules): strip plural -s with the
+    guards -us/-ss keep, -ies -> -y (unless -aies/-eies), and
+    -ies/-aes/-oes/-ees length-3 vowel-e keeps."""
+    n = len(w)
+    if n < 3 or w[-1] != "s":
+        return w
+    c2 = w[-2]
+    if c2 == "u" or c2 == "s":
+        return w
+    if c2 == "e":
+        if n > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+        return w[:-1]
+    return w[:-1]
 
 KEYWORD_ANALYZER = "keyword_v1"  # whole value = single term, no lowercase
                                  # (reference: StringField("_id", ...),
@@ -65,17 +97,24 @@ def tokenize_text(text: str | None, analyzer: str = ANALYZER_VERSION) -> list[st
         return []
     stops = stop_set(analyzer)
     toks = _TOKEN_RE.findall(text.lower())
-    return [t for t in toks if t not in stops] if stops else toks
+    if stops:
+        toks = [t for t in toks if t not in stops]
+    if stems(analyzer):
+        toks = [min_stem(t) for t in toks]
+    return toks
 
 
 def _make_tokens_udf(analyzer: str):
     stops = stop_set(analyzer)
+    do_stem = stems(analyzer)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
         found = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
         if stops:
             found = found.apply(lambda ts: [t for t in ts if t not in stops])
+        if do_stem:
+            found = found.apply(lambda ts: [min_stem(t) for t in ts])
         return found
 
     return _udf
@@ -94,6 +133,31 @@ def tokens_udf_for(analyzer: str = ANALYZER_VERSION):
 tokens_udf = tokens_udf_for(ANALYZER_VERSION)  # back-compat alias
 
 
+def min_stem_expr(t: Column) -> Column:
+    """Catalyst twin of min_stem (pure JVM, codegen-friendly):
+    1-based Column.substr arithmetic mirrors the char tests."""
+    n = F.length(t)
+    last = t.substr(n, F.lit(1))
+    c2 = t.substr(n - 1, F.lit(1))
+    c3 = t.substr(n - 2, F.lit(1))
+    c4 = t.substr(n - 3, F.lit(1))
+    drop1 = t.substr(F.lit(1), n - 1)
+    return (
+        F.when((n < 3) | (last != F.lit("s")), t)
+        .when(c2.isin("u", "s"), t)
+        .when(
+            c2 == F.lit("e"),
+            F.when(
+                (n > 3) & (c3 == F.lit("i")) & ~c4.isin("a", "e"),
+                F.concat(t.substr(F.lit(1), n - 3), F.lit("y")),
+            )
+            .when(c3.isin("i", "a", "o", "e"), t)
+            .otherwise(drop1),
+        )
+        .otherwise(drop1)
+    )
+
+
 def tokenize_expr_ascii(col: Column, analyzer: str = ANALYZER_VERSION) -> Column:
     """JVM-only tokenizer for ASCII corpora: identical to the named
     analyzer when text contains no non-ASCII word chars. Stays in
@@ -102,10 +166,14 @@ def tokenize_expr_ascii(col: Column, analyzer: str = ANALYZER_VERSION) -> Column
     arr = F.split(F.lower(col), r"[^a-z0-9_]+")
     if stops:
         stop_arr = F.array(*[F.lit(s) for s in sorted(stops)])
-        return F.filter(
+        arr = F.filter(
             arr, lambda t: (t != F.lit("")) & ~F.array_contains(stop_arr, t)
         )
-    return F.filter(arr, lambda t: t != F.lit(""))
+    else:
+        arr = F.filter(arr, lambda t: t != F.lit(""))
+    if stems(analyzer):
+        arr = F.transform(arr, min_stem_expr)
+    return arr
 
 
 def with_tokens(

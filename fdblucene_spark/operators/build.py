@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import bm25, codec
-from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE, stop_set
+from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE, min_stem, stems, stop_set
 from ..sources.manifest import (
     CommitConflict, IndexCatalog, Manifest, SegmentMeta, dir_fingerprint,
     table_file_lists,
@@ -209,6 +209,7 @@ def _invert_text(
     store_payloads: bool = False,
     stops: frozenset[str] = frozenset(),
     emit_roster: bool = False,
+    stem: bool = False,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
 
@@ -263,6 +264,11 @@ def _invert_text(
     keep = lens > 0  # docs with no tokens produce no postings
     keep_idx = np.flatnonzero(keep)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[keep]])
+    if stem:
+        # minimal-stem filter AFTER stop removal (standard_v3 chain);
+        # offsets keep the ORIGINAL surface-form char spans, exactly
+        # like a Lucene stem TokenFilter downstream of the tokenizer
+        flat_terms = np.array([min_stem(t) for t in flat_terms], dtype=object)
     row_rep = np.repeat(keep_idx, lens[keep])
     starts = np.cumsum(lens[keep]) - lens[keep]
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[keep])
@@ -360,6 +366,7 @@ def _invert_factory(
     store_offsets: bool = False,
     store_payloads: bool = False,
     stops: frozenset[str] = frozenset(),
+    stem: bool = False,
 ):
     """Tokenize + per-doc inversion kernel (the in-memory segment),
     one output row per (field, doc, term)."""
@@ -380,7 +387,7 @@ def _invert_factory(
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
                         store_offsets, store_payloads, stops,
-                        emit_roster=spec["field"] == primary,
+                        emit_roster=spec["field"] == primary, stem=stem,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -528,7 +535,8 @@ def build_postings(
     src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
     inverted = docs_df.select(*src_cols).mapInPandas(
         _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets,
-                        store_payloads=store_payloads, stops=stops),
+                        store_payloads=store_payloads, stops=stops,
+                        stem=stems(analyzer)),
         schema=INVERTED_SCHEMA,
     )
     if freeze_dir is not None:

@@ -201,3 +201,76 @@ def test_lineage_readback_fallback_matches_unrolled(spark, tmp_path_factory, mon
     lu, lf = shard_lineage(m_unrolled), shard_lineage(m_fallback)
     assert lu == lf and lu  # same shards, same counts, same bytes
     assert m_unrolled.n_docs == m_fallback.n_docs
+
+
+# -------------------------------------------------- standard_v3 (min stem)
+def test_min_stem_rules():
+    from fdblucene_spark.functions.analysis import min_stem
+
+    cases = {
+        # plain plural -s dropped
+        "dogs": "dog", "tables": "table", "rows": "row", "vectors": "vector",
+        # -ies -> -y (unless -aies/-eies)
+        "queries": "query", "ponies": "pony", "pies": "py",
+        # -es with consonant before: only the s drops (minimal stemmer)
+        "boxes": "boxe", "indexes": "indexe",
+        # keeps: -ss, -us, -ies-family vowels, short words
+        "glass": "glass", "focus": "focus", "goes": "goes", "sees": "sees",
+        "is": "is", "as": "as", "gas": "ga",  # n=3 'gas' -> drop s (a not u/s/e)
+        "days": "day",
+    }
+    for w, want in cases.items():
+        assert min_stem(w) == want, (w, min_stem(w), want)
+
+
+def test_min_stem_expr_matches_python(spark):
+    # the Catalyst twin must agree with the Python reference on a
+    # broad word list (every rule branch + boundary lengths)
+    from fdblucene_spark.functions.analysis import min_stem, min_stem_expr
+    import pyspark.sql.functions as F
+
+    words = [
+        "s", "ss", "us", "es", "ies", "aies", "eies", "oes", "ees", "aes",
+        "dogs", "queries", "ponies", "pies", "boxes", "glass", "focus",
+        "goes", "sees", "gas", "days", "xs", "abs", "its", "this", "boss",
+        "tables", "a", "", "plus", "miss", "lens", "news",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"] for r in
+           df.select("w", min_stem_expr(F.col("w")).alias("s")).collect()}
+    for w in words:
+        assert got[w] == min_stem(w), (w, got[w], min_stem(w))
+
+
+def test_v3_index_stems_and_folds_df(spark, tmp_path_factory):
+    from fdblucene_spark.functions.analysis import tokenize_text
+
+    rows = [
+        (0, "the quick dogs and the lazy dog"),
+        (1, "queries hit the query planner"),
+        (2, "ponies"),
+        (3, "glass focus goes"),            # all no-ops under the stemmer
+    ]
+    root = str(tmp_path_factory.mktemp("idxv3"))
+    build_index(
+        spark, spark.createDataFrame(rows, "doc_id long, text string"), root,
+        doc_col="doc_id", n_shards=2, fingerprint="v3", analyzer="standard_v3",
+    )
+    s = Searcher(spark, root)
+    # "dogs" and "dog" fold into one term with df=1 ttf=2 in doc 0
+    st = s.term_stats(["dog", "query", "pony", "dogs", "queries"])
+    assert st["dog"] == (1, 2)
+    assert st["query"] == (1, 2)   # queries+query both in doc 1 -> df 1, ttf 2
+    assert "dogs" not in st and "queries" not in st
+    assert st["pony"] == (1, 1)
+    # query text analyzed with the pinned v3 analyzer end-to-end
+    hits = {r["doc"] for r in s.search_parsed("ponies", k=10).collect()}
+    assert hits == {2}
+    # tokenize_text v3 = stop + stem
+    assert tokenize_text("the queries and ponies", "standard_v3") == ["query", "pony"]
+    # cross-analyzer append refused (pin)
+    with pytest.raises(ValueError, match="analyzer"):
+        build_index(
+            spark, spark.createDataFrame(rows, "doc_id long, text string"), root,
+            doc_col="doc_id", n_shards=2, append=True, analyzer="standard_v1",
+        )
