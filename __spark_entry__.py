@@ -36,6 +36,7 @@ AND_TERMS = ["key", "value", "the"]
 PHRASE = ["sort", "merge"]
 POSTING_TERMS = ["dup", "key", "vector"]
 LOOKUP_TERM = "dup"
+TV_DOCS = [1, 7, 42]  # ft_term_vectors: per-doc forward view of these docs
 MATCH_COUNT_QUERIES = [
     ("mc_dup_or", ["dup"], "or"),
     ("mc_keyvalue_and", ["key", "value"], "and"),
@@ -1162,6 +1163,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc").alias("doc_id"), "pos", "payload")
         )
 
+    def ft_term_vectors(spark, sf):
+        # Lucene TermVectors analogue: per-doc forward view derived
+        # from the inverted postings with the doc allow-set prune;
+        # positions serialized to a canonical string for the hash
+        return (
+            _searcher(spark, sf)
+            .term_vectors(TV_DOCS)
+            .select(
+                F.col("doc").alias("doc_id"),
+                "term",
+                "freq",
+                F.concat_ws(",", F.col("positions").cast("array<string>")).alias(
+                    "positions_s"
+                ),
+            )
+        )
+
     def ft_stop_analyzer(spark, sf):
         # same OR query as ft_bm25_topk_or but against the standard_v2
         # index: the hit SET can match v1's, the SCORES cannot (stop
@@ -1481,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         pipe_curation,
+        ft_term_vectors,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1822,6 +1841,20 @@ WITH {_TOK_CTE}, tokpos AS (
 )
 SELECT doc_id, (tp.p - 1)::BIGINT AS pos, length(tp.t)::BIGINT AS payload
 FROM tokpos WHERE tp.t = '{LOOKUP_TERM}'
+""",
+        "ft_term_vectors": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM documents WHERE doc_id IN ({", ".join(str(d) for d in TV_DOCS)})
+), tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+)
+SELECT doc_id, tp.t AS term, count(*)::BIGINT AS freq,
+       array_to_string(list(tp.p - 1 ORDER BY tp.p), ',') AS positions_s
+FROM tokpos GROUP BY doc_id, tp.t
 """,
         "ft_stop_analyzer": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
