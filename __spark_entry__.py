@@ -37,6 +37,7 @@ PHRASE = ["sort", "merge"]
 POSTING_TERMS = ["dup", "key", "vector"]
 LOOKUP_TERM = "dup"
 TV_DOCS = [1, 7, 42]  # ft_term_vectors: per-doc forward view of these docs
+EXPLAIN_DOC = 7  # ft_explain: per-term BM25 breakdown for this doc
 MATCH_COUNT_QUERIES = [
     ("mc_dup_or", ["dup"], "or"),
     ("mc_keyvalue_and", ["key", "value"], "and"),
@@ -1180,6 +1181,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_explain(spark, sf):
+        # Lucene IndexSearcher.explain: flatten the per-clause score
+        # breakdown (df, tf, quantized length, f32 idf/tf_norm/score)
+        # plus the f32 total to rows; the twin recomputes every leaf
+        # through the same f32 SQL chain as the BM25 gates
+        ex = _searcher(spark, sf).explain(EXPLAIN_DOC, POSTING_TERMS)
+        rows = [
+            (
+                c["term"], c["df"], c["tf"], c["norm_len"],
+                round(c["idf32"], 6), round(c["tf_norm32"], 6), round(c["score32"], 6),
+            )
+            for c in ex["clauses"]
+            if c.get("matched")
+        ]
+        rows.append(("__total__", None, None, None, None, None, round(ex["total32"], 6)))
+        return spark.createDataFrame(
+            rows,
+            "term string, df long, tf long, dlq_len long, "
+            "idf double, tf_norm double, score double",
+        )
+
     def ft_stop_analyzer(spark, sf):
         # same OR query as ft_bm25_topk_or but against the standard_v2
         # index: the hit SET can match v1's, the SCORES cannot (stop
@@ -1499,7 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         pipe_curation,
-        ft_term_vectors,
+        ft_term_vectors, ft_explain,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1855,6 +1877,33 @@ WITH toks AS (
 SELECT doc_id, tp.t AS term, count(*)::BIGINT AS freq,
        array_to_string(list(tp.p - 1 ORDER BY tp.p), ',') AS positions_s
 FROM tokpos GROUP BY doc_id, tp.t
+""",
+        "ft_explain": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), parts AS (
+  SELECT tf.term, dfs.df, tf.tf, n.dlq_len::BIGINT AS dlq_len,
+         {_IDF_F32} AS idf32,
+         ((tf.tf::DOUBLE / (tf.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT) AS tfn32,
+         (({_IDF_F32})::DOUBLE *
+          ((tf.tf::DOUBLE / (tf.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+         )::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats s
+  WHERE tf.doc_id = {EXPLAIN_DOC}
+)
+SELECT term, df, tf, dlq_len, round(idf32::DOUBLE, 6) AS idf,
+       round(tfn32::DOUBLE, 6) AS tf_norm, round(s32::DOUBLE, 6) AS score
+FROM parts
+UNION ALL
+SELECT '__total__', NULL, NULL, NULL, NULL, NULL,
+       round(coalesce((SELECT (sum(s32::DOUBLE))::FLOAT FROM parts), 0)::DOUBLE, 6)
 """,
         "ft_stop_analyzer": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
