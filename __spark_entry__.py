@@ -335,14 +335,14 @@ def _tx_searcher(spark: SparkSession):
     Deterministic corpus written once for the DuckDB oracle to read."""
     from fdblucene_spark.data import synth
 
-    root = os.path.join(TX_DIR, "index_v2")
+    root = os.path.join(TX_DIR, "index_v3")  # v3: + stored conv_id (block join)
     if not IndexCatalog(root).exists():
         _ensure_tx_corpus()
         df = synth.transcripts(spark, n_convs=TX_N_CONVS)
         build_index(
             spark, df, root, key_cols=["conv_id", "turn_idx"], n_shards=8,
             text_fields={"text": "text"}, keyword_fields={"role": "role", "tool": "tool"},
-            stored_fields={"ts": "ts"},
+            stored_fields={"ts": "ts", "conv_id": "conv_id"},
             fingerprint="tx-gate",
         )
     return Searcher(spark, root)
@@ -1304,6 +1304,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def tx_block_join(spark, sf):
+        # ToParentBlockJoin roll-up: the child (turn-level) BM25 match
+        # set folded to parent conversations by ScoreMode.Total —
+        # child f32 scores summed in f64, cast back to f32 (the
+        # BlockJoinScorer accumulation), ranked (score desc, conv asc)
+        return (
+            _tx_searcher(spark)
+            .search_block_join(TX_TERMS_OR, "conv_id", k=25, score_mode="total")
+            .select(
+                F.col("parent").alias("conv_id"),
+                F.round(F.col("score").cast("double"), 3).alias("score"),
+                "n_children",
+            )
+        )
+
     def tx_query_parser(spark, sf):
         # the QueryParser surface on the north-star transcripts corpus:
         # unfielded SHOULD terms + a keyword-field MUST_NOT, compiled
@@ -1521,7 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         pipe_curation,
-        ft_term_vectors, ft_explain,
+        ft_term_vectors, ft_explain, tx_block_join,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1587,6 +1602,21 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
             src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
                     f"FROM read_parquet('{TX_CORPUS}')",
             tok_regex=_TX_TOK_RE,
+        ),
+        "tx_block_join": _bm25_sql(
+            TX_TERMS_OR, "or", 10000,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+            select_override=f"""
+SELECT m.conv_id,
+       round((sum(score32::DOUBLE))::FLOAT::DOUBLE, 3) AS score,
+       count(*)::BIGINT AS n_children
+FROM agg
+JOIN (SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, conv_id
+      FROM read_parquet('{TX_CORPUS}')) m ON m.doc_id = agg.doc_id
+GROUP BY m.conv_id
+ORDER BY (sum(score32::DOUBLE))::FLOAT DESC, m.conv_id ASC LIMIT 25""",
         ),
         "tx_bm25_top10": _bm25_sql(
             TX_TERMS_OR, "or", 10,

@@ -2809,6 +2809,70 @@ class Searcher:
             .orderBy("grp_rank", "doc_rank")
         )
 
+    def search_block_join(
+        self,
+        terms: list[str],
+        parent_field: str,
+        k: int = 10,
+        score_mode: str = "max",
+        mode: str = "or",
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene ToParentBlockJoinQuery analogue: a child-level query
+        rolled up to parent entities. In Lucene the parent is the last
+        doc of an index block and the BlockJoinScorer folds each
+        block's child scores by ScoreMode; here the parent key is an
+        index-owned STORED field of the child docs (for transcripts:
+        conv_id — turns are children, conversations are parents), so
+        no index-time block discipline is required and parents never
+        occupy docID space.
+
+        score_mode, matching Lucene's ScoreMode float semantics over
+        float32 child scores:
+          - 'max' / 'min': exact fold of the float32 child scores;
+          - 'total': child scores summed in float64, cast to float32
+            (BlockJoinScorer accumulates a double, returns (float));
+          - 'avg': float32( float64 sum / child count );
+          - 'none': constant 0.0 (match-only roll-up).
+        Parents rank by (score desc, parent asc); n_children = the
+        parent's matched-child count (Lucene's ParentApproximation
+        advances over the same set).
+
+        Distributed shape: full scored child match set (no top-k cut)
+        -> broadcast-free join against the column-pruned stored table
+        -> ONE partial+final agg keyed by parent -> TakeOrdered k.
+        At 100 TB the only wide exchange is the parent agg, and its
+        partial (map-side) combine reduces each partition to its
+        distinct parents first."""
+        if score_mode not in ("max", "min", "total", "avg", "none"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        stored = self._stored_df()
+        if parent_field not in stored.columns:
+            raise ValueError(
+                f"parent field {parent_field!r} is not stored in this index"
+            )
+        scored = self._scored_match_set(terms, mode=mode, field=field)
+        par = stored.select("doc", F.col(parent_field).alias("parent"))
+        joined = scored.join(par, "doc", "inner")
+        if score_mode == "max":
+            agg_score = F.max("score").cast("float")
+        elif score_mode == "min":
+            agg_score = F.min("score").cast("float")
+        elif score_mode == "total":
+            agg_score = F.sum(F.col("score").cast("double")).cast("float")
+        elif score_mode == "avg":
+            agg_score = (
+                F.sum(F.col("score").cast("double")) / F.count(F.lit(1))
+            ).cast("float")
+        else:  # none
+            agg_score = F.lit(0.0).cast("float")
+        return (
+            joined.groupBy("parent")
+            .agg(agg_score.alias("score"), F.count(F.lit(1)).alias("n_children"))
+            .orderBy(F.desc("score"), F.asc("parent"))
+            .limit(int(k))
+        )
+
     def suggest(
         self,
         term: str,

@@ -1,0 +1,96 @@
+"""ToParentBlockJoin roll-up (child query -> parent entities).
+
+Oracle: the engine's own full child match set (rank-identity of that
+set is pinned elsewhere) re-aggregated in numpy with Lucene's
+ScoreMode float semantics — f32 max/min, f64-sum-cast-f32 total,
+f32(f64 sum / count) avg — then compared exactly.
+"""
+
+import numpy as np
+import pytest
+
+from fdblucene_spark.operators.build import build_index
+from fdblucene_spark.operators.query import Searcher
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+@pytest.fixture(scope="module")
+def bj_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(13)
+    rows = []
+    doc = 0
+    for conv in range(40):
+        for _ in range(int(rng.integers(2, 8))):
+            ln = int(rng.integers(2, 20))
+            w = 1.0 / np.arange(1, len(WORDS) + 1)
+            rows.append(
+                {
+                    "doc_id": doc,
+                    "conv_id": conv,
+                    "text": " ".join(rng.choice(WORDS, size=ln, p=w / w.sum())),
+                }
+            )
+            doc += 1
+    root = str(tmp_path_factory.mktemp("bj") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
+        stored_fields={"conv_id": "conv_id"},
+    )
+    return rows, Searcher(spark, root)
+
+
+def _brute(rows, s, terms, mode, score_mode):
+    hits = s.search_local(terms, k=len(rows) + 1, mode=mode)
+    parent_of = {r["doc_id"]: r["conv_id"] for r in rows}
+    groups = {}
+    for _, h in hits.iterrows():
+        groups.setdefault(parent_of[int(h["doc"])], []).append(np.float32(h["score"]))
+    out = []
+    for p, ss in groups.items():
+        a = np.array(ss, dtype=np.float32)
+        if score_mode == "max":
+            sc = a.max()
+        elif score_mode == "min":
+            sc = a.min()
+        elif score_mode == "total":
+            sc = np.float32(a.astype(np.float64).sum())
+        elif score_mode == "avg":
+            sc = np.float32(a.astype(np.float64).sum() / len(a))
+        else:
+            sc = np.float32(0.0)
+        out.append((p, sc, len(a)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+@pytest.mark.parametrize("score_mode", ["max", "total", "avg", "min", "none"])
+def test_block_join_modes(spark, bj_index, score_mode):
+    rows, s = bj_index
+    got = (
+        s.search_block_join(["alpha", "gamma"], "conv_id", k=15, score_mode=score_mode)
+        .toPandas()
+    )
+    want = _brute(rows, s, ["alpha", "gamma"], "or", score_mode)[:15]
+    assert [int(p) for p in got["parent"]] == [p for p, _, _ in want]
+    assert [int(n) for n in got["n_children"]] == [n for _, _, n in want]
+    for g, (_, w, _) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_block_join_and_mode(spark, bj_index):
+    rows, s = bj_index
+    got = (
+        s.search_block_join(["alpha", "beta"], "conv_id", k=10, score_mode="max", mode="and")
+        .toPandas()
+    )
+    want = _brute(rows, s, ["alpha", "beta"], "and", "max")[:10]
+    assert [int(p) for p in got["parent"]] == [p for p, _, _ in want]
+
+
+def test_block_join_rejects_unstored_parent(spark, bj_index):
+    _, s = bj_index
+    with pytest.raises(ValueError):
+        s.search_block_join(["alpha"], "nope", k=5)
+    with pytest.raises(ValueError):
+        s.search_block_join(["alpha"], "conv_id", score_mode="sum")
