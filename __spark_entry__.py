@@ -38,6 +38,7 @@ POSTING_TERMS = ["dup", "key", "vector"]
 LOOKUP_TERM = "dup"
 TV_DOCS = [1, 7, 42]  # ft_term_vectors: per-doc forward view of these docs
 EXPLAIN_DOC = 7  # ft_explain: per-term BM25 breakdown for this doc
+SYN_TERMS = ["merge", "hash"]  # ft_synonym: blended-stats pseudo-term
 MATCH_COUNT_QUERIES = [
     ("mc_dup_or", ["dup"], "or"),
     ("mc_keyvalue_and", ["key", "value"], "and"),
@@ -1181,6 +1182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_synonym(spark, sf):
+        # Lucene SynonymQuery: members score as ONE pseudo-term —
+        # docFreq = max member df, per-doc freq = sum of member freqs,
+        # one BM25 leaf (no per-term idf double-counting)
+        return _hits_df(_searcher(spark, sf).search_synonym(SYN_TERMS, k=K_ALL))
+
     def ft_explain(spark, sf):
         # Lucene IndexSearcher.explain: flatten the per-clause score
         # breakdown (df, tf, quantized length, f32 idf/tf_norm/score)
@@ -1536,7 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         pipe_curation,
-        ft_term_vectors, ft_explain, tx_block_join,
+        ft_term_vectors, ft_explain, tx_block_join, ft_synonym,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1907,6 +1914,30 @@ WITH toks AS (
 SELECT doc_id, tp.t AS term, count(*)::BIGINT AS freq,
        array_to_string(list(tp.p - 1 ORDER BY tp.p), ',') AS positions_s
 FROM tokpos GROUP BY doc_id, tp.t
+""",
+        "ft_synonym": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(SYN_TERMS))})
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT max(df)::BIGINT AS df
+  FROM (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term)
+), syn AS (
+  SELECT doc_id, sum(tf)::BIGINT AS tsum FROM tf GROUP BY doc_id
+)
+SELECT syn.doc_id, round((
+  ({_IDF_F32})::DOUBLE *
+  ((syn.tsum::DOUBLE / (syn.tsum::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+)::FLOAT::DOUBLE, 3) AS score
+FROM syn
+JOIN norms n ON n.doc_id = syn.doc_id
+CROSS JOIN stats s CROSS JOIN dfs
+ORDER BY (
+  ({_IDF_F32})::DOUBLE *
+  ((syn.tsum::DOUBLE / (syn.tsum::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+)::FLOAT DESC, syn.doc_id ASC LIMIT {K_ALL}
 """,
         "ft_explain": f"""
 WITH {_TOK_CTE}, {_NORM_CTE},

@@ -2809,6 +2809,64 @@ class Searcher:
             .orderBy("grp_rank", "doc_rank")
         )
 
+    def search_synonym(
+        self, terms: list[str], k: int = 10, field: str = "text"
+    ) -> DataFrame:
+        """Lucene SynonymQuery: score several terms as ONE pseudo-term
+        (query-time synonyms — SynonymGraphFilter output positions
+        collapse to this query). Blended statistics per Lucene 8's
+        SynonymQuery.createWeight: docFreq = MAX of the members'
+        docFreqs (not the union's df), and the scorer consumes the SUM
+        of the members' per-doc freqs through a single BM25 leaf —
+        score = f32(idf(df_max) * tf_norm(sum tf, norm)). Unlike a
+        disjunction, a doc matching two synonyms is scored once with
+        their combined frequency, so common+rare synonym pairs don't
+        double-count idf.
+
+        Kernel shape: the members' postings decode in one pass per
+        shard, per-doc freqs accumulate via reduceat over the sorted
+        doc vector, deletes apply as a cogrouped side input, and each
+        shard emits only its top-k (shards partition docID space, so
+        the global orderBy-limit over k*n_shards rows is exact)."""
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        dfs = [int(st[0]) for st in stats.values() if st[0] > 0]
+        if not dfs:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        w32 = np.float32(bm25.idf(float(max(dfs)), n_docs))
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            d, tf, dlq = _decode_block_rows(pdf)
+            order = np.argsort(d, kind="mergesort")
+            d, tf, dlq = d[order], tf[order], dlq[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tsum = np.add.reduceat(tf.astype(np.int64), idx)
+            dlqu = dlq[idx]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tsum, dlqu = uniq[keep], tsum[keep], dlqu[keep]
+            if not uniq.size:
+                return empty
+            sc = (w32 * bm25.tf_norm(tsum, dlqu, avgdl)).astype(np.float32)
+            top = np.lexsort((uniq, -sc.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": sc[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(ts)
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_block_join(
         self,
         terms: list[str],

@@ -1,0 +1,93 @@
+"""SynonymQuery scoring (blended stats, single BM25 leaf).
+
+Oracle: brute force in numpy through functions/bm25 — docFreq = max
+member df, per-doc freq = sum of member freqs, one f32 idf*tf_norm.
+Also pins the semantic difference from a plain disjunction: a doc
+matching two synonyms scores ONCE with combined frequency.
+"""
+
+import numpy as np
+import pytest
+
+from fdblucene_spark.functions import bm25
+from fdblucene_spark.functions.analysis import tokenize_text
+from fdblucene_spark.operators.build import build_index
+from fdblucene_spark.operators.deletes import delete_docs
+from fdblucene_spark.operators.query import Searcher
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+@pytest.fixture(scope="module")
+def syn_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(200):
+        ln = int(rng.integers(2, 24))
+        w = 1.0 / np.arange(1, len(WORDS) + 1)
+        rows.append(
+            {"doc_id": i, "text": " ".join(rng.choice(WORDS, size=ln, p=w / w.sum()))}
+        )
+    root = str(tmp_path_factory.mktemp("syn") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    return rows, root
+
+
+def _brute(rows, members, deleted=()):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    df_max = max(sum(1 for t in toks.values() if m in t) for m in members)
+    w32 = np.float32(bm25.idf(float(df_max), n_docs))
+    out = []
+    for d, t in toks.items():
+        if d in deleted:
+            continue
+        tsum = sum(t.count(m) for m in members)
+        if not tsum:
+            continue
+        dlq = int(bm25.quantize_doclen(np.array([len(t)]))[0])
+        tfn = np.float32(bm25.tf_norm(np.array([tsum]), np.array([dlq]), avgdl)[0])
+        out.append((d, np.float32(w32 * tfn)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def test_synonym_matches_brute_force(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    got = s.search_synonym(["gamma", "zeta"], k=50).toPandas()
+    want = _brute(rows, ["gamma", "zeta"])[:50]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_synonym_differs_from_disjunction(spark, syn_index):
+    """A doc holding both members must NOT score as the sum of two
+    idf-weighted leaves (or-mode); the synonym leaf blends stats."""
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    both = next(
+        r["doc_id"] for r in rows
+        if "alpha" in r["text"].split() and "zeta" in r["text"].split()
+    )
+    syn = s.search_synonym(["alpha", "zeta"], k=300).toPandas().set_index("doc")
+    disj = s.search_local(["alpha", "zeta"], k=300, mode="or").set_index("doc")
+    assert np.float32(syn.loc[both, "score"]) != np.float32(disj.loc[both, "score"])
+
+
+def test_synonym_missing_member_and_deletes(spark, syn_index):
+    rows, root = syn_index
+    spark_s = Searcher(spark, root)
+    assert spark_s.search_synonym(["zzznope"], k=5).count() == 0
+    # unknown member alongside a real one: stats blend over present members
+    got = spark_s.search_synonym(["gamma", "zzznope"], k=20).toPandas()
+    want = _brute(rows, ["gamma"])[:20]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    victim = want[0][0]
+    delete_docs(spark, root, [victim])
+    s2 = Searcher(spark, root)
+    got2 = s2.search_synonym(["gamma", "zzznope"], k=20).toPandas()
+    assert victim not in set(int(d) for d in got2["doc"])
