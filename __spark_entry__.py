@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from fdblucene_spark.functions import bm25
 from fdblucene_spark.functions.analysis import ENGLISH_STOPWORDS
-from fdblucene_spark.operators import dedup, multimodal, similarity, textstats
+from fdblucene_spark.operators import curation, dedup, multimodal, similarity, textstats
 from fdblucene_spark.operators.build import build_index
 from fdblucene_spark.operators.query import Searcher
 from fdblucene_spark.sources.manifest import IndexCatalog
@@ -39,6 +39,27 @@ LOOKUP_TERM = "dup"
 TV_DOCS = [1, 7, 42]  # ft_term_vectors: per-doc forward view of these docs
 EXPLAIN_DOC = 7  # ft_explain: per-term BM25 breakdown for this doc
 SYN_TERMS = ["merge", "hash"]  # ft_synonym: blended-stats pseudo-term
+# dedup_paragraph: planted boilerplate sentences (the base corpus has
+# no sentence structure); derived identically in engine and twin
+_BOILER_A = "all rights reserved boilerplate footer"
+_BOILER_B = "subscribe to our newsletter today"
+
+
+def _boilerplate_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(f". {_BOILER_A}")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(f". {_BOILER_B}")).otherwise(F.lit("")),
+    )
+
+
+_BOILER_SQL = f"""(SELECT doc_id, text ||
+  CASE WHEN doc_id % 3 = 0 THEN '. {_BOILER_A}' ELSE '' END ||
+  CASE WHEN doc_id % 7 = 0 THEN '. {_BOILER_B}' ELSE '' END AS text
+FROM documents)"""
+SAMP_RATES = {"src0": 0.8, "src3": 0.5, "src7": 0.25}  # samp_stratified
+SAMP_DEFAULT = 0.1
 MATCH_COUNT_QUERIES = [
     ("mc_dup_or", ["dup"], "or"),
     ("mc_keyvalue_and", ["key", "value"], "and"),
@@ -1423,6 +1444,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text"
         )
 
+    def text_decontam(spark, sf):
+        # GPT-3-style benchmark decontamination: docs sharing any
+        # distinct word 8-gram with the "benchmark" subset (doc_id %
+        # 37 == 0 — deterministic, derived identically in the twin);
+        # the gram set broadcasts, the corpus side never shuffles
+        docs = _table(spark, sf, "documents")
+        grams = curation.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0), "text")
+        return curation.decontaminate(docs, grams, "doc_id", "text")
+
+    def dedup_paragraph(spark, sf):
+        # CCNet/Dolma duplicated-paragraph removal over a corpus with
+        # PLANTED boilerplate sentences (the base corpus has no
+        # sentence structure): every occurrence past the first of a
+        # corpus-duplicated paragraph is dropped, text reassembled
+        docs = _table(spark, sf, "documents").select(
+            "doc_id", _boilerplate_col().alias("text")
+        )
+        return curation.paragraph_dedup(docs, "doc_id", "text")
+
+    def samp_stratified(spark, sf):
+        # deterministic per-domain sampling: keep iff md5-uniform(id)
+        # < rate(source) — stable across runs/partitionings, exactly
+        # reproducible in SQL; no shuffle, no RNG state
+        return curation.stratified_sample(
+            _table(spark, sf, "documents"), "doc_id", "source", SAMP_RATES,
+            default_rate=SAMP_DEFAULT,
+        ).select("doc_id", "source")
+
     # ---- similarity search ----
     def ann_cosine_topk(spark, sf):
         emb = _table(spark, sf, "embeddings")
@@ -1544,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         pipe_curation,
         ft_term_vectors, ft_explain, tx_block_join, ft_synonym,
+        text_decontam, dedup_paragraph, samp_stratified,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2040,6 +2090,14 @@ WHERE dup.dup_rank = 1 AND q.quality >= {PIPE_QUALITY_MIN}
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
+        "text_decontam": curation.decontaminate_sql(
+            "documents", "doc_id", "text", "doc_id % 37 = 0"
+        ),
+        "dedup_paragraph": curation.paragraph_dedup_sql(_BOILER_SQL, "doc_id", "text"),
+        "samp_stratified": curation.stratified_sample_sql(
+            "documents", "doc_id", "source", SAMP_RATES,
+            default_rate=SAMP_DEFAULT, select="doc_id, source",
+        ),
         "text_pii": (
             """WITH seeded AS (
   SELECT doc_id, text ||

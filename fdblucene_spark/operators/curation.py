@@ -1,0 +1,272 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Benchmark decontamination, paragraph-level dedup, and deterministic
+stratified sampling — the pre-training passes that run AFTER the
+per-doc taggers (textstats) and document-level dedup (dedup), in the
+published shapes (GPT-3 appendix C n-gram decontamination; CCNet /
+Dolma duplicated-paragraph removal; fixed-rate per-domain sampling).
+
+Like the sibling modules, every operator is pure Catalyst (no Python
+in the hot path) and ships an exact DuckDB SQL twin: md5 is the shared
+deterministic hash, so Spark and the oracle agree bit-for-bit.
+
+Scale notes (the 100 TB story):
+- decontaminate: the benchmark gram set is SMALL by construction
+  (eval suites: 1e5–1e7 grams); it broadcasts, so the corpus-side
+  explode never shuffles — one map-side join + per-doc partial agg.
+  broadcast=False falls back to a shuffle join for pathological
+  benchmark sizes.
+- paragraph dedup: one shuffle keyed by paragraph hash (the global
+  occurrence count), one window per (hash) for the keeper rank, one
+  per-doc reassembly agg keyed by id. Skewed boilerplate paragraphs
+  (the common case: headers/footers repeated millions of times) stay
+  bounded because the count aggregate reduces map-side before the
+  shuffle.
+- stratified_sample: stateless hash thresholding — no shuffle at
+  all, deterministic across runs/cluster sizes, exactly reproducible
+  by the SQL twin (md5-prefix uniform in [0, 1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col, _shingles_sql
+from .textstats import _TOKENIZE_SQL
+
+DECONTAM_N = 8  # word n-gram size (GPT-3 used 13; synthetic docs are shorter)
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str, n: int = DECONTAM_N) -> DataFrame:
+    """DISTINCT md5-hashed word n-grams of a benchmark/eval set —
+    the contamination reference relation (one column: gram_h)."""
+    return (
+        bench.select(F.explode(shingles_col(text_col, n)).alias("g"))
+        .select(F.md5(F.to_binary(F.col("g"), F.lit("utf-8"))).alias("gram_h"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DECONTAM_N,
+    broadcast: bool = True,
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination: per training doc, how many
+    of its DISTINCT word n-grams appear anywhere in the benchmark
+    gram set (benchmark_ngrams output). Returns
+    (id, n_grams, n_hits, hit_frac, contaminated) — contaminated is
+    the published any-overlap rule (n_hits > 0); callers wanting a
+    fraction threshold filter on hit_frac."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
+    ).select(
+        id_col, F.md5(F.to_binary(F.col("g"), F.lit("utf-8"))).alias("gram_h")
+    )
+    ref = bench_grams.withColumn("__hit", F.lit(1))
+    if broadcast:
+        ref = F.broadcast(ref)
+    return (
+        grams.join(ref, "gram_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("hit_frac"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bench_where: str,
+    n: int = DECONTAM_N,
+) -> str:
+    """DuckDB twin: the benchmark set is `SELECT ... FROM table WHERE
+    bench_where` (self-referential benchmarks keep the gate corpus
+    closed over the same parquet)."""
+    return f"""
+WITH btoks AS (
+  SELECT list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table} WHERE {bench_where}
+), bgrams AS (
+  SELECT DISTINCT md5(g) AS gram_h
+  FROM (SELECT unnest({_shingles_sql(text_col, n)}) AS g FROM btoks)
+), dtoks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), dgrams AS (
+  SELECT {id_col}, md5(g) AS gram_h
+  FROM (SELECT {id_col}, unnest(list_distinct({_shingles_sql(text_col, n)})) AS g FROM dtoks)
+)
+SELECT d.{id_col}, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       round(sum(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS hit_frac,
+       sum(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM dgrams d LEFT JOIN bgrams b ON b.gram_h = d.gram_h
+GROUP BY d.{id_col}
+"""
+
+
+# --------------------------------------------------------- paragraph dedup
+PARA_SPLIT = r"\.\s+"  # sentence-ish paragraphs in the synthetic corpora
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_regex: str = PARA_SPLIT,
+    min_count: int = 2,
+) -> DataFrame:
+    """CCNet/Dolma duplicated-paragraph removal: split each doc into
+    paragraphs, hash each normalized paragraph, count occurrences
+    CORPUS-WIDE, and drop every occurrence of a paragraph seen >=
+    min_count times EXCEPT the first (lowest (id, position) keeps it —
+    deterministic, so reruns and the SQL twin agree). Returns
+    (id, n_paras, n_dropped, text_clean) with the survivors rejoined
+    in their original order.
+
+    Normalization is lowercase+trim (CCNet normalizes before
+    hashing); empty paragraphs are ignored.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_regex)).alias("pos", "para"),
+    ).withColumn("pnorm", F.lower(F.trim(F.col("para")))).filter(F.col("pnorm") != "")
+    paras = paras.withColumn(
+        "ph", F.md5(F.to_binary(F.col("pnorm"), F.lit("utf-8")))
+    )
+    counted = paras.groupBy("ph").agg(
+        F.count(F.lit(1)).alias("pcount"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("keeper"),
+    )
+    marked = paras.join(counted, "ph").withColumn(
+        "is_drop",
+        (F.col("pcount") >= int(min_count))
+        & ~((F.col(id_col) == F.col("keeper.i")) & (F.col("pos") == F.col("keeper.p"))),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("is_drop").cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_drop"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                ". ",
+            ).alias("text_clean"),
+        )
+        .select(id_col, "n_paras", "n_dropped", "text_clean")
+    )
+
+
+def paragraph_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    split_regex: str = PARA_SPLIT,
+    min_count: int = 2,
+) -> str:
+    return f"""
+WITH paras AS (
+  SELECT {id_col}, p.i - 1 AS pos, p.para, lower(trim(p.para)) AS pnorm
+  FROM (
+    SELECT {id_col},
+           unnest(list_transform(
+             range(1, len(string_split_regex({text_col}, '{split_regex}')) + 1),
+             i -> struct_pack(para := string_split_regex({text_col}, '{split_regex}')[i], i := i))) AS p
+    FROM {table}
+  )
+  WHERE lower(trim(p.para)) <> ''
+), hashed AS (
+  SELECT *, md5(pnorm) AS ph FROM paras
+), counted AS (
+  SELECT ph, count(*)::BIGINT AS pcount,
+         min(struct_pack(i := {id_col}, p := pos)) AS keeper
+  FROM hashed GROUP BY ph
+), marked AS (
+  SELECT h.{id_col}, h.pos, h.para,
+         c.pcount >= {min_count}
+           AND NOT (h.{id_col} = c.keeper.i AND h.pos = c.keeper.p) AS is_drop
+  FROM hashed h JOIN counted c ON c.ph = h.ph
+)
+SELECT {id_col}, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN is_drop THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE NOT is_drop), '. '), '') AS text_clean
+FROM marked GROUP BY {id_col}
+"""
+
+
+# ------------------------------------------------------ stratified sampling
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (domain mixing): keep a row
+    iff u(id) < rate(stratum), where u = the first 8 md5 hex digits of
+    (salt || id) scaled to [0, 1). Unlike DataFrame.sampleBy, the
+    decision is a pure function of (id, salt) — stable across runs,
+    partitionings, and cluster sizes, and exactly reproducible by the
+    SQL twin. Stateless map-only pass: no shuffle, no RNG state."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.to_binary(F.concat(F.lit(salt), F.col(id_col).cast("string")), F.lit("utf-8"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    rate = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("__u", u).filter(F.col("__u") < rate).drop("__u")
+
+
+def stratified_sample_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "v1",
+    select: str = "*",
+) -> str:
+    whens = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {float(r)!r}" for k, r in sorted(rates.items())
+    )
+    return f"""
+SELECT {select} FROM {table}
+WHERE (CAST(('0x' || substr(md5('{salt}' || {id_col}::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE
+       / {float(16 ** 8)!r})
+      < (CASE {whens} ELSE {float(default_rate)!r} END)
+"""

@@ -1,0 +1,121 @@
+"""Curation operators: decontamination, paragraph dedup, sampling.
+
+Oracles are hand-computed / pure-Python replicas (md5 decisions are
+recomputed with hashlib, so the determinism contract is pinned
+outside Spark too).
+"""
+
+import hashlib
+
+import pytest
+
+from fdblucene_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        # doc 0 is the "benchmark": its 8-grams are the contamination set
+        (0, "one two three four five six seven eight nine ten"),
+        # doc 1 copies an 8-gram window from doc 0 -> contaminated
+        (1, "xx one two three four five six seven eight yy zz"),
+        # doc 2 shares only a 7-gram -> clean at n=8
+        (2, "one two three four five six seven XX eight nine"),
+        (3, "totally unrelated words live here in this row padded long"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_any_overlap(spark, docs_df):
+    bench = docs_df.filter("doc_id = 0")
+    grams = curation.benchmark_ngrams(bench, "text", n=8)
+    out = (
+        curation.decontaminate(docs_df, grams, "doc_id", "text", n=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "contaminated"])  # self-hit
+    assert bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+    assert not bool(out.loc[3, "contaminated"])
+    # doc 1: tokens = 11 -> 4 distinct 8-grams, exactly 1 hit
+    assert int(out.loc[1, "n_grams"]) == 4
+    assert int(out.loc[1, "n_hits"]) == 1
+    assert float(out.loc[1, "hit_frac"]) == 0.25
+
+
+def test_decontaminate_shuffle_join_path(spark, docs_df):
+    bench = docs_df.filter("doc_id = 0")
+    grams = curation.benchmark_ngrams(bench, "text", n=8)
+    a = (
+        curation.decontaminate(docs_df, grams, "doc_id", "text", n=8, broadcast=False)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        curation.decontaminate(docs_df, grams, "doc_id", "text", n=8)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    rows = [
+        (0, "Unique opening line. All rights reserved. Body zero"),
+        (1, "All rights reserved. Body one text"),
+        (2, "Body two here. all RIGHTS  reserved"),  # normalization: NOT equal (double space)
+        (3, "All rights reserved. All rights reserved"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        curation.paragraph_dedup(df, "doc_id", "text")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # 'all rights reserved' occurrences: docs 0(pos1), 1(pos0), 3(pos0), 3(pos1)
+    # keeper = (0, 1); everything else drops
+    assert out.loc[0, "text_clean"] == "Unique opening line. All rights reserved. Body zero"
+    assert int(out.loc[0, "n_dropped"]) == 0
+    assert out.loc[1, "text_clean"] == "Body one text"
+    assert int(out.loc[1, "n_dropped"]) == 1
+    # doc 2's variant normalizes differently (double space survives trim only at ends)
+    assert int(out.loc[2, "n_dropped"]) == 0
+    assert out.loc[3, "text_clean"] == ""
+    assert int(out.loc[3, "n_dropped"]) == 2
+
+
+def test_paragraph_dedup_min_count(spark):
+    rows = [(0, "shared line. own zero"), (1, "shared line. own one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        curation.paragraph_dedup(df, "doc_id", "text", min_count=3)
+        .toPandas().set_index("doc_id")
+    )
+    assert int(out["n_dropped"].sum()) == 0  # below the floor, nothing drops
+
+
+def _u(salt, doc_id):
+    h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) / 16**8
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    rows = [(i, ["a", "b"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 0.7, "b": 0.2}
+    got = sorted(
+        r["doc_id"]
+        for r in curation.stratified_sample(df, "doc_id", "source", rates).collect()
+    )
+    want = sorted(
+        i for i, s in rows if _u("v1", i) < rates[s]
+    )
+    assert got == want
+    # rerun: bit-identical
+    got2 = sorted(
+        r["doc_id"]
+        for r in curation.stratified_sample(df, "doc_id", "source", rates).collect()
+    )
+    assert got2 == got
+    # default rate drops unknown strata entirely
+    df2 = spark.createDataFrame([(1, "zz")], "doc_id long, source string")
+    assert curation.stratified_sample(df2, "doc_id", "source", rates).count() == 0
