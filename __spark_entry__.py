@@ -1203,6 +1203,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_classic_tfidf(spark, sf):
+        # ClassicSimilarity (TF-IDF) per-query similarity swap: sqrt
+        # tf, (ln((N+1)/(df+1))+1) idf, 1/sqrt(len) norm over the SAME
+        # SmallFloat length byte the BM25 path decodes
+        return _hits_df(_searcher(spark, sf).search_classic(OR_TERMS, k=K_ALL))
+
     def ft_synonym(spark, sf):
         # Lucene SynonymQuery: members score as ONE pseudo-term —
         # docFreq = max member df, per-doc freq = sum of member freqs,
@@ -1593,7 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_bm25_top10, tx_phrase_match, tx_role_lookup, tx_bm25_filtered,
         pipe_curation,
         ft_term_vectors, ft_explain, tx_block_join, ft_synonym,
-        text_decontam, dedup_paragraph, samp_stratified,
+        text_decontam, dedup_paragraph, samp_stratified, ft_classic_tfidf,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1964,6 +1970,30 @@ WITH toks AS (
 SELECT doc_id, tp.t AS term, count(*)::BIGINT AS freq,
        array_to_string(list(tp.p - 1 ORDER BY tp.p), ',') AS positions_s
 FROM tokpos GROUP BY doc_id, tp.t
+""",
+        "ft_classic_tfidf": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), cls AS (
+  SELECT tf.doc_id,
+    (((sqrt(tf.tf::DOUBLE))::FLOAT::DOUBLE *
+      ((ln((s.n_docs + 1)::DOUBLE / (dfs.df + 1)::DOUBLE) + 1.0)::FLOAT)::DOUBLE
+     )::FLOAT::DOUBLE *
+     ((1.0 / sqrt(n.dlq_len::DOUBLE))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM cls GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
         "ft_synonym": f"""
 WITH {_TOK_CTE}, {_NORM_CTE},

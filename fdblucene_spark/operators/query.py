@@ -2867,6 +2867,84 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_classic(
+        self, terms: list[str], k: int = 10, mode: str = "or", field: str = "text"
+    ) -> DataFrame:
+        """ClassicSimilarity (TF-IDF) scoring — Lucene's
+        `IndexSearcher.setSimilarity(new ClassicSimilarity())` per-query
+        similarity swap, reproduced op-for-op in float32:
+
+            idf    = (float)(ln((docCount + 1) / (docFreq + 1)) + 1)
+            tf     = (float) sqrt(freq)
+            norm   = (float)(1 / sqrt(length))   [length = the SAME
+                     SmallFloat-decoded byte the BM25 path reads —
+                     Lucene 8 norms encode the field length once and
+                     every TFIDFSimilarity decodes it]
+            score  = f32(f32(tf * idf) * norm), summed per doc in
+                     float64 and cast back to float32 (disjunction)
+
+        mode='and' keeps docs matching every requested term, like the
+        BM25 and-mode: a query term absent from the corpus yields
+        zero hits. No block-max pruning:
+        Classic's per-block upper bounds aren't maintained for this
+        side similarity; it runs as an exhaustive scorer (Lucene's
+        non-BM25 similarities lose impact-based skipping the same
+        way)."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: int(st[0]) for t, st in stats.items() if st[0] > 0}
+        if not present or (mode == "and" and len(present) < len(ts)):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_docs = self.manifest.n_docs_for(field)
+        weights = {
+            t: np.float32(np.log((n_docs + 1) / float(df + 1)) + 1.0)
+            for t, df in present.items()
+        }
+        need = len(present)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+        inv_norm = (1.0 / np.sqrt(np.maximum(bm25.LENGTH_TABLE, 1))).astype(np.float32)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            ds, ss = [], []
+            for t, g in pdf.groupby("term", sort=False):
+                d, tf, dlq = _decode_block_rows(g)
+                tfv = np.sqrt(tf.astype(np.float64)).astype(np.float32)
+                raw = (tfv * weights[t]).astype(np.float32)
+                ds.append(d)
+                ss.append((raw * inv_norm[dlq]).astype(np.float32))
+            d = np.concatenate(ds)
+            s = np.concatenate(ss)
+            order = np.argsort(d, kind="mergesort")
+            d, s = d[order], s[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
+            if mode == "and":
+                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
+                keep = cnt == need
+                uniq, tot = uniq[keep], tot[keep]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tot = uniq[keep], tot[keep]
+            if not uniq.size:
+                return empty
+            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_block_join(
         self,
         terms: list[str],

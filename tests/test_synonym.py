@@ -78,6 +78,49 @@ def test_synonym_differs_from_disjunction(spark, syn_index):
     assert np.float32(syn.loc[both, "score"]) != np.float32(disj.loc[both, "score"])
 
 
+def _brute_classic(rows, terms, mode="or"):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n = len(dls)
+    out = []
+    for d, t in toks.items():
+        acc, matched = 0.0, 0
+        for m in sorted(set(terms)):
+            tf = t.count(m)
+            if not tf:
+                continue
+            matched += 1
+            df = sum(1 for u in toks.values() if m in u)
+            w = np.float32(np.log((n + 1) / float(df + 1)) + 1.0)
+            dlq = int(bm25.quantize_doclen(np.array([len(t)]))[0])
+            nrm = np.float32(1.0 / np.sqrt(float(bm25.LENGTH_TABLE[dlq])))
+            acc += float(np.float32(np.float32(np.sqrt(float(tf))) * w) * nrm)
+        if matched and (mode == "or" or matched == len(set(terms))):
+            out.append((d, np.float32(acc)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_classic_tfidf_matches_brute_force(spark, syn_index, mode):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    got = s.search_classic(["gamma", "zeta"], k=60, mode=mode).toPandas()
+    want = _brute_classic(rows, ["gamma", "zeta"], mode)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_classic_absent_term(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    assert s.search_classic(["zzznope", "gamma"], k=5, mode="and").count() == 0
+    got = s.search_classic(["zzznope", "gamma"], k=20, mode="or").toPandas()
+    want = _brute_classic(rows, ["gamma"])[:20]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+
+
 def test_synonym_missing_member_and_deletes(spark, syn_index):
     rows, root = syn_index
     spark_s = Searcher(spark, root)
