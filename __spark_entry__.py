@@ -128,6 +128,10 @@ MLT_TEXT = ("key key dup dup hash hash vector vector scan scan "
 MLT_TERMS = ["key", "dup", "hash", "vector", "scan"]
 TX_FUZZY_Q = "term00001"  # ft_fuzzy_damerau: digit transpositions = 1 edit
 ANN_NPROBE_IVF = 6
+# ann_near_dup: planted near-copies (vec_id % 17 == 0 cloned at +100000
+# with the first component scaled 1.05 — cosine ~0.999, derived
+# identically in engine and twin); random base vectors top out ~0.51
+ANN_ND_MOD, ANN_ND_OFFSET, ANN_ND_SCALE, ANN_ND_THRESH = 17, 100000, 1.05, 0.95
 PIPE_QUALITY_MIN = 0.62  # pipe_curation keeps ~2/3 of docs at sf0.01
 
 
@@ -717,6 +721,37 @@ scored AS (
   FROM cands, q
 )
 SELECT vec_id, round(c, 3) AS cosine FROM scored ORDER BY c DESC, vec_id ASC LIMIT {k}"""
+
+
+def _ann_near_dup_sql() -> str:
+    from fdblucene_spark.operators.similarity import lsh_planes
+
+    dim = _emb_matrix().shape[1]
+    planes = lsh_planes(dim, 8)
+    cos = (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> va[i] * vb[i])) / "
+        "(sqrt(list_sum(list_transform(va, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(vb, x -> x * x))))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), planted AS (
+  SELECT vec_id + {ANN_ND_OFFSET} AS vec_id,
+         list_transform(range(1, len(v) + 1),
+                        i -> CASE WHEN i = 1 THEN v[1] * {ANN_ND_SCALE!r} ELSE v[i] END) AS v
+  FROM base WHERE vec_id % {ANN_ND_MOD} = 0
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+), b AS (
+  SELECT vec_id, v, {_lsh_bucket_sql("v", planes)} AS bucket FROM corpus
+), pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, round({cos}, 4) AS cosine
+FROM pairs WHERE round({cos}, 4) >= {ANN_ND_THRESH}
+"""
 
 
 def _ann_lsh_sql() -> str:
@@ -1505,6 +1540,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ann_index(spark, sf, "ivf")
         return idx.topk(list(qv), ANN_K, nprobe=6).select(F.col("id").alias("vec_id"), "cosine")
 
+    def ann_near_dup(spark, sf):
+        # embedding near-duplicate pairs over a corpus with PLANTED
+        # near-copies: LSH-bucketed self-join (pairs must share a
+        # bucket — the twin reproduces the sign-chain buckets from the
+        # same plane literals), exact double-precision cosine filter
+        emb = _table(spark, sf, "embeddings")
+        base = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        planted = base.filter(F.col("vec_id") % ANN_ND_MOD == 0).select(
+            (F.col("vec_id") + ANN_ND_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x * ANN_ND_SCALE).otherwise(x),
+            ).alias("embedding"),
+        )
+        corpus = base.unionByName(planted)
+        return similarity.cosine_near_dup_pairs(
+            corpus, "vec_id", "embedding", threshold=ANN_ND_THRESH, n_planes=8
+        )
+
     # ---- multimodal plumbing ----
     def mm_media_stats(spark, sf):
         media = multimodal.synthesize_media(_table(spark, sf, "documents"), "doc_id", "text")
@@ -1605,7 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
-        tx_bm25_filtered, mm_features,
+        tx_bm25_filtered, mm_features, ann_near_dup,
         pipe_curation,
     ]:
         q[fn.__name__] = fn
@@ -2181,6 +2238,7 @@ GROUP BY l_returnflag, l_linestatus
     try:
         out["ann_lsh_topk"] = _ann_lsh_sql()
         out["ann_ivf_topk"] = _ann_ivf_sql()
+        out["ann_near_dup"] = _ann_near_dup_sql()
     except Exception:
         pass
     return out
