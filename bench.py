@@ -74,7 +74,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from fdblucene_spark.data import synth
-    from fdblucene_spark.operators import dedup, similarity
+    from fdblucene_spark.operators import curation, dedup, similarity
     from fdblucene_spark.operators.build import build_index
     from fdblucene_spark.operators.merge import merge_segments
     from fdblucene_spark.operators.query import Searcher
@@ -259,7 +259,23 @@ def main() -> None:
         # then a WAND-pruned disjunction over the expansions
         s.search_fuzzy("term00042", k=100, max_edits=1, transpositions=True).collect()
 
+    with timed("block_join"):
+        # ToParentBlockJoin roll-up: full child match set -> one
+        # partial+final agg keyed by the stored parent field
+        sd.search_block_join(["dup", "hash"], "source", k=10, score_mode="total").collect()
+    with timed("synonym_query"):
+        # blended-stats pseudo-term (one decode pass, reduceat fold)
+        sd.search_synonym(["merge", "hash"], k=100).collect()
+    with timed("classic_tfidf"):
+        # TF-IDF similarity swap (exhaustive scorer, no impact skip)
+        sd.search_classic(["dup", "hash", "vector"], k=100).collect()
+
     # ---- pipeline ops at sf scale ----
+    with timed("decontaminate"):
+        bgrams = curation.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0), "text")
+        curation.decontaminate(docs, bgrams, "doc_id", "text").count()
+    with timed("paragraph_dedup"):
+        curation.paragraph_dedup(docs, "doc_id", "text").count()
     with timed("dedup_minhash"):
         dedup.minhash_signatures(docs, "doc_id", "text").count()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

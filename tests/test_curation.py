@@ -93,6 +93,26 @@ def test_paragraph_dedup_min_count(spark):
     assert int(out["n_dropped"].sum()) == 0  # below the floor, nothing drops
 
 
+def test_curation_plans(spark, docs_df):
+    """Plan contracts: all three operators are pure Catalyst (no
+    row-wise Python anywhere), and decontaminate's benchmark side is a
+    broadcast exchange (the corpus-side explode must never shuffle to
+    meet the reference grams)."""
+    from fdblucene_spark.plans.explain import assert_no_rowwise_python, physical_plan
+
+    bench = docs_df.filter("doc_id = 0")
+    grams = curation.benchmark_ngrams(bench, "text", n=8)
+    dec = curation.decontaminate(docs_df, grams, "doc_id", "text", n=8)
+    assert_no_rowwise_python(dec)
+    assert "BroadcastHashJoin" in physical_plan(dec) or "BroadcastNestedLoop" in physical_plan(dec)
+    pd_df = curation.paragraph_dedup(docs_df, "doc_id", "text")
+    assert_no_rowwise_python(pd_df)
+    samp = curation.stratified_sample(docs_df.withColumn("source", docs_df.doc_id % 2), "doc_id", "source", {"0": 0.5})
+    assert_no_rowwise_python(samp)
+    # sampling is a pure filter: no Exchange in its plan at all
+    assert "Exchange" not in physical_plan(samp)
+
+
 def _u(salt, doc_id):
     h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()
     return int(h[:8], 16) / 16**8
