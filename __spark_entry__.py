@@ -60,6 +60,10 @@ _BOILER_SQL = f"""(SELECT doc_id, text ||
 FROM documents)"""
 SAMP_RATES = {"src0": 0.8, "src3": 0.5, "src7": 0.25}  # samp_stratified
 SAMP_DEFAULT = 0.1
+# samp_mixture: 2:1:1 mixture at a budget below the observed totals,
+# so src0 keeps ~2x the char mass of src3/src7 (rates < 1, no saturate)
+MIX_WEIGHTS = {"src0": 2.0, "src3": 1.0, "src7": 1.0}
+MIX_BUDGET = 8000.0
 MATCH_COUNT_QUERIES = [
     ("mc_dup_or", ["dup"], "or"),
     ("mc_keyvalue_and", ["key", "value"], "and"),
@@ -1238,6 +1242,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_join_util(spark, sf):
+        # Lucene JoinUtil.createJoinQuery (ScoreMode.None): from-query
+        # 'dup' -> distinct source values of its matches -> every doc
+        # whose source keyword holds one of them, constant-score
+        return _hits_df(
+            _searcher(spark, sf).search_join(
+                [{"term": "dup", "occur": "must"}], "source", "source", k=K_ALL
+            )
+        )
+
     def ft_classic_tfidf(spark, sf):
         # ClassicSimilarity (TF-IDF) per-query similarity swap: sqrt
         # tf, (ln((N+1)/(df+1))+1) idf, 1/sqrt(len) norm over the SAME
@@ -1513,6 +1527,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_rate=SAMP_DEFAULT,
         ).select("doc_id", "source")
 
+    def samp_mixture(spark, sf):
+        # domain-mixing planner + deterministic apply: rates solve
+        # budget*weight/total per stratum (driver holds one row per
+        # domain), then the md5-threshold sampler filters — twin
+        # recomputes the rate expression float-op-for-float-op
+        docs = _table(spark, sf, "documents")
+        rates = curation.plan_mixture(docs, "source", "n_chars", MIX_WEIGHTS, MIX_BUDGET)
+        return curation.stratified_sample(docs, "doc_id", "source", rates).select(
+            "doc_id", "source"
+        )
+
     # ---- similarity search ----
     def ann_cosine_topk(spark, sf):
         emb = _table(spark, sf, "embeddings")
@@ -1662,8 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
-        tx_bm25_filtered, mm_features, ann_near_dup,
-        pipe_curation,
+        tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
+        samp_mixture, pipe_curation,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2035,6 +2060,16 @@ SELECT doc_id, tp.t AS term, count(*)::BIGINT AS freq,
        array_to_string(list(tp.p - 1 ORDER BY tp.p), ',') AS positions_s
 FROM tokpos GROUP BY doc_id, tp.t
 """,
+        "ft_join_util": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE source IN (
+  SELECT DISTINCT d.source FROM documents d
+  JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup') m
+    ON m.doc_id = d.doc_id
+)
+ORDER BY doc_id ASC LIMIT {K_ALL}
+""",
         "ft_classic_tfidf": f"""
 WITH {_TOK_CTE}, {_NORM_CTE},
 tf AS (
@@ -2192,6 +2227,12 @@ WHERE dup.dup_rank = 1 AND q.quality >= {PIPE_QUALITY_MIN}
             "documents", "doc_id", "source", SAMP_RATES,
             default_rate=SAMP_DEFAULT, select="doc_id, source",
         ),
+        "samp_mixture": f"""
+SELECT doc_id, source FROM documents
+WHERE (CAST(('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE
+       / {float(16 ** 8)!r})
+      < {curation.plan_mixture_sql_rate("documents", "source", "n_chars", MIX_WEIGHTS, MIX_BUDGET)}
+""",
         "text_pii": (
             """WITH seeded AS (
   SELECT doc_id, text ||

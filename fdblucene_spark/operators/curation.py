@@ -252,6 +252,59 @@ def stratified_sample(
     return df.withColumn("__u", u).filter(F.col("__u") < rate).drop("__u")
 
 
+def plan_mixture(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    weights: dict[str, float],
+    budget: float,
+) -> dict[str, float]:
+    """Domain-mixing rate planner: per-stratum sampling rates that hit
+    a total token/byte `budget` at the target mixture `weights`
+    (the Pile/Dolma-style mixture table). rate(d) = min(1, target_d /
+    observed_d) with target_d = budget * w_d / sum(w): a stratum
+    smaller than its target saturates at 1.0 (can't upsample by
+    dropping; weighted-epoch repetition is a training-loop concern,
+    not a filter's). Driver-side state is one row per stratum (the
+    mixture table is human-sized by definition); the heavy part — the
+    per-stratum size aggregate — is one partial+final Spark agg.
+    Feed the result to stratified_sample for the deterministic
+    apply."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum positive")
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(strata_col).agg(F.sum(size_col)).collect()
+        if r[0] is not None and r[1] is not None
+    }
+    rates = {}
+    for d, w in sorted(weights.items()):
+        t = totals.get(d)
+        if not t or t <= 0:
+            continue
+        rates[d] = min(1.0, ((float(budget) * float(w)) / wsum) / t)
+    return rates
+
+
+def plan_mixture_sql_rate(
+    table: str,
+    strata_col: str,
+    size_col: str,
+    weights: dict[str, float],
+    budget: float,
+) -> str:
+    """The twin's rate expression: a correlated CASE over per-stratum
+    totals, float-op-ordered exactly like plan_mixture."""
+    wsum = float(sum(weights.values()))
+    whens = " ".join(
+        f"WHEN {strata_col} = '{d}' THEN least(1.0, (({float(budget)!r} * {float(w)!r}) / {wsum!r}) / "
+        f"(SELECT sum({size_col})::DOUBLE FROM {table} t WHERE t.{strata_col} = '{d}'))"
+        for d, w in sorted(weights.items())
+    )
+    return f"(CASE {whens} ELSE 0.0 END)"
+
+
 def stratified_sample_sql(
     table: str,
     id_col: str,

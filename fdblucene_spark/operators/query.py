@@ -2675,6 +2675,56 @@ class Searcher:
             numeric=numeric,
         )
 
+    def search_join(
+        self,
+        from_clauses: list[dict],
+        from_field: str,
+        to_field: str,
+        k: int,
+        to_searcher: "Searcher | None" = None,
+        max_join_terms: int = 10_000,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene `JoinUtil.createJoinQuery(fromField, fromQuery,
+        toField, toSearcher, ScoreMode.None)`: run fromQuery on THIS
+        index, collect the matching docs' DISTINCT from_field values
+        (an index-owned stored field), and match every doc of the
+        to-index whose to_field keyword holds one of them —
+        constant-score, docID-asc, like Lucene's global-ordinal join.
+
+        to_searcher defaults to self (self-join, Lucene's common
+        same-reader case). The collected term set is driver-side BY
+        DESIGN — Lucene's JoinUtil also materializes the from-side
+        terms into a TermsQuery — but bounded: more than
+        max_join_terms distinct values raises instead of silently
+        building an unbounded in-list (at that cardinality the right
+        plan is a relational join of the two stored tables, not a
+        terms query; dedup/curation joins cover that shape). The
+        from-side set derivation is fully distributed (matched-doc
+        kernel -> column-pruned stored join -> distinct)."""
+        dst = to_searcher if to_searcher is not None else self
+        stored = self._stored_df()
+        if from_field not in stored.columns:
+            raise ValueError(f"from field {from_field!r} is not stored in this index")
+        matched = self.matching_docs(from_clauses, min_should_match, numeric)
+        vals_df = (
+            matched.join(stored.select("doc", from_field), "doc")
+            .select(from_field)
+            .filter(F.col(from_field).isNotNull())
+            .distinct()
+            .limit(int(max_join_terms) + 1)
+        )
+        vals = [r[0] for r in vals_df.collect()]
+        if len(vals) > max_join_terms:
+            raise ValueError(
+                f"join term set exceeds max_join_terms={max_join_terms}; "
+                "use a stored-table relational join for high-cardinality keys"
+            )
+        if not vals:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        return dst.search_terms_in_set(to_field, sorted(map(str, vals)), k)
+
     def search_all(self, k: int, after_doc: int | None = None) -> DataFrame:
         """Lucene MatchAllDocsQuery: every live (non-deleted) doc in
         the snapshot matches with score 1.0; ordering is docID asc

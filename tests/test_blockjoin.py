@@ -28,6 +28,7 @@ def bj_index(spark, tmp_path_factory):
                 {
                     "doc_id": doc,
                     "conv_id": conv,
+                    "grp": f"g{conv % 5}",
                     "text": " ".join(rng.choice(WORDS, size=ln, p=w / w.sum())),
                 }
             )
@@ -35,7 +36,8 @@ def bj_index(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("bj") / "idx")
     build_index(
         spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
-        stored_fields={"conv_id": "conv_id"},
+        keyword_fields={"grp": "grp"},
+        stored_fields={"conv_id": "conv_id", "grp": "grp"},
     )
     return rows, Searcher(spark, root)
 
@@ -86,6 +88,31 @@ def test_block_join_and_mode(spark, bj_index):
     )
     want = _brute(rows, s, ["alpha", "beta"], "and", "max")[:10]
     assert [int(p) for p in got["parent"]] == [p for p, _, _ in want]
+
+
+def test_join_util_self_join(spark, bj_index):
+    """JoinUtil: from-query 'alpha' -> distinct grp values of its
+    matches -> every doc whose grp keyword holds one of them."""
+    rows, s = bj_index
+    got = s.search_join(
+        [{"term": "alpha", "occur": "must"}], "grp", "grp", k=len(rows) + 1
+    ).toPandas()
+    from fdblucene_spark.functions.analysis import tokenize_text
+
+    grps = {r["grp"] for r in rows if "alpha" in tokenize_text(r["text"])}
+    want = sorted(r["doc_id"] for r in rows if r["grp"] in grps)
+    assert sorted(int(d) for d in got["doc"]) == want
+    assert set(got["score"]) == {1.0}
+
+
+def test_join_util_bounds_and_empty(spark, bj_index):
+    rows, s = bj_index
+    with pytest.raises(ValueError):
+        s.search_join([{"term": "alpha", "occur": "must"}], "grp", "grp",
+                      k=10, max_join_terms=1)
+    assert s.search_join([{"term": "zzznope", "occur": "must"}], "grp", "grp", k=10).count() == 0
+    with pytest.raises(ValueError):
+        s.search_join([{"term": "alpha", "occur": "must"}], "nope", "grp", k=10)
 
 
 def test_block_join_rejects_unstored_parent(spark, bj_index):

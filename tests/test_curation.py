@@ -118,6 +118,22 @@ def _u(salt, doc_id):
     return int(h[:8], 16) / 16**8
 
 
+def test_plan_mixture_rates(spark):
+    rows = [(i, ["a", "b", "c"][i % 3], 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    # totals: a=1000, b=1000, c=1000; weights 3:1 at budget 2000 ->
+    # target a=1500 (rate 1.0... no: 1500/1000 saturates), b=500 (0.5)
+    rates = curation.plan_mixture(df, "source", "n", {"a": 3.0, "b": 1.0}, 2000.0)
+    assert rates["a"] == 1.0  # saturates: can't upsample by dropping
+    assert rates["b"] == ((2000.0 * 1.0) / 4.0) / 1000.0
+    assert "c" not in rates  # unweighted stratum excluded
+    # unknown stratum in weights: silently absent from rates
+    rates2 = curation.plan_mixture(df, "source", "n", {"zz": 1.0}, 100.0)
+    assert rates2 == {}
+    with pytest.raises(ValueError):
+        curation.plan_mixture(df, "source", "n", {"a": 0.0}, 100.0)
+
+
 def test_stratified_sample_deterministic_and_exact(spark):
     rows = [(i, ["a", "b"][i % 2]) for i in range(400)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
