@@ -136,6 +136,7 @@ ANN_NPROBE_IVF = 6
 # with the first component scaled 1.05 — cosine ~0.999, derived
 # identically in engine and twin); random base vectors top out ~0.51
 ANN_ND_MOD, ANN_ND_OFFSET, ANN_ND_SCALE, ANN_ND_THRESH = 17, 100000, 1.05, 0.95
+RRF_N, RRF_K, RRF_K0 = 100, 25, 60  # hybrid_rrf: top-N lists, fused top-K
 PIPE_QUALITY_MIN = 0.62  # pipe_curation keeps ~2/3 of docs at sf0.01
 
 
@@ -1402,6 +1403,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def tx_conv_stats(spark, sf):
+        # conversation-level analytics over the transcripts corpus:
+        # one partial+final agg keyed by conv_id (turn counts, role
+        # mix, char mass, tool usage, session span in seconds)
+        from fdblucene_spark.data import synth
+
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        return (
+            df.groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+                F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+                F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+                .cast("long").alias("n_tool_calls"),
+                F.sum(F.length("text")).alias("total_chars"),
+                (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+                .cast("long").alias("span_sec"),
+            )
+        )
+
     def tx_query_parser(spark, sf):
         # the QueryParser surface on the north-star transcripts corpus:
         # unfielded SHOULD terms + a keyword-field MUST_NOT, compiled
@@ -1565,6 +1588,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _ann_index(spark, sf, "ivf")
         return idx.topk(list(qv), ANN_K, nprobe=6).select(F.col("id").alias("vec_id"), "cosine")
 
+    def hybrid_rrf(spark, sf):
+        # hybrid search: BM25 top-N (full-text index) x embedding
+        # cosine top-N (vec_id keys the same doc space) fused by
+        # reciprocal-rank — fused(id) = sum 1/(k0 + rank_i), ranks by
+        # each surface's own emitted ordering, ties id asc
+        s = _searcher(spark, sf)
+        bm = s.search(OR_TERMS, k=RRF_N, mode="or")
+        emb = _table(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
+        cs = similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), RRF_N)
+        fused = similarity.rrf_fuse(
+            [(bm, "doc", "score"), (cs, "vec_id", "cosine")], k=RRF_K, k0=RRF_K0
+        )
+        return fused.select(
+            F.col("id").alias("doc_id"), F.round(F.col("rrf"), 6).alias("rrf")
+        )
+
     def ann_near_dup(spark, sf):
         # embedding near-duplicate pairs over a corpus with PLANTED
         # near-copies: LSH-bucketed self-join (pairs must share a
@@ -1688,7 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
         tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
-        samp_mixture, pipe_curation,
+        samp_mixture, hybrid_rrf, tx_conv_stats, pipe_curation,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1755,6 +1795,16 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
                     f"FROM read_parquet('{TX_CORPUS}')",
             tok_regex=_TX_TOK_RE,
         ),
+        "tx_conv_stats": f"""
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+       sum(length(text))::BIGINT AS total_chars,
+       date_diff('second', min(ts), max(ts))::BIGINT AS span_sec
+FROM read_parquet('{TX_CORPUS}')
+GROUP BY conv_id
+""",
         "tx_block_join": _bm25_sql(
             TX_TERMS_OR, "or", 10000,
             src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
@@ -2249,6 +2299,27 @@ WHERE (CAST(('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOU
             + textstats.pii_tags_sql("seeded", "doc_id", "text")
         ),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
+        "hybrid_rrf": f"""
+WITH bm AS (
+  SELECT * FROM ({_bm25_sql(OR_TERMS, "or", RRF_N, select_override=f'''
+SELECT doc_id, row_number() OVER (ORDER BY score32 DESC, doc_id ASC) AS r
+FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {RRF_N}''')})
+), cs0 AS (
+  SELECT * FROM ({similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, RRF_N)})
+), cs AS (
+  -- mirror the engine: the top-N membership comes from the RAW cosine
+  -- (cosine_topk), the fusion rank from its ROUNDED output column
+  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r FROM cs0
+)
+SELECT coalesce(bm.doc_id, cs.vec_id) AS doc_id,
+       round(coalesce(1.0 / ({RRF_K0} + bm.r), 0.0)
+             + coalesce(1.0 / ({RRF_K0} + cs.r), 0.0), 6) AS rrf
+FROM bm FULL JOIN cs ON cs.vec_id = bm.doc_id
+ORDER BY (coalesce(1.0 / ({RRF_K0} + bm.r), 0.0)
+          + coalesce(1.0 / ({RRF_K0} + cs.r), 0.0)) DESC,
+         coalesce(bm.doc_id, cs.vec_id) ASC
+LIMIT {RRF_K}
+""",
         "ft_bm25_boosted": _bm25_sql(OR_TERMS, "or", K_ALL, boosts=BOOSTS),
         "ft_boolean_after": _bm25_sql(
             SHOULD_TERMS, "or", K_ALL,

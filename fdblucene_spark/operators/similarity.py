@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -77,6 +77,48 @@ FROM scored
 ORDER BY c DESC, {id_col} ASC
 LIMIT {k}
 """
+
+
+def rrf_fuse(
+    inputs: list[tuple[DataFrame, str, str]], k: int = 10, k0: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion over candidate lists — the standard
+    hybrid-search combiner (BM25 top-N x embedding-cosine top-N):
+    fused(id) = sum_i 1 / (k0 + rank_i(id)), missing-from-list
+    contributes 0. inputs = [(hits_df, id_col, score_col), ...]; each
+    list ranks by (score desc, id asc) — EXACTLY the ordering its
+    producer surface emits — and the fused ranking ties break id asc.
+
+    The rank windows are single-partition BY DESIGN: every input is a
+    top-N candidate list (k-bounded), so the window sees N rows, not a
+    corpus — same bounded-window justification as search_grouped's
+    group-head ranking. Contributions sum left-to-right in float64 in
+    input order (mirrored by the SQL twin)."""
+    if not inputs:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    ranked = []
+    for i, (df, id_col, score_col) in enumerate(inputs):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.row_number().over(w).alias(f"_r{i}"),
+            )
+        )
+    fused = ranked[0]
+    for r in ranked[1:]:
+        fused = fused.join(r, "id", "full")
+    score = None
+    for i in range(len(inputs)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    return (
+        fused.select("id", score.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("id"))
+        .limit(int(k))
+    )
 
 
 def lsh_planes(dim: int, n_planes: int = 8, seed: int = LSH_SEED) -> np.ndarray:

@@ -155,3 +155,27 @@ def test_stratified_sample_deterministic_and_exact(spark):
     # default rate drops unknown strata entirely
     df2 = spark.createDataFrame([(1, "zz")], "doc_id long, source string")
     assert curation.stratified_sample(df2, "doc_id", "source", rates).count() == 0
+
+
+def test_rrf_fuse_hand_oracle(spark):
+    from fdblucene_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (1, 0.7)], "id long, cosine double"
+    )
+    got = rrf_fuse([(a, "id", "score"), (b, "id", "cosine")], k=4, k0=60).toPandas()
+    want = {
+        1: 1 / 61 + 1 / 63,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 62,
+    }
+    rows = sorted(want.items(), key=lambda t: (-t[1], t[0]))
+    assert [int(i) for i in got["id"]] == [i for i, _ in rows]
+    for g, (_, w) in zip(got["rrf"], rows):
+        assert abs(g - w) < 1e-15
+    # ties (docs 1&3, and 2&4) broke by id asc
+    assert [int(i) for i in got["id"]][:2] == [1, 3]
