@@ -1541,6 +1541,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return curation.paragraph_dedup(docs, "doc_id", "text")
 
+    def dedup_spans(spark, sf):
+        # Lee-et-al exact-substring duplicates: maximal runs of
+        # 4-token windows appearing in >= 2 distinct docs, over the
+        # boilerplate-planted corpus (plus whatever natural 4-gram
+        # collisions the base corpus holds — twin sees them too)
+        docs = _table(spark, sf, "documents").select(
+            "doc_id", _boilerplate_col().alias("text")
+        )
+        return curation.duplicated_spans(docs, "doc_id", "text", n=4)
+
     def samp_stratified(spark, sf):
         # deterministic per-domain sampling: keep iff md5-uniform(id)
         # < rate(source) — stable across runs/partitionings, exactly
@@ -1728,7 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
         tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
-        samp_mixture, hybrid_rrf, tx_conv_stats, pipe_curation,
+        samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2273,6 +2283,7 @@ WHERE dup.dup_rank = 1 AND q.quality >= {PIPE_QUALITY_MIN}
             "documents", "doc_id", "text", "doc_id % 37 = 0"
         ),
         "dedup_paragraph": curation.paragraph_dedup_sql(_BOILER_SQL, "doc_id", "text"),
+        "dedup_spans": curation.duplicated_spans_sql(_BOILER_SQL, "doc_id", "text", n=4),
         "samp_stratified": curation.stratified_sample_sql(
             "documents", "doc_id", "source", SAMP_RATES,
             default_rate=SAMP_DEFAULT, select="doc_id, source",

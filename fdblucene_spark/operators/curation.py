@@ -29,11 +29,11 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles_col, _shingles_sql
-from .textstats import _TOKENIZE_SQL
+from .textstats import _TOKENIZE_SQL, tokens_col
 
 DECONTAM_N = 8  # word n-gram size (GPT-3 used 13; synthetic docs are shorter)
 
@@ -218,6 +218,107 @@ SELECT {id_col}, count(*)::BIGINT AS n_paras,
        sum(CASE WHEN is_drop THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
        coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE NOT is_drop), '. '), '') AS text_clean
 FROM marked GROUP BY {id_col}
+"""
+
+
+# ----------------------------------------------------- duplicated substrings
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    operator, re-expressed window-wise): a token position is
+    duplicated if some n-token window covering it appears in >=
+    min_doc_freq DISTINCT docs corpus-wide; maximal runs of
+    consecutive duplicated window starts merge into spans. Returns
+    (id, span_start, span_end, span_tokens) with token-index bounds
+    (span_end inclusive, = last covered token).
+
+    Docs shorter than n tokens have no n-token window and emit
+    nothing. The published suffix-array formulation finds arbitrary-
+    length duplicates; fixed-n windows find exactly the duplicates of
+    length >= n (a duplicate of length L >= n is a run of L - n + 1
+    duplicated windows), which is the practical configuration (Lee et
+    al. use a 50-token threshold) and shuffles ONLY (hash, doc, pos)
+    triples — no suffix array, no global sort of the corpus text.
+
+    Scale shape: one explode (T window rows for T corpus tokens), one
+    partial+final distinct-doc count keyed by the md5 window hash,
+    one hash join back, one per-doc window for the island merge.
+    Boilerplate skew is bounded by the count aggregate's map-side
+    combine (the join fans duplicated grams back out only to their
+    own occurrences)."""
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col), toks.alias("__ts")).filter(F.size("__ts") >= n)
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ts") - (n - 1)),
+                lambda i: F.md5(
+                    F.to_binary(F.concat_ws(" ", F.slice("__ts", i, n)), F.lit("utf-8"))
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    counts = grams.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("gdf")
+    ).filter(F.col("gdf") >= int(min_doc_freq))
+    dup = grams.join(counts.select("gh"), "gh")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def duplicated_spans_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_doc_freq: int = 2,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), grams AS (
+  SELECT {id_col}, g.i - 1 AS pos, md5(g.s) AS gh
+  FROM (
+    SELECT {id_col},
+           unnest(list_transform(range(1, len(ts) - {n - 2}),
+             i -> struct_pack(s := array_to_string(ts[i:i+{n - 1}], ' '), i := i))) AS g
+    FROM toks WHERE len(ts) >= {n}
+  )
+), counts AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT {id_col}) >= {min_doc_freq}
+), dup AS (
+  SELECT g.{id_col}, g.pos FROM grams g JOIN counts c ON c.gh = g.gh
+), islands AS (
+  SELECT {id_col}, pos,
+         pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT {id_col}, min(pos)::BIGINT AS span_start,
+       (max(pos) + {n - 1})::BIGINT AS span_end,
+       (max(pos) + {n - 1} - min(pos) + 1)::BIGINT AS span_tokens
+FROM islands GROUP BY {id_col}, grp
 """
 
 

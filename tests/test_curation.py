@@ -179,3 +179,38 @@ def test_rrf_fuse_hand_oracle(spark):
         assert abs(g - w) < 1e-15
     # ties (docs 1&3, and 2&4) broke by id asc
     assert [int(i) for i in got["id"]][:2] == [1, 3]
+
+
+def test_duplicated_spans(spark):
+    rows = [
+        (0, "a0 b0 c d e f g0 h0"),          # shares c d e f (pos 2..5)
+        (1, "x1 y1 c d e f z1 w1"),           # same window at pos 2..5
+        (2, "p2 c d e f q2 r2 s2 t2"),        # at pos 1..4
+        (3, "m n o p q r uniq3 uniq3b"),      # 6-token run shared with 4
+        (4, "zz4 m n o p q r yy4"),           # -> two windows merge: span of 6
+        (5, "short doc"),                      # < n tokens: no output
+        (6, "all words unique here nothing duplicated at all6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.duplicated_spans(df, "doc_id", "text", n=4)
+    got = {
+        (int(r["doc_id"]), int(r["span_start"]), int(r["span_end"]), int(r["span_tokens"]))
+        for r in out.collect()
+    }
+    want = {
+        (0, 2, 5, 4),
+        (1, 2, 5, 4),
+        (2, 1, 4, 4),
+        (3, 0, 5, 6),   # windows at pos 0,1,2 merge -> tokens 0..5
+        (4, 1, 6, 6),
+    }
+    assert got == want
+
+
+def test_duplicated_spans_min_doc_freq(spark):
+    # within-doc repetition alone does NOT count (distinct-doc df)
+    rows = [(0, "r s t u r s t u"), (1, "all different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert curation.duplicated_spans(df, "doc_id", "text", n=4).count() == 0
+    # min_doc_freq=1 degenerates to every window (self-duplicates)
+    assert curation.duplicated_spans(df, "doc_id", "text", n=4, min_doc_freq=1).count() == 2
