@@ -66,6 +66,14 @@ def main() -> int:
             [("lo", None, 100), ("hi", 100, None)]),
         "more_like_this": s.more_like_this("alpha alpha beta beta", 10,
                                            min_term_freq=2, min_doc_freq=1),
+        # round-5 surfaces
+        "term_vectors": s.term_vectors([3, 17], "text"),
+        "search_synonym": s.search_synonym(["alpha", "beta"], 10),
+        "search_classic": s.search_classic(["alpha", "beta"], 10),
+        "search_block_join": s.search_block_join(["alpha"], "role", 5, "total"),
+        "search_join": s.search_join(
+            [{"term": "alpha", "occur": "must"}], "role", "role", 10
+        ),
     }
     failures = 0
     for name, df in surfaces.items():
@@ -87,8 +95,15 @@ def main() -> int:
         for ln in keep[:14]:
             print("  " + ln[:160])
         # postings scans must carry the field/term pushdown
-        if name in ("search_parsed", "search_span_first", "matching_docs"):
+        if name in ("search_parsed", "search_span_first", "matching_docs",
+                    "search_synonym", "search_classic"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
+        if name == "term_vectors":
+            # doc allow-set range pushed to the Parquet scan
+            assert any("PushedFilters" in ln and "max_doc" in ln for ln in keep), name
+        if name == "search_block_join":
+            assert any("HashAggregate" in ln for ln in keep), \
+                "block join missing partial+final parent agg"
         if name == "facet_counts":
             assert any("ReadSchema" in ln and "role" in ln and "n_chars" not in ln
                        for ln in keep), "facet stored scan not column-pruned"
