@@ -1243,6 +1243,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_function_score(spark, sf):
+        # Lucene FunctionScoreQuery: relevance x ln(1 + n_chars) from
+        # the index-owned stored table; top-k cut AFTER re-scoring
+        hits = _searcher(spark, sf).search_function_score(
+            OR_TERMS, "n_chars", k=K_ALL,
+            transform=lambda c: F.log(F.lit(1.0) + c.cast("double")),
+        )
+        return hits.select(
+            F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
+        )
+
     def ft_join_util(spark, sf):
         # Lucene JoinUtil.createJoinQuery (ScoreMode.None): from-query
         # 'dup' -> distinct source values of its matches -> every doc
@@ -1738,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
         tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
+        ft_function_score,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
     ]:
         q[fn.__name__] = fn
@@ -2120,6 +2132,14 @@ SELECT doc_id, tp.t AS term, count(*)::BIGINT AS freq,
        array_to_string(list(tp.p - 1 ORDER BY tp.p), ',') AS positions_s
 FROM tokpos GROUP BY doc_id, tp.t
 """,
+        "ft_function_score": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=f"""
+SELECT agg.doc_id, round(score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE), 6) AS score
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
+LIMIT {K_ALL}""",
+        ),
         "ft_join_util": f"""
 WITH {_TOK_CTE}
 SELECT doc_id, 1.0 AS score FROM documents

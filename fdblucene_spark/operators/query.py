@@ -3059,6 +3059,60 @@ class Searcher:
             .limit(int(k))
         )
 
+    def search_function_score(
+        self,
+        terms: list[str],
+        value_field: str,
+        k: int = 10,
+        mode: str = "or",
+        combine: str = "multiply",
+        transform=None,
+    ) -> DataFrame:
+        """Lucene FunctionScoreQuery: re-score a query by a per-doc
+        value source derived from an index-owned stored field
+        (`DoubleValuesSource.fromField`) — boost-by-recency,
+        boost-by-popularity, length priors. combine='multiply' or
+        'add' (Lucene's boostByValue / boostByQuery shapes); transform
+        is an optional Column->Column function applied to the raw
+        field (e.g. lambda c: F.log1p(c)); default is the raw value
+        cast to double. NULL values contribute the identity (1 for
+        multiply, 0 for add) — a doc without the field keeps its
+        relevance score, like a missing DoubleValues advance.
+
+        Because the function re-ranks, the top-k cut happens AFTER
+        re-scoring: full scored match set (float32 BM25, no cut) ->
+        column-pruned stored join -> one TakeOrdered k. Returns
+        (doc, score, raw_score, value); score is double (the f32
+        relevance promoted through the f64 function arithmetic,
+        Lucene's DoubleValuesSource contract)."""
+        if combine not in ("multiply", "add"):
+            raise ValueError("combine must be 'multiply' or 'add'")
+        stored = self._stored_df()
+        if value_field not in stored.columns:
+            raise ValueError(f"value field {value_field!r} is not stored in this index")
+        scored = self._scored_match_set(terms, mode=mode)
+        v = (
+            transform(F.col(value_field))
+            if transform is not None
+            else F.col(value_field).cast("double")
+        )
+        ident = 1.0 if combine == "multiply" else 0.0
+        joined = scored.join(
+            stored.select("doc", v.cast("double").alias("__v")), "doc", "left"
+        ).withColumn("__v", F.coalesce(F.col("__v"), F.lit(ident)))
+        raw = F.col("score").cast("double")
+        final = raw * F.col("__v") if combine == "multiply" else raw + F.col("__v")
+        return (
+            joined.select(
+                "doc",
+                final.alias("score"),
+                F.col("score").alias("raw_score"),
+                F.col("__v").alias("value"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .limit(int(k))
+        )
+
     def suggest(
         self,
         term: str,

@@ -121,3 +121,30 @@ def test_block_join_rejects_unstored_parent(spark, bj_index):
         s.search_block_join(["alpha"], "nope", k=5)
     with pytest.raises(ValueError):
         s.search_block_join(["alpha"], "conv_id", score_mode="sum")
+
+
+@pytest.mark.parametrize("combine", ["multiply", "add"])
+def test_function_score(spark, bj_index, combine):
+    rows, s = bj_index
+    got = s.search_function_score(
+        ["alpha", "gamma"], "conv_id", k=20, combine=combine
+    ).toPandas()
+    hits = s.search_local(["alpha", "gamma"], k=len(rows) + 1, mode="or")
+    conv = {r["doc_id"]: float(r["conv_id"]) for r in rows}
+    want = []
+    for _, h in hits.iterrows():
+        raw = float(np.float32(h["score"]))
+        v = conv[int(h["doc"])]
+        want.append((int(h["doc"]), raw * v if combine == "multiply" else raw + v))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want[:20]]
+    for g, (_, w) in zip(got["score"], want):
+        assert abs(g - w) < 1e-12
+
+
+def test_function_score_guards(spark, bj_index):
+    _, s = bj_index
+    with pytest.raises(ValueError):
+        s.search_function_score(["alpha"], "nope", k=5)
+    with pytest.raises(ValueError):
+        s.search_function_score(["alpha"], "conv_id", k=5, combine="max")
