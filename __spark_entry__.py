@@ -1686,6 +1686,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bpe_ish")
         return q.join(keep, "doc_id").join(tc, "doc_id")
 
+    def pipe_curation_v2(spark, sf):
+        # round-5 composition: exact-dup keepers ∩ decontaminated ∩
+        # deterministic stratified sample — the three curation stages
+        # chained the way a pre-training pass runs them. Plan: the
+        # dedup window + the broadcast gram join + the stateless
+        # sampler filter compose under Catalyst into doc_id joins
+        docs = _table(spark, sf, "documents")
+        keep = (
+            dedup.exact_duplicates(docs, "doc_id", "text")
+            .filter(F.col("dup_rank") == 1).select("doc_id")
+        )
+        grams = curation.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0), "text")
+        clean = (
+            curation.decontaminate(docs, grams, "doc_id", "text")
+            .filter(~F.col("contaminated")).select("doc_id")
+        )
+        sampled = curation.stratified_sample(
+            docs, "doc_id", "source", SAMP_RATES, default_rate=SAMP_DEFAULT
+        ).select("doc_id", "source")
+        return sampled.join(keep, "doc_id").join(clean, "doc_id")
+
     # ---- classic aggregation sanity (Catalyst partial+final agg) ----
     def agg_lineitem_pricing(spark, sf):
         li = _table(spark, sf, "lineitem")
@@ -1751,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
         ft_function_score,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
+        pipe_curation_v2,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2293,6 +2315,15 @@ JOIN ({dedup.exact_duplicates_sql("documents", "doc_id", "text")}) dup
 JOIN ({textstats.token_counts_sql("documents", "doc_id", "text")}) tc
   ON tc.doc_id = q.doc_id
 WHERE dup.dup_rank = 1 AND q.quality >= {PIPE_QUALITY_MIN}
+""",
+        "pipe_curation_v2": f"""
+SELECT s.doc_id, s.source
+FROM ({curation.stratified_sample_sql("documents", "doc_id", "source", SAMP_RATES,
+                                      default_rate=SAMP_DEFAULT, select="doc_id, source")}) s
+JOIN ({dedup.exact_duplicates_sql("documents", "doc_id", "text")}) dup
+  ON dup.doc_id = s.doc_id AND dup.dup_rank = 1
+JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 0")}) dec
+  ON dec.doc_id = s.doc_id AND NOT dec.contaminated
 """,
         "text_token_counts": textstats.token_counts_sql("documents", "doc_id", "text"),
         "text_quality": textstats.quality_scores_sql("documents", "doc_id", "text"),

@@ -96,6 +96,40 @@ _CONV_STATE_SCHEMA = T.StructType(
 )
 
 
+def streaming_session_stats(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    text_col: str,
+    gap: str = "30 seconds",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (F.session_window): a
+    session is a burst of activity per key that closes after `gap` of
+    silence — the natural conversation-segmentation operator for
+    transcript streams (tumbling windows split mid-conversation;
+    sessions follow the actual cadence). State for a session is
+    evictable once the watermark passes its close + gap, so memory is
+    bounded by ACTIVE sessions, not stream history. Emits one row per
+    (key, session): turn count, token mass, session bounds."""
+    toks = F.size(tokens_udf(F.col(text_col)))
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+            "n_tokens",
+        )
+    )
+
+
 def conversation_stats_tracker(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running
     per-conversation stats that accumulate across micro-batches —

@@ -123,3 +123,43 @@ def test_conversation_tracker_state_across_batches(spark, tmp_path_factory):
     # cross-batch accumulation actually happened: c0 spans both files,
     # so it must have emitted more than one running-total row
     assert (out["conv_id"] == "c0").sum() >= 2
+
+
+def test_streaming_session_stats(spark, tmp_path_factory):
+    """Session windows close after `gap` of silence per conversation;
+    batch equivalence against a hand-segmented oracle."""
+    src = _mk_stream_dir(spark, tmp_path_factory.mktemp("ssess"), "in")
+    out = _run(
+        spark,
+        ops.streaming_session_stats(
+            _read_stream(spark, src), "conv_id", "ts", "text", gap="30 seconds"
+        ),
+        "complete",
+        "sess_sink",
+    )
+    # hand segmentation at a 30 s gap:
+    # c0: 00:00:01, 00:00:02 | 00:02:10            -> 2 sessions (2 turns, 1 turn)
+    # c1: 00:00:03 | 00:01:30 | 00:02:40           -> 3 sessions
+    # c2: 00:02:20                                  -> 1 session
+    all_rows = pd.DataFrame(ROWS_A + ROWS_B, columns=["conv_id", "turn_idx", "text", "ts"])
+    all_rows["ts"] = pd.to_datetime(all_rows["ts"])
+    exp = {}
+    for conv, g in all_rows.sort_values("ts").groupby("conv_id"):
+        start = None
+        cur = []
+        sessions = []
+        for _, r in g.iterrows():
+            if cur and (r["ts"] - cur[-1]["ts"]).total_seconds() >= 30:
+                sessions.append(cur)
+                cur = []
+            cur.append(r)
+        sessions.append(cur)
+        for sess in sessions:
+            n_toks = sum(len(tokenize_text(r["text"])) for r in sess)
+            exp[(conv, sess[0]["ts"])] = (len(sess), n_toks)
+    got = {
+        (r["conv_id"], pd.to_datetime(r["session_start"])): (int(r["n_turns"]), int(r["n_tokens"]))
+        for _, r in out.iterrows()
+    }
+    assert got == exp
+    assert len(got) == 6
