@@ -231,6 +231,33 @@ def _pay_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+DV_MOD, DV_BONUS = 9, 100000  # ft_dv_update: n_chars override for doc_id % 9
+
+
+def _dvu_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with pending numeric doc-values overrides (Lucene
+    updateNumericDocValue analogue): every doc_id % DV_MOD gets
+    n_chars overridden to n_chars + DV_BONUS via the dv_path sidecar
+    — query surfaces must see post-override values without any
+    segment rewrite."""
+    from fdblucene_spark.operators.deletes import update_doc_values
+
+    root = os.path.join(_index_root(sf_dir), "dvu")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(
+            spark, docs, root, doc_col="doc_id", n_shards=8,
+            fingerprint=sf_dir + "-dvu",
+            stored_fields={"n_chars": "n_chars", "source": "source"},
+        )
+        up = docs.filter(F.col("doc_id") % DV_MOD == 0).select(
+            F.col("doc_id").alias("doc"),
+            (F.col("n_chars") + DV_BONUS).alias("n_chars"),
+        )
+        update_doc_values(spark, root, up)
+    return Searcher(spark, root)
+
+
 def _del_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index with a live delete list (doc_id % DELETE_MOD == 0
     tombstoned): L21 against the oracle. Deletes keep corpus stats
@@ -1243,6 +1270,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_dv_update(spark, sf):
+        # numeric doc-values UPDATE (no segment rewrite): the range
+        # predicate must evaluate post-override values, so only the
+        # doc_id % DV_MOD docs (n_chars += DV_BONUS sidecar) match
+        return _hits_df(
+            _dvu_searcher(spark, sf).search(
+                OR_TERMS, k=K_ALL, mode="or",
+                numeric=[{"field": "n_chars", "lo": DV_BONUS, "hi": None}],
+            )
+        )
+
     def ft_function_score(spark, sf):
         # Lucene FunctionScoreQuery: relevance x ln(1 + n_chars) from
         # the index-owned stored table; top-k cut AFTER re-scoring
@@ -1770,7 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
         tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
-        ft_function_score,
+        ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2,
     ]:
@@ -2154,6 +2192,14 @@ SELECT doc_id, tp.t AS term, count(*)::BIGINT AS freq,
        array_to_string(list(tp.p - 1 ORDER BY tp.p), ',') AS positions_s
 FROM tokpos GROUP BY doc_id, tp.t
 """,
+        "ft_dv_update": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            extra_where=(
+                f"AND tf.doc_id IN (SELECT doc_id FROM documents WHERE "
+                f"(CASE WHEN doc_id % {DV_MOD} = 0 THEN n_chars + {DV_BONUS} "
+                f"ELSE n_chars END) >= {DV_BONUS})"
+            ),
+        ),
         "ft_function_score": _bm25_sql(
             OR_TERMS, "or", K_ALL,
             select_override=f"""

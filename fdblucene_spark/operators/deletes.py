@@ -59,6 +59,89 @@ def delete_docs(spark: SparkSession, root: str, doc_ids: DataFrame | list[int]) 
     return catalog.commit(new)
 
 
+def apply_dv_overrides(base: DataFrame, overrides: DataFrame) -> DataFrame:
+    """Layer numeric doc-values overrides over the stored table:
+    per overridden column, the override value wins where present
+    (coalesce — idempotent, so re-applying after a partial merge
+    folded some overrides in is harmless). Columns are validated by
+    the writer (update_doc_values), so every override column exists
+    in base."""
+    ov_cols = [c for c in overrides.columns if c != "doc"]
+    ov = overrides.select(
+        "doc", *[F.col(c).alias(f"__ov_{c}") for c in ov_cols]
+    )
+    out = base.join(ov, "doc", "left")
+    for c in ov_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__ov_{c}"), F.col(c)))
+    return out.drop(*[f"__ov_{c}" for c in ov_cols])
+
+
+def update_doc_values(
+    spark: SparkSession, root: str, updates: DataFrame
+) -> Manifest:
+    """Lucene `IndexWriter.updateNumericDocValue` / binary analogue:
+    re-point a stored doc-values field for existing docs WITHOUT
+    rewriting segments or re-indexing text. Publishes a snapshot
+    whose manifest carries a doc-values override table (`dv_path`,
+    the sidecar pattern of delete_docs); every read surface that
+    consumes the stored table — numeric range predicates, sort,
+    facets, grouping, block join, function score — layers the
+    overrides via apply_dv_overrides. A full merge (merge_segments)
+    folds overrides into the rewritten stored table and drops the
+    sidecar, exactly as Lucene merges fold DV update generations.
+
+    updates: DataFrame with a `doc` column plus one or more stored
+    columns to override. Repeated updates merge latest-wins per
+    (doc, column); columns must already exist in the stored table
+    (Lucene updates existing DV fields only)."""
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    stored_cols = set(manifest.properties.get("stored_fields", []))
+    ov_cols = [c for c in updates.columns if c != "doc"]
+    if "doc" not in updates.columns or not ov_cols:
+        raise ValueError("updates needs a `doc` column plus value columns")
+    missing = [c for c in ov_cols if c not in stored_cols]
+    if missing:
+        raise ValueError(
+            f"not stored doc-values fields: {missing} (stored: {sorted(stored_cols)})"
+        )
+    new = updates.select("doc", *ov_cols).dropDuplicates(["doc"])
+    old_rel = manifest.properties.get("dv_path")
+    if old_rel:
+        old = spark.read.parquet(os.path.join(root, old_rel))
+        both = sorted(set(ov_cols) | {c for c in old.columns if c != "doc"})
+        n = new.select(
+            "doc", *[
+                (F.col(c) if c in ov_cols else F.lit(None)).alias(c) for c in both
+            ]
+        ).alias("n")
+        o = old.select(
+            "doc", *[
+                (F.col(c) if c in old.columns else F.lit(None)).alias(c) for c in both
+            ]
+        ).alias("o")
+        new = (
+            n.join(o, "doc", "full")
+            .select(
+                "doc",
+                *[F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c) for c in both],
+            )
+        )
+    rel = os.path.join("data", "doc_values", f"dv-{uuid.uuid4().hex[:12]}")
+    new.write.parquet(os.path.join(root, rel))
+    n_dv = spark.read.parquet(os.path.join(root, rel)).count()
+    committed = Manifest(
+        version=catalog.next_version(),
+        analyzer=manifest.analyzer,
+        block_size=manifest.block_size,
+        n_shards=manifest.n_shards,
+        segments=manifest.segments,
+        parent_version=manifest.version,
+        properties={**manifest.properties, "dv_path": rel, "n_dv": n_dv},
+    )
+    return catalog.commit(committed)
+
+
 def update_docs(
     spark: SparkSession,
     root: str,

@@ -403,7 +403,8 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
     catalog = IndexCatalog(root)
     manifest = catalog.load()
     has_deletes = bool(manifest.properties.get("deletes_path"))
-    if len(manifest.segments) <= 1 and mode == "concat" and not has_deletes:
+    has_dv = bool(manifest.properties.get("dv_path"))
+    if len(manifest.segments) <= 1 and mode == "concat" and not has_deletes and not has_dv:
         return manifest
     postings = _ensure_postings_cols(
         spark.read.parquet(*manifest.segment_paths(root, "postings"))
@@ -417,6 +418,17 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
         stored_paths = [p for p in manifest.segment_paths(root, "stored") if os.path.isdir(p)]
         if stored_paths:
             stored = spark.read.parquet(*stored_paths)
+    if properties.get("dv_path") and stored is not None:
+        # full consolidation rewrites the stored table: fold pending
+        # doc-values overrides in and drop the sidecar (Lucene merges
+        # fold DV update generations the same way)
+        from .deletes import apply_dv_overrides
+
+        stored = apply_dv_overrides(
+            stored, spark.read.parquet(os.path.join(root, properties["dv_path"]))
+        )
+        properties.pop("dv_path", None)
+        properties.pop("n_dv", None)
     if mode == "concat":
         w = Window.partitionBy("field", "term", "shard").orderBy("min_doc", "block_id")
         blocks = postings.withColumn(

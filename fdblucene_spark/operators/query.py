@@ -1470,7 +1470,15 @@ class Searcher:
             raise ValueError(
                 "index has no stored/doc-values table; build with stored_fields=..."
             )
-        return self.spark.read.parquet(*paths)
+        base = self.spark.read.parquet(*paths)
+        dv_rel = self.manifest.properties.get("dv_path")
+        if dv_rel:
+            from .deletes import apply_dv_overrides
+
+            base = apply_dv_overrides(
+                base, self.spark.read.parquet(os.path.join(self.root, dv_rel))
+            )
+        return base
 
     def _aux_frames(
         self,
@@ -2459,7 +2467,12 @@ class Searcher:
         stored table (predicate pushdown + column pruning) -> SORTED
         allowed docIDs. The stored table is orders of magnitude
         smaller than postings; this is the query-service analogue of
-        the cogrouped aux input."""
+        the cogrouped aux input. With pending doc-values overrides
+        (update_doc_values sidecar) the pyarrow predicate pushdown is
+        disabled for the overridden columns' scan — the filter must
+        see post-override values — and the predicate evaluates in
+        pandas after the override layering; a full merge folds the
+        sidecar and restores the pushdown path."""
         import pyarrow as pa
 
         files = self._table_files("stored")
@@ -2468,6 +2481,29 @@ class Searcher:
                 "index has no stored/doc-values table; build with stored_fields=..."
             )
         dset = pads.dataset(files, format="parquet")
+        dv_rel = self.manifest.properties.get("dv_path")
+        if dv_rel:
+            fields = sorted({cl["field"] for cl in numeric})
+            pdf = dset.to_table(columns=["doc"] + fields).to_pandas()
+            ov = (
+                pads.dataset(os.path.join(self.root, dv_rel), format="parquet")
+                .to_table()
+                .to_pandas()
+            )
+            pdf = pdf.merge(ov[[c for c in ov.columns if c == "doc" or c in fields]],
+                            on="doc", how="left", suffixes=("", "__ov"))
+            mask = np.ones(len(pdf), dtype=bool)
+            for cl in numeric:
+                c = cl["field"]
+                vals = pdf[f"{c}__ov"].combine_first(pdf[c]) if f"{c}__ov" in pdf else pdf[c]
+                for key, op in (("lo", "ge"), ("hi", "le")):
+                    val = cl.get(key)
+                    if val is None:
+                        continue
+                    if isinstance(val, str) and str(vals.dtype).startswith("datetime"):
+                        val = pd.Timestamp(val)
+                    mask &= (vals >= val).to_numpy() if op == "ge" else (vals <= val).to_numpy()
+            return np.unique(pdf.loc[mask, "doc"].to_numpy(np.int64))
         flt = None
         for cl in numeric:
             typ = dset.schema.field(cl["field"]).type
