@@ -322,6 +322,49 @@ FROM islands GROUP BY {id_col}, grp
 """
 
 
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply step of exact-substring dedup: cut token ranges (the
+    duplicated_spans output, or any (id, span_start, span_end)
+    relation after a keeper policy) from each doc. Returns
+    (id, text_clean, n_tokens, n_tokens_removed); text_clean is the
+    surviving tokens re-joined with single spaces — token-level
+    reconstruction, the standard contract of token-level dedup
+    pipelines (original whitespace is not preserved).
+
+    Shape: spans collapse to one small array per doc (collect_list
+    after the group-by), then a single map-only pass filters each
+    doc's token vector by index — no second shuffle over the corpus
+    text beyond the doc-keyed span join."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("a"), F.col("span_end").alias("b"))
+        ).alias("__spans")
+    )
+    ts = tokens_col(text_col)
+    j = df.select(F.col(id_col), ts.alias("__ts")).join(sp, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<a:long,b:long>>"),
+    )
+    kept = F.filter(
+        "__ts",
+        lambda t, i: ~F.exists(
+            spans_arr, lambda s: (i >= s["a"]) & (i <= s["b"])
+        ),
+    )
+    return j.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("__ts").cast("long").alias("n_tokens"),
+        (F.size("__ts") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+
+
 # ------------------------------------------------------ stratified sampling
 def stratified_sample(
     df: DataFrame,

@@ -214,3 +214,30 @@ def test_duplicated_spans_min_doc_freq(spark):
     assert curation.duplicated_spans(df, "doc_id", "text", n=4).count() == 0
     # min_doc_freq=1 degenerates to every window (self-duplicates)
     assert curation.duplicated_spans(df, "doc_id", "text", n=4, min_doc_freq=1).count() == 2
+
+
+def test_remove_spans_composes_with_duplicated_spans(spark):
+    rows = [
+        (0, "a0 b0 c d e f g0 h0"),
+        (1, "x1 y1 c d e f z1 w1"),
+        (2, "only unique tokens here today friends"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = curation.duplicated_spans(df, "doc_id", "text", n=4)
+    out = (
+        curation.remove_spans(df, spans, "doc_id", "text")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "text_clean"] == "a0 b0 g0 h0"
+    assert int(out.loc[0, "n_tokens_removed"]) == 4
+    assert out.loc[1, "text_clean"] == "x1 y1 z1 w1"
+    assert out.loc[2, "text_clean"] == "only unique tokens here today friends"
+    assert int(out.loc[2, "n_tokens_removed"]) == 0
+    # keeper policy: exclude doc 0's span from the cut -> doc 0 keeps it
+    keep_first = spans.filter("doc_id <> 0")
+    out2 = (
+        curation.remove_spans(df, keep_first, "doc_id", "text")
+        .toPandas().set_index("doc_id")
+    )
+    assert out2.loc[0, "text_clean"] == "a0 b0 c d e f g0 h0"
+    assert out2.loc[1, "text_clean"] == "x1 y1 z1 w1"
