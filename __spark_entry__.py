@@ -1745,6 +1745,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source")
         return sampled.join(keep, "doc_id").join(clean, "doc_id")
 
+    def mm_frames(spark, sf):
+        # video frame-sampling plumbing (decode stubbed): one row per
+        # sampled frame, count from duration metadata, deterministic
+        # byte-slice signatures the twin recomputes from the text
+        media = multimodal.synthesize_media(_table(spark, sf, "documents"), "doc_id", "text")
+        return multimodal.sample_frames(media)
+
     # ---- classic aggregation sanity (Catalyst partial+final agg) ----
     def agg_lineitem_pricing(spark, sf):
         li = _table(spark, sf, "lineitem")
@@ -1810,7 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
         ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
-        pipe_curation_v2,
+        pipe_curation_v2, mm_frames,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2442,6 +2449,7 @@ LIMIT {RRF_K}
         ),
         "mm_features": multimodal.byte_histogram_sql("documents", "doc_id", "text", (2, 6, 7)),
         "mm_media_stats": multimodal.media_stats_sql("documents", "doc_id", "text"),
+        "mm_frames": multimodal.sample_frames_sql("documents", "doc_id", "text"),
         "agg_lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

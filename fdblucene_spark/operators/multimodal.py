@@ -121,6 +121,129 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame_sig", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 100, fake: bool = True) -> DataFrame:
+    """Frame sampling over video payloads (mapInPandas) — the
+    plumbing a video-bearing pipeline needs: binary in, one row per
+    sampled frame out, frame count driven by the duration metadata
+    (n_frames = ceil(duration_ms / every_ms)). The DECODE is stubbed
+    like decode_image: fake=True stands in a deterministic byte-slice
+    "frame" (offset (i*len)//n, length max(1, len//n)) whose md5 is
+    the frame signature — stable across runs/partitionings and
+    reproducible by the SQL twin (the synthesized payloads are ASCII
+    text bytes, so byte offsets == char offsets there); fake=False
+    raises, as a real frame grab needs a video lib this container
+    lacks. Non-video rows are skipped."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires a video decode library not available "
+            "in this environment; pass fake=True for the deterministic "
+            "byte-slice sampler"
+        )
+    step = int(every_ms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if pdf.empty:
+                continue
+            mids, idxs, tss, sigs = [], [], [], []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                dur = int(r["meta"]["duration_ms"])
+                size = len(payload)
+                n = max(1, -(-dur // step))
+                chunk = max(1, size // n)
+                for i in range(n):
+                    o = (i * size) // n
+                    mids.append(int(r["media_id"]))
+                    idxs.append(i)
+                    tss.append(i * step)
+                    sigs.append(hashlib.md5(payload[o : o + chunk]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_sig": sigs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def sample_frames_sql(table: str, id_col: str, text_col: str, every_ms: int = 100) -> str:
+    """Twin of synthesize_media >> sample_frames(fake=True): payloads
+    are the utf-8 text bytes (ASCII in the gate corpora, so substr
+    char offsets equal byte offsets), kind 'video' iff id % 3 = 2,
+    duration = 10 * n_bytes."""
+    return f"""
+WITH m AS (
+  SELECT {id_col}::BIGINT AS media_id, {text_col} AS t,
+         strlen({text_col})::BIGINT AS L,
+         (strlen({text_col}) * 10)::BIGINT AS dur
+  FROM {table} WHERE {id_col} % 3 = 2
+), sized AS (
+  SELECT *, greatest(1, (dur + {every_ms} - 1) // {every_ms}) AS n,
+         greatest(1, L // greatest(1, (dur + {every_ms} - 1) // {every_ms})) AS chunk
+  FROM m
+), fr AS (
+  SELECT media_id, t, L, n, chunk, unnest(range(0, n)) AS i FROM sized
+)
+SELECT media_id, i::INT AS frame_idx, (i * {every_ms})::INT AS ts_ms,
+       md5(substr(t, ((i * L) // n)::INT + 1, chunk::INT)) AS frame_sig
+FROM fr
+"""
+
+
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
+    """STUB like decode_image: real resize needs an image lib.
+    fake=True nearest-neighbor-resamples the deterministic 8x8 fake
+    decode to (height, width) — exercises the full decode->transform
+    array path with real shapes."""
+    img = decode_image(payload, fake=fake)
+    ys = (np.arange(height) * img.shape[0]) // height
+    xs = (np.arange(width) * img.shape[1]) // width
+    return img[np.ix_(ys, xs)]
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """mapInPandas resize pass over image payloads: binary in,
+    (media_id, width, height, pixels bytes) out — the batch shape a
+    real resize UDF would have; decode/resize stubbed via fake."""
+    w, h = int(width), int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": np.int32(w),
+                    "height": np.int32(h),
+                    "pixels": [
+                        resize_image(bytes(p), w, h, fake=fake).tobytes()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, width int, height int, pixels binary"
+    )
+
+
 def byte_histogram_features(media: DataFrame, n_bins: int = FEATURE_DIM) -> DataFrame:
     """Deterministic, ORACLE-CHECKABLE feature extractor: the feature
     vector is the normalized histogram of payload byte values

@@ -451,3 +451,35 @@ def test_pii_tags_no_rowwise_python(spark, docs_df):
     out = textstats.pii_tags(docs_df, "doc_id", "text")
     assert_no_rowwise_python(out)
     assert out.count() == docs_df.count()
+
+
+def test_sample_frames_and_resize(docs_df):
+    import hashlib as _hl
+
+    media = multimodal.synthesize_media(docs_df, "doc_id", "text")
+    frames = multimodal.sample_frames(media, every_ms=100).toPandas()
+    vids = {int(r["doc_id"]): r["text"] for _, r in docs_df.toPandas().iterrows()
+            if int(r["doc_id"]) % 3 == 2}
+    assert set(frames["media_id"]) == set(vids)
+    for mid, text in vids.items():
+        payload = text.encode()
+        dur = len(payload) * 10
+        n = max(1, -(-dur // 100))
+        g = frames[frames["media_id"] == mid].sort_values("frame_idx")
+        assert list(g["frame_idx"]) == list(range(n))
+        assert list(g["ts_ms"]) == [i * 100 for i in range(n)]
+        chunk = max(1, len(payload) // n)
+        for i, sig in zip(g["frame_idx"], g["frame_sig"]):
+            o = (i * len(payload)) // n
+            assert sig == _hl.md5(payload[o : o + chunk]).hexdigest()
+    # resize plumbing: deterministic shapes + honest stub
+    px = multimodal.resize_images(media, 4, 2).toPandas()
+    assert set(px["media_id"]) == {
+        int(r["doc_id"]) for _, r in docs_df.toPandas().iterrows()
+        if int(r["doc_id"]) % 3 == 0
+    }
+    assert all(len(b) == 8 for b in px["pixels"])  # 4x2 uint8
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"x", 4, 4, fake=False)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(media, fake=False)
