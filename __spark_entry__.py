@@ -120,6 +120,10 @@ SPAN_OR_CLAUSES = ["sort", ("merge", "join"), "the"]
 SPAN_OR_SLOP = 2
 # ft_span_not: include occ survives unless exclude occ in [p-pre, p+post]
 SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
+# ft_multi_phrase: MultiPhraseQuery "sort (merge|join|<absent>)" with
+# Lucene's TRUE phrase-frequency scoring; the absent alternative
+# exercises the skipped-TermStates idf drop
+MP_SLOTS = ["sort", ("merge", "join", "zzzabsent")]
 # ft_combined_field: BM25F over {text, source} — src3 matches only via
 # the keyword field, dup/hash only via text; both get cross-field norms
 COMB_TERMS = ["dup", "hash", "src3"]
@@ -159,6 +163,25 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             text_fields={"text": "text"},
             keyword_fields={"source": "source", "lang": "lang"},
             stored_fields={"n_chars": "n_chars", "source": "source"},
+        )
+    return Searcher(spark, root)
+
+
+def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index-SORTED variant (IndexWriterConfig.setIndexSort analogue):
+    docIDs are assigned in (n_chars desc, doc_id) order, so
+    search_sorted(sort_field='n_chars', ascending=False) takes the
+    EARLY-TERMINATION path (blocks decode in docID order and stop at
+    k matches per shard/segment). orig_id carries the corpus key back
+    out — docIDs here are rank-assigned, not doc_id."""
+    root = os.path.join(_index_root(sf_dir), "isort")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(
+            spark, docs, root, key_cols=["doc_id"], n_shards=8,
+            fingerprint=sf_dir + "-isort",
+            stored_fields={"n_chars": "n_chars", "orig_id": "doc_id"},
+            index_sort=("n_chars", False),
         )
     return Searcher(spark, root)
 
@@ -701,6 +724,64 @@ FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k} OFFSET {offset}'''}
 """
 
 
+def _phrase_freq_sql(slots: list, k: int) -> str:
+    """PhraseQuery/MultiPhraseQuery-scoring twin: per-doc phrase freq
+    = count of DISTINCT start positions whose slot chain completes
+    (slot i at start + i, alternatives as set membership), scored as
+    ONE pseudo-term — weight = float32(double-sum of member float32
+    idfs, one addend per (slot, term), absent terms contributing 0 =
+    Lucene's skipped empty TermStates), tf_norm on the phrase freq.
+    Same f32/f64 cast order as Searcher.search_multi_phrase."""
+    norm_slots = [(c,) if isinstance(c, str) else tuple(c) for c in slots]
+    ns = len(norm_slots)
+    joins = ", ".join(f"flat f{i}" for i in range(ns))
+    conds = []
+    for i, c in enumerate(norm_slots):
+        alts = ", ".join(f"'{t}'" for t in c)
+        conds.append(f"f{i}.t IN ({alts})")
+        if i > 0:
+            conds.append(f"f{i}.doc_id = f0.doc_id AND f{i}.p = f0.p + {i}")
+    member_terms = sorted({t for c in norm_slots for t in c})
+    tlist = ", ".join(f"'{t}'" for t in member_terms)
+    idf_addends = " + ".join(
+        f"COALESCE((SELECT (ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))::FLOAT)"
+        f" FROM dfs WHERE term = '{t}'), 0.0)::DOUBLE"
+        for c in norm_slots
+        for t in c
+    )
+    return f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), starts AS (
+  SELECT DISTINCT f0.doc_id, f0.p FROM {joins}
+  WHERE {' AND '.join(conds)}
+), freqs AS (
+  SELECT doc_id, count(*)::BIGINT AS freq FROM starts GROUP BY doc_id
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE term IN ({tlist}) GROUP BY term
+), widf AS (
+  SELECT (({idf_addends}))::FLOAT AS w32 FROM stats s
+), scores AS (
+  SELECT f.doc_id,
+    ((w.w32)::DOUBLE *
+     ((f.freq::DOUBLE / (f.freq::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM freqs f
+  JOIN norms n ON n.doc_id = f.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN widf w
+)
+SELECT doc_id, round(s32::DOUBLE, 3) AS score
+FROM scores ORDER BY s32 DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # ------------------------------------------------------- ANN oracle twins
 # The persisted ANN indexes are fully deterministic (fixed seed, LSH
 # planes from seed, IVF centroids from a sort-by-id sample), so both
@@ -942,6 +1023,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 SPAN3_TERMS, k=K_ALL, slop=SPAN3_SLOP, in_order=True
             )
         )
+
+    def ft_multi_phrase(spark, sf):
+        # MultiPhraseQuery with Lucene's actual phrase-frequency BM25
+        # scoring: tf = exact phrase occurrence count, weight =
+        # f32(sum of member f32 idfs), one pseudo-term score
+        return _hits_df(_searcher(spark, sf).search_multi_phrase(MP_SLOTS, k=K_ALL))
 
     def ft_regexp_search(spark, sf):
         # Lucene RegexpQuery: anchored whole-term regex expansion over
@@ -1242,6 +1329,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _searcher(spark, sf)
             .search_sorted([LOOKUP_TERM], k=100, sort_field="n_chars")
             .select(F.col("doc").alias("doc_id"), "n_chars")
+        )
+
+    def ft_sorted_early(spark, sf):
+        # the SAME sorted query over an index built with
+        # index_sort=('n_chars', desc): the kernel early-terminates
+        # (decode stops at k matches per shard/segment) and the result
+        # must be IDENTICAL to the layout-agnostic oracle — the sort
+        # is a physical optimization, invisible to results
+        s = _sorted_searcher(spark, sf)
+        hits = s.search_sorted(
+            [LOOKUP_TERM], k=100, sort_field="n_chars", ascending=False
+        )
+        return s.fetch_stored(hits, ["orig_id"]).select(
+            F.col("orig_id").alias("doc_id"), "n_chars"
         )
 
     def ft_payloads(spark, sf):
@@ -1817,7 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
         ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
-        pipe_curation_v2, mm_frames,
+        pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1869,6 +1970,7 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         "ft_bm25_topk_or": _bm25_sql(OR_TERMS, "or", K_ALL),
         "ft_bm25_topk_and": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
+        "ft_multi_phrase": _phrase_freq_sql(MP_SLOTS, K_ALL),
         "ft_near_search": _bm25_sql(
             [NEAR_A, NEAR_B], "and", K_ALL, near=(NEAR_A, NEAR_B, NEAR_W, False)
         ),
@@ -2171,6 +2273,12 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
             [], "or", K_ALL, terms_sql=f"levenshtein(term, '{FUZZY_Q}') <= 2"
         ),
         "ft_sorted_search": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 100
+""",
+        "ft_sorted_early": f"""
 WITH {_TOK_CTE}
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')

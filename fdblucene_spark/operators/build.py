@@ -134,8 +134,14 @@ def assign_dense_doc_ids(
     doc_base: int = 0,
     num_partitions: int | None = None,
     freeze_dir: str | None = None,
+    order_exprs: list | None = None,
 ) -> DataFrame:
     """Add a dense deterministic int64 `doc` column, ordered by key_cols.
+
+    order_exprs: optional Column-expression ordering overriding the
+    plain key_cols order (index-time sorting — docID rank follows
+    e.g. [desc(ts), conv_id, turn_idx]); key_cols still define
+    uniqueness, order_exprs define rank.
 
     Scalable dense-ID assignment without a global single-partition
     window and without Spark's (expensive) columnar cache:
@@ -161,9 +167,10 @@ def assign_dense_doc_ids(
         freeze_dir = os.path.join(
             "/tmp", "sparklucene-ids-" + uuid.uuid4().hex[:12]
         )
+    order = order_exprs if order_exprs is not None else list(key_cols)
     keyed = (
-        df.repartitionByRange(num_partitions, *key_cols)
-        .sortWithinPartitions(*key_cols)
+        df.repartitionByRange(num_partitions, *order)
+        .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
     )
     keyed.write.mode("errorifexists").parquet(freeze_dir)
@@ -597,8 +604,23 @@ def build_index(
     store_offsets: bool = False,
     store_payloads: bool = False,
     analyzer: str = ANALYZER_VERSION,
+    index_sort: tuple[str, bool] | None = None,
 ) -> Manifest:
     """Build (or append) one segment and commit a new snapshot.
+
+    index_sort: (stored_field, ascending) — Lucene
+    IndexWriterConfig.setIndexSort: docIDs within each segment are
+    assigned in the order of that stored field's values (then
+    key_cols for ties), so a search sorted by the same field can
+    EARLY-TERMINATE per segment (Searcher.search_sorted stops
+    decoding posting blocks once k matches per shard are decided —
+    the layout optimization that makes "latest k by ts" cheap on a
+    100 TB index). Requires key_cols mode (doc_col hands the caller
+    control of the rank) and the field in stored_fields. Pinned in
+    the manifest like the analyzer; appends must declare the same
+    sort (each appended segment is internally sorted, as in Lucene).
+    Concat-style merges drop the pin (they would interleave sorted
+    runs; Lucene's sorted merge re-sorts — ours refuses to claim it).
 
     analyzer: versioned text analyzer name from analysis.ANALYZERS
     (standard_v1 = lowercase \\w+; standard_v2 = v1 + English stopword
@@ -657,6 +679,15 @@ def build_index(
                 f"({sorted(parent.properties.get('stored_fields', []))}); an append must "
                 "store the same fields or fetch/doc-values queries would miss docs"
             )
+        parent_sort = parent.properties.get("index_sort")
+        if (list(index_sort) if index_sort else None) != (
+            list(parent_sort) if parent_sort else None
+        ):
+            raise ValueError(
+                "index config mismatch: index_sort pinned at creation "
+                f"({parent_sort}); every appended segment must be sorted the "
+                "same way or early-terminated sorted queries would misorder"
+            )
         if fingerprint and any(
             s.lineage and s.lineage[0].get("fingerprint") == fingerprint for s in parent.segments
         ):
@@ -697,6 +728,23 @@ def build_index(
         phase_t[name] = round(time.time() - _t0, 2)
         _t0 = time.time()
 
+    sort_exprs = None
+    if index_sort is not None:
+        sort_field, sort_asc = index_sort
+        if doc_col is not None:
+            raise ValueError(
+                "index_sort requires key_cols mode (doc_col hands the caller "
+                "control of the docID rank, which IS the sort)"
+            )
+        if sort_field not in stored_fields:
+            raise ValueError(
+                f"index_sort field {sort_field!r} must be in stored_fields "
+                "(sorted queries read its values from the stored table)"
+            )
+        sort_src = stored_fields[sort_field]
+        sort_exprs = [
+            F.col(sort_src).asc() if sort_asc else F.col(sort_src).desc()
+        ] + [F.col(c) for c in (key_cols or [])]
     if doc_col is not None:
         docs_df = corpus.select(F.col(doc_col).cast("long").alias("doc"), *src_cols)
     else:
@@ -711,6 +759,7 @@ def build_index(
         with_ids = assign_dense_doc_ids(
             corpus.select(*needed), key_cols, doc_base=doc_base,
             freeze_dir=os.path.join(seg_dir, "_tmp_ids"),
+            order_exprs=sort_exprs,
         )
         docs_df = with_ids.select("doc", *src_cols)
     _mark("ids_freeze")
@@ -901,6 +950,11 @@ def build_index(
                 "primary_field": primary,
                 "stored_fields": sorted(stored_fields),
                 "keyword_fields": sorted(keyword_fields),
+                **(
+                    {"index_sort": [index_sort[0], bool(index_sort[1])]}
+                    if index_sort
+                    else {}
+                ),
             },
         )
         try:

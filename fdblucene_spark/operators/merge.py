@@ -413,6 +413,12 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
     doclen = spark.read.parquet(*manifest.segment_paths(root, "doclen"))
     store_positions = bool(manifest.properties.get("store_positions", True))
     properties = dict(manifest.properties)
+    if len(manifest.segments) > 1:
+        # combining segments interleaves their sorted docID runs — a
+        # concat merge is NOT Lucene's sorted merge (which re-sorts),
+        # so the merged snapshot must not claim the index_sort pin
+        # (early-terminated sorted queries would misorder)
+        properties.pop("index_sort", None)
     stored = None
     if properties.get("stored_fields"):
         stored_paths = [p for p in manifest.segment_paths(root, "stored") if os.path.isdir(p)]
@@ -528,6 +534,9 @@ def merge_partial(
     postings = _ensure_postings_cols(spark.read.parquet(*paths("postings")))
     doclen = spark.read.parquet(*paths("doclen"))
     properties = dict(manifest.properties)
+    # the merged SEGMENT interleaves >= 2 sorted docID runs, so the
+    # snapshot-level index_sort pin no longer holds (see merge_segments)
+    properties.pop("index_sort", None)
     store_positions = bool(properties.get("store_positions", True))
     stored = None
     if properties.get("stored_fields"):
@@ -629,6 +638,11 @@ def reshard(spark: SparkSession, root: str, n_shards: int) -> Manifest:
         .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
     )
     properties = dict(manifest.properties)
+    if len(manifest.segments) > 1:
+        # resharding keeps docIDs but consolidates segments — multiple
+        # sorted runs interleave, so the index_sort pin drops (a
+        # single-segment reshard preserves the order and keeps it)
+        properties.pop("index_sort", None)
     store_positions = bool(properties.get("store_positions", True))
     store_off = bool(properties.get("store_offsets", False))
     store_pay = bool(properties.get("store_payloads", False))

@@ -636,6 +636,76 @@ def _span_near_filter(
     return cand[keep], acc[keep]
 
 
+def _phrase_freqs(
+    groups: dict[str, pd.DataFrame],
+    slots: list[tuple[str, ...]],
+    cand: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc EXACT phrase frequency for PhraseQuery/MultiPhraseQuery
+    scoring: slot i must match at start + i, a slot being a set of
+    alternative terms (MultiPhraseQuery — its position set is the
+    union of the alternatives'; one token per position, so alternative
+    sets never collide on a position). Returns (docs asc, freqs);
+    freq counts each start position once however many alternative
+    completions exist — Lucene ExactPhraseMatcher advances per
+    position, not per completion. Same packed-key vectorization as
+    _phrase_filter (doc << shift | pos), no per-document loop."""
+    empty = np.empty(0, dtype=np.int64)
+    if cand.size == 0:
+        return empty, empty
+    occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    max_pos = 0
+    for t in dict.fromkeys(t for c in slots for t in c):
+        dd, pp = _gather_positions(groups, t, cand)
+        if dd.size:
+            max_pos = max(max_pos, int(pp.max()))
+        occ[t] = (dd, pp)
+    n = len(slots)
+    shift = max(21, int(max_pos + n).bit_length() + 1)
+    term_keys = {t: np.sort((dd << shift) | pp) for t, (dd, pp) in occ.items()}
+    keys: list[np.ndarray] = []
+    for c in slots:
+        parts = [term_keys[t] for t in c if term_keys[t].size]
+        if not parts:
+            return empty, empty
+        keys.append(parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts)))
+    starts = keys[0]
+    for off in range(1, n):
+        if starts.size == 0:
+            return empty, empty
+        starts = starts[_sorted_probe(keys[off], starts + off)]
+    if starts.size == 0:
+        return empty, empty
+    return np.unique(starts >> shift, return_counts=True)
+
+
+def _gather_dlq(
+    groups: dict[str, pd.DataFrame], terms: Iterable[str], docs: np.ndarray
+) -> np.ndarray:
+    """Quantized-length byte per doc, aligned with `docs` (sorted asc).
+    dlq is a per-(field, doc) property repeated in every posting, so
+    ANY of the given terms' postings witnesses it; `docs` must be
+    covered by the union of the terms' doc sets (phrase matches are,
+    by slot-0 membership)."""
+    out = np.full(docs.size, -1, dtype=np.int64)
+    for t in terms:
+        rows = groups.get(t)
+        if rows is None:
+            continue
+        d, _, dlq = _decode_block_rows(rows)
+        if not d.size:
+            continue
+        order = np.argsort(d)
+        d, dlq = d[order], dlq[order]
+        idx = np.searchsorted(d, docs)
+        idx = np.minimum(idx, d.size - 1)
+        hit = (d[idx] == docs) & (out < 0)
+        out[hit] = dlq[idx][hit]
+        if (out >= 0).all():
+            break
+    return out
+
+
 def _match_shard(
     groups: dict[str, pd.DataFrame],
     mode: str,
@@ -666,6 +736,92 @@ def _match_shard(
     if mode == "phrase" and cand.size:
         cand, _ = _phrase_filter(groups, q_terms, cand, np.zeros(cand.size))
     return cand
+
+
+def _sorted_match_early(
+    groups: dict[str, pd.DataFrame],
+    mode: str,
+    q_terms: list[str],
+    deleted: np.ndarray | None,
+    k: int,
+    seg_ranges: list[tuple[int, int]],
+    stats_out: dict | None = None,
+) -> np.ndarray:
+    """EARLY-TERMINATED matched-doc collection for index-SORTED
+    segments (Lucene TopFieldCollector early termination under
+    IndexWriterConfig.setIndexSort): within a sorted segment, docID
+    order IS the requested sort order, so the kernel needs only the
+    first k matched docIDs per (shard, segment run) — posting blocks
+    decode in min_doc order and STOP once k matches are decided.
+
+    A doc is decided when every query term's undecoded blocks start
+    strictly after it (frontier = min over terms of the next block's
+    min_doc; per (term, shard, segment) blocks cover disjoint
+    ascending ranges, so docs below the frontier are fully decoded).
+    Blocks never span segments (each segment writes its own), so runs
+    process independently; the per-run first-k union is a superset of
+    the global top-k (any dropped doc is preceded by k same-run docs
+    that beat it on (value, docID) — docID rank IS the value rank).
+
+    Returns the union of per-run results, sorted. stats_out (tests):
+    blocks_total / blocks_decoded counters proving the prune."""
+    empty = np.empty(0, dtype=np.int64)
+    uniq_terms = list(dict.fromkeys(q_terms))
+    present = [t for t in uniq_terms if t in groups]
+    if not present or (mode == "and" and len(present) < len(uniq_terms)):
+        return empty
+    if stats_out is not None:
+        stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + sum(
+            len(groups[t]) for t in present
+        )
+    out: list[np.ndarray] = []
+    for lo, hi in seg_ranges:
+        termblocks = {}
+        for t in present:
+            rows = groups[t]
+            sel = rows[(rows["min_doc"] >= lo) & (rows["min_doc"] <= hi)]
+            termblocks[t] = sel.sort_values("min_doc").reset_index(drop=True)
+        if mode == "and" and any(not len(termblocks[t]) for t in present):
+            continue
+        ptr = {t: 0 for t in present}
+        decoded: dict[str, list[np.ndarray]] = {t: [] for t in present}
+        while True:
+            fr = None
+            nxt = None
+            for t in present:
+                if ptr[t] < len(termblocks[t]):
+                    v = int(termblocks[t]["min_doc"].iloc[ptr[t]])
+                    if fr is None or v < fr:
+                        fr, nxt = v, t
+            per_term = [
+                np.concatenate(decoded[t]) if decoded[t] else empty for t in present
+            ]
+            if mode == "or":
+                cand = (
+                    np.unique(np.concatenate(per_term))
+                    if any(a.size for a in per_term)
+                    else empty
+                )
+            else:
+                cand = per_term[0]
+                for a in per_term[1:]:
+                    cand = np.intersect1d(cand, a, assume_unique=True)
+            if fr is not None:
+                cand = cand[cand < fr]
+            if deleted is not None and deleted.size and cand.size:
+                cand = cand[~_sorted_probe(deleted, cand)]
+            if cand.size >= k or fr is None:
+                cand.sort()
+                out.append(cand[:k])
+                break
+            row = termblocks[nxt].iloc[ptr[nxt]]
+            decoded[nxt].append(codec.decode_doc_block(row["docs"]))
+            ptr[nxt] += 1
+            if stats_out is not None:
+                stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + 1
+    if not out:
+        return empty
+    return np.unique(np.concatenate(out))
 
 
 def _count_shard(
@@ -1879,6 +2035,113 @@ class Searcher:
 
         scan = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(uniq_terms)
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    def search_multi_phrase(
+        self,
+        slots: list,
+        k: int,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene PhraseQuery / MultiPhraseQuery SCORING (exact phrase,
+        slop = 0): the phrase scores as ONE pseudo-term — per-doc
+        freq = the number of phrase occurrences (each valid start
+        position counts once, Lucene ExactPhraseMatcher semantics),
+        weight = float32(double-sum of the member terms' float32
+        idfs) exactly as BM25Similarity.idfExplain(CollectionStats,
+        TermStatistics[]) accumulates them, norm = the matching doc's
+        quantized length. This is Lucene's ACTUAL PhraseQuery scorer —
+        distinct from search(mode='phrase'), which keeps the engine's
+        original filter-then-sum-member-scores semantics.
+
+        A slot is a term or a list of alternative terms
+        (MultiPhraseQuery: any alternative satisfies the position).
+        A term appearing in several slots contributes its idf once
+        PER SLOT (Lucene builds one TermStatistics entry per phrase
+        position). Alternatives absent from the index drop out of
+        both matching and the idf sum (Lucene skips empty
+        TermStates); a single-term slot whose term is absent can
+        never match. Ties break docID asc; deletes and doc-values
+        overrides apply as everywhere else.
+
+        Reference: the reference delegates phrase scoring to Lucene 8
+        (/root/reference/README.md:53); this reproduces
+        BM25Scorer.score(phraseFreq, norm) bit-for-bit in float32."""
+        norm_slots = [
+            (c,) if isinstance(c, str) else tuple(dict.fromkeys(c)) for c in slots
+        ]
+        if len(norm_slots) < 2:
+            raise ValueError("search_multi_phrase needs >= 2 slots")
+        if any(len(c) == 0 for c in norm_slots):
+            raise ValueError("empty alternative slot")
+        if not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; phrase queries unavailable")
+        uniq_terms = list(dict.fromkeys(t for c in norm_slots for t in c))
+        stats = self.term_stats_multi({field: uniq_terms})
+        slots_present = [
+            tuple(t for t in c if (field, t) in stats) for c in norm_slots
+        ]
+        if any(len(c) == 0 for c in slots_present):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        # idfExplain: per-term float32 idf, accumulated in double, one
+        # entry per (slot, present alternative); the scorer weight is
+        # the float32 cast of that double sum
+        w_acc = np.float64(0.0)
+        for c in slots_present:
+            for t in c:
+                w_acc += np.float64(
+                    np.float32(bm25.idf(float(stats[(field, t)][0]), n_docs))
+                )
+        w32 = np.float32(w_acc)
+        scan_terms = list(dict.fromkeys(t for c in slots_present for t in c))
+        aux, allow_kinds = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            if allowed is not None and allowed.size == 0:
+                return pd.DataFrame({"doc": [], "score": []}).astype(
+                    {"doc": np.int64, "score": np.float32}
+                )
+            # candidates: docs holding >= 1 alternative of EVERY slot,
+            # minus tombstones — the positions chain then enforces
+            # adjacency and yields the per-doc start count
+            cand: np.ndarray | None = None
+            for c in slots_present:
+                parts = [
+                    _decode_block_rows(groups[t])[0] for t in c if t in groups
+                ]
+                cd = (
+                    np.unique(np.concatenate(parts))
+                    if parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                cand = cd if cand is None else np.intersect1d(cand, cd, assume_unique=True)
+                if cand.size == 0:
+                    break
+            assert cand is not None
+            if dels is not None and dels.size and cand.size:
+                cand = cand[~_sorted_probe(dels, cand)]
+            if allowed is not None and cand.size:
+                cand = cand[_sorted_probe(allowed, cand)]
+            docs_m, freqs = _phrase_freqs(groups, slots_present, cand)
+            if docs_m.size == 0:
+                return pd.DataFrame({"doc": [], "score": []}).astype(
+                    {"doc": np.int64, "score": np.float32}
+                )
+            dlq = _gather_dlq(groups, slots_present[0], docs_m)
+            score32 = (w32 * bm25.tf_norm(freqs, dlq, avgdl)).astype(np.float32)
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score32))[:k]
+                docs_m, score32 = docs_m[idx], score32[idx]
+            return pd.DataFrame({"doc": docs_m.astype(np.int64), "score": score32})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(scan_terms)
         )
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
@@ -4224,7 +4487,15 @@ class Searcher:
         README.md:56-57). Plan: per-shard matched-docID kernel (no
         scores), join to the index's stored table (column-pruned to
         the sort field), global TakeOrdered(k). Returns
-        (doc, <sort_field>); ties break docID ascending."""
+        (doc, <sort_field>); ties break docID ascending.
+
+        When the index was built with index_sort == (sort_field,
+        ascending) (IndexWriterConfig.setIndexSort), the kernel
+        EARLY-TERMINATES: docID order within each segment IS the sort
+        order, so blocks decode in min_doc order and stop once k
+        matches per (shard, segment) are decided — results identical,
+        decode cost proportional to k instead of the match set
+        (or/and modes; phrase falls back to the generic path)."""
         prep = self._prep(terms, mode, field)
         if prep is None:
             return self.spark.createDataFrame(
@@ -4233,11 +4504,23 @@ class Searcher:
         _, term_df = prep
         kt = list(terms) if mode == "phrase" else list(term_df)
         aux, _ = self._aux_frames()
+        isort = self.manifest.properties.get("index_sort")
+        early = (
+            isort is not None
+            and isort[0] == sort_field
+            and bool(isort[1]) == bool(ascending)
+            and mode in ("or", "and")
+        )
+        seg_ranges = sorted((s.doc_min, s.doc_max) for s in self.manifest.segments)
 
         def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
             groups = {t: g for t, g in pdf.groupby("term", sort=False)}
             dels, _ = _split_aux(aux_pdf, [])
-            return pd.DataFrame({"doc": _match_shard(groups, mode, kt, dels)})
+            if early:
+                docs = _sorted_match_early(groups, mode, kt, dels, k, seg_ranges)
+            else:
+                docs = _match_shard(groups, mode, kt, dels)
+            return pd.DataFrame({"doc": docs})
 
         scan = self._postings.filter(
             (F.col("field") == field) & F.col("term").isin(list(term_df))
