@@ -1672,6 +1672,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text"
         )
 
+    def text_classifier(spark, sf):
+        # fastText-style hash-bucket linear quality classifier apply
+        # (CCNet/GPT-3 model-based filtering): unigram+bigram features
+        # hashed into buckets, deterministic pseudo-weights, mean +
+        # sigmoid -> score/label; pure map-side + one per-doc agg
+        return curation.classifier_scores(
+            _table(spark, sf, "documents"), "doc_id", "text", n_buckets=1024
+        )
+
     def text_decontam(spark, sf):
         # GPT-3-style benchmark decontamination: docs sharing any
         # distinct word 8-gram with the "benchmark" subset (doc_id %
@@ -1919,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
+        text_classifier,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2491,6 +2501,9 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
+        "text_classifier": curation.classifier_sql(
+            "documents", "doc_id", "text", n_buckets=1024
+        ),
         "text_decontam": curation.decontaminate_sql(
             "documents", "doc_id", "text", "doc_id % 37 = 0"
         ),

@@ -467,3 +467,151 @@ WHERE (CAST(('0x' || substr(md5('{salt}' || {id_col}::VARCHAR), 1, 8)) AS BIGINT
        / {float(16 ** 8)!r})
       < (CASE {whens} ELSE {float(default_rate)!r} END)
 """
+
+
+# ----------------------------------------------------- quality classifier
+CLF_SALT = "clf-v1"
+
+
+def _u01(col):
+    """md5-prefix uniform in [0, 1): the module's shared deterministic
+    'random' (first 8 hex digits / 16^8), bit-identical in DuckDB."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.to_binary(col, F.lit("utf-8"))), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+
+
+def classifier_features(text_col: str, bigrams: bool = True):
+    """Feature array of the hash-bucket classifier: analyzer unigrams,
+    plus word bigrams when bigrams=True (fastText's wordNgrams=2).
+    Docs with < 2 tokens fall back to the whole-text 'bigram'
+    (shingles_col fallback) — deterministic and twin-matched."""
+    toks = tokens_col(text_col)
+    return F.concat(toks, shingles_col(text_col, 2)) if bigrams else toks
+
+
+def classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    salt: str = CLF_SALT,
+    weights: DataFrame | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    bigrams: bool = True,
+    broadcast: bool = True,
+) -> DataFrame:
+    """fastText-style linear quality classifier APPLY (the CCNet /
+    GPT-3 model-based quality filter): features = unigrams (+ word
+    bigrams), hashed into n_buckets (the hashing trick), mean of the
+    bucket weights + bias through a sigmoid -> (id, n_feats, score,
+    label). label = score >= threshold.
+
+    weights: optional (bucket:long, weight:double) model table — the
+    production shape: a trained model BROADCASTS (n_buckets rows) and
+    the apply is one map-side join + one per-doc partial agg; no
+    corpus-sized shuffle beyond the doc-keyed combine. broadcast=False
+    falls back to a shuffle join for pathological bucket counts.
+    weights=None derives deterministic pseudo-weights from the bucket
+    id itself (u01(salt:w:bucket) * 2 - 1) — fully map-side, no join,
+    and exactly reproducible by the SQL twin (classifier_sql), which
+    is what the driver gate checks. Swapping in a trained table
+    changes the scores, never the plan shape.
+
+    Docs whose text yields zero features keep score = sigmoid(bias)
+    (the model's prior), n_feats = 0.
+    """
+    feats = (
+        df.select(F.col(id_col), F.explode(classifier_features(text_col, bigrams)).alias("f"))
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.to_binary(F.concat(F.lit(salt + ":"), F.col("f")), F.lit("utf-8"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(int(n_buckets)),
+            ),
+        )
+    )
+    if weights is None:
+        feats = feats.withColumn(
+            "w",
+            _u01(F.concat(F.lit(salt + ":w:"), F.col("bucket").cast("string"))) * F.lit(2.0)
+            - F.lit(1.0),
+        )
+    else:
+        wdf = weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        feats = feats.join(
+            F.broadcast(wdf) if broadcast else wdf, "bucket", "left"
+        ).withColumn("w", F.coalesce(F.col("w"), F.lit(0.0)))
+    agg = feats.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"), F.sum("w").alias("wsum")
+    )
+    raw = F.lit(float(bias)) + F.when(
+        F.col("n_feats") > 0, F.col("wsum") / F.col("n_feats")
+    ).otherwise(F.lit(0.0))
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))).alias("score"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)) >= F.lit(float(threshold))).alias(
+                "label"
+            ),
+        )
+    )
+
+
+def classifier_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    salt: str = CLF_SALT,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    bigrams: bool = True,
+) -> str:
+    """DuckDB twin of classifier_scores (derived-weights mode): same
+    md5 bucket hash, same u01*2-1 weight chain, same mean+sigmoid
+    float order."""
+    feat_src = f"list_concat(ts, {_shingles_sql(text_col, 2)})" if bigrams else "ts"
+    u8 = (
+        lambda e: f"(CAST(('0x' || substr(md5({e}), 1, 8)) AS BIGINT)::DOUBLE"
+        f" / {float(16 ** 8)!r})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), feats AS (
+  SELECT {id_col}, unnest({feat_src}) AS f FROM toks
+), bucketed AS (
+  SELECT {id_col},
+         CAST(('0x' || substr(md5('{salt}:' || f), 1, 8)) AS BIGINT) % {int(n_buckets)} AS bucket
+  FROM feats
+), weighted AS (
+  SELECT {id_col}, {u8(f"'{salt}:w:' || bucket::VARCHAR")} * 2.0 - 1.0 AS w
+  FROM bucketed
+), agg AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_feats, sum(w) AS wsum FROM weighted GROUP BY {id_col}
+)
+SELECT t.{id_col}, COALESCE(a.n_feats, 0)::BIGINT AS n_feats,
+       1.0 / (1.0 + exp(-({float(bias)!r} + CASE WHEN a.n_feats > 0 THEN a.wsum / a.n_feats ELSE 0.0 END))) AS score,
+       1.0 / (1.0 + exp(-({float(bias)!r} + CASE WHEN a.n_feats > 0 THEN a.wsum / a.n_feats ELSE 0.0 END))) >= {float(threshold)!r} AS label
+FROM {table} t LEFT JOIN agg a USING ({id_col})
+"""
