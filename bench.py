@@ -270,7 +270,32 @@ def main() -> None:
         # TF-IDF similarity swap (exhaustive scorer, no impact skip)
         sd.search_classic(["dup", "hash", "vector"], k=100).collect()
 
+    with timed("multi_phrase"):
+        # Lucene phrase-frequency scoring (tf = phrase occurrence
+        # count, MultiPhrase alternatives at slot 2)
+        sd.search_multi_phrase(["sort", ("merge", "join")], k=100).collect()
+
+    # ---- index-time sorting: early-terminated sorted top-k ----
+    sort_root = os.path.join(work, "idx_docs_sorted")
+    with timed("build_documents_sorted"):
+        build_index(spark, docs, sort_root, key_cols=["doc_id"], n_shards=16,
+                    stored_fields={"n_chars": "n_chars"},
+                    index_sort=("n_chars", False))
+    ss = Searcher(spark, sort_root)
+    with timed("sorted_topk_early"):
+        # docID order == sort order: block decode stops at k matches
+        ss.search_sorted(["dup"], k=10, sort_field="n_chars", ascending=False).collect()
+    with timed("sorted_topk_generic"):
+        # same query on the UNSORTED twin: full match set -> TakeOrdered
+        sd.search_sorted(["dup"], k=10, sort_field="n_chars", ascending=False).collect()
+    extra["sorted_early_vs_generic"] = round(
+        queries["sorted_topk_early"] / max(queries["sorted_topk_generic"], 1e-9), 2
+    )
+
     # ---- pipeline ops at sf scale ----
+    with timed("quality_classifier"):
+        # hash-bucket linear classifier apply (map-side + per-doc agg)
+        curation.classifier_scores(docs, "doc_id", "text", n_buckets=4096).count()
     with timed("decontaminate"):
         bgrams = curation.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0), "text")
         curation.decontaminate(docs, bgrams, "doc_id", "text").count()
