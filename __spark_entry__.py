@@ -1024,6 +1024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_top_terms(spark, sf):
+        # HighFreqTerms: top-N terms by document frequency — one
+        # partial+final agg over the termdict, postings untouched
+        return _searcher(spark, sf).top_terms("text", n=15)
+
     def ft_multi_phrase(spark, sf):
         # MultiPhraseQuery with Lucene's actual phrase-frequency BM25
         # scoring: tf = exact phrase occurrence count, weight =
@@ -1928,7 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
-        text_classifier,
+        text_classifier, ft_top_terms,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1981,6 +1986,11 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         "ft_bm25_topk_and": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
         "ft_multi_phrase": _phrase_freq_sql(MP_SLOTS, K_ALL),
+        "ft_top_terms": f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 15
+""",
         "ft_near_search": _bm25_sql(
             [NEAR_A, NEAR_B], "and", K_ALL, near=(NEAR_A, NEAR_B, NEAR_W, False)
         ),

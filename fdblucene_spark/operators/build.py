@@ -605,8 +605,18 @@ def build_index(
     store_payloads: bool = False,
     analyzer: str = ANALYZER_VERSION,
     index_sort: tuple[str, bool] | None = None,
+    commit_user_data: dict[str, str] | None = None,
 ) -> Manifest:
     """Build (or append) one segment and commit a new snapshot.
+
+    commit_user_data: Lucene IndexWriter.setLiveCommitData — an
+    opaque str->str map published atomically WITH the snapshot (the
+    checkpoint-bookkeeping hook: an ingestion pipeline records the
+    last consumed sequence/offset next to the docs it indexed, and a
+    resume reads it back via Searcher.user_data). None inherits the
+    previous snapshot's map (live commit data persists until
+    replaced); a dict REPLACES it wholesale, like Lucene. For a
+    data-free checkpoint commit use IndexCatalog.commit_user_data.
 
     index_sort: (stored_field, ascending) — Lucene
     IndexWriterConfig.setIndexSort: docIDs within each segment are
@@ -953,6 +963,11 @@ def build_index(
                 **(
                     {"index_sort": [index_sort[0], bool(index_sort[1])]}
                     if index_sort
+                    else {}
+                ),
+                **(
+                    {"user_data": {str(k): str(v) for k, v in commit_user_data.items()}}
+                    if commit_user_data is not None
                     else {}
                 ),
             },

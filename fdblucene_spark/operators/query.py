@@ -4445,6 +4445,34 @@ class Searcher:
             "total32": total32, "clauses": clauses,
         }
 
+    @property
+    def user_data(self) -> dict:
+        """The snapshot's commit user data (Lucene
+        IndexWriter.setLiveCommitData / IndexReader commitData) — the
+        checkpoint-bookkeeping map an ingestion pipeline stores next
+        to the docs it indexed (the reference's Cloudant lineage uses
+        Lucene commit data for exactly this: persisting the last
+        consumed update sequence alongside the index). Snapshot-
+        pinned: a Searcher opened at version v sees v's map."""
+        return dict(self.manifest.properties.get("user_data", {}))
+
+    def top_terms(self, field: str = "text", n: int = 10, by: str = "df") -> DataFrame:
+        """Top-N terms of a field by document frequency (Lucene's
+        HighFreqTerms tool / TermsEnum walk). One partial+final agg
+        over the termdict table (per-segment stats fold by sum) —
+        never touches postings. by: 'df' or 'ttf'; ties break term
+        asc. Returns (term, df, ttf)."""
+        if by not in ("df", "ttf"):
+            raise ValueError("by must be 'df' or 'ttf'")
+        td = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "termdict"))
+        return (
+            td.filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc(by), F.asc("term"))
+            .limit(n)
+        )
+
     def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155).
 

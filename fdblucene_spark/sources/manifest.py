@@ -258,6 +258,33 @@ class IndexCatalog:
         """Immutable, collision-free data path (not yet visible)."""
         return os.path.join("data", "segments", segment_id)
 
+    def commit_user_data(self, data: dict[str, str], retries: int = 8) -> Manifest:
+        """Data-free checkpoint commit: publish a new snapshot that
+        differs from the latest only in its commit user data (Lucene
+        IndexWriter.setLiveCommitData + commit() with no doc changes —
+        how an ingestion pipeline durably records 'consumed through
+        sequence X' even when a batch indexed nothing). Lock-free CAS
+        retry like every other commit; segment set, deletes, and all
+        other properties carry through untouched."""
+        from dataclasses import replace
+
+        for _ in range(max(1, retries)):
+            parent = self.load()
+            manifest = replace(
+                parent,
+                version=self.next_version(),
+                parent_version=parent.version,
+                properties={
+                    **parent.properties,
+                    "user_data": {str(k): str(v) for k, v in data.items()},
+                },
+            )
+            try:
+                return self.commit(manifest)
+            except CommitConflict:
+                continue
+        raise CommitConflict("commit_user_data lost the CAS race repeatedly")
+
     def verify_segments(self, manifest: Manifest | None = None) -> list[str]:
         """Integrity check: every segment's files exist and the
         structural checksum matches the manifest (S17 analogue).
