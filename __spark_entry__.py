@@ -1686,6 +1686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text", n_buckets=1024
         )
 
+    def text_perplexity(spark, sf):
+        # CCNet-style LM quality bucketing, deterministic stand-in:
+        # add-k unigram LM trained on the corpus, per-doc perplexity;
+        # vocab stays distributed (term-keyed join, no driver model)
+        return textstats.lm_perplexity(_table(spark, sf, "documents"), "doc_id", "text")
+
     def text_decontam(spark, sf):
         # GPT-3-style benchmark decontamination: docs sharing any
         # distinct word 8-gram with the "benchmark" subset (doc_id %
@@ -1933,7 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
-        text_classifier, ft_top_terms,
+        text_classifier, ft_top_terms, text_perplexity,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2511,6 +2517,7 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
         "text_lang_id": textstats.lang_id_sql("documents", "doc_id", "text"),
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
+        "text_perplexity": textstats.lm_perplexity_sql("documents", "doc_id", "text"),
         "text_classifier": curation.classifier_sql(
             "documents", "doc_id", "text", n_buckets=1024
         ),

@@ -436,3 +436,81 @@ SELECT {id_col},
        md5({red}) AS redacted_hash
 FROM {table}
 """
+
+
+# --------------------------------------------------------- LM perplexity
+def lm_perplexity(
+    df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
+) -> DataFrame:
+    """Per-doc perplexity under a corpus-trained add-k unigram LM —
+    the deterministic stand-in for CCNet's KenLM quality bucketing
+    (low perplexity = head-like text, high = tail/garbage; CCNet
+    splits the corpus into head/middle/tail thirds on exactly this
+    number). p(t) = (cnt(t) + k) / (N + k * (V + 1)); ppl =
+    exp(-sum(ln p) / n_tokens). Self-scoring (the model trains on the
+    corpus it scores), so no OOV path is needed; V + 1 reserves the
+    usual unseen-token slot so the distribution stays proper.
+
+    Plan shape at 100 TB: one explode, one term-keyed partial+final
+    count agg (the 'model'), one term-keyed join back, one doc-keyed
+    agg — no driver-side model state (the vocab stays distributed;
+    contrast classifier_scores, whose bucketed model broadcasts).
+    Returns (id, n_tokens, logprob, ppl); empty docs keep NULL
+    logprob/ppl.
+    """
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0")
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("t"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    consts = counts.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    logp = counts.crossJoin(F.broadcast(consts)).select(
+        "t",
+        F.log(
+            (F.col("cnt") + F.lit(float(add_k)))
+            / (F.col("n_total") + F.lit(float(add_k)) * (F.col("v_size") + F.lit(1.0)))
+        ).alias("logp"),
+    )
+    agg = (
+        toks.join(logp, "t")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("logp").alias("logprob"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("logprob"),
+            F.exp(-F.col("logprob") / F.col("n_tokens")).alias("ppl"),
+        )
+    )
+
+
+def lm_perplexity_sql(table: str, id_col: str, text_col: str, add_k: float = 0.5) -> str:
+    """DuckDB twin of lm_perplexity: same count/smooth/ln/exp chain."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), tok AS (
+  SELECT {id_col}, unnest(ts) AS t FROM toks
+), counts AS (
+  SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t
+), consts AS (
+  SELECT sum(cnt)::DOUBLE AS n_total, count(*)::DOUBLE AS v_size FROM counts
+), logp AS (
+  SELECT t, ln((cnt + {float(add_k)!r}) / (c.n_total + {float(add_k)!r} * (c.v_size + 1.0))) AS logp
+  FROM counts, consts c
+), agg AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_tokens, sum(logp) AS logprob
+  FROM tok JOIN logp USING (t) GROUP BY {id_col}
+)
+SELECT d.{id_col}, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens, a.logprob,
+       exp(-a.logprob / a.n_tokens) AS ppl
+FROM {table} d LEFT JOIN agg a USING ({id_col})
+"""

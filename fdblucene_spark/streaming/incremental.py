@@ -29,6 +29,7 @@ def indexing_sink(
     stream_id: str = "stream",
     max_segments: int | None = None,
     tier_factor: float = 10.0,
+    record_progress: bool = True,
 ):
     """Returns a foreachBatch function: stream.writeStream
     .foreachBatch(indexing_sink(root, key_cols=[...])).start().
@@ -39,7 +40,14 @@ def indexing_sink(
     bounded segment count (and bounded query-side scan fan-in) without
     any operator intervention or full-index rewrites. The merge commits
     its own manifest version AFTER the append's, so a replayed batch
-    still hits the append's idempotent-fingerprint no-op path first."""
+    still hits the append's idempotent-fingerprint no-op path first.
+
+    record_progress: publish {stream_id: last appended batch_id} as
+    commit user data WITH each append (Lucene setLiveCommitData — the
+    Cloudant pattern of storing the consumed update sequence in the
+    index commit itself), so an operator resuming a stream can read
+    Searcher.user_data and know exactly which batch the snapshot
+    contains without consulting the Spark checkpoint."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -47,6 +55,15 @@ def indexing_sink(
         spark = batch_df.sparkSession
         from ..sources.manifest import IndexCatalog
 
+        cat = IndexCatalog(root)
+        exists = cat.exists()
+        ud = None
+        if record_progress:
+            # commit data replaces wholesale (Lucene semantics), so
+            # merge over the snapshot's map — progress keys of OTHER
+            # streams writing this index survive
+            base = cat.load().properties.get("user_data", {}) if exists else {}
+            ud = {**base, f"last_batch:{stream_id}": str(batch_id)}
         build_index(
             spark,
             batch_df,
@@ -56,8 +73,9 @@ def indexing_sink(
             n_shards=n_shards,
             block_size=block_size,
             store_positions=store_positions,
-            append=IndexCatalog(root).exists(),
+            append=exists,
             fingerprint=f"{stream_id}:{batch_id}",
+            commit_user_data=ud,
         )
         if max_segments is not None:
             from ..operators.merge import maybe_merge

@@ -79,6 +79,27 @@ def test_data_free_checkpoint_commit(spark, ud_index):
     assert Searcher(spark, root).user_data == {"n": "7"}
 
 
+def test_streaming_sink_records_progress(spark, tmp_path):
+    """The indexing sink publishes {last_batch:<stream>} as commit
+    user data with each append — the resumable-ingestion bookkeeping
+    (Cloudant stores the consumed update_seq in Lucene commit data the
+    same way). A replayed batch hits the idempotent-fingerprint no-op
+    and must NOT regress the progress key."""
+    from fdblucene_spark.streaming.incremental import indexing_sink
+
+    root = str(tmp_path / "sidx")
+    sink = indexing_sink(root, key_cols=["k"], n_shards=2)
+    b0 = spark.createDataFrame(_rows(30, 21))
+    sink(b0, 0)
+    assert Searcher(spark, root).user_data["last_batch:stream"] == "0"
+    sink(spark.createDataFrame(_rows(20, 22, id0=100)), 1)
+    assert Searcher(spark, root).user_data["last_batch:stream"] == "1"
+    sink(b0, 0)  # replay: no new segment, progress stays at 1
+    s = Searcher(spark, root)
+    assert s.user_data["last_batch:stream"] == "1"
+    assert len(s.manifest.segments) == 2
+
+
 def test_top_terms_matches_brute_force(spark, ud_index):
     rows1, rows2, root = ud_index
     s = Searcher(spark, root)
