@@ -53,6 +53,12 @@ def main() -> int:
                 keyword_fields={"role": "role"},
                 stored_fields={"role": "role", "n_chars": "n_chars"})
     s = Searcher(spark, root)
+    sroot = os.path.join(tempfile.mkdtemp(prefix="audit-"), "idx_sorted")
+    build_index(spark, spark.createDataFrame(rows), sroot, key_cols=["doc_id"],
+                n_shards=4, text_fields={"text": "text"},
+                stored_fields={"n_chars": "n_chars"},
+                index_sort=("n_chars", True))
+    ss = Searcher(spark, sroot)
 
     surfaces = {
         "search_parsed": s.search_parsed("alpha AND (beta gamma)^2 -delta", 10),
@@ -73,6 +79,14 @@ def main() -> int:
         "search_block_join": s.search_block_join(["alpha"], "role", 5, "total"),
         "search_join": s.search_join(
             [{"term": "alpha", "occur": "must"}], "role", "role", 10
+        ),
+        # round-5 third-phase surfaces
+        "search_multi_phrase": s.search_multi_phrase(
+            ["alpha", ("beta", "gamma")], 10
+        ),
+        "top_terms": s.top_terms("text", 5),
+        "search_sorted_early": ss.search_sorted(
+            ["alpha"], 5, sort_field="n_chars", ascending=True
         ),
     }
     failures = 0
@@ -96,8 +110,13 @@ def main() -> int:
             print("  " + ln[:160])
         # postings scans must carry the field/term pushdown
         if name in ("search_parsed", "search_span_first", "matching_docs",
-                    "search_synonym", "search_classic"):
+                    "search_synonym", "search_classic", "search_multi_phrase"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
+        if name == "top_terms":
+            # termdict-only: the postings table must not be scanned
+            assert not any("postings" in ln for ln in plan.splitlines()), \
+                "top_terms must read only the termdict"
+            assert any("HashAggregate" in ln for ln in keep), name
         if name == "term_vectors":
             # doc allow-set range pushed to the Parquet scan
             assert any("PushedFilters" in ln and "max_doc" in ln for ln in keep), name

@@ -48,7 +48,20 @@ def main() -> int:
     ap.add_argument("--query", default=None,
                     help="optional smoke query string (classic QueryParser syntax)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--stored-cols", default="",
+                    help="comma-separated columns to store (doc values / fetch)")
+    ap.add_argument("--index-sort", default=None, metavar="FIELD[:desc]",
+                    help="index-time sort (setIndexSort): docIDs assigned in this "
+                         "stored field's order per segment; sorted queries on it "
+                         "early-terminate. Field must be in --stored-cols.")
+    ap.add_argument("--user-data", default=None,
+                    help="JSON str->str map published as commit user data "
+                         "(checkpoint bookkeeping, setLiveCommitData)")
     args = ap.parse_args()
+    index_sort = None
+    if args.index_sort:
+        fld, _, order = args.index_sort.partition(":")
+        index_sort = (fld, order.lower() != "desc")
 
     from pyspark.sql import SparkSession
 
@@ -75,6 +88,9 @@ def main() -> int:
         n_shards=args.n_shards,
         store_positions=not args.no_positions,
         fingerprint=args.input,
+        stored_fields={c: c for c in args.stored_cols.split(",") if c},
+        index_sort=index_sort,
+        commit_user_data=json.loads(args.user_data) if args.user_data else None,
     )
     build_s = time.time() - t0
     seg = manifest.segments[-1]
