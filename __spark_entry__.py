@@ -1398,6 +1398,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
         )
 
+    def ft_rescore(spark, sf):
+        # Lucene QueryRescorer: first pass = or-mode BM25 window of 60,
+        # second pass evaluated ONLY on that window, combined as
+        # float32(first + 2.0 * second); top-20 of the window
+        s = _searcher(spark, sf)
+        first = s.search(OR_TERMS, 60, mode="or")
+        hits = s.rescore(
+            first,
+            [{"term": "key", "occur": "should"}, {"term": "value", "occur": "should"}],
+            k=20, weight=2.0, window=60,
+        )
+        return _hits_df(hits)
+
     def ft_join_util(spark, sf):
         # Lucene JoinUtil.createJoinQuery (ScoreMode.None): from-query
         # 'dup' -> distinct source values of its matches -> every doc
@@ -1625,6 +1638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_ngram_jaccard(spark, sf):
         return dedup.ngram_jaccard_pairs(_table(spark, sf, "documents"), "doc_id", "text", JACCARD_T)
+
+    def dedup_fuzzy(spark, sf):
+        # end-to-end MinHash fuzzy dedup (LSH -> exact-jaccard verify
+        # -> connected components -> min-id keeper per cluster)
+        return dedup.fuzzy_dedup(_table(spark, sf, "documents"), "doc_id", "text", JACCARD_T)
 
     # ---- text analysis suite ----
     def text_token_counts(spark, sf):
@@ -1939,7 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
-        text_classifier, ft_top_terms, text_perplexity,
+        text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
+        ft_rescore,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2349,6 +2368,22 @@ FROM agg JOIN documents d ON d.doc_id = agg.doc_id
 ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
+        "ft_rescore": f"""
+WITH firstpass AS ({_bm25_sql(
+            OR_TERMS, "or", 60,
+            select_override="SELECT doc_id, score32 FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT 60",
+        )}),
+secondpass AS ({_bm25_sql(
+            ["key", "value"], "or", 0,
+            extra_where="AND tf.doc_id IN (SELECT doc_id FROM firstpass)",
+            select_override="SELECT doc_id, score32 FROM agg",
+        )})
+SELECT f.doc_id,
+       round(((f.score32::DOUBLE + 2.0 * coalesce(s.score32::DOUBLE, 0.0))::FLOAT)::DOUBLE, 3) AS score
+FROM firstpass f LEFT JOIN secondpass s ON s.doc_id = f.doc_id
+ORDER BY (f.score32::DOUBLE + 2.0 * coalesce(s.score32::DOUBLE, 0.0))::FLOAT DESC, f.doc_id ASC
+LIMIT 20
+""",
         "ft_join_util": f"""
 WITH {_TOK_CTE}
 SELECT doc_id, 1.0 AS score FROM documents
@@ -2494,6 +2529,7 @@ FROM events GROUP BY event_type
         "dedup_simhash": dedup.simhash_signatures_sql("documents", "doc_id", "text"),
         "dedup_components": dedup.connected_components_sql("documents", "doc_id", "text"),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql("documents", "doc_id", "text", JACCARD_T),
+        "dedup_fuzzy": dedup.fuzzy_dedup_sql("documents", "doc_id", "text", JACCARD_T),
         "pipe_curation": f"""
 SELECT q.doc_id, q.n_tokens, q.quality, tc.n_bpe_ish
 FROM ({textstats.quality_scores_sql("documents", "doc_id", "text")}) q

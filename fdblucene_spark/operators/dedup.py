@@ -435,3 +435,89 @@ reach(id, comp) AS (
 )
 SELECT id AS {id_col}, min(comp)::BIGINT AS component FROM reach GROUP BY id
 """
+
+
+# --------------------------------------------------- composed fuzzy dedup
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    max_iter: int = 25,
+    freeze_dir: str | None = None,
+) -> DataFrame:
+    """END-TO-END fuzzy dedup (the MinHash pipeline of Lee et al. /
+    Dolma / RefinedWeb): LSH candidate pairs -> EXACT-jaccard verify
+    >= threshold -> connected components over the verified pairs ->
+    keeper = the MIN id of each duplicate cluster. One call composes
+    the four operators this module ships separately; every stage
+    stays in its bucketed/bounded shape (no all-pairs join anywhere),
+    so the composition scales exactly as its parts do.
+
+    Returns (id, component, keep): component is the cluster's
+    canonical id, keep is True for exactly one doc per cluster (every
+    singleton keeps itself). Filter `keep` to materialize the
+    deduplicated corpus; join back on component for provenance."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, band_size)
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, threshold, candidates=cands
+    ).select("id_a", "id_b")
+    comp = connected_components(df, id_col, verified, max_iter=max_iter, freeze_dir=freeze_dir)
+    return comp.select(
+        F.col(id_col),
+        "component",
+        (F.col("component") == F.col(id_col)).alias("keep"),
+    )
+
+
+def fuzzy_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> str:
+    """DuckDB twin of fuzzy_dedup: the LSH-pair twin feeds an exact
+    jaccard verify (same round-to-4 comparison), then the recursive
+    transitive closure, then min-id keepers."""
+    pairs = lsh_candidate_pairs_sql(table, id_col, text_col, num_hashes, band_size)
+    return f"""
+WITH RECURSIVE cand AS ({pairs}),
+jtoks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), jsh AS (
+  SELECT DISTINCT {id_col} AS id, unnest({_shingles_sql(text_col)}) AS shingle
+  FROM jtoks
+), jsizes AS (
+  SELECT id, count(*)::BIGINT AS n_sh FROM jsh GROUP BY id
+), jinter AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN jsh a ON a.id = c.id_a
+  JOIN jsh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+), verified AS (
+  SELECT i.id_a, i.id_b
+  FROM jinter i
+  JOIN jsizes sa ON sa.id = i.id_a
+  JOIN jsizes sb ON sb.id = i.id_b
+  WHERE round(i.inter::DOUBLE / (sa.n_sh + sb.n_sh - i.inter), 4) >= {float(threshold)!r}
+), cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+),
+reach(id, comp) AS (
+  SELECT {id_col}, {id_col}::BIGINT FROM {table}
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN cedges e ON e.src = r.id
+)
+SELECT id AS {id_col}, min(comp)::BIGINT AS component,
+       (min(comp) = id) AS keep
+FROM reach GROUP BY id
+"""

@@ -3412,6 +3412,56 @@ class Searcher:
             .limit(int(k))
         )
 
+    def rescore(
+        self,
+        first_hits: DataFrame,
+        clauses: list[dict],
+        k: int,
+        weight: float = 1.0,
+        window: int | None = None,
+        min_should_match: int | None = None,
+    ) -> DataFrame:
+        """Lucene QueryRescorer.rescore(searcher, topDocs, query,
+        weight, topN): two-pass retrieval — a cheap first pass
+        produces a hit window, then a (typically more expensive)
+        rescore query is evaluated ONLY on that window and the scores
+        combine as float32(first + weight * second); docs the rescore
+        query does not match keep their first-pass score (the
+        second-pass term contributes 0). Returns the top-k of the
+        window by (combined score desc, doc asc).
+
+        first_hits: any (doc, score) DataFrame — usually a search()/
+        search_boolean() result. clauses: the rescore query, the full
+        search_boolean composition (nested booleans, phrases, boosts).
+        window: size of the first-pass window (the first pass's k);
+        bounds the second pass's internal top-k cut. weight follows
+        Lucene's static QueryRescorer.rescore combine.
+
+        Scale shape: the second pass is ONE search_boolean job with
+        the window as an allowed_docs restriction — the kernel's exact
+        candidate containment prunes postings blocks to the window's
+        doc ranges, so the rescore cost tracks the window size, not
+        the corpus. The combine is a broadcast-sized left join (the
+        window is k-bounded) + one TakeOrdered."""
+        cand = first_hits.select("doc")
+        second = self.search_boolean(
+            clauses,
+            k=int(window) if window is not None else 10_000,
+            min_should_match=min_should_match,
+            allowed_docs=cand,
+        )
+        combined = (
+            F.col("_first").cast("double")
+            + F.lit(float(weight)) * F.coalesce(F.col("_second"), F.lit(0.0)).cast("double")
+        ).cast("float").cast("double")
+        return (
+            first_hits.select("doc", F.col("score").alias("_first"))
+            .join(second.select("doc", F.col("score").alias("_second")), "doc", "left")
+            .select("doc", combined.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .limit(int(k))
+        )
+
     def suggest(
         self,
         term: str,

@@ -1374,3 +1374,33 @@ def test_span_near_or_clauses(spark, tmp_path_factory):
         s.search_span_near([("ape", "bee"), "cat"], k=5, slop=1, in_order=False)
     with pytest.raises(ValueError, match="empty"):
         s.search_span_near([[], "cat"], k=5)
+
+
+def test_rescore_combine_law(spark, bool_index):
+    """QueryRescorer: weight=0 reproduces the first-pass ranking
+    (float32 round-trip is exact on f32-valued doubles); with weight,
+    every combined score equals float32(first + w * second) where
+    second comes from search_boolean on the SAME window, and docs the
+    rescore query misses keep their first-pass score."""
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    first = s.search(["alpha", "beta"], 30, mode="or")
+    first_rows = {r["doc"]: r["score"] for r in first.collect()}
+    rq = [{"term": "gamma", "occur": "should"}, {"term": "mu", "occur": "should"}]
+
+    zero = s.rescore(first, rq, k=30, weight=0.0, window=30).collect()
+    assert {r["doc"]: np.float32(v) for r in zero for v in [r["score"]]} == {
+        d: np.float32(v) for d, v in first_rows.items()
+    }
+
+    got = {r["doc"]: r["score"] for r in s.rescore(first, rq, k=30, weight=2.0, window=30).collect()}
+    assert set(got) == set(first_rows)
+    second = {
+        r["doc"]: r["score"]
+        for r in s.search_boolean(rq, k=300, allowed_docs=first.select("doc")).collect()
+    }
+    for d, v in got.items():
+        exp = np.float32(first_rows[d] + 2.0 * second.get(d, 0.0))
+        assert np.float32(v) == exp, d
+    # at least one window doc must have been boosted for the law to bite
+    assert any(d in second for d in first_rows)

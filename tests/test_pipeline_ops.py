@@ -483,3 +483,32 @@ def test_sample_frames_and_resize(docs_df):
         multimodal.resize_image(b"x", 4, 4, fake=False)
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(media, fake=False)
+
+
+def test_fuzzy_dedup_end_to_end(spark):
+    """Composed fuzzy dedup: planted near-dup cluster collapses to one
+    keeper; unrelated docs keep themselves; keep is True exactly once
+    per component."""
+    from fdblucene_spark.operators.dedup import fuzzy_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (10, base),
+        (11, base),                                   # exact dup
+        (12, base + " indeed"),                       # near dup (1 added token)
+        (20, "completely unrelated content about distributed query engines"),
+        (21, "tiny"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = fuzzy_dedup(df, "doc_id", "text", threshold=0.4).toPandas().set_index("doc_id")
+    assert set(out.index) == {10, 11, 12, 20, 21}
+    # the planted cluster resolves to min-id 10; 10 is the sole keeper
+    assert out.loc[10, "component"] == 10 and bool(out.loc[10, "keep"])
+    assert out.loc[11, "component"] == 10 and not bool(out.loc[11, "keep"])
+    assert out.loc[12, "component"] == 10 and not bool(out.loc[12, "keep"])
+    # singletons keep themselves
+    assert out.loc[20, "component"] == 20 and bool(out.loc[20, "keep"])
+    assert out.loc[21, "component"] == 21 and bool(out.loc[21, "keep"])
+    # exactly one keeper per component
+    g = out.reset_index().groupby("component")["keep"].sum()
+    assert (g == 1).all()
