@@ -1398,6 +1398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
         )
 
+    def pipe_pack(spark, sf):
+        # GPT-style concat-and-chunk sequence packing: global token
+        # offsets via the dense-docID scan pattern (never a
+        # single-partition window), chunk span per doc at seq_len=512
+        return curation.pack_sequences(
+            _table(spark, sf, "documents"), "doc_id", "text", seq_len=512, sep_tokens=1
+        )
+
     def ft_rescore(spark, sf):
         # Lucene QueryRescorer: first pass = or-mode BM25 window of 60,
         # second pass evaluated ONLY on that window, combined as
@@ -1958,7 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
         text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
-        ft_rescore,
+        ft_rescore, pipe_pack,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2368,6 +2376,7 @@ FROM agg JOIN documents d ON d.doc_id = agg.doc_id
 ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
+        "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),
         "ft_rescore": f"""
 WITH firstpass AS ({_bm25_sql(
             OR_TERMS, "or", 60,

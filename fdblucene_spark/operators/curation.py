@@ -615,3 +615,119 @@ SELECT t.{id_col}, COALESCE(a.n_feats, 0)::BIGINT AS n_feats,
        1.0 / (1.0 + exp(-({float(bias)!r} + CASE WHEN a.n_feats > 0 THEN a.wsum / a.n_feats ELSE 0.0 END))) >= {float(threshold)!r} AS label
 FROM {table} t LEFT JOIN agg a USING ({id_col})
 """
+
+
+# ----------------------------------------------- sequence packing
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    sep_tokens: int = 1,
+    num_partitions: int | None = None,
+    freeze_dir: str | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate every
+    document's analyzer tokens (+ sep_tokens separator/EOS tokens per
+    doc) in id order into one virtual token stream, then cut it into
+    fixed-length training sequences of seq_len. Returns one row per
+    doc: (id, n_tokens, tok_start, chunk_first, chunk_last) — the
+    doc's global token offset and the inclusive range of training
+    chunks it lands in. Explode sequence(chunk_first, chunk_last) for
+    a (chunk_id, doc) assignment table; group by chunk for the pack
+    manifest a loader would read.
+
+    The global prefix sum uses the build's dense-docID scan pattern
+    (build.py assign_dense_doc_ids) instead of a single-partition
+    window: range-partition by id + in-partition sort, FREEZE to
+    parquet (pins the sampled range boundaries so both the totals job
+    and the final join see one consistent partitioning), per-partition
+    token totals -> cumulative offsets (one collect of num_partitions
+    rows), then global offset = partition offset + in-partition
+    running sum. Parallelism stays num_partitions end-to-end — no
+    stage ever sees the whole stream.
+
+    sep_tokens=0 with an empty doc contributes nothing: the next
+    doc's tok_start is unchanged, and chunk_last = the chunk of
+    tok_start - 1 (so chunk_last < chunk_first exactly when
+    tok_start sits on a chunk boundary)."""
+    import os as _os
+    import uuid as _uuid
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if sep_tokens < 0:
+        raise ValueError("sep_tokens must be >= 0")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    if freeze_dir is None:
+        freeze_dir = _os.path.join("/tmp", "sparklucene-pack-" + _uuid.uuid4().hex[:12])
+    counted = df.select(
+        F.col(id_col),
+        (F.size(tokens_col(text_col)).cast("long") + F.lit(int(sep_tokens))).alias("_contrib"),
+    )
+    keyed = (
+        counted.repartitionByRange(num_partitions, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    keyed.write.mode("errorifexists").parquet(freeze_dir)
+    frozen = spark.read.parquet(freeze_dir)
+    pid = F.shiftright(F.col("_mid"), 33).cast("int")
+    sums = {
+        int(r["pid"]): int(r["s"])
+        for r in frozen.groupBy(pid.alias("pid")).agg(F.sum("_contrib").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(sums):
+        offsets.append((p, acc))
+        acc += sums[p]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "pid int, _poff long")
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (F.col("_poff") + F.coalesce(F.sum("_contrib").over(w), F.lit(0))).alias("tok_start")
+    sep = int(sep_tokens)
+    return (
+        frozen.withColumn("pid", pid)
+        .join(off_df, "pid")
+        .select(F.col(id_col), "_contrib", start)
+        .select(
+            F.col(id_col),
+            (F.col("_contrib") - sep).alias("n_tokens"),
+            F.col("tok_start"),
+            F.floor(F.col("tok_start") / seq_len).cast("long").alias("chunk_first"),
+            F.floor((F.col("tok_start") + F.col("_contrib") - 1) / seq_len)
+            .cast("long")
+            .alias("chunk_last"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str, id_col: str, text_col: str, seq_len: int, sep_tokens: int = 1
+) -> str:
+    """DuckDB twin of pack_sequences: a plain running-sum window in id
+    order (the oracle can afford the global window the engine avoids)."""
+    sep = int(sep_tokens)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         len(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> ''))::BIGINT AS n_tokens
+  FROM {table}
+), seq AS (
+  SELECT {id_col}, n_tokens,
+         (sum(n_tokens + {sep}) OVER (ORDER BY {id_col} ROWS UNBOUNDED PRECEDING)
+          - (n_tokens + {sep}))::BIGINT AS tok_start
+  FROM toks
+)
+SELECT {id_col}, n_tokens, tok_start,
+       (tok_start // {int(seq_len)})::BIGINT AS chunk_first,
+       ((tok_start + n_tokens + {sep} - 1) // {int(seq_len)})::BIGINT AS chunk_last
+FROM seq
+"""

@@ -241,3 +241,58 @@ def test_remove_spans_composes_with_duplicated_spans(spark):
     )
     assert out2.loc[0, "text_clean"] == "a0 b0 c d e f g0 h0"
     assert out2.loc[1, "text_clean"] == "x1 y1 z1 w1"
+
+
+def test_pack_sequences_laws(spark, tmp_path_factory):
+    """Concat-and-chunk packing: contiguity (next offset = previous
+    offset + contribution), chunk spans match the hand formula,
+    empty docs contribute only the separator, and the scan-based
+    offsets are invariant to the partition count."""
+    rows = [
+        (0, "a b c d e"),            # 5 tokens
+        (1, ""),                     # 0 tokens (separator only)
+        (2, "x " * 300),             # 300 tokens -> spans chunks
+        (3, "one two three"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    S = 64
+    got = (
+        curation.pack_sequences(
+            df, "doc_id", "text", seq_len=S, sep_tokens=1, num_partitions=3,
+            freeze_dir=str(tmp_path_factory.mktemp("pk") / "f"),
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["n_tokens"]) == [5, 0, 300, 3, 1]
+    # contiguity in id order
+    off = 0
+    for _, r in got.iterrows():
+        assert r["tok_start"] == off
+        assert r["chunk_first"] == off // S
+        assert r["chunk_last"] == (off + r["n_tokens"] + 1 - 1) // S
+        off += r["n_tokens"] + 1
+    # doc 2 spans multiple chunks
+    assert got.loc[2, "chunk_last"] > got.loc[2, "chunk_first"]
+    # partition-count invariance
+    got1 = (
+        curation.pack_sequences(
+            df, "doc_id", "text", seq_len=S, sep_tokens=1, num_partitions=1,
+            freeze_dir=str(tmp_path_factory.mktemp("pk1") / "f"),
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got1.equals(got)
+    # sep_tokens=0: empty doc yields an empty span (last < first)
+    got0 = (
+        curation.pack_sequences(
+            df, "doc_id", "text", seq_len=S, sep_tokens=0, num_partitions=2,
+            freeze_dir=str(tmp_path_factory.mktemp("pk0") / "f"),
+        )
+        .toPandas().set_index("doc_id")
+    )
+    # zero contribution: next doc starts where the empty doc did
+    assert got0.loc[1, "tok_start"] == got0.loc[2, "tok_start"]
+    assert got0.loc[1, "chunk_last"] == (got0.loc[1, "tok_start"] - 1) // S
+    with pytest.raises(ValueError):
+        curation.pack_sequences(df, "doc_id", "text", seq_len=0)
