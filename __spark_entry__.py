@@ -104,7 +104,7 @@ ANN_QUERY_ID = 0
 ANN_K = 25
 JACCARD_T = 0.1
 
-_GATE_ROOT = "/tmp/sparklucene_gate_v5"  # bump on index format change
+_GATE_ROOT = "/tmp/sparklucene_gate_v6"  # bump on index format change
 # v5 = doclen doc-roster rows (dl=0 sentinel -> true MatchAllDocs) +
 # offsets/stored-text in the payloads index for ft_highlight
 # v4 = manifest file lists + keyword_fields property + deterministic
@@ -162,7 +162,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             spark, docs, root, doc_col="doc_id", n_shards=8, fingerprint=sf_dir,
             text_fields={"text": "text"},
             keyword_fields={"source": "source", "lang": "lang"},
-            stored_fields={"n_chars": "n_chars", "source": "source"},
+            stored_fields={"n_chars": "n_chars", "source": "source", "lang": "lang"},
         )
     return Searcher(spark, root)
 
@@ -1406,6 +1406,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text", seq_len=512, sep_tokens=1
         )
 
+    def ft_drill_sideways(spark, sf):
+        # Lucene DrillSideways: per drilled dim, facet counts from
+        # base query + every OTHER dim's drill-down
+        return _searcher(spark, sf).drill_sideways(
+            [{"term": t, "occur": "should"} for t in OR_TERMS],
+            {"source": ["src13", "src8"], "lang": ["en"]},
+            top_n=10,
+        )
+
+    def ft_sort_multi(spark, sf):
+        # Lucene Sort with a SortField chain: n_chars desc, source
+        # asc, docID-asc tiebreak
+        return (
+            _searcher(spark, sf)
+            .search_sorted_multi(
+                OR_TERMS, 40, [("n_chars", False), ("source", True)], mode="or"
+            )
+            .select(F.col("doc").alias("doc_id"), "n_chars", "source")
+        )
+
     def ft_rescore(spark, sf):
         # Lucene QueryRescorer: first pass = or-mode BM25 window of 60,
         # second pass evaluated ONLY on that window, combined as
@@ -1966,7 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
         text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
-        ft_rescore, pipe_pack,
+        ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi,
     ]:
         q[fn.__name__] = fn
     return q
@@ -1974,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     tlist = ", ".join(f"'{t}'" for t in POSTING_TERMS)
+    _or_tlist = ", ".join(f"'{t}'" for t in sorted(OR_TERMS))
     mc_parts = []
     for qid, terms, mode in MATCH_COUNT_QUERIES:
         ts = ", ".join(f"'{t}'" for t in sorted(set(terms)))
@@ -2377,6 +2398,34 @@ ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),
+        "ft_drill_sideways": f"""
+WITH {_TOK_CTE},
+base AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_or_tlist})
+),
+lang_side AS (
+  SELECT 'lang' AS dim, d.lang AS facet, count(*)::BIGINT AS count
+  FROM base b JOIN documents d ON d.doc_id = b.doc_id
+  WHERE d.source IN ('src13', 'src8')
+  GROUP BY d.lang ORDER BY count DESC, facet ASC LIMIT 10
+),
+source_side AS (
+  SELECT 'source' AS dim, d.source AS facet, count(*)::BIGINT AS count
+  FROM base b JOIN documents d ON d.doc_id = b.doc_id
+  WHERE d.lang IN ('en')
+  GROUP BY d.source ORDER BY count DESC, facet ASC LIMIT 10
+)
+SELECT * FROM lang_side UNION ALL SELECT * FROM source_side
+""",
+        "ft_sort_multi": f"""
+WITH {_TOK_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ({_or_tlist})
+)
+SELECT d.doc_id, d.n_chars, d.source
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+ORDER BY d.n_chars DESC, d.source ASC, d.doc_id ASC LIMIT 40
+""",
         "ft_rescore": f"""
 WITH firstpass AS ({_bm25_sql(
             OR_TERMS, "or", 60,

@@ -3666,6 +3666,116 @@ class Searcher:
             .select(F.col("kv.bucket").alias("bucket"), F.col("kv.count").alias("count"))
         )
 
+    def drill_sideways(
+        self,
+        base_clauses: list[dict],
+        drill_downs: dict[str, list[str]],
+        top_n: int = 10,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene DrillSideways: for each drilled dimension, facet
+        counts computed from base query + every OTHER dimension's
+        drill-down — the counts a faceted-search UI shows beside the
+        selected value (picking 'role=user' must not zero the other
+        role buckets). drill_downs = {keyword_field: [values...]};
+        values within a dimension are a disjunction, dimensions
+        conjoin (Lucene DrillDownQuery semantics). Returns
+        (dim, facet, count), per-dim top_n by count desc / value asc.
+
+        Plan: one matching_docs kernel + stored join + per-value agg
+        PER DIMENSION (Lucene pays the same: one DrillSideways scorer
+        per dim); each is the facet_counts shape — postings-pruned
+        constant-score match set, column-pruned doc join, partial+
+        final agg. Dims are few (UI-bounded), so the union is a
+        handful of independent jobs Catalyst runs unchanged at 100x."""
+        if not drill_downs:
+            raise ValueError("drill_downs must name at least one dimension")
+
+        def _dim_filter(fld: str, values: list[str]) -> dict:
+            return {
+                "clauses": [{"field": fld, "term": v, "occur": "should"} for v in values],
+                "occur": "filter",
+                "min_should_match": 1,
+            }
+
+        parts = []
+        for dim in sorted(drill_downs):
+            others = [
+                _dim_filter(f, vs) for f, vs in sorted(drill_downs.items()) if f != dim
+            ]
+            matched = self.matching_docs(
+                list(base_clauses) + others, min_should_match, numeric
+            )
+            stored = self._stored_df().select("doc", dim)
+            parts.append(
+                matched.join(stored, "doc")
+                .groupBy(F.col(dim).cast("string").alias("facet"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), F.asc("facet"))
+                .limit(int(top_n))
+                .select(F.lit(dim).alias("dim"), "facet", "count")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def search_sorted_multi(
+        self,
+        terms: list[str],
+        k: int,
+        sort_fields: list[tuple[str, bool]],
+        mode: str = "or",
+        field: str = "text",
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """Lucene Sort with a SortField CHAIN: top-k matches ordered
+        by several stored fields lexicographically — sort_fields =
+        [(stored_field, ascending), ...], ties broken docID asc (the
+        implicit trailing SortField.FIELD_DOC). after = the last hit's
+        sort key as (v1, v2, ..., doc): the next page strictly after
+        it in the chain order (searchAfter(FieldDoc) — cursor cut,
+        never OFFSET). Returns (doc, f1, f2, ...).
+
+        Plan: matched-doc kernel (constant-score, postings-pruned) ->
+        stored join column-pruned to the chain's fields -> one
+        TakeOrdered(k); the after cut is a lexicographic predicate
+        pushed below the sort. Single-field indexes with a matching
+        index_sort should prefer search_sorted's early-terminating
+        kernel; the chain path is layout-agnostic."""
+        if not sort_fields:
+            raise ValueError("sort_fields must name at least one field")
+        clauses = (
+            [{"phrase": list(terms), "occur": "must", "field": field}]
+            if mode == "phrase"
+            else [
+                {"field": field, "term": t, "occur": "must" if mode == "and" else "should"}
+                for t in terms
+            ]
+        )
+        matched = self.matching_docs(clauses)
+        cols = [f for f, _ in sort_fields]
+        stored = self._stored_df().select("doc", *cols)
+        joined = matched.join(stored, "doc")
+        if after is not None:
+            if len(after) != len(sort_fields) + 1:
+                raise ValueError("after must supply one value per sort field plus doc")
+            # lexicographic strictly-after: OR over prefixes
+            keys = [*[(F.col(f), asc) for f, asc in sort_fields], (F.col("doc"), True)]
+            vals = list(after)
+            pred = F.lit(False)
+            eq = F.lit(True)
+            for (c, asc), v in zip(keys, vals):
+                step = c > F.lit(v) if asc else c < F.lit(v)
+                pred = pred | (eq & step)
+                eq = eq & (c == F.lit(v))
+            joined = joined.filter(pred)
+        order = [
+            (F.asc(f) if asc else F.desc(f)) for f, asc in sort_fields
+        ] + [F.asc("doc")]
+        return joined.orderBy(*order).limit(int(k)).select("doc", *cols)
+
     def search_parsed(
         self,
         query: str,

@@ -203,3 +203,82 @@ def test_search_grouped_bad_field_raises(facet_index):
     _, s = facet_index
     with pytest.raises(ValueError, match="not stored"):
         s.search_grouped(["alpha"], "no_such_field")
+
+
+@pytest.fixture(scope="module")
+def drill_index(spark, tmp_path_factory):
+    """Two keyword+stored dims (role, src) + a numeric stored field,
+    for DrillSideways and SortField-chain tests."""
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(300):
+        ln = int(rng.integers(3, 40))
+        text = " ".join(rng.choice(WORDS, size=ln, p=_zipf(len(WORDS))))
+        rows.append({"doc_id": i, "text": text,
+                     "role": ["user", "assistant", "tool"][i % 3],
+                     "src": f"s{i % 5}", "n_chars": len(text)})
+    root = str(tmp_path_factory.mktemp("drill") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4,
+        text_fields={"text": "text"},
+        keyword_fields={"role": "role", "src": "src"},
+        stored_fields={"role": "role", "src": "src", "n_chars": "n_chars"},
+    )
+    return rows, Searcher(spark, root)
+
+
+def test_drill_sideways_excludes_own_dim(spark, drill_index):
+    """Each dim's counts come from base + the OTHER dims' filters:
+    sideways counts for the drilled dim must show sibling values, and
+    every count equals the brute-force recount."""
+    rows, s = drill_index
+    base = [{"term": "alpha", "occur": "must"}]
+    dd = {"role": ["user"], "src": ["s1", "s3"]}
+    got = {(r["dim"], r["facet"]): r["count"]
+           for r in s.drill_sideways(base, dd, top_n=10).collect()}
+    alpha = _match(rows, must=("alpha",))
+    by_id = {r["doc_id"]: r for r in rows}
+    # role dim: base + src filter (role filter EXCLUDED)
+    exp_role = collections.Counter(
+        by_id[d]["role"] for d in alpha if by_id[d]["src"] in ("s1", "s3")
+    )
+    # src dim: base + role filter (src filter EXCLUDED)
+    exp_src = collections.Counter(
+        by_id[d]["src"] for d in alpha if by_id[d]["role"] == "user"
+    )
+    for k, v in exp_role.items():
+        assert got[("role", k)] == v, k
+    for k, v in exp_src.items():
+        assert got[("src", k)] == v, k
+    # sideways property: sibling role values present despite role=user drill
+    assert ("role", "assistant") in got and ("role", "tool") in got
+    assert len(got) == len(exp_role) + len(exp_src)
+    with pytest.raises(ValueError):
+        s.drill_sideways(base, {})
+
+
+def test_sorted_multi_chain_and_after(spark, drill_index):
+    """SortField chain: (n_chars desc, src asc, doc asc) matches the
+    brute-force sort; searchAfter pages without overlap or gaps."""
+    rows, s = drill_index
+    matched = sorted(_match(rows, must=("beta",)))
+    by_id = {r["doc_id"]: r for r in rows}
+    exp = sorted(
+        matched, key=lambda d: (-by_id[d]["n_chars"], by_id[d]["src"], d)
+    )
+    got = s.search_sorted_multi(
+        ["beta"], 15, [("n_chars", False), ("src", True)], mode="and"
+    ).collect()
+    assert [r["doc"] for r in got] == exp[:15]
+    assert [r["n_chars"] for r in got] == [by_id[d]["n_chars"] for d in exp[:15]]
+    # page 2 via after = last hit's full sort key
+    last = got[-1]
+    got2 = s.search_sorted_multi(
+        ["beta"], 15, [("n_chars", False), ("src", True)], mode="and",
+        after=(last["n_chars"], last["src"], last["doc"]),
+    ).collect()
+    assert [r["doc"] for r in got2] == exp[15:30]
+    with pytest.raises(ValueError):
+        s.search_sorted_multi(["beta"], 5, [])
+    with pytest.raises(ValueError):
+        s.search_sorted_multi(["beta"], 5, [("n_chars", False)], after=(1, 2, 3))
