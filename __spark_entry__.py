@@ -1406,6 +1406,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text", seq_len=512, sep_tokens=1
         )
 
+    def samp_shuffle(spark, sf):
+        # deterministic seeded global shuffle: dense shuffle_rank =
+        # global sort rank under md5(salt||id), scan-pattern offsets
+        return curation.global_shuffle(
+            _table(spark, sf, "documents"), "doc_id", salt="epoch0"
+        )
+
     def ft_drill_sideways(spark, sf):
         # Lucene DrillSideways: per drilled dim, facet counts from
         # base query + every OTHER dim's drill-down
@@ -1986,7 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
         text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
-        ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi,
+        ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2398,6 +2405,7 @@ ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),
+        "samp_shuffle": curation.global_shuffle_sql("documents", "doc_id", "epoch0"),
         "ft_drill_sideways": f"""
 WITH {_TOK_CTE},
 base AS (

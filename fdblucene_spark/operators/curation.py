@@ -731,3 +731,44 @@ SELECT {id_col}, n_tokens, tok_start,
        ((tok_start + n_tokens + {sep} - 1) // {int(seq_len)})::BIGINT AS chunk_last
 FROM seq
 """
+
+
+# ------------------------------------------- deterministic global shuffle
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "v1",
+    num_partitions: int | None = None,
+    freeze_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets
+    a dense 0-based shuffle_rank, the global sort rank under
+    md5(salt || id) with an id tiebreak — a seeded permutation that is
+    partition-invariant, rerun-identical, and changes wholesale with
+    the salt (re-shuffle between epochs by bumping it). Compose with
+    pack_sequences ordered by shuffle_rank for shuffled-and-packed
+    training shards.
+
+    Scale shape: delegates to the dense-docID scan
+    (build.assign_dense_doc_ids) keyed on the hash — range-partition
+    + freeze + footer counts + broadcast offsets; no global window,
+    no skew (md5 keys are uniform by construction)."""
+    from .build import assign_dense_doc_ids
+
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), key.alias("_shufkey"))
+    out = assign_dense_doc_ids(
+        keyed, ["_shufkey", id_col],
+        num_partitions=num_partitions, freeze_dir=freeze_dir,
+    )
+    return out.select(F.col(id_col), F.col("doc").alias("shuffle_rank"))
+
+
+def global_shuffle_sql(table: str, id_col: str, salt: str = "v1") -> str:
+    """DuckDB twin: ROW_NUMBER over the same md5 order."""
+    return f"""
+SELECT {id_col},
+       (ROW_NUMBER() OVER (ORDER BY md5('{salt}:' || {id_col}::VARCHAR) ASC, {id_col} ASC) - 1)::BIGINT
+         AS shuffle_rank
+FROM {table}
+"""

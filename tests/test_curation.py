@@ -296,3 +296,35 @@ def test_pack_sequences_laws(spark, tmp_path_factory):
     assert got0.loc[1, "chunk_last"] == (got0.loc[1, "tok_start"] - 1) // S
     with pytest.raises(ValueError):
         curation.pack_sequences(df, "doc_id", "text", seq_len=0)
+
+
+def test_global_shuffle_permutation(spark):
+    """Seeded shuffle: dense 0..n-1 permutation, hashlib-exact rank,
+    partition-invariant, salt changes the order wholesale."""
+    import pandas as pd
+
+    n = 97
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+    got = (
+        curation.global_shuffle(df, "doc_id", salt="s1", num_partitions=4)
+        .toPandas().sort_values("doc_id")
+    )
+    assert sorted(got["shuffle_rank"]) == list(range(n))
+    # exact replica of the decision: rank by (md5('s1:'||id), id)
+    exp_order = sorted(
+        range(n), key=lambda i: (hashlib.md5(f"s1:{i}".encode()).hexdigest(), i)
+    )
+    exp_rank = {d: r for r, d in enumerate(exp_order)}
+    assert {int(r.doc_id): int(r.shuffle_rank) for r in got.itertuples()} == exp_rank
+    # partition invariance
+    got1 = (
+        curation.global_shuffle(df, "doc_id", salt="s1", num_partitions=1)
+        .toPandas().sort_values("doc_id")
+    )
+    assert list(got1["shuffle_rank"]) == list(got["shuffle_rank"])
+    # a different salt is a different permutation
+    got2 = (
+        curation.global_shuffle(df, "doc_id", salt="s2", num_partitions=4)
+        .toPandas().sort_values("doc_id")
+    )
+    assert list(got2["shuffle_rank"]) != list(got["shuffle_rank"])
