@@ -217,9 +217,13 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     doc_root = os.path.join(work, "idx_docs")
     with timed("build_documents"):
+        # r5: lang keyword+stored added (mirrors the gate index's v6
+        # shape for drill_sideways) — build_documents covers one more
+        # keyword field than r4's recorded stage
         build_index(spark, docs, doc_root, doc_col="doc_id", n_shards=16,
-                    keyword_fields={"source": "source"},
-                    stored_fields={"n_chars": "n_chars", "source": "source"})
+                    keyword_fields={"source": "source", "lang": "lang"},
+                    stored_fields={"n_chars": "n_chars", "source": "source",
+                                   "lang": "lang"})
     sd = Searcher(spark, doc_root)
     with timed("bm25_documents"):
         sd.search(["dup", "hash", "vector"], k=100).collect()
@@ -270,6 +274,25 @@ def main() -> None:
         # TF-IDF similarity swap (exhaustive scorer, no impact skip)
         sd.search_classic(["dup", "hash", "vector"], k=100).collect()
 
+    with timed("rescore"):
+        # QueryRescorer: window-100 first pass, phrase second pass
+        # restricted to the window (candidate containment pushdown)
+        first = sd.search(["dup", "hash", "vector"], 100)
+        sd.rescore(first, [{"phrase": ["merge", "join"], "occur": "should"}],
+                   k=20, weight=2.0, window=100).collect()
+    with timed("drill_sideways"):
+        # sibling facet counts: one matching kernel + pruned stored
+        # join + partial agg per dimension
+        sd.drill_sideways(
+            [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"}],
+            {"source": ["src3", "src5"], "lang": ["en"]}, top_n=10,
+        ).collect()
+    with timed("sort_multi"):
+        # SortField chain over stored fields, TakeOrdered cut
+        sd.search_sorted_multi(
+            ["dup"], 10, [("n_chars", False), ("source", True)]
+        ).collect()
+
     with timed("multi_phrase"):
         # Lucene phrase-frequency scoring (tf = phrase occurrence
         # count, MultiPhrase alternatives at slot 2)
@@ -303,6 +326,16 @@ def main() -> None:
         curation.paragraph_dedup(docs, "doc_id", "text").count()
     with timed("dedup_minhash"):
         dedup.minhash_signatures(docs, "doc_id", "text").count()
+    with timed("fuzzy_dedup_e2e"):
+        # composed MinHash pipeline: LSH candidates -> exact-jaccard
+        # verify -> connected components -> keeper flags
+        dedup.fuzzy_dedup(docs, "doc_id", "text", threshold=0.4).count()
+    with timed("pack_sequences"):
+        # concat-and-chunk packing: scan-pattern global offsets
+        curation.pack_sequences(docs, "doc_id", "text", seq_len=2048).count()
+    with timed("global_shuffle"):
+        # seeded dense permutation (dense-docID scan keyed on md5)
+        curation.global_shuffle(docs, "doc_id").count()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     with timed("ann_cosine_topk"):

@@ -89,6 +89,25 @@ def main() -> int:
             ["alpha"], 5, sort_field="n_chars", ascending=True
         ),
     }
+    # round-5 fourth-phase surfaces
+    surfaces["drill_sideways"] = s.drill_sideways(
+        [{"term": "alpha", "occur": "must"}], {"role": ["user"]}
+    )
+    surfaces["search_sorted_multi"] = s.search_sorted_multi(
+        ["alpha"], 5, [("n_chars", False), ("role", True)]
+    )
+    surfaces["rescore"] = s.rescore(
+        s.search(["alpha"], 20), [{"term": "beta", "occur": "should"}],
+        k=10, weight=2.0, window=20,
+    )
+    from fdblucene_spark.operators import curation  # noqa: E402
+    docs_df = spark.createDataFrame(rows).selectExpr("doc_id", "text")
+    surfaces["pack_sequences"] = curation.pack_sequences(
+        docs_df, "doc_id", "text", seq_len=64, num_partitions=4
+    )
+    surfaces["global_shuffle"] = curation.global_shuffle(
+        docs_df, "doc_id", num_partitions=4
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -128,6 +147,19 @@ def main() -> int:
                        for ln in keep), "facet stored scan not column-pruned"
             assert any("partial_count" in ln for ln in plan.splitlines()), \
                 "facet agg missing map-side combine"
+        if name == "drill_sideways":
+            assert any("ReadSchema" in ln and "role" in ln and "n_chars" not in ln
+                       for ln in keep), "sideways stored scan not column-pruned"
+            assert any("partial_count" in ln for ln in plan.splitlines()), \
+                "sideways agg missing map-side combine"
+        if name in ("search_sorted_multi", "rescore"):
+            assert any("TakeOrdered" in ln for ln in keep), \
+                f"{name} missing TakeOrdered top-k cut"
+        if name in ("pack_sequences", "global_shuffle"):
+            # the scan pattern's whole point: the prefix sum must never
+            # collapse to one partition
+            assert "Exchange SinglePartition" not in plan, \
+                f"{name} plan collapsed to a single partition"
     print("FAILURES:", failures)
     return 1 if failures else 0
 
