@@ -236,6 +236,23 @@ def _v3_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _pf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """PerFieldAnalyzerWrapper index: the SAME text column indexed as
+    body (standard_v1) and body2 (standard_v2) in ONE segment — the
+    per-field chains must diverge exactly at the stop filter (dl,
+    norms, df of stopwords) while sharing docIDs and storage."""
+    root = os.path.join(_index_root(sf_dir), "pf")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(
+            spark, docs, root, doc_col="doc_id", n_shards=8,
+            fingerprint=sf_dir + "-pf",
+            text_fields={"body": "text", "body2": "text"},
+            analyzer={"body": "standard_v1", "body2": "standard_v2"},
+        )
+    return Searcher(spark, root)
+
+
 def _hits_df(hits: DataFrame) -> DataFrame:
     return hits.select(
         F.col("doc").alias("doc_id"), F.round(F.col("score").cast("double"), 3).alias("score")
@@ -1433,6 +1450,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc").alias("doc_id"), "n_chars", "source")
         )
 
+    def ft_perfield(spark, sf):
+        # PerFieldAnalyzerWrapper: one index, two chains over the same
+        # source column — same hit sets for non-stop terms, different
+        # scores (v2's stop removal moved every dl/norm)
+        s = _pf_searcher(spark, sf)
+        a = _hits_df(s.search(OR_TERMS, K_ALL, mode="or", field="body")).withColumn(
+            "chain", F.lit("v1"))
+        b = _hits_df(s.search(OR_TERMS, K_ALL, mode="or", field="body2")).withColumn(
+            "chain", F.lit("v2"))
+        return a.unionByName(b)
+
     def ft_rescore(spark, sf):
         # Lucene QueryRescorer: first pass = or-mode BM25 window of 60,
         # second pass evaluated ONLY on that window, combined as
@@ -1461,6 +1489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tf, (ln((N+1)/(df+1))+1) idf, 1/sqrt(len) norm over the SAME
         # SmallFloat length byte the BM25 path decodes
         return _hits_df(_searcher(spark, sf).search_classic(OR_TERMS, k=K_ALL))
+
+    def ft_lm_dirichlet(spark, sf):
+        # LMDirichletSimilarity (mu=2000): Bayesian-smoothed language
+        # model — f32 collection probability (ttf+1)/(sum_dl+1), double
+        # ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)) clamped at 0, f32 per term
+        return _hits_df(_searcher(spark, sf).search_lm_dirichlet(OR_TERMS, k=K_ALL))
 
     def ft_synonym(spark, sf):
         # Lucene SynonymQuery: members score as ONE pseudo-term —
@@ -1994,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
         text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
         ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
+        ft_perfield, ft_lm_dirichlet,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2484,6 +2519,32 @@ SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM cls GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
+        "ft_lm_dirichlet": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), ttfs AS (
+  SELECT term, count(*)::BIGINT AS ttf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY term
+), lm AS (
+  SELECT tf.doc_id,
+    (greatest(
+       ln(1.0 + tf.tf::DOUBLE /
+          (2000.0 * ((ttfs.ttf + 1)::FLOAT::DOUBLE / (s.sum_dl + 1)::FLOAT::DOUBLE)::FLOAT::DOUBLE))
+       + ln(2000.0 / (n.dlq_len::DOUBLE + 2000.0)),
+       0.0))::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN ttfs ON ttfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM lm GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
+""",
         "ft_synonym": f"""
 WITH {_TOK_CTE}, {_NORM_CTE},
 tf AS (
@@ -2538,6 +2599,12 @@ SELECT '__total__', NULL, NULL, NULL, NULL, NULL,
         "ft_stop_analyzer": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
         ),
+        "ft_perfield": f"""
+SELECT q1.doc_id, q1.score, 'v1' AS chain FROM ({_bm25_sql(OR_TERMS, "or", K_ALL)}) q1
+UNION ALL
+SELECT q2.doc_id, q2.score, 'v2' AS chain FROM ({_bm25_sql(
+            OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS))}) q2
+""",
         "ft_stem_analyzer": _bm25_sql(
             ["query", "table", "pony"], "or", K_ALL,
             src_sql=_SEEDED_SQL, stop_words=tuple(ENGLISH_STOPWORDS), stem=True,

@@ -372,14 +372,16 @@ def _invert_factory(
     token_re: re.Pattern = _TOKEN_RE,
     store_offsets: bool = False,
     store_payloads: bool = False,
-    stops: frozenset[str] = frozenset(),
-    stem: bool = False,
+    chains: dict[str, tuple[frozenset, bool]] | None = None,
 ):
     """Tokenize + per-doc inversion kernel (the in-memory segment),
-    one output row per (field, doc, term)."""
+    one output row per (field, doc, term). chains: per-text-field
+    (stop set, stem flag) — Lucene PerFieldAnalyzerWrapper; a field
+    absent from the map gets the bare standard_v1 chain."""
     primary = next(
         (s["field"] for s in fields_spec if s["analyzer"] != "keyword"), None
     )
+    chains = dict(chains or {})
 
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,6 +393,7 @@ def _invert_factory(
                 if spec["analyzer"] == "keyword":
                     sub = _invert_keyword(spec["field"], docs, pdf[spec["col"]], store_positions)
                 else:
+                    stops, stem = chains.get(spec["field"], (frozenset(), False))
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
                         store_offsets, store_payloads, stops,
@@ -402,6 +405,35 @@ def _invert_factory(
                 yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
     return invert
+
+
+def _analyzer_spec(
+    analyzer: str | dict, text_field_names: list[str]
+) -> tuple[str, dict[str, str]]:
+    """Normalize an analyzer argument (one version string, or a
+    PerFieldAnalyzerWrapper-style {text_field: version} map) to
+    (manifest pin, per-field map). The pin is a canonical string so
+    the existing string-equality config checks (append, addIndexes,
+    CAS retry) cover per-field setups unchanged: uniform maps pin as
+    the bare version, mixed maps as 'perfield:f1=v1,f2=v2' (sorted).
+    Every version is validated against the analyzer registry; map
+    keys must be declared text fields; absent fields default to
+    standard_v1 (Lucene's wrapper default)."""
+    if isinstance(analyzer, str):
+        stop_set(analyzer)  # validate against the registry
+        return analyzer, {f: analyzer for f in text_field_names}
+    unknown = set(analyzer) - set(text_field_names)
+    if unknown:
+        raise ValueError(
+            f"field_analyzers for undeclared text fields: {sorted(unknown)}"
+        )
+    amap = {f: analyzer.get(f, ANALYZER_VERSION) for f in text_field_names}
+    for v in amap.values():
+        stop_set(v)
+    if len(set(amap.values())) == 1:
+        return next(iter(amap.values())), amap
+    pin = "perfield:" + ",".join(f"{f}={amap[f]}" for f in sorted(amap))
+    return pin, amap
 
 
 def _pack_factory(block_size: int, store_positions: bool, store_offsets: bool = False,
@@ -515,7 +547,7 @@ def build_postings(
     fields_spec: list[dict] | tuple[dict, ...] | None = None,
     store_offsets: bool = False,
     store_payloads: bool = False,
-    analyzer: str = ANALYZER_VERSION,
+    analyzer: str | dict[str, str] = ANALYZER_VERSION,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(doc, field cols...) -> (blocks, termdict, doclen, inverted).
 
@@ -538,12 +570,17 @@ def build_postings(
         raise ValueError("store_offsets requires store_positions")
     if store_payloads and not store_positions:
         raise ValueError("store_payloads requires store_positions")
-    stops = stop_set(analyzer)
+    if isinstance(analyzer, str):
+        chains = {
+            s["field"]: (stop_set(analyzer), stems(analyzer))
+            for s in fields_spec if s["analyzer"] != "keyword"
+        }
+    else:
+        chains = {f: (stop_set(v), stems(v)) for f, v in analyzer.items()}
     src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
     inverted = docs_df.select(*src_cols).mapInPandas(
         _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets,
-                        store_payloads=store_payloads, stops=stops,
-                        stem=stems(analyzer)),
+                        store_payloads=store_payloads, chains=chains),
         schema=INVERTED_SCHEMA,
     )
     if freeze_dir is not None:
@@ -603,7 +640,7 @@ def build_index(
     stored_fields: dict[str, str] | None = None,
     store_offsets: bool = False,
     store_payloads: bool = False,
-    analyzer: str = ANALYZER_VERSION,
+    analyzer: str | dict[str, str] = ANALYZER_VERSION,
     index_sort: tuple[str, bool] | None = None,
     commit_user_data: dict[str, str] | None = None,
 ) -> Manifest:
@@ -658,14 +695,16 @@ def build_index(
     predicates in Searcher.search/search_boolean scan it with Parquet
     column pruning + predicate pushdown.
     """
-    stop_set(analyzer)  # validate the name against the registry
+    analyzer_pin, field_analyzers = _analyzer_spec(
+        analyzer, list(text_fields) if text_fields is not None else ["text"]
+    )
     catalog = IndexCatalog(root)
     parent: Manifest | None = None
     if catalog.exists():
         parent = catalog.load()
         if not append:
             raise ValueError(f"index exists at {root}; pass append=True")
-        if parent.analyzer != analyzer or parent.block_size != block_size or parent.n_shards != n_shards:
+        if parent.analyzer != analyzer_pin or parent.block_size != block_size or parent.n_shards != n_shards:
             raise ValueError("index config mismatch (analyzer/block_size/n_shards pinned at creation)")
         if bool(parent.properties.get("store_positions", True)) != bool(store_positions):
             raise ValueError(
@@ -780,7 +819,7 @@ def build_index(
         store_payloads=store_payloads,
         freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
         fields_spec=fields_spec,
-        analyzer=analyzer,
+        analyzer=field_analyzers,
     )
     _mark("invert_freeze")
 
@@ -944,7 +983,7 @@ def build_index(
     while True:
         manifest = Manifest(
             version=catalog.next_version(),
-            analyzer=analyzer,
+            analyzer=analyzer_pin,
             block_size=block_size,
             n_shards=n_shards,
             segments=(attempt_parent.segments if attempt_parent else []) + [seg],
@@ -958,6 +997,7 @@ def build_index(
                 "store_offsets": bool(store_offsets),
                 "store_payloads": bool(store_payloads),
                 "primary_field": primary,
+                "field_analyzers": dict(field_analyzers),
                 "stored_fields": sorted(stored_fields),
                 "keyword_fields": sorted(keyword_fields),
                 **(
@@ -982,6 +1022,6 @@ def build_index(
                     "rebuild against the new snapshot (or use doc_col mode "
                     "for lock-free multi-writer appends)"
                 )
-            if latest.analyzer != analyzer or latest.block_size != block_size or latest.n_shards != n_shards:
+            if latest.analyzer != analyzer_pin or latest.block_size != block_size or latest.n_shards != n_shards:
                 raise
             attempt_parent = latest

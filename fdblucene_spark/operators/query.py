@@ -1569,14 +1569,36 @@ class Searcher:
         self.avgdl = self.manifest.avgdl
         # query text analyzes with the version the index was BUILT
         # with (manifest pin, S2 analogue) — a standard_v2 index drops
-        # query-side stopwords exactly as its postings did
-        self.analyzer: str = self.manifest.analyzer
+        # query-side stopwords exactly as its postings did. Per-field
+        # builds (PerFieldAnalyzerWrapper) pin 'perfield:...' and the
+        # real versions live in properties.field_analyzers; .analyzer
+        # is the PRIMARY field's version (usable with tokenize_text),
+        # analyzer_for(field) resolves any field's.
+        self.analyzer: str = self.analyzer_for(
+            self.manifest.properties.get("primary_field", "text")
+        )
         self._postings = spark.read.parquet(
             *self.manifest.segment_paths(root, "postings")
         )
         self._seek_count = 0  # driver-side termdict scans issued (observability)
         self._td_files = self._table_files("termdict")
         self._deleted_cache: np.ndarray | None = None
+
+
+    def analyzer_for(self, field: str) -> str:
+        """The versioned analyzer pinned for `field` (Lucene
+        PerFieldAnalyzerWrapper resolution): per-field map when the
+        index was built with one, else the index-wide pin. Falls back
+        to standard_v1 for a perfield pin missing the field (matches
+        the build default)."""
+        fa = self.manifest.properties.get("field_analyzers") or {}
+        if field in fa:
+            return fa[field]
+        a = self.manifest.analyzer
+        if a.startswith("perfield:"):
+            from ..functions.analysis import ANALYZER_VERSION
+            return ANALYZER_VERSION
+        return a
 
     def _table_files(self, table: str) -> list[str]:
         """Parquet data files of one table across segments, from the
@@ -3294,6 +3316,97 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_lm_dirichlet(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        mu: float = 2000.0,
+    ) -> DataFrame:
+        """LMDirichletSimilarity — Lucene's Bayesian-smoothed
+        language-model similarity (`IndexSearcher.setSimilarity(new
+        LMDirichletSimilarity(mu))`), reproduced op-for-op:
+
+            p_c    = f32(ttf + 1) / f32(sumTotalTermFreq + 1)
+                     [DefaultCollectionModel, float32 division; ttf =
+                     the term's total occurrence count, sum from the
+                     termdict; sumTotalTermFreq = the field's exact
+                     total token count from the manifest field stats]
+            s      = ln(1 + freq / (mu * p_c)) + ln(mu / (dl + mu))
+                     [double; dl = the SAME SmallFloat-decoded length
+                     the BM25 path reads — SimilarityBase decodes the
+                     shared norm byte for every LMSimilarity]
+            score  = f32(max(s, 0))   [LMDirichlet clamps at 0: long
+                     docs full of common terms floor out rather than
+                     go negative], summed per doc in float64
+
+        mode='and' keeps docs matching every requested term. Like
+        search_classic this runs the exhaustive constant-shape kernel:
+        Lucene's impact-based block skipping serves only the default
+        BM25 similarity, and the per-block max-tf metadata here prices
+        BM25's monotone tf curve, not the LM score surface.
+        Ref: the reference delegates similarity to Lucene 8.1
+        (pom.xml lucene-core), LMDirichletSimilarity.java semantics."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        if not (mu > 0):
+            raise ValueError("mu must be positive")
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: st for t, st in stats.items() if st[0] > 0}
+        if not present or (mode == "and" and len(present) < len(ts)):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_tok = self.manifest.sum_dl_for(field)
+        mu64 = float(mu)
+        cprob = {
+            t: float(np.float32(ttf + 1.0) / np.float32(n_tok + 1.0))
+            for t, (_, ttf) in present.items()
+        }
+        need = len(present)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            ds, ss = [], []
+            for t, g in pdf.groupby("term", sort=False):
+                d, tf, dlq = _decode_block_rows(g)
+                s64 = np.log(1.0 + tf.astype(np.float64) / (mu64 * cprob[t])) + np.log(
+                    mu64 / (dl_table[dlq] + mu64)
+                )
+                ds.append(d)
+                ss.append(np.maximum(s64, 0.0).astype(np.float32))
+            d = np.concatenate(ds)
+            s = np.concatenate(ss)
+            order = np.argsort(d, kind="mergesort")
+            d, s = d[order], s[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
+            if mode == "and":
+                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
+                keep = cnt == need
+                uniq, tot = uniq[keep], tot[keep]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tot = uniq[keep], tot[keep]
+            if not uniq.size:
+                return empty
+            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_block_join(
         self,
         terms: list[str],
@@ -3522,7 +3635,7 @@ class Searcher:
         from ..functions.analysis import tokenize_text
 
         tf: dict[str, int] = {}
-        for t in tokenize_text(text, self.analyzer):
+        for t in tokenize_text(text, self.analyzer_for(field)):
             tf[t] = tf.get(t, 0) + 1
         cand = {t: n for t, n in tf.items() if n >= min_term_freq}
         if not cand:
@@ -3683,6 +3796,16 @@ class Searcher:
         conjoin (Lucene DrillDownQuery semantics). Returns
         (dim, facet, count), per-dim top_n by count desc / value asc.
 
+        The base query is MANDATORY: Lucene's DrillDownQuery wraps
+        the base query as a single MUST clause and adds each dim as a
+        FILTER, so a pure-should base still requires >=1 matching
+        clause (its own BooleanQuery level). We reproduce that by
+        nesting base_clauses as one must sub-query — flattening them
+        beside the dim filters would let Lucene's msm-with-constraint
+        default (0) turn the base into a no-op. min_should_match
+        applies INSIDE the base group, where Lucene's
+        setMinimumNumberShouldMatch on the base query acts.
+
         Plan: one matching_docs kernel + stored join + per-value agg
         PER DIMENSION (Lucene pays the same: one DrillSideways scorer
         per dim); each is the facet_counts shape — postings-pruned
@@ -3691,6 +3814,9 @@ class Searcher:
         handful of independent jobs Catalyst runs unchanged at 100x."""
         if not drill_downs:
             raise ValueError("drill_downs must name at least one dimension")
+        base_sub: dict = {"clauses": list(base_clauses), "occur": "must"}
+        if min_should_match is not None:
+            base_sub["min_should_match"] = min_should_match
 
         def _dim_filter(fld: str, values: list[str]) -> dict:
             return {
@@ -3704,9 +3830,7 @@ class Searcher:
             others = [
                 _dim_filter(f, vs) for f, vs in sorted(drill_downs.items()) if f != dim
             ]
-            matched = self.matching_docs(
-                list(base_clauses) + others, min_should_match, numeric
-            )
+            matched = self.matching_docs([base_sub] + others, None, numeric)
             stored = self._stored_df().select("doc", dim)
             parts.append(
                 matched.join(stored, "doc")
@@ -3809,7 +3933,15 @@ class Searcher:
             query, default_field=default_field,
             default_operator=default_operator,
             keyword_fields=kwf, numeric_fields=set(numeric_fields),
-            analyzer=self.analyzer,
+            # MultiField parse (dict/list default_field) analyzes with
+            # the primary field's version; per-field query-time
+            # analysis inside one parse string is out of scope, like
+            # Lucene's MultiFieldQueryParser with a single analyzer
+            analyzer=(
+                self.analyzer_for(default_field)
+                if isinstance(default_field, str)
+                else self.analyzer
+            ),
         )
         cl = parsed.clauses
         if not cl:

@@ -168,6 +168,14 @@ class Manifest:
             return self.n_docs
         return self.field_stat(fld, "n_docs")
 
+    def sum_dl_for(self, fld: str) -> int:
+        """Exact total token count of a field (Lucene
+        CollectionStatistics.sumTotalTermFreq) — drives the LM
+        similarities' collection model."""
+        if not any(fld in s.field_stats for s in self.segments):
+            return self.sum_dl
+        return self.field_stat(fld, "sum_dl")
+
     @property
     def doc_max(self) -> int:
         return max((s.doc_max for s in self.segments), default=-1)

@@ -257,6 +257,40 @@ def test_drill_sideways_excludes_own_dim(spark, drill_index):
         s.drill_sideways(base, {})
 
 
+def test_drill_sideways_should_base_is_mandatory(spark, drill_index):
+    """A pure-should base query stays MANDATORY beside the dim
+    filters (DrillDownQuery wraps the base as MUST; a doc matching
+    only the filter must NOT be counted). Regression: flattening the
+    base shoulds next to the filters made msm default to 0."""
+    rows, s = drill_index
+    base = [{"term": "alpha", "occur": "should"},
+            {"term": "beta", "occur": "should"}]
+    got = {(r["dim"], r["facet"]): r["count"]
+           for r in s.drill_sideways(base, {"role": ["user"], "src": ["s2"]},
+                                     top_n=10).collect()}
+    by_id = {r["doc_id"]: r for r in rows}
+    hit = {d for d in by_id
+           if {"alpha", "beta"} & set(by_id[d]["text"].split())}
+    exp_role = collections.Counter(
+        by_id[d]["role"] for d in hit if by_id[d]["src"] == "s2")
+    exp_src = collections.Counter(
+        by_id[d]["src"] for d in hit if by_id[d]["role"] == "user")
+    assert {k: v for k, v in got.items() if k[0] == "role"} == {
+        ("role", k): v for k, v in exp_role.items()}
+    assert {k: v for k, v in got.items() if k[0] == "src"} == {
+        ("src", k): v for k, v in exp_src.items()}
+    # msm applies inside the base group: require both terms
+    got2 = {(r["dim"], r["facet"]): r["count"]
+            for r in s.drill_sideways(base, {"role": ["user"], "src": ["s2"]},
+                                      top_n=10, min_should_match=2).collect()}
+    hit2 = {d for d in by_id
+            if {"alpha", "beta"} <= set(by_id[d]["text"].split())}
+    exp_role2 = collections.Counter(
+        by_id[d]["role"] for d in hit2 if by_id[d]["src"] == "s2")
+    assert {k: v for k, v in got2.items() if k[0] == "role"} == {
+        ("role", k): v for k, v in exp_role2.items()}
+
+
 def test_sorted_multi_chain_and_after(spark, drill_index):
     """SortField chain: (n_chars desc, src asc, doc asc) matches the
     brute-force sort; searchAfter pages without overlap or gaps."""

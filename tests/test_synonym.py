@@ -134,3 +134,59 @@ def test_synonym_missing_member_and_deletes(spark, syn_index):
     s2 = Searcher(spark, root)
     got2 = s2.search_synonym(["gamma", "zzznope"], k=20).toPandas()
     assert victim not in set(int(d) for d in got2["doc"])
+
+
+def _brute_lm_dirichlet(rows, terms, mode="or", mu=2000.0, deleted=()):
+    # collection stats stay computed over ALL docs: deletes don't
+    # rewrite the termdict/field stats until merge (Lucene liveDocs)
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_tok = sum(dls.values())
+    out = []
+    for d, t in toks.items():
+        if d in deleted:
+            continue
+        acc, matched = 0.0, 0
+        for m in sorted(set(terms)):
+            tf = t.count(m)
+            if not tf:
+                continue
+            matched += 1
+            ttf = sum(u.count(m) for u in toks.values())
+            p = float(np.float32(ttf + 1.0) / np.float32(n_tok + 1.0))
+            dlq = int(bm25.quantize_doclen(np.array([len(t)]))[0])
+            dl = float(bm25.LENGTH_TABLE[dlq])
+            s = np.log(1.0 + tf / (mu * p)) + np.log(mu / (dl + mu))
+            acc += float(np.float32(max(s, 0.0)))
+        if matched and (mode == "or" or matched == len(set(terms))):
+            out.append((d, np.float32(acc)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_lm_dirichlet_matches_brute_force(spark, syn_index, mode):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_lm_dirichlet(["gamma", "zeta"], k=60, mode=mode).toPandas()
+    want = _brute_lm_dirichlet(rows, ["gamma", "zeta"], mode, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_lm_dirichlet_clamps_and_guards(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    # tiny mu inflates the first log term; huge mu drives every score
+    # toward ln(1 + tf/p*0) + ln(1) -> the clamp floor must hold >= 0
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_lm_dirichlet(["alpha"], k=300, mode="or", mu=0.5).toPandas()
+    want = _brute_lm_dirichlet(rows, ["alpha"], "or", mu=0.5, deleted=dele)[:300]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    assert (got["score"] >= 0).all()
+    with pytest.raises(ValueError, match="mu"):
+        s.search_lm_dirichlet(["alpha"], mu=0.0)
+    assert s.search_lm_dirichlet(["zzznope"], k=5).count() == 0
+    assert s.search_lm_dirichlet(["zzznope", "alpha"], k=5, mode="and").count() == 0
