@@ -253,6 +253,45 @@ def _pf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _rb_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Rollback index: same corpus as the main index, then an append
+    of junk docs stuffed with the OR_TERMS vocabulary, then
+    rollback_to(v1). A correct rollback makes the junk invisible AND
+    restores v1's df/avgdl stats exactly — the oracle is the plain
+    BM25 twin over the ORIGINAL corpus, so any stat bleed-through
+    from the appended commit hash-fails."""
+    root = os.path.join(_index_root(sf_dir), "rb")
+    cat = IndexCatalog(root)
+    if not cat.exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(
+            spark, docs, root, doc_col="doc_id", n_shards=8,
+            fingerprint=sf_dir + "-rb",
+            text_fields={"text": "text"},
+            keyword_fields={"source": "source", "lang": "lang"},
+            stored_fields={"n_chars": "n_chars", "source": "source", "lang": "lang"},
+        )
+        v1 = cat.current_version()
+        cat.snapshot(v1)
+        base = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+        junk = spark.createDataFrame(
+            [
+                {"doc_id": base + i, "text": " ".join(sorted(OR_TERMS)) * 3,
+                 "source": "srcjunk", "lang": "xx", "n_chars": 0}
+                for i in range(25)
+            ]
+        )
+        build_index(
+            spark, junk, root, doc_col="doc_id", n_shards=8, append=True,
+            fingerprint=sf_dir + "-rb-junk",
+            text_fields={"text": "text"},
+            keyword_fields={"source": "source", "lang": "lang"},
+            stored_fields={"n_chars": "n_chars", "source": "source", "lang": "lang"},
+        )
+        cat.rollback_to(v1)
+    return Searcher(spark, root)
+
+
 def _hits_df(hits: DataFrame) -> DataFrame:
     return hits.select(
         F.col("doc").alias("doc_id"), F.round(F.col("score").cast("double"), 3).alias("score")
@@ -1423,6 +1462,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text", seq_len=512, sep_tokens=1
         )
 
+    def pipe_chunks(spark, sf):
+        # sliding-window chunking (HF return_overflowing_tokens +
+        # stride): 64-token windows every 48 tokens, pure Catalyst,
+        # zero shuffles
+        return curation.chunk_documents(
+            _table(spark, sf, "documents"), "doc_id", "text", window=64, stride=48
+        )
+
     def samp_shuffle(spark, sf):
         # deterministic seeded global shuffle: dense shuffle_rank =
         # global sort rank under md5(salt||id), scan-pattern offsets
@@ -1449,6 +1496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select(F.col("doc").alias("doc_id"), "n_chars", "source")
         )
+
+    def ft_rollback(spark, sf):
+        # SnapshotDeletionPolicy + rollback to a held commit point:
+        # after appending junk and rolling back, scores/hits must be
+        # bit-identical to an index that never saw the junk
+        return _hits_df(_rb_searcher(spark, sf).search(OR_TERMS, K_ALL, mode="or"))
 
     def ft_perfield(spark, sf):
         # PerFieldAnalyzerWrapper: one index, two chains over the same
@@ -1495,6 +1548,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model — f32 collection probability (ttf+1)/(sum_dl+1), double
         # ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)) clamped at 0, f32 per term
         return _hits_df(_searcher(spark, sf).search_lm_dirichlet(OR_TERMS, k=K_ALL))
+
+    def ft_lm_jelinek_mercer(spark, sf):
+        # LMJelinekMercerSimilarity (lambda=0.1): linearly-interpolated
+        # LM — ln(1 + (f32(1-l)*tf/dl) / f32(l*p)) clamped, f32 per term
+        return _hits_df(
+            _searcher(spark, sf).search_lm_jelinek_mercer(OR_TERMS, k=K_ALL)
+        )
 
     def ft_synonym(spark, sf):
         # Lucene SynonymQuery: members score as ONE pseudo-term —
@@ -1828,6 +1888,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source"
         )
 
+    def tx_windows(spark, sf):
+        # dialogue training-example assembly: sliding 6-turn context
+        # windows every 4 turns per conversation (turn->window explode
+        # + ONE bounded-group shuffle; no whole-conversation collect)
+        from fdblucene_spark.data import synth
+
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        return curation.conversation_windows(
+            df, "conv_id", "turn_idx", "text", n_turns=6, stride=4
+        )
+
+    def samp_temperature(spark, sf):
+        # temperature-based mixture planner (mT5/XLM-R alpha-sampling,
+        # alpha=0.3): weights derived as size^alpha — the gate compares
+        # the per-stratum RATES table; the md5-threshold apply is
+        # driver-verified by samp_mixture
+        rates = curation.plan_temperature(
+            _table(spark, sf, "documents"), "source", "n_chars", 0.3, MIX_BUDGET
+        )
+        return spark.createDataFrame(
+            [(d, round(r, 9)) for d, r in sorted(rates.items())],
+            "stratum string, rate double",
+        )
+
     # ---- similarity search ----
     def ann_cosine_topk(spark, sf):
         emb = _table(spark, sf, "embeddings")
@@ -2028,7 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
         text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
         ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
-        ft_perfield, ft_lm_dirichlet,
+        ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
+        pipe_chunks, samp_temperature, tx_windows,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2440,6 +2526,13 @@ ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),
+        "pipe_chunks": curation.chunk_documents_sql("documents", "doc_id", "text", 64, 48),
+        "samp_temperature": curation.plan_temperature_sql(
+            "documents", "source", "n_chars", 0.3, MIX_BUDGET
+        ),
+        "tx_windows": curation.conversation_windows_sql(
+            f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "text", 6, 4
+        ),
         "samp_shuffle": curation.global_shuffle_sql("documents", "doc_id", "epoch0"),
         "ft_drill_sideways": f"""
 WITH {_TOK_CTE},
@@ -2545,6 +2638,33 @@ SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM lm GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
+        "ft_lm_jelinek_mercer": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), ttfs AS (
+  SELECT term, count(*)::BIGINT AS ttf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY term
+), lm AS (
+  SELECT tf.doc_id,
+    (greatest(
+       ln(1.0 + ((1.0 - 0.1::FLOAT::DOUBLE)::FLOAT::DOUBLE * tf.tf::DOUBLE / n.dlq_len::DOUBLE)
+                / (0.1::FLOAT::DOUBLE *
+                   ((ttfs.ttf + 1)::FLOAT::DOUBLE / (s.sum_dl + 1)::FLOAT::DOUBLE)::FLOAT::DOUBLE
+                  )::FLOAT::DOUBLE),
+       0.0))::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN ttfs ON ttfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM lm GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
+""",
         "ft_synonym": f"""
 WITH {_TOK_CTE}, {_NORM_CTE},
 tf AS (
@@ -2596,6 +2716,11 @@ UNION ALL
 SELECT '__total__', NULL, NULL, NULL, NULL, NULL,
        round(coalesce((SELECT (sum(s32::DOUBLE))::FLOAT FROM parts), 0)::DOUBLE, 6)
 """,
+        # rollback restores the pre-append commit EXACTLY, so the twin
+        # is the plain or-mode BM25 over the original corpus — junk-doc
+        # hits or stat drift (df/avgdl moved by the appended segment)
+        # both hash-fail
+        "ft_rollback": _bm25_sql(OR_TERMS, "or", K_ALL),
         "ft_stop_analyzer": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
         ),

@@ -772,3 +772,242 @@ SELECT {id_col},
          AS shuffle_rank
 FROM {table}
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window document chunking (the HF-tokenizer
+    `return_overflowing_tokens` + stride pattern): split each doc's
+    analyzer token stream into windows of `window` tokens starting
+    every `stride` tokens (stride < window = overlapping context for
+    RAG indexing / long-doc pretraining). One row per chunk:
+    (id, chunk_idx, tok_start, n_tokens, chunk_text) with chunk_text
+    the space-joined analyzer tokens of the slice.
+
+    Chunk rule: the last chunk is the FIRST whose end reaches the doc
+    end — n_chunks = 1 if n <= window else ceil((n-window)/stride)+1,
+    so every token is covered and no window is a strict subset of an
+    earlier one. Zero-token docs emit zero chunks.
+
+    Scale shape: pure Catalyst (tokenize -> explode(sequence) ->
+    slice), whole-stage codegen, zero shuffles — chunking stays
+    embarrassingly parallel however large the corpus; downstream
+    repartition is the caller's choice."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    stride = window if stride is None else int(stride)
+    if not (0 < stride <= window):
+        raise ValueError("stride must be in (0, window]")
+    toks = tokens_col(text_col)
+    n = F.size("_ts")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(stride)).cast("long") + 1
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_ts"))
+        .where(n > 0)
+        .select(
+            F.col(id_col),
+            F.col("_ts"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            (F.col("chunk_idx") * stride).alias("tok_start"),
+            F.slice(F.col("_ts"), (F.col("chunk_idx") * stride + 1).cast("int"), window).alias("_cts"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "tok_start",
+            F.size("_cts").cast("long").alias("n_tokens"),
+            F.array_join("_cts", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    table: str, id_col: str, text_col: str, window: int, stride: int | None = None
+) -> str:
+    """DuckDB twin of chunk_documents (same tokenizer regex, same
+    last-chunk rule)."""
+    stride = window if stride is None else int(stride)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), sized AS (
+  SELECT {id_col}, ts, len(ts)::BIGINT AS n FROM toks WHERE len(ts) > 0
+), expanded AS (
+  SELECT {id_col}, ts,
+         unnest(range(0, CASE WHEN n <= {int(window)} THEN 1
+                              ELSE ceil((n - {int(window)})::DOUBLE / {stride})::BIGINT + 1 END)) AS chunk_idx
+  FROM sized
+)
+SELECT {id_col}, chunk_idx, (chunk_idx * {stride})::BIGINT AS tok_start,
+       len(ts[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {int(window)}])::BIGINT AS n_tokens,
+       array_to_string(ts[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {int(window)}], ' ') AS chunk_text
+FROM expanded
+"""
+
+
+def plan_temperature(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    alpha: float,
+    budget: float,
+) -> dict[str, float]:
+    """Temperature-based mixture planner (the mT5/XLM-R alpha-sampling
+    recipe): target weights are DERIVED from the observed sizes,
+    p_d = size_d^alpha / sum(size^alpha) — alpha=1 keeps natural
+    proportions, alpha->0 flattens toward uniform, upweighting
+    low-resource domains. rate(d) = min(1, budget * p_d / size_d),
+    applied with stratified_sample like plan_mixture. Same scale
+    shape: ONE partial+final per-stratum agg; the mixture table is
+    driver-sized by definition."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(strata_col).agg(F.sum(size_col)).collect()
+        if r[0] is not None and r[1] is not None and float(r[1]) > 0
+    }
+    # sum in sorted-stratum order: the float result is then a pure
+    # function of the (exact) totals, reproducible by the SQL twin
+    denom = sum(totals[d] ** alpha for d in sorted(totals))
+    if denom <= 0:
+        return {}
+    return {
+        d: min(1.0, (float(budget) * (t ** alpha / denom)) / t)
+        for d, t in sorted(totals.items())
+    }
+
+
+def plan_temperature_sql(
+    table: str, strata_col: str, size_col: str, alpha: float, budget: float
+) -> str:
+    """DuckDB twin of plan_temperature: the per-stratum rates table.
+    Totals are exact (BIGINT sums, exact in double); the cross-stratum
+    power sum is a float reduction whose addend order SQL does not
+    pin, so twins compare rates ROUNDED (the gate rounds floats to 9
+    digits) rather than raw ulps — the engine's sorted-order Python
+    sum and the SQL sum agree to far more than 9 digits on a
+    human-sized mixture table."""
+    a = float(alpha)
+    return f"""
+WITH sizes AS (
+  SELECT {strata_col} AS stratum, sum({size_col})::DOUBLE AS s
+  FROM {table} WHERE {strata_col} IS NOT NULL GROUP BY {strata_col} HAVING sum({size_col}) > 0
+), d AS (SELECT sum(pow(s, {a!r})) AS denom FROM sizes)
+SELECT stratum, round(least(1.0, ({float(budget)!r} * (pow(s, {a!r}) / d.denom)) / s), 9) AS rate
+FROM sizes CROSS JOIN d
+"""
+
+
+def conversation_windows(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    n_turns: int,
+    stride: int | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Sliding context windows over conversation turns — the
+    training-example assembly for dialogue models: per conversation,
+    windows of `n_turns` consecutive turns starting every `stride`
+    turns; the last window is the first reaching the conversation end
+    (same rule as chunk_documents, so every turn is covered and no
+    window is a subset of an earlier one). Returns (conv, window_idx,
+    first_pos, n_window_turns, text): first_pos is the 0-based dense
+    POSITION in turn order (robust to turn-index gaps), text the
+    window's turn texts joined by `sep` in turn order.
+
+    Scale shape: a per-conversation rank (one hash shuffle; a rank,
+    never a whole-conversation collect), then each TURN explodes into
+    the <= ceil(n_turns/stride) windows containing it, then ONE
+    shuffle keyed by (conv, window_idx) whose groups are bounded by
+    n_turns — immune to long-conversation skew end to end."""
+    if n_turns <= 0:
+        raise ValueError("n_turns must be positive")
+    stride = n_turns if stride is None else int(stride)
+    if not (0 < stride <= n_turns):
+        raise ValueError("stride must be in (0, n_turns]")
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    ranked = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(text_col).alias("_t"),
+        (F.row_number().over(w) - 1).alias("p"),
+        F.count(F.lit(1)).over(Window.partitionBy(conv_col)).alias("n"),
+    )
+    k_count = F.when(F.col("n") <= n_turns, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - F.lit(n_turns)) / F.lit(stride)).cast("long") + 1
+    )
+    k_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("p") - F.lit(n_turns) + 1) / F.lit(stride)).cast("long"),
+    )
+    k_hi = F.least(k_count - 1, F.floor(F.col("p") / stride).cast("long"))
+    return (
+        ranked.select(
+            "conv", "_t", "p",
+            F.explode(F.sequence(k_lo, k_hi)).alias("window_idx"),
+        )
+        .groupBy("conv", "window_idx")
+        .agg(
+            F.min("p").alias("first_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_window_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "_t"))), lambda x: x["_t"]
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .withColumnRenamed("conv", conv_col)
+    )
+
+
+def conversation_windows_sql(
+    table_expr: str,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    n_turns: int,
+    stride: int | None = None,
+    sep: str = "\n",
+) -> str:
+    """DuckDB twin of conversation_windows (same last-window rule;
+    string_agg with an explicit ORDER BY pins turn order)."""
+    stride = n_turns if stride is None else int(stride)
+    n = int(n_turns)
+    return f"""
+WITH ranked AS (
+  SELECT {conv_col} AS conv, {text_col} AS t,
+         (row_number() OVER (PARTITION BY {conv_col} ORDER BY {turn_col}) - 1)::BIGINT AS p,
+         count(*) OVER (PARTITION BY {conv_col})::BIGINT AS n
+  FROM {table_expr}
+), expanded AS (
+  SELECT conv, t, p,
+         unnest(range(
+           greatest(0, ceil((p - {n} + 1)::DOUBLE / {stride})::BIGINT),
+           least(CASE WHEN n <= {n} THEN 1
+                      ELSE ceil((n - {n})::DOUBLE / {stride})::BIGINT + 1 END,
+                 (p // {stride}) + 1)
+         )) AS window_idx
+  FROM ranked
+)
+SELECT conv AS {conv_col}, window_idx, min(p)::BIGINT AS first_pos,
+       count(*)::BIGINT AS n_window_turns,
+       string_agg(t, '{sep}' ORDER BY p) AS text
+FROM expanded
+GROUP BY conv, window_idx
+"""

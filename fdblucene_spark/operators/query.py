@@ -3407,6 +3407,88 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_lm_jelinek_mercer(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        lam: float = 0.1,
+    ) -> DataFrame:
+        """LMJelinekMercerSimilarity — Lucene's linearly-interpolated
+        language model (`new LMJelinekMercerSimilarity(lambda)`; 0.1
+        suits short queries, 0.7 long ones), float-for-float:
+
+            p_c   = f32(ttf + 1) / f32(sumTotalTermFreq + 1)  [as LM
+                    Dirichlet — the shared DefaultCollectionModel]
+            num   = f32(1 - lambda) * freq / dl     [double: the f32
+                    (1-lambda) widens; dl = decoded SmallFloat length]
+            den   = f32(lambda * p_c)               [float32 multiply,
+                    then widened — Java evaluates lambda*p in float]
+            s     = ln(1 + num / den)  [double, clamped at 0]
+            score = f32(s), summed per doc in float64
+
+        Same exhaustive kernel as the other non-BM25 similarities
+        (Lucene's impact skipping serves only the default BM25)."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        if not (0.0 < lam < 1.0):
+            raise ValueError("lambda must be in (0, 1)")
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: st for t, st in stats.items() if st[0] > 0}
+        if not present or (mode == "and" and len(present) < len(ts)):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_tok = self.manifest.sum_dl_for(field)
+        lam32 = np.float32(lam)
+        one_minus = float(np.float32(1.0) - lam32)
+        den = {
+            t: float(lam32 * (np.float32(ttf + 1.0) / np.float32(n_tok + 1.0)))
+            for t, (_, ttf) in present.items()
+        }
+        need = len(present)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            ds, ss = [], []
+            for t, g in pdf.groupby("term", sort=False):
+                d, tf, dlq = _decode_block_rows(g)
+                num = one_minus * tf.astype(np.float64) / dl_table[dlq]
+                s64 = np.log(1.0 + num / den[t])
+                ds.append(d)
+                ss.append(np.maximum(s64, 0.0).astype(np.float32))
+            d = np.concatenate(ds)
+            s = np.concatenate(ss)
+            order = np.argsort(d, kind="mergesort")
+            d, s = d[order], s[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
+            if mode == "and":
+                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
+                keep = cnt == need
+                uniq, tot = uniq[keep], tot[keep]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tot = uniq[keep], tot[keep]
+            if not uniq.size:
+                return empty
+            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_block_join(
         self,
         terms: list[str],

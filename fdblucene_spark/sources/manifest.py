@@ -293,6 +293,66 @@ class IndexCatalog:
                 continue
         raise CommitConflict("commit_user_data lost the CAS race repeatedly")
 
+    def rollback_to(self, version: int, retries: int = 8) -> Manifest:
+        """Restore an OLD commit point as the new CURRENT (Lucene:
+        open an IndexWriter on a SnapshotDeletionPolicy-held commit,
+        i.e. IndexWriterConfig.setIndexCommit(old) — every doc/delete/
+        doc-value state of the target version comes back, including
+        its sidecar paths in properties). The restored state is
+        re-published as a NEW manifest version: history stays
+        append-only and monotonic, concurrent committers CAS as
+        usual, and readers pinned to intermediate versions are
+        untouched. Pair with snapshot() so expire_orphans cannot
+        collect the target's segments first."""
+        from dataclasses import replace
+
+        target = self.load(version)  # raises if the commit point is gone
+        for _ in range(max(1, retries)):
+            cur = self.load()
+            manifest = replace(
+                target,
+                version=self.next_version(),
+                parent_version=cur.version,
+                properties={**target.properties, "restored_version": version},
+            )
+            try:
+                return self.commit(manifest)
+            except CommitConflict:
+                continue
+        raise CommitConflict("rollback_to lost the CAS race repeatedly")
+
+    # ------------------------------------------------------------ snapshots
+    def snapshot(self, version: int | None = None) -> int:
+        """Pin a commit point against physical cleanup (Lucene
+        SnapshotDeletionPolicy.snapshot()): expire_orphans keeps every
+        segment reachable from a snapshotted version, however old.
+        One empty marker file per snapshot — atomic create, lock-free,
+        idempotent. Returns the pinned version."""
+        v = self.current_version() if version is None else int(version)
+        if v is None or not os.path.exists(
+            os.path.join(self.manifest_dir, f"manifest.v{v:06d}.json")
+        ):
+            raise FileNotFoundError(f"no manifest v{v} to snapshot under {self.root}")
+        open(os.path.join(self.manifest_dir, f"snapshot.v{v:06d}"), "a").close()
+        return v
+
+    def release_snapshot(self, version: int) -> None:
+        """SnapshotDeletionPolicy.release(): the commit point becomes
+        collectible again once it also ages out of keep_versions."""
+        try:
+            os.remove(os.path.join(self.manifest_dir, f"snapshot.v{int(version):06d}"))
+        except FileNotFoundError:
+            raise ValueError(f"version {version} is not snapshotted")
+
+    def snapshots(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        return sorted(
+            int(n[len("snapshot.v"):])
+            for n in os.listdir(self.manifest_dir)
+            if n.startswith("snapshot.v")
+        )
+
     def verify_segments(self, manifest: Manifest | None = None) -> list[str]:
         """Integrity check: every segment's files exist and the
         structural checksum matches the manifest (S17 analogue).
@@ -313,7 +373,9 @@ class IndexCatalog:
         manifests (Iceberg expire_snapshots analogue; reference: deferred
         pendingDeletions concept, FDBDirectory.java:387-390)."""
         versions = self.versions()
-        keep = set(versions[-keep_versions:])
+        # snapshotted commit points stay live regardless of age
+        # (SnapshotDeletionPolicy contract)
+        keep = set(versions[-keep_versions:]) | (set(self.snapshots()) & set(versions))
         live: set[str] = set()
         for v in keep:
             try:

@@ -328,3 +328,125 @@ def test_global_shuffle_permutation(spark):
         .toPandas().sort_values("doc_id")
     )
     assert list(got2["shuffle_rank"]) != list(got["shuffle_rank"])
+
+
+def _brute_chunks(rows, window, stride):
+    import re
+    out = []
+    for doc_id, text in rows:
+        ts = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t]
+        n = len(ts)
+        if n == 0:
+            continue
+        k = 1 if n <= window else -(-(n - window) // stride) + 1
+        for i in range(k):
+            s = i * stride
+            sl = ts[s:s + window]
+            out.append((doc_id, i, s, len(sl), " ".join(sl)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("window,stride", [(5, 3), (4, 4), (8, 1)])
+def test_chunk_documents_matches_brute_force(spark, window, stride):
+    rows = [
+        (0, "a b c d e f g h i j k"),          # 11 tokens
+        (1, "one two three"),                   # shorter than any window
+        (2, ""),                                # zero tokens -> no chunks
+        (3, "x " * 40),                         # 40 tokens, many windows
+        (4, "exact five tokens right here"),    # n == window at 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in curation.chunk_documents(
+            df, "doc_id", "text", window=window, stride=stride
+        ).collect()
+    )
+    assert got == _brute_chunks(rows, window, stride)
+    # coverage law: per doc, union of [tok_start, tok_start+n_tokens)
+    # is exactly [0, n) and the last chunk reaches the doc end
+    import collections
+    per = collections.defaultdict(list)
+    for d, i, s, n, _ in got:
+        per[d].append((s, n))
+    for d, spans in per.items():
+        covered = set()
+        for s, n in spans:
+            covered |= set(range(s, s + n))
+        assert covered == set(range(max(e for s, e in ((s, s + n) for s, n in spans))))
+
+
+def test_chunk_documents_guards(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        curation.chunk_documents(df, "doc_id", "text", window=0)
+    with pytest.raises(ValueError, match="stride"):
+        curation.chunk_documents(df, "doc_id", "text", window=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        curation.chunk_documents(df, "doc_id", "text", window=4, stride=0)
+    # default stride = window (disjoint chunks)
+    got = curation.chunk_documents(df.selectExpr("doc_id", "'a b c d e' AS text"),
+                                   "doc_id", "text", window=2).collect()
+    assert [(r["chunk_idx"], r["tok_start"], r["n_tokens"]) for r in sorted(
+        got, key=lambda r: r["chunk_idx"])] == [(0, 0, 2), (1, 2, 2), (2, 4, 1)]
+
+
+def test_plan_temperature_laws(spark):
+    rows = [(i, "s%d" % (i % 3), 100 * (i % 3 + 1)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    # alpha=1 reduces to natural proportions: rate identical per
+    # stratum when budget scales the whole corpus uniformly
+    totals = {"s0": 1000.0, "s1": 2000.0, "s2": 3000.0}
+    r1 = curation.plan_temperature(df, "src", "n", alpha=1.0, budget=3000.0)
+    for d, t in totals.items():
+        assert abs(r1[d] - min(1.0, 3000.0 * (t / 6000.0) / t)) < 1e-12
+        assert abs(r1[d] - 0.5) < 1e-12  # alpha=1: uniform rate
+    # alpha<1 upweights the small stratum: its rate strictly exceeds
+    # the big stratum's
+    r3 = curation.plan_temperature(df, "src", "n", alpha=0.3, budget=3000.0)
+    assert r3["s0"] > r3["s1"] > r3["s2"]
+    # saturation at 1.0 under a huge budget
+    rbig = curation.plan_temperature(df, "src", "n", alpha=0.5, budget=1e12)
+    assert all(v == 1.0 for v in rbig.values())
+    for bad in (0.0, 1.5, -1.0):
+        with pytest.raises(ValueError, match="alpha"):
+            curation.plan_temperature(df, "src", "n", alpha=bad, budget=10)
+
+
+def _brute_conv_windows(rows, n_turns, stride, sep="\n"):
+    import collections
+    by_conv = collections.defaultdict(list)
+    for conv, turn, text in rows:
+        by_conv[conv].append((turn, text))
+    out = []
+    for conv, turns in by_conv.items():
+        turns.sort()
+        n = len(turns)
+        k = 1 if n <= n_turns else -(-(n - n_turns) // stride) + 1
+        for i in range(k):
+            s = i * stride
+            win = turns[s:s + n_turns]
+            out.append((conv, i, s, len(win), sep.join(t for _, t in win)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n_turns,stride", [(4, 2), (3, 3), (6, 1)])
+def test_conversation_windows_matches_brute_force(spark, n_turns, stride):
+    rows = []
+    for c, nt in [("c0", 9), ("c1", 2), ("c2", 4), ("c3", 13)]:
+        # turn_idx gaps (x3) prove position-based ranking, not index math
+        rows += [(c, i * 3, f"{c}t{i}") for i in range(nt)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, text string")
+    got = sorted(
+        tuple(r) for r in curation.conversation_windows(
+            df, "conv_id", "turn_idx", "text", n_turns=n_turns, stride=stride
+        ).select("conv_id", "window_idx", "first_pos", "n_window_turns", "text").collect()
+    )
+    assert got == _brute_conv_windows(rows, n_turns, stride)
+
+
+def test_conversation_windows_guards(spark):
+    df = spark.createDataFrame([("c", 0, "x")], "conv_id string, turn_idx long, text string")
+    with pytest.raises(ValueError, match="n_turns"):
+        curation.conversation_windows(df, "conv_id", "turn_idx", "text", n_turns=0)
+    with pytest.raises(ValueError, match="stride"):
+        curation.conversation_windows(df, "conv_id", "turn_idx", "text", n_turns=2, stride=3)

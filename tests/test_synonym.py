@@ -190,3 +190,57 @@ def test_lm_dirichlet_clamps_and_guards(spark, syn_index):
         s.search_lm_dirichlet(["alpha"], mu=0.0)
     assert s.search_lm_dirichlet(["zzznope"], k=5).count() == 0
     assert s.search_lm_dirichlet(["zzznope", "alpha"], k=5, mode="and").count() == 0
+
+
+def _brute_lm_jm(rows, terms, mode="or", lam=0.1, deleted=()):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_tok = sum(dls.values())
+    lam32 = np.float32(lam)
+    one_minus = float(np.float32(1.0) - lam32)
+    out = []
+    for d, t in toks.items():
+        if d in deleted:
+            continue
+        acc, matched = 0.0, 0
+        for m in sorted(set(terms)):
+            tf = t.count(m)
+            if not tf:
+                continue
+            matched += 1
+            ttf = sum(u.count(m) for u in toks.values())
+            p = np.float32(ttf + 1.0) / np.float32(n_tok + 1.0)
+            den = float(lam32 * p)
+            dlq = int(bm25.quantize_doclen(np.array([len(t)]))[0])
+            dl = float(bm25.LENGTH_TABLE[dlq])
+            s = np.log(1.0 + (one_minus * tf / dl) / den)
+            acc += float(np.float32(max(s, 0.0)))
+        if matched and (mode == "or" or matched == len(set(terms))):
+            out.append((d, np.float32(acc)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_lm_jelinek_mercer_matches_brute_force(spark, syn_index, mode):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_lm_jelinek_mercer(["gamma", "zeta"], k=60, mode=mode).toPandas()
+    want = _brute_lm_jm(rows, ["gamma", "zeta"], mode, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_lm_jelinek_mercer_lambda_and_guards(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_lm_jelinek_mercer(["alpha"], k=300, lam=0.7).toPandas()
+    want = _brute_lm_jm(rows, ["alpha"], "or", lam=0.7, deleted=dele)[:300]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for bad in (0.0, 1.0, -0.5):
+        with pytest.raises(ValueError, match="lambda"):
+            s.search_lm_jelinek_mercer(["alpha"], lam=bad)
+    assert s.search_lm_jelinek_mercer(["zzznope"], k=5).count() == 0
