@@ -336,6 +336,14 @@ def main() -> None:
     with timed("global_shuffle"):
         # seeded dense permutation (dense-docID scan keyed on md5)
         curation.global_shuffle(docs, "doc_id").count()
+    with timed("chunk_documents"):
+        # sliding 512/384 token windows, shuffle-free Catalyst
+        curation.chunk_documents(docs, "doc_id", "text", 512, 384).count()
+    with timed("conversation_windows"):
+        # dialogue context assembly over the transcript corpus
+        curation.conversation_windows(
+            transcripts, "conv_id", "turn_idx", "text", n_turns=6, stride=4
+        ).count()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     with timed("ann_cosine_topk"):

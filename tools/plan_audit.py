@@ -108,6 +108,21 @@ def main() -> int:
     surfaces["global_shuffle"] = curation.global_shuffle(
         docs_df, "doc_id", num_partitions=4
     )
+    # round-5 fifth-phase surfaces
+    surfaces["search_lm_dirichlet"] = s.search_lm_dirichlet(["alpha", "beta"], 10)
+    surfaces["search_lm_jelinek_mercer"] = s.search_lm_jelinek_mercer(
+        ["alpha", "beta"], 10
+    )
+    surfaces["chunk_documents"] = curation.chunk_documents(
+        docs_df, "doc_id", "text", window=16, stride=8
+    )
+    conv_df = spark.createDataFrame(
+        [{"conv_id": f"c{i % 20}", "turn_idx": i // 20, "text": f"turn {i}"}
+         for i in range(400)]
+    )
+    surfaces["conversation_windows"] = curation.conversation_windows(
+        conv_df, "conv_id", "turn_idx", "text", n_turns=6, stride=4
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -129,7 +144,8 @@ def main() -> int:
             print("  " + ln[:160])
         # postings scans must carry the field/term pushdown
         if name in ("search_parsed", "search_span_first", "matching_docs",
-                    "search_synonym", "search_classic", "search_multi_phrase"):
+                    "search_synonym", "search_classic", "search_multi_phrase",
+                    "search_lm_dirichlet", "search_lm_jelinek_mercer"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
         if name == "top_terms":
             # termdict-only: the postings table must not be scanned
@@ -155,6 +171,14 @@ def main() -> int:
         if name in ("search_sorted_multi", "rescore"):
             assert any("TakeOrdered" in ln for ln in keep), \
                 f"{name} missing TakeOrdered top-k cut"
+        if name == "chunk_documents":
+            # chunking must stay shuffle-free (embarrassingly parallel)
+            assert not any("Exchange" in ln for ln in plan.splitlines()), \
+                "chunk_documents plan contains a shuffle"
+        if name == "conversation_windows":
+            # bounded-group shuffles only; never a single-partition sort
+            assert "Exchange SinglePartition" not in plan, \
+                "conversation_windows collapsed to a single partition"
         if name in ("pack_sequences", "global_shuffle"):
             # the scan pattern's whole point: the prefix sum must never
             # collapse to one partition
