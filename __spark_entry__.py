@@ -1497,6 +1497,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc").alias("doc_id"), "n_chars", "source")
         )
 
+    def ft_total_hits(spark, sf):
+        # Lucene TopDocs.totalHits contract: count exactly up to the
+        # threshold, then report GREATER_THAN_OR_EQUAL_TO — one row per
+        # (cap, value, relation) over the same or-set, caps straddling
+        # the true count
+        s = _searcher(spark, sf)
+        cl = [{"term": t, "occur": "should"} for t in OR_TERMS]
+        rows = []
+        for cap in (10, 100, 1000000):
+            n, rel = s.count_at_least(cl, cap=cap)
+            rows.append((cap, n, rel))
+        return spark.createDataFrame(rows, "cap long, n_hits long, relation string")
+
+    def ft_taxonomy(spark, sf):
+        # hierarchical taxonomy facets: grand total + per-lang +
+        # per-lang/source counts in ONE rollup over the match set
+        return _searcher(spark, sf).facet_taxonomy(
+            [{"term": t, "occur": "should"} for t in OR_TERMS], ["lang", "source"]
+        )
+
     def ft_rollback(spark, sf):
         # SnapshotDeletionPolicy + rollback to a held commit point:
         # after appending junk and rolling back, scores/hits must be
@@ -2114,7 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
         ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
-        pipe_chunks, samp_temperature, tx_windows,
+        pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2715,6 +2735,23 @@ FROM parts
 UNION ALL
 SELECT '__total__', NULL, NULL, NULL, NULL, NULL,
        round(coalesce((SELECT (sum(s32::DOUBLE))::FLOAT FROM parts), 0)::DOUBLE, 6)
+""",
+        "ft_total_hits": f"""
+WITH {_TOK_CTE},
+m AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok WHERE term IN ({_or_tlist})),
+caps AS (SELECT unnest([10, 100, 1000000])::BIGINT AS cap)
+SELECT cap, least(cap, m.n) AS n_hits,
+       CASE WHEN m.n >= cap THEN 'GTE' ELSE 'EQ' END AS relation
+FROM caps CROSS JOIN m
+""",
+        "ft_taxonomy": f"""
+WITH {_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({_or_tlist}))
+SELECT (2 - (grouping(d.lang) + grouping(d.source)))::BIGINT AS level,
+       concat_ws('/', d.lang, d.source) AS path,
+       count(*)::BIGINT AS count
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY ROLLUP(d.lang, d.source)
 """,
         # rollback restores the pre-append commit EXACTLY, so the twin
         # is the plain or-mode BM25 over the original corpus — junk-doc

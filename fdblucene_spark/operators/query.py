@@ -3927,6 +3927,55 @@ class Searcher:
             out = out.unionByName(p)
         return out
 
+    def facet_taxonomy(
+        self,
+        clauses: list[dict],
+        path_fields: list[str],
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Hierarchical (taxonomy) facet counts — the Lucene facet
+        module's hierarchical dimensions (FacetField("dim", "a", "b")
+        + TaxonomyFacetCounts, where a child's count rolls up into
+        every ancestor): counts for EVERY prefix level of the path
+        over the full match set. path_fields = the stored fields
+        forming the hierarchy, e.g. ["lang", "source"] yields the
+        grand total (level 0), per-lang (level 1), and per-lang/source
+        (level 2) counts in one result. Returns (level, path, count)
+        with path the '/'-joined prefix values.
+
+        Plan: ONE matched-doc kernel + column-pruned stored join +
+        ONE rollup aggregate — Spark compiles ROLLUP to a single
+        expand+partial/final agg, so the whole taxonomy costs one
+        shuffle regardless of depth (Lucene walks the taxonomy index
+        per segment; here the rollup IS the taxonomy)."""
+        if not path_fields:
+            raise ValueError("path_fields must name at least one stored field")
+        stored = self._stored_df()
+        for f in path_fields:
+            if f not in stored.columns:
+                raise ValueError(f"path field {f!r} is not stored in this index")
+        matched = self.matching_docs(clauses, min_should_match, numeric)
+        joined = matched.join(stored.select("doc", *path_fields), "doc")
+        level = F.lit(len(path_fields))
+        for f in path_fields:
+            level = level - F.grouping(f).cast("int")
+        return (
+            joined.rollup(*path_fields)
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                # grouping() is only legal inside the rollup agg
+                level.cast("long").alias("level"),
+            )
+            .select(
+                "level",
+                F.concat_ws(
+                    "/", *[F.col(f).cast("string") for f in path_fields]
+                ).alias("path"),
+                "count",
+            )
+        )
+
     def search_sorted_multi(
         self,
         terms: list[str],
@@ -4873,6 +4922,30 @@ class Searcher:
         per_shard = self._apply_kernel(scan, kernel, COUNT_SCHEMA, aux)
         row = per_shard.agg(F.sum("n")).first()[0]
         return int(row or 0)
+
+    def count_at_least(
+        self,
+        clauses: list[dict],
+        cap: int = 1000,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> tuple[int, str]:
+        """Capped totalHits with a relation — Lucene 8's
+        TopDocs.totalHits contract: TopScoreDocCollector counts hits
+        exactly up to totalHitsThreshold (default 1000), then stops
+        counting and reports GREATER_THAN_OR_EQUAL_TO; EQUAL_TO
+        otherwise. Returns (value, relation) with relation 'EQ' or
+        'GTE' — value == cap under 'GTE'.
+
+        Distributed shape: the matching_docs constant-score kernel
+        under a LocalLimit(cap) — Spark's CollectLimit takes the first
+        cap rows and cancels the rest of the scan, so a match-
+        everything query over 10^12 turns costs one partial scan, not
+        a corpus count. (count() remains the exact path.)"""
+        if cap <= 0:
+            raise ValueError("cap must be positive")
+        n = self.matching_docs(clauses, min_should_match, numeric).limit(int(cap)).count()
+        return (int(n), "GTE" if n >= cap else "EQ")
 
     def search_sorted(
         self,

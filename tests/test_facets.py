@@ -316,3 +316,46 @@ def test_sorted_multi_chain_and_after(spark, drill_index):
         s.search_sorted_multi(["beta"], 5, [])
     with pytest.raises(ValueError):
         s.search_sorted_multi(["beta"], 5, [("n_chars", False)], after=(1, 2, 3))
+
+
+def test_facet_taxonomy_rollup_laws(spark, drill_index):
+    """Every prefix level's count equals the brute-force recount, the
+    grand total equals the match-set size, and each level-1 count is
+    the sum of its level-2 children (taxonomy rollup law)."""
+    rows, s = drill_index
+    base = [{"term": "alpha", "occur": "must"}]
+    got = {(r["level"], r["path"]): r["count"]
+           for r in s.facet_taxonomy(base, ["role", "src"]).collect()}
+    by_id = {r["doc_id"]: r for r in rows}
+    hit = _match(rows, must=("alpha",))
+    assert got[(0, "")] == len(hit)
+    exp1 = collections.Counter(by_id[d]["role"] for d in hit)
+    exp2 = collections.Counter((by_id[d]["role"], by_id[d]["src"]) for d in hit)
+    for role, n in exp1.items():
+        assert got[(1, role)] == n
+    for (role, src), n in exp2.items():
+        assert got[(2, f"{role}/{src}")] == n
+    assert len(got) == 1 + len(exp1) + len(exp2)
+    for role in exp1:
+        assert got[(1, role)] == sum(
+            n for (r2, s2), n in exp2.items() if r2 == role
+        )
+    with pytest.raises(ValueError, match="path_fields"):
+        s.facet_taxonomy(base, [])
+    with pytest.raises(ValueError, match="not stored"):
+        s.facet_taxonomy(base, ["nosuch"])
+
+
+def test_count_at_least_relation(spark, drill_index):
+    rows, s = drill_index
+    base = [{"term": "alpha", "occur": "should"}]
+    exact = len(_match(rows, must=("alpha",)))
+    assert exact > 3
+    n, rel = s.count_at_least(base, cap=3)
+    assert (n, rel) == (3, "GTE")
+    n, rel = s.count_at_least(base, cap=exact)  # boundary: cap == true count
+    assert (n, rel) == (exact, "GTE")
+    n, rel = s.count_at_least(base, cap=exact + 50)
+    assert (n, rel) == (exact, "EQ")
+    with pytest.raises(ValueError, match="cap"):
+        s.count_at_least(base, cap=0)
