@@ -276,7 +276,7 @@ def _rb_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
         base = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
         junk = spark.createDataFrame(
             [
-                {"doc_id": base + i, "text": " ".join(sorted(OR_TERMS)) * 3,
+                {"doc_id": base + i, "text": " ".join(sorted(OR_TERMS) * 3),
                  "source": "srcjunk", "lang": "xx", "n_chars": 0}
                 for i in range(25)
             ]
