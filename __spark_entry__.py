@@ -1868,6 +1868,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         grams = curation.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0), "text")
         return curation.decontaminate(docs, grams, "doc_id", "text")
 
+    def text_decontam_fuzzy(spark, sf):
+        # Llama-style FUZZY decontamination: MinHash/LSH candidates
+        # corpus->benchmark (doc_id % 37 == 0, the exact gate's
+        # benchmark), EXACT jaccard >= 0.5 verify; benchmark side
+        # broadcasts, corpus never shuffles
+        from fdblucene_spark.operators import dedup as _dd
+
+        docs = _table(spark, sf, "documents")
+        out = _dd.decontaminate_fuzzy(
+            docs, docs.filter(F.col("doc_id") % 37 == 0), "doc_id", "text",
+            threshold=0.5,
+        )
+        return out.select(
+            "doc_id", "contaminated", F.round("max_jaccard", 9).alias("max_jaccard")
+        )
+
     def dedup_paragraph(spark, sf):
         # CCNet/Dolma duplicated-paragraph removal over a corpus with
         # PLANTED boilerplate sentences (the base corpus has no
@@ -2135,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
+        text_decontam_fuzzy,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2856,6 +2873,11 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
             "documents", "doc_id", "text", "doc_id % 37 = 0"
         ),
         "dedup_paragraph": curation.paragraph_dedup_sql(_BOILER_SQL, "doc_id", "text"),
+        "text_decontam_fuzzy": f"""
+SELECT doc_id, contaminated, round(max_jaccard, 9) AS max_jaccard FROM (
+{dedup.decontaminate_fuzzy_sql("documents", "doc_id", "text", "doc_id % 37 = 0", 0.5)}
+) q
+""",
         "dedup_spans": curation.duplicated_spans_sql(_BOILER_SQL, "doc_id", "text", n=4),
         "samp_stratified": curation.stratified_sample_sql(
             "documents", "doc_id", "source", SAMP_RATES,

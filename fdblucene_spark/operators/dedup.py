@@ -521,3 +521,152 @@ SELECT id AS {id_col}, min(comp)::BIGINT AS component,
        (min(comp) = id) AS keep
 FROM reach GROUP BY id
 """
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """FUZZY benchmark decontamination (the Llama/GPT-4-report-style
+    complement of the exact 8-gram filter in curation.decontaminate):
+    a corpus doc is contaminated when its word-shingle set has EXACT
+    jaccard >= threshold against ANY benchmark doc, with MinHash/LSH
+    band buckets generating the candidates so nothing all-pairs ever
+    runs. Returns one row per corpus doc: (id, contaminated,
+    max_jaccard) — max_jaccard NULL for docs with no verified
+    candidate.
+
+    Scale shape: the corpus side streams through signature + band
+    explode exactly as lsh_candidate_pairs; the BENCHMARK side is
+    small by definition, so its band table and its shingle table
+    BROADCAST — the corpus is never shuffled, and the only exchanges
+    key on candidate pairs (bounded by bands x bucket overlap).
+    Verification recomputes jaccard EXACTLY over the full shingle
+    sets, so threshold decisions are never approximate; LSH only
+    bounds recall (a pair sharing no band), tunable via
+    num_hashes/band_size like every MinHash stage here."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    bid, btx = f"_b_{id_col}", f"_b_{text_col}"
+    bench_r = bench.select(F.col(id_col).alias(bid), F.col(text_col).alias(btx))
+
+    def band_table(sig: DataFrame, key_col: str) -> DataFrame:
+        n_bands = num_hashes // band_size
+        parts = []
+        for b in range(n_bands):
+            key = F.concat_ws(
+                "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            )
+            parts.append(
+                sig.select(F.col(key_col), F.lit(b).alias("band"), key.alias("band_key"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    bands_c = band_table(minhash_signatures(corpus, id_col, text_col, num_hashes), id_col)
+    bands_b = band_table(minhash_signatures(bench_r, bid, btx, num_hashes), bid)
+    cands = (
+        bands_c.join(F.broadcast(bands_b), ["band", "band_key"])
+        .select(id_col, bid)
+        .distinct()
+    )
+    sh_c = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
+    )
+    sh_b = bench_r.select(
+        F.col(bid), F.explode(F.array_distinct(shingles_col(btx))).alias("shingle")
+    )
+    n_a = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = sh_b.groupBy(bid).agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        cands.join(sh_c, id_col)
+        .join(F.broadcast(sh_b), [bid, "shingle"])
+        .groupBy(id_col, bid)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(n_a, id_col)
+        .join(F.broadcast(n_b), bid)
+        .select(
+            F.col(id_col),
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("j"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("j").alias("max_jaccard"))
+    )
+    return corpus.select(id_col).join(jac, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("max_jaccard") >= threshold, F.lit(False)).alias("contaminated"),
+        "max_jaccard",
+    )
+
+
+def decontaminate_fuzzy_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bench_where: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> str:
+    """DuckDB twin of decontaminate_fuzzy with the benchmark defined
+    as `SELECT * FROM table WHERE bench_where` (the deterministic
+    derived-benchmark pattern of decontaminate_sql)."""
+    n_bands = num_hashes // band_size
+
+    def bands_sql(src: str, idc: str) -> str:
+        rows = []
+        for b in range(n_bands):
+            key = " || '_' || ".join(f"h{b * band_size + j}" for j in range(band_size))
+            rows.append(f"SELECT {idc}, {b} AS band, {key} AS band_key FROM {src}")
+        return "\nUNION ALL\n".join(rows)
+
+    bench_src = f"(SELECT * FROM {table} WHERE {bench_where}) bsrc"
+    return f"""
+WITH sig_c AS (SELECT * FROM ({_minhash_sql_core(table, id_col, text_col, num_hashes)}) x),
+sig_b AS (SELECT * FROM ({_minhash_sql_core(bench_src, id_col, text_col, num_hashes)}) x),
+bands_c AS ({bands_sql('sig_c', id_col)}),
+bands_b AS ({bands_sql('sig_b', id_col)}),
+cands AS (
+  SELECT DISTINCT c.{id_col} AS cid, b.{id_col} AS bid
+  FROM bands_c c JOIN bands_b b ON c.band = b.band AND c.band_key = b.band_key
+),
+sh_c AS (
+  SELECT {id_col}, unnest(list_distinct({_shingles_sql(text_col)})) AS shingle
+  FROM (SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+        FROM {table}) t
+),
+sh_b AS (
+  SELECT {id_col}, unnest(list_distinct({_shingles_sql(text_col)})) AS shingle
+  FROM (SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+        FROM {table} WHERE {bench_where}) t
+),
+na AS (SELECT {id_col}, count(*)::BIGINT AS n_a FROM sh_c GROUP BY {id_col}),
+nb AS (SELECT {id_col}, count(*)::BIGINT AS n_b FROM sh_b GROUP BY {id_col}),
+inter AS (
+  SELECT c.cid, c.bid, count(*)::BIGINT AS inter
+  FROM cands c
+  JOIN sh_c a ON a.{id_col} = c.cid
+  JOIN sh_b b ON b.{id_col} = c.bid AND b.shingle = a.shingle
+  GROUP BY c.cid, c.bid
+),
+jac AS (
+  SELECT i.cid, max(i.inter::DOUBLE / (na.n_a + nb.n_b - i.inter)) AS max_jaccard
+  FROM inter i JOIN na ON na.{id_col} = i.cid JOIN nb ON nb.{id_col} = i.bid
+  GROUP BY i.cid
+)
+SELECT d.{id_col},
+       coalesce(j.max_jaccard >= {float(threshold)!r}, FALSE) AS contaminated,
+       j.max_jaccard
+FROM {table} d LEFT JOIN jac j ON j.cid = d.{id_col}
+"""

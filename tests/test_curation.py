@@ -450,3 +450,41 @@ def test_conversation_windows_guards(spark):
         curation.conversation_windows(df, "conv_id", "turn_idx", "text", n_turns=0)
     with pytest.raises(ValueError, match="stride"):
         curation.conversation_windows(df, "conv_id", "turn_idx", "text", n_turns=2, stride=3)
+
+
+def test_decontaminate_fuzzy_planted(spark):
+    from fdblucene_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions under pale moonlight tonight")
+    rows = [
+        (0, base),                                    # benchmark doc
+        (1, base.replace("strong", "weak")),          # near-copy -> dirty
+        (2, base),                                    # exact copy -> dirty
+        (3, "completely different text about spark partitions and "
+            "shuffle services living in the cluster manager tonight"),
+        (4, "another unrelated document mentioning quick tests and "
+            "lazy evaluation but sharing no long shingle runs at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 0")
+    out = {r["doc_id"]: (r["contaminated"], r["max_jaccard"])
+           for r in dedup.decontaminate_fuzzy(
+               df, bench, "doc_id", "text", threshold=0.5).collect()}
+    assert out[0][0] and out[0][1] == 1.0              # self-hit, exact
+    assert out[2][0] and out[2][1] == 1.0
+    assert out[1][0] and 0.5 <= out[1][1] < 1.0        # near-copy verified
+    assert not out[3][0] and not out[4][0]
+    assert len(out) == 5                                # one row per corpus doc
+    # exact-jaccard law for the near-copy: recompute by hand
+    import itertools
+
+    def shingles(t):  # SHINGLE_N = 3
+        ts = t.lower().split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)} or {" ".join(ts)}
+
+    a, b = shingles(rows[1][1]), shingles(rows[0][1])
+    want = len(a & b) / len(a | b)
+    assert abs(out[1][1] - want) < 1e-12
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.decontaminate_fuzzy(df, bench, "doc_id", "text", threshold=0.0)
