@@ -732,6 +732,9 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
     if any(s != stored_sets[0] for s in stored_sets[1:]):
         raise ValueError(f"cannot addIndexes across mismatched stored_fields: {stored_sets}")
     carry_stored = bool(stored_sets[0])
+    kw_sets = [sorted(m.properties.get("keyword_fields", [])) for m in manifests]
+    if any(k != kw_sets[0] for k in kw_sets[1:]):
+        raise ValueError(f"cannot addIndexes across mismatched keyword_fields: {kw_sets}")
     postings = None
     doclen = None
     stored = None
@@ -791,6 +794,16 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         "store_payloads": pay_sets[0],
         "primary_field": base.properties.get("primary_field", "text"),
         "stored_fields": stored_sets[0],
+        "keyword_fields": kw_sets[0],
+        # per-field analyzer map (PerFieldAnalyzerWrapper): identical
+        # across sources by the analyzer-pin equality check above —
+        # dropping it would make analyzer_for() fall back to the
+        # default chain on the merged index
+        **(
+            {"field_analyzers": dict(base.properties["field_analyzers"])}
+            if base.properties.get("field_analyzers")
+            else {}
+        ),
     }
     # the true field domain is the union across SOURCE manifests — the
     # synthetic parent has no segments, so its fields() can't know it

@@ -112,3 +112,27 @@ def test_uniform_map_pins_as_bare_version(spark, tmp_path_factory):
                     doc_col="doc_id", n_shards=2,
                     text_fields={"body": "text"},
                     analyzer={"nosuch": "standard_v2"})
+
+
+def test_add_indexes_carries_perfield_map(spark, pf_index, tmp_path_factory):
+    """addIndexes of per-field sources must keep the analyzer map (and
+    keyword_fields) in the destination manifest — losing it would make
+    analyzer_for() fall back to the default chain on the merged index."""
+    from fdblucene_spark.operators.merge import add_indexes
+
+    root2 = str(tmp_path_factory.mktemp("pf2") / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame([{"doc_id": 50 + i, "text": t} for i, t in
+                               enumerate(["the fox returns", "a dog again"])]),
+        root2, doc_col="doc_id", n_shards=2,
+        text_fields={"body": "text", "body2": "text"}, analyzer=AMAP,
+    )
+    dest = str(tmp_path_factory.mktemp("pfdst") / "idx")
+    add_indexes(spark, dest, [pf_index, root2])
+    s = Searcher(spark, dest)
+    assert s.manifest.properties.get("field_analyzers") == AMAP
+    assert s.analyzer_for("body2") == "standard_v2"
+    # the v2 chain still drops stopwords on the merged index
+    assert s.count(["the"], field="body2") == 0
+    assert s.count(["the"], field="body") > 0
