@@ -236,6 +236,18 @@ def _v3_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _v4_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """standard_v4 (shingle) index variant: bigram terms alongside
+    unigrams, dl = unigrams only (discountOverlaps)."""
+    root = os.path.join(_index_root(sf_dir), "v4")
+    if not IndexCatalog(root).exists():
+        build_index(
+            spark, _table(spark, sf_dir, "documents"), root, doc_col="doc_id",
+            n_shards=8, fingerprint=sf_dir + "-v4", analyzer="standard_v4",
+        )
+    return Searcher(spark, root)
+
+
 def _pf_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """PerFieldAnalyzerWrapper index: the SAME text column indexed as
     body (standard_v1) and body2 (standard_v2) in ONE segment — the
@@ -598,6 +610,7 @@ def _bm25_sql(
     span_not: tuple[str, str, int, int] | None = None,
     stop_words: tuple[str, ...] = (),
     stem: bool = False,
+    shingle: bool = False,
     select_override: str | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
@@ -641,7 +654,26 @@ def _bm25_sql(
         WHEN t[-3] IN ('i', 'a', 'o', 'e') THEN t
         ELSE substr(t, 1, length(t) - 1) END
     ELSE substr(t, 1, length(t) - 1) END)"""
-    tok_cte = f"""
+    if shingle:
+        # standard_v4 twin: bigram shingles appended to the term
+        # stream, but dl counts UNIGRAMS only (Lucene
+        # discountOverlaps=true — shingles are posinc-0 overlaps)
+        tok_cte = f"""
+src AS ({src_sql}),
+toks AS (
+  SELECT doc_id,
+         {ts_expr} AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS term
+  FROM toks WHERE len(ts) >= 2
+), doclen AS (
+  SELECT doc_id, len(ts)::BIGINT AS dl FROM toks WHERE len(ts) > 0
+)"""
+    else:
+        tok_cte = f"""
 src AS ({src_sql}),
 toks AS (
   SELECT doc_id,
@@ -1523,6 +1555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-identical to an index that never saw the junk
         return _hits_df(_rb_searcher(spark, sf).search(OR_TERMS, K_ALL, mode="or"))
 
+    def ft_shingle(spark, sf):
+        # ShingleFilter chain (standard_v4): a 2-word phrase is ONE
+        # bigram-term lookup; scores use unigram-only norms
+        return _hits_df(
+            _v4_searcher(spark, sf).search(["big join", "scan"], K_ALL, mode="or")
+        )
+
     def ft_perfield(spark, sf):
         # PerFieldAnalyzerWrapper: one index, two chains over the same
         # source column — same hit sets for non-stop terms, different
@@ -2151,7 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
-        text_decontam_fuzzy,
+        text_decontam_fuzzy, ft_shingle,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2778,6 +2817,7 @@ GROUP BY ROLLUP(d.lang, d.source)
         "ft_stop_analyzer": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
         ),
+        "ft_shingle": _bm25_sql(["big join", "scan"], "or", K_ALL, shingle=True),
         "ft_perfield": f"""
 SELECT q1.doc_id, q1.score, 'v1' AS chain FROM ({_bm25_sql(OR_TERMS, "or", K_ALL)}) q1
 UNION ALL

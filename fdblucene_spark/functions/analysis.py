@@ -50,10 +50,26 @@ ANALYZERS: dict[str, frozenset[str]] = {
     # EnglishMinimalStemFilter; Harman's S-stemmer) AFTER the stop
     # filter — the filter-chain order is part of the pinned contract
     "standard_v3": ENGLISH_STOPWORDS,
+    # v4 = v1 + word-bigram shingles appended after the unigrams
+    # (Lucene ShingleFilter, maxShingleSize=2, tokenSeparator=" ") —
+    # the classic phrase-accelerator chain: a 2-word phrase becomes
+    # ONE term lookup. Norm semantics follow Lucene's
+    # discountOverlaps=true: doc length counts unigrams only (a
+    # shingle is emitted at its first member's position, posinc 0),
+    # and shingle positions ARE the first member's ordinal
+    "standard_v4": frozenset(),
 }
 
 # analyzers that run the minimal-stem filter after stop removal
 STEM_ANALYZERS = frozenset({"standard_v3"})
+
+# analyzers that append word-bigram shingles after the unigram stream
+SHINGLE_ANALYZERS = frozenset({"standard_v4"})
+
+
+def shingles(analyzer: str = ANALYZER_VERSION) -> bool:
+    stop_set(analyzer)  # validate the name
+    return analyzer in SHINGLE_ANALYZERS
 
 
 def stems(analyzer: str = ANALYZER_VERSION) -> bool:
@@ -101,12 +117,15 @@ def tokenize_text(text: str | None, analyzer: str = ANALYZER_VERSION) -> list[st
         toks = [t for t in toks if t not in stops]
     if stems(analyzer):
         toks = [min_stem(t) for t in toks]
+    if shingles(analyzer):
+        toks = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     return toks
 
 
 def _make_tokens_udf(analyzer: str):
     stops = stop_set(analyzer)
     do_stem = stems(analyzer)
+    do_shingle = shingles(analyzer)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
@@ -115,6 +134,10 @@ def _make_tokens_udf(analyzer: str):
             found = found.apply(lambda ts: [t for t in ts if t not in stops])
         if do_stem:
             found = found.apply(lambda ts: [min_stem(t) for t in ts])
+        if do_shingle:
+            found = found.apply(
+                lambda ts: ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+            )
         return found
 
     return _udf
@@ -173,6 +196,21 @@ def tokenize_expr_ascii(col: Column, analyzer: str = ANALYZER_VERSION) -> Column
         arr = F.filter(arr, lambda t: t != F.lit(""))
     if stems(analyzer):
         arr = F.transform(arr, min_stem_expr)
+    if shingles(analyzer):
+        # bind the filtered array ONCE (lambda bodies are not CSE'd)
+        def _append_bigrams(ts):
+            bigr = F.when(
+                F.size(ts) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(ts, i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            return F.concat(ts, bigr)
+
+        arr = F.element_at(
+            F.transform(F.array(arr), _append_bigrams), 1
+        )
     return arr
 
 

@@ -47,7 +47,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import bm25, codec
-from ..functions.analysis import ANALYZER_VERSION, _TOKEN_RE, min_stem, stems, stop_set
+from ..functions.analysis import (
+    ANALYZER_VERSION, _TOKEN_RE, min_stem, shingles, stems, stop_set,
+)
 from ..sources.manifest import (
     CommitConflict, IndexCatalog, Manifest, SegmentMeta, dir_fingerprint,
     table_file_lists,
@@ -217,6 +219,7 @@ def _invert_text(
     stops: frozenset[str] = frozenset(),
     emit_roster: bool = False,
     stem: bool = False,
+    shingle: bool = False,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
 
@@ -243,6 +246,8 @@ def _invert_text(
     payload demo); swap the producer HERE, where a Lucene TokenFilter
     would run — the storage slot, codec, merge carry-through and query
     surface are payload-agnostic."""
+    if shingle and store_offsets:
+        raise ValueError("store_offsets is not supported with a shingle analyzer")
     if store_offsets:
         lowered = texts.fillna("").str.lower()
         toks_l: list[list[str]] = []
@@ -264,6 +269,19 @@ def _invert_text(
         tok_lists = texts.fillna("").str.lower().str.findall(token_re)
         if stops:
             tok_lists = tok_lists.apply(lambda ts: [t for t in ts if t not in stops])
+    uni_lens = tok_lists.str.len().to_numpy(np.int64)
+    pos_lists = None
+    if shingle:
+        # ShingleFilter (maxShingleSize=2): bigrams appended after the
+        # unigram stream; a shingle carries its FIRST member's ordinal
+        # (Lucene posinc 0) and dl counts unigrams only
+        # (discountOverlaps=true norm semantics)
+        pos_lists = tok_lists.apply(
+            lambda ts: list(range(len(ts))) + list(range(max(len(ts) - 1, 0)))
+        )
+        tok_lists = tok_lists.apply(
+            lambda ts: ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        )
     lens = tok_lists.str.len().to_numpy(np.int64)
     total = int(lens.sum())
     if total == 0:
@@ -278,7 +296,12 @@ def _invert_text(
         flat_terms = np.array([min_stem(t) for t in flat_terms], dtype=object)
     row_rep = np.repeat(keep_idx, lens[keep])
     starts = np.cumsum(lens[keep]) - lens[keep]
-    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[keep])
+    if shingle:
+        pos = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_lists[keep]]
+        )
+    else:
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[keep])
     codes, uniques = pd.factorize(flat_terms, sort=False)
     order = np.lexsort((pos, codes, row_rep))
     r, c, p = row_rep[order], codes[order], pos[order]
@@ -292,8 +315,8 @@ def _invert_text(
             "doc": docs[r[pstarts]],
             "term": uniques[c[pstarts]],
             "tf": tf.astype(np.int64),
-            "dl": lens[r[pstarts]].astype(np.int64),
-            "dlq": bm25.int_to_byte4(lens[r[pstarts]]).astype(np.int32),
+            "dl": uni_lens[r[pstarts]].astype(np.int64),
+            "dlq": bm25.int_to_byte4(uni_lens[r[pstarts]]).astype(np.int32),
         }
     )
     if store_positions:
@@ -372,7 +395,7 @@ def _invert_factory(
     token_re: re.Pattern = _TOKEN_RE,
     store_offsets: bool = False,
     store_payloads: bool = False,
-    chains: dict[str, tuple[frozenset, bool]] | None = None,
+    chains: dict[str, tuple[frozenset, bool, bool]] | None = None,
 ):
     """Tokenize + per-doc inversion kernel (the in-memory segment),
     one output row per (field, doc, term). chains: per-text-field
@@ -393,11 +416,14 @@ def _invert_factory(
                 if spec["analyzer"] == "keyword":
                     sub = _invert_keyword(spec["field"], docs, pdf[spec["col"]], store_positions)
                 else:
-                    stops, stem = chains.get(spec["field"], (frozenset(), False))
+                    stops, stem, shingle = chains.get(
+                        spec["field"], (frozenset(), False, False)
+                    )
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
                         store_offsets, store_payloads, stops,
                         emit_roster=spec["field"] == primary, stem=stem,
+                        shingle=shingle,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -572,11 +598,15 @@ def build_postings(
         raise ValueError("store_payloads requires store_positions")
     if isinstance(analyzer, str):
         chains = {
-            s["field"]: (stop_set(analyzer), stems(analyzer))
+            s["field"]: (stop_set(analyzer), stems(analyzer), shingles(analyzer))
             for s in fields_spec if s["analyzer"] != "keyword"
         }
     else:
-        chains = {f: (stop_set(v), stems(v)) for f, v in analyzer.items()}
+        chains = {
+            f: (stop_set(v), stems(v), shingles(v)) for f, v in analyzer.items()
+        }
+    if store_offsets and any(c[2] for c in chains.values()):
+        raise ValueError("store_offsets is not supported with a shingle analyzer")
     src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
     inverted = docs_df.select(*src_cols).mapInPandas(
         _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets,
