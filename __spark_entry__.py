@@ -140,6 +140,7 @@ ANN_NPROBE_IVF = 6
 # with the first component scaled 1.05 — cosine ~0.999, derived
 # identically in engine and twin); random base vectors top out ~0.51
 ANN_ND_MOD, ANN_ND_OFFSET, ANN_ND_SCALE, ANN_ND_THRESH = 17, 100000, 1.05, 0.95
+ANN_SD_EPS = 0.05
 RRF_N, RRF_K, RRF_K0 = 100, 25, 60  # hybrid_rrf: top-N lists, fused top-K
 PIPE_QUALITY_MIN = 0.62  # pipe_curation keeps ~2/3 of docs at sf0.01
 
@@ -973,6 +974,60 @@ cands AS (
   WHERE {_lsh_bucket_sql('e.embedding', planes)} IN (SELECT b FROM probe)
 ),
 {_cosine_rerank_sql(x.shape[1], ANN_K)}
+"""
+
+
+def _ann_semdedup_sql() -> str:
+    """SemDeDup twin over the PLANTED near-dup corpus: centroid
+    literals from the same deterministic sample (first 2048 by
+    vec_id through lloyd_spherical — bit-identical model), argmax
+    assignment via row_number, min-id keeper rule."""
+    import numpy as np
+
+    from fdblucene_spark.operators.similarity import LSH_SEED, lloyd_spherical
+
+    base = _emb_matrix()
+    planted = base[np.arange(len(base)) % ANN_ND_MOD == 0].copy()
+    planted[:, 0] *= ANN_ND_SCALE
+    full = np.concatenate([base, planted])  # planted ids sort after base
+    cent = lloyd_spherical(full[:2048], 16, 8, LSH_SEED)
+    dim = base.shape[1]
+    cent_rows = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(v)) for v in cent[c]))
+        for c in range(cent.shape[0])
+    )
+    return f"""
+WITH b0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), planted AS (
+  SELECT vec_id + {ANN_ND_OFFSET} AS vec_id,
+         list_transform(range(1, len(v) + 1),
+                        i -> CASE WHEN i = 1 THEN v[1] * {ANN_ND_SCALE!r} ELSE v[i] END) AS v
+  FROM b0 WHERE vec_id % {ANN_ND_MOD} = 0
+), corpus AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM planted
+), nrm AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS n FROM corpus
+), cent AS (SELECT * FROM (VALUES {cent_rows}) t(c, cv)),
+dots AS (
+  SELECT vec_id, c,
+         list_sum(list_transform(range(1, {dim + 1}), i -> (v[i] / n) * cv[i])) AS d
+  FROM nrm CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+    FROM dots) WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b2 ON a.cluster = b2.cluster AND b2.vec_id < a.vec_id
+  JOIN nrm x ON x.vec_id = a.vec_id
+  JOIN nrm y ON y.vec_id = b2.vec_id
+  WHERE list_sum(list_transform(range(1, {dim + 1}), i -> x.v[i] * y.v[i])) / (x.n * y.n)
+        >= {1.0 - ANN_SD_EPS!r}
+)
+SELECT a.vec_id, a.cluster::BIGINT AS cluster, (d.vec_id IS NULL) AS keep
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
 """
 
 
@@ -2032,6 +2087,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), F.round(F.col("rrf"), 6).alias("rrf")
         )
 
+    def ann_semantic_dedup(spark, sf):
+        # SemDeDup (Abbas et al.): spherical k-means clusters + in-
+        # cluster min-id near-dup drop over the planted corpus; the
+        # twin re-derives the bit-identical centroid model
+        emb = _table(spark, sf, "embeddings")
+        base = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        planted = base.filter(F.col("vec_id") % ANN_ND_MOD == 0).select(
+            (F.col("vec_id") + ANN_ND_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x * ANN_ND_SCALE).otherwise(x),
+            ).alias("embedding"),
+        )
+        return similarity.semantic_dedup(
+            base.unionByName(planted), "vec_id", "embedding",
+            n_centroids=16, eps=ANN_SD_EPS, sample=2048,
+        )
+
     def ann_near_dup(spark, sf):
         # embedding near-duplicate pairs over a corpus with PLANTED
         # near-copies: LSH-bucketed self-join (pairs must share a
@@ -2190,7 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
-        text_decontam_fuzzy, ft_shingle,
+        text_decontam_fuzzy, ft_shingle, ann_semantic_dedup,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2998,6 +3074,7 @@ GROUP BY l_returnflag, l_linestatus
         out["ann_lsh_topk"] = _ann_lsh_sql()
         out["ann_ivf_topk"] = _ann_ivf_sql()
         out["ann_near_dup"] = _ann_near_dup_sql()
+        out["ann_semantic_dedup"] = _ann_semdedup_sql()
     except Exception:
         pass
     return out

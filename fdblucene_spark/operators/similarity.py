@@ -559,3 +559,71 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    eps: float = 0.05,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = LSH_SEED,
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster with spherical
+    k-means, then within each cluster drop every vector that has a
+    near-duplicate (cosine >= 1 - eps) among its cluster-mates.
+    Keeper rule here is MIN-ID-deterministic: keep(v) iff no u in the
+    same cluster with id(u) < id(v) and cosine(u, v) >= 1 - eps (the
+    paper keeps the member closest to the centroid; min-id makes the
+    output reproducible and SQL-twinnable — the kept SET differs only
+    inside dup groups, which is the paper's own free choice). Returns
+    one row per vector: (id, cluster, keep).
+
+    Scale shape: centroids are driver-bounded model state (<= sample
+    vectors through lloyd_spherical, deterministic by id order);
+    assignment is an Arrow gemm per batch; the only join is the
+    WITHIN-CLUSTER self-join, whose quadratic hazard max_cluster caps
+    (clusters past the cap keep all members — at real scale raise
+    n_centroids so clusters stay bounded, exactly the paper's k
+    scaling). No all-pairs join anywhere."""
+    if not (0.0 < eps < 1.0):
+        raise ValueError("eps must be in (0, 1)")
+    cent = ivf_centroids(
+        df, vec_col, n_centroids, sample=sample, iters=iters, seed=seed, id_col=id_col
+    )
+    assigned = with_ivf_cluster(df.select(id_col, vec_col), vec_col, cent)
+    pool = assigned
+    if max_cluster is not None:
+        from pyspark.sql import Window
+
+        pool = assigned.withColumn(
+            "_cn", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        ).filter(F.col("_cn") <= max_cluster).drop("_cn")
+    a = pool.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), F.col("cluster")
+    )
+    b = pool.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), F.col("cluster")
+    )
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    dup = (
+        a.join(b, ["cluster"])
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(_dot(va, vb) / (_norm(va) * _norm(vb)) >= 1.0 - eps)
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dup.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

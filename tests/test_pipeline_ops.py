@@ -512,3 +512,42 @@ def test_fuzzy_dedup_end_to_end(spark):
     # exactly one keeper per component
     g = out.reset_index().groupby("component")["keep"].sum()
     assert (g == 1).all()
+
+
+def test_semantic_dedup_planted(emb_df):
+    """SemDeDup: vec 7 is a planted near-dup of vec 3 — same cluster
+    (cosine ~1), so exactly the higher id is dropped; everything else
+    (random gaussians, mutually near-orthogonal) keeps."""
+    out = similarity.semantic_dedup(
+        emb_df, "vec_id", "embedding", n_centroids=4, eps=0.05, sample=40
+    ).toPandas().set_index("vec_id").sort_index()
+    assert len(out) == 40
+    assert bool(out.loc[3, "keep"]) and not bool(out.loc[7, "keep"])
+    assert out.loc[3, "cluster"] == out.loc[7, "cluster"]
+    dropped = set(out.index[~out["keep"]])
+    assert dropped == {7}
+    # brute-force law: keep(v) iff no same-cluster lower id with
+    # cosine >= 1 - eps
+    import numpy as _np
+    vecs = {int(i): _np.asarray(list(v), dtype=_np.float64)
+            for i, v in emb_df.select("vec_id", "embedding").toPandas().itertuples(index=False, name=None)}
+    cl = out["cluster"].to_dict()
+    for v in vecs:
+        has_lower = any(
+            u < v and cl[u] == cl[v]
+            and float(vecs[u] @ vecs[v] / (_np.linalg.norm(vecs[u]) * _np.linalg.norm(vecs[v]))) >= 0.95
+            for u in vecs
+        )
+        assert bool(out.loc[v, "keep"]) == (not has_lower), v
+    import pytest as _pt
+    with _pt.raises(ValueError, match="eps"):
+        similarity.semantic_dedup(emb_df, "vec_id", "embedding", eps=0.0)
+
+
+def test_semantic_dedup_max_cluster_cap(emb_df):
+    # cap below every cluster size -> pair generation skipped -> all keep
+    out = similarity.semantic_dedup(
+        emb_df, "vec_id", "embedding", n_centroids=1, eps=0.05, sample=40,
+        max_cluster=2,
+    ).toPandas()
+    assert out["keep"].all()
