@@ -336,6 +336,11 @@ def main() -> None:
     with timed("global_shuffle"):
         # seeded dense permutation (dense-docID scan keyed on md5)
         curation.global_shuffle(docs, "doc_id").count()
+    with timed("decontam_fuzzy"):
+        # LSH corpus->benchmark candidates + exact-jaccard verify
+        dedup.decontaminate_fuzzy(
+            docs, docs.filter("doc_id % 37 = 0"), "doc_id", "text"
+        ).count()
     with timed("chunk_documents"):
         # sliding 512/384 token windows, shuffle-free Catalyst
         curation.chunk_documents(docs, "doc_id", "text", 512, 384).count()
@@ -346,6 +351,9 @@ def main() -> None:
         ).count()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    with timed("semantic_dedup"):
+        # SemDeDup: k-means assign + within-cluster near-dup drop
+        similarity.semantic_dedup(emb, "vec_id", "embedding", n_centroids=16).count()
     with timed("ann_cosine_topk"):
         similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), 25).collect()
     ann_root = os.path.join(work, "idx_ann")

@@ -123,6 +123,13 @@ def main() -> int:
     surfaces["conversation_windows"] = curation.conversation_windows(
         conv_df, "conv_id", "turn_idx", "text", n_turns=6, stride=4
     )
+    surfaces["facet_taxonomy"] = s.facet_taxonomy(
+        [{"term": "alpha", "occur": "must"}], ["role"]
+    )
+    from fdblucene_spark.operators import dedup  # noqa: E402
+    surfaces["decontaminate_fuzzy"] = dedup.decontaminate_fuzzy(
+        docs_df, docs_df.filter("doc_id % 37 = 0"), "doc_id", "text"
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -171,6 +178,14 @@ def main() -> int:
         if name in ("search_sorted_multi", "rescore"):
             assert any("TakeOrdered" in ln for ln in keep), \
                 f"{name} missing TakeOrdered top-k cut"
+        if name == "facet_taxonomy":
+            assert any("partial_count" in ln for ln in plan.splitlines()), \
+                "taxonomy rollup missing map-side combine"
+        if name == "decontaminate_fuzzy":
+            # the benchmark side must broadcast; the corpus must never
+            # be exchanged before the candidate join
+            assert any("BroadcastHashJoin" in ln for ln in keep), \
+                "fuzzy decontam benchmark side not broadcast"
         if name == "chunk_documents":
             # chunking must stay shuffle-free (embarrassingly parallel)
             assert not any("Exchange" in ln for ln in plan.splitlines()), \
