@@ -1541,6 +1541,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
         )
 
+    def ft_feature_score(spark, sf):
+        # Lucene FeatureField function surface: BM25 + saturation
+        # rank-signal S(v) = w*v/(v+pivot) over the stored n_chars
+        # slot (add combine — newSaturationQuery as a SHOULD clause)
+        from fdblucene_spark.functions import features
+
+        hits = _searcher(spark, sf).search_function_score(
+            OR_TERMS, "n_chars", k=K_ALL, combine="add",
+            transform=features.saturation(2.0, 150.0),
+        )
+        return hits.select(
+            F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
+        )
+
     def pipe_pack(spark, sf):
         # GPT-style concat-and-chunk sequence packing: global token
         # offsets via the dense-docID scan pattern (never a
@@ -2266,7 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_rescore, pipe_pack, ft_drill_sideways, ft_sort_multi, samp_shuffle,
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
-        text_decontam_fuzzy, ft_shingle, ann_semantic_dedup,
+        text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2675,6 +2689,15 @@ FROM tokpos GROUP BY doc_id, tp.t
 SELECT agg.doc_id, round(score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE), 6) AS score
 FROM agg JOIN documents d ON d.doc_id = agg.doc_id
 ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
+LIMIT {K_ALL}""",
+        ),
+        "ft_feature_score": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=f"""
+SELECT agg.doc_id,
+       round(score32::DOUBLE + 2.0 * d.n_chars::DOUBLE / (d.n_chars::DOUBLE + 150.0), 6) AS score
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+ORDER BY score32::DOUBLE + 2.0 * d.n_chars::DOUBLE / (d.n_chars::DOUBLE + 150.0) DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),

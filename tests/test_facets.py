@@ -359,3 +359,35 @@ def test_count_at_least_relation(spark, drill_index):
     assert (n, rel) == (exact, "EQ")
     with pytest.raises(ValueError, match="cap"):
         s.count_at_least(base, cap=0)
+
+
+def test_feature_functions_match_formulas(spark, drill_index):
+    """FeatureField function laws through search_function_score: the
+    final score equals raw + S(n_chars) with each function's exact
+    formula; missing values contribute the add identity (0)."""
+    import math
+
+    from fdblucene_spark.functions import features
+
+    rows, s = drill_index
+    by_id = {r["doc_id"]: r for r in rows}
+    for name, tr, fn in [
+        ("satu", features.saturation(2.0, 100.0),
+         lambda v: 2.0 * v / (v + 100.0)),
+        ("log", features.log(0.5, 1.0), lambda v: 0.5 * math.log(1.0 + v)),
+        ("sig", features.sigmoid(1.5, 120.0, 2.0),
+         lambda v: 1.5 * v**2 / (v**2 + 120.0**2)),
+    ]:
+        got = s.search_function_score(
+            ["alpha"], "n_chars", k=20, combine="add", transform=tr
+        ).collect()
+        assert got, name
+        for r in got:
+            want = float(r["raw_score"]) + fn(by_id[r["doc"]]["n_chars"])
+            assert abs(float(r["score"]) - want) < 1e-9, (name, r["doc"])
+    import pytest as _pt
+    for bad in (features.saturation, features.log):
+        with _pt.raises(ValueError):
+            bad(1.0, 0.0)
+    with _pt.raises(ValueError):
+        features.sigmoid(1.0, 1.0, 0.0)
