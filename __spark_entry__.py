@@ -2044,6 +2044,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             df, "conv_id", "turn_idx", "text", n_turns=6, stride=4
         )
 
+    def samp_dsir(spark, sf):
+        # DSIR importance weights (Xie et al.): hashed-ngram bucket
+        # models, target = the doc_id%37 benchmark subset, raw = the
+        # corpus; log w = sum of smoothed log probability ratios.
+        # (The Gumbel top-k resample rides on these weights —
+        # pytest-verified; transcendental sort keys stay out of the
+        # hash gate.)
+        docs = _table(spark, sf, "documents")
+        tm = curation.dsir_bucket_counts(
+            docs.filter(F.col("doc_id") % 37 == 0), "text", n_buckets=4096
+        )
+        rm = curation.dsir_bucket_counts(docs, "text", n_buckets=4096)
+        w = curation.dsir_log_weights(docs, tm, rm, "doc_id", "text", n_buckets=4096)
+        return w.select("doc_id", "n_feats", F.round("log_w", 6).alias("log_w"))
+
     def samp_temperature(spark, sf):
         # temperature-based mixture planner (mT5/XLM-R alpha-sampling,
         # alpha=0.3): weights derived as size^alpha — the gate compares
@@ -2281,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
+        samp_dsir,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2702,6 +2718,9 @@ LIMIT {K_ALL}""",
         ),
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),
         "pipe_chunks": curation.chunk_documents_sql("documents", "doc_id", "text", 64, 48),
+        "samp_dsir": curation.dsir_log_weights_sql(
+            "documents", "doc_id", "text", "doc_id % 37 = 0", n_buckets=4096
+        ),
         "samp_temperature": curation.plan_temperature_sql(
             "documents", "source", "n_chars", 0.3, MIX_BUDGET
         ),

@@ -1011,3 +1011,196 @@ SELECT conv AS {conv_col}, window_idx, min(p)::BIGINT AS first_pos,
 FROM expanded
 GROUP BY conv, window_idx
 """
+
+
+# ----------------------------------------------- DSIR data selection
+DSIR_SALT = CLF_SALT  # shared hashing-trick domain with the classifier
+
+
+def _bucket_col(salt: str, n_buckets: int, feat: Column) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.to_binary(F.concat(F.lit(f"{salt}:"), feat), F.lit("utf-8"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long") % int(n_buckets)
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int = 4096,
+    salt: str = DSIR_SALT,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-ngrams corpus model (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): (bucket, cnt) over unigram+bigram features
+    hashed into n_buckets — the same hashing trick (and salt domain)
+    as the quality classifier. One partial+final agg; the model is
+    n_buckets rows however large the corpus."""
+    feats = df.select(F.explode(classifier_features(text_col, bigrams)).alias("f"))
+    return (
+        feats.groupBy(_bucket_col(salt, n_buckets, F.col("f")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    salt: str = DSIR_SALT,
+    bigrams: bool = True,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight: log w(x) = sum over hashed
+    features of [ln p_target(b) - ln p_raw(b)], with add-alpha
+    smoothing p(b) = (cnt_b + alpha) / (total + alpha * n_buckets).
+    target_model/raw_model = dsir_bucket_counts outputs (bucket, cnt).
+    Returns (id, n_feats, log_w); a doc with zero features gets
+    log_w = 0 (weight 1 — no evidence either way).
+
+    Scale shape: the two models join into ONE log-ratio table of
+    n_buckets rows that BROADCASTS; the corpus streams through
+    feature-hash -> map-side join -> per-doc partial+final sum. The
+    corpus is never shuffled except on the doc key."""
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    spark = corpus.sparkSession
+    b = int(n_buckets)
+    t_total = (target_model.agg(F.sum("cnt")).first()[0]) or 0
+    r_total = (raw_model.agg(F.sum("cnt")).first()[0]) or 0
+    t = target_model.select("bucket", F.col("cnt").alias("_tc"))
+    r = raw_model.select("bucket", F.col("cnt").alias("_rc"))
+    ratio = (
+        t.join(r, "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(float(alpha)))
+                    / F.lit(float(t_total) + alpha * b)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(float(alpha)))
+                    / F.lit(float(r_total) + alpha * b)
+                )
+            ).alias("_lr"),
+        )
+    )
+    feats = corpus.select(
+        F.col(id_col), F.explode(classifier_features(text_col, bigrams)).alias("f")
+    ).select(F.col(id_col), _bucket_col(salt, n_buckets, F.col("f")).alias("bucket"))
+    # buckets absent from BOTH models still smooth to a nonzero ratio
+    # via the broadcast table's full domain? No — the table only has
+    # observed buckets; an unobserved bucket's ratio is
+    # ln(alpha/(T_t+aB)) - ln(alpha/(T_r+aB)) = ln((T_r+aB)/(T_t+aB)),
+    # a constant — applied via coalesce after the left join.
+    import math
+
+    unseen = float(
+        math.log(float(r_total) + alpha * b) - math.log(float(t_total) + alpha * b)
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratio), "bucket", "left")
+        .select(F.col(id_col), F.coalesce(F.col("_lr"), F.lit(unseen)).alias("_lr"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_lr").alias("log_w"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "dsir-g1",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DSIR's resampling step, deterministic: draw k docs WITHOUT
+    replacement with probability proportional to w^(1/temperature)
+    via Gumbel top-k (key = log_w/T + Gumbel(u01(salt:id)); the k
+    largest keys are exactly a w-weighted sample without replacement).
+    The md5-seeded Gumbel makes reruns reproducible — the module's
+    deterministic-sampling contract (stratified_sample's md5 pattern).
+    One TakeOrdered(k); nothing corpus-sized reaches the driver."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    u = _u01(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    # u in [0,1): -ln(-ln(u)) needs u>0; md5 prefix 0 is 2^-32-rare but
+    # guard anyway (clamp to the smallest representable step)
+    u = F.greatest(u, F.lit(1.0 / float(16 ** 8)))
+    key = F.col("log_w") / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        weights.select(F.col(id_col), "n_feats", "log_w", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def dsir_log_weights_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_where: str,
+    n_buckets: int = 4096,
+    salt: str = DSIR_SALT,
+    bigrams: bool = True,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin of dsir_bucket_counts + dsir_log_weights with the
+    target corpus defined as `WHERE target_where` over the same table
+    (the derived-benchmark pattern) and raw = the whole table."""
+    feat_src = f"list_concat(ts, {_shingles_sql(text_col, 2)})" if bigrams else "ts"
+    a, b = float(alpha), int(n_buckets)
+    toks = (
+        f"SELECT {id_col}, list_filter(string_split_regex(lower({text_col}), "
+        f"'{_TOKENIZE_SQL}'), t -> t <> '') AS ts FROM {table}"
+    )
+    return f"""
+WITH toks AS ({toks}),
+feats AS (
+  SELECT {id_col},
+         CAST(('0x' || substr(md5('{salt}:' || f), 1, 8)) AS BIGINT) % {b} AS bucket
+  FROM (SELECT {id_col}, unnest({feat_src}) AS f FROM toks)
+),
+tmodel AS (
+  SELECT bucket, count(*)::BIGINT AS cnt FROM feats WHERE {target_where} GROUP BY bucket
+),
+rmodel AS (
+  SELECT bucket, count(*)::BIGINT AS cnt FROM feats GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT coalesce(sum(cnt), 0) FROM tmodel)::DOUBLE AS tt,
+         (SELECT coalesce(sum(cnt), 0) FROM rmodel)::DOUBLE AS rt
+),
+ratio AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         ln((coalesce(t.cnt, 0) + {a!r}) / (tot.tt + {a!r} * {b}))
+         - ln((coalesce(r.cnt, 0) + {a!r}) / (tot.rt + {a!r} * {b})) AS lr
+  FROM tmodel t FULL JOIN rmodel r ON t.bucket = r.bucket CROSS JOIN tot
+),
+perdoc AS (
+  SELECT f.{id_col}, count(*)::BIGINT AS n_feats, sum(ratio.lr) AS log_w
+  FROM feats f JOIN ratio ON ratio.bucket = f.bucket
+  GROUP BY f.{id_col}
+)
+SELECT d.{id_col}, coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+       round(coalesce(p.log_w, 0.0), 6) AS log_w
+FROM {table} d LEFT JOIN perdoc p USING ({id_col})
+"""

@@ -488,3 +488,62 @@ def test_decontaminate_fuzzy_planted(spark):
     assert abs(out[1][1] - want) < 1e-12
     with pytest.raises(ValueError, match="threshold"):
         dedup.decontaminate_fuzzy(df, bench, "doc_id", "text", threshold=0.0)
+
+
+def test_dsir_weights_and_sample(spark):
+    """DSIR laws: docs resembling the target corpus get HIGHER log
+    importance weights than dissimilar docs; the per-doc value matches
+    a hand replica (same hashing, same smoothing); Gumbel top-k is
+    deterministic and w-monotone in expectation (the planted
+    target-like docs dominate the sample)."""
+    import hashlib
+    import math
+
+    target_like = "spark shuffle partition executor " * 4
+    other = "violets bloom beside quiet rivers every spring morning "
+    rows = [(i, target_like) for i in range(10)] + [
+        (i, other + f"tail{i}") for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id < 5")  # target corpus = target-like docs
+    B, A = 512, 1.0
+    tm = curation.dsir_bucket_counts(target, "text", n_buckets=B)
+    rm = curation.dsir_bucket_counts(df, "text", n_buckets=B)
+    w = curation.dsir_log_weights(df, tm, rm, "doc_id", "text", n_buckets=B,
+                                  alpha=A).toPandas().set_index("doc_id")
+    assert len(w) == 40
+    assert w.loc[7, "log_w"] > w.loc[20, "log_w"]  # target-like wins
+    # hand replica for one doc
+    def feats(text):
+        ts = [t for t in __import__("re").split(r"[^a-z0-9_]+", text.lower()) if t]
+        grams = ts + ([" ".join(ts[i:i+2]) for i in range(len(ts)-1)] if len(ts) >= 2
+                      else [" ".join(ts)])
+        return [int(hashlib.md5(f"{curation.DSIR_SALT}:{g}".encode()).hexdigest()[:8], 16) % B
+                for g in grams]
+    tcnt, rcnt = {}, {}
+    for i, t in rows:
+        for bkt in feats(t):
+            rcnt[bkt] = rcnt.get(bkt, 0) + 1
+            if i < 5:
+                tcnt[bkt] = tcnt.get(bkt, 0) + 1
+    tt, rt = sum(tcnt.values()), sum(rcnt.values())
+    doc = 20
+    want = sum(
+        math.log((tcnt.get(bkt, 0) + A) / (tt + A * B))
+        - math.log((rcnt.get(bkt, 0) + A) / (rt + A * B))
+        for bkt in feats(rows[doc][1])
+    )
+    assert abs(w.loc[doc, "log_w"] - want) < 1e-9
+    # deterministic Gumbel top-k: target-like docs dominate; rerun identical
+    s1 = curation.dsir_sample(
+        curation.dsir_log_weights(df, tm, rm, "doc_id", "text", n_buckets=B),
+        "doc_id", k=8).toPandas()
+    s2 = curation.dsir_sample(
+        curation.dsir_log_weights(df, tm, rm, "doc_id", "text", n_buckets=B),
+        "doc_id", k=8).toPandas()
+    assert s1["doc_id"].tolist() == s2["doc_id"].tolist()
+    assert sum(1 for d in s1["doc_id"] if d < 10) >= 6
+    with pytest.raises(ValueError, match="alpha"):
+        curation.dsir_log_weights(df, tm, rm, "doc_id", "text", alpha=0.0)
+    with pytest.raises(ValueError, match="k"):
+        curation.dsir_sample(s1 := None or curation.dsir_log_weights(
+            df, tm, rm, "doc_id", "text", n_buckets=B), "doc_id", k=0)
