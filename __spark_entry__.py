@@ -1359,6 +1359,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    {"term": MIXED_NOT, "occur": "must_not"}]
         return _searcher(spark, sf).facet_counts(clauses, "source", top_n=10)
 
+    def ft_facet_stats(spark, sf):
+        # Lucene association facets (TaxonomyFacetSumValueSource):
+        # per-`source` stats of stored n_chars over the FULL match set
+        # of MUST(key) -dup — count/sum/min/max/avg in ONE groupBy
+        # pass, ranked by aggregated sum desc (association semantics)
+        clauses = [{"term": MIXED_MUST, "occur": "must"},
+                   {"term": MIXED_NOT, "occur": "must_not"}]
+        st = _searcher(spark, sf).facet_stats(
+            clauses, "source", "n_chars", top_n=10
+        )
+        return st.select(
+            "facet", "n", "sum_v", "min_v", "max_v",
+            F.round(F.col("avg_v"), 4).alias("avg_v"),
+        )
+
     def ft_facet_ranges(spark, sf):
         # Lucene LongRangeFacetCounts: OVERLAPPING n_chars buckets
         # counted in one conditional-sum pass over all matches of the
@@ -2283,7 +2298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_keyword_stats, ft_sort_topn, ft_tiered_search,
         ft_mlt, ft_suggest, ft_numeric_range, ft_stem_analyzer,
         ft_term_lookup, ft_bm25_nested, ft_constant_score, ft_sorted_search,
-        ft_query_parser_prefix, ft_facets, ft_span_first, ft_span_not,
+        ft_query_parser_prefix, ft_facets, ft_facet_stats,
+        ft_span_first, ft_span_not,
         ft_span_or, ft_terms_in_set,
         ft_bm25_boosted, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
@@ -2570,6 +2586,25 @@ toks AS (
 SELECT d.source AS facet, count(*)::BIGINT AS count
 FROM matched m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY facet ORDER BY count DESC, facet ASC LIMIT 10
+""",
+        "ft_facet_stats": f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_MUST}'
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_NOT}')
+)
+SELECT d.source AS facet, count(*)::BIGINT AS n,
+       sum(d.n_chars)::BIGINT AS sum_v, min(d.n_chars)::BIGINT AS min_v,
+       max(d.n_chars)::BIGINT AS max_v,
+       round(avg(d.n_chars), 4) AS avg_v
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY facet ORDER BY sum_v DESC, facet ASC LIMIT 10
 """,
         "ft_facet_ranges": f"""
 WITH src AS (SELECT doc_id, text FROM documents),

@@ -3861,6 +3861,47 @@ class Searcher:
             .select(F.col("kv.bucket").alias("bucket"), F.col("kv.count").alias("count"))
         )
 
+    def facet_stats(
+        self,
+        clauses: list[dict],
+        facet_field: str,
+        value_field: str,
+        top_n: int = 10,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene association-facets analogue (TaxonomyFacetSumValueSource
+        / FloatAssociationFacetField, the stats-per-bucket surface ES
+        calls a stats sub-aggregation): per value of a stored facet
+        field over ALL docs matching the query, aggregate a stored
+        NUMERIC field — count, sum, min, max, avg — not just count.
+        Returns (facet, n, sum_v, min_v, max_v, avg_v) ordered sum_v
+        desc (Lucene association facets rank dimensions by aggregated
+        value, not document count), ties facet asc, capped at top_n.
+
+        Plan shape is facet_counts' exactly: matched-doc kernel
+        (postings-pruned scan, constant-score, no top-k cut) -> ONE
+        column-pruned stored join on doc -> ONE partial+final groupBy
+        carrying all five aggregates in the same pass. At 100x the only
+        shuffles remain the doc join and the per-value agg (rows =
+        facet cardinality), so the shape survives corpus scale-up."""
+        matched = self.matching_docs(clauses, min_should_match, numeric)
+        stored = self._stored_df().select("doc", facet_field, value_field)
+        v = F.col(value_field)
+        return (
+            matched.join(stored, "doc")
+            .groupBy(F.col(facet_field).alias("facet"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(v).cast("long").alias("sum_v"),
+                F.min(v).cast("long").alias("min_v"),
+                F.max(v).cast("long").alias("max_v"),
+                F.avg(v).alias("avg_v"),
+            )
+            .orderBy(F.desc("sum_v"), F.asc("facet"))
+            .limit(top_n)
+        )
+
     def drill_sideways(
         self,
         base_clauses: list[dict],

@@ -110,6 +110,32 @@ def test_facet_ranges_overlapping(facet_index):
     assert sum(c for _, c in want) >= len(vals)
 
 
+def test_facet_stats(facet_index):
+    rows, s = facet_index
+    matched = _match(rows, must=["alpha"], must_not=["gamma"])
+    by_role = collections.defaultdict(list)
+    for d in matched:
+        by_role[rows[d]["role"]].append(rows[d]["n_chars"])
+    want = sorted(
+        ((role, len(v), sum(v), min(v), max(v), sum(v) / len(v))
+         for role, v in by_role.items()),
+        key=lambda t: (-t[2], t[0]),
+    )
+    got = [(r["facet"], r["n"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+           for r in s.facet_stats(CLAUSES, "role", "n_chars", top_n=10).collect()]
+    assert [g[:5] for g in got] == [w[:5] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[5] - w[5]) < 1e-9
+
+
+def test_facet_stats_top_n_is_by_sum(facet_index):
+    rows, s = facet_index
+    out = s.facet_stats(CLAUSES, "role", "n_chars", top_n=2).collect()
+    assert len(out) == 2
+    sums = [r["sum_v"] for r in out]
+    assert sums == sorted(sums, reverse=True)
+
+
 def test_terms_in_set(facet_index):
     rows, s = facet_index
     # keyword-field membership filter: roles user OR tool
