@@ -86,6 +86,8 @@ FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 PAGE = 100          # ft_search_after page size
 NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
 SPAN3_TERMS, SPAN3_SLOP = ["sort", "merge", "the"], 2  # ft_span_near3 (ordered)
+# ft_intervals: containing(maxgaps(8, ordered(A, B)), term(C))
+IV_A, IV_B, IV_GAPS, IV_C = "query", "merge", 8, "key"
 REGEXP_Q = ".*(or|ue).*"  # ft_regexp_search (RegexpQuery expansion)
 NESTED_SUB_TERMS, NESTED_SUB_MSM = ["dup", "hash", "vector"], 2  # ft_bm25_nested
 # ft_bm25_nested_deep: depth-2 sub-query with boost folding (2.0 x 0.75)
@@ -609,6 +611,7 @@ def _bm25_sql(
     near: tuple[str, str, int, bool] | None = None,
     span: tuple[list[str], int, bool] | None = None,
     span_not: tuple[str, str, int, int] | None = None,
+    interval: tuple[str, str, int, str] | None = None,
     stop_words: tuple[str, ...] = (),
     stem: bool = False,
     shingle: bool = False,
@@ -742,6 +745,36 @@ tokpos AS (
     WHERE fe.doc_id = fi.doc_id AND fe.t = '{s_exc}'
       AND fe.p BETWEEN fi.p - {s_pre} AND fi.p + {s_post})
 )"""
+    if interval is not None:
+        # IntervalQuery twin: containing(maxgaps(g, ordered(ta, tb)),
+        # term(tc)) under MINIMAL-interval semantics — greedy minimal
+        # end per start (min tb-pos strictly after each ta-pos), then
+        # the antichain (max start per distinct end), THEN the gaps
+        # filter and the containment probe. Encoding minimality in
+        # SQL is the whole point: a naive all-pairs containment
+        # overmatches (see tests/test_intervals.py, the Vigna case).
+        ta, tb, g, tc = interval
+        phrase_filter = f""",
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), ivcand AS (
+  SELECT fa.doc_id, fa.p AS pa,
+         (SELECT min(fb.p) FROM flat fb
+          WHERE fb.doc_id = fa.doc_id AND fb.t = '{tb}' AND fb.p > fa.p) AS ne
+  FROM flat fa WHERE fa.t = '{ta}'
+), ivmin AS (
+  SELECT doc_id, max(pa) AS ps, ne FROM ivcand WHERE ne IS NOT NULL
+  GROUP BY doc_id, ne
+), phrasedocs AS (
+  SELECT DISTINCT m.doc_id FROM ivmin m
+  WHERE (m.ne - m.ps - 1) <= {g}
+    AND EXISTS (SELECT 1 FROM flat fc WHERE fc.doc_id = m.doc_id
+                AND fc.t = '{tc}' AND fc.p BETWEEN m.ps AND m.ne)
+)"""
     if near is not None:
         # SpanNearQuery twin: tb within `window` positions of ta
         # (ordered: strictly after) via the token-position relation
@@ -784,7 +817,8 @@ tokpos AS (
 )"""
     phrase_where = (
         "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)"
-        if (phrase or near or span is not None or span_not is not None)
+        if (phrase or near or span is not None or span_not is not None
+            or interval is not None)
         else ""
     )
     return f"""
@@ -1166,6 +1200,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 SPAN3_TERMS, k=K_ALL, slop=SPAN3_SLOP, in_order=True
             )
         )
+
+    def ft_intervals(spark, sf):
+        # Lucene IntervalQuery (queries/intervals): docs holding a
+        # MINIMAL ordered(query, merge) interval with <= 8 gaps that
+        # contains a `key` occurrence — minimal-interval semantics
+        # end to end (the naive all-pairs containment overmatches;
+        # the DuckDB twin encodes greedy-minimal + antichain in SQL)
+        src = {"containing": [
+            {"ordered": [{"term": IV_A}, {"term": IV_B}], "max_gaps": IV_GAPS},
+            {"term": IV_C}]}
+        return _hits_df(_searcher(spark, sf).search_intervals(src, k=K_ALL))
 
     def ft_top_terms(spark, sf):
         # HighFreqTerms: top-N terms by document frequency — one
@@ -2314,7 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
-        samp_dsir,
+        samp_dsir, ft_intervals,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2378,6 +2423,10 @@ FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 15
         ),
         "ft_span_near3": _bm25_sql(
             SPAN3_TERMS, "and", K_ALL, span=(SPAN3_TERMS, SPAN3_SLOP, True)
+        ),
+        "ft_intervals": _bm25_sql(
+            [IV_A, IV_B, IV_C], "or", K_ALL,
+            interval=(IV_A, IV_B, IV_GAPS, IV_C),
         ),
         "ft_regexp_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"regexp_matches(term, '^{REGEXP_Q}$')"

@@ -75,6 +75,7 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..sources.manifest import IndexCatalog, Manifest
+from . import intervals as _intervals
 
 HIT_SCHEMA = T.StructType(
     [
@@ -2050,6 +2051,80 @@ class Searcher:
             acc = hits["score"].to_numpy()[order].astype(np.float64)
             docs_m, acc_m = _span_near_filter(groups, clauses, slop, in_order, cand, acc)
             score32 = acc_m.astype(np.float32)
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score32))[:k]
+                docs_m, score32 = docs_m[idx], score32[idx]
+            return pd.DataFrame({"doc": docs_m.astype(np.int64), "score": score32})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq_terms)
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    def search_intervals(
+        self,
+        source: dict,
+        k: int,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene IntervalQuery (queries/intervals — the modern
+        proximity algebra that superseded spans): docs holding at
+        least one interval of `source`, a nested dict combining
+        term / ordered / unordered / or / phrase / containing /
+        not_containing / contained_by / not_contained_by sources with
+        per-node max_gaps — minimal-interval semantics throughout
+        (operators/intervals.py, brute-force-oracle-tested). The
+        matching surface is Lucene-exact; SCORING follows this
+        engine's span-family convention rather than IntervalScorer's
+        saturation function: matching docs score as the OR
+        disjunction of the source's leaf terms over the terms they
+        contain (float64 sum of float32 BM25 scores), ties docID asc.
+
+        Plan: ONE postings scan pruned to the leaf terms, the same
+        per-shard kernel as every other query (candidates = OR of
+        leaves, interval filter vectorized over the whole shard batch
+        with packed doc<<shift|pos keys), per-shard top-k cut, global
+        orderBy+limit — identical scale shape to search_span_near."""
+        _intervals.validate(source)
+        uniq_terms = _intervals.leaf_terms(source)
+        if not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; interval queries unavailable")
+        prep = self._prep(uniq_terms, "or", field)
+        if prep is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _, term_df = prep
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        aux, allow_kinds = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            hits = _score_shard(
+                groups, term_df, n_docs, avgdl, 10 ** 9, "or",
+                uniq_terms, dels, None, allowed=allowed,
+            )
+            if not len(hits):
+                return hits
+            cand = hits["doc"].to_numpy(np.int64)
+            order = np.argsort(cand)
+            cand = cand[order]
+            acc = hits["score"].to_numpy()[order].astype(np.float64)
+            occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            max_pos = 0
+            for t in uniq_terms:
+                dd, pp = _gather_positions(groups, t, cand)
+                if dd.size:
+                    max_pos = max(max_pos, int(pp.max()))
+                occ[t] = (dd, pp)
+            shift = max(21, int(max_pos + 2).bit_length() + 1)
+            term_keys = {
+                t: np.sort((dd << shift) | pp) for t, (dd, pp) in occ.items()
+            }
+            docs_hit = _intervals.match_docs(source, term_keys, shift)
+            keep = np.isin(cand, docs_hit, assume_unique=True)
+            docs_m, score32 = cand[keep], acc[keep].astype(np.float32)
             if docs_m.size > k:
                 idx = np.lexsort((docs_m, -score32))[:k]
                 docs_m, score32 = docs_m[idx], score32[idx]
