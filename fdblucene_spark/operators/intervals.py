@@ -17,7 +17,16 @@ of all matching intervals. Sources compose:
     {"not_containing": [big, small]}           Intervals.notContaining
     {"contained_by": [small, big]}             Intervals.containedBy
     {"not_contained_by": [small, big]}         Intervals.notContainedBy
+    {"before": [src, reference]}               Intervals.before
+    {"after": [src, reference]}                Intervals.after
+    {"overlapping": [src, reference]}          Intervals.overlapping
+    {"non_overlapping": [src, reference]}      Intervals.nonOverlapping
     plus "max_gaps": g on any composite        Intervals.maxgaps
+
+The reference-filter ops keep src intervals for which SOME reference
+interval satisfies the relation: before = src.end < ref.start;
+after = src.start > ref.end; overlapping = the closed intervals
+intersect.
 
 Subset limitations (documented, enforced by validate()): `unordered`
 children must be plain terms — the same restriction the engine's
@@ -56,7 +65,10 @@ import numpy as np
 
 _EMPTY = np.empty(0, dtype=np.int64)
 
-_PAIR_OPS = ("containing", "not_containing", "contained_by", "not_contained_by")
+_PAIR_OPS = (
+    "containing", "not_containing", "contained_by", "not_contained_by",
+    "before", "after", "overlapping", "non_overlapping",
+)
 _OPS = ("term", "ordered", "unordered", "or", "phrase") + _PAIR_OPS
 
 
@@ -223,7 +235,7 @@ def evaluate(source, term_keys: dict[str, np.ndarray], shift: int):
                 inb = idx < bps.size
                 hit = inb & (suf[np.minimum(idx, bps.size - 1)] <= ape)
             keep = hit if op == "containing" else ~hit
-        else:
+        elif op in ("contained_by", "not_contained_by"):
             # small contained by SOME big: among bigs starting at or
             # before small.start, the maximum end (prefix max)
             if bps.size == 0:
@@ -234,6 +246,39 @@ def evaluate(source, term_keys: dict[str, np.ndarray], shift: int):
                 inb = idx >= 0
                 hit = inb & (pre[np.maximum(idx, 0)] >= ape)
             keep = hit if op == "contained_by" else ~hit
+        elif op == "before":
+            # src ends before SOME reference starts: the first
+            # reference start strictly after src.end, same document
+            if bps.size == 0:
+                keep = np.zeros(aps.size, dtype=bool)
+            else:
+                idx = np.searchsorted(bps, ape + 1, side="left")
+                inb = idx < bps.size
+                ii = np.minimum(idx, bps.size - 1)
+                keep = inb & ((bps[ii] >> shift) == (aps >> shift))
+        elif op == "after":
+            # src starts after SOME reference ends: the last
+            # reference end strictly before src.start, same document
+            if bpe.size == 0:
+                keep = np.zeros(aps.size, dtype=bool)
+            else:
+                idx = np.searchsorted(bpe, aps, side="left") - 1
+                inb = idx >= 0
+                ii = np.maximum(idx, 0)
+                keep = inb & ((bpe[ii] >> shift) == (aps >> shift))
+        else:
+            # overlapping: SOME reference with ref.start <= src.end
+            # and ref.end >= src.start — among references starting at
+            # or before src.end, the maximum end (prefix max; packed
+            # keys age out cross-document candidates on the >= check)
+            if bps.size == 0:
+                hit = np.zeros(aps.size, dtype=bool)
+            else:
+                pre = np.maximum.accumulate(bpe)
+                idx = np.searchsorted(bps, ape, side="right") - 1
+                inb = idx >= 0
+                hit = inb & (pre[np.maximum(idx, 0)] >= aps)
+            keep = hit if op == "overlapping" else ~hit
         ps, pe, w = aps[keep], ape[keep], aw[keep]
     if "max_gaps" in source and ps.size:
         keep = (pe - ps + 1 - w) <= source["max_gaps"]

@@ -2062,11 +2062,46 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
+    def _expand_interval_leaves(
+        self, source: dict, field: str, max_expansions: int
+    ) -> dict:
+        """Rewrite {"prefix"}/{"wildcard"} interval leaves into an
+        `or` of term sources against the termdict (one distributed
+        expansion job per analytic leaf, df-desc capped). A leaf with
+        no vocabulary match becomes a term no analyzer can emit —
+        the exact empty IntervalsSource."""
+        if not isinstance(source, dict):
+            return source
+        op = next((k for k in source if k != "max_gaps"), None)
+        if op in ("prefix", "wildcard"):
+            terms = self.expand_terms(
+                field=field,
+                prefix=source.get("prefix"),
+                wildcard=source.get("wildcard"),
+                max_expansions=max_expansions,
+            )
+            if not terms:
+                return {"term": "\x00"}
+            if len(terms) == 1:
+                return {"term": terms[0]}
+            return {"or": [{"term": t} for t in terms]}
+        if op in ("term", "phrase") or op is None:
+            return source
+        body = source[op]
+        if not isinstance(body, (list, tuple)):
+            return source
+        out = {op: [self._expand_interval_leaves(c, field, max_expansions)
+                    for c in body]}
+        if "max_gaps" in source:
+            out["max_gaps"] = source["max_gaps"]
+        return out
+
     def search_intervals(
         self,
         source: dict,
         k: int,
         field: str = "text",
+        max_expansions: int = 50,
     ) -> DataFrame:
         """Lucene IntervalQuery (queries/intervals — the modern
         proximity algebra that superseded spans): docs holding at
@@ -2081,11 +2116,19 @@ class Searcher:
         disjunction of the source's leaf terms over the terms they
         contain (float64 sum of float32 BM25 scores), ties docID asc.
 
+        Analytic leaves: {"prefix": "que"} / {"wildcard": "qu*y"}
+        nodes (Intervals.prefix / Intervals.wildcard) are rewritten
+        into an `or` of term sources by the SAME distributed termdict
+        expansion the MultiTermQuery surfaces use (expand_terms, top
+        max_expansions by df desc) before validation; an expansion
+        with no vocabulary hit becomes a never-matching source.
+
         Plan: ONE postings scan pruned to the leaf terms, the same
         per-shard kernel as every other query (candidates = OR of
         leaves, interval filter vectorized over the whole shard batch
         with packed doc<<shift|pos keys), per-shard top-k cut, global
         orderBy+limit — identical scale shape to search_span_near."""
+        source = self._expand_interval_leaves(source, field, max_expansions)
         _intervals.validate(source)
         uniq_terms = _intervals.leaf_terms(source)
         if not self.manifest.properties.get("store_positions", True):

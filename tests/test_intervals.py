@@ -84,10 +84,18 @@ def brute(source, toks):
             hit = {ai for ai in a
                    if any(ai[0] <= bs and be <= ai[1] for bs, be, _ in b)}
             out = hit if op == "containing" else a - hit
-        else:
+        elif op in ("contained_by", "not_contained_by"):
             hit = {ai for ai in a
                    if any(bs <= ai[0] and ai[1] <= be for bs, be, _ in b)}
             out = hit if op == "contained_by" else a - hit
+        elif op == "before":
+            out = {ai for ai in a if any(ai[1] < bs for bs, _, _ in b)}
+        elif op == "after":
+            out = {ai for ai in a if any(be < ai[0] for _, be, _ in b)}
+        else:
+            hit = {ai for ai in a
+                   if any(bs <= ai[1] and be >= ai[0] for bs, be, _ in b)}
+            out = hit if op == "overlapping" else a - hit
     if "max_gaps" in source:
         out = {(s, e, w) for s, e, w in out if (e - s + 1 - w) <= source["max_gaps"]}
     return out
@@ -153,6 +161,16 @@ def test_contained_by():
     src = {"contained_by": [{"term": "c"},
                             {"unordered": [{"term": "a"}, {"term": "b"}]}]}
     check(src, [list("acb"), list("cab"), list("abc"), list("bca")])
+
+
+def test_before_after_overlapping():
+    ab = {"ordered": [{"term": "a"}, {"term": "b"}]}
+    check({"before": [ab, {"term": "c"}]}, [list("abc"), list("cab"), list("ab")])
+    check({"after": [ab, {"term": "c"}]}, [list("abc"), list("cab"), list("ab")])
+    check({"overlapping": [ab, {"unordered": [{"term": "c"}, {"term": "d"}]}]},
+          [list("cadb"), list("abcd"), list("cdab"), list("acbd")])
+    check({"non_overlapping": [ab, {"term": "c"}]},
+          [list("acb"), list("abc"), list("ab")])
 
 
 def test_or_minimality_mixed_width():
@@ -273,6 +291,23 @@ def test_search_intervals_end_to_end(interval_index, src_i):
                  for r in s.search(leaves, 100000, "or").collect()}
     for r in got:
         assert r["score"] == pytest.approx(or_scores[r["doc"]], rel=0, abs=0)
+
+
+def test_search_intervals_prefix_leaf(interval_index):
+    from fdblucene_spark.functions.analysis import tokenize_text
+
+    rows, s = interval_index
+    # prefix 'ga' expands to gamma only in this vocab -> identical to
+    # the explicit-term source
+    src_p = {"ordered": [{"term": "alpha"}, {"prefix": "ga"}], "max_gaps": 3}
+    src_t = {"ordered": [{"term": "alpha"}, {"term": "gamma"}], "max_gaps": 3}
+    want = {r["doc_id"] for r in rows if brute(src_t, tokenize_text(r["text"]))}
+    got = {r["doc"] for r in s.search_intervals(src_p, k=100000).collect()}
+    assert got == want and want
+    # a prefix with no vocabulary hit is the empty source
+    none = s.search_intervals(
+        {"ordered": [{"term": "alpha"}, {"prefix": "zzz"}]}, k=10).collect()
+    assert none == []
 
 
 def test_search_intervals_topk_ordering(interval_index):
