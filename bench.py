@@ -258,6 +258,23 @@ def main() -> None:
             [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"}],
             "source", top_n=10,
         ).collect()
+    with timed("facet_stats"):
+        # association facets: five aggregates per bucket in the same
+        # single pass the count facet makes
+        sd.facet_stats(
+            [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"}],
+            "source", "n_chars", top_n=10,
+        ).collect()
+    with timed("intervals_query"):
+        # IntervalQuery: minimal ordered(query, merge) <= 8 gaps
+        # containing `key` — packed-key algebra on the same one-scan
+        # kernel as the span family
+        sd.search_intervals(
+            {"containing": [
+                {"ordered": [{"term": "query"}, {"term": "merge"}],
+                 "max_gaps": 8},
+                {"term": "key"}]}, k=100,
+        ).collect()
     with timed("fuzzy_damerau"):
         # Damerau expansion: JVM prefilter + Arrow-batched exact DP,
         # then a WAND-pruned disjunction over the expansions

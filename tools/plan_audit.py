@@ -130,6 +130,15 @@ def main() -> int:
     surfaces["decontaminate_fuzzy"] = dedup.decontaminate_fuzzy(
         docs_df, docs_df.filter("doc_id % 37 = 0"), "doc_id", "text"
     )
+    # round-5 sixth-phase surfaces
+    surfaces["search_intervals"] = s.search_intervals(
+        {"containing": [
+            {"ordered": [{"term": "alpha"}, {"term": "beta"}], "max_gaps": 4},
+            {"term": "gamma"}]}, 10,
+    )
+    surfaces["facet_stats"] = s.facet_stats(
+        [{"term": "alpha", "occur": "must"}], "role", "n_chars"
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -194,6 +203,15 @@ def main() -> int:
             # bounded-group shuffles only; never a single-partition sort
             assert "Exchange SinglePartition" not in plan, \
                 "conversation_windows collapsed to a single partition"
+        if name == "search_intervals":
+            # leaf-term pushdown reaches the postings Parquet scan
+            assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "search_intervals missing TakeOrdered top-k cut"
+        if name == "facet_stats":
+            # one pass carries all five aggregates with map-side combine
+            assert any("partial_sum" in ln for ln in plan.splitlines()), \
+                "facet_stats agg missing map-side combine"
         if name in ("pack_sequences", "global_shuffle"):
             # the scan pattern's whole point: the prefix sum must never
             # collapse to one partition
