@@ -1217,6 +1217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partial+final agg over the termdict, postings untouched
         return _searcher(spark, sf).top_terms("text", n=15)
 
+    def ft_complete(spark, sf):
+        # suggest-module autocomplete (AnalyzingSuggester with df
+        # weights): dictionary terms extending a prefix, ONE termdict
+        # scan with startsWith pushdown — postings untouched
+        return _searcher(spark, sf).complete("co", n=10)
+
     def ft_multi_phrase(spark, sf):
         # MultiPhraseQuery with Lucene's actual phrase-frequency BM25
         # scoring: tf = exact phrase occurrence count, weight =
@@ -2359,7 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
-        samp_dsir, ft_intervals,
+        samp_dsir, ft_intervals, ft_complete,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2417,6 +2423,12 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
 WITH {_TOK_CTE}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
 FROM tok GROUP BY term ORDER BY df DESC, term ASC LIMIT 15
+""",
+        "ft_complete": f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM tok WHERE term LIKE 'co%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
         "ft_near_search": _bm25_sql(
             [NEAR_A, NEAR_B], "and", K_ALL, near=(NEAR_A, NEAR_B, NEAR_W, False)

@@ -5055,6 +5055,38 @@ class Searcher:
             .limit(n)
         )
 
+    def complete(
+        self,
+        prefix: str,
+        n: int = 10,
+        field: str = "text",
+        by: str = "df",
+    ) -> DataFrame:
+        """Prefix autocomplete (the other half of Lucene's suggest
+        module — AnalyzingSuggester/FSTCompletion with dictionary
+        weights, where `suggest()` covers DirectSpellChecker): the
+        top-N dictionary terms extending `prefix`, ranked weight desc
+        (by='df' or 'ttf'), ties term asc. Returns (term, df, ttf).
+
+        Plan: ONE termdict scan with the startsWith predicate pushed
+        to Parquet (StringStartsWith + min/max row-group pruning —
+        the dictionary is term-sorted within segments), per-segment
+        stats folded by a partial+final sum, TakeOrdered for the
+        top-N. Never touches postings; scales with the matching
+        dictionary sliver, not the corpus."""
+        if by not in ("df", "ttf"):
+            raise ValueError("by must be 'df' or 'ttf'")
+        if not prefix:
+            raise ValueError("complete() needs a non-empty prefix")
+        td = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "termdict"))
+        return (
+            td.filter((F.col("field") == field) & F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc(by), F.asc("term"))
+            .limit(n)
+        )
+
     def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155).
 

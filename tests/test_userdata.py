@@ -123,3 +123,42 @@ def test_top_terms_matches_brute_force(spark, ud_index):
     assert [(r["term"], r["ttf"]) for r in got_ttf] == want_ttf
     with pytest.raises(ValueError):
         s.top_terms("text", by="idf")
+
+
+def test_complete_prefix_suggester(spark, tmp_path):
+    """Autocomplete (AnalyzingSuggester half): dictionary terms extending
+    a prefix ranked by summed-across-segments df, ties term asc. The
+    fixture appends a second segment so per-segment stats must SUM."""
+    words = ["cobalt", "cobra", "code", "coast", "cobalt", "cat", "dog"]
+    rows1 = [{"k": i, "text": " ".join(["cobalt"] * 2 + [words[i % len(words)]])}
+             for i in range(40)]
+    rows2 = [{"k": 100 + i, "text": "cobra coast code"} for i in range(10)]
+    root = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(rows1), root, key_cols=["k"],
+                n_shards=2, fingerprint="a")
+    build_index(spark, spark.createDataFrame(rows2), root, key_cols=["k"],
+                n_shards=2, append=True, fingerprint="b")
+    s = Searcher(spark, root)
+    from collections import Counter
+
+    df_c: Counter = Counter()
+    ttf_c: Counter = Counter()
+    for r in rows1 + rows2:
+        ts = r["text"].split()
+        ttf_c.update(t for t in ts if t.startswith("co"))
+        df_c.update({t for t in ts if t.startswith("co")})
+    want = sorted(df_c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = s.complete("co", n=3).collect()
+    assert [(r["term"], r["df"], r["ttf"]) for r in got] == [
+        (t, c, ttf_c[t]) for t, c in want
+    ]
+    # weight by ttf instead of df
+    want_ttf = sorted(ttf_c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got_ttf = s.complete("co", n=3, by="ttf").collect()
+    assert [(r["term"], r["ttf"]) for r in got_ttf] == want_ttf
+    # non-matching prefix is empty, empty prefix and bad weight raise
+    assert s.complete("zz").count() == 0
+    with pytest.raises(ValueError):
+        s.complete("")
+    with pytest.raises(ValueError):
+        s.complete("co", by="idf")

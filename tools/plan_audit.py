@@ -85,6 +85,7 @@ def main() -> int:
             ["alpha", ("beta", "gamma")], 10
         ),
         "top_terms": s.top_terms("text", 5),
+        "complete": s.complete("al", 5),
         "search_sorted_early": ss.search_sorted(
             ["alpha"], 5, sort_field="n_chars", ascending=True
         ),
@@ -168,6 +169,11 @@ def main() -> int:
             assert not any("postings" in ln for ln in plan.splitlines()), \
                 "top_terms must read only the termdict"
             assert any("HashAggregate" in ln for ln in keep), name
+        if name == "complete":
+            assert not any("postings" in ln for ln in plan.splitlines()), \
+                "complete must read only the termdict"
+            assert any("PushedFilters" in ln and "StartsWith" in ln
+                       for ln in keep), "complete prefix not pushed to scan"
         if name == "term_vectors":
             # doc allow-set range pushed to the Parquet scan
             assert any("PushedFilters" in ln and "max_doc" in ln for ln in keep), name
