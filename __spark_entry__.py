@@ -89,6 +89,18 @@ SPAN3_TERMS, SPAN3_SLOP = ["sort", "merge", "the"], 2  # ft_span_near3 (ordered)
 # ft_intervals: containing(maxgaps(8, ordered(A, B)), term(C))
 IV_A, IV_B, IV_GAPS, IV_C = "query", "merge", 8, "key"
 REGEXP_Q = ".*(or|ue).*"  # ft_regexp_search (RegexpQuery expansion)
+# ft_monitor: registered percolator queries (lucene/monitor parity);
+# phrase terms double as candidate-phase MUSTs, m_or gets implicit
+# msm=1, m_phrase requires the consecutive run (not bag-of-words)
+MON_QUERIES = [
+    {"query_id": "m_and", "must": ["key", "value"]},
+    {"query_id": "m_or", "should": ["batch", "stream"]},
+    {"query_id": "m_msm2", "should": ["dup", "hash", "vector"], "msm": 2},
+    {"query_id": "m_not", "must": ["merge"], "must_not": ["dup"]},
+    {"query_id": "m_phrase", "phrase": ["key", "value"]},
+    {"query_id": "m_mix", "must": ["sort"], "should": ["scan", "stream"],
+     "msm": 1, "must_not": ["slow"]},
+]
 NESTED_SUB_TERMS, NESTED_SUB_MSM = ["dup", "hash", "vector"], 2  # ft_bm25_nested
 # ft_bm25_nested_deep: depth-2 sub-query with boost folding (2.0 x 0.75)
 NESTED_DEEP_T1 = "merge"
@@ -1309,6 +1321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
 
+    def ft_monitor(spark, sf):
+        # reverse search (lucene/monitor percolator): six registered
+        # boolean/phrase queries matched against the corpus in one
+        # pass — broadcast term-registry presearcher join, (doc,query)
+        # candidate agg, token-array phrase verify
+        from fdblucene_spark.operators.monitor import match_queries
+
+        docs = _table(spark, sf, "documents").select("doc_id", "text")
+        return match_queries(docs, MON_QUERIES)
+
     def ft_query_parser(spark, sf):
         # classic QueryParser string surface: `key AND (vector^2 hash)
         # -dup` compiles (Lucene addClause semantics) to MUST(key) +
@@ -2315,13 +2337,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + filtered; phrase by tx_phrase_filtered + span_near3; should by
     # mixed; tiered by merge_addindexes; keyword stats/sort by
     # keyword_field/sorted variants; tx parser by ft parser; mm by
-    # mm_media_stats). Everything below the fold is still
-    # oracle-checked by tools/gate_check.py at three scales.
+    # mm_media_stats; nested_deep — identical result set to
+    # ft_bm25_nested per the r4 verdict — by the new-family
+    # ft_monitor, both nested gates staying below the fold).
+    # Everything below the fold is still oracle-checked by
+    # tools/gate_check.py at three scales.
     for fn in [
         # -- engine surface representatives (30) --
         ft_postings, ft_termdict, ft_doclen, ft_corpus_stats,
         ft_bm25_topk_or, ft_keyword_field, ft_match_count,
-        ft_bm25_filtered, ft_bm25_mixed, ft_bm25_nested_deep,
+        ft_bm25_filtered, ft_bm25_mixed, ft_monitor,
         ft_match_all, ft_query_parser, ft_facet_ranges, ft_combined_field,
         ft_boolean_after, ft_fuzzy_damerau,
         ft_payloads, ft_highlight, ft_span_near3, ft_grouped,
@@ -2348,7 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bm25_topk_and, ft_phrase_match, ft_bm25_should,
         ft_keyword_stats, ft_sort_topn, ft_tiered_search,
         ft_mlt, ft_suggest, ft_numeric_range, ft_stem_analyzer,
-        ft_term_lookup, ft_bm25_nested, ft_constant_score, ft_sorted_search,
+        ft_term_lookup, ft_bm25_nested, ft_bm25_nested_deep,
+        ft_constant_score, ft_sorted_search,
         ft_query_parser_prefix, ft_facets, ft_facet_stats,
         ft_span_first, ft_span_not,
         ft_span_or, ft_terms_in_set,
@@ -2429,6 +2455,44 @@ WITH {_TOK_CTE}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
 FROM tok WHERE term LIKE 'co%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        # percolator twin: hand-flattened registry (phrase terms as
+        # candidate MUSTs), distinct-term join + per-(doc,query) agg,
+        # EXISTS consecutive-run check for the phrase query
+        "ft_monitor": f"""
+WITH {_TOK_CTE},
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+qterm(query_id, term, occur) AS (VALUES
+  ('m_and','key','must'), ('m_and','value','must'),
+  ('m_or','batch','should'), ('m_or','stream','should'),
+  ('m_msm2','dup','should'), ('m_msm2','hash','should'),
+  ('m_msm2','vector','should'),
+  ('m_not','merge','must'), ('m_not','dup','must_not'),
+  ('m_phrase','key','must'), ('m_phrase','value','must'),
+  ('m_mix','sort','must'), ('m_mix','scan','should'),
+  ('m_mix','stream','should'), ('m_mix','slow','must_not')),
+req(query_id, n_must, msm) AS (VALUES
+  ('m_and', 2, 0), ('m_or', 0, 1), ('m_msm2', 0, 2),
+  ('m_not', 1, 0), ('m_phrase', 2, 0), ('m_mix', 1, 1)),
+cand AS (
+  SELECT d.doc_id, q.query_id,
+         sum(CASE WHEN occur = 'must' THEN 1 ELSE 0 END) AS must_hit,
+         sum(CASE WHEN occur = 'should' THEN 1 ELSE 0 END) AS should_hit,
+         max(CASE WHEN occur = 'must_not' THEN 1 ELSE 0 END) AS neg_hit
+  FROM dterm d JOIN qterm q USING (term)
+  GROUP BY d.doc_id, q.query_id
+),
+ok AS (
+  SELECT c.doc_id, c.query_id
+  FROM cand c JOIN req r USING (query_id)
+  WHERE must_hit = n_must AND should_hit >= msm AND neg_hit = 0
+)
+SELECT doc_id, query_id FROM ok
+WHERE query_id <> 'm_phrase'
+   OR EXISTS (SELECT 1 FROM toks t, range(1, len(t.ts)) r(i)
+              WHERE t.doc_id = ok.doc_id
+                AND t.ts[i] = 'key' AND t.ts[i + 1] = 'value')
+ORDER BY doc_id, query_id
 """,
         "ft_near_search": _bm25_sql(
             [NEAR_A, NEAR_B], "and", K_ALL, near=(NEAR_A, NEAR_B, NEAR_W, False)

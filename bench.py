@@ -265,6 +265,21 @@ def main() -> None:
             [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"}],
             "source", "n_chars", top_n=10,
         ).collect()
+    with timed("percolate"):
+        # reverse search (lucene/monitor): six registered queries vs
+        # the whole corpus in ONE pass — broadcast presearcher join +
+        # (doc,query) agg + phrase verify; corpus side never shuffles
+        from fdblucene_spark.operators.monitor import match_queries
+
+        match_queries(docs.select("doc_id", "text"), [
+            {"query_id": "m_and", "must": ["key", "value"]},
+            {"query_id": "m_or", "should": ["batch", "stream"]},
+            {"query_id": "m_msm2", "should": ["dup", "hash", "vector"], "msm": 2},
+            {"query_id": "m_not", "must": ["merge"], "must_not": ["dup"]},
+            {"query_id": "m_phrase", "phrase": ["key", "value"]},
+            {"query_id": "m_mix", "must": ["sort"], "should": ["scan", "stream"],
+             "msm": 1, "must_not": ["slow"]},
+        ]).count()
     with timed("intervals_query"):
         # IntervalQuery: minimal ordered(query, merge) <= 8 gaps
         # containing `key` — packed-key algebra on the same one-scan

@@ -140,6 +140,13 @@ def main() -> int:
     surfaces["facet_stats"] = s.facet_stats(
         [{"term": "alpha", "occur": "must"}], "role", "n_chars"
     )
+    from fdblucene_spark.operators.monitor import match_queries  # noqa: E402
+    surfaces["match_queries"] = match_queries(
+        docs_df, [
+            {"query_id": "q1", "must": ["alpha", "beta"]},
+            {"query_id": "q2", "phrase": ["gamma", "delta"]},
+        ],
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
