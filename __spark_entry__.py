@@ -1321,6 +1321,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return _hits_df(_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
 
+    def ft_common_terms(spark, sf):
+        # CommonTermsQuery: df-cutoff split at 0.5 of the field's doc
+        # count — 'dup' (df ratio 0.05) lands low-freq and gates the
+        # match set; the stopword-grade 'the'/'merge'/'vector' (~0.78)
+        # land high-freq and only add score (Lucene's MUST(low) +
+        # SHOULD(high) rewrite)
+        return _hits_df(_searcher(spark, sf).search_common_terms(
+            ["dup", "the", "merge", "vector"], k=K_ALL, max_term_frequency=0.5
+        ))
+
     def ft_monitor(spark, sf):
         # reverse search (lucene/monitor percolator): six registered
         # boolean/phrase queries matched against the corpus in one
@@ -2391,7 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_perfield, ft_lm_dirichlet, ft_lm_jelinek_mercer, ft_rollback,
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
-        samp_dsir, ft_intervals, ft_complete,
+        samp_dsir, ft_intervals, ft_complete, ft_common_terms,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2456,6 +2466,20 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
 FROM tok WHERE term LIKE 'co%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
+        # CommonTermsQuery twin: the df split recomputed IN SQL (xdf
+        # per query term vs 0.5 * n_docs), docs gated on >= 1 low-freq
+        # match, all matched terms scored
+        "ft_common_terms": _bm25_sql(
+            ["dup", "the", "merge", "vector"], "or", K_ALL,
+            having=(
+                "HAVING count(CASE WHEN term IN (SELECT term FROM ("
+                "SELECT term, count(DISTINCT doc_id) AS xdf FROM tok "
+                "WHERE term IN ('dup', 'merge', 'the', 'vector') "
+                "GROUP BY term) "
+                "WHERE xdf <= 0.5 * (SELECT n_docs FROM stats)) "
+                "THEN 1 END) >= 1"
+            ),
+        ),
         # percolator twin: hand-flattened registry (phrase terms as
         # candidate MUSTs), distinct-term join + per-(doc,query) agg,
         # EXISTS consecutive-run check for the phrase query

@@ -3114,6 +3114,75 @@ class Searcher:
             numeric=numeric,
         )
 
+    def search_common_terms(
+        self,
+        terms: list[str],
+        k: int,
+        max_term_frequency: float = 0.01,
+        field: str = "text",
+        low_freq_msm: int | None = None,
+        high_freq_msm: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene CommonTermsQuery (queries module): split query terms
+        at a document-frequency cutoff so stopword-grade terms stop
+        gating the match set and only refine scores. Lucene's rewrite,
+        reproduced exactly:
+
+        - cutoff = max_term_frequency (absolute when >= 1, else a
+          ratio of the field's doc count);
+        - a term is HIGH-freq when df > cutoff, LOW-freq otherwise;
+          terms absent from the index are skipped (null TermStates);
+        - both groups non-empty -> BooleanQuery(MUST(lowFreqGroup),
+          SHOULD(highFreqGroup)): a doc must satisfy the low-freq
+          group (>= max(1, low_freq_msm) of its terms), and matched
+          high-freq terms only ADD score;
+        - one group empty -> that group's BooleanQuery alone.
+
+        The df split costs nothing extra here: the termdict seek that
+        every query already makes (ONE pyarrow scan, L11) returns the
+        dfs, and the rewrite feeds the composable boolean kernel —
+        msm-aware block-max pruning included, so the high-freq
+        posting lists still skip blocks. At 100 TB this is the
+        difference between intersecting a stopword's posting list and
+        never gating on it."""
+        uniq = sorted(set(terms))
+        stats = self.term_stats_multi({field: uniq})
+        n_docs = self.manifest.n_docs_for(field)
+        cutoff = (
+            max_term_frequency
+            if max_term_frequency >= 1.0
+            else max_term_frequency * n_docs
+        )
+        present = [t for t in uniq if (field, t) in stats]
+        low = [t for t in present if stats[(field, t)][0] <= cutoff]
+        high = [t for t in present if stats[(field, t)][0] > cutoff]
+        if not present:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+
+        def _group(ts: list[str], msm: int | None) -> dict:
+            return {
+                "occur": "should",
+                "min_should_match": msm,
+                "clauses": [{"term": t, "field": field} for t in ts],
+            }
+
+        if not high:
+            return self.search_boolean(
+                _group(low, None)["clauses"], k,
+                min_should_match=low_freq_msm, numeric=numeric,
+            )
+        if not low:
+            return self.search_boolean(
+                _group(high, None)["clauses"], k,
+                min_should_match=high_freq_msm, numeric=numeric,
+            )
+        clauses = [
+            dict(_group(low, low_freq_msm), occur="must"),
+            _group(high, high_freq_msm),
+        ]
+        return self.search_boolean(clauses, k, numeric=numeric)
+
     def search_join(
         self,
         from_clauses: list[dict],

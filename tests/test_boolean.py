@@ -1404,3 +1404,59 @@ def test_rescore_combine_law(spark, bool_index):
         assert np.float32(v) == exp, d
     # at least one window doc must have been boosted for the law to bite
     assert any(d in second for d in first_rows)
+
+
+def test_common_terms_query(spark, bool_index):
+    """CommonTermsQuery rewrite (Lucene queries module): the df split
+    must reproduce MUST(lowFreqGroup)+SHOULD(highFreqGroup), one
+    group falls back to that group's plain boolean, absent terms are
+    skipped like null TermStates, and an absolute cutoff (>= 1) is
+    taken as a document count, not a ratio."""
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    stats = s.term_stats(["alpha", "beta", "omicron", "pi"])
+    n = s.manifest.n_docs_for("text")
+    # zipf corpus: alpha/beta common, omicron/pi rare — pick a ratio
+    # that genuinely splits them (guard the fixture's shape)
+    ratio = 0.5
+    assert stats["alpha"][0] > ratio * n and stats["omicron"][0] <= ratio * n
+
+    def key(df):
+        return [(r["doc"], float(np.float32(r["score"]))) for r in df.collect()]
+
+    got = key(s.search_common_terms(
+        ["alpha", "beta", "omicron", "pi"], k=40, max_term_frequency=ratio))
+    want = key(s.search_boolean([
+        {"occur": "must", "min_should_match": None, "clauses": [
+            {"term": t, "field": "text"}
+            for t in ("omicron", "pi") if stats[t][0] <= ratio * n]},
+        {"occur": "should", "min_should_match": None, "clauses": [
+            {"term": t, "field": "text"}
+            for t in ("alpha", "beta") if stats[t][0] > ratio * n]},
+    ], k=40))
+    assert got == want and len(got) > 0
+    # every hit holds a low-freq term; some alpha-only docs exist, so
+    # the gate genuinely restricts vs plain OR
+    assert len(got) < len(key(s.search(["alpha", "beta", "omicron", "pi"], 240)))
+    # all-high path == plain should-boolean over the same terms
+    assert key(s.search_common_terms(["alpha", "beta"], k=40,
+                                     max_term_frequency=ratio)) == \
+        key(s.search(["alpha", "beta"], 40))
+    # all-low path (cutoff above every df): same equivalence
+    assert key(s.search_common_terms(["omicron", "pi"], k=40,
+                                     max_term_frequency=1.0 * n + 1)) == \
+        key(s.search(["omicron", "pi"], 40))
+    # absolute cutoff: max_term_frequency=stats value exactly -> that
+    # term stays LOW (high iff df > cutoff), absent terms skipped
+    df_om = stats["omicron"][0]
+    got_abs = key(s.search_common_terms(
+        ["omicron", "alpha", "notaword"], k=40, max_term_frequency=float(df_om)))
+    want_abs = key(s.search_boolean([
+        {"occur": "must", "min_should_match": None,
+         "clauses": [{"term": "omicron", "field": "text"}]},
+        {"occur": "should", "min_should_match": None,
+         "clauses": [{"term": "alpha", "field": "text"}]},
+    ], k=40))
+    assert got_abs == want_abs
+    # nothing present -> empty
+    assert s.search_common_terms(["nope", "nada"], k=10).count() == 0

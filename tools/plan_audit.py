@@ -86,6 +86,9 @@ def main() -> int:
         ),
         "top_terms": s.top_terms("text", 5),
         "complete": s.complete("al", 5),
+        "search_common_terms": s.search_common_terms(
+            ["alpha", "delta", "theta"], 10, max_term_frequency=0.5
+        ),
         "search_sorted_early": ss.search_sorted(
             ["alpha"], 5, sort_field="n_chars", ascending=True
         ),
@@ -169,7 +172,8 @@ def main() -> int:
         # postings scans must carry the field/term pushdown
         if name in ("search_parsed", "search_span_first", "matching_docs",
                     "search_synonym", "search_classic", "search_multi_phrase",
-                    "search_lm_dirichlet", "search_lm_jelinek_mercer"):
+                    "search_lm_dirichlet", "search_lm_jelinek_mercer",
+                    "search_common_terms"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
         if name == "top_terms":
             # termdict-only: the postings table must not be scanned
