@@ -2323,6 +2323,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.synthesize_media(_table(spark, sf, "documents"), "doc_id", "text")
         return multimodal.sample_frames(media)
 
+    def ft_collapse(spark, sf):
+        # field collapsing (grouping module CollapsingTopDocsCollector):
+        # the ranked OR hit list keeps only the best doc per `source`
+        # — ONE partial+final max_by(struct) agg, no match-set window
+        c = _searcher(spark, sf).search_collapse(OR_TERMS, "source", k=7)
+        return c.select(
+            "grp",
+            F.col("doc").alias("doc_id"),
+            F.round(F.col("score").cast("double"), 3).alias("score"),
+        )
+
+    def ft_complete_fuzzy(spark, sf):
+        # FuzzySuggester: typo-tolerant autocomplete — dictionary terms
+        # whose 4-char prefix is within 2 edits of 'stre' (first char
+        # exact, the suggester's nonFuzzyPrefix=1), weighted by df;
+        # the startsWith('s') predicate prunes the termdict scan
+        return _searcher(spark, sf).complete_fuzzy("stre", n=10, max_edits=2)
+
+    def tx_child_join(spark, sf):
+        # ToChildBlockJoinQuery (the inverse of tx_block_join):
+        # conversations matched through their turns (ScoreMode.Total
+        # fold), then EVERY turn of a matching conversation inherits
+        # the conversation's score — retrieve-whole-conversations
+        c = _tx_searcher(spark).search_to_child(
+            TX_TERMS_OR, "conv_id", k=60, score_mode="total"
+        )
+        return c.select(
+            F.col("doc").alias("doc_id"),
+            "parent",
+            F.round(F.col("score").cast("double"), 3).alias("score"),
+        )
+
+    def ft_payload_score(spark, sf):
+        # PayloadScoreQuery(SpanTermQuery, SumPayloadFunction,
+        # includeSpanScore=false): docs ranked by the summed payloads
+        # at the term's occurrences (built-in producer = token char
+        # length, recomputed from text by the twin)
+        p = _pay_searcher(spark, sf).search_payload_score("dup", k=K_ALL, func="sum")
+        return p.select(
+            F.col("doc").alias("doc_id"),
+            F.round(F.col("score"), 3).alias("score"),
+        )
+
     # ---- classic aggregation sanity (Catalyst partial+final agg) ----
     def agg_lineitem_pricing(spark, sf):
         li = _table(spark, sf, "lineitem")
@@ -2402,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_chunks, samp_temperature, tx_windows, ft_total_hits, ft_taxonomy,
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
         samp_dsir, ft_intervals, ft_complete, ft_common_terms,
+        ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2562,6 +2606,23 @@ JOIN (SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, conv_
 GROUP BY m.conv_id
 ORDER BY (sum(score32::DOUBLE))::FLOAT DESC, m.conv_id ASC LIMIT 25""",
         ),
+        "tx_child_join": _bm25_sql(
+            TX_TERMS_OR, "or", 10000,
+            src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
+                    f"FROM read_parquet('{TX_CORPUS}')",
+            tok_regex=_TX_TOK_RE,
+            select_override=f""",
+ids AS (SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, conv_id
+        FROM read_parquet('{TX_CORPUS}')),
+parents AS (
+  SELECT m.conv_id, (sum(score32::DOUBLE))::FLOAT AS pscore
+  FROM agg JOIN ids m ON m.doc_id = agg.doc_id
+  GROUP BY m.conv_id
+)
+SELECT c.doc_id, c.conv_id AS parent, round(p.pscore::DOUBLE, 3) AS score
+FROM ids c JOIN parents p ON p.conv_id = c.conv_id
+ORDER BY p.pscore DESC, c.doc_id ASC LIMIT 60""",
+        ),
         "tx_bm25_top10": _bm25_sql(
             TX_TERMS_OR, "or", 10,
             src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
@@ -2720,6 +2781,35 @@ SELECT grp, grp_rank::INT AS grp_rank, doc_id,
 FROM granked WHERE doc_rank <= {GROUP_LIMIT}
 ORDER BY grp_rank, doc_rank""",
         ),
+        "ft_collapse": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=""",
+joined AS (
+  SELECT a.doc_id, a.score32, d.source AS grp
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+), best AS (
+  SELECT grp, max(score32) AS best_score FROM joined GROUP BY grp
+), winner AS (
+  SELECT j.grp, b.best_score AS score32, min(j.doc_id) AS doc_id
+  FROM joined j JOIN best b ON b.grp = j.grp AND j.score32 = b.best_score
+  GROUP BY j.grp, b.best_score
+)
+SELECT grp, doc_id, round(score32::DOUBLE, 3) AS score
+FROM winner ORDER BY score32 DESC, doc_id ASC LIMIT 7""",
+        ),
+        "ft_complete_fuzzy": f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM tok
+WHERE term LIKE 's%' AND levenshtein(substr(term, 1, 4), 'stre') <= 2
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        "ft_payload_score": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, round(sum(length(term))::DOUBLE, 3) AS score
+FROM tok WHERE term = 'dup' GROUP BY doc_id
+ORDER BY sum(length(term)) DESC, doc_id ASC LIMIT {K_ALL}
+""",
         "ft_facets": f"""
 WITH src AS (SELECT doc_id, text FROM documents),
 toks AS (

@@ -3367,6 +3367,61 @@ class Searcher:
             .orderBy("grp_rank", "doc_rank")
         )
 
+    def search_collapse(
+        self,
+        terms: list[str],
+        collapse_field: str,
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+    ) -> DataFrame:
+        """Field collapsing (the grouping module's single-pass
+        CollapsingTopDocsCollector shape): the ranked hit list keeps
+        only the BEST doc per value of an index-owned stored field —
+        one result per conversation, per source, per site. The
+        reference app reaches Lucene's grouping collectors through the
+        same index delegation as search (/root/reference/README.md:54-57).
+
+        Semantics: the match set scores exactly like `search` (same
+        BM25 float32 chain, no pre-cut); within a collapse key the
+        winner is (score desc, doc asc); surviving winners rank by
+        (score desc, doc asc) and cut to k. Docs with a NULL collapse
+        value form one shared null group (search_grouped's null-group
+        bucket). Returns (grp, doc, score).
+
+        Distributed shape: scored match set -> column-pruned stored
+        join -> ONE partial+final max_by(struct) agg keyed by the
+        collapse field -> TakeOrdered k. No window over the match set;
+        the agg's map-side combine reduces each partition to its
+        distinct keys before the single wide exchange — the plan a
+        many-docs-per-key corpus wants at 100 TB."""
+        scored = self._scored_match_set(terms, mode=mode, field=field)
+        stored = self._stored_df()
+        if collapse_field not in stored.columns:
+            raise ValueError(
+                f"collapse field {collapse_field!r} is not stored in this index"
+            )
+        grp = stored.select("doc", F.col(collapse_field).alias("grp"))
+        joined = scored.join(grp, "doc", "inner")
+        return (
+            joined.groupBy("grp")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score").alias("s"),
+                        (-F.col("doc")).alias("negdoc"),
+                    )
+                ).alias("h")
+            )
+            .select(
+                "grp",
+                (-F.col("h.negdoc")).cast("long").alias("doc"),
+                F.col("h.s").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .limit(int(k))
+        )
+
     def search_synonym(
         self, terms: list[str], k: int = 10, field: str = "text"
     ) -> DataFrame:
@@ -3737,6 +3792,73 @@ class Searcher:
             joined.groupBy("parent")
             .agg(agg_score.alias("score"), F.count(F.lit(1)).alias("n_children"))
             .orderBy(F.desc("score"), F.asc("parent"))
+            .limit(int(k))
+        )
+
+    def search_to_child(
+        self,
+        terms: list[str],
+        parent_field: str,
+        k: int = 10,
+        score_mode: str = "max",
+        mode: str = "or",
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene ToChildBlockJoinQuery analogue — the inverse
+        direction of search_block_join: a child-level query folds to
+        parent entities (ScoreMode over float32 child scores, exactly
+        as in search_block_join), then fans BACK DOWN so every child
+        of a matching parent scores its parent's folded score
+        (ToChildBlockJoinScorer: "the child documents ... each child
+        gets the parent's score"). For transcripts: every turn of
+        every conversation that matched, ranked by conversation
+        relevance — the retrieve-whole-conversations query.
+
+        Children rank by (parent score desc, doc asc) and cut to k;
+        ALL live children of a matching parent qualify, matched or
+        not (Lucene's child iterator walks the whole block). Returns
+        (doc, parent, score).
+
+        Distributed shape: the parent fold is search_block_join's ONE
+        partial+final agg; the fan-down joins the (bounded, k-free)
+        parent table back to the column-pruned stored table on the
+        parent key — broadcastable whenever the matching-parent set is
+        small, which AQE decides from the agg's actual size. No second
+        scoring pass and no window."""
+        if score_mode not in ("max", "min", "total", "avg", "none"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        stored = self._stored_df()
+        if parent_field not in stored.columns:
+            raise ValueError(
+                f"parent field {parent_field!r} is not stored in this index"
+            )
+        scored = self._scored_match_set(terms, mode=mode, field=field)
+        par = stored.select("doc", F.col(parent_field).alias("parent"))
+        if score_mode == "max":
+            agg_score = F.max("score").cast("float")
+        elif score_mode == "min":
+            agg_score = F.min("score").cast("float")
+        elif score_mode == "total":
+            agg_score = F.sum(F.col("score").cast("double")).cast("float")
+        elif score_mode == "avg":
+            agg_score = (
+                F.sum(F.col("score").cast("double")) / F.count(F.lit(1))
+            ).cast("float")
+        else:  # none
+            agg_score = F.lit(0.0).cast("float")
+        parents = (
+            scored.join(par, "doc", "inner")
+            .groupBy("parent")
+            .agg(agg_score.alias("score"))
+        )
+        children = stored.select(
+            F.col("doc").cast("long").alias("doc"),
+            F.col(parent_field).alias("parent"),
+        )
+        return (
+            children.join(parents, "parent", "inner")
+            .select("doc", "parent", "score")
+            .orderBy(F.desc("score"), F.asc("doc"))
             .limit(int(k))
         )
 
@@ -4709,6 +4831,49 @@ class Searcher:
 
         return scan.mapInPandas(dec, schema=PAYLOADS_SCHEMA)
 
+    def search_payload_score(
+        self,
+        term: str,
+        k: int = 10,
+        field: str = "text",
+        func: str = "sum",
+    ) -> DataFrame:
+        """Lucene PayloadScoreQuery(SpanTermQuery, PayloadFunction,
+        includeSpanScore=false): rank the term's matching docs by a
+        function of the payload values at its occurrences — sum / max
+        / min / avg (Sum/Max/Min/AveragePayloadFunction). With the
+        built-in producer (token character length) this ranks docs by
+        the mass of the term's surface forms; a custom producer
+        (build._invert_text) makes it an arbitrary per-occurrence
+        rank signal, the reference's ("pp", ..., pos) -> payload slot
+        (DATA.md:54-55) put to scoring work.
+
+        Ordering: (payload score desc, doc asc), cut to k; score is
+        float64 of the integer payload aggregate (Lucene's
+        PayloadFunction returns float — exact here since payloads are
+        small ints). Requires store_payloads=True.
+
+        Distributed shape: ONE postings scan pruned to the term, the
+        same vectorized block decode as payloads() (no doc allow-set —
+        scoring wants every occurrence), then a partial+final agg
+        keyed by doc and TakeOrdered k. The scan touches only the
+        term's blocks; nothing here grows with corpus size."""
+        if func not in ("sum", "max", "min", "avg"):
+            raise ValueError("func must be sum/max/min/avg")
+        occ = self.payloads([term], field=field)
+        agg = {
+            "sum": F.sum("payload").cast("double"),
+            "max": F.max("payload").cast("double"),
+            "min": F.min("payload").cast("double"),
+            "avg": F.avg("payload"),
+        }[func]
+        return (
+            occ.groupBy("doc")
+            .agg(agg.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .limit(int(k))
+        )
+
     def term_vectors(
         self,
         docs: Iterable[int],
@@ -5151,6 +5316,52 @@ class Searcher:
         return (
             td.filter((F.col("field") == field) & F.col("term").startswith(prefix))
             .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc(by), F.asc("term"))
+            .limit(n)
+        )
+
+    def complete_fuzzy(
+        self,
+        prefix: str,
+        n: int = 10,
+        field: str = "text",
+        max_edits: int = 1,
+        by: str = "df",
+    ) -> DataFrame:
+        """Typo-tolerant autocomplete (Lucene suggest module's
+        FuzzySuggester): the top-N dictionary terms whose own prefix
+        of len(prefix) characters is within `max_edits` Levenshtein
+        edits of the typed prefix — so 'stero' still completes to
+        'stream'/'sternum'. Matching FuzzySuggester's defaults, the
+        FIRST character must match exactly (nonFuzzyPrefix=1), which
+        is also the index prune: the startsWith(prefix[0]) predicate
+        pushes into the term-sorted Parquet termdict scan, so the scan
+        reads one letter's sliver of the dictionary, never all of it.
+        Candidates weigh by df/ttf like complete(); ties term asc.
+        Returns (term, df, ttf). Edit distance runs JVM-side
+        (levenshtein codegen) on the length-len(prefix) slice — no
+        Python in the plan."""
+        if by not in ("df", "ttf"):
+            raise ValueError("by must be 'df' or 'ttf'")
+        if not prefix:
+            raise ValueError("complete_fuzzy() needs a non-empty prefix")
+        if max_edits < 0 or max_edits > 2:
+            raise ValueError("max_edits must be 0..2 (FuzzySuggester bound)")
+        td = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "termdict"))
+        plen = len(prefix)
+        cand = td.filter(
+            (F.col("field") == field)
+            & F.col("term").startswith(prefix[0])
+            & (
+                F.levenshtein(
+                    F.substring(F.col("term"), 1, plen), F.lit(prefix)
+                )
+                <= int(max_edits)
+            )
+        )
+        return (
+            cand.groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
             .orderBy(F.desc(by), F.asc("term"))
             .limit(n)

@@ -148,3 +148,76 @@ def test_function_score_guards(spark, bj_index):
         s.search_function_score(["alpha"], "nope", k=5)
     with pytest.raises(ValueError):
         s.search_function_score(["alpha"], "conv_id", k=5, combine="max")
+
+
+def test_to_child_fans_parent_scores_down(spark, bj_index):
+    """ToChildBlockJoinQuery: every child of a matching parent scores
+    the parent's folded score; rank (parent score desc, doc asc)."""
+    rows, s = bj_index
+    got = s.search_to_child(
+        ["alpha", "gamma"], "conv_id", k=40, score_mode="total"
+    ).toPandas()
+    pscore = {p: sc for p, sc, _ in _brute(rows, s, ["alpha", "gamma"], "or", "total")}
+    want = [
+        (r["doc_id"], r["conv_id"], pscore[r["conv_id"]])
+        for r in rows
+        if r["conv_id"] in pscore
+    ]
+    want.sort(key=lambda t: (-t[2], t[0]))
+    want = want[:40]
+    assert [int(d) for d in got["doc"]] == [d for d, _, _ in want]
+    assert [int(p) for p in got["parent"]] == [p for _, p, _ in want]
+    for g, (_, _, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_to_child_includes_unmatched_children(spark, bj_index):
+    """Children that did NOT match the child query still return when
+    their parent matched (Lucene's child iterator walks the block)."""
+    rows, s = bj_index
+    hits = s.search_local(["alpha"], k=len(rows) + 1, mode="or")
+    matched_docs = {int(h["doc"]) for _, h in hits.iterrows()}
+    matched_parents = {r["conv_id"] for r in rows if r["doc_id"] in matched_docs}
+    got = s.search_to_child(["alpha"], "conv_id", k=len(rows) + 1).toPandas()
+    got_docs = {int(d) for d in got["doc"]}
+    expected_docs = {r["doc_id"] for r in rows if r["conv_id"] in matched_parents}
+    assert got_docs == expected_docs
+    assert not got_docs <= matched_docs  # some returned turns didn't match
+
+
+def test_to_child_guards(spark, bj_index):
+    _, s = bj_index
+    with pytest.raises(ValueError):
+        s.search_to_child(["alpha"], "nope", k=5)
+    with pytest.raises(ValueError):
+        s.search_to_child(["alpha"], "conv_id", k=5, score_mode="sum")
+
+
+def test_search_collapse_matches_brute(spark, bj_index):
+    """Field collapsing: best doc per grp (score desc, doc asc inside
+    a key), winners ranked (score desc, doc asc), cut to k."""
+    rows, s = bj_index
+    got = s.search_collapse(["alpha", "gamma"], "grp", k=4).toPandas()
+    hits = s.search_local(["alpha", "gamma"], k=len(rows) + 1, mode="or")
+    grp_of = {r["doc_id"]: r["grp"] for r in rows}
+    best = {}
+    for _, h in hits.iterrows():
+        g = grp_of[int(h["doc"])]
+        cand = (np.float32(h["score"]), -int(h["doc"]))
+        if g not in best or cand > best[g]:
+            best[g] = cand
+    want = sorted(
+        ((g, -c[1], c[0]) for g, c in best.items()),
+        key=lambda t: (-t[2], t[1]),
+    )[:4]
+    assert list(got["grp"]) == [g for g, _, _ in want]
+    assert [int(d) for d in got["doc"]] == [d for _, d, _ in want]
+    for g, (_, _, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_search_collapse_guards(spark, bj_index):
+    _, s = bj_index
+    with pytest.raises(ValueError):
+        s.search_collapse(["alpha"], "nope", k=5)
+    assert s.search_collapse(["zzznope"], "grp", k=5).count() == 0

@@ -1460,3 +1460,50 @@ def test_common_terms_query(spark, bool_index):
     assert got_abs == want_abs
     # nothing present -> empty
     assert s.search_common_terms(["nope", "nada"], k=10).count() == 0
+
+
+def test_payload_score_matches_brute(spark, tmp_path_factory):
+    """PayloadScoreQuery(SpanTermQuery, PayloadFunction): per-doc
+    aggregate of the payloads at the term's occurrences, recomputed
+    from the raw text (built-in producer = token char length)."""
+    import re as _re
+
+    rows = _mk_rows(n=36, seed=31)
+    root = str(tmp_path_factory.mktemp("pscore") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        store_payloads=True,
+    )
+    s = Searcher(spark, root)
+    per_doc = {}
+    for r in rows:
+        pl = [
+            len(m.group(0))
+            for m in _re.finditer(r"\w+", r["text"].lower())
+            if m.group(0) == "alpha"
+        ]
+        if pl:
+            per_doc[r["doc_id"]] = pl
+    aggs = {
+        "sum": lambda v: float(sum(v)),
+        "max": lambda v: float(max(v)),
+        "min": lambda v: float(min(v)),
+        "avg": lambda v: sum(v) / len(v),
+    }
+    for func, f in aggs.items():
+        got = [
+            (int(r["doc"]), float(r["score"]))
+            for r in s.search_payload_score("alpha", k=10, func=func).collect()
+        ]
+        want = sorted(
+            ((d, f(v)) for d, v in per_doc.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        assert got == want, func
+    with pytest.raises(ValueError):
+        s.search_payload_score("alpha", func="median")
+    # payload-less index refuses with the store_payloads error
+    root2 = str(tmp_path_factory.mktemp("pscore2") / "idx")
+    build_index(spark, spark.createDataFrame(rows[:4]), root2, doc_col="doc_id", n_shards=2)
+    with pytest.raises(ValueError, match="store_payloads"):
+        Searcher(spark, root2).search_payload_score("alpha")

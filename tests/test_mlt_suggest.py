@@ -160,3 +160,59 @@ def test_span_first_edges(ms_index):
     wide = s.search_span_first("alpha", 10_000, end=10_000).collect()
     assert [(r["doc"], r["score"]) for r in full] == \
            [(r["doc"], r["score"]) for r in wide]
+
+
+def _lev(a: str, b: str) -> int:
+    # classic Levenshtein (no transpositions) — FuzzySuggester's metric
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            cur = min(
+                d[j] + 1,
+                d[j - 1] + 1,
+                prev + (0 if a[i - 1] == b[j - 1] else 1),
+            )
+            prev, d[j] = d[j], cur
+    return d[len(b)]
+
+
+def test_complete_fuzzy_matches_brute(ms_index):
+    """FuzzySuggester: term prefix of len(q) within max_edits of the
+    typed prefix, first char exact, ranked df desc then term asc."""
+    rows, s = ms_index
+    # vocabulary stats from the raw rows
+    df = {}
+    ttf = {}
+    for r in rows:
+        toks = r["text"].split()
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+        for t in toks:
+            ttf[t] = ttf.get(t, 0) + 1
+    for q, me in [("epsilom", 1), ("gama", 1), ("eta", 0), ("zeta", 2)]:
+        got = [
+            (r["term"], r["df"], r["ttf"])
+            for r in s.complete_fuzzy(q, n=10, max_edits=me).collect()
+        ]
+        cand = [
+            t for t in df
+            if t[0] == q[0] and _lev(t[: len(q)], q) <= me
+        ]
+        want = sorted(
+            ((t, df[t], ttf[t]) for t in cand),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        assert got == want, (q, me)
+
+
+def test_complete_fuzzy_guards(ms_index):
+    _, s = ms_index
+    with pytest.raises(ValueError):
+        s.complete_fuzzy("", n=5)
+    with pytest.raises(ValueError):
+        s.complete_fuzzy("abc", max_edits=3)
+    with pytest.raises(ValueError):
+        s.complete_fuzzy("abc", by="nope")
+    # no first-char match -> empty
+    assert s.complete_fuzzy("qqq", n=5, max_edits=2).count() == 0

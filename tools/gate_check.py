@@ -64,7 +64,7 @@ def main():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not __import__("re").search(name_filter, name):
             continue
         t0 = time.time()
         try:

@@ -150,6 +150,10 @@ def main() -> int:
             {"query_id": "q2", "phrase": ["gamma", "delta"]},
         ],
     )
+    # round-5 seventh-phase surfaces
+    surfaces["search_collapse"] = s.search_collapse(["alpha", "beta"], "role", 5)
+    surfaces["search_to_child"] = s.search_to_child(["alpha"], "role", 10, "total")
+    surfaces["complete_fuzzy"] = s.complete_fuzzy("alh", 5, max_edits=1)
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -229,6 +233,26 @@ def main() -> int:
             # one pass carries all five aggregates with map-side combine
             assert any("partial_sum" in ln for ln in plan.splitlines()), \
                 "facet_stats agg missing map-side combine"
+        if name == "search_collapse":
+            # one partial+final max_by agg (SortAggregate — struct max
+            # isn't hash-aggregable — but still with a map-side
+            # partial_max), then a bounded top-k cut — never a window
+            # over the match set
+            assert any("partial_max" in ln for ln in plan.splitlines()), \
+                "collapse missing map-side partial_max combine"
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "collapse missing TakeOrdered top-k cut"
+            assert "Window" not in plan, "collapse plan contains a window"
+        if name == "search_to_child":
+            assert any("HashAggregate" in ln for ln in keep), \
+                "to_child missing parent fold agg"
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "to_child missing TakeOrdered top-k cut"
+        if name == "complete_fuzzy":
+            assert not any("postings" in ln for ln in plan.splitlines()), \
+                "complete_fuzzy must read only the termdict"
+            assert any("PushedFilters" in ln and "StartsWith" in ln
+                       for ln in keep), "complete_fuzzy first-char not pushed"
         if name in ("pack_sequences", "global_shuffle"):
             # the scan pattern's whole point: the prefix sum must never
             # collapse to one partition
