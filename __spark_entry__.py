@@ -2176,6 +2176,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
         return similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K)
 
+    def ann_sq_topk(spark, sf):
+        # int8 scalar-quantized cosine (Lucene 9 quantized-KNN idea):
+        # the cheap integer-dot scan makes the top-50 candidate cut
+        # (4x less IO than f32 at rest), exact double cosine re-ranks
+        # candidates to k — scales cancel, so scoring never
+        # dequantizes
+        emb = _table(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
+        return similarity.sq_cosine_topk(
+            emb, "vec_id", "embedding", list(qv), ANN_K, rescore=2 * ANN_K
+        )
+
     def _ann_index(spark, sf, kind):
         # persisted, catalog-managed ANN index (built once per sf):
         # the probe reads ONLY matching bucket= partitions
@@ -2446,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
         samp_dsir, ft_intervals, ft_complete, ft_common_terms,
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
+        ann_sq_topk,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2554,12 +2567,18 @@ ok AS (
   SELECT c.doc_id, c.query_id
   FROM cand c JOIN req r USING (query_id)
   WHERE must_hit = n_must AND should_hit >= msm AND neg_hit = 0
+),
+flat AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
 )
 SELECT doc_id, query_id FROM ok
 WHERE query_id <> 'm_phrase'
-   OR EXISTS (SELECT 1 FROM toks t, range(1, len(t.ts)) r(i)
-              WHERE t.doc_id = ok.doc_id
-                AND t.ts[i] = 'key' AND t.ts[i + 1] = 'value')
+   OR EXISTS (SELECT 1 FROM flat f0, flat f1
+              WHERE f0.doc_id = ok.doc_id AND f1.doc_id = ok.doc_id
+                AND f0.tp.t = 'key' AND f1.tp.t = 'value'
+                AND f1.tp.p = f0.tp.p + 1)
 ORDER BY doc_id, query_id
 """,
         "ft_near_search": _bm25_sql(
@@ -3339,6 +3358,9 @@ WHERE (CAST(('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOU
             + textstats.pii_tags_sql("seeded", "doc_id", "text")
         ),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
+        "ann_sq_topk": similarity.sq_cosine_topk_sql(
+            "embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K, rescore=2 * ANN_K
+        ),
         "hybrid_rrf": f"""
 WITH bm AS (
   SELECT * FROM ({_bm25_sql(OR_TERMS, "or", RRF_N, select_override=f'''

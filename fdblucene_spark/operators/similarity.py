@@ -79,6 +79,151 @@ LIMIT {k}
 """
 
 
+def _quant_expr(v):
+    """Symmetric per-vector int8 quantization as pure Catalyst
+    expressions: scale = max|v|/127, q_i = floor(v_i/scale + 0.5)
+    (explicit floor-half-up — engines disagree on round()'s half
+    rule, floor never does). Returns (qvec longs in [-127, 127+1],
+    scale)."""
+    maxabs = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    s = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("long"))
+    return q, s
+
+
+def quantize_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Materialize int8 scalar-quantized vectors (Lucene 9's
+    Lucene99ScalarQuantizedVectorsFormat idea): (id, qvec
+    array<tinyint>, scale float). At rest this is 4x smaller than
+    float32 and 8x smaller than float64 — the scan-bandwidth win is
+    the whole point at 100 TB of embeddings. Quantized cosine needs
+    NO dequantization: symmetric per-vector scales cancel, so score
+    = int-dot / (int-norm * int-norm) — see sq_cosine_topk."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q, s = _quant_expr(v)
+    return df.select(
+        F.col(id_col),
+        F.transform(q, lambda x: x.cast("byte")).alias("qvec"),
+        s.cast("float").alias("scale"),
+    )
+
+
+def _quantize_seq(vec) -> list[int]:
+    """Driver-side twin of _quant_expr for the query vector —
+    floor-half-up on float64, same arithmetic order."""
+    import math
+
+    m = 0.0
+    for x in vec:
+        m = max(m, abs(float(x)))
+    s = m / 127.0 if m > 0 else 1.0
+    return [int(math.floor(float(x) / s + 0.5)) for x in vec]
+
+
+def sq_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    rescore: int = 0,
+) -> DataFrame:
+    """Approximate top-k by int8 scalar-quantized cosine, optionally
+    rescored exactly (Lucene 9 quantized-KNN + re-ranking). The
+    quantized score is cos(q(v), q(query)) over the INTEGER vectors —
+    per-vector symmetric scales cancel out of the cosine, so scoring
+    never dequantizes: one exact int64 dot + two int64 norms per row,
+    double division at the end. rescore=C > k: the top-C candidates
+    by quantized score re-rank by exact double cosine, cut to k (the
+    standard recall-restoring second pass — C bounds the exact work,
+    the cheap quantized scan does the heavy cut). rescore=0 returns
+    the quantized ranking itself.
+
+    At scale: the scan reads tinyint arrays (4x less IO than f32),
+    the candidate cut is TakeOrdered (no global sort), and the exact
+    pass touches C rows. Ties break id asc everywhere."""
+    qq = _quantize_seq(query_vec)
+    qqn = float(np.sqrt(sum(x * x for x in qq)))
+    if qqn == 0.0:
+        raise ValueError("query vector quantizes to zero; cosine undefined")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv, _ = _quant_expr(v)
+    qarr = F.array(*[F.lit(int(x)).cast("long") for x in qq])
+    dot = F.aggregate(
+        F.zip_with(qv, qarr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+        .cast("double")
+    )
+    approx = F.when(
+        nrm > 0, dot.cast("double") / (nrm * F.lit(qqn))
+    ).otherwise(F.lit(-2.0))
+    scored = df.select(F.col(id_col), F.col(vec_col), approx.alias("_qc"))
+    if rescore and int(rescore) > 0:
+        cand = scored.orderBy(F.desc("_qc"), F.asc(id_col)).limit(int(rescore))
+        return _topk_by_raw_cosine(cand, id_col, vec_col, query_vec, int(k))
+    return (
+        scored.orderBy(F.desc("_qc"), F.asc(id_col))
+        .limit(int(k))
+        .select(F.col(id_col), F.round(F.col("_qc"), 3).alias("cosine"))
+    )
+
+
+def sq_cosine_topk_sql(
+    table: str, id_col: str, vec_col: str, query_id: int, k: int, rescore: int = 0
+) -> str:
+    """DuckDB twin of sq_cosine_topk: the same floor-half-up int8
+    quantization, exact integer dot/norms, identical double division
+    and (desc, id asc) ordering; rescore pass mirrors the exact
+    cosine over the candidate cut."""
+    quant = (
+        "list_transform({v}, x -> floor(x::DOUBLE / "
+        "(CASE WHEN {m} > 0 THEN {m} / 127.0 ELSE 1.0 END) + 0.5)::BIGINT)"
+    )
+    maxabs = "list_max(list_transform({v}, x -> abs(x::DOUBLE)))"
+    q_quant = quant.format(v="q.qv", m=maxabs.format(v="q.qv"))
+    e_quant = quant.format(v=f"e.{vec_col}", m=maxabs.format(v=f"e.{vec_col}"))
+    base = f"""
+WITH q AS (
+  SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id}
+), qq AS (
+  SELECT {q_quant} AS qv,
+         sqrt(list_sum(list_transform({q_quant}, x -> x * x))::DOUBLE) AS qn
+  FROM q
+), scored AS (
+  SELECT e.{id_col}, e.{vec_col},
+    CASE WHEN list_sum(list_transform({e_quant}, x -> x * x)) > 0 THEN
+      list_sum(list_transform(range(1, len(e.{vec_col}) + 1),
+               i -> ({e_quant})[i] * qq.qv[i]))::DOUBLE /
+      (sqrt(list_sum(list_transform({e_quant}, x -> x * x))::DOUBLE) * qq.qn)
+    ELSE -2.0 END AS qc
+  FROM {table} e, qq
+)"""
+    if rescore and int(rescore) > 0:
+        return f"""{base},
+cand AS (
+  SELECT {id_col}, {vec_col} FROM scored
+  ORDER BY qc DESC, {id_col} ASC LIMIT {int(rescore)}
+), exact AS (
+  SELECT c.{id_col},
+         list_sum(list_transform(range(1, len(c.{vec_col}) + 1),
+                  i -> c.{vec_col}[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         (sqrt(list_sum(list_transform(c.{vec_col}, x -> x::DOUBLE * x::DOUBLE))) *
+          sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM cand c, q
+)
+SELECT {id_col}, round(c, 3) AS cosine
+FROM exact ORDER BY c DESC, {id_col} ASC LIMIT {int(k)}
+"""
+    return f"""{base}
+SELECT {id_col}, round(qc, 3) AS cosine
+FROM scored ORDER BY qc DESC, {id_col} ASC LIMIT {int(k)}
+"""
+
+
 def rrf_fuse(
     inputs: list[tuple[DataFrame, str, str]], k: int = 10, k0: int = 60
 ) -> DataFrame:
