@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from fdblucene_spark.functions import bm25
 from fdblucene_spark.functions.analysis import ENGLISH_STOPWORDS
-from fdblucene_spark.operators import curation, dedup, multimodal, similarity, textstats
+from fdblucene_spark.operators import curation, dedup, geo, multimodal, similarity, textstats
 from fdblucene_spark.operators.build import build_index
 from fdblucene_spark.operators.query import Searcher
 from fdblucene_spark.sources.manifest import IndexCatalog
@@ -118,6 +118,9 @@ ANN_QUERY_ID = 0
 ANN_K = 25
 JACCARD_T = 0.1
 
+GEO_CENTER = (10.0, 20.0)        # geo_distance center (lat, lon)
+GEO_RADIUS = 3_000_000.0         # meters
+GEO_NEAREST_CENTER = (-35.0, 150.0)
 _GATE_ROOT = "/tmp/sparklucene_gate_v6"  # bump on index format change
 # v5 = doclen doc-roster rows (dl=0 sentinel -> true MatchAllDocs) +
 # offsets/stored-text in the payloads index for ft_highlight
@@ -2378,6 +2381,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score"), 3).alias("score"),
         )
 
+    # geo fixtures: deterministic lat/lon derived from doc_id by pure
+    # integer arithmetic (identical in Spark and the DuckDB twin; the
+    # corpus has no coordinate columns)
+    def _geo_docs(spark, sf):
+        return _table(spark, sf, "documents").select(
+            "doc_id",
+            (((F.col("doc_id") * 7919) % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+            (((F.col("doc_id") * 104729) % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+        )
+
+    def geo_distance(spark, sf):
+        # LatLonPoint.newDistanceQuery: docs within 3000 km of the
+        # center — conservative bounding-box prefilter (sargable,
+        # row-group prunable), exact haversine on survivors; the twin
+        # computes exact-over-all, so an over-aggressive box would
+        # hash-fail
+        d = geo.distance_query(_geo_docs(spark, sf), "lat", "lon",
+                               GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS)
+        return d.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_m"))
+
+    def geo_nearest(spark, sf):
+        # LatLonDocValuesField.newDistanceSort: 40 nearest docs
+        # (distance asc, doc asc) via TakeOrdered — no global sort
+        n = geo.nearest_k(_geo_docs(spark, sf), "doc_id", "lat", "lon",
+                          GEO_NEAREST_CENTER[0], GEO_NEAREST_CENTER[1], 40)
+        return n.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_m"))
+
     # ---- classic aggregation sanity (Catalyst partial+final agg) ----
     def agg_lineitem_pricing(spark, sf):
         li = _table(spark, sf, "lineitem")
@@ -2458,7 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
         samp_dsir, ft_intervals, ft_complete, ft_common_terms,
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
-        ann_sq_topk,
+        ann_sq_topk, geo_distance, geo_nearest,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3358,6 +3388,33 @@ WHERE (CAST(('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOU
             + textstats.pii_tags_sql("seeded", "doc_id", "text")
         ),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
+        "geo_distance": f"""
+WITH g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000)::DOUBLE / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000)::DOUBLE / 100.0 - 180.0 AS lon
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         {geo.haversine_sql('lat', 'lon', str(GEO_CENTER[0]), str(GEO_CENTER[1]))} AS dist_m
+  FROM g
+)
+SELECT doc_id, round(dist_m, 3) AS dist_m FROM d WHERE dist_m <= {GEO_RADIUS}
+""",
+        "geo_nearest": f"""
+WITH g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000)::DOUBLE / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000)::DOUBLE / 100.0 - 180.0 AS lon
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         {geo.haversine_sql('lat', 'lon', str(GEO_NEAREST_CENTER[0]), str(GEO_NEAREST_CENTER[1]))} AS dist_m
+  FROM g
+)
+SELECT doc_id, round(dist_m, 3) AS dist_m FROM d
+ORDER BY d.dist_m ASC, doc_id ASC LIMIT 40
+""",
         "ann_sq_topk": similarity.sq_cosine_topk_sql(
             "embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K, rescore=2 * ANN_K
         ),

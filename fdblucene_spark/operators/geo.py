@@ -1,0 +1,162 @@
+"""Geo-spatial predicates over stored lat/lon columns — the Lucene
+LatLonPoint / LatLonDocValuesField surface (core geo since Lucene 7:
+newDistanceQuery, newBoxQuery, newDistanceSort). The reference app
+would reach these through the same Lucene delegation as every query
+surface (/root/reference/README.md:53-57 "subset of Lucene's
+features"); here they are pure Catalyst column math, so Parquet
+row-group min/max stats on the lat/lon columns prune the scan the way
+LatLonPoint's BKD tree prunes leaves.
+
+Everything is double-precision haversine with a FIXED radians
+constant and a fixed operation order, reproduced verbatim in the
+DuckDB oracle twins — no Python in any plan.
+
+Scale shape: distance_query is a conservative bounding-box
+prefilter (sargable comparisons on plain columns -> min/max row-group
+skipping + partition pruning if the table is lat-bucketed) followed by
+the exact haversine on survivors; nearest_k is a TakeOrdered over the
+(optionally box-bounded) scan — no global sort, no shuffle beyond the
+top-k reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# degrees -> radians, bit-identical literal in engine and oracle
+_DEG = 0.017453292519943295
+# mean Earth radius (meters); Lucene's GeoUtils uses its own constant —
+# any fixed R gives the same ORDERING, which is what rank checks pin
+_R = 6371000.0
+# conservative meters-per-degree-latitude for the bounding box
+# (true value ~111194.9; smaller divisor -> wider, always-safe box)
+_M_PER_DEG = 111000.0
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (double). Fixed op order:
+    2R * asin(sqrt(sin^2(dlat/2) + cos(a)cos(b)sin^2(dlon/2)))."""
+    p1 = lat1 * F.lit(_DEG)
+    p2 = lat2 * F.lit(_DEG)
+    dp = (lat2 - lat1) * F.lit(_DEG)
+    dl = (lon2 - lon1) * F.lit(_DEG)
+    a = (
+        F.sin(dp / 2) * F.sin(dp / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
+    )
+    return F.lit(2.0 * _R) * F.asin(F.sqrt(a))
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The DuckDB twin of haversine_m — same constants, same order."""
+    p1 = f"({lat1}) * {_DEG}"
+    p2 = f"({lat2}) * {_DEG}"
+    dp = f"(({lat2}) - ({lat1})) * {_DEG}"
+    dl = f"(({lon2}) - ({lon1})) * {_DEG}"
+    a = (
+        f"sin(({dp}) / 2) * sin(({dp}) / 2) + "
+        f"cos({p1}) * cos({p2}) * sin(({dl}) / 2) * sin(({dl}) / 2)"
+    )
+    return f"{2.0 * _R} * asin(sqrt({a}))"
+
+
+def _bbox_filter(
+    lat_col: str, lon_col: str, center_lat: float, center_lon: float, radius_m: float
+) -> Column:
+    """Conservative bounding box containing the radius — a SUPERSET of
+    the true disk (correctness never depends on it; the exact
+    haversine filters after). Sargable comparisons only, so Parquet
+    min/max stats skip row groups. Near the poles or the antimeridian
+    the box widens to the full lon range rather than risk a miss."""
+    dlat = radius_m / _M_PER_DEG
+    lo_lat, hi_lat = center_lat - dlat, center_lat + dlat
+    cond = F.col(lat_col).between(lo_lat, hi_lat)
+    # min |cos| over the lat band bounds the lon shrink factor
+    import math
+
+    band_max = min(90.0, max(abs(lo_lat), abs(hi_lat)))
+    min_cos = math.cos(band_max * _DEG)
+    if hi_lat < 89.0 and lo_lat > -89.0 and min_cos > 1e-6:
+        dlon = radius_m / (_M_PER_DEG * min_cos)
+        if dlon < 180.0:
+            lo_lon, hi_lon = center_lon - dlon, center_lon + dlon
+            if lo_lon >= -180.0 and hi_lon <= 180.0:
+                cond = cond & F.col(lon_col).between(lo_lon, hi_lon)
+            # antimeridian wrap: skip the lon cut, keep the lat cut
+    return cond
+
+
+def distance_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    dist_name: str = "dist_m",
+) -> DataFrame:
+    """LatLonPoint.newDistanceQuery: rows within radius_m of the
+    center, with the exact distance attached. Bounding-box prefilter
+    (row-group-prunable) -> exact haversine."""
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+    d = haversine_m(
+        F.col(lat_col).cast("double"), F.col(lon_col).cast("double"),
+        F.lit(float(center_lat)), F.lit(float(center_lon)),
+    )
+    return (
+        df.filter(_bbox_filter(lat_col, lon_col, center_lat, center_lon, radius_m))
+        .withColumn(dist_name, d)
+        .filter(F.col(dist_name) <= float(radius_m))
+    )
+
+
+def box_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> DataFrame:
+    """LatLonPoint.newBoxQuery: pure sargable range predicate."""
+    return df.filter(
+        F.col(lat_col).between(float(min_lat), float(max_lat))
+        & F.col(lon_col).between(float(min_lon), float(max_lon))
+    )
+
+
+def nearest_k(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    k: int,
+    radius_m: float | None = None,
+) -> DataFrame:
+    """LatLonDocValuesField.newDistanceSort / nearest-neighbor search:
+    the k closest rows to the center (distance asc, id asc ties).
+    Optional radius_m bounds the scan with the same prunable box.
+    Plan: scan -> per-partition TakeOrdered partials -> single bounded
+    reduction; no global sort."""
+    d = haversine_m(
+        F.col(lat_col).cast("double"), F.col(lon_col).cast("double"),
+        F.lit(float(center_lat)), F.lit(float(center_lon)),
+    )
+    out = df
+    if radius_m is not None:
+        out = distance_query(df, lat_col, lon_col, center_lat, center_lon, radius_m)
+        return (
+            out.select(F.col(id_col), F.col("dist_m"))
+            .orderBy(F.asc("dist_m"), F.asc(id_col))
+            .limit(int(k))
+        )
+    return (
+        out.select(F.col(id_col), d.alias("dist_m"))
+        .orderBy(F.asc("dist_m"), F.asc(id_col))
+        .limit(int(k))
+    )

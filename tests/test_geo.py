@@ -1,0 +1,113 @@
+"""Geo predicates (LatLonPoint / LatLonDocValuesField analogue).
+
+Oracle: an independent pure-Python haversine over the raw rows; the
+bounding-box prefilter is additionally pinned as a strict superset of
+the disk (the gate's exact-over-all twin would hash-fail an
+over-aggressive box, this test fails an under-aggressive one).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fdblucene_spark.operators import geo
+
+_DEG = 0.017453292519943295
+_R = 6371000.0
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    p1, p2 = lat1 * _DEG, lat2 * _DEG
+    dp, dl = (lat2 - lat1) * _DEG, (lon2 - lon1) * _DEG
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * _R * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    rng = np.random.default_rng(17)
+    rows = [
+        {
+            "pid": i,
+            "lat": float(rng.uniform(-89.9, 89.9)),
+            "lon": float(rng.uniform(-180.0, 180.0)),
+        }
+        for i in range(600)
+    ]
+    return rows, spark.createDataFrame(rows)
+
+
+@pytest.mark.parametrize(
+    "center,radius",
+    [((10.0, 20.0), 2_500_000.0), ((-60.0, 170.0), 4_000_000.0), ((88.0, 0.0), 1_000_000.0)],
+)
+def test_distance_query_matches_brute(geo_df, center, radius):
+    rows, df = geo_df
+    got = {
+        int(r["pid"]): float(r["dist_m"])
+        for r in geo.distance_query(df, "lat", "lon", center[0], center[1], radius).collect()
+    }
+    want = {
+        r["pid"]: _hav(r["lat"], r["lon"], center[0], center[1])
+        for r in rows
+        if _hav(r["lat"], r["lon"], center[0], center[1]) <= radius
+    }
+    assert set(got) == set(want)
+    for pid, d in got.items():
+        assert abs(d - want[pid]) < 1e-6
+    assert len(want) > 0  # the parameters actually select something
+
+
+def test_bbox_is_superset_of_disk(geo_df):
+    rows, df = geo_df
+    center, radius = (45.0, -120.0), 3_000_000.0
+    boxed = {
+        int(r["pid"])
+        for r in df.filter(
+            geo._bbox_filter("lat", "lon", center[0], center[1], radius)
+        ).collect()
+    }
+    disk = {
+        r["pid"] for r in rows if _hav(r["lat"], r["lon"], *center) <= radius
+    }
+    assert disk <= boxed
+
+
+def test_nearest_k_ordering(geo_df):
+    rows, df = geo_df
+    center = (0.0, 0.0)
+    got = [
+        (int(r["pid"]), float(r["dist_m"]))
+        for r in geo.nearest_k(df, "pid", "lat", "lon", center[0], center[1], 15).collect()
+    ]
+    want = sorted(
+        ((r["pid"], _hav(r["lat"], r["lon"], *center)) for r in rows),
+        key=lambda t: (t[1], t[0]),
+    )[:15]
+    assert [p for p, _ in got] == [p for p, _ in want]
+    # radius-bounded variant agrees with the unbounded one
+    got_r = [
+        int(r["pid"])
+        for r in geo.nearest_k(
+            df, "pid", "lat", "lon", center[0], center[1], 15,
+            radius_m=max(d for _, d in want) + 1.0,
+        ).collect()
+    ]
+    assert got_r == [p for p, _ in got]
+
+
+def test_box_query_and_guards(geo_df):
+    rows, df = geo_df
+    got = {
+        int(r["pid"])
+        for r in geo.box_query(df, "lat", "lon", -10.0, 10.0, 100.0, 140.0).collect()
+    }
+    want = {
+        r["pid"] for r in rows
+        if -10.0 <= r["lat"] <= 10.0 and 100.0 <= r["lon"] <= 140.0
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        geo.distance_query(df, "lat", "lon", 0.0, 0.0, -5.0)
