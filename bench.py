@@ -325,6 +325,14 @@ def main() -> None:
             ["dup"], 10, [("n_chars", False), ("source", True)]
         ).collect()
 
+    with timed("collapse"):
+        # field collapsing: best doc per source, one partial+final
+        # max_by agg (no match-set window)
+        sd.search_collapse(["dup", "hash", "vector"], "source", k=10).collect()
+    with timed("to_child_join"):
+        # ToChildBlockJoin: parent fold + fan-down join
+        sd.search_to_child(["dup", "hash"], "source", k=100, score_mode="total").collect()
+
     with timed("multi_phrase"):
         # Lucene phrase-frequency scoring (tf = phrase occurrence
         # count, MultiPhrase alternatives at slot 2)
@@ -393,6 +401,21 @@ def main() -> None:
         similarity.build_ann_index(spark, emb, "vec_id", "embedding", ann_root, kind="ivf")
     with timed("ann_ivf_probe"):
         similarity.AnnIndex(spark, ann_root).topk(list(qv), 25, nprobe=4).collect()
+
+    with timed("ann_sq_rescored"):
+        # int8 scalar-quantized scan (integer dot, no dequantize) +
+        # exact-cosine re-rank of the top-50 candidates
+        similarity.sq_cosine_topk(emb, "vec_id", "embedding", list(qv), 25, rescore=50).collect()
+    with timed("geo_nearest"):
+        # haversine nearest-k over doc-derived coords, TakeOrdered
+        from fdblucene_spark.operators import geo as _geo
+
+        gdf = docs.select(
+            "doc_id",
+            (((F.col("doc_id") * 7919) % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+            (((F.col("doc_id") * 104729) % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+        )
+        _geo.nearest_k(gdf, "doc_id", "lat", "lon", -35.0, 150.0, 40).collect()
 
     cal_post = _calibrate()
     extra["cal_pre"] = cal_pre
