@@ -154,6 +154,22 @@ def main() -> int:
     surfaces["search_collapse"] = s.search_collapse(["alpha", "beta"], "role", 5)
     surfaces["search_to_child"] = s.search_to_child(["alpha"], "role", 10, "total")
     surfaces["complete_fuzzy"] = s.complete_fuzzy("alh", 5, max_edits=1)
+    from fdblucene_spark.operators import geo, similarity  # noqa: E402
+    emb_df = spark.createDataFrame(
+        [{"vec_id": i, "embedding": [float((i * 7 + j) % 13) - 6.0 for j in range(8)]}
+         for i in range(200)]
+    )
+    surfaces["sq_cosine_topk"] = similarity.sq_cosine_topk(
+        emb_df, "vec_id", "embedding", [1.0] * 8, 5, rescore=20
+    )
+    geo_df = spark.createDataFrame(
+        [{"pid": i, "lat": float(i % 180 - 90), "lon": float(i % 360 - 180)}
+         for i in range(400)]
+    )
+    surfaces["geo_distance"] = geo.distance_query(
+        geo_df, "lat", "lon", 10.0, 20.0, 500_000.0
+    )
+    surfaces["geo_nearest"] = geo.nearest_k(geo_df, "pid", "lat", "lon", 0.0, 0.0, 10)
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -253,6 +269,24 @@ def main() -> int:
                 "complete_fuzzy must read only the termdict"
             assert any("PushedFilters" in ln and "StartsWith" in ln
                        for ln in keep), "complete_fuzzy first-char not pushed"
+        if name == "sq_cosine_topk":
+            # quantized candidate cut and exact re-rank are both
+            # TakeOrdered (no global sort); all math is Catalyst
+            # higher-order functions — no Python eval nodes at all
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "sq topk missing TakeOrdered cut"
+            assert "EvalPython" not in plan and "MapInPandas" not in plan, \
+                "sq scoring left Catalyst"
+        if name == "geo_distance":
+            # the bounding box must reach the scan as data filters
+            # (sargable comparisons -> row-group min/max skipping)
+            assert any(("PushedFilters" in ln or "Filter" in ln) and "lat" in ln
+                       for ln in plan.splitlines()), "geo box not a data filter"
+            assert "EvalPython" not in plan and "MapInPandas" not in plan, \
+                "geo math left Catalyst"
+        if name == "geo_nearest":
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "geo nearest missing TakeOrdered cut"
         if name in ("pack_sequences", "global_shuffle"):
             # the scan pattern's whole point: the prefix sum must never
             # collapse to one partition
