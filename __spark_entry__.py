@@ -204,6 +204,22 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _chain_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Multi-field setIndexSort variant: docIDs assigned in
+    (lang asc, n_chars desc, doc_id) order, so search_sorted_multi
+    with that exact chain takes the EARLY-TERMINATION path."""
+    root = os.path.join(_index_root(sf_dir), "ichain")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(
+            spark, docs, root, key_cols=["doc_id"], n_shards=8,
+            fingerprint=sf_dir + "-ichain",
+            stored_fields={"lang": "lang", "n_chars": "n_chars", "orig_id": "doc_id"},
+            index_sort=[("lang", True), ("n_chars", False)],
+        )
+    return Searcher(spark, root)
+
+
 def _v2_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built with the standard_v2 analyzer (v1 + English
     stopword removal): exercises the manifest analyzer pin with a
@@ -2381,6 +2397,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score"), 3).alias("score"),
         )
 
+    def ft_sorted_chain(spark, sf):
+        # multi-field setIndexSort (SortField chain): the query's
+        # chain equals the pin, so the kernel early-terminates; the
+        # result must equal the layout-agnostic ordering (lang asc,
+        # n_chars desc, original doc_id for full-chain ties — docIDs
+        # were assigned in exactly that order)
+        s = _chain_searcher(spark, sf)
+        hits = s.search_sorted_multi(
+            [LOOKUP_TERM], 30, [("lang", True), ("n_chars", False)]
+        )
+        return s.fetch_stored(hits.select("doc"), ["orig_id", "lang", "n_chars"]).select(
+            F.col("orig_id").alias("doc_id"), "lang", "n_chars"
+        )
+
     # geo fixtures: deterministic lat/lon derived from doc_id by pure
     # integer arithmetic (identical in Spark and the DuckDB twin; the
     # corpus has no coordinate columns)
@@ -2488,7 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
         samp_dsir, ft_intervals, ft_complete, ft_common_terms,
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
-        ann_sq_topk, geo_distance, geo_nearest,
+        ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2992,6 +3022,12 @@ WITH {_TOK_CTE}
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 100
+""",
+        "ft_sorted_chain": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
+ORDER BY d.lang ASC, d.n_chars DESC, d.doc_id ASC LIMIT 30
 """,
         "ft_payloads": f"""
 WITH {_TOK_CTE}, tokpos AS (

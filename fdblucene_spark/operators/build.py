@@ -652,6 +652,23 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def normalize_index_sort(index_sort) -> list[list] | None:
+    """Canonical SortField chain: accepts None, (field, asc), a legacy
+    flat manifest pin [field, asc], or a chain [(f1, a1), (f2, a2),
+    ...]; returns [[field, asc], ...] (JSON-stable — the manifest pin,
+    its append comparison, and the query-side early-termination check
+    all compare this form)."""
+    if index_sort is None:
+        return None
+    if (
+        isinstance(index_sort, (tuple, list))
+        and len(index_sort) == 2
+        and isinstance(index_sort[0], str)
+    ):
+        return [[str(index_sort[0]), bool(index_sort[1])]]
+    return [[str(f), bool(a)] for f, a in index_sort]
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -671,7 +688,7 @@ def build_index(
     store_offsets: bool = False,
     store_payloads: bool = False,
     analyzer: str | dict[str, str] = ANALYZER_VERSION,
-    index_sort: tuple[str, bool] | None = None,
+    index_sort: tuple[str, bool] | list[tuple[str, bool]] | None = None,
     commit_user_data: dict[str, str] | None = None,
 ) -> Manifest:
     """Build (or append) one segment and commit a new snapshot.
@@ -685,10 +702,11 @@ def build_index(
     replaced); a dict REPLACES it wholesale, like Lucene. For a
     data-free checkpoint commit use IndexCatalog.commit_user_data.
 
-    index_sort: (stored_field, ascending) — Lucene
+    index_sort: (stored_field, ascending) or a SortField CHAIN
+    [(f1, asc1), (f2, asc2), ...] — Lucene
     IndexWriterConfig.setIndexSort: docIDs within each segment are
-    assigned in the order of that stored field's values (then
-    key_cols for ties), so a search sorted by the same field can
+    assigned in the lexicographic order of those stored fields (then
+    key_cols for ties), so a search sorted by the same field/chain can
     EARLY-TERMINATE per segment (Searcher.search_sorted stops
     decoding posting blocks once k matches per shard are decided —
     the layout optimization that makes "latest k by ts" cheap on a
@@ -759,9 +777,7 @@ def build_index(
                 "store the same fields or fetch/doc-values queries would miss docs"
             )
         parent_sort = parent.properties.get("index_sort")
-        if (list(index_sort) if index_sort else None) != (
-            list(parent_sort) if parent_sort else None
-        ):
+        if normalize_index_sort(index_sort) != normalize_index_sort(parent_sort):
             raise ValueError(
                 "index config mismatch: index_sort pinned at creation "
                 f"({parent_sort}); every appended segment must be sorted the "
@@ -808,21 +824,22 @@ def build_index(
         _t0 = time.time()
 
     sort_exprs = None
-    if index_sort is not None:
-        sort_field, sort_asc = index_sort
+    sort_chain = normalize_index_sort(index_sort)
+    if sort_chain is not None:
         if doc_col is not None:
             raise ValueError(
                 "index_sort requires key_cols mode (doc_col hands the caller "
                 "control of the docID rank, which IS the sort)"
             )
-        if sort_field not in stored_fields:
-            raise ValueError(
-                f"index_sort field {sort_field!r} must be in stored_fields "
-                "(sorted queries read its values from the stored table)"
-            )
-        sort_src = stored_fields[sort_field]
+        for sort_field, _ in sort_chain:
+            if sort_field not in stored_fields:
+                raise ValueError(
+                    f"index_sort field {sort_field!r} must be in stored_fields "
+                    "(sorted queries read its values from the stored table)"
+                )
         sort_exprs = [
-            F.col(sort_src).asc() if sort_asc else F.col(sort_src).desc()
+            (F.col(stored_fields[f]).asc() if asc else F.col(stored_fields[f]).desc())
+            for f, asc in sort_chain
         ] + [F.col(c) for c in (key_cols or [])]
     if doc_col is not None:
         docs_df = corpus.select(F.col(doc_col).cast("long").alias("doc"), *src_cols)
@@ -1030,11 +1047,7 @@ def build_index(
                 "field_analyzers": dict(field_analyzers),
                 "stored_fields": sorted(stored_fields),
                 "keyword_fields": sorted(keyword_fields),
-                **(
-                    {"index_sort": [index_sort[0], bool(index_sort[1])]}
-                    if index_sort
-                    else {}
-                ),
+                **({"index_sort": sort_chain} if sort_chain else {}),
                 **(
                     {"user_data": {str(k): str(v) for k, v in commit_user_data.items()}}
                     if commit_user_data is not None

@@ -76,6 +76,7 @@ from pyspark.sql import types as T
 from ..functions import bm25, codec
 from ..sources.manifest import IndexCatalog, Manifest
 from . import intervals as _intervals
+from .build import normalize_index_sort
 
 HIT_SCHEMA = T.StructType(
     [
@@ -4346,20 +4347,67 @@ class Searcher:
         Plan: matched-doc kernel (constant-score, postings-pruned) ->
         stored join column-pruned to the chain's fields -> one
         TakeOrdered(k); the after cut is a lexicographic predicate
-        pushed below the sort. Single-field indexes with a matching
-        index_sort should prefer search_sorted's early-terminating
-        kernel; the chain path is layout-agnostic."""
+        pushed below the sort.
+
+        When the index was built with index_sort equal to this exact
+        chain (the multi-field setIndexSort pin), the kernel
+        EARLY-TERMINATES like search_sorted: docID order within each
+        segment IS the chain order (build appends key_cols after the
+        chain, so within full-chain ties docID asc == assignment
+        order), so blocks decode in min_doc order and stop at k
+        matches per (shard, segment run) — results identical, decode
+        cost proportional to k. A PREFIX of the pin does not qualify:
+        within prefix ties docIDs order by the rest of the chain, not
+        docID asc, so first-k-by-docID could drop a lower-docID tie
+        the query's ordering demands (Lucene's prefix early
+        termination returns index-order ties; ours pins doc-asc ties
+        and refuses instead). Cursor (after=) queries always take the
+        generic path."""
         if not sort_fields:
             raise ValueError("sort_fields must name at least one field")
-        clauses = (
-            [{"phrase": list(terms), "occur": "must", "field": field}]
-            if mode == "phrase"
-            else [
-                {"field": field, "term": t, "occur": "must" if mode == "and" else "should"}
-                for t in terms
-            ]
+        isort = normalize_index_sort(self.manifest.properties.get("index_sort"))
+        early = (
+            after is None
+            and mode in ("or", "and")
+            and isort == [[f, bool(a)] for f, a in sort_fields]
         )
-        matched = self.matching_docs(clauses)
+        if early:
+            prep = self._prep(terms, mode, field)
+            if prep is None:
+                matched = self.spark.createDataFrame(
+                    [], T.StructType([T.StructField("doc", T.LongType(), False)])
+                )
+            else:
+                _, term_df = prep
+                kt = list(term_df)
+                aux, _ = self._aux_frames()
+                seg_ranges = sorted(
+                    (s.doc_min, s.doc_max) for s in self.manifest.segments
+                )
+
+                def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+                    groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+                    dels, _ = _split_aux(aux_pdf, [])
+                    docs = _sorted_match_early(groups, mode, kt, dels, k, seg_ranges)
+                    return pd.DataFrame({"doc": docs})
+
+                scan = self._postings.filter(
+                    (F.col("field") == field) & F.col("term").isin(list(term_df))
+                )
+                matched = self._apply_kernel(
+                    scan, kernel,
+                    T.StructType([T.StructField("doc", T.LongType(), False)]), aux,
+                )
+        else:
+            clauses = (
+                [{"phrase": list(terms), "occur": "must", "field": field}]
+                if mode == "phrase"
+                else [
+                    {"field": field, "term": t, "occur": "must" if mode == "and" else "should"}
+                    for t in terms
+                ]
+            )
+            matched = self.matching_docs(clauses)
         cols = [f for f, _ in sort_fields]
         stored = self._stored_df().select("doc", *cols)
         joined = matched.join(stored, "doc")
@@ -5450,11 +5498,12 @@ class Searcher:
         _, term_df = prep
         kt = list(terms) if mode == "phrase" else list(term_df)
         aux, _ = self._aux_frames()
-        isort = self.manifest.properties.get("index_sort")
+        isort = normalize_index_sort(self.manifest.properties.get("index_sort"))
         early = (
             isort is not None
-            and isort[0] == sort_field
-            and bool(isort[1]) == bool(ascending)
+            and len(isort) == 1
+            and isort[0][0] == sort_field
+            and bool(isort[0][1]) == bool(ascending)
             and mode in ("or", "and")
         )
         seg_ranges = sorted((s.doc_min, s.doc_max) for s in self.manifest.segments)

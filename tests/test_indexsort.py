@@ -66,7 +66,7 @@ def test_docid_rank_follows_sort_values(spark, sorted_pair):
     s = Searcher(spark, r_sorted)
     stored = s._stored_df().select("doc", "w").toPandas().sort_values("doc")
     assert (np.diff(stored["w"].to_numpy()) >= 0).all()
-    assert s.manifest.properties["index_sort"] == ["w", True]
+    assert s.manifest.properties["index_sort"] == [["w", True]]
 
 
 @pytest.mark.parametrize("mode,terms", [("or", ["ion", "flux"]), ("and", ["core", "node"])])
@@ -186,3 +186,128 @@ def test_descending_index_sort(spark, tmp_path_factory):
     want = sorted((wmap[d] for d in toks if "path" in toks[d]), reverse=True)[:7]
     got = s.search_sorted(["path"], k=7, sort_field="w", ascending=False)
     assert [r["w"] for r in got.collect()] == want
+
+
+@pytest.fixture(scope="module")
+def chain_pair(spark, tmp_path_factory):
+    """Multi-field setIndexSort: chain (bucket asc, w desc) vs the
+    unsorted twin. bucket has only 4 values, so the secondary field
+    does real tie-breaking work inside every bucket."""
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(400):
+        ln = int(rng.integers(3, 20))
+        rows.append(
+            {
+                "k": i,
+                "text": " ".join(rng.choice(WORDS, size=ln)),
+                "bucket": int(rng.integers(0, 4)),
+                "w": int(rng.integers(0, 10_000)),
+            }
+        )
+    df = spark.createDataFrame(rows)
+    base = tmp_path_factory.mktemp("isortm")
+    r_sorted, r_plain = str(base / "sorted"), str(base / "plain")
+    build_index(
+        spark, df, r_sorted, key_cols=["k"], n_shards=4, block_size=8,
+        stored_fields={"bucket": "bucket", "w": "w"},
+        index_sort=[("bucket", True), ("w", False)],
+    )
+    build_index(
+        spark, df, r_plain, key_cols=["k"], n_shards=4, block_size=8,
+        stored_fields={"bucket": "bucket", "w": "w"},
+    )
+    return rows, r_sorted, r_plain
+
+
+def test_chain_docid_rank_follows_chain(spark, chain_pair):
+    _, r_sorted, _ = chain_pair
+    s = Searcher(spark, r_sorted)
+    assert s.manifest.properties["index_sort"] == [["bucket", True], ["w", False]]
+    stored = s._stored_df().select("doc", "bucket", "w").toPandas().sort_values("doc")
+    keys = list(zip(stored["bucket"], -stored["w"]))
+    assert keys == sorted(keys)
+
+
+@pytest.mark.parametrize("mode,terms", [("or", ["ion", "flux"]), ("and", ["core", "node"])])
+def test_chain_sorted_multi_identical_to_generic(spark, chain_pair, mode, terms):
+    """search_sorted_multi with the exact pinned chain (early path) ==
+    the layout-agnostic path on the unsorted twin == brute force."""
+    rows, r_sorted, r_plain = chain_pair
+    k = 13
+    chain = [("bucket", True), ("w", False)]
+    a = Searcher(spark, r_sorted).search_sorted_multi(terms, k, chain, mode=mode).toPandas()
+    b = Searcher(spark, r_plain).search_sorted_multi(terms, k, chain, mode=mode).toPandas()
+    assert list(zip(a["bucket"], a["w"])) == list(zip(b["bucket"], b["w"]))
+    toks = {r["k"]: r["text"].split() for r in rows}
+    match = [
+        (r["bucket"], -r["w"]) for r in rows
+        if (any(t in toks[r["k"]] for t in terms) if mode == "or"
+            else all(t in toks[r["k"]] for t in terms))
+    ]
+    want = [(bkt, -nw) for bkt, nw in sorted(match)[:k]]
+    assert list(zip(a["bucket"], a["w"])) == want
+
+
+def test_chain_prefix_sort_takes_generic_path(spark, chain_pair):
+    """A PREFIX of the pinned chain must NOT early-terminate (within
+    prefix ties docIDs order by the rest of the chain, not doc asc) —
+    results must still equal the unsorted twin's doc-asc-tie ordering."""
+    rows, r_sorted, r_plain = chain_pair
+    a = (
+        Searcher(spark, r_sorted)
+        .search_sorted_multi(["ion"], 15, [("bucket", True)])
+        .toPandas()
+    )
+    b = (
+        Searcher(spark, r_plain)
+        .search_sorted_multi(["ion"], 15, [("bucket", True)])
+        .toPandas()
+    )
+    assert a["bucket"].tolist() == b["bucket"].tolist()
+    # single-field search_sorted on the chain-pinned index likewise
+    # refuses the early path yet stays correct
+    c = Searcher(spark, r_sorted).search_sorted(["ion"], 15, "bucket", ascending=True).toPandas()
+    assert c["bucket"].tolist() == a["bucket"].tolist()
+
+
+def test_chain_early_decodes_fewer_blocks(spark, chain_pair):
+    """The early kernel engages for the full chain: counter proof via
+    the same per-shard harness as the single-field test."""
+    _, r_sorted, _ = chain_pair
+    s = Searcher(spark, r_sorted)
+    seg_ranges = sorted((m.doc_min, m.doc_max) for m in s.manifest.segments)
+    post = pd.read_parquet(s.manifest.segment_paths(r_sorted, "postings")[0])
+    post = post[post["field"] == "text"]
+    k = 5
+    dec_total, blk_total = 0, 0
+    for _, shard_pdf in post[post["term"].isin(["ion", "flux"])].groupby("shard"):
+        groups = {t: g for t, g in shard_pdf.groupby("term", sort=False)}
+        stats: dict = {}
+        got = _sorted_match_early(groups, "or", ["ion", "flux"], None, k, seg_ranges, stats)
+        want = np.sort(_match_shard(groups, "or", ["ion", "flux"], None))[:k]
+        assert got.tolist() == want.tolist()
+        dec_total += stats.get("blocks_decoded", 0)
+        blk_total += stats.get("blocks_total", 0)
+    assert dec_total < blk_total / 2, (dec_total, blk_total)
+
+
+def test_chain_append_pin_and_legacy_flat_pin(spark, chain_pair, tmp_path):
+    """Append must redeclare the exact chain; a legacy flat manifest
+    pin ([field, asc]) still round-trips through the normalizer."""
+    from fdblucene_spark.operators.build import normalize_index_sort
+
+    rows, r_sorted, _ = chain_pair
+    df2 = spark.createDataFrame(
+        [{"k": 10_000, "text": "ion flux", "bucket": 1, "w": 3}]
+    )
+    with pytest.raises(ValueError, match="index_sort pinned"):
+        build_index(
+            spark, df2, r_sorted, key_cols=["k"], n_shards=4, block_size=8,
+            stored_fields={"bucket": "bucket", "w": "w"}, append=True,
+            index_sort=[("bucket", True)],
+        )
+    assert normalize_index_sort(["w", True]) == [["w", True]]
+    assert normalize_index_sort(("w", False)) == [["w", False]]
+    assert normalize_index_sort([("a", True), ("b", False)]) == [["a", True], ["b", False]]
+    assert normalize_index_sort(None) is None
