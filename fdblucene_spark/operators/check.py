@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import codec
+from .build import normalize_index_sort
 from .query import Searcher
 
 VIOLATION_SCHEMA = T.StructType(
@@ -164,4 +165,48 @@ def check_index(spark: SparkSession, root: str, version: int | None = None) -> D
             ).alias("problem"),
         )
     )
-    return block_viol.unionByName(td_viol)
+    out = block_viol.unionByName(td_viol)
+
+    # index-sort pass: when the manifest pins setIndexSort, verify the
+    # docID order actually follows the chain. Scalable shape: check
+    # every ADJACENT pair (doc, doc+1) inside a segment — docIDs are
+    # dense per segment, and pairwise order implies total order by
+    # transitivity — via ONE equi-join of the stored table against
+    # itself shifted by one (no window, no global sort). Pairs crossing
+    # a segment boundary are excluded (Lucene sorts per segment); pairs
+    # where any chain field is NULL are skipped (null placement is a
+    # sort-planner detail, not a data invariant).
+    chain = normalize_index_sort(s.manifest.properties.get("index_sort"))
+    if chain:
+        cols = [f for f, _ in chain]
+        cur = s._stored_df().select(F.col("doc").cast("long").alias("doc"), *cols)
+        nxt = s._stored_df().select(
+            (F.col("doc").cast("long") - 1).alias("doc"),
+            *[F.col(f).alias(f"_n_{f}") for f in cols],
+        )
+        seg_starts = sorted(int(m.doc_min) for m in s.manifest.segments)
+        pairs = cur.join(nxt, "doc").filter(
+            ~(F.col("doc") + 1).isin([d for d in seg_starts])
+        )
+        nn = F.lit(True)
+        for f in cols:
+            nn = nn & F.col(f).isNotNull() & F.col(f"_n_{f}").isNotNull()
+        # lexicographic "cur > next" under the chain's asc/desc mix
+        bad = F.lit(False)
+        eq = F.lit(True)
+        for f, asc in chain:
+            step = F.col(f) > F.col(f"_n_{f}") if asc else F.col(f) < F.col(f"_n_{f}")
+            bad = bad | (eq & step)
+            eq = eq & (F.col(f) == F.col(f"_n_{f}"))
+        sort_viol = pairs.filter(nn & bad).select(
+            F.lit("_index_sort").alias("field"),
+            F.col("doc").cast("string").alias("term"),
+            F.lit(-1).cast("int").alias("shard"),
+            F.lit(-1).cast("int").alias("block_id"),
+            F.lit(
+                "index_sort violation: stored chain key decreases from doc to doc+1 "
+                f"(pin: {chain})"
+            ).alias("problem"),
+        )
+        out = out.unionByName(sort_viol)
+    return out

@@ -80,3 +80,44 @@ def test_check_index_detects_termdict_mismatch(spark, tmp_path_factory):
     _rewrite(f, mutate)
     probs = check_index(spark, root).toPandas()
     assert any("termdict mismatch" in p for p in probs["problem"])
+
+
+def test_check_index_verifies_index_sort_pin(spark, tmp_path_factory):
+    """A sorted index verifies clean; a FORGED sort pin on an unsorted
+    index (manifest edited behind the builder's back) is detected by
+    the adjacent-pair pass."""
+    import json
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {
+            "k": i,
+            "text": " ".join(rng.choice(WORDS, size=int(rng.integers(2, 15)))),
+            "w": int(rng.integers(0, 1000)),
+        }
+        for i in range(300)
+    ]
+    base = tmp_path_factory.mktemp("chk4")
+    good = str(base / "good")
+    build_index(
+        spark, spark.createDataFrame(rows), good, key_cols=["k"], n_shards=4,
+        stored_fields={"w": "w"}, index_sort=[("w", True)],
+    )
+    assert check_index(spark, good).count() == 0
+
+    forged = str(base / "forged")
+    build_index(
+        spark, spark.createDataFrame(rows), forged, key_cols=["k"], n_shards=4,
+        stored_fields={"w": "w"},
+    )
+    cur = os.path.join(forged, "manifest", "CURRENT")
+    with open(os.path.join(forged, "manifest", open(cur).read().strip())) as fh:
+        man = json.load(fh)
+    man["properties"]["index_sort"] = [["w", True]]
+    forged_v = os.path.join(forged, "manifest", "manifest.v000999.json")
+    with open(forged_v, "w") as fh:
+        json.dump(man, fh)
+    with open(cur, "w") as fh:
+        fh.write("manifest.v000999.json")
+    probs = check_index(spark, forged).toPandas()
+    assert any("index_sort violation" in p for p in probs["problem"])
