@@ -3856,6 +3856,14 @@ class Searcher:
             F.col("doc").cast("long").alias("doc"),
             F.col(parent_field).alias("parent"),
         )
+        # tombstoned children stay in the stored table until repack;
+        # Lucene's child iterator honors liveDocs, so anti-join them
+        rel = self.manifest.properties.get("deletes_path")
+        if rel:
+            dels = self.spark.read.parquet(os.path.join(self.root, rel)).select(
+                F.col("doc").cast("long").alias("doc")
+            )
+            children = children.join(dels, "doc", "left_anti")
         return (
             children.join(parents, "parent", "inner")
             .select("doc", "parent", "score")

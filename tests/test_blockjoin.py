@@ -221,3 +221,33 @@ def test_search_collapse_guards(spark, bj_index):
     with pytest.raises(ValueError):
         s.search_collapse(["alpha"], "nope", k=5)
     assert s.search_collapse(["zzznope"], "grp", k=5).count() == 0
+
+
+def test_to_child_excludes_tombstoned_children(spark, tmp_path_factory):
+    """Deleted children must not come back through the fan-down
+    (liveDocs semantics) even though the stored table still holds
+    their rows until repack."""
+    from fdblucene_spark.operators.build import build_index
+    from fdblucene_spark.operators.deletes import delete_docs
+
+    rows = [
+        {"doc_id": i, "conv_id": i // 4, "text": "alpha beta" if i % 4 == 0 else "beta"}
+        for i in range(40)
+    ]
+    root = str(tmp_path_factory.mktemp("tc-del") / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=2,
+        stored_fields={"conv_id": "conv_id"},
+    )
+    delete_docs(spark, root, [1, 5, 9])
+    s = Searcher(spark, root)
+    got = {int(r["doc"]) for r in s.search_to_child(["alpha"], "conv_id", k=100).collect()}
+    assert got, "parents should match"
+    assert not got & {1, 5, 9}, "tombstoned children leaked through fan-down"
+    # all surviving children of matching parents present
+    matched_parents = {r["conv_id"] for r in rows if "alpha" in r["text"]}
+    want = {
+        r["doc_id"] for r in rows
+        if r["conv_id"] in matched_parents and r["doc_id"] not in (1, 5, 9)
+    }
+    assert got == want
