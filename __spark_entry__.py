@@ -1254,6 +1254,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan with startsWith pushdown — postings untouched
         return _searcher(spark, sf).complete("co", n=10)
 
+    def ft_complete_infix(spark, sf):
+        # AnalyzingInfixSuggester: dictionary terms containing the
+        # typed fragment ANYWHERE (not just as a prefix), weight
+        # desc / term asc — one dictionary-sized termdict scan
+        return _searcher(spark, sf).complete_infix("er", n=10)
+
+    def ft_significant_terms(spark, sf):
+        # ES significant_terms (JLH heuristic): terms over-represented
+        # in the docs matching MUST(key) vs their corpus background —
+        # fg counts from a shard-cogrouped postings walk (foreground
+        # set shuffled to its shards, never collected), bg from the
+        # termdict; score rounded to 6dp for the float gate
+        st = _searcher(spark, sf).significant_terms(
+            [{"term": MIXED_MUST, "occur": "must"}], k=10, min_doc_freq=3
+        )
+        return st.select(
+            "term", "fg_df", "bg_df", F.round(F.col("score"), 6).alias("score")
+        )
+
+    def samp_length_buckets(spark, sf):
+        # length-bucketed batching for training: deterministic
+        # (bucket, batch_idx, pos_in_batch) under a seeded md5 order —
+        # ONE windowless dense rank over (bucket, md5), per-bucket
+        # offsets recovered from an n_buckets-row broadcast agg
+        return curation.length_buckets(
+            _table(spark, sf, "documents"), "doc_id", "text",
+            batch_size=32, edges=(32, 64, 128, 256), salt="epoch0",
+        )
+
     def ft_multi_phrase(spark, sf):
         # MultiPhraseQuery with Lucene's actual phrase-frequency BM25
         # scoring: tf = exact phrase occurrence count, weight =
@@ -2519,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         samp_dsir, ft_intervals, ft_complete, ft_common_terms,
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
+        ft_significant_terms, ft_complete_infix, samp_length_buckets,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2583,6 +2613,43 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
 FROM tok WHERE term LIKE 'co%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
+        "ft_complete_infix": f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM tok WHERE term LIKE '%er%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        # significant_terms twin: fg df = distinct matching docs per
+        # term, bg df = distinct docs per term, JLH in the same
+        # double-precision op order as the plan; bg N = docs with >= 1
+        # token (the field-stats doc count the engine uses)
+        "ft_significant_terms": f"""
+WITH {_TOK_CTE},
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+fgdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_MUST}'),
+fgn AS (SELECT count(*)::BIGINT AS n FROM fgdocs),
+bgn AS (SELECT count(*)::BIGINT AS n FROM doclen),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_df
+  FROM dterm JOIN fgdocs USING (doc_id)
+  GROUP BY term HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM dterm GROUP BY term),
+scored AS (
+  SELECT term, fg_df, bg_df,
+         (fg_df::DOUBLE / fgn.n::DOUBLE - bg_df::DOUBLE / bgn.n::DOUBLE)
+           * ((fg_df::DOUBLE / fgn.n::DOUBLE) / (bg_df::DOUBLE / bgn.n::DOUBLE))
+           AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN bgn
+  WHERE term <> '{MIXED_MUST}'
+)
+SELECT term, fg_df, bg_df, round(jlh, 6) AS score
+FROM scored ORDER BY jlh DESC, term ASC LIMIT 10
+""",
+        "samp_length_buckets": curation.length_buckets_sql(
+            "documents", "doc_id", "text",
+            batch_size=32, edges=(32, 64, 128, 256), salt="epoch0",
+        ),
         # CommonTermsQuery twin: the df split recomputed IN SQL (xdf
         # per query term vs 0.5 * n_docs), docs gated on >= 1 low-freq
         # match, all matched terms scored

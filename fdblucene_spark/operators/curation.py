@@ -1204,3 +1204,114 @@ SELECT d.{id_col}, coalesce(p.n_feats, 0)::BIGINT AS n_feats,
        round(coalesce(p.log_w, 0.0), 6) AS log_w
 FROM {table} d LEFT JOIN perdoc p USING ({id_col})
 """
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_size: int,
+    edges: tuple = (64, 128, 256, 512, 1024, 2048),
+    salt: str = "v1",
+    num_partitions: int | None = None,
+    freeze_dir: str | None = None,
+) -> DataFrame:
+    """Length-bucketed batching (the dynamic-batching trick every
+    large-scale trainer uses to cut padding waste: group sequences of
+    similar token length, then batch within the group). Each doc gets
+
+      bucket     = index of the smallest edge >= its analyzer token
+                   count (len(edges) = the overflow bucket),
+      batch_idx  = its 0-based batch number WITHIN the bucket under a
+                   seeded deterministic order (md5(salt||id), id), and
+      pos_in_batch = its slot inside that batch,
+
+    so (bucket, batch_idx) enumerates ready-to-pad training batches of
+    `batch_size` docs whose lengths differ by at most one edge span.
+    Deterministic: partition-invariant, rerun-identical, re-deal the
+    batches per epoch by bumping the salt (same contract as
+    global_shuffle).
+
+    Scale shape: one dense global rank over the composite key
+    (bucket, md5, id) via build.assign_dense_doc_ids — range-partition
+    + freeze + footer counts + broadcast offsets, NO per-bucket window
+    (a window PARTITION BY bucket would collapse parallelism to
+    n_buckets, each a corpus-sized partition). Per-bucket ranks are
+    recovered as rank - min(rank within bucket): one tiny n_buckets-row
+    aggregate broadcast back. Survives a 100x corpus unchanged.
+
+    Returns (id, n_tokens, bucket, batch_idx, pos_in_batch).
+    """
+    from .build import assign_dense_doc_ids
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    if not edges or list(edges) != sorted(set(int(e) for e in edges)):
+        raise ValueError("edges must be strictly increasing and non-empty")
+    n_tok = F.size(tokens_col(text_col)).cast("long")
+    # smallest edge >= n_tokens; past the last edge -> overflow bucket
+    bkt = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        bkt = F.when(n_tok <= F.lit(int(edges[i])), F.lit(i)).otherwise(bkt)
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        bkt.cast("int").alias("bucket"),
+        key.alias("_lbkey"),
+    )
+    ranked = assign_dense_doc_ids(
+        keyed, ["bucket", "_lbkey", id_col],
+        num_partitions=num_partitions, freeze_dir=freeze_dir,
+    )
+    offsets = ranked.groupBy("bucket").agg(F.min("doc").alias("_off"))
+    r = (F.col("doc") - F.col("_off")).cast("long")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("bucket"),
+            (r / F.lit(int(batch_size))).cast("long").alias("batch_idx"),
+            (r % F.lit(int(batch_size))).cast("long").alias("pos_in_batch"),
+        )
+    )
+
+
+def length_buckets_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    batch_size: int,
+    edges: tuple = (64, 128, 256, 512, 1024, 2048),
+    salt: str = "v1",
+) -> str:
+    """DuckDB twin: same bucket edges, ROW_NUMBER per bucket over the
+    same (md5, id) order, integer-divided into batches."""
+    cases = " ".join(
+        f"WHEN n_tokens <= {int(e)} THEN {i}" for i, e in enumerate(edges)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         len(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> ''))::BIGINT
+           AS n_tokens
+  FROM {table}
+),
+bkts AS (
+  SELECT {id_col}, n_tokens,
+         (CASE {cases} ELSE {len(edges)} END)::INT AS bucket
+  FROM toks
+),
+ranked AS (
+  SELECT {id_col}, n_tokens, bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY bucket
+           ORDER BY md5('{salt}:' || {id_col}::VARCHAR) ASC, {id_col} ASC
+         ) - 1 AS r
+  FROM bkts
+)
+SELECT {id_col}, n_tokens, bucket,
+       (r // {int(batch_size)})::BIGINT AS batch_idx,
+       (r % {int(batch_size)})::BIGINT AS pos_in_batch
+FROM ranked
+"""

@@ -4220,6 +4220,139 @@ class Searcher:
             .limit(top_n)
         )
 
+    def significant_terms(
+        self,
+        clauses: list[dict],
+        k: int = 10,
+        field: str = "text",
+        min_doc_freq: int = 3,
+        exclude_query_terms: bool = True,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Significant-terms aggregation (Elasticsearch
+        `significant_terms`, built on the same Lucene TermsEnum walk
+        the reference's delegated engine exposes): the terms whose
+        document frequency in the docs MATCHING the query (the
+        foreground) is most anomalous against their corpus-wide
+        frequency (the background) — "what words characterize this
+        result set". Scored with ES's default JLH heuristic,
+        (fgPct - bgPct) * (fgPct / bgPct), computed in float64; ties
+        break term asc. Returns (term, fg_df, bg_df, score), top-k by
+        score. min_doc_freq drops rare-foreground noise (ES
+        shard_min_doc_count); exclude_query_terms removes the query's
+        own terms (always trivially significant).
+
+        Plan: ONE constant-score matched-doc kernel gives the
+        foreground doc set, which flows into the postings-field scan
+        through the same shard-cogrouped aux channel deletes use —
+        the set is shuffled to the shards owning those docs, NEVER
+        collected or broadcast. Each shard decodes only blocks whose
+        [min_doc, max_doc] overlaps its slice of the foreground
+        (exact searchsorted containment before decode, the
+        offsets()/term_vectors() prune) and emits per-term partial
+        counts; a partial+final sum and a termdict join (bg df)
+        finish it. Like ES, the full-field walk is the honest cost of
+        the aggregation — it scales with the FIELD's postings, not
+        with the foreground, so at 100 TB you run it where ES does:
+        behind a selective query, a sampler, or on a field-sliced
+        index. The foreground-count job itself touches each postings
+        block at most once and prunes non-overlapping blocks before
+        decode. The match kernel runs twice (a count pass for fgN +
+        the cogroup); fgN is one scalar — no corpus-sized driver
+        state."""
+        if min_doc_freq < 1:
+            raise ValueError("min_doc_freq must be >= 1")
+        matched = self.matching_docs(clauses, min_should_match, numeric)
+        fg_n = matched.count()
+        out_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("fg_df", T.LongType(), False),
+                T.StructField("bg_df", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        )
+        if fg_n == 0:
+            return self.spark.createDataFrame([], out_schema)
+        bg_n = self.manifest.n_docs_for(field)
+        aux, allow_kinds = self._aux_frames(None, matched)
+        part_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("fg_df", T.LongType(), False),
+            ]
+        )
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            _, allowed = _split_aux(aux_pdf, allow_kinds)
+            if allowed is None or allowed.size == 0 or pdf.empty:
+                return pd.DataFrame({"term": pd.Series(dtype=object),
+                                     "fg_df": pd.Series(dtype="int64")})
+            lo = pdf["min_doc"].to_numpy(np.int64)
+            hi = pdf["max_doc"].to_numpy(np.int64)
+            pdf = pdf.iloc[np.flatnonzero(_blocks_with_candidates(lo, hi, allowed))]
+            terms: list[str] = []
+            counts: list[int] = []
+            for term, g in pdf.groupby("term", sort=False):
+                cnt = 0
+                for b in g["docs"]:
+                    d = codec.decode_doc_block(b)
+                    cnt += int(_sorted_probe(allowed, d).sum())
+                if cnt:
+                    terms.append(term)
+                    counts.append(cnt)
+            return pd.DataFrame({"term": terms,
+                                 "fg_df": pd.Series(counts, dtype="int64")})
+
+        scan = self._postings.filter(F.col("field") == field).select(
+            "shard", "term", "min_doc", "max_doc", "docs"
+        )
+        fg = (
+            self._apply_kernel(scan, kernel, part_schema, aux)
+            .groupBy("term")
+            .agg(F.sum("fg_df").cast("long").alias("fg_df"))
+            .filter(F.col("fg_df") >= F.lit(int(min_doc_freq)))
+        )
+        if exclude_query_terms:
+            skip = sorted(self._clause_terms(clauses, field))
+            if skip:
+                fg = fg.filter(~F.col("term").isin(skip))
+        td = self.spark.read.parquet(
+            *self.manifest.segment_paths(self.root, "termdict")
+        )
+        bg = (
+            td.filter(F.col("field") == field)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("bg_df"))
+        )
+        fgp = F.col("fg_df").cast("double") / F.lit(float(fg_n))
+        bgp = F.col("bg_df").cast("double") / F.lit(float(bg_n))
+        return (
+            fg.join(bg, "term")
+            .withColumn("score", (fgp - bgp) * (fgp / bgp))
+            .select("term", "fg_df", "bg_df", "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+        )
+
+    @staticmethod
+    def _clause_terms(clauses: list[dict], field: str) -> set[str]:
+        """Every term a clause tree mentions for `field` (terms,
+        phrase members, nested sub-queries) — the exclusion set for
+        significant_terms."""
+        out: set[str] = set()
+        for c in clauses:
+            f = c.get("field", "text")
+            if "clauses" in c:
+                out |= Searcher._clause_terms(c["clauses"], field)
+            elif f == field:
+                if "phrase" in c:
+                    out.update(c["phrase"])
+                elif "term" in c:
+                    out.add(c["term"])
+        return out
+
     def drill_sideways(
         self,
         base_clauses: list[dict],
@@ -5418,6 +5551,44 @@ class Searcher:
         )
         return (
             cand.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
+            .orderBy(F.desc(by), F.asc("term"))
+            .limit(n)
+        )
+
+    def complete_infix(
+        self,
+        fragment: str,
+        n: int = 10,
+        field: str = "text",
+        by: str = "df",
+    ) -> DataFrame:
+        """Infix autocomplete (Lucene suggest module's
+        AnalyzingInfixSuggester: suggestions match the typed fragment
+        ANYWHERE in the term, not just as a prefix — 'ought' finds
+        'bought'/'thought'). Top-N dictionary terms containing
+        `fragment`, weight desc (by='df'/'ttf'), ties term asc;
+        prefix matches do NOT rank above mid-string matches (the
+        suggester's allTermsRequired=false, no-highlight shape —
+        weight is the only rank). Returns (term, df, ttf).
+
+        Plan: ONE termdict scan with StringContains pushed to the
+        Parquet reader, partial+final sum, TakeOrdered. An infix
+        predicate can't use the term-sort row-group prune the way
+        complete() does — that's inherent (Lucene pays the same cost
+        with a dedicated sidecar index over analyzed suggestion
+        text) — but the scan is DICTIONARY-sized, not corpus-sized:
+        vocab grows sublinearly (Heaps' law) and the termdict carries
+        (term, df, ttf) only, so a 100x corpus scans a few-GB sliver
+        across executors, never the postings."""
+        if by not in ("df", "ttf"):
+            raise ValueError("by must be 'df' or 'ttf'")
+        if not fragment:
+            raise ValueError("complete_infix() needs a non-empty fragment")
+        td = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "termdict"))
+        return (
+            td.filter((F.col("field") == field) & F.col("term").contains(fragment))
+            .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf"))
             .orderBy(F.desc(by), F.asc("term"))
             .limit(n)
