@@ -170,6 +170,14 @@ def main() -> int:
         geo_df, "lat", "lon", 10.0, 20.0, 500_000.0
     )
     surfaces["geo_nearest"] = geo.nearest_k(geo_df, "pid", "lat", "lon", 0.0, 0.0, 10)
+    # round-5 eighth-phase surfaces
+    surfaces["significant_terms"] = s.significant_terms(
+        [{"term": "alpha", "occur": "must"}], k=5, min_doc_freq=2
+    )
+    surfaces["complete_infix"] = s.complete_infix("et", 5)
+    surfaces["length_buckets"] = curation.length_buckets(
+        docs_df, "doc_id", "text", batch_size=8, edges=(8, 16), num_partitions=4
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -292,6 +300,29 @@ def main() -> int:
             # collapse to one partition
             assert "Exchange SinglePartition" not in plan, \
                 f"{name} plan collapsed to a single partition"
+        if name == "significant_terms":
+            # fg-count scan is column-pruned (docs blocks only — no
+            # positions/payloads read) and the final cut is TakeOrdered
+            assert any("ReadSchema" in ln and "docs" in ln
+                       and "positions" not in ln for ln in keep), \
+                "significant_terms postings scan not column-pruned"
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "significant_terms missing TakeOrdered top-k cut"
+        if name == "complete_infix":
+            assert not any("postings" in ln for ln in plan.splitlines()), \
+                "complete_infix must read only the termdict"
+            assert any("PushedFilters" in ln and "Contains" in ln
+                       for ln in keep), "complete_infix fragment not pushed"
+        if name == "length_buckets":
+            # dense-rank scan pattern: no per-bucket window, no
+            # single-partition collapse; bucket offsets broadcast back
+            assert "Window" not in plan, \
+                "length_buckets plan contains a window"
+            assert "Exchange SinglePartition" not in plan or \
+                any("BroadcastHashJoin" in ln for ln in keep), \
+                "length_buckets collapsed to a single partition"
+            assert any("BroadcastHashJoin" in ln for ln in keep), \
+                "length_buckets bucket offsets not broadcast"
     print("FAILURES:", failures)
     return 1 if failures else 0
 
