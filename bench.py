@@ -258,6 +258,23 @@ def main() -> None:
             [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"}],
             "source", top_n=10,
         ).collect()
+    with timed("significant_terms"):
+        # ES significant_terms: matched-doc kernel + full-field
+        # postings walk (fg counts via the shard cogroup) + termdict
+        # bg join — the heaviest aggregate surface by design
+        sd.significant_terms(
+            [{"term": "dup", "occur": "must"}], k=10, min_doc_freq=3
+        ).collect()
+    with timed("complete_infix"):
+        # dictionary-sized contains scan (AnalyzingInfixSuggester)
+        sd.complete_infix("er", n=10).collect()
+    with timed("length_buckets"):
+        # padding-efficient batch assignment: one windowless dense
+        # rank over (bucket, md5) + broadcast bucket offsets
+        curation.length_buckets(
+            docs, "doc_id", "text", batch_size=64,
+            edges=(64, 128, 256, 512),
+        ).count()
     with timed("facet_stats"):
         # association facets: five aggregates per bucket in the same
         # single pass the count facet makes

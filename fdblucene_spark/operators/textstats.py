@@ -466,17 +466,26 @@ def lm_perplexity(
         F.sum("cnt").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("v_size"),
     )
+    # per-token log-probs quantize to float32 BEFORE the per-doc sum:
+    # a float64 sum of same-scale float32 addends is EXACT for any
+    # realistic doc length (>= 29 bits of mantissa headroom), so the
+    # sum is addition-order-independent — Spark's partial-agg order
+    # and the SQL twin's order can't diverge by an ulp (the same
+    # determinism trick the BM25 kernels use for per-term scores)
     logp = counts.crossJoin(F.broadcast(consts)).select(
         "t",
         F.log(
             (F.col("cnt") + F.lit(float(add_k)))
             / (F.col("n_total") + F.lit(float(add_k)) * (F.col("v_size") + F.lit(1.0)))
-        ).alias("logp"),
+        ).cast("float").alias("logp"),
     )
     agg = (
         toks.join(logp, "t")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("logp").alias("logprob"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("logp").cast("double")).alias("logprob"),
+        )
     )
     return (
         df.select(F.col(id_col))
@@ -504,10 +513,12 @@ WITH toks AS (
 ), consts AS (
   SELECT sum(cnt)::DOUBLE AS n_total, count(*)::DOUBLE AS v_size FROM counts
 ), logp AS (
-  SELECT t, ln((cnt + {float(add_k)!r}) / (c.n_total + {float(add_k)!r} * (c.v_size + 1.0))) AS logp
+  -- float32 quantization before the sum: see lm_perplexity (makes the
+  -- float64 per-doc sum exact, hence addition-order-independent)
+  SELECT t, ln((cnt + {float(add_k)!r}) / (c.n_total + {float(add_k)!r} * (c.v_size + 1.0)))::FLOAT AS logp
   FROM counts, consts c
 ), agg AS (
-  SELECT {id_col}, count(*)::BIGINT AS n_tokens, sum(logp) AS logprob
+  SELECT {id_col}, count(*)::BIGINT AS n_tokens, sum(logp::DOUBLE) AS logprob
   FROM tok JOIN logp USING (t) GROUP BY {id_col}
 )
 SELECT d.{id_col}, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens, a.logprob,

@@ -6,6 +6,8 @@ head-like text scores LOWER perplexity than rare-token text.
 """
 
 import math
+
+import numpy as np
 from collections import Counter
 
 import pytest
@@ -32,7 +34,12 @@ def _expected():
         if not ts:
             out[d] = (0, None, None)
             continue
-        lp = sum(math.log((cnt[t] + K) / (n_total + K * (v + 1))) for t in ts)
+        # per-token logp quantizes to float32 before the sum (the
+        # engine's addition-order-determinism contract)
+        lp = sum(
+            np.float64(np.float32(math.log((cnt[t] + K) / (n_total + K * (v + 1)))))
+            for t in ts
+        )
         out[d] = (len(ts), lp, math.exp(-lp / len(ts)))
     return out
 
