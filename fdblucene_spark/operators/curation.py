@@ -555,8 +555,10 @@ def classifier_scores(
         feats = feats.join(
             F.broadcast(wdf) if broadcast else wdf, "bucket", "left"
         ).withColumn("w", F.coalesce(F.col("w"), F.lit(0.0)))
-    agg = feats.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_feats"), F.sum("w").alias("wsum")
+    agg = feats.withColumn("w", F.col("w").cast("float")).groupBy(id_col).agg(
+        # float32-quantized addends -> exact, order-independent sum
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum(F.col("w").cast("double")).alias("wsum"),
     )
     raw = F.lit(float(bias)) + F.when(
         F.col("n_feats") > 0, F.col("wsum") / F.col("n_feats")
@@ -605,10 +607,10 @@ WITH toks AS (
          CAST(('0x' || substr(md5('{salt}:' || f), 1, 8)) AS BIGINT) % {int(n_buckets)} AS bucket
   FROM feats
 ), weighted AS (
-  SELECT {id_col}, {u8(f"'{salt}:w:' || bucket::VARCHAR")} * 2.0 - 1.0 AS w
+  SELECT {id_col}, ({u8(f"'{salt}:w:' || bucket::VARCHAR")} * 2.0 - 1.0)::FLOAT AS w
   FROM bucketed
 ), agg AS (
-  SELECT {id_col}, count(*)::BIGINT AS n_feats, sum(w) AS wsum FROM weighted GROUP BY {id_col}
+  SELECT {id_col}, count(*)::BIGINT AS n_feats, sum(w::DOUBLE) AS wsum FROM weighted GROUP BY {id_col}
 )
 SELECT t.{id_col}, COALESCE(a.n_feats, 0)::BIGINT AS n_feats,
        1.0 / (1.0 + exp(-({float(bias)!r} + CASE WHEN a.n_feats > 0 THEN a.wsum / a.n_feats ELSE 0.0 END))) AS score,
@@ -1108,9 +1110,18 @@ def dsir_log_weights(
     )
     per_doc = (
         feats.join(F.broadcast(ratio), "bucket", "left")
-        .select(F.col(id_col), F.coalesce(F.col("_lr"), F.lit(unseen)).alias("_lr"))
+        .select(
+            F.col(id_col),
+            # float32 quantization before the per-doc float64 sum makes
+            # the sum exact and therefore addition-order-independent
+            # (Spark partial-agg order vs the SQL twin's order)
+            F.coalesce(F.col("_lr"), F.lit(unseen)).cast("float").alias("_lr"),
+        )
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_lr").alias("log_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("_lr").cast("double")).alias("log_w"),
+        )
     )
     return (
         corpus.select(id_col)
@@ -1191,12 +1202,12 @@ tot AS (
 ),
 ratio AS (
   SELECT coalesce(t.bucket, r.bucket) AS bucket,
-         ln((coalesce(t.cnt, 0) + {a!r}) / (tot.tt + {a!r} * {b}))
-         - ln((coalesce(r.cnt, 0) + {a!r}) / (tot.rt + {a!r} * {b})) AS lr
+         (ln((coalesce(t.cnt, 0) + {a!r}) / (tot.tt + {a!r} * {b}))
+          - ln((coalesce(r.cnt, 0) + {a!r}) / (tot.rt + {a!r} * {b})))::FLOAT AS lr
   FROM tmodel t FULL JOIN rmodel r ON t.bucket = r.bucket CROSS JOIN tot
 ),
 perdoc AS (
-  SELECT f.{id_col}, count(*)::BIGINT AS n_feats, sum(ratio.lr) AS log_w
+  SELECT f.{id_col}, count(*)::BIGINT AS n_feats, sum(ratio.lr::DOUBLE) AS log_w
   FROM feats f JOIN ratio ON ratio.bucket = f.bucket
   GROUP BY f.{id_col}
 )

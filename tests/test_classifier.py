@@ -55,7 +55,8 @@ def _expected(bias=0.0):
         ws = []
         for f in fs:
             b = int(hashlib.md5(f"{SALT}:{f}".encode()).hexdigest()[:8], 16) % B
-            ws.append(_u01(f"{SALT}:w:{b}") * 2.0 - 1.0)
+            # float32-quantized weights (order-independent sums)
+            ws.append(float(np.float32(_u01(f"{SALT}:w:{b}") * 2.0 - 1.0)))
         raw = bias + (sum(ws) / len(ws) if ws else 0.0)
         out[did] = (len(ws), 1.0 / (1.0 + math.exp(-raw)))
     return out

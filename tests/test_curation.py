@@ -6,6 +6,9 @@ outside Spark too).
 """
 
 import hashlib
+import math
+
+import numpy as np
 
 import pytest
 
@@ -527,12 +530,16 @@ def test_dsir_weights_and_sample(spark):
                 tcnt[bkt] = tcnt.get(bkt, 0) + 1
     tt, rt = sum(tcnt.values()), sum(rcnt.values())
     doc = 20
+    # per-bucket log-ratios quantize to float32 before the sum (the
+    # engine's addition-order-determinism contract)
     want = sum(
-        math.log((tcnt.get(bkt, 0) + A) / (tt + A * B))
-        - math.log((rcnt.get(bkt, 0) + A) / (rt + A * B))
+        float(np.float32(
+            math.log((tcnt.get(bkt, 0) + A) / (tt + A * B))
+            - math.log((rcnt.get(bkt, 0) + A) / (rt + A * B))
+        ))
         for bkt in feats(rows[doc][1])
     )
-    assert abs(w.loc[doc, "log_w"] - want) < 1e-9
+    assert abs(w.loc[doc, "log_w"] - want) < 1e-12
     # deterministic Gumbel top-k: target-like docs dominate; rerun identical
     s1 = curation.dsir_sample(
         curation.dsir_log_weights(df, tm, rm, "doc_id", "text", n_buckets=B),
