@@ -1823,6 +1823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)) clamped at 0, f32 per term
         return _hits_df(_searcher(spark, sf).search_lm_dirichlet(OR_TERMS, k=K_ALL))
 
+    def ft_dfi(spark, sf):
+        # DFISimilarity (IndependenceStandardized): divergence from
+        # independence — expected = (ttf+1)*dl/(sum_dl+1) in double,
+        # only OVER-represented terms score, f32(log2(m+1)) per term
+        return _hits_df(_searcher(spark, sf).search_dfi(OR_TERMS, k=K_ALL))
+
     def ft_lm_jelinek_mercer(spark, sf):
         # LMJelinekMercerSimilarity (lambda=0.1): linearly-interpolated
         # LM — ln(1 + (f32(1-l)*tf/dl) / f32(l*p)) clamped, f32 per term
@@ -2549,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
+        ft_dfi,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3285,6 +3292,37 @@ tf AS (
 )
 SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM lm GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
+""",
+        # DFI twin: quantized dl (dlq_len), double expected chain,
+        # standardized measure, f32 per-term log2 scores summed f64;
+        # zero-score matches (freq <= expected) stay in the result set
+        "ft_dfi": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), ttfs AS (
+  SELECT term, count(*)::BIGINT AS ttf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY term
+), dfi AS (
+  SELECT tf.doc_id,
+    (CASE WHEN tf.tf::DOUBLE >
+            ((ttfs.ttf + 1)::DOUBLE * n.dlq_len::DOUBLE / (s.sum_dl + 1)::DOUBLE)
+     THEN log2(
+       (tf.tf::DOUBLE - ((ttfs.ttf + 1)::DOUBLE * n.dlq_len::DOUBLE / (s.sum_dl + 1)::DOUBLE))
+       / sqrt(((ttfs.ttf + 1)::DOUBLE * n.dlq_len::DOUBLE / (s.sum_dl + 1)::DOUBLE))
+       + 1.0)
+     ELSE 0.0 END)::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN ttfs ON ttfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM dfi GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
         "ft_synonym": f"""

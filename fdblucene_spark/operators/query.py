@@ -3732,6 +3732,100 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_dfi(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        measure: str = "standardized",
+    ) -> DataFrame:
+        """DFISimilarity — Lucene's divergence-from-independence
+        similarity (`new DFISimilarity(new IndependenceStandardized())`
+        etc.), reproduced op-for-op:
+
+            expected = (ttf + 1) * dl / (sumTotalTermFreq + 1)
+                       [double; dl = the SAME SmallFloat-decoded
+                       length every SimilarityBase subclass reads]
+            if freq <= expected: term contributes 0 (DFI scores only
+                       OVER-represented terms)
+            m        = independence measure of (freq, expected):
+                       'standardized' (freq-e)/sqrt(e),
+                       'saturated'    (freq-e)/e,
+                       'chisquared'   (freq-e)^2/e
+            score    = f32(log2(m + 1)), summed per doc in float64
+
+        mode='and' keeps docs matching every requested term. Runs the
+        exhaustive constant-shape kernel like the other non-BM25
+        similarities (block-max metadata prices BM25's tf curve, not
+        this score surface). Ref: the reference delegates similarity
+        to Lucene 8.1 (pom.xml lucene-core), DFISimilarity.java /
+        Independence*.java semantics."""
+        measures = {
+            "standardized": lambda f, e: (f - e) / np.sqrt(e),
+            "saturated": lambda f, e: (f - e) / e,
+            "chisquared": lambda f, e: (f - e) * (f - e) / e,
+        }
+        if measure not in measures:
+            raise ValueError(f"measure must be one of {sorted(measures)}")
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        mfn = measures[measure]
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: st for t, st in stats.items() if st[0] > 0}
+        if not present or (mode == "and" and len(present) < len(ts)):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_tok = self.manifest.sum_dl_for(field)
+        ttf1 = {t: float(ttf + 1.0) for t, (_, ttf) in present.items()}
+        denom = float(n_tok + 1.0)
+        need = len(present)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            ds, ss = [], []
+            for t, g in pdf.groupby("term", sort=False):
+                d, tf, dlq = _decode_block_rows(g)
+                f64 = tf.astype(np.float64)
+                exp64 = ttf1[t] * dl_table[dlq] / denom
+                over = f64 > exp64
+                s64 = np.zeros_like(f64)
+                if over.any():
+                    s64[over] = np.log2(mfn(f64[over], exp64[over]) + 1.0)
+                ds.append(d)
+                ss.append(s64.astype(np.float32))
+            d = np.concatenate(ds)
+            s = np.concatenate(ss)
+            order = np.argsort(d, kind="mergesort")
+            d, s = d[order], s[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
+            if mode == "and":
+                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
+                keep = cnt == need
+                uniq, tot = uniq[keep], tot[keep]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tot = uniq[keep], tot[keep]
+            if not uniq.size:
+                return empty
+            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_block_join(
         self,
         terms: list[str],

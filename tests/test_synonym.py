@@ -6,6 +6,8 @@ Also pins the semantic difference from a plain disjunction: a doc
 matching two synonyms scores ONCE with combined frequency.
 """
 
+import math
+
 import numpy as np
 import pytest
 
@@ -244,3 +246,63 @@ def test_lm_jelinek_mercer_lambda_and_guards(spark, syn_index):
         with pytest.raises(ValueError, match="lambda"):
             s.search_lm_jelinek_mercer(["alpha"], lam=bad)
     assert s.search_lm_jelinek_mercer(["zzznope"], k=5).count() == 0
+
+
+def _brute_dfi(rows, terms, mode="or", measure="standardized", deleted=()):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_tok = sum(dls.values())
+    mfns = {
+        "standardized": lambda f, e: (f - e) / math.sqrt(e),
+        "saturated": lambda f, e: (f - e) / e,
+        "chisquared": lambda f, e: (f - e) * (f - e) / e,
+    }
+    mfn = mfns[measure]
+    out = []
+    for d, t in toks.items():
+        if d in deleted:
+            continue
+        acc, matched = 0.0, 0
+        for m in sorted(set(terms)):
+            tf = t.count(m)
+            if not tf:
+                continue
+            matched += 1
+            ttf = sum(u.count(m) for u in toks.values())
+            dlq = int(bm25.quantize_doclen(np.array([len(t)]))[0])
+            dl = float(bm25.LENGTH_TABLE[dlq])
+            expected = (ttf + 1.0) * dl / (n_tok + 1.0)
+            s = math.log2(mfn(float(tf), expected) + 1.0) if tf > expected else 0.0
+            acc += float(np.float32(s))
+        if matched and (mode == "or" or matched == len(set(terms))):
+            out.append((d, np.float32(acc)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_dfi_matches_brute_force(spark, syn_index, mode):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_dfi(["gamma", "zeta"], k=60, mode=mode).toPandas()
+    want = _brute_dfi(rows, ["gamma", "zeta"], mode, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+@pytest.mark.parametrize("measure", ["saturated", "chisquared"])
+def test_dfi_measures_and_guards(spark, syn_index, measure):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_dfi(["alpha"], k=300, measure=measure).toPandas()
+    want = _brute_dfi(rows, ["alpha"], "or", measure=measure, deleted=dele)[:300]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    # under-represented occurrences contribute exactly 0, never negative
+    assert (got["score"] >= 0).all()
+    with pytest.raises(ValueError, match="measure"):
+        s.search_dfi(["alpha"], measure="nope")
+    assert s.search_dfi(["zzznope"], k=5).count() == 0
+    assert s.search_dfi(["zzznope", "alpha"], k=5, mode="and").count() == 0

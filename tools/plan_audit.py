@@ -117,6 +117,7 @@ def main() -> int:
     surfaces["search_lm_jelinek_mercer"] = s.search_lm_jelinek_mercer(
         ["alpha", "beta"], 10
     )
+    surfaces["search_dfi"] = s.search_dfi(["alpha", "beta"], 10)
     surfaces["chunk_documents"] = curation.chunk_documents(
         docs_df, "doc_id", "text", window=16, stride=8
     )
@@ -201,7 +202,7 @@ def main() -> int:
         if name in ("search_parsed", "search_span_first", "matching_docs",
                     "search_synonym", "search_classic", "search_multi_phrase",
                     "search_lm_dirichlet", "search_lm_jelinek_mercer",
-                    "search_common_terms"):
+                    "search_common_terms", "search_dfi"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
         if name == "top_terms":
             # termdict-only: the postings table must not be scanned
