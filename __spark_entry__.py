@@ -344,6 +344,27 @@ def _hits_df(hits: DataFrame) -> DataFrame:
     )
 
 
+def _mr_searcher(spark: SparkSession, sf_dir: str):
+    """Two disjoint half-indexes of the documents corpus searched
+    federated (Lucene MultiReader parity): sub-indexes build
+    independently (the per-partition shape a 10^12-turn corpus
+    shards into), stats combine at query time — scores must equal
+    the single union index's, which is exactly what the DuckDB twin
+    computes."""
+    from fdblucene_spark.operators.multireader import MultiSearcher
+
+    roots = []
+    for part, pred in (("mr_a", "doc_id % 2 = 0"), ("mr_b", "doc_id % 2 = 1")):
+        root = os.path.join(_index_root(sf_dir), part)
+        if not IndexCatalog(root).exists():
+            docs = _table(spark, sf_dir, "documents").filter(pred)
+            build_index(spark, docs, root, doc_col="doc_id", n_shards=4,
+                        fingerprint=sf_dir + "-" + part,
+                        text_fields={"text": "text"})
+        roots.append(root)
+    return MultiSearcher(spark, roots)
+
+
 def _pay_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index with per-occurrence payloads (the ("pp",...) payload slot,
     DATA.md:55; built-in producer = token character length)."""
@@ -1214,6 +1235,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ft_bm25_topk_and(spark, sf):
         return _hits_df(_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
+
+    def ft_multi_reader(spark, sf):
+        # Lucene MultiReader: two disjoint half-indexes searched as
+        # one with SUMMED collection stats — the twin scores the
+        # union corpus directly, so any per-leaf idf/avgdl leak
+        # hash-fails (mixed or+and term set distinguishes it from
+        # the single-index BM25 gates)
+        return _hits_df(
+            _mr_searcher(spark, sf).search(["dup", "merge", "stream"], k=K_ALL)
+        )
 
     def ft_near_search(spark, sf):
         # SpanNearQuery (two clauses, unordered): value within 3
@@ -2555,7 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
-        ft_dfi,
+        ft_dfi, ft_multi_reader,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2620,6 +2651,10 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
 FROM tok WHERE term LIKE 'co%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
+        # MultiReader twin: BM25 over the UNION corpus (combined
+        # df/n_docs/avgdl) — identical to what federated search with
+        # summed leaf stats must produce
+        "ft_multi_reader": _bm25_sql(["dup", "merge", "stream"], "or", K_ALL),
         "ft_complete_infix": f"""
 WITH {_TOK_CTE}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf

@@ -118,6 +118,16 @@ def main() -> int:
         ["alpha", "beta"], 10
     )
     surfaces["search_dfi"] = s.search_dfi(["alpha", "beta"], 10)
+    from fdblucene_spark.operators.multireader import MultiSearcher  # noqa: E402
+    mdir = tempfile.mkdtemp(prefix="audit-")
+    mra, mrb = os.path.join(mdir, "idx_a"), os.path.join(mdir, "idx_b")
+    build_index(spark, spark.createDataFrame(rows[:200]), mra,
+                doc_col="doc_id", n_shards=4, text_fields={"text": "text"})
+    build_index(spark, spark.createDataFrame(rows[200:]), mrb,
+                doc_col="doc_id", n_shards=4, text_fields={"text": "text"})
+    surfaces["multi_reader"] = MultiSearcher(spark, [mra, mrb]).search(
+        ["alpha", "beta"], 10
+    )
     surfaces["chunk_documents"] = curation.chunk_documents(
         docs_df, "doc_id", "text", window=16, stride=8
     )
@@ -301,6 +311,15 @@ def main() -> int:
             # collapse to one partition
             assert "Exchange SinglePartition" not in plan, \
                 f"{name} plan collapsed to a single partition"
+        if name == "multi_reader":
+            # every sub-index scan carries the (field, term) pushdown;
+            # one TakeOrdered merges the per-(src, shard) top-k
+            assert sum(
+                1 for ln in plan.splitlines()
+                if "PushedFilters" in ln and "field" in ln
+            ) >= 2, "multi_reader missing per-leaf term pushdown"
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "multi_reader missing TakeOrdered top-k cut"
         if name == "significant_terms":
             # fg-count scan is column-pruned (docs blocks only — no
             # positions/payloads read) and the final cut is TakeOrdered
