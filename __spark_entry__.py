@@ -1304,6 +1304,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "term", "fg_df", "bg_df", F.round(F.col("score"), 6).alias("score")
         )
 
+    def samp_upsample(spark, sf):
+        # weighted-epoch domain mixing: deterministic replication
+        # (floor(rate) copies + md5-fractional top-up), map-side
+        # explode, no shuffle — (id, copy_idx) stays a key
+        return curation.upsample_stratified(
+            _table(spark, sf, "documents").select("doc_id", "source"),
+            "doc_id", "source",
+            {"src0": 2.5, "src1": 0.4}, default_rate=1.0, salt="up1",
+        )
+
     def samp_length_buckets(spark, sf):
         # length-bucketed batching for training: deterministic
         # (bucket, batch_idx, pos_in_batch) under a seeded md5 order —
@@ -2586,7 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
-        ft_dfi, ft_multi_reader,
+        ft_dfi, ft_multi_reader, samp_upsample,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2688,6 +2698,11 @@ scored AS (
 SELECT term, fg_df, bg_df, round(jlh, 6) AS score
 FROM scored ORDER BY jlh DESC, term ASC LIMIT 10
 """,
+        "samp_upsample": curation.upsample_stratified_sql(
+            "documents", "doc_id", "source",
+            {"src0": 2.5, "src1": 0.4}, default_rate=1.0, salt="up1",
+            select="doc_id, source",
+        ),
         "samp_length_buckets": curation.length_buckets_sql(
             "documents", "doc_id", "text",
             batch_size=32, edges=(32, 64, 128, 256), salt="epoch0",

@@ -1326,3 +1326,76 @@ SELECT {id_col}, n_tokens, bucket,
        (r % {int(batch_size)})::BIGINT AS pos_in_batch
 FROM ranked
 """
+
+def upsample_stratified(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum UP/DOWN-sampling with replication —
+    the other half of domain mixing (stratified_sample can only drop;
+    weighted epochs need rate > 1, e.g. Wikipedia x3.4 in GPT-3's
+    mixture table). Each row yields
+
+        n_copies = floor(rate) + (u(id) < frac(rate) ? 1 : 0)
+
+    with u = the module's md5-prefix uniform of (salt || id), so a
+    rate of 3.4 gives every row 3 copies and a deterministic 40% of
+    rows a 4th — in expectation exactly rate, decided per row as a
+    pure function of (id, salt), partition-invariant and
+    twin-reproducible. rate <= 1 degenerates to stratified_sample's
+    keep rule (0 or 1 copies). Output adds `copy_idx` (0-based) so
+    (id, copy_idx) stays a key downstream — feed it through
+    global_shuffle on a concatenated key to spread the copies across
+    the training order.
+
+    Scale: one map-side explode(sequence(0, n-1)) — no shuffle, no
+    RNG state, row expansion bounded by max(rates)."""
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    u = _u01(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    rate = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(float(r))).otherwise(rate)
+    n = (F.floor(rate) + F.when(u < rate - F.floor(rate), F.lit(1)).otherwise(F.lit(0))).cast("int")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+
+
+def upsample_stratified_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "v1",
+    select: str = "*",
+) -> str:
+    """DuckDB twin: same md5 uniform, floor + fractional top-up,
+    copies via UNNEST(range(n))."""
+    whens = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {float(r)!r}" for k, r in sorted(rates.items())
+    )
+    return f"""
+WITH rated AS (
+  SELECT {select},
+         (CASE {whens} ELSE {float(default_rate)!r} END) AS __rate,
+         (CAST(('0x' || substr(md5('{salt}' || {id_col}::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE
+          / {float(16 ** 8)!r}) AS __u
+  FROM {table}
+),
+counted AS (
+  SELECT *, (floor(__rate) + CASE WHEN __u < __rate - floor(__rate) THEN 1 ELSE 0 END)::INT AS __n
+  FROM rated
+)
+SELECT * EXCLUDE (__rate, __u, __n, c), c::INT AS copy_idx
+FROM counted, UNNEST(range(__n::BIGINT)) AS t(c)
+WHERE __n > 0
+"""

@@ -554,3 +554,37 @@ def test_dsir_weights_and_sample(spark):
     with pytest.raises(ValueError, match="k"):
         curation.dsir_sample(s1 := None or curation.dsir_log_weights(
             df, tm, rm, "doc_id", "text", n_buckets=B), "doc_id", k=0)
+
+
+def test_upsample_stratified_exact_and_invariant(spark):
+    rows = [(i, ["wiki", "web", "code"][i % 3], f"doc {i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = {"wiki": 2.5, "web": 0.4}
+    got = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in curation.upsample_stratified(df, "doc_id", "source", rates,
+                                              default_rate=1.0, salt="s1").collect()
+    )
+    # hashlib replica of the copy-count rule
+    want = []
+    for i, src, _ in rows:
+        rate = rates.get(src, 1.0)
+        u = int(hashlib.md5(f"s1{i}".encode()).hexdigest()[:8], 16) / float(16 ** 8)
+        n = int(rate) + (1 if u < rate - int(rate) else 0)
+        want.extend((i, c) for c in range(n))
+    assert got == sorted(want)
+    # expectation sanity: wiki rows average ~2.5 copies, web ~0.4
+    from collections import Counter
+    per = Counter(d for d, _ in got)
+    wiki_ids = [i for i, s, _ in rows if s == "wiki"]
+    assert all(per[i] in (2, 3) for i in wiki_ids)
+    # partition invariance
+    got2 = sorted(
+        (r["doc_id"], r["copy_idx"])
+        for r in curation.upsample_stratified(df.repartition(17), "doc_id",
+                                              "source", rates, default_rate=1.0,
+                                              salt="s1").collect()
+    )
+    assert got2 == got
+    with pytest.raises(ValueError):
+        curation.upsample_stratified(df, "doc_id", "source", {"wiki": -1.0})
