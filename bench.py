@@ -258,6 +258,22 @@ def main() -> None:
             [{"term": "dup", "occur": "should"}, {"term": "hash", "occur": "should"}],
             "source", top_n=10,
         ).collect()
+    mr_a, mr_b = os.path.join(work, "idx_mr_a"), os.path.join(work, "idx_mr_b")
+    with timed("build_multireader_halves"):
+        # two disjoint half-indexes (the per-partition sharding shape);
+        # builds are independent — on a cluster they run concurrently
+        build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), mr_a,
+                    doc_col="doc_id", n_shards=8)
+        build_index(spark, docs.filter(F.col("doc_id") % 2 == 1), mr_b,
+                    doc_col="doc_id", n_shards=8)
+    with timed("bm25_multireader"):
+        # federated MultiReader search with summed stats — compare
+        # against bm25_documents (same query shape, single index)
+        from fdblucene_spark.operators.multireader import MultiSearcher
+
+        MultiSearcher(spark, [mr_a, mr_b]).search(
+            ["dup", "hash", "vector"], k=100
+        ).collect()
     with timed("significant_terms"):
         # ES significant_terms: matched-doc kernel + full-field
         # postings walk (fg counts via the shard cogroup) + termdict

@@ -30,6 +30,12 @@ pruning stays valid — theta bounds are per-group), and the global
 TakeOrdered merges the per-group top-k. Adding a sub-index adds its
 scan sliver, nothing else; no cross-index shuffle of postings ever
 happens.
+
+Surface scope: the single-field search family (or/and/phrase) and
+count — the reference's own exercised search surface. The composable
+BooleanQuery path would federate the same way (combined stats into
+_boolean_spec + the (src, shard) cogroup); that seam is deliberate,
+not structural.
 """
 
 from __future__ import annotations
