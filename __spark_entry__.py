@@ -1236,6 +1236,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_bm25_topk_and(spark, sf):
         return _hits_df(_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
 
+    def ft_multi_boolean(spark, sf):
+        # federated composable BooleanQuery: MUST + SHOULD + MUST_NOT
+        # evaluated across two half-indexes with combined stats — the
+        # twin is the UNION-corpus boolean SQL (same as ft_bm25_mixed
+        # semantics), so any per-leaf stats or occur-handling drift
+        # hash-fails
+        clauses = (
+            [{"term": MIXED_MUST, "occur": "must"}]
+            + [{"term": t, "occur": "should"} for t in MIXED_SHOULD]
+            + [{"term": MIXED_NOT, "occur": "must_not"}]
+        )
+        return _hits_df(_mr_searcher(spark, sf).search_boolean(clauses, k=K_ALL))
+
     def ft_multi_reader(spark, sf):
         # Lucene MultiReader: two disjoint half-indexes searched as
         # one with SUMMED collection stats — the twin scores the
@@ -2596,7 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
-        ft_dfi, ft_multi_reader, samp_upsample,
+        ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2665,6 +2678,14 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
         # df/n_docs/avgdl) — identical to what federated search with
         # summed leaf stats must produce
         "ft_multi_reader": _bm25_sql(["dup", "merge", "stream"], "or", K_ALL),
+        "ft_multi_boolean": _bm25_sql(
+            [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE term = '{MIXED_NOT}')"
+            ),
+            having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+        ),
         "ft_complete_infix": f"""
 WITH {_TOK_CTE}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf

@@ -31,11 +31,13 @@ TakeOrdered merges the per-group top-k. Adding a sub-index adds its
 scan sliver, nothing else; no cross-index shuffle of postings ever
 happens.
 
-Surface scope: the single-field search family (or/and/phrase) and
-count — the reference's own exercised search surface. The composable
-BooleanQuery path would federate the same way (combined stats into
-_boolean_spec + the (src, shard) cogroup); that seam is deliberate,
-not structural.
+Surface scope: the single-field search family (or/and/phrase),
+count, and the full composable BooleanQuery surface (search_boolean:
+mixed occurs, min_should_match, boosts, phrases, arbitrary-depth
+nested sub-queries, dismax, numeric doc-values ranges, external
+allow-lists, searchAfter) — the same clause dicts as Searcher, scored
+with combined stats via a stats facade into the shared _boolean_spec
+compiler, so results are (doc, score)-identical to the union index.
 """
 
 from __future__ import annotations
@@ -45,12 +47,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .query import (
-    AUX_DEL,
     HIT_SCHEMA,
     Searcher,
     _score_shard,
+    _score_shard_boolean,
     _split_aux,
 )
+
+
+class _CombinedManifest:
+    """MultiReader's merged leaf statistics: docCount / avgdl come
+    from SUMS across sub-indexes; store_positions holds only if every
+    leaf stored positions (a phrase needs them everywhere)."""
+
+    def __init__(self, searchers):
+        self._s = searchers
+        self.properties = {
+            "store_positions": all(
+                s.manifest.properties.get("store_positions", True)
+                for s in searchers
+            )
+        }
+
+    def n_docs_for(self, field: str) -> int:
+        return sum(s.manifest.n_docs_for(field) for s in self._s)
+
+    def avgdl_for(self, field: str) -> float:
+        nd = self.n_docs_for(field)
+        if not nd:
+            return 0.0
+        return sum(s.manifest.sum_dl_for(field) for s in self._s) / nd
+
+
+class _StatsFacade:
+    """Duck-typed stand-in for a Searcher inside _boolean_spec: the
+    clause compiler only touches term_stats_multi and three manifest
+    reads, all of which combine across leaves by summation."""
+
+    def __init__(self, searchers):
+        self._s = searchers
+        self.manifest = _CombinedManifest(searchers)
+
+    def term_stats_multi(self, fields_terms):
+        out: dict[tuple[str, str], tuple[int, int]] = {}
+        for s in self._s:
+            for key, (d, t) in s.term_stats_multi(fields_terms).items():
+                pd_, pt = out.get(key, (0, 0))
+                out[key] = (pd_ + int(d), pt + int(t))
+        return out
 
 _SCAN_COLS = [
     "shard", "term", "docs", "tfs", "dlqs",
@@ -181,3 +225,98 @@ class MultiSearcher:
         """Union totalHits: sub-index counts sum (doc spaces are
         disjoint) — one count job per sub-index, each kernel-side."""
         return sum(s.count(terms, mode=mode, field=field) for s in self.searchers)
+
+    # -------------------------------------------------------------- boolean
+    def search_boolean(
+        self,
+        clauses: list[dict],
+        k: int,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+        allowed_docs: DataFrame | None = None,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
+    ) -> DataFrame:
+        """Federated composable BooleanQuery — Searcher.search_boolean's
+        full clause surface (mixed occurs, msm, boosts, phrases,
+        arbitrary-depth nesting, dismax, numeric doc-values ranges,
+        external allow-lists, searchAfter) over all sub-indexes with
+        MultiReader-combined stats. The clause compiler
+        (Searcher._boolean_spec) runs against a stats facade whose
+        term_stats_multi / docCount / avgdl sum across leaves, so the
+        kernel spec — idf weights, norms, msm thresholds — is exactly
+        the union index's; evaluation cogroups per (src, shard) like
+        search(). numeric ranges evaluate against EACH leaf's own
+        stored table (leaf-local docs); external allowed_docs carry
+        global ids (bases subtracted per leaf when set)."""
+        facade = _StatsFacade(self.searchers)
+        res = Searcher._boolean_spec(
+            facade, clauses, k, min_should_match,
+            extra_constraint=bool(numeric or allowed_docs is not None),
+            after=after, dismax_tie=dismax_tie, allow_delegate=False,
+        )
+        if res["spec"] is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        spec, by_field_terms, stats = res["spec"], res["by_field_terms"], res["stats"]
+        bases = self.bases
+        kk = int(k)
+
+        aux_parts, allow_kinds = [], None
+        for i, s in enumerate(self.searchers):
+            allowed_i = allowed_docs
+            if allowed_docs is not None and bases is not None:
+                b = int(bases[i])
+                allowed_i = allowed_docs.select(
+                    (F.col("doc") - F.lit(b)).alias("doc")
+                ).filter(F.col("doc") >= 0)
+            aux_i, kinds_i = s._aux_frames(numeric, allowed_i)
+            if allow_kinds is None:
+                allow_kinds = kinds_i
+            if aux_i is not None:
+                aux_parts.append(aux_i.withColumn("src", F.lit(i)))
+        aux = None
+        if aux_parts:
+            aux = aux_parts[0]
+            for p in aux_parts[1:]:
+                aux = aux.unionByName(p)
+        kinds = allow_kinds or []
+
+        def kernel(key, pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+            by_field = {
+                f: {t: g for t, g in sub.groupby("term", sort=False)}
+                for f, sub in pdf.groupby("field", sort=False)
+            }
+            dels, allowed = _split_aux(
+                aux_pdf if aux_pdf is not None and len(aux_pdf) else None, kinds
+            )
+            hits = _score_shard_boolean(by_field, spec, dels, allowed)
+            if bases is not None and len(hits):
+                hits = hits.assign(doc=hits["doc"] + int(bases[int(key[0])]))
+            return hits
+
+        pred = F.lit(False)
+        for f, ts in by_field_terms.items():
+            if any((f, t) in stats for t in ts):
+                pred = pred | (
+                    (F.col("field") == f)
+                    & F.col("term").isin([t for t in ts if (f, t) in stats])
+                )
+        cols = self.searchers[0]._postings.columns
+        parts = [
+            s._postings.filter(pred).select(*cols).withColumn("src", F.lit(i))
+            for i, s in enumerate(self.searchers)
+        ]
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        if aux is None:
+            hits = scan.groupBy("src", "shard").applyInPandas(
+                lambda key, pdf: kernel(key, pdf, None), schema=HIT_SCHEMA
+            )
+        else:
+            hits = (
+                scan.groupBy("src", "shard")
+                .cogroup(aux.groupBy("src", "shard"))
+                .applyInPandas(kernel, schema=HIT_SCHEMA)
+            )
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)

@@ -25,21 +25,23 @@ def mr_setup(spark, tmp_path_factory):
     rng = np.random.default_rng(67)
     w = 1.0 / np.arange(1, len(WORDS) + 1)
     p = w / w.sum()
-    rows = [
-        {"doc_id": i,
-         "text": " ".join(rng.choice(WORDS, size=int(rng.integers(4, 40)), p=p))}
-        for i in range(400)
-    ]
+    rows = []
+    for i in range(400):
+        txt = " ".join(rng.choice(WORDS, size=int(rng.integers(4, 40)), p=p))
+        rows.append({"doc_id": i, "text": txt, "n_chars": len(txt)})
     base = tmp_path_factory.mktemp("mr")
     full = str(base / "full")
     ha, hb = str(base / "ha"), str(base / "hb")
     df = spark.createDataFrame(rows)
     build_index(spark, df, full, doc_col="doc_id", n_shards=8,
-                text_fields={"text": "text"})
+                text_fields={"text": "text"},
+                stored_fields={"n_chars": "n_chars"})
     build_index(spark, df.filter("doc_id < 200"), ha, doc_col="doc_id",
-                n_shards=4, text_fields={"text": "text"})
+                n_shards=4, text_fields={"text": "text"},
+                stored_fields={"n_chars": "n_chars"})
     build_index(spark, df.filter("doc_id >= 200"), hb, doc_col="doc_id",
-                n_shards=4, text_fields={"text": "text"})
+                n_shards=4, text_fields={"text": "text"},
+                stored_fields={"n_chars": "n_chars"})
     return rows, full, ha, hb
 
 
@@ -128,3 +130,51 @@ def test_multireader_bases_offsets(spark, mr_setup, tmp_path):
                 .search(["gamma", "zeta"], k=60))
     want = _hits(Searcher(spark, fu).search(["gamma", "zeta"], k=60))
     assert got == want
+
+
+BOOL_CASES = [
+    # mixed occurs
+    dict(clauses=[{"term": "alpha", "occur": "must"},
+                  {"term": "gamma", "occur": "should"},
+                  {"term": "kappa", "occur": "should"},
+                  {"term": "pi", "occur": "must_not"}]),
+    # msm=2 disjunction with a boost
+    dict(clauses=[{"term": "alpha", "occur": "should"},
+                  {"term": "beta", "occur": "should", "boost": 2.0},
+                  {"term": "delta", "occur": "should"}],
+         min_should_match=2),
+    # nested sub-query + phrase clause
+    dict(clauses=[{"clauses": [{"term": "gamma", "occur": "should"},
+                               {"term": "zeta", "occur": "should"}],
+                   "occur": "must"},
+                  {"phrase": ["alpha", "beta"], "occur": "should"}]),
+    # dismax combine
+    dict(clauses=[{"term": "alpha", "occur": "should"},
+                  {"term": "beta", "occur": "should"}],
+         dismax_tie=0.3),
+    # numeric doc-values range over the leaves' own stored tables
+    dict(clauses=[{"term": "alpha", "occur": "must"}],
+         numeric=[{"field": "n_chars", "lo": 60, "hi": 160}]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(BOOL_CASES)))
+def test_multireader_boolean_identical_to_union_index(spark, mr_setup, case):
+    _, full, ha, hb = mr_setup
+    kw = BOOL_CASES[case]
+    want = _hits(Searcher(spark, full).search_boolean(k=80, **kw))
+    got = _hits(MultiSearcher(spark, [ha, hb]).search_boolean(k=80, **kw))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_multireader_boolean_search_after(spark, mr_setup):
+    _, full, ha, hb = mr_setup
+    clauses = [{"term": "gamma", "occur": "should"},
+               {"term": "zeta", "occur": "should"}]
+    ms = MultiSearcher(spark, [ha, hb])
+    page1 = _hits(ms.search_boolean(clauses, k=10))
+    cursor = (float(page1[-1][1]), page1[-1][0])
+    got = _hits(ms.search_boolean(clauses, k=10, after=cursor))
+    want = _hits(Searcher(spark, full).search_boolean(clauses, k=10, after=cursor))
+    assert got == want and len(got) == 10

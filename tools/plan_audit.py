@@ -128,6 +128,11 @@ def main() -> int:
     surfaces["multi_reader"] = MultiSearcher(spark, [mra, mrb]).search(
         ["alpha", "beta"], 10
     )
+    surfaces["multi_boolean"] = MultiSearcher(spark, [mra, mrb]).search_boolean(
+        [{"term": "alpha", "occur": "must"},
+         {"term": "beta", "occur": "should"},
+         {"term": "gamma", "occur": "must_not"}], 10
+    )
     surfaces["chunk_documents"] = curation.chunk_documents(
         docs_df, "doc_id", "text", window=16, stride=8
     )
@@ -311,15 +316,15 @@ def main() -> int:
             # collapse to one partition
             assert "Exchange SinglePartition" not in plan, \
                 f"{name} plan collapsed to a single partition"
-        if name == "multi_reader":
+        if name in ("multi_reader", "multi_boolean"):
             # every sub-index scan carries the (field, term) pushdown;
             # one TakeOrdered merges the per-(src, shard) top-k
             assert sum(
                 1 for ln in plan.splitlines()
                 if "PushedFilters" in ln and "field" in ln
-            ) >= 2, "multi_reader missing per-leaf term pushdown"
+            ) >= 2, f"{name} missing per-leaf term pushdown"
             assert any("TakeOrdered" in ln for ln in keep), \
-                "multi_reader missing TakeOrdered top-k cut"
+                f"{name} missing TakeOrdered top-k cut"
         if name == "significant_terms":
             # fg-count scan is column-pruned (docs blocks only — no
             # positions/payloads read) and the final cut is TakeOrdered
