@@ -344,6 +344,20 @@ def _hits_df(hits: DataFrame) -> DataFrame:
     )
 
 
+def _ftx_model(spark: SparkSession, sf_dir: str) -> str:
+    """Cached FreeTextSuggester n-gram model over the documents
+    corpus (order 3, standard_v1) — built once per sf like the other
+    persisted index variants."""
+    path = os.path.join(_index_root(sf_dir), "ftxlm")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        from fdblucene_spark.operators.ngram_lm import build_ngram_model
+
+        build_ngram_model(
+            spark, _table(spark, sf_dir, "documents"), "text", path, order=3
+        )
+    return path
+
+
 def _mr_searcher(spark: SparkSession, sf_dir: str):
     """Two disjoint half-indexes of the documents corpus searched
     federated (Lucene MultiReader parity): sub-indexes build
@@ -1235,6 +1249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ft_bm25_topk_and(spark, sf):
         return _hits_df(_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
+
+    def ft_free_text(spark, sf):
+        # FreeTextSuggester (suggest module): stupid-backoff next-token
+        # completion after "the" — bigram level scores cnt/denom, the
+        # unigram fallback scores 0.4 * popularity, each token keeps
+        # its highest-level hit; persisted gram-sorted model tables
+        from fdblucene_spark.operators.ngram_lm import FreeTextSuggester
+
+        s = FreeTextSuggester(spark, _ftx_model(spark, sf))
+        out = s.lookup("the", k=10)
+        return out.select("token", F.round(F.col("score"), 6).alias("score"))
 
     def ft_multi_boolean(spark, sf):
         # federated composable BooleanQuery: MUST + SHOULD + MUST_NOT
@@ -2610,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
+        ft_free_text,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2678,6 +2704,31 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
         # df/n_docs/avgdl) — identical to what federated search with
         # summed leaf stats must produce
         "ft_multi_reader": _bm25_sql(["dup", "merge", "stream"], "or", K_ALL),
+        # FreeTextSuggester twin: unigram/bigram counts + the same
+        # stupid-backoff precedence (bigram level wins where it has a
+        # hit; unigram fallback weighted ALPHA=0.4)
+        "ft_free_text": f"""
+WITH {_TOK_CTE},
+uni AS (SELECT term AS g, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+tot AS (SELECT sum(cnt)::DOUBLE AS n FROM uni),
+big AS (
+  SELECT ts[i] || ' ' || ts[i+1] AS g, count(*)::BIGINT AS cnt
+  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+  GROUP BY g
+),
+den AS (SELECT cnt::DOUBLE AS d FROM uni WHERE g = 'the'),
+l1 AS (
+  SELECT substr(g, 5) AS token, 1.0 * (cnt::DOUBLE / den.d) AS score
+  FROM big, den WHERE g LIKE 'the %'
+),
+l0 AS (SELECT g AS token, 0.4 * (cnt::DOUBLE / tot.n) AS score FROM uni, tot),
+merged AS (
+  SELECT l0.token, coalesce(l1.score, l0.score) AS score
+  FROM l0 LEFT JOIN l1 ON l1.token = l0.token
+)
+SELECT token, round(score, 6) AS score
+FROM merged ORDER BY score DESC, token ASC LIMIT 10
+""",
         "ft_multi_boolean": _bm25_sql(
             [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,
             extra_where=(

@@ -133,6 +133,14 @@ def main() -> int:
          {"term": "beta", "occur": "should"},
          {"term": "gamma", "occur": "must_not"}], 10
     )
+    from fdblucene_spark.operators.ngram_lm import (  # noqa: E402
+        FreeTextSuggester, build_ngram_model,
+    )
+    lm_path = os.path.join(tempfile.mkdtemp(prefix="audit-"), "lm")
+    build_ngram_model(spark, docs_df, "text", lm_path, order=3)
+    surfaces["free_text_lookup"] = FreeTextSuggester(spark, lm_path).lookup(
+        "alpha beta", 5
+    )
     surfaces["chunk_documents"] = curation.chunk_documents(
         docs_df, "doc_id", "text", window=16, stride=8
     )
@@ -325,6 +333,13 @@ def main() -> int:
             ) >= 2, f"{name} missing per-leaf term pushdown"
             assert any("TakeOrdered" in ln for ln in keep), \
                 f"{name} missing TakeOrdered top-k cut"
+        if name == "free_text_lookup":
+            # every gram probe pushes StringStartsWith/EqualTo into the
+            # sorted gram tables; the corpus is never rescanned
+            assert any("PushedFilters" in ln and "StartsWith" in ln
+                       for ln in keep), "free_text gram prefix not pushed"
+            assert any("TakeOrdered" in ln for ln in keep), \
+                "free_text missing TakeOrdered top-k cut"
         if name == "significant_terms":
             # fg-count scan is column-pruned (docs blocks only — no
             # positions/payloads read) and the final cut is TakeOrdered
