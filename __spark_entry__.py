@@ -1250,6 +1250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_bm25_topk_and(spark, sf):
         return _hits_df(_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
 
+    def ft_simple_query(spark, sf):
+        # SimpleQueryParser (tolerant end-user syntax): should dup,
+        # NOT merge, should stream — whitespace joins with the default
+        # operator, '-' negates; compiles to the same one-job boolean
+        return _hits_df(
+            _searcher(spark, sf).search_simple("dup -merge stream", k=K_ALL)
+        )
+
     def ft_free_text(spark, sf):
         # FreeTextSuggester (suggest module): stupid-backoff next-token
         # completion after "the" — bigram level scores cnt/denom, the
@@ -2635,7 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
-        ft_free_text,
+        ft_free_text, ft_simple_query,
     ]:
         q[fn.__name__] = fn
     return q
@@ -2704,6 +2712,13 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
         # df/n_docs/avgdl) — identical to what federated search with
         # summed leaf stats must produce
         "ft_multi_reader": _bm25_sql(["dup", "merge", "stream"], "or", K_ALL),
+        "ft_simple_query": _bm25_sql(
+            ["dup", "stream"], "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+                "WHERE term = 'merge')"
+            ),
+        ),
         # FreeTextSuggester twin: unigram/bigram counts + the same
         # stupid-backoff precedence (bigram level wins where it has a
         # hit; unigram fallback weighted ALPHA=0.4)

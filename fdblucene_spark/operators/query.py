@@ -4735,6 +4735,51 @@ class Searcher:
             dismax_tie=dismax_tie,
         )
 
+    def search_simple(
+        self,
+        query: str,
+        k: int,
+        default_field: str = "text",
+        default_operator: str = "or",
+        max_expansions: int = 50,
+        after: tuple[float, int] | None = None,
+        dismax_tie: float | None = None,
+    ) -> DataFrame:
+        """Lucene SimpleQueryParser string -> one composable query:
+        the tolerant end-user syntax (+ | - "phrase"~N term~N term*
+        parens, left-associative, whitespace = default_operator) that
+        NEVER throws on malformed input — unmatched quotes/parens and
+        dangling operators degrade per functions/simpleparser.py. The
+        parse compiles to the same clause-dict algebra as
+        search_parsed, so prefixes/fuzzies expand against the term
+        dictionary (SCORING_BOOLEAN rewrite) and the tree evaluates in
+        ONE boolean job. An empty or fully-degenerate query returns no
+        hits. Like Lucene, "never throws" covers syntax; an engine
+        capability limit (sloppy phrase nested in a boolean) still
+        raises. Query text analyzes with the default field's pinned
+        analyzer."""
+        from ..functions.simpleparser import parse_simple
+
+        parsed = parse_simple(
+            query, default_field=default_field,
+            default_operator=default_operator,
+            analyzer=self.analyzer_for(default_field),
+        )
+        cl = parsed.clauses
+        if not cl:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        if (
+            len(cl) == 1 and "phrase" in cl[0] and cl[0].get("slop", 0) > 0
+            and cl[0].get("occur") in ("should", "must")
+        ):
+            c = cl[0]
+            return self.search_span_near(
+                c["phrase"], k, slop=c["slop"], in_order=False, field=c["field"]
+            )
+        _reject_unrewritable(cl)
+        cl = self._expand_parsed(cl, max_expansions)
+        return self.search_boolean(cl, k, after=after, dismax_tie=dismax_tie)
+
     def _expand_parsed(self, clauses: list[dict], max_expansions: int) -> list[dict]:
         """Rewrite multiterm markers from the parser into concrete
         clauses: each expands to a nested SHOULD group over its
