@@ -1788,6 +1788,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
         )
 
+    def ft_distance_feature(spark, sf):
+        # Lucene LongPoint.newDistanceFeatureQuery (recency/proximity
+        # boost): BM25 + weight*pivot/(pivot+|n_chars-origin|) as a
+        # SHOULD clause — maximal at origin, halving at pivot distance
+        from fdblucene_spark.functions import features
+
+        hits = _searcher(spark, sf).search_function_score(
+            OR_TERMS, "n_chars", k=K_ALL, combine="add",
+            transform=features.distance_feature(3.0, 150.0, 40.0),
+        )
+        return hits.select(
+            F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
+        )
+
     def pipe_pack(spark, sf):
         # GPT-style concat-and-chunk sequence packing: global token
         # offsets via the dense-docID scan pattern (never a
@@ -2643,7 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
-        ft_free_text, ft_simple_query,
+        ft_free_text, ft_simple_query, ft_distance_feature,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3286,6 +3300,15 @@ SELECT agg.doc_id,
        round(score32::DOUBLE + 2.0 * d.n_chars::DOUBLE / (d.n_chars::DOUBLE + 150.0), 6) AS score
 FROM agg JOIN documents d ON d.doc_id = agg.doc_id
 ORDER BY score32::DOUBLE + 2.0 * d.n_chars::DOUBLE / (d.n_chars::DOUBLE + 150.0) DESC, agg.doc_id ASC
+LIMIT {K_ALL}""",
+        ),
+        "ft_distance_feature": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=f"""
+SELECT agg.doc_id,
+       round(score32::DOUBLE + 3.0 * 40.0 / (40.0 + abs(d.n_chars::DOUBLE - 150.0)), 6) AS score
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+ORDER BY score32::DOUBLE + 3.0 * 40.0 / (40.0 + abs(d.n_chars::DOUBLE - 150.0)) DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),

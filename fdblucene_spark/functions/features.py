@@ -39,6 +39,22 @@ def log(weight: float = 1.0, scaling: float = 1.0):
     return lambda c: F.lit(w) * F.log(F.lit(s) + c.cast("double"))
 
 
+def distance_feature(weight: float, origin: float, pivot: float):
+    """S(v) = weight * pivot / (pivot + |v - origin|) — Lucene 8's
+    LongPoint.newDistanceFeatureQuery (LongDistanceFeatureQuery):
+    boost-by-recency / boost-by-proximity on a numeric slot. The score
+    is maximal (= weight) at v == origin and halves at distance ==
+    pivot; docs missing the field contribute the add identity (0),
+    matching the query's "documents without the field never match"
+    contract when composed as a SHOULD clause."""
+    w, o, p = float(weight), float(origin), float(pivot)
+    if p <= 0:
+        raise ValueError("pivot must be positive")
+    return lambda c: (
+        F.lit(w) * F.lit(p) / (F.lit(p) + F.abs(c.cast("double") - F.lit(o)))
+    )
+
+
 def sigmoid(weight: float = 1.0, pivot: float = 1.0, a: float = 1.0):
     """S(v) = weight * v^a / (v^a + pivot^a) — FeatureField.newSigmoidQuery."""
     w, p, aa = float(weight), float(pivot), float(a)

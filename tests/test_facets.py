@@ -403,6 +403,8 @@ def test_feature_functions_match_formulas(spark, drill_index):
         ("log", features.log(0.5, 1.0), lambda v: 0.5 * math.log(1.0 + v)),
         ("sig", features.sigmoid(1.5, 120.0, 2.0),
          lambda v: 1.5 * v**2 / (v**2 + 120.0**2)),
+        ("dist", features.distance_feature(3.0, 150.0, 40.0),
+         lambda v: 3.0 * 40.0 / (40.0 + abs(v - 150.0))),
     ]:
         got = s.search_function_score(
             ["alpha"], "n_chars", k=20, combine="add", transform=tr
@@ -417,3 +419,5 @@ def test_feature_functions_match_formulas(spark, drill_index):
             bad(1.0, 0.0)
     with _pt.raises(ValueError):
         features.sigmoid(1.0, 1.0, 0.0)
+    with _pt.raises(ValueError):
+        features.distance_feature(1.0, 0.0, 0.0)
