@@ -145,6 +145,11 @@ MP_SLOTS = ["sort", ("merge", "join", "zzzabsent")]
 # the keyword field, dup/hash only via text; both get cross-field norms
 COMB_TERMS = ["dup", "hash", "src3"]
 COMB_W_TEXT, COMB_W_SRC = 1.0, 1.5
+# ft_blended: BlendedTermQuery over (text:dup, text:merge,
+# source:src3 boost 1.5) — every leaf's idf uses the MAX df across
+# the leaves (text 'dup' dominates, so the keyword leaf is scored
+# with a df far above its own), dismax combine at this tie
+BLEND_TIE = 0.3
 # ft_mlt sample: tf>=2 keeps key/dup/hash/vector/scan; 'solo' fails
 # min_term_freq, 'zzznope' fails min_doc_freq — selection is decided
 # by integer thresholds only, so the SQL twin is the literal OR set
@@ -1788,6 +1793,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
         )
 
+    def ft_blended(spark, sf):
+        # Lucene BlendedTermQuery: max-df blended stats across
+        # (text:dup, text:merge, source:src3 x1.5), dismax rewrite
+        hits = _searcher(spark, sf).search_blended(
+            [
+                {"field": "text", "term": "dup"},
+                {"field": "text", "term": "merge"},
+                {"field": "source", "term": "src3", "boost": 1.5},
+            ],
+            k=K_ALL, tie=BLEND_TIE, rewrite="dismax",
+        )
+        return _hits_df(hits)
+
     def ft_distance_feature(spark, sf):
         # Lucene LongPoint.newDistanceFeatureQuery (recency/proximity
         # boost): BM25 + weight*pivot/(pivot+|n_chars-origin|) as a
@@ -2657,7 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
-        ft_free_text, ft_simple_query, ft_distance_feature,
+        ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3025,6 +3043,52 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
             [SPAN_NOT[0]], "or", K_ALL, span_not=SPAN_NOT
         ),
         "ft_combined_field": _combined_sql(COMB_TERMS, COMB_W_TEXT, COMB_W_SRC, K_ALL),
+        # BlendedTermQuery twin: df = max across the three leaves,
+        # substituted into every leaf's f32 idf; text leaves keep text
+        # norms/avgdl/docCount, the keyword leaf keeps dl=1/avgdl=1 and
+        # the keyword docCount; dismax combine in f64 over f32 addends
+        "ft_blended": f"""
+WITH src AS (SELECT doc_id, text, source FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), {_NORM_CTE},
+kn AS (SELECT count(*)::BIGINT AS n_docs FROM src WHERE source IS NOT NULL),
+blend AS (
+  SELECT greatest(
+    (SELECT coalesce(max(df), 0) FROM (
+       SELECT count(DISTINCT doc_id)::BIGINT AS df FROM tok
+       WHERE term IN ('dup', 'merge') GROUP BY term)),
+    (SELECT count(*)::BIGINT FROM src WHERE source = 'src3')
+  )::BIGINT AS df
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ('dup', 'merge') GROUP BY doc_id, term
+), tleaf AS (
+  SELECT tf.doc_id,
+    (((1.0::FLOAT * (ln(1 + (s.n_docs - b.df + 0.5) / (b.df + 0.5))::FLOAT))::FLOAT)::DOUBLE *
+     ((tf.tf::DOUBLE / (tf.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE)::FLOAT AS s32
+  FROM tf JOIN norms n ON n.doc_id = tf.doc_id CROSS JOIN stats s CROSS JOIN blend b
+), kleaf AS (
+  SELECT d.doc_id,
+    (((1.5::FLOAT * (ln(1 + (kn.n_docs - b.df + 0.5) / (b.df + 0.5))::FLOAT))::FLOAT)::DOUBLE *
+     ((1.0 / (1.0 + {_KW_CACHE_F32}))::FLOAT)::DOUBLE)::FLOAT AS s32
+  FROM src d CROSS JOIN kn CROSS JOIN blend b WHERE d.source = 'src3'
+), leaves AS (
+  SELECT doc_id, s32 FROM tleaf UNION ALL SELECT doc_id, s32 FROM kleaf
+), agg AS (
+  SELECT doc_id,
+    (max(s32::DOUBLE) + {BLEND_TIE!r} * (sum(s32::DOUBLE) - max(s32::DOUBLE)))::FLOAT AS score32
+  FROM leaves GROUP BY doc_id
+)
+SELECT doc_id, round(score32::DOUBLE, 3) AS score
+FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {K_ALL}
+""",
         "ft_span_or": _bm25_sql(
             [t for c in SPAN_OR_CLAUSES for t in ((c,) if isinstance(c, str) else c)],
             "or", K_ALL, span=(SPAN_OR_CLAUSES, SPAN_OR_SLOP, True),

@@ -3481,6 +3481,125 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_blended(
+        self,
+        leaves: list[dict],
+        k: int = 10,
+        tie: float = 0.01,
+        rewrite: str = "dismax",
+    ) -> DataFrame:
+        """Lucene BlendedTermQuery (core BlendedTermQuery.java): one
+        term fanned across fields — or several spellings of one term —
+        scored as if every leaf had the SAME document frequency. The
+        blended df is the MAX docFreq across all leaves (blend() also
+        maxes ttf, which BM25 never reads), so a rare field copy of a
+        common term is not over-rewarded by its tiny local df (the
+        cross-field idf imbalance this query exists to fix). Each leaf
+        then scores as a normal BM25 TermQuery — its own tf, its own
+        field norms / avgdl / docCount — with df_blend substituted
+        into the idf and the leaf boost folded as float32(boost *
+        idf32), the engine's BoostQuery weight order. Per-doc combine
+        follows the rewrite method: 'dismax' = DISJUNCTION_MAX_REWRITE
+        (max + tie * (sum - max); Lucene's default tie 0.01), 'or' =
+        BOOLEAN_REWRITE (disjunction sum). Accumulation is float64
+        over float32 addends with a final float32 cast; ties docID
+        asc. A leaf whose term is absent from its field contributes
+        nothing (Lucene skips empty TermStates on rewrite).
+
+        leaves: [{"field": str, "term": str, "boost": float = 1.0}].
+
+        Kernel shape: ONE termdict seek for all (field, term) stats, a
+        postings scan pruned per-field to its queried terms (shards
+        partition docID space identically across fields, so each
+        shard's combine sees every leaf of its docs), deletes as the
+        cogrouped side input, per-shard top-k then one global
+        orderBy-limit. Exhaustive scorer: per-block upper bounds are
+        not maintained for blended (substituted-df) weights, the same
+        pruning loss Lucene takes on any non-standard stats path."""
+        if rewrite not in ("dismax", "or"):
+            raise ValueError("rewrite must be 'dismax' or 'or'")
+        if not leaves:
+            raise ValueError("leaves must be non-empty")
+        if not (0.0 <= float(tie) <= 1.0):
+            raise ValueError("tie must be in [0, 1]")
+        norm_leaves: list[tuple[str, str, float]] = []
+        by_field: dict[str, set[str]] = {}
+        for lf in leaves:
+            fld, t = lf["field"], lf["term"]
+            b = float(lf.get("boost", 1.0))
+            if b <= 0:
+                raise ValueError("boost must be > 0")
+            norm_leaves.append((fld, t, b))
+            by_field.setdefault(fld, set()).add(t)
+        stats = self.term_stats_multi(by_field)
+        df_blend = max((int(st[0]) for st in stats.values()), default=0)
+        if df_blend <= 0:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        leaf_w: list[tuple[str, str, np.float32, float]] = []
+        for fld, t, b in norm_leaves:
+            st = stats.get((fld, t))
+            if not st or int(st[0]) <= 0:
+                continue
+            n_f = self.manifest.n_docs_for(fld)
+            w32 = (np.float32(b) * bm25.idf(float(df_blend), n_f)).astype(np.float32)
+            leaf_w.append((fld, t, w32, self.manifest.avgdl_for(fld)))
+        if not leaf_w:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+        tie_f = float(tie)
+        use_max = rewrite == "dismax"
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            groups = {
+                (f_, t_): g for (f_, t_), g in pdf.groupby(["field", "term"], sort=False)
+            }
+            parts: list[tuple[np.ndarray, np.ndarray]] = []
+            for fld, t, w32, avgdl in leaf_w:
+                g = groups.get((fld, t))
+                if g is None:
+                    continue
+                d, tf, dlq = _decode_block_rows(g)
+                if dels is not None and dels.size and d.size:
+                    live = ~_sorted_probe(dels, d)
+                    d, tf, dlq = d[live], tf[live], dlq[live]
+                if d.size:
+                    s32 = (w32 * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
+                    parts.append((d, s32))
+            if not parts:
+                return empty
+            all_docs = np.concatenate([p[0] for p in parts])
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            acc = np.zeros(uniq.size, np.float64)
+            mx = np.zeros(uniq.size, np.float64)
+            off = 0
+            for d, s32 in parts:
+                idx = inv[off : off + d.size]
+                s64 = s32.astype(np.float64)
+                acc[idx] += s64
+                if use_max:
+                    np.maximum.at(mx, idx, s64)
+                off += d.size
+            if use_max:
+                acc = mx + tie_f * (acc - mx)
+            sc = acc.astype(np.float32)
+            top = np.lexsort((uniq, -sc.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": sc[top]})
+
+        pred = None
+        for fld, ts_ in by_field.items():
+            c = (F.col("field") == fld) & F.col("term").isin(sorted(ts_))
+            pred = c if pred is None else (pred | c)
+        scan = self._postings.filter(pred)
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_classic(
         self, terms: list[str], k: int = 10, mode: str = "or", field: str = "text"
     ) -> DataFrame:

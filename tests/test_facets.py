@@ -421,3 +421,64 @@ def test_feature_functions_match_formulas(spark, drill_index):
         features.sigmoid(1.0, 1.0, 0.0)
     with _pt.raises(ValueError):
         features.distance_feature(1.0, 0.0, 0.0)
+
+
+def test_blended_term_query(spark, drill_index):
+    """BlendedTermQuery laws: every leaf's idf uses the MAX df across
+    the blended leaves while tf/norms/avgdl/docCount stay per-field;
+    dismax rewrite combines max + tie*(sum-max), boolean rewrite sums;
+    an absent leaf contributes nothing; guards reject bad input."""
+    from fdblucene_spark.functions import bm25
+
+    rows, s = drill_index
+    leaves = [
+        {"field": "text", "term": "alpha"},
+        {"field": "role", "term": "user", "boost": 1.5},
+    ]
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    dls = {i: len(t) for i, t in toks.items() if t}
+    n_text = len(dls)
+    avg_text = sum(dls.values()) / n_text
+    df_alpha = sum(1 for t in toks.values() if "alpha" in t)
+    df_user = sum(1 for r in rows if r["role"] == "user")
+    df_blend = max(df_alpha, df_user)
+    assert df_alpha != df_user  # the blend must actually move one leaf's idf
+    w_text = (np.float32(1.0) * bm25.idf(float(df_blend), n_text)).astype(np.float32)
+    w_role = (np.float32(1.5) * bm25.idf(float(df_blend), len(rows))).astype(np.float32)
+    exp = {}
+    for r in rows:
+        i = r["doc_id"]
+        parts = []
+        tf = toks[i].count("alpha")
+        if tf:
+            dlq = bm25.int_to_byte4(np.array([dls[i]]))
+            parts.append(float((w_text * bm25.tf_norm(
+                np.array([tf]), dlq, avg_text)).astype(np.float32)[0]))
+        if r["role"] == "user":
+            dlq1 = bm25.int_to_byte4(np.array([1]))
+            parts.append(float((w_role * bm25.tf_norm(
+                np.array([1]), dlq1, 1.0)).astype(np.float32)[0]))
+        if parts:
+            sm, mx = sum(parts), max(parts)
+            exp[i] = (np.float32(mx + 0.3 * (sm - mx)), np.float32(sm))
+    for rw, slot in (("dismax", 0), ("or", 1)):
+        got = s.search_blended(leaves, k=400, tie=0.3, rewrite=rw).collect()
+        assert len(got) == len(exp), rw
+        want = sorted(exp.items(), key=lambda kv: (-float(kv[1][slot]), kv[0]))
+        assert [g["doc"] for g in got] == [d for d, _ in want], rw
+        for g in got:
+            assert abs(float(g["score"]) - float(exp[g["doc"]][slot])) < 1e-6, rw
+    got2 = s.search_blended(
+        leaves + [{"field": "text", "term": "zzznope"}], k=400, tie=0.3
+    )
+    assert got2.count() == len(exp)  # absent leaf drops (empty TermStates)
+    assert s.search_blended([{"field": "text", "term": "zzznope"}], k=5).count() == 0
+    import pytest as _pt
+    for bad in (
+        lambda: s.search_blended([], k=5),
+        lambda: s.search_blended(leaves, k=5, rewrite="max"),
+        lambda: s.search_blended(leaves, k=5, tie=1.5),
+        lambda: s.search_blended([{"field": "text", "term": "alpha", "boost": 0}], k=5),
+    ):
+        with _pt.raises(ValueError):
+            bad()

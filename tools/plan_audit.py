@@ -75,6 +75,10 @@ def main() -> int:
         # round-5 surfaces
         "term_vectors": s.term_vectors([3, 17], "text"),
         "search_synonym": s.search_synonym(["alpha", "beta"], 10),
+        "search_blended": s.search_blended(
+            [{"field": "text", "term": "alpha"},
+             {"field": "role", "term": "user", "boost": 1.5}], 10, tie=0.3
+        ),
         "search_classic": s.search_classic(["alpha", "beta"], 10),
         "search_block_join": s.search_block_join(["alpha"], "role", 5, "total"),
         "search_join": s.search_join(
@@ -223,7 +227,8 @@ def main() -> int:
             print("  " + ln[:160])
         # postings scans must carry the field/term pushdown
         if name in ("search_parsed", "search_span_first", "matching_docs",
-                    "search_synonym", "search_classic", "search_multi_phrase",
+                    "search_synonym", "search_blended", "search_classic",
+                    "search_multi_phrase",
                     "search_lm_dirichlet", "search_lm_jelinek_mercer",
                     "search_common_terms", "search_dfi"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
