@@ -145,6 +145,10 @@ MP_SLOTS = ["sort", ("merge", "join", "zzzabsent")]
 # the keyword field, dup/hash only via text; both get cross-field norms
 COMB_TERMS = ["dup", "hash", "src3"]
 COMB_W_TEXT, COMB_W_SRC = 1.0, 1.5
+# ft_phrase_wildcard: PhraseWildcardQuery "the s*" — the prefix slot
+# expands against the termdict (top-50 by df desc, term asc) and the
+# expanded phrase scores through the MultiPhraseQuery pseudo-term path
+PW_SLOT0, PW_PREFIX = "the", "s"
 # ft_blended: BlendedTermQuery over (text:dup, text:merge,
 # source:src3 boost 1.5) — every leaf's idf uses the MAX df across
 # the leaves (text 'dup' dominates, so the keyword leaf is scored
@@ -1793,6 +1797,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
         )
 
+    def ft_phrase_wildcard(spark, sf):
+        # Lucene PhraseWildcardQuery: "the s*" — capped termdict
+        # expansion of the pattern slot + MultiPhraseQuery scoring
+        return _hits_df(
+            _searcher(spark, sf).search_phrase_wildcard(
+                [PW_SLOT0, {"prefix": PW_PREFIX}], k=K_ALL
+            )
+        )
+
+    def ft_norms_exists(spark, sf):
+        # Lucene NormsFieldExistsQuery on the tombstoned index: docs
+        # with an indexed text entry, constant score, minus deletes
+        return _hits_df(
+            _del_searcher(spark, sf).search_field_exists(
+                "text", k=K_ALL, kind="norms", boost=2.5
+            )
+        )
+
     def ft_blended(spark, sf):
         # Lucene BlendedTermQuery: max-df blended stats across
         # (text:dup, text:merge, source:src3 x1.5), dismax rewrite
@@ -2676,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
+        ft_phrase_wildcard, ft_norms_exists,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3043,6 +3066,62 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
             [SPAN_NOT[0]], "or", K_ALL, span_not=SPAN_NOT
         ),
         "ft_combined_field": _combined_sql(COMB_TERMS, COMB_W_TEXT, COMB_W_SRC, K_ALL),
+        # NormsFieldExistsQuery twin: indexed-text roster minus
+        # tombstones, constant boost
+        "ft_norms_exists": f"""
+SELECT doc_id, 2.5::DOUBLE AS score FROM documents
+WHERE doc_id % {DELETE_MOD} <> 0
+ORDER BY doc_id ASC LIMIT {K_ALL}
+""",
+        # PhraseWildcardQuery twin: the pattern slot's capped termdict
+        # expansion (top-50 by df desc, term asc) reproduced in SQL,
+        # then the MultiPhraseQuery pseudo-term scoring — weight =
+        # f32(left-to-right f64 fold of slot0's idf then the expanded
+        # alternatives' idfs in expansion order, via list_reduce)
+        "ft_phrase_wildcard": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+exp AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rk FROM (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+    WHERE term LIKE '{PW_PREFIX}%' GROUP BY term
+  ) QUALIFY rk <= 50
+), tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), starts AS (
+  SELECT DISTINCT f0.doc_id, f0.p FROM flat f0, flat f1
+  WHERE f0.t = '{PW_SLOT0}' AND f1.doc_id = f0.doc_id AND f1.p = f0.p + 1
+    AND f1.t IN (SELECT term FROM exp)
+), freqs AS (
+  SELECT doc_id, count(*)::BIGINT AS freq FROM starts GROUP BY doc_id
+), sdf AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS df FROM tok WHERE term = '{PW_SLOT0}'
+), widf AS (
+  SELECT (list_reduce(
+    [(ln(1 + (s.n_docs - sdf.df + 0.5) / (sdf.df + 0.5))::FLOAT)::DOUBLE] ||
+    (SELECT coalesce(
+        list((ln(1 + (s2.n_docs - e.df + 0.5) / (e.df + 0.5))::FLOAT)::DOUBLE
+             ORDER BY e.rk),
+        CAST([] AS DOUBLE[]))
+     FROM exp e, stats s2),
+    (a, b) -> a + b))::FLOAT AS w32
+  FROM stats s, sdf
+), scores AS (
+  SELECT f.doc_id,
+    ((w.w32)::DOUBLE *
+     ((f.freq::DOUBLE / (f.freq::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM freqs f
+  JOIN norms n ON n.doc_id = f.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN widf w
+)
+SELECT doc_id, round(s32::DOUBLE, 3) AS score
+FROM scores ORDER BY s32 DESC, doc_id ASC LIMIT {K_ALL}
+""",
         # BlendedTermQuery twin: df = max across the three leaves,
         # substituted into every leaf's f32 idf; text leaves keep text
         # norms/avgdl/docCount, the keyword leaf keeps dl=1/avgdl=1 and

@@ -2287,6 +2287,53 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
+    def search_phrase_wildcard(
+        self,
+        slots: list,
+        k: int,
+        field: str = "text",
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Lucene PhraseWildcardQuery (sandbox): a phrase where some
+        slots are MultiTermQuery patterns. Each pattern slot expands
+        against the term dictionary with the engine's standard capped
+        MultiTermQuery enumeration (a DISTRIBUTED termdict job — top
+        `max_expansions` by df desc, term asc; prefix pushes down to
+        the Parquet scan) and the expanded phrase then evaluates
+        through the MultiPhraseQuery scorer (phrase freq as ONE
+        pseudo-term, double-summed member float32 idfs).
+        PhraseWildcardQuery documents itself as the
+        segment-efficient form of exactly this MultiPhraseQuery
+        rewrite; this surface takes the documented-equivalent shape —
+        the expansion job is one Spark scan regardless of segment
+        count, so the per-segment re-expansion Lucene optimizes away
+        never happens here at all.
+
+        A slot is a literal term, a list of literal alternatives, or
+        a dict {"prefix": p} / {"wildcard": w} (* = any sequence,
+        ? = one char). A pattern slot matching nothing means the
+        phrase can never match (empty result), like a single absent
+        literal slot."""
+        exp_slots: list = []
+        for c in slots:
+            if isinstance(c, dict):
+                if not c or set(c) - {"prefix", "wildcard"}:
+                    raise ValueError(
+                        "pattern slot must be {'prefix': p} or {'wildcard': w}"
+                    )
+                cands = self.expand_terms(
+                    field,
+                    prefix=c.get("prefix"),
+                    wildcard=c.get("wildcard"),
+                    max_expansions=max_expansions,
+                )
+                if not cands:
+                    return self.spark.createDataFrame([], HIT_SCHEMA)
+                exp_slots.append(tuple(cands))
+            else:
+                exp_slots.append(c)
+        return self.search_multi_phrase(exp_slots, k, field=field)
+
     def search_span_first(
         self,
         term: str,
@@ -3261,6 +3308,64 @@ class Searcher:
             docs.orderBy(F.asc("doc"))
             .limit(k)
             .select(F.col("doc"), F.lit(1.0).cast("float").alias("score"))
+        )
+
+    def search_field_exists(
+        self,
+        field: str,
+        k: int,
+        kind: str = "docvalues",
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """Lucene DocValuesFieldExistsQuery / NormsFieldExistsQuery:
+        constant-score membership on "this doc has the field".
+
+        kind='docvalues' — the doc's slot in the index-owned stored
+        table (the engine's doc-values residency) is non-null, like
+        DocValuesFieldExistsQuery's docsWithField iterator.
+        kind='norms' — the field was INDEXED for the doc: one doclen
+        row per (field, doc), like NormsFieldExistsQuery reading the
+        norms. Caveat: the primary text field's dl=0 roster rows
+        (complete live-doc roster, see search_all) make norms-exists
+        on THAT field match even zero-token docs; Lucene matches those
+        too when the field was supplied empty, and not at all when it
+        was missing — the build can't tell the two apart (it has no
+        per-doc null record once the roster row exists). Non-primary
+        fields have rows only where a value was indexed, exactly
+        Lucene's semantics.
+
+        Every match scores float32(boost); ordering is docID asc
+        (constant ties), so the top-k are the k lowest live docIDs.
+        Distributed shape: one column-pruned scan (stored or doclen)
+        -> distinct -> anti-join tombstones -> TakeOrdered; no
+        postings touched, no full sort materializes."""
+        if kind not in ("docvalues", "norms"):
+            raise ValueError("kind must be 'docvalues' or 'norms'")
+        if kind == "docvalues":
+            stored = self._stored_df()
+            if field not in stored.columns:
+                raise ValueError(f"field {field!r} is not stored in this index")
+            docs = stored.filter(F.col(field).isNotNull()).select(
+                F.col("doc").cast("long").alias("doc")
+            )
+        else:
+            dl = self.spark.read.parquet(
+                *self.manifest.segment_paths(self.root, "doclen")
+            )
+            docs = dl.filter(F.col("field") == field).select(
+                F.col("doc").cast("long").alias("doc")
+            )
+        docs = docs.distinct()
+        rel = self.manifest.properties.get("deletes_path")
+        if rel:
+            dels = self.spark.read.parquet(os.path.join(self.root, rel)).select(
+                F.col("doc").cast("long").alias("doc")
+            )
+            docs = docs.join(dels, "doc", "left_anti")
+        return (
+            docs.orderBy(F.asc("doc"))
+            .limit(int(k))
+            .select(F.col("doc"), F.lit(float(boost)).cast("float").alias("score"))
         )
 
     def _scored_match_set(

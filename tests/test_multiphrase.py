@@ -149,3 +149,44 @@ def test_multi_phrase_validation_and_empty(spark, mp_index):
         s.search_multi_phrase(["red", ()], k=10)
     # absent single-term slot can never match
     assert s.search_multi_phrase(["red", "zzzabsent"], k=10).count() == 0
+
+
+def test_phrase_wildcard_expands_to_multi_phrase(spark, mp_index):
+    """PhraseWildcardQuery = capped MultiTermQuery expansion per
+    pattern slot + the MultiPhraseQuery scorer: results must be
+    bit-identical to search_multi_phrase over the engine's own
+    expansion (df desc, term asc order), empty expansions kill the
+    phrase, max_expansions caps the alternative set."""
+    rows, root = mp_index
+    # pin the fresh-build snapshot: an earlier test tombstones a doc
+    # in this shared index, and the pin doubles as time-travel
+    # coverage for the new surface
+    s = Searcher(spark, root, version=1)
+    # single-expansion prefix: 'd' -> {dog}
+    got = s.search_phrase_wildcard(["red", {"prefix": "d"}], k=100).toPandas()
+    want = _brute(rows, ["red", ("dog",)])[:100]
+    assert [int(d) for d in got["doc"]] == [d for d, _, _ in want]
+    for g, (_, w, _) in zip(got["score"], want):
+        assert np.float32(g) == w
+    # multi-term expansion both slots: 'r*' -> {red, runs},
+    # '*o*' -> {fox, dog}; alternative order = expansion order
+    exp_r = s.expand_terms("text", prefix="r")
+    exp_o = s.expand_terms("text", wildcard="*o*")
+    assert set(exp_r) == {"red", "runs"} and set(exp_o) == {"fox", "dog"}
+    got2 = s.search_phrase_wildcard(
+        [{"prefix": "r"}, {"wildcard": "*o*"}], k=100
+    ).toPandas()
+    want2 = _brute(rows, [tuple(exp_r), tuple(exp_o)])[:100]
+    assert [int(d) for d in got2["doc"]] == [d for d, _, _ in want2]
+    for g, (_, w, _) in zip(got2["score"], want2):
+        assert np.float32(g) == w
+    # the cap keeps the top-1 by (df desc, term asc)
+    got3 = s.search_phrase_wildcard(
+        [{"prefix": "r"}, "fox"], k=100, max_expansions=1
+    ).toPandas()
+    want3 = _brute(rows, [(exp_r[0],), "fox"])[:100]
+    assert [int(d) for d in got3["doc"]] == [d for d, _, _ in want3]
+    # empty expansion -> empty result; malformed slot dict raises
+    assert s.search_phrase_wildcard(["red", {"prefix": "zzz"}], k=10).count() == 0
+    with pytest.raises(ValueError):
+        s.search_phrase_wildcard(["red", {"regex": "d.*"}], k=10)

@@ -88,6 +88,10 @@ def main() -> int:
         "search_multi_phrase": s.search_multi_phrase(
             ["alpha", ("beta", "gamma")], 10
         ),
+        "search_phrase_wildcard": s.search_phrase_wildcard(
+            ["alpha", {"prefix": "be"}], 10
+        ),
+        "field_exists": s.search_field_exists("role", 10, kind="norms"),
         "top_terms": s.top_terms("text", 5),
         "complete": s.complete("al", 5),
         "search_common_terms": s.search_common_terms(
