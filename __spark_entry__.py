@@ -2337,6 +2337,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             df, "conv_id", "turn_idx", "text", n_turns=6, stride=4
         )
 
+    def tx_pairs(spark, sf):
+        # SFT pair mining: every user turn IMMEDIATELY answered by an
+        # assistant turn (positional adjacency per conversation; one
+        # conv-partitioned shuffle + lead() windows, no self-join)
+        from fdblucene_spark.data import synth
+
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        return curation.response_pairs(df, "conv_id", "turn_idx", "role", "text")
+
     def samp_dsir(spark, sf):
         # DSIR importance weights (Xie et al.): hashed-ngram bucket
         # models, target = the doc_id%37 benchmark subset, raw = the
@@ -2698,7 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
-        ft_phrase_wildcard, ft_norms_exists,
+        ft_phrase_wildcard, ft_norms_exists, tx_pairs,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3464,6 +3474,9 @@ LIMIT {K_ALL}""",
         ),
         "tx_windows": curation.conversation_windows_sql(
             f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "text", 6, 4
+        ),
+        "tx_pairs": curation.response_pairs_sql(
+            f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "role", "text"
         ),
         "samp_shuffle": curation.global_shuffle_sql("documents", "doc_id", "epoch0"),
         "ft_drill_sideways": f"""

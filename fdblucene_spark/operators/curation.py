@@ -1015,6 +1015,90 @@ GROUP BY conv, window_idx
 """
 
 
+def response_pairs(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Instruction-tuning pair mining over multi-turn transcripts:
+    every (prompt_role turn, IMMEDIATELY-following response_role turn)
+    adjacent pair in turn order — the standard SFT extraction (an
+    assistant turn answering the user turn right before it; a tool or
+    system turn interleaved between them breaks adjacency and drops
+    the pair, by design). Returns (conv, pair_idx, prompt_turn,
+    response_turn, prompt, response): pair_idx numbers a
+    conversation's pairs 0..n-1 in turn order, *_turn carry the
+    source turn indexes.
+
+    Adjacency is POSITIONAL (next row in turn order within the
+    conversation), robust to turn-index gaps; lead() is partitioned
+    by conversation, so the last turn of one conversation never pairs
+    with the first of the next.
+
+    Scale shape: ONE hash shuffle partitioned by conversation, then
+    two window passes over the same partitioning (lead + the pair
+    rank reuse the exchange) — no self-join, no whole-conversation
+    collect; a conversation's turns stream through one frame, so
+    long-conversation skew is bounded by the longest single
+    conversation, same as every per-conv operator here."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    led = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(turn_col).alias("prompt_turn"),
+        F.col(role_col).alias("_r"),
+        F.col(text_col).alias("prompt"),
+        F.lead(F.col(role_col)).over(w).alias("_nr"),
+        F.lead(F.col(turn_col)).over(w).alias("response_turn"),
+        F.lead(F.col(text_col)).over(w).alias("response"),
+    )
+    pairs = led.filter(
+        (F.col("_r") == prompt_role) & (F.col("_nr") == response_role)
+    )
+    wp = Window.partitionBy("conv").orderBy("prompt_turn")
+    return pairs.select(
+        "conv",
+        (F.row_number().over(wp) - 1).cast("long").alias("pair_idx"),
+        "prompt_turn",
+        "response_turn",
+        "prompt",
+        "response",
+    )
+
+
+def response_pairs_sql(
+    table_expr: str,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> str:
+    """DuckDB twin of response_pairs (same positional-adjacency and
+    per-conversation pair numbering)."""
+    return f"""
+WITH led AS (
+  SELECT {conv_col} AS conv, {turn_col} AS prompt_turn,
+         {role_col} AS r, {text_col} AS prompt,
+         lead({role_col}) OVER w AS nr,
+         lead({turn_col}) OVER w AS response_turn,
+         lead({text_col}) OVER w AS response
+  FROM {table_expr}
+  WINDOW w AS (PARTITION BY {conv_col} ORDER BY {turn_col})
+), pairs AS (
+  SELECT * FROM led WHERE r = '{prompt_role}' AND nr = '{response_role}'
+)
+SELECT conv,
+       (row_number() OVER (PARTITION BY conv ORDER BY prompt_turn) - 1)::BIGINT AS pair_idx,
+       prompt_turn, response_turn, prompt, response
+FROM pairs
+"""
+
+
 # ----------------------------------------------- DSIR data selection
 DSIR_SALT = CLF_SALT  # shared hashing-trick domain with the classifier
 

@@ -447,6 +447,48 @@ def test_conversation_windows_matches_brute_force(spark, n_turns, stride):
     assert got == _brute_conv_windows(rows, n_turns, stride)
 
 
+def test_response_pairs_adjacency_and_numbering(spark):
+    """SFT pair mining: only IMMEDIATELY-adjacent (user, assistant)
+    turns pair (positional adjacency — index gaps fine, interleaved
+    tool/system turns break the pair), pair_idx numbers per-conv
+    pairs in turn order, and lead() never crosses a conversation."""
+    rows = [
+        ("a", 0, "user", "q0"), ("a", 1, "assistant", "r0"),
+        ("a", 2, "assistant", "x"), ("a", 4, "user", "q1"),
+        ("a", 6, "tool", "t"), ("a", 8, "assistant", "r1"),
+        # turn-index gap, still positionally adjacent
+        ("a", 10, "user", "q2"), ("a", 20, "assistant", "r2"),
+        # conv b ends on a user turn; conv c starts with assistant —
+        # neither may pair across the boundary
+        ("b", 0, "user", "bq"),
+        ("c", 0, "assistant", "cr"), ("c", 1, "user", "cq"),
+        ("c", 2, "assistant", "cr2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in curation.response_pairs(
+            df, "conv_id", "turn_idx", "role", "text"
+        ).collect()
+    )
+    assert got == [
+        ("a", 0, 0, 1, "q0", "r0"),
+        ("a", 1, 10, 20, "q2", "r2"),
+        ("c", 0, 1, 2, "cq", "cr2"),
+    ]
+    # custom role pair: the tool turn right after a user turn
+    got2 = sorted(
+        tuple(r)
+        for r in curation.response_pairs(
+            df, "conv_id", "turn_idx", "role", "text",
+            prompt_role="user", response_role="tool",
+        ).collect()
+    )
+    assert got2 == [("a", 0, 4, 6, "q1", "t")]
+
+
 def test_conversation_windows_guards(spark):
     df = spark.createDataFrame([("c", 0, "x")], "conv_id string, turn_idx long, text string")
     with pytest.raises(ValueError, match="n_turns"):

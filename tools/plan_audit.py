@@ -159,6 +159,14 @@ def main() -> int:
     surfaces["conversation_windows"] = curation.conversation_windows(
         conv_df, "conv_id", "turn_idx", "text", n_turns=6, stride=4
     )
+    rp_df = spark.createDataFrame(
+        [{"conv_id": f"c{i % 20}", "turn_idx": i // 20,
+          "role": ["user", "assistant"][i % 2], "text": f"turn {i}"}
+         for i in range(400)]
+    )
+    surfaces["response_pairs"] = curation.response_pairs(
+        rp_df, "conv_id", "turn_idx", "role", "text"
+    )
     surfaces["facet_taxonomy"] = s.facet_taxonomy(
         [{"term": "alpha", "occur": "must"}], ["role"]
     )
@@ -281,6 +289,10 @@ def main() -> int:
             # bounded-group shuffles only; never a single-partition sort
             assert "Exchange SinglePartition" not in plan, \
                 "conversation_windows collapsed to a single partition"
+        if name == "response_pairs":
+            # conv-partitioned windows, never a global sort
+            assert "Exchange SinglePartition" not in plan, \
+                "response_pairs collapsed to a single partition"
         if name == "search_intervals":
             # leaf-term pushdown reaches the postings Parquet scan
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
