@@ -1815,6 +1815,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_covering(spark, sf):
+        # Lucene CoveringQuery (queries module): disjunction whose
+        # minimum-should-match is a PER-DOC LongValuesSource — here
+        # the stored n_chars slot mapped through %3+1, so thresholds
+        # 1..3 against 3 clauses (some docs need all three terms)
+        return _hits_df(
+            _searcher(spark, sf).search_covering(
+                OR_TERMS, "n_chars", k=K_ALL, transform=lambda c: c % 3 + 1
+            )
+        )
+
     def ft_blended(spark, sf):
         # Lucene BlendedTermQuery: max-df blended stats across
         # (text:dup, text:merge, source:src3 x1.5), dismax rewrite
@@ -2708,7 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
-        ft_phrase_wildcard, ft_norms_exists, tx_pairs,
+        ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3132,6 +3143,16 @@ exp AS (
 SELECT doc_id, round(s32::DOUBLE, 3) AS score
 FROM scores ORDER BY s32 DESC, doc_id ASC LIMIT {K_ALL}
 """,
+        # CoveringQuery twin: a doc survives iff its count of
+        # DISTINCT matching clauses >= its own stored threshold
+        # (n_chars % 3 + 1); survivors keep the plain disjunction
+        # score (f64 sum of f32 addends, final f32) — the engine's
+        # CoveringScorer accumulation order
+        "ft_covering": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            having=("HAVING count(*) >= (SELECT (d.n_chars % 3) + 1 "
+                    "FROM documents d WHERE d.doc_id = scores.doc_id)"),
+        ),
         # BlendedTermQuery twin: df = max across the three leaves,
         # substituted into every leaf's f32 idf; text leaves keep text
         # norms/avgdl/docCount, the keyword leaf keeps dl=1/avgdl=1 and

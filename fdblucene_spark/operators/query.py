@@ -3705,6 +3705,132 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_covering(
+        self,
+        terms: list[str],
+        value_field: str,
+        k: int = 10,
+        field: str = "text",
+        transform=None,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Lucene CoveringQuery (queries module): a disjunction whose
+        minimum-number-should-match is a PER-DOCUMENT value read from
+        a LongValuesSource — here the index-owned stored slot
+        `value_field`, optionally mapped through `transform` (a
+        Column -> Column, e.g. lambda c: c % 3 + 1). A doc matches
+        iff its distinct-clause hit count >= its threshold; matching
+        docs score the plain BM25 disjunction sum of their matching
+        clauses (f64 accumulation of f32 addends, final f32 cast —
+        CoveringScorer sums its subscorers the same way). A doc with
+        a NULL slot takes threshold 1 (plain disjunction membership);
+        thresholds above the clause count are unsatisfiable and
+        thresholds <= 0 match every doc the scan reaches, both falling
+        out of the comparison with no special casing.
+
+        Exhaustive scorer: a per-doc msm admits no block-max bound
+        (Lucene's CoveringQuery carries no impacts-based skipping
+        either). Distributed shape: ONE termdict seek, a postings scan
+        pruned to the clause terms, the threshold column cogrouped in
+        as a (shard, doc, val) side input exactly like the doc-values
+        predicate path (L24), per-shard top-k then one global
+        orderBy-limit."""
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: int(st[0]) for t, st in stats.items() if st[0] > 0}
+        if not present:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        weights = {
+            t: (np.float32(float((boosts or {}).get(t, 1.0)))
+                * bm25.idf(float(df_), n_docs)).astype(np.float32)
+            for t, df_ in sorted(present.items())
+        }
+        stored = self._stored_df()
+        if value_field not in stored.columns:
+            raise ValueError(f"value field {value_field!r} is not stored in this index")
+        v = transform(F.col(value_field)) if transform is not None else F.col(value_field)
+        ns = self.manifest.n_shards
+        parts: list[DataFrame] = []
+        base_aux, _ = self._aux_frames()
+        if base_aux is not None:
+            parts.append(base_aux.withColumn("val", F.lit(0).cast("long")))
+        parts.append(
+            stored.select(
+                F.pmod(F.col("doc"), F.lit(ns)).cast("int").alias("shard"),
+                F.col("doc").cast("long").alias("doc"),
+                F.lit("msm").alias("kind"),
+                v.cast("long").alias("val"),
+            ).filter(F.col("val").isNotNull())
+        )
+        aux = parts[0]
+        for p in parts[1:]:
+            aux = aux.unionByName(p)
+        kk = int(k)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels: np.ndarray | None = None
+            thr_d = thr_v = None
+            if aux_pdf is not None and len(aux_pdf):
+                d = aux_pdf.loc[aux_pdf["kind"] == AUX_DEL, "doc"].to_numpy(np.int64)
+                if d.size:
+                    dels = np.unique(d)
+                sub = aux_pdf.loc[aux_pdf["kind"] == "msm", ["doc", "val"]]
+                if len(sub):
+                    dd = sub["doc"].to_numpy(np.int64)
+                    vv = sub["val"].to_numpy(np.int64)
+                    o = np.argsort(dd)
+                    thr_d, thr_v = dd[o], vv[o]
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            parts_: list[tuple[np.ndarray, np.ndarray]] = []
+            for t, w32 in weights.items():
+                g = groups.get(t)
+                if g is None:
+                    continue
+                d, tf, dlq = _decode_block_rows(g)
+                if dels is not None and dels.size and d.size:
+                    live = ~_sorted_probe(dels, d)
+                    d, tf, dlq = d[live], tf[live], dlq[live]
+                if d.size:
+                    s32 = (w32 * bm25.tf_norm(tf, dlq, avgdl)).astype(np.float32)
+                    parts_.append((d, s32))
+            if not parts_:
+                return empty
+            all_docs = np.concatenate([p[0] for p in parts_])
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            acc = np.zeros(uniq.size, np.float64)
+            nhit = np.zeros(uniq.size, np.int64)
+            off = 0
+            for d, s32 in parts_:
+                idx = inv[off : off + d.size]
+                acc[idx] += s32.astype(np.float64)
+                nhit[idx] += 1
+                off += d.size
+            thr = np.ones(uniq.size, np.int64)
+            if thr_d is not None and thr_d.size:
+                pos = np.clip(np.searchsorted(thr_d, uniq), 0, thr_d.size - 1)
+                found = thr_d[pos] == uniq
+                thr[found] = thr_v[pos][found]
+            keep = nhit >= thr
+            uniq, acc = uniq[keep], acc[keep]
+            if not uniq.size:
+                return empty
+            sc = acc.astype(np.float32)
+            top = np.lexsort((uniq, -sc.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": sc[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(sorted(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_classic(
         self, terms: list[str], k: int = 10, mode: str = "or", field: str = "text"
     ) -> DataFrame:

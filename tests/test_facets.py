@@ -423,6 +423,50 @@ def test_feature_functions_match_formulas(spark, drill_index):
         features.distance_feature(1.0, 0.0, 0.0)
 
 
+def test_covering_query_per_doc_msm(spark, drill_index):
+    """CoveringQuery law: a doc matches iff its distinct-clause hit
+    count >= its per-doc threshold (n_chars % 3 + 1 here, read from
+    the stored slot); matching docs keep the plain BM25 disjunction
+    sum; unsatisfiable thresholds (> clause count) never match."""
+    from fdblucene_spark.functions import bm25
+
+    rows, s = drill_index
+    terms = ["alpha", "beta", "gamma"]
+    got = {
+        r["doc"]: float(r["score"])
+        for r in s.search_covering(
+            terms, "n_chars", k=400, transform=lambda c: c % 3 + 1
+        ).collect()
+    }
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    dls = {i: len(t) for i, t in toks.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    w = {t: np.float32(bm25.idf(float(dfs[t]), n_docs)) for t in terms}
+    exp = {}
+    n_thr = {r["doc_id"]: r["n_chars"] % 3 + 1 for r in rows}
+    for i, tk in toks.items():
+        parts = []
+        for t in terms:
+            tf = tk.count(t)
+            if tf:
+                dlq = bm25.int_to_byte4(np.array([dls[i]]))
+                parts.append(float((w[t] * bm25.tf_norm(
+                    np.array([tf]), dlq, avgdl)).astype(np.float32)[0]))
+        if parts and len(parts) >= n_thr[i]:
+            exp[i] = float(np.float32(sum(parts)))
+    assert got.keys() == exp.keys()
+    for i, sc in got.items():
+        assert abs(sc - exp[i]) < 1e-6, i
+    # the threshold must actually vary and actually drop docs
+    one_hit_dropped = [i for i, tk in toks.items()
+                       if sum(t in tk for t in terms) == 1 and n_thr[i] > 1]
+    assert one_hit_dropped and all(i not in got for i in one_hit_dropped)
+    with pytest.raises(ValueError):
+        s.search_covering(terms, "nope", k=5)
+
+
 def test_blended_term_query(spark, drill_index):
     """BlendedTermQuery laws: every leaf's idf uses the MAX df across
     the blended leaves while tf/norms/avgdl/docCount stay per-field;
