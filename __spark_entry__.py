@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fdblucene_spark.functions import bm25
+from fdblucene_spark.functions import expressions as _exprs
 from fdblucene_spark.functions.analysis import ENGLISH_STOPWORDS
 from fdblucene_spark.operators import curation, dedup, geo, multimodal, similarity, textstats
 from fdblucene_spark.operators.build import build_index
@@ -71,6 +72,16 @@ MATCH_COUNT_QUERIES = [
 ]
 K_ALL = 500
 GROUP_K, GROUP_LIMIT = 5, 3  # ft_grouped: top groups / docs per group
+# ft_expression: one source string, parsed once; the engine compiles
+# it to a Catalyst Column and the oracle renders the same AST to SQL
+EXPRESSION_SRC = (
+    "_score * ln(1 + n_chars) + "
+    "(n_chars >= 200 ? sqrt(n_chars) / 4 : min(_score, 5))"
+)
+_EXPR_SQL = _exprs.to_sql(
+    _exprs.parse(EXPRESSION_SRC),
+    {"_score": "score32::DOUBLE", "n_chars": "d.n_chars::DOUBLE"},
+)
 # composable-search fixtures (BooleanQuery occurs + doc-values range)
 SHOULD_TERMS = ["dup", "hash", "vector"]
 SHOULD_MSM = 2
@@ -1797,6 +1808,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
         )
 
+    def ft_expression(spark, sf):
+        # Lucene expressions module (JavascriptCompiler parity):
+        # re-rank by a compiled arithmetic expression over _score +
+        # stored doc-values. The DuckDB twin renders the SAME parse
+        # tree via expressions.to_sql — engine and oracle cannot drift.
+        hits = _searcher(spark, sf).search_expression(
+            OR_TERMS, EXPRESSION_SRC, k=K_ALL
+        )
+        return hits.select(
+            F.col("doc").alias("doc_id"), F.round(F.col("score"), 6).alias("score")
+        )
+
     def ft_phrase_wildcard(spark, sf):
         # Lucene PhraseWildcardQuery: "the s*" — capped termdict
         # expansion of the pattern slot + MultiPhraseQuery scoring
@@ -2705,7 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_regexp_search, ft_bm25_not, ft_reshard_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
         tx_bm25_filtered, ft_explain, ann_near_dup, ft_join_util,
-        ft_function_score, ft_dv_update,
+        ft_function_score, ft_dv_update, ft_expression,
         samp_mixture, hybrid_rrf, tx_conv_stats, dedup_spans, pipe_curation,
         pipe_curation_v2, mm_frames, ft_multi_phrase, ft_sorted_early,
         text_classifier, ft_top_terms, text_perplexity, dedup_fuzzy,
@@ -3465,6 +3488,14 @@ FROM tokpos GROUP BY doc_id, tp.t
 SELECT agg.doc_id, round(score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE), 6) AS score
 FROM agg JOIN documents d ON d.doc_id = agg.doc_id
 ORDER BY score32::DOUBLE * ln(1.0 + d.n_chars::DOUBLE) DESC, agg.doc_id ASC
+LIMIT {K_ALL}""",
+        ),
+        "ft_expression": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=f"""
+SELECT agg.doc_id, round({_EXPR_SQL}, 6) AS score
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+ORDER BY {_EXPR_SQL} DESC, agg.doc_id ASC
 LIMIT {K_ALL}""",
         ),
         "ft_feature_score": _bm25_sql(

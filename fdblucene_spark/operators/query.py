@@ -69,7 +69,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow.dataset as pads
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -4364,6 +4364,69 @@ class Searcher:
                 final.alias("score"),
                 F.col("score").alias("raw_score"),
                 F.col("__v").alias("value"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .limit(int(k))
+        )
+
+    def search_expression(
+        self,
+        terms: list[str],
+        expr: str,
+        k: int = 10,
+        mode: str = "or",
+        bindings: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Lucene expressions-module rescoring (JavascriptCompiler +
+        SimpleBindings parity): compile a JS-like arithmetic string —
+        ``_score``, stored doc-values variables, ``+ - * / %``,
+        comparisons, ``?:``, ``ln/sqrt/pow/min/max…`` — and re-rank
+        the match set by it. ``bindings`` maps expression variables to
+        stored-field names (default: the variable name itself);
+        ``_score`` is always the float32 BM25 relevance promoted to
+        double, Lucene's DoubleValuesSource contract.
+
+        The expression compiles to ONE Catalyst Column
+        (functions/expressions.py:to_column) — the rescore arithmetic
+        runs in whole-stage codegen over the scored match set joined
+        with a column-pruned projection of the stored table (only the
+        fields the expression references are read; Parquet column
+        pruning keeps the scan narrow at 100×). Missing/NULL values
+        evaluate as 0.0 (Lucene's advanceExact-false contract). Top-k
+        cut AFTER re-scoring, ties doc asc."""
+        from fdblucene_spark.functions import expressions as _ex
+
+        ast = _ex.parse(expr)
+        names = [v for v in _ex.variables(ast) if v != "_score"]
+        bmap = dict(bindings or {})
+        scored = self._scored_match_set(terms, mode=mode)
+        out = scored
+        cols: dict[str, Column] = {"_score": F.col("score").cast("double")}
+        if names:
+            stored = self._stored_df()
+            fields = {}
+            for v in names:
+                fld = bmap.get(v, v)
+                if fld not in stored.columns:
+                    raise ValueError(
+                        f"expression variable {v!r} binds to {fld!r}, "
+                        "which is not stored in this index"
+                    )
+                fields[v] = fld
+            proj = stored.select(
+                "doc",
+                *[F.col(fld).cast("double").alias(f"__x_{v}")
+                  for v, fld in fields.items()],
+            )
+            out = scored.join(proj, "doc", "left")
+            for v in names:
+                cols[v] = F.coalesce(F.col(f"__x_{v}"), F.lit(0.0))
+        final = _ex.to_column(ast, cols)
+        return (
+            out.select(
+                "doc",
+                final.alias("score"),
+                F.col("score").alias("raw_score"),
             )
             .orderBy(F.desc("score"), F.asc("doc"))
             .limit(int(k))
