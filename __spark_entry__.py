@@ -40,6 +40,12 @@ LOOKUP_TERM = "dup"
 TV_DOCS = [1, 7, 42]  # ft_term_vectors: per-doc forward view of these docs
 EXPLAIN_DOC = 7  # ft_explain: per-term BM25 breakdown for this doc
 SYN_TERMS = ["merge", "hash"]  # ft_synonym: blended-stats pseudo-term
+# ft_syn_graph: query-time synonym graph (SynonymGraphFilter rules ->
+# analyzeGraphBoolean). 'dup, batch' makes a SynonymQuery group;
+# 'sort merge, spark' puts a multi-token path beside a single-token
+# one (mixed group -> per-path disjunction); 'stream' passes through
+GRAPH_QUERY = "dup sort merge stream"
+GRAPH_RULES = ["dup, batch", "sort merge, spark"]
 # dedup_paragraph: planted boilerplate sentences (the base corpus has
 # no sentence structure); derived identically in engine and twin
 _BOILER_A = "all rights reserved boilerplate footer"
@@ -2017,6 +2023,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one BM25 leaf (no per-term idf double-counting)
         return _hits_df(_searcher(spark, sf).search_synonym(SYN_TERMS, k=K_ALL))
 
+    def ft_syn_graph(spark, sf):
+        # query-time synonym graph: greedy maximal-match expansion of
+        # the query tokens through Solr-format rules, compiled to ONE
+        # boolean query — SynonymQuery for the all-single-token group
+        # (blended df, summed tf), a per-path term/phrase disjunction
+        # for the mixed group, plain terms elsewhere
+        return _hits_df(
+            _searcher(spark, sf).search_graph(GRAPH_QUERY, GRAPH_RULES, k=K_ALL)
+        )
+
     def ft_explain(spark, sf):
         # Lucene IndexSearcher.explain: flatten the per-clause score
         # breakdown (df, tf, quantized length, f32 idf/tf_norm/score)
@@ -2743,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
+        ft_syn_graph,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3716,6 +3733,70 @@ ORDER BY (
   ({_IDF_F32})::DOUBLE *
   ((syn.tsum::DOUBLE / (syn.tsum::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
 )::FLOAT DESC, syn.doc_id ASC LIMIT {K_ALL}
+""",
+        "ft_syn_graph": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ('batch', 'dup', 'merge', 'sort', 'spark', 'stream')
+  GROUP BY doc_id, term
+), dfx AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+-- group 1 (SynonymQuery batch|dup): blended df = max member df,
+-- per-doc tf = summed member freqs through ONE BM25 leaf
+syndf AS (SELECT max(df)::BIGINT AS df FROM dfx WHERE term IN ('batch', 'dup')),
+g1tf AS (
+  SELECT doc_id, sum(tf)::BIGINT AS tsum FROM tf
+  WHERE term IN ('batch', 'dup') GROUP BY doc_id
+), g1 AS (
+  SELECT g1tf.doc_id,
+    ((ln(1 + (s.n_docs - syndf.df + 0.5) / (syndf.df + 0.5))::FLOAT)::DOUBLE *
+     ((g1tf.tsum::DOUBLE / (g1tf.tsum::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+    )::FLOAT::DOUBLE AS v
+  FROM g1tf JOIN norms n ON n.doc_id = g1tf.doc_id
+  CROSS JOIN stats s CROSS JOIN syndf
+),
+-- per-term f32 leaves for the remaining groups
+leaf AS (
+  SELECT tf.doc_id, tf.term,
+    (({_IDF_F32})::DOUBLE *
+     ((tf.tf::DOUBLE / (tf.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM tf JOIN dfx dfs ON dfs.term = tf.term
+  JOIN norms n ON n.doc_id = tf.doc_id CROSS JOIN stats s
+  WHERE tf.term IN ('merge', 'sort', 'spark', 'stream')
+),
+-- group 2 (mixed paths: phrase "sort merge" | term spark, msm=1)
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos),
+phrasedocs AS (
+  SELECT DISTINCT f0.doc_id FROM flat f0, flat f1
+  WHERE f0.t = 'sort' AND f1.t = 'merge'
+    AND f1.doc_id = f0.doc_id AND f1.p = f0.p + 1
+), g2 AS (
+  SELECT l.doc_id,
+    (CASE WHEN l.doc_id IN (SELECT doc_id FROM phrasedocs)
+       THEN sum(CASE WHEN l.term IN ('sort', 'merge') THEN l.s32::DOUBLE ELSE 0 END)
+       ELSE 0 END
+     + sum(CASE WHEN l.term = 'spark' THEN l.s32::DOUBLE ELSE 0 END)) AS v,
+    (max(CASE WHEN l.term = 'spark' THEN 1 ELSE 0 END) = 1
+     OR l.doc_id IN (SELECT doc_id FROM phrasedocs)) AS matched
+  FROM leaf l GROUP BY l.doc_id
+),
+-- group 3: plain term stream
+g3 AS (SELECT doc_id, s32::DOUBLE AS v FROM leaf WHERE term = 'stream'),
+allg AS (
+  SELECT doc_id, v FROM g1
+  UNION ALL SELECT doc_id, v FROM g2 WHERE matched
+  UNION ALL SELECT doc_id, v FROM g3
+)
+SELECT doc_id, round((sum(v))::FLOAT::DOUBLE, 3) AS score
+FROM allg GROUP BY doc_id
+ORDER BY (sum(v))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
         "ft_explain": f"""
 WITH {_TOK_CTE}, {_NORM_CTE},

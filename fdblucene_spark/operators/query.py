@@ -848,6 +848,8 @@ def _walk_sub_terms(cl_list: list[dict], by_field_terms: dict[str, set]) -> None
         f = sc.get("field", "text")
         if "phrase" in sc:
             by_field_terms.setdefault(f, set()).update(sc["phrase"])
+        elif "synonym" in sc:
+            by_field_terms.setdefault(f, set()).update(sc["synonym"])
         elif "clauses" in sc:
             _walk_sub_terms(sc["clauses"], by_field_terms)
         else:
@@ -997,6 +999,12 @@ def _score_shard_boolean(
     const = spec.get("const")  # ConstantScoreQuery boost, or None
     # phrase clauses: {occur: [(field, terms_tuple, {term: w32}, avgdl)]}
     phrases: dict = spec.get("phrases") or {}
+    # synonym clauses (Lucene SynonymQuery nested in a BooleanQuery —
+    # what QueryBuilder's graph path emits for all-single-token
+    # synonym groups): {occur: [(field, [present members], w32, avgdl)]}
+    # with w32 = f32(boost * idf(MAX member df)) and per-doc tf = the
+    # SUM of member freqs through one BM25 leaf
+    syns: dict = spec.get("syns") or {}
     # nested boolean sub-queries (recursive, any depth):
     # {occur: [sub_node]} with sub_node = {"must"/"should"/"filter"/
     # "must_not": [(f, t, w32, avgdl)], "phrases": {occur: [...]},
@@ -1069,6 +1077,53 @@ def _score_shard_boolean(
         docs_m, acc_m = _phrase_filter(sub, list(terms), cand_p, acc)
         return docs_m, acc_m
 
+    def eval_synonym(f, terms, w, avgdl, restrict):
+        """One SynonymQuery clause against this shard: decode every
+        member's postings (block-pruned to the restriction), SUM the
+        per-doc freqs across members, score once through a single BM25
+        leaf with the blended weight — a doc matching two synonyms is
+        scored with their combined frequency, never double-counted idf
+        (Lucene 8 SynonymQuery.createWeight). Returns (matching docs
+        SORTED, float64 per-doc scores)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        sub = by_field.get(f) or {}
+        parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for t in terms:
+            rows = sub.get(t)
+            if rows is None:
+                continue
+            if stats_out is not None:
+                stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + len(rows)
+            if restrict is not None:
+                lo = rows["min_doc"].to_numpy(np.int64)
+                hi = rows["max_doc"].to_numpy(np.int64)
+                keep = _blocks_with_candidates(lo, hi, restrict)
+                if not keep.all():
+                    rows = rows.iloc[np.flatnonzero(keep)]
+            if stats_out is not None:
+                stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + len(rows)
+            parts.append(_decode_block_rows(rows))
+        if not parts:
+            return empty
+        d = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        dlq = np.concatenate([p[2] for p in parts])
+        order = np.argsort(d, kind="mergesort")
+        d, tf, dlq = d[order], tf[order], dlq[order]
+        uniq, idx = np.unique(d, return_index=True)
+        tsum = np.add.reduceat(tf.astype(np.int64), idx)
+        dlqu = dlq[idx]
+        if excluded is not None and excluded.size and uniq.size:
+            live = ~_sorted_probe(excluded, uniq)
+            uniq, tsum, dlqu = uniq[live], tsum[live], dlqu[live]
+        if restrict is not None and uniq.size:
+            mm = _sorted_probe(restrict, uniq)
+            uniq, tsum, dlqu = uniq[mm], tsum[mm], dlqu[mm]
+        if not uniq.size:
+            return empty
+        sc = (w * bm25.tf_norm(tsum, dlqu, avgdl)).astype(np.float32)
+        return uniq, sc.astype(np.float64)
+
     def eval_sub(sub: dict, restrict: np.ndarray | None):
         """One nested BooleanQuery clause against this shard, at any
         depth (Lucene composes BooleanQuery arbitrarily): inner clauses
@@ -1084,6 +1139,7 @@ def _score_shard_boolean(
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         sub_phr = sub.get("phrases") or {o: [] for o in OCCURS}
         sub_sub = sub.get("subs") or {o: [] for o in OCCURS}
+        sub_syn = sub.get("syns") or {o: [] for o in OCCURS}
         sub_ex = None
         for f, t, _, _ in sub["must_not"]:
             rows = rows_of(f, t)
@@ -1099,6 +1155,11 @@ def _score_shard_boolean(
                 sub_ex = np.unique(np.concatenate(parts))
         for child in sub_sub["must_not"]:
             d, _ = eval_sub(child, None)
+            if d.size:
+                parts = [d] if sub_ex is None else [sub_ex, d]
+                sub_ex = np.unique(np.concatenate(parts))
+        for f, terms, w, avgdl in sub_syn["must_not"]:
+            d, _ = eval_synonym(f, terms, w, avgdl, None)
             if d.size:
                 parts = [d] if sub_ex is None else [sub_ex, d]
                 sub_ex = np.unique(np.concatenate(parts))
@@ -1148,6 +1209,12 @@ def _score_shard_boolean(
                 return empty
             per.append((d, s))
             cand_s = d  # eval_sub returns sorted docs
+        for f, terms, w, avgdl in sub_syn["must"]:
+            d, s = eval_synonym(f, terms, w, avgdl, cand_s)
+            if d.size == 0:
+                return empty
+            per.append((d, s))
+            cand_s = d  # eval_synonym returns sorted docs
         for f, t, _, _ in sub["filter"]:
             d = live_docs(f, t)
             cand_s = d if cand_s is None else np.intersect1d(cand_s, d, assume_unique=True)
@@ -1163,10 +1230,17 @@ def _score_shard_boolean(
             cand_s = d if cand_s is None else np.intersect1d(cand_s, d, assume_unique=True)
             if cand_s.size == 0:
                 return empty
+        for f, terms, w, avgdl in sub_syn["filter"]:
+            d, _ = eval_synonym(f, terms, w, avgdl, cand_s)
+            cand_s = d if cand_s is None else np.intersect1d(cand_s, d, assume_unique=True)
+            if cand_s.size == 0:
+                return empty
         shoulds = [dec(f, t, w, avgdl, cand_s) for f, t, w, avgdl in sub["should"]]
         shoulds += [eval_phrase(f, terms, wmap, avgdl, cand_s)
                     for f, terms, wmap, avgdl in sub_phr["should"]]
         shoulds += [eval_sub(child, cand_s) for child in sub_sub["should"]]
+        shoulds += [eval_synonym(f, terms, w, avgdl, cand_s)
+                    for f, terms, w, avgdl in sub_syn["should"]]
         msm_s = sub["msm"]
         if cand_s is None:
             parts = [d for d, _ in shoulds if d.size]
@@ -1213,6 +1287,11 @@ def _score_shard_boolean(
         if d.size:
             parts = [d] if excluded is None else [excluded, d]
             excluded = np.unique(np.concatenate(parts))
+    for f, terms, w, avgdl in syns.get("must_not", []):
+        d, _ = eval_synonym(f, terms, w, avgdl, None)
+        if d.size:
+            parts = [d] if excluded is None else [excluded, d]
+            excluded = np.unique(np.concatenate(parts))
 
     # candidate narrowing: (allowed - excluded) ∩ filters ∩ musts.
     # allowed-origin candidates must drop deletes/must_not matches here
@@ -1236,24 +1315,32 @@ def _score_shard_boolean(
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
         if cand.size == 0:
             return _EMPTY
+    for f, terms, w, avgdl in syns.get("filter", []):
+        d, _ = eval_synonym(f, terms, w, avgdl, cand)
+        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
 
     # scoring clause list: [term musts, pseudo musts, term shoulds,
-    # pseudo shoulds] — pseudo entries (phrase clauses and nested
-    # boolean sub-queries) carry meta None (no block-level machinery;
-    # they decode eagerly and register exact per-doc scores, which the
-    # bound machinery then uses via the doc-level range-max)
+    # pseudo shoulds] — pseudo entries (phrase clauses, nested boolean
+    # sub-queries, and synonym groups) carry meta None (no block-level
+    # machinery; they decode eagerly and register exact per-doc scores,
+    # which the bound machinery then uses via the doc-level range-max)
     p_must = [("ph", e) for e in phrases.get("must", [])] + [
         ("sub", e) for e in subs.get("must", [])
-    ]
+    ] + [("syn", e) for e in syns.get("must", [])]
     p_should = [("ph", e) for e in phrases.get("should", [])] + [
         ("sub", e) for e in subs.get("should", [])
-    ]
+    ] + [("syn", e) for e in syns.get("should", [])]
 
     def eval_pseudo(entry, restrict):
         kind, e = entry
         if kind == "ph":
             f, terms, wmap, avgdl = e
             return eval_phrase(f, terms, wmap, avgdl, restrict)
+        if kind == "syn":
+            f, terms, w, avgdl = e
+            return eval_synonym(f, terms, w, avgdl, restrict)
         return eval_sub(e, restrict)
     scoring = list(spec["must"]) + [None] * len(p_must) + list(spec["should"]) + [None] * len(p_should)
     n_tm = len(spec["must"])
@@ -2697,6 +2784,7 @@ class Searcher:
         norm: dict[str, list] = {o: [] for o in OCCURS}
         pnorm: dict[str, list] = {o: [] for o in OCCURS}
         snorm: dict[str, list] = {o: [] for o in OCCURS}
+        ynorm: dict[str, list] = {o: [] for o in OCCURS}
         boosts: dict[tuple, float] = {}
         for c in clauses:
             occ = c.get("occur", "should")
@@ -2709,6 +2797,15 @@ class Searcher:
                 if not terms:
                     raise ValueError("empty phrase clause")
                 pnorm[occ].append((f, terms))
+                if b != 1.0:
+                    boosts[(occ, f, terms)] = b
+            elif "synonym" in c:
+                # Lucene SynonymQuery clause: members sorted+deduped
+                # (SynonymQuery.Builder sorts terms), blended stats
+                terms = tuple(sorted(set(c["synonym"])))
+                if not terms:
+                    raise ValueError("empty synonym clause")
+                ynorm[occ].append((f, terms))
                 if b != 1.0:
                     boosts[(occ, f, terms)] = b
             elif "clauses" in c:
@@ -2734,15 +2831,25 @@ class Searcher:
                 for sc in cl_list
             )
 
+        def _tree_has_syn(cl_list) -> bool:
+            return any(
+                "synonym" in sc or ("clauses" in sc and _tree_has_syn(sc["clauses"]))
+                for sc in cl_list
+            )
+
         has_phrases = any(pnorm[o] for o in OCCURS) or any(
             _tree_has_phrase(e["raw"]) for o in OCCURS for e in snorm[o]
         )
         has_subs = any(snorm[o] for o in OCCURS)
+        has_syns = any(ynorm[o] for o in OCCURS) or any(
+            _tree_has_syn(e["raw"]) for o in OCCURS for e in snorm[o]
+        )
         if has_phrases and not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; phrase clauses unavailable")
         has_constraint = bool(
             norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"]
-            or snorm["must"] or snorm["filter"] or extra_constraint
+            or snorm["must"] or snorm["filter"] or ynorm["must"] or ynorm["filter"]
+            or extra_constraint
         )
         msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
@@ -2750,7 +2857,7 @@ class Searcher:
         # query with msm<=1 and no boosts IS the or-mode query — the
         # caller routes it through its single-field block-max path
         if (allow_delegate and not has_constraint and msm <= 1 and norm["should"]
-                and not boosts and not has_phrases and not has_subs):
+                and not boosts and not has_phrases and not has_subs and not has_syns):
             fields = {f for f, _ in norm["should"]}
             if len(fields) == 1:
                 fld = next(iter(fields))
@@ -2766,6 +2873,8 @@ class Searcher:
             for f, t in norm[occ]:
                 by_field_terms.setdefault(f, set()).add(t)
             for f, terms in pnorm[occ]:
+                by_field_terms.setdefault(f, set()).update(terms)
+            for f, terms in ynorm[occ]:
                 by_field_terms.setdefault(f, set()).update(terms)
             for e in snorm[occ]:
                 _walk_sub_terms(e["raw"], by_field_terms)
@@ -2801,6 +2910,25 @@ class Searcher:
                 out.append((f, list(terms), wmap, self.manifest.avgdl_for(f)))
             return out
 
+        def scored_syn(occ, entries):
+            """SynonymQuery weighting: ONE blended weight f32(boost *
+            idf(max member df)); absent members drop from the decode
+            set (they contribute no postings), a group with NO present
+            member cannot match (Lucene's empty-TermStates skip)."""
+            out = []
+            for f, terms in entries:
+                present = [t for t in terms if (f, t) in stats]
+                if not present:
+                    out.append(None)
+                    continue
+                df_max = max(int(stats[(f, t)][0]) for t in present)
+                w = np.float32(bm25.idf(float(df_max), self.manifest.n_docs_for(f)))
+                b = boosts.get((occ, f, terms))
+                if b is not None:
+                    w = np.float32(np.float32(b) * w)
+                out.append((f, present, w, self.manifest.avgdl_for(f)))
+            return out
+
         def _build_sub_node(cl_list, boost, msm_in, tie_in):
             """Nested sub-query -> recursive kernel node; None =
             provably cannot match (an inner must/filter clause absent
@@ -2813,7 +2941,8 @@ class Searcher:
                 raise ValueError("dismax_tie must be in [0, 1]")
             sm: dict = {"must": [], "should": [], "filter": [], "must_not": [],
                         "phrases": {o: [] for o in OCCURS},
-                        "subs": {o: [] for o in OCCURS}}
+                        "subs": {o: [] for o in OCCURS},
+                        "syns": {o: [] for o in OCCURS}}
             for sc_ in cl_list:
                 occ2 = sc_.get("occur", "should")
                 if occ2 not in OCCURS:
@@ -2835,6 +2964,20 @@ class Searcher:
                             w = np.float32(np.float32(b2) * w)
                         wmap[t] = w
                     sm["phrases"][occ2].append((f2, list(terms), wmap, self.manifest.avgdl_for(f2)))
+                elif "synonym" in sc_:
+                    terms = tuple(sorted(set(sc_["synonym"])))
+                    if not terms:
+                        raise ValueError("empty synonym clause")
+                    present = [t for t in terms if (f2, t) in stats]
+                    if not present:
+                        if occ2 in ("must", "filter"):
+                            return None
+                        continue  # absent should/must_not synonym: drop
+                    df_max = max(int(stats[(f2, t)][0]) for t in present)
+                    w = np.float32(bm25.idf(float(df_max), self.manifest.n_docs_for(f2)))
+                    if b2 != 1.0:
+                        w = np.float32(np.float32(b2) * w)
+                    sm["syns"][occ2].append((f2, present, w, self.manifest.avgdl_for(f2)))
                 elif "clauses" in sc_:
                     if not sc_["clauses"]:
                         raise ValueError("empty nested clause list")
@@ -2862,8 +3005,10 @@ class Searcher:
                     sm[occ2].append((f2, sc_["term"], w, self.manifest.avgdl_for(f2)))
             has_c = bool(sm["must"] or sm["filter"] or sm["phrases"]["must"]
                          or sm["phrases"]["filter"] or sm["subs"]["must"]
-                         or sm["subs"]["filter"])
-            n_sh = len(sm["should"]) + len(sm["phrases"]["should"]) + len(sm["subs"]["should"])
+                         or sm["subs"]["filter"] or sm["syns"]["must"]
+                         or sm["syns"]["filter"])
+            n_sh = (len(sm["should"]) + len(sm["phrases"]["should"])
+                    + len(sm["subs"]["should"]) + len(sm["syns"]["should"]))
             msm_s = msm_in if msm_in is not None else (0 if has_c else 1)
             if msm_s > n_sh or not (has_c or n_sh):
                 return None
@@ -2880,27 +3025,34 @@ class Searcher:
         must = scored("must", norm["must"])
         p_must = scored_phrase("must", pnorm["must"])
         s_must = scored_sub(snorm["must"])
-        if any(m is None for m in must + p_must + s_must):  # a must clause cannot match
+        y_must = scored_syn("must", ynorm["must"])
+        if any(m is None for m in must + p_must + s_must + y_must):
+            # a must clause cannot match
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
         filters = [s for s in scored("filter", norm["filter"]) if s is not None]
         p_filters = scored_phrase("filter", pnorm["filter"])
         s_filters = scored_sub(snorm["filter"])
+        y_filters = scored_syn("filter", ynorm["filter"])
         if (len(filters) < len(norm["filter"]) or any(p is None for p in p_filters)
-                or any(s is None for s in s_filters)):
+                or any(s is None for s in s_filters)
+                or any(y is None for y in y_filters)):
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
         should = [s for s in scored("should", norm["should"]) if s is not None]
         p_should = [p for p in scored_phrase("should", pnorm["should"]) if p is not None]
         s_should = [s for s in scored_sub(snorm["should"]) if s is not None]
+        y_should = [y for y in scored_syn("should", ynorm["should"]) if y is not None]
         mnot = [(f, t, np.float32(0.0), 1.0) for f, t in norm["must_not"] if (f, t) in stats]
         p_not = [p for p in scored_phrase("must_not", pnorm["must_not"]) if p is not None]
         s_not = [s for s in scored_sub(snorm["must_not"]) if s is not None]
-        if msm > len(should) + len(p_should) + len(s_should):
+        y_not = [y for y in scored_syn("must_not", ynorm["must_not"]) if y is not None]
+        if msm > len(should) + len(p_should) + len(s_should) + len(y_should):
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
-        if (not must and not p_must and not s_must and not filters and not p_filters
-                and not s_filters and not should and not p_should and not s_should
+        if (not must and not p_must and not s_must and not y_must and not filters
+                and not p_filters and not s_filters and not y_filters and not should
+                and not p_should and not s_should and not y_should
                 and not extra_constraint):
             return {"spec": None, "delegate": None,
                     "by_field_terms": by_field_terms, "stats": stats}
@@ -2909,7 +3061,9 @@ class Searcher:
                 "phrases": {"must": p_must, "should": p_should, "filter": p_filters,
                             "must_not": p_not},
                 "subs": {"must": s_must, "should": s_should, "filter": s_filters,
-                         "must_not": s_not}}
+                         "must_not": s_not},
+                "syns": {"must": y_must, "should": y_should, "filter": y_filters,
+                         "must_not": y_not}}
         return {"spec": spec, "delegate": None,
                 "by_field_terms": by_field_terms, "stats": stats}
 
@@ -3585,6 +3739,55 @@ class Searcher:
         )
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
+    def search_graph(
+        self,
+        query: str,
+        rules: list[str] | dict,
+        k: int = 10,
+        operator: str = "or",
+        field: str = "text",
+        min_should_match: int | None = None,
+    ) -> DataFrame:
+        """Query-time synonym graph search (SynonymGraphFilter +
+        QueryBuilder.analyzeGraphBoolean): analyze the query text with
+        the field's pinned analyzer, expand each position through the
+        synonym rules (greedy maximal match — multi-token rule inputs
+        consume several query tokens), and compile the token graph to
+        ONE composable boolean query:
+        - a position with one single-token path -> TermQuery
+        - one multi-token path                  -> PhraseQuery
+        - several single-token paths            -> SynonymQuery
+          (blended df = max member df, per-doc tf = summed member
+          freqs through one BM25 leaf — the `synonym` kernel clause)
+        - mixed single/multi-token paths        -> disjunction of
+          per-path term/phrase queries (nested sub, msm=1)
+        operator: 'or' (each group SHOULD, msm=1) or 'and' (each group
+        MUST) — QueryBuilder's default-operator application per graph
+        interval. rules: Solr-format strings (see functions/synonyms)
+        or a pre-parsed SynonymMap. One Spark job; expansion cost is
+        query-side only (query length x rule fan-out)."""
+        from ..functions.analysis import tokenize_text
+        from ..functions.synonyms import (
+            expand_graph,
+            graph_clauses,
+            parse_synonym_rules,
+        )
+
+        if operator not in ("or", "and"):
+            raise ValueError("operator must be 'or' or 'and'")
+        analyzer = self.analyzer_for(field)
+        smap = (
+            parse_synonym_rules(rules, analyzer)
+            if isinstance(rules, list)
+            else rules
+        )
+        tokens = tokenize_text(query, analyzer)
+        if not tokens:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        occur = "must" if operator == "and" else "should"
+        clauses = graph_clauses(expand_graph(tokens, smap), field, occur)
+        return self.search_boolean(clauses, k, min_should_match)
 
     def search_blended(
         self,

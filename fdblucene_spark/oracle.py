@@ -216,6 +216,7 @@ def boolean_search(
     norm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
     pnorm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
     snorm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
+    ynorm: dict[str, list] = {o: [] for o in ("must", "should", "filter", "must_not")}
     for c in clauses:
         if "clauses" in c:
             occ = c.get("occur", "should")
@@ -256,6 +257,12 @@ def boolean_search(
             pnorm[occ].append((f, tuple(c["phrase"])))
             if c.get("boost", 1.0) != 1.0:
                 boosts[(occ, f, tuple(c["phrase"]))] = float(c["boost"])
+            continue
+        if "synonym" in c:
+            syn = tuple(sorted(set(c["synonym"])))
+            ynorm[occ].append((f, syn))
+            if c.get("boost", 1.0) != 1.0:
+                boosts[(occ, f, syn)] = float(c["boost"])
             continue
         norm[occ].append((f, c["term"]))
         if c.get("boost", 1.0) != 1.0:
@@ -316,6 +323,47 @@ def boolean_search(
         sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
         return dict(zip(ids.tolist(), sc.tolist()))
 
+    def synonym_scores(occ: str, f: str, terms: tuple) -> dict[int, float]:
+        # SynonymQuery-in-BooleanQuery (Lucene 8 SynonymQuery.
+        # createWeight): ONE blended weight f32(boost * idf(MAX member
+        # df)); per-doc tf = SUM of member freqs scored through a
+        # single BM25 leaf — never a per-member idf sum
+        per = {t: matches(f, t) for t in terms}
+        dfs = [len(m) for m in per.values() if m]
+        if not dfs:
+            return {}
+        st = stats[f]
+        b = boosts.get((occ, f, terms))
+        w = np.float32(bm25.idf(float(max(dfs)), st["n_docs"]))
+        if b is not None:
+            w = np.float32(np.float32(b) * w)
+        tsum: dict[int, int] = {}
+        for m in per.values():
+            for d, tf in m.items():
+                tsum[d] = tsum.get(d, 0) + tf
+        ids = np.fromiter(tsum.keys(), dtype=np.int64, count=len(tsum))
+        tfs = np.fromiter(tsum.values(), dtype=np.int64, count=len(tsum))
+        sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
+        return dict(zip(ids.tolist(), sc.tolist()))
+
+    def _inner_synonym(f2, terms, tb):
+        per = {t: matches(f2, t) for t in terms}
+        dfs = [len(m) for m in per.values() if m]
+        if not dfs:
+            return {}
+        st = stats[f2]
+        w = np.float32(bm25.idf(float(max(dfs)), st["n_docs"]))
+        if tb != 1.0:
+            w = np.float32(np.float32(tb) * w)
+        tsum: dict[int, int] = {}
+        for m in per.values():
+            for d, tf in m.items():
+                tsum[d] = tsum.get(d, 0) + tf
+        ids = np.fromiter(tsum.keys(), dtype=np.int64, count=len(tsum))
+        tfs = np.fromiter(tsum.values(), dtype=np.int64, count=len(tsum))
+        sc = (w * bm25.tf_norm(tfs, st["dlq"][ids], st["avgdl"])).astype(np.float32)
+        return dict(zip(ids.tolist(), sc.tolist()))
+
     def _inner_term(f2, t2, tb):
         m = matches(f2, t2)
         if not m:
@@ -368,6 +416,8 @@ def boolean_search(
             tb = b_out * float(sc_.get("boost", 1.0))
             if "phrase" in sc_:
                 m2 = _inner_phrase(f2, tuple(sc_["phrase"]), tb)
+            elif "synonym" in sc_:
+                m2 = _inner_synonym(f2, tuple(sorted(set(sc_["synonym"]))), tb)
             elif "clauses" in sc_:
                 m2 = _eval_node(sc_["clauses"], tb, sc_.get("min_should_match"),
                                 sc_.get("dismax_tie"))
@@ -411,7 +461,8 @@ def boolean_search(
                           c.get("min_should_match"), c.get("dismax_tie"))
     has_constraint = bool(
         norm["must"] or norm["filter"] or pnorm["must"] or pnorm["filter"]
-        or snorm["must"] or snorm["filter"] or numeric
+        or snorm["must"] or snorm["filter"] or ynorm["must"] or ynorm["filter"]
+        or numeric
     )
     msm = min_should_match if min_should_match is not None else (0 if has_constraint else 1)
 
@@ -422,6 +473,8 @@ def boolean_search(
         excluded |= set(phrase_scores("must_not", f, terms))
     for c in snorm["must_not"]:
         excluded |= set(sub_scores(c))
+    for f, terms in ynorm["must_not"]:
+        excluded |= set(synonym_scores("must_not", f, terms))
     allowed = set(range(len(rows)))
     for cl in numeric or []:
         lo, hi = cl.get("lo"), cl.get("hi")
@@ -436,6 +489,7 @@ def boolean_search(
         [boosted("must", f, t) for f, t in norm["must"]]
         + [phrase_scores("must", f, terms) for f, terms in pnorm["must"]]
         + [sub_scores(c) for c in snorm["must"]]
+        + [synonym_scores("must", f, terms) for f, terms in ynorm["must"]]
     )
     if any(not m for m in must_scores):
         return []
@@ -443,11 +497,13 @@ def boolean_search(
         [set(matches(f, t)) for f, t in norm["filter"]]
         + [set(phrase_scores("filter", f, terms)) for f, terms in pnorm["filter"]]
         + [set(sub_scores(c)) for c in snorm["filter"]]
+        + [set(synonym_scores("filter", f, terms)) for f, terms in ynorm["filter"]]
     )
     should_scores = (
         [boosted("should", f, t) for f, t in norm["should"]]
         + [phrase_scores("should", f, terms) for f, terms in pnorm["should"]]
         + [sub_scores(c) for c in snorm["should"]]
+        + [synonym_scores("should", f, terms) for f, terms in ynorm["should"]]
     )
 
     cand = allowed - excluded
