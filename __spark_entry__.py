@@ -138,6 +138,9 @@ JACCARD_T = 0.1
 GEO_CENTER = (10.0, 20.0)        # geo_distance center (lat, lon)
 GEO_RADIUS = 3_000_000.0         # meters
 GEO_NEAREST_CENTER = (-35.0, 150.0)
+# geo_polygon: concave chevron (notch down to (10, 0)) — even-odd ray
+# casting must exclude the notch, a plain bbox or convex test would not
+GEO_POLY = [(-30.0, -60.0), (45.0, -40.0), (10.0, 0.0), (45.0, 40.0), (-30.0, 60.0)]
 _GATE_ROOT = "/tmp/sparklucene_gate_v6"  # bump on index format change
 # v5 = doclen doc-roster rows (dl=0 sentinel -> true MatchAllDocs) +
 # offsets/stored-text in the payloads index for ft_highlight
@@ -2667,6 +2670,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS)
         return d.select("doc_id", F.round(F.col("dist_m"), 3).alias("dist_m"))
 
+    def geo_polygon(spark, sf):
+        # LatLonPoint.newPolygonQuery: sargable bbox prefilter + exact
+        # even-odd ray cast, all whole-stage-codegen column math; the
+        # concave notch distinguishes it from box/convex containment
+        return geo.polygon_query(_geo_docs(spark, sf), "lat", "lon", GEO_POLY).select(
+            "doc_id"
+        )
+
     def geo_nearest(spark, sf):
         # LatLonDocValuesField.newDistanceSort: 40 nearest docs
         # (distance asc, doc asc) via TakeOrdered — no global sort
@@ -2759,7 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
-        ft_syn_graph,
+        ft_syn_graph, geo_polygon,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3990,6 +4001,15 @@ WITH g AS (
   FROM g
 )
 SELECT doc_id, round(dist_m, 3) AS dist_m FROM d WHERE dist_m <= {GEO_RADIUS}
+""",
+        "geo_polygon": f"""
+WITH g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000)::DOUBLE / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000)::DOUBLE / 100.0 - 180.0 AS lon
+  FROM documents
+)
+SELECT doc_id FROM g WHERE {geo.polygon_sql('lat', 'lon', GEO_POLY)}
 """,
         "geo_nearest": f"""
 WITH g AS (

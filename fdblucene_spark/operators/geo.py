@@ -128,6 +128,84 @@ def box_query(
     )
 
 
+def _polygon_bbox(vertices: list[tuple[float, float]]) -> tuple[float, float, float, float]:
+    lats = [float(v[0]) for v in vertices]
+    lons = [float(v[1]) for v in vertices]
+    return min(lats), max(lats), min(lons), max(lons)
+
+
+def polygon_contains(
+    lat: Column, lon: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """Even-odd ray casting (the point-in-polygon test Lucene's
+    Polygon/Tessellator BKD relation bottoms out in): cast a ray in
+    the +lon direction and count edge crossings; odd = inside. The
+    polygon is a driver-side literal (bounded vertex list), so each
+    edge unrolls to one branch-free Catalyst expression — whole-stage
+    codegen, no UDF. An edge is counted when the point's latitude lies
+    strictly between the edge endpoints' latitudes on exactly one side
+    ((lat_i > lat) != (lat_j > lat), which also guarantees the
+    crossing-longitude division is well-defined) and the crossing sits
+    east of the point. Boundary points follow the half-open even-odd
+    convention — deterministic, and reproduced verbatim in the SQL
+    twin (polygon_sql)."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    crossings: Column | None = None
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = float(vertices[i][0]), float(vertices[i][1])
+        yj, xj = float(vertices[(i + 1) % n][0]), float(vertices[(i + 1) % n][1])
+        if yi == yj:
+            continue  # a horizontal edge can never straddle the ray
+        straddles = (F.lit(yi) > lat) != (F.lit(yj) > lat)
+        cross_lon = F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
+        hit = F.when(straddles & (lon < cross_lon), F.lit(1)).otherwise(F.lit(0))
+        crossings = hit if crossings is None else crossings + hit
+    if crossings is None:  # degenerate: every edge horizontal
+        return F.lit(False)
+    return (crossings % 2) == 1
+
+
+def polygon_sql(lat: str, lon: str, vertices: list[tuple[float, float]]) -> str:
+    """DuckDB twin of polygon_contains — same edges, same literals,
+    same even-odd convention."""
+    parts = []
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = float(vertices[i][0]), float(vertices[i][1])
+        yj, xj = float(vertices[(i + 1) % n][0]), float(vertices[(i + 1) % n][1])
+        if yi == yj:
+            continue  # mirrors polygon_contains: horizontal edges skip
+        parts.append(
+            f"(CASE WHEN (({yi} > ({lat})) <> ({yj} > ({lat}))) AND "
+            f"(({lon}) < {xj - xi} * (({lat}) - {yi}) / {yj - yi} + {xi}) "
+            "THEN 1 ELSE 0 END)"
+        )
+    if not parts:  # degenerate: every edge horizontal
+        return "(FALSE)"
+    return f"((({' + '.join(parts)}) % 2) = 1)"
+
+
+def polygon_query(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    vertices: list[tuple[float, float]],
+) -> DataFrame:
+    """LatLonPoint.newPolygonQuery: rows inside the polygon.
+    Sargable bounding-box prefilter (Parquet row-group min/max skip,
+    the BKD outer-box analogue) -> exact even-odd ray cast on the
+    survivors, all whole-stage-codegen column math."""
+    lo_lat, hi_lat, lo_lon, hi_lon = _polygon_bbox(vertices)
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    return df.filter(
+        F.col(lat_col).between(lo_lat, hi_lat)
+        & F.col(lon_col).between(lo_lon, hi_lon)
+    ).filter(polygon_contains(lat, lon, vertices))
+
+
 def nearest_k(
     df: DataFrame,
     id_col: str,

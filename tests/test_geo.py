@@ -111,3 +111,64 @@ def test_box_query_and_guards(geo_df):
     assert got == want
     with pytest.raises(ValueError):
         geo.distance_query(df, "lat", "lon", 0.0, 0.0, -5.0)
+
+
+# ---- polygon containment (LatLonPoint.newPolygonQuery) ----
+
+_CHEVRON = [(-30.0, -60.0), (45.0, -40.0), (10.0, 0.0), (45.0, 40.0), (-30.0, 60.0)]
+
+
+def _ray_cast(lat, lon, verts):
+    n, cross = len(verts), 0
+    for i in range(n):
+        yi, xi = verts[i]
+        yj, xj = verts[(i + 1) % n]
+        if (yi > lat) != (yj > lat) and lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+            cross += 1
+    return cross % 2 == 1
+
+
+def test_polygon_query_matches_brute(geo_df):
+    rows, df = geo_df
+    got = {int(r["pid"]) for r in
+           geo.polygon_query(df, "lat", "lon", _CHEVRON).collect()}
+    want = {r["pid"] for r in rows if _ray_cast(r["lat"], r["lon"], _CHEVRON)}
+    assert got == want and len(want) > 0
+
+
+def test_polygon_concave_notch(spark):
+    # planted points: center of each wing inside, the notch and the
+    # bbox corners outside — a convex or bbox-only test would differ
+    pts = [
+        {"pid": 0, "lat": 0.0, "lon": -40.0},   # left wing: inside
+        {"pid": 1, "lat": 0.0, "lon": 40.0},    # right wing: inside
+        {"pid": 2, "lat": 40.0, "lon": 0.0},    # notch: inside bbox, OUTSIDE polygon
+        {"pid": 3, "lat": 44.0, "lon": -59.0},  # bbox corner: outside
+        {"pid": 4, "lat": -50.0, "lon": 0.0},   # below bbox: outside
+    ]
+    got = {int(r["pid"]) for r in geo.polygon_query(
+        spark.createDataFrame(pts), "lat", "lon", _CHEVRON).collect()}
+    assert got == {0, 1}
+
+
+def test_polygon_sql_twin_identity(spark, geo_df):
+    import duckdb
+
+    rows, df = geo_df
+    got = sorted(int(r["pid"]) for r in
+                 geo.polygon_query(df, "lat", "lon", _CHEVRON).collect())
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame(rows))
+    exp = sorted(
+        r[0] for r in con.sql(
+            f"SELECT pid FROM pts WHERE {geo.polygon_sql('lat', 'lon', _CHEVRON)}"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_polygon_guards():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        geo.polygon_contains(F.lit(0.0), F.lit(0.0), [(0.0, 0.0), (1.0, 1.0)])
