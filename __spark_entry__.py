@@ -465,6 +465,44 @@ def _del_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _expunged_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built as base + append, tombstones planted ONLY in the
+    append's docID range, then expunge_deletes (forceMergeDeletes
+    analogue): the base segment must survive untouched while the dirty
+    one rewrites with deletes applied PHYSICALLY. Unlike the liveDocs
+    gate (_del_searcher, stats keep deleted docs), the twin here
+    excludes deleted docs from matching AND stats — the post-expunge
+    df/avgdl are exact."""
+    from fdblucene_spark.operators.merge import expunge_deletes
+
+    root = os.path.join(_index_root(sf_dir), "expunged")
+    done = os.path.join(root, "_expunged_ok")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        # SQL-replicable split: cut = (max_id * 3) // 5 (the twin
+        # computes the identical integer expression)
+        cut = (int(docs.agg(F.max("doc_id")).first()[0]) * 3) // 5
+        build_index(spark, docs.filter(F.col("doc_id") <= cut), root,
+                    doc_col="doc_id", n_shards=8, fingerprint=sf_dir + "-exp0")
+        build_index(spark, docs.filter(F.col("doc_id") > cut), root,
+                    doc_col="doc_id", n_shards=8, append=True,
+                    fingerprint=sf_dir + "-exp1")
+    if not os.path.exists(done):  # crash-safe: redo converges
+        from fdblucene_spark.operators.deletes import delete_docs
+
+        docs = _table(spark, sf_dir, "documents")
+        cut = (int(docs.agg(F.max("doc_id")).first()[0]) * 3) // 5
+        delete_docs(
+            spark, root,
+            docs.filter((F.col("doc_id") > cut) & (F.col("doc_id") % DELETE_MOD == 0))
+            .select(F.col("doc_id").alias("doc")),
+        )
+        expunge_deletes(spark, root)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return Searcher(spark, root)
+
+
 def _reshard_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built at 4 shards then resharded to 16 (the post-build
     kernel-parallelism knob, merge.reshard). Rank/score identity with
@@ -2098,6 +2136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_merge_addindexes(spark, sf):
         return _hits_df(_merged_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
 
+    def ft_expunge_search(spark, sf):
+        # forceMergeDeletes: only the dirty segment rewrote; deleted
+        # docs are PHYSICALLY gone, so the twin drops them from
+        # matching AND stats (contrast ft_delete_search, whose
+        # liveDocs twin keeps full-corpus stats)
+        return _hits_df(_expunged_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
+
     def ft_reshard_search(spark, sf):
         # reshard 4 -> 16 shards, then the standard OR query: results
         # must be bit-identical to the untouched-layout oracle
@@ -2770,7 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
-        ft_syn_graph, geo_polygon,
+        ft_syn_graph, geo_polygon, ft_expunge_search,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3880,6 +3925,17 @@ JOIN documents d ON d.doc_id = h.doc_id
 """,
         "ft_delete_search": _bm25_sql(
             OR_TERMS, "or", K_ALL, extra_where=f"AND tf.doc_id % {DELETE_MOD} <> 0"
+        ),
+        # expunged index: deleted docs leave matching AND stats (exact
+        # post-reclaim df/avgdl) — the liveDocs twin above would
+        # hash-fail here, which is the gate's discrimination
+        "ft_expunge_search": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            src_sql=(
+                "SELECT doc_id, text FROM documents WHERE NOT ("
+                f"doc_id > (SELECT (max(doc_id) * 3) // 5 FROM documents) "
+                f"AND doc_id % {DELETE_MOD} = 0)"
+            ),
         ),
         "ft_merge_addindexes": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_reshard_search": _bm25_sql(OR_TERMS, "or", K_ALL),

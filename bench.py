@@ -335,6 +335,26 @@ def main() -> None:
     with timed("synonym_query"):
         # blended-stats pseudo-term (one decode pass, reduceat fold)
         sd.search_synonym(["merge", "hash"], k=100).collect()
+    with timed("synonym_graph"):
+        # multi-word synonym graph: SynonymQuery group + phrase-path
+        # disjunction + pass-through term, compiled to ONE boolean job
+        sd.search_graph(
+            "dup sort merge stream", ["dup, batch", "sort merge, spark"], k=100
+        ).collect()
+    with timed("geo_polygon"):
+        # even-odd ray cast unrolled to codegen column math (no UDF),
+        # sargable bbox prefilter
+        from fdblucene_spark.operators import geo as _geo
+
+        _geo.polygon_query(
+            docs.select(
+                "doc_id",
+                (((F.col("doc_id") * 7919) % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+                (((F.col("doc_id") * 104729) % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+            ),
+            "lat", "lon",
+            [(-30.0, -60.0), (45.0, -40.0), (10.0, 0.0), (45.0, 40.0), (-30.0, 60.0)],
+        ).count()
     with timed("classic_tfidf"):
         # TF-IDF similarity swap (exhaustive scorer, no impact skip)
         sd.search_classic(["dup", "hash", "vector"], k=100).collect()

@@ -571,6 +571,106 @@ def merge_partial(
     )
 
 
+def expunge_deletes(spark: SparkSession, root: str) -> Manifest:
+    """Lucene IndexWriter.forceMergeDeletes: physically reclaim
+    tombstoned docs by rewriting ONLY the segments that hold them —
+    clean segments are never touched (the reference reaches this
+    through writer.forceMergeDeletes(), stock Lucene 8 on the FDB
+    directory). At 100x scale this is the difference between paying a
+    full-index rewrite to reclaim a 0.1% delete churn and paying only
+    for the dirty segments.
+
+    Plan shape: per-segment tombstone counts come from ONE broadcast
+    range join of the (possibly huge) delete list against the tiny
+    segment-range table — the driver sees one row per segment, never
+    the tombstones. Affected segments rewrite through the same
+    cogrouped per-shard repack as merge_segments(mode='repack')
+    (tombstones stay distributed), with exact df/ttf recomputed from
+    the surviving blocks; the delete list then clears from the
+    manifest (every in-range tombstone was applied; out-of-range ids
+    reference nothing and drop with it)."""
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    del_rel = manifest.properties.get("deletes_path")
+    if not del_rel:
+        return manifest
+    dels_df = spark.read.parquet(os.path.join(root, del_rel)).select("doc")
+    ranges = spark.createDataFrame(
+        [(s.segment_id, int(s.doc_min), int(s.doc_max)) for s in manifest.segments],
+        "segment_id string, doc_min long, doc_max long",
+    )
+    hit_rows = (
+        dels_df.join(
+            F.broadcast(ranges),
+            (F.col("doc") >= F.col("doc_min")) & (F.col("doc") <= F.col("doc_max")),
+        )
+        .groupBy("segment_id")
+        .count()
+        .collect()  # bounded: one row per segment
+    )
+    affected = {r["segment_id"] for r in hit_rows if r["count"] > 0}
+    properties = dict(manifest.properties)
+    properties.pop("deletes_path", None)
+    properties.pop("n_deletes", None)
+    if not affected:
+        # tombstones reference no live docID range: just clear the list
+        cleared = Manifest(
+            version=catalog.next_version(),
+            analyzer=manifest.analyzer,
+            block_size=manifest.block_size,
+            n_shards=manifest.n_shards,
+            segments=manifest.segments,
+            parent_version=manifest.version,
+            properties=properties,
+        )
+        return catalog.commit(cleared)
+    sel = [s for s in manifest.segments if s.segment_id in affected]
+    keep = [s for s in manifest.segments if s.segment_id not in affected]
+    if len(sel) > 1:
+        # the rewritten segment interleaves >= 2 sorted docID runs (see
+        # merge_partial); a single-segment rewrite keeps the pin — a
+        # delete-filtered subsequence preserves the sort order
+        properties.pop("index_sort", None)
+
+    def paths(table: str) -> list[str]:
+        return [os.path.join(root, s.path, table) for s in sel]
+
+    postings = _ensure_postings_cols(spark.read.parquet(*paths("postings")))
+    doclen = spark.read.parquet(*paths("doclen")).join(dels_df, "doc", "left_anti")
+    stored = None
+    if properties.get("stored_fields"):
+        sp = [p for p in paths("stored") if os.path.isdir(p)]
+        if sp:
+            stored = spark.read.parquet(*sp).join(dels_df, "doc", "left_anti")
+    store_positions = bool(properties.get("store_positions", True))
+    dels_aux = dels_df.select(
+        F.pmod(F.col("doc"), F.lit(manifest.n_shards)).cast("int").alias("shard"),
+        F.col("doc").cast("long").alias("doc"),
+    )
+    blocks = (
+        postings.groupBy("shard")
+        .cogroup(dels_aux.groupBy("shard"))
+        .applyInPandas(
+            _repack_shard_factory(
+                manifest.block_size, store_positions,
+                bool(properties.get("store_offsets", False)),
+                bool(properties.get("store_payloads", False)),
+            ),
+            schema=POSTINGS_SCHEMA,
+        )
+    )
+    termdict = termdict_from_blocks(blocks)  # surviving postings changed
+    lineage = {
+        "op": "expunge-deletes",
+        "inputs": [s.segment_id for s in sel],
+        "deletes_applied": True,
+    }
+    return _write_merged(
+        spark, catalog, manifest, blocks, termdict, doclen, lineage, properties,
+        stored, keep_segments=keep,
+    )
+
+
 def maybe_merge(
     spark: SparkSession,
     root: str,
