@@ -2649,6 +2649,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score").cast("double"), 3).alias("score"),
         )
 
+    def ft_diversified(spark, sf):
+        # DiversifiedTopDocsCollector: top-12 with at most 2 docs per
+        # source — one match-set window keyed by the stored field
+        d = _searcher(spark, sf).search_diversified(
+            OR_TERMS, "source", k=12, max_per_key=2
+        )
+        return d.select(
+            "grp",
+            F.col("doc").alias("doc_id"),
+            F.round(F.col("score").cast("double"), 3).alias("score"),
+            "rn",
+        )
+
     def ft_complete_fuzzy(spark, sf):
         # FuzzySuggester: typo-tolerant autocomplete — dictionary terms
         # whose 4-char prefix is within 2 edits of 'stre' (first char
@@ -2815,7 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
-        ft_syn_graph, geo_polygon, ft_expunge_search,
+        ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3370,6 +3383,21 @@ joined AS (
 )
 SELECT grp, doc_id, round(score32::DOUBLE, 3) AS score
 FROM winner ORDER BY score32 DESC, doc_id ASC LIMIT 7""",
+        ),
+        "ft_diversified": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=""",
+joined AS (
+  SELECT a.doc_id, a.score32, d.source AS grp
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+), ranked AS (
+  SELECT grp, doc_id, score32,
+         row_number() OVER (PARTITION BY grp ORDER BY score32 DESC, doc_id ASC) AS rn
+  FROM joined
+)
+SELECT grp, doc_id, round(score32::DOUBLE, 3) AS score, rn::BIGINT AS rn
+FROM ranked WHERE rn <= 2
+ORDER BY score32 DESC, doc_id ASC LIMIT 12""",
         ),
         "ft_complete_fuzzy": f"""
 WITH {_TOK_CTE}

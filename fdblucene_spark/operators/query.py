@@ -3682,6 +3682,53 @@ class Searcher:
             .limit(int(k))
         )
 
+    def search_diversified(
+        self,
+        terms: list[str],
+        key_field: str,
+        k: int = 10,
+        max_per_key: int = 1,
+        mode: str = "or",
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene misc DiversifiedTopDocsCollector: the top-k hit list
+        with AT MOST max_per_key docs per value of an index-owned
+        stored field — result diversification (no source/site/author
+        dominating the page). Generalizes search_collapse
+        (max_per_key=1, which should stay on the window-free agg path).
+
+        Semantics: the match set scores exactly like `search`; within
+        a key docs rank (score desc, doc asc) and only the first
+        max_per_key survive; survivors rank (score desc, doc asc), cut
+        to k. NULL keys form one shared group (Lucene reads the key
+        from doc values; missing values share a bucket). Returns
+        (grp, doc, score, rn) with rn the 1-based within-key rank.
+
+        Distributed shape: scored match set -> column-pruned stored
+        join -> ONE window shuffle keyed by the diversification field
+        (row_number within key) -> TakeOrdered k. The window sees only
+        the match set, and its partition key is the field the corpus
+        diversifies over — at 100 TB that is the same exchange the
+        grouping module's search_grouped already pays."""
+        if int(max_per_key) < 1:
+            raise ValueError("max_per_key must be >= 1")
+        scored = self._scored_match_set(terms, mode=mode, field=field)
+        stored = self._stored_df()
+        if key_field not in stored.columns:
+            raise ValueError(
+                f"diversification field {key_field!r} is not stored in this index"
+            )
+        grp = stored.select("doc", F.col(key_field).alias("grp"))
+        w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc"))
+        return (
+            scored.join(grp, "doc", "inner")
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= int(max_per_key))
+            .select("grp", "doc", "score", "rn")
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .limit(int(k))
+        )
+
     def search_synonym(
         self, terms: list[str], k: int = 10, field: str = "text"
     ) -> DataFrame:

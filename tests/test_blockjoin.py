@@ -251,3 +251,47 @@ def test_to_child_excludes_tombstoned_children(spark, tmp_path_factory):
         if r["conv_id"] in matched_parents and r["doc_id"] not in (1, 5, 9)
     }
     assert got == want
+
+
+def test_search_diversified_matches_brute(spark, bj_index):
+    """DiversifiedTopDocsCollector: at most max_per_key docs per key
+    (within-key rank by score desc, doc asc), survivors ranked
+    (score desc, doc asc) and cut to k."""
+    rows, s = bj_index
+    got = s.search_diversified(["alpha", "gamma"], "grp", k=6, max_per_key=2).toPandas()
+    hits = s.search_local(["alpha", "gamma"], k=len(rows) + 1, mode="or")
+    grp_of = {r["doc_id"]: r["grp"] for r in rows}
+    per_key: dict = {}
+    ranked = sorted(
+        ((np.float32(h["score"]), int(h["doc"])) for _, h in hits.iterrows()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = []
+    for sc, d in ranked:
+        g = grp_of[d]
+        per_key[g] = per_key.get(g, 0) + 1
+        if per_key[g] <= 2:
+            want.append((g, d, sc, per_key[g]))
+    want = want[:6]
+    assert [int(d) for d in got["doc"]] == [d for _, d, _, _ in want]
+    assert list(got["grp"]) == [g for g, _, _, _ in want]
+    assert [int(r) for r in got["rn"]] == [r for _, _, _, r in want]
+    for g, (_, _, w, _) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_search_diversified_collapse_equivalence(spark, bj_index):
+    """max_per_key=1 reproduces field collapsing exactly."""
+    rows, s = bj_index
+    div = s.search_diversified(["alpha", "gamma"], "grp", k=4, max_per_key=1).toPandas()
+    col = s.search_collapse(["alpha", "gamma"], "grp", k=4).toPandas()
+    assert [int(d) for d in div["doc"]] == [int(d) for d in col["doc"]]
+    assert list(div["grp"]) == list(col["grp"])
+
+
+def test_search_diversified_guards(spark, bj_index):
+    _, s = bj_index
+    with pytest.raises(ValueError):
+        s.search_diversified(["alpha"], "nope", k=5)
+    with pytest.raises(ValueError):
+        s.search_diversified(["alpha"], "grp", k=5, max_per_key=0)
