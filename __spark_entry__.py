@@ -2219,6 +2219,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def tx_dedup_convs(spark, sf):
+        # conversation-level exact dedup: duplicates planted by
+        # re-labeling every 13th conversation (derived identically in
+        # the twin); originals win the keeper rule ('conv_' < 'dup_')
+        from fdblucene_spark.data import synth
+
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        dup = df.filter(
+            F.substring("conv_id", 6, 10).cast("int") % 13 == 0
+        ).withColumn("conv_id", F.concat(F.lit("dup_"), F.col("conv_id")))
+        out = curation.conversation_dedup(
+            df.unionByName(dup), "conv_id", "turn_idx", "text", sep="|~|"
+        )
+        return out.select(F.col("conv").alias("conv_id"), "fingerprint", "keeper")
+
     def tx_conv_stats(spark, sf):
         # conversation-level analytics over the transcripts corpus:
         # one partial+final agg keyed by conv_id (turn counts, role
@@ -2829,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
+        tx_dedup_convs,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3056,6 +3073,16 @@ ORDER BY doc_id, query_id
                     f"FROM read_parquet('{TX_CORPUS}')",
             tok_regex=_TX_TOK_RE,
         ),
+        "tx_dedup_convs": f"""
+SELECT conv AS conv_id, fingerprint, keeper FROM (
+WITH t AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{TX_CORPUS}')
+  UNION ALL
+  SELECT 'dup_' || conv_id, turn_idx, text FROM read_parquet('{TX_CORPUS}')
+  WHERE substr(conv_id, 6)::INT % 13 = 0
+), {curation.conversation_dedup_sql("t", "conv_id", "turn_idx", "text", sep="|~|").lstrip()}
+)
+""",
         "tx_conv_stats": f"""
 SELECT conv_id, count(*)::BIGINT AS n_turns,
        sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,

@@ -914,6 +914,72 @@ FROM sizes CROSS JOIN d
 """
 
 
+def conversation_dedup(
+    df: DataFrame,
+    conv_col: str,
+    order_col: str,
+    text_col: str,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Conversation-level exact dedup over a turns table — the
+    transcript analogue of document exact dedup (dedup.exact_duplicates):
+    two conversations are duplicates iff their turn texts are identical
+    IN TURN ORDER. fingerprint = md5 over the ordered turn texts joined
+    by `sep` (the separator keeps ["ab","c"] != ["a","bc"]); keeper =
+    the minimum conv id per fingerprint (deterministic, rerun-stable).
+    Returns one row per conversation: (conv, fingerprint, keeper).
+
+    Scale shape: ONE conv-keyed agg (sort_array(collect_list(struct))
+    -> in-order concat — a conversation's turns are bounded, so the
+    collected array is too) + one fingerprint-keyed min agg joined
+    back. No window over the corpus, no self-join; both shuffles key
+    on high-cardinality ids."""
+    rolled = df.groupBy(F.col(conv_col).alias("conv")).agg(
+        F.md5(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col).alias("o"),
+                                F.col(text_col).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            )
+        ).alias("fingerprint")
+    )
+    keepers = rolled.groupBy("fingerprint").agg(F.min("conv").alias("keep_conv"))
+    return rolled.join(keepers, "fingerprint").select(
+        "conv", "fingerprint", (F.col("conv") == F.col("keep_conv")).alias("keeper")
+    )
+
+
+def conversation_dedup_sql(
+    table: str,
+    conv_col: str,
+    order_col: str,
+    text_col: str,
+    sep: str = "\x1f",
+) -> str:
+    """DuckDB twin of conversation_dedup (md5 and string semantics are
+    bit-identical across both engines for UTF-8 text)."""
+    sep_sql = "'" + sep.replace("'", "''") + "'"
+    return f"""
+rolled AS (
+  SELECT {conv_col} AS conv,
+         md5(string_agg({text_col}, {sep_sql} ORDER BY {order_col})) AS fingerprint
+  FROM {table} GROUP BY {conv_col}
+), keepers AS (
+  SELECT fingerprint, min(conv) AS keep_conv FROM rolled GROUP BY fingerprint
+)
+SELECT r.conv, r.fingerprint, (r.conv = k.keep_conv) AS keeper
+FROM rolled r JOIN keepers k USING (fingerprint)"""
+
+
 def conversation_windows(
     df: DataFrame,
     conv_col: str,

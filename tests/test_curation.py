@@ -630,3 +630,54 @@ def test_upsample_stratified_exact_and_invariant(spark):
     assert got2 == got
     with pytest.raises(ValueError):
         curation.upsample_stratified(df, "doc_id", "source", {"wiki": -1.0})
+
+
+def test_conversation_dedup(spark):
+    rows = [
+        # conv a == conv c (same texts, same order); conv b differs in ORDER
+        {"conv": "a", "turn": 0, "text": "hello world"},
+        {"conv": "a", "turn": 1, "text": "how are you"},
+        {"conv": "c", "turn": 0, "text": "hello world"},
+        {"conv": "c", "turn": 1, "text": "how are you"},
+        {"conv": "b", "turn": 0, "text": "how are you"},
+        {"conv": "b", "turn": 1, "text": "hello world"},
+        # concat-boundary trap: ["ab", "c"] vs ["a", "bc"]
+        {"conv": "d", "turn": 0, "text": "ab"},
+        {"conv": "d", "turn": 1, "text": "c"},
+        {"conv": "e", "turn": 0, "text": "a"},
+        {"conv": "e", "turn": 1, "text": "bc"},
+    ]
+    out = {
+        r["conv"]: (r["fingerprint"], r["keeper"])
+        for r in curation.conversation_dedup(
+            spark.createDataFrame(rows), "conv", "turn", "text"
+        ).collect()
+    }
+    assert out["a"][0] == out["c"][0]
+    assert out["a"][1] is True and out["c"][1] is False  # min id keeps
+    assert out["b"][0] != out["a"][0]  # turn ORDER matters
+    assert out["d"][0] != out["e"][0]  # separator blocks boundary merges
+    assert out["b"][1] and out["d"][1] and out["e"][1]
+
+
+def test_conversation_dedup_sql_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        {"conv": f"c{i % 4}", "turn": i // 4, "text": f"t{i % 7} text body {i % 3}"}
+        for i in range(40)
+    ]
+    got = (
+        curation.conversation_dedup(spark.createDataFrame(rows), "conv", "turn", "text")
+        .toPandas().sort_values("conv", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    exp = con.sql(
+        "WITH " + curation.conversation_dedup_sql("t", "conv", "turn", "text").lstrip()
+        + " ORDER BY conv"
+    ).df()
+    assert list(got["conv"]) == list(exp["conv"])
+    assert list(got["fingerprint"]) == list(exp["fingerprint"])
+    assert [bool(x) for x in got["keeper"]] == [bool(x) for x in exp["keeper"]]
