@@ -2219,6 +2219,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def samp_domain_cap(spark, sf):
+        # per-domain document cap: at most 40 docs per source, chosen
+        # as the md5-smallest ids within the key — deterministic,
+        # rerun/partitioning-invariant; ONE slim-column window
+        return curation.cap_per_key(
+            _table(spark, sf, "documents"), "doc_id", "source", 40
+        )
+
     def tx_dedup_convs(spark, sf):
         # conversation-level exact dedup: duplicates planted by
         # re-labeling every 13th conversation (derived identically in
@@ -2845,7 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
-        tx_dedup_convs,
+        tx_dedup_convs, samp_domain_cap,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3072,6 +3080,9 @@ ORDER BY doc_id, query_id
             src_sql="SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text "
                     f"FROM read_parquet('{TX_CORPUS}')",
             tok_regex=_TX_TOK_RE,
+        ),
+        "samp_domain_cap": curation.cap_per_key_sql(
+            "documents", "doc_id", "source", 40
         ),
         "tx_dedup_convs": f"""
 SELECT conv AS conv_id, fingerprint, keeper FROM (

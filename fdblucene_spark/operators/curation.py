@@ -776,6 +776,53 @@ FROM {table}
 """
 
 
+def cap_per_key(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_per_key: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-domain/source document cap — the Common-Crawl curation
+    primitive that stops one domain from dominating the mix: keep at
+    most max_per_key docs per key, chosen DETERMINISTICALLY as the
+    md5(salt || id)-smallest within the key (id tiebreak). Reruns and
+    repartitionings agree; bumping the salt re-draws the sample.
+    Returns (id, key, cap_rank, keep): cap_rank is the 1-based hash
+    rank within the key, keep = cap_rank <= max_per_key — callers
+    filter on keep or inspect what the cap would drop.
+
+    Scale shape: ONE window shuffle keyed by key_col over (id, key)
+    only (two slim columns, never the payload); md5 ordering spreads
+    each key's rows uniformly so the per-key sort has no adversarial
+    order. A pathologically hot key concentrates its window on one
+    task — the same skew profile as any per-domain groupBy; salt the
+    key upstream if a single domain is corpus-sized."""
+    if int(max_per_key) < 1:
+        raise ValueError("max_per_key must be >= 1")
+    hkey = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(hkey.asc(), F.col(id_col).asc())
+    return df.select(id_col, key_col).withColumn(
+        "cap_rank", F.row_number().over(w).cast("long")
+    ).withColumn("keep", F.col("cap_rank") <= int(max_per_key))
+
+
+def cap_per_key_sql(
+    table: str, id_col: str, key_col: str, max_per_key: int, salt: str = "v1"
+) -> str:
+    """DuckDB twin: ROW_NUMBER over the same md5-within-key order."""
+    return f"""
+SELECT {id_col}, {key_col},
+       ROW_NUMBER() OVER (PARTITION BY {key_col}
+                          ORDER BY md5('{salt}:' || {id_col}::VARCHAR) ASC,
+                                   {id_col} ASC)::BIGINT AS cap_rank,
+       ROW_NUMBER() OVER (PARTITION BY {key_col}
+                          ORDER BY md5('{salt}:' || {id_col}::VARCHAR) ASC,
+                                   {id_col} ASC) <= {int(max_per_key)} AS keep
+FROM {table}
+"""
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -1673,6 +1673,18 @@ class Searcher:
         self._td_files = self._table_files("termdict")
         self._deleted_cache: np.ndarray | None = None
 
+    def refresh(self) -> "Searcher":
+        """SearcherManager.maybeRefresh / DirectoryReader.openIfChanged:
+        return a Searcher pinned to the LATEST committed snapshot —
+        this instance if nothing changed (cheap: one manifest CURRENT
+        read, no Spark work), a fresh one otherwise. The old instance
+        stays valid on its pinned version (snapshot isolation, S23):
+        a query service swaps the reference atomically, in-flight
+        queries finish on the old pin."""
+        latest = self.catalog.load()
+        if latest.version == self.manifest.version:
+            return self
+        return Searcher(self.spark, self.root, version=latest.version)
 
     def analyzer_for(self, field: str) -> str:
         """The versioned analyzer pinned for `field` (Lucene

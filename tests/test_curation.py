@@ -681,3 +681,31 @@ def test_conversation_dedup_sql_twin(spark):
     assert list(got["conv"]) == list(exp["conv"])
     assert list(got["fingerprint"]) == list(exp["fingerprint"])
     assert [bool(x) for x in got["keeper"]] == [bool(x) for x in exp["keeper"]]
+
+
+def test_cap_per_key(spark):
+    import hashlib as _h
+
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(60)]
+    got = curation.cap_per_key(
+        spark.createDataFrame(rows), "doc_id", "source", 5
+    ).toPandas()
+    # exact decision replica via hashlib (the determinism contract)
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["source"], []).append(r["doc_id"])
+    want_keep = set()
+    for k, ids in by_key.items():
+        ranked = sorted(ids, key=lambda i: (_h.md5(f"v1:{i}".encode()).hexdigest(), i))
+        want_keep |= set(ranked[:5])
+    assert set(got[got["keep"]]["doc_id"]) == want_keep
+    assert got.groupby("source")["keep"].sum().eq(5).all()
+    # rerun + repartition invariance
+    got2 = curation.cap_per_key(
+        spark.createDataFrame(rows).repartition(7), "doc_id", "source", 5
+    ).toPandas()
+    assert set(got2[got2["keep"]]["doc_id"]) == want_keep
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        curation.cap_per_key(spark.createDataFrame(rows), "doc_id", "source", 0)

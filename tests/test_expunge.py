@@ -116,3 +116,20 @@ def test_expunge_docs_gone_and_stats_exact(spark, tmp_path_factory):
     # manifest n_docs dropped by exactly the tombstone count
     m1 = IndexCatalog(root).load()
     assert m1.n_docs == m0.n_docs - 1
+
+
+def test_searcher_refresh(spark, tmp_path_factory):
+    """SearcherManager analogue: refresh() is identity while nothing
+    committed, returns a latest-pin Searcher after a commit, and the
+    old pin keeps serving its snapshot (isolation)."""
+    root = str(tmp_path_factory.mktemp("idx-refresh"))
+    df = synth.transcripts(spark, n_convs=20)
+    build_index(spark, df, root, key_cols=["conv_id", "turn_idx"], n_shards=4)
+    s0 = Searcher(spark, root)
+    assert s0.refresh() is s0
+    victim = s0.search(["term00000"], 5, "or").collect()[0]["doc"]
+    delete_docs(spark, root, [int(victim)])
+    s1 = s0.refresh()
+    assert s1 is not s0 and s1.manifest.version > s0.manifest.version
+    assert int(victim) in [r["doc"] for r in s0.search(["term00000"], 50, "or").collect()]
+    assert int(victim) not in [r["doc"] for r in s1.search(["term00000"], 50, "or").collect()]
