@@ -916,3 +916,140 @@ def add_indexes(spark: SparkSession, dest_root: str, src_roots: list[str]) -> Ma
         spark, dest_cat, synthetic_parent, blocks, termdict, doclen, lineage, props, stored,
         fields_override=union_fields,
     )
+
+
+def split_index(
+    spark: SparkSession,
+    src_root: str,
+    dest_first: str,
+    dest_second: str,
+    predicate: str | None = None,
+    docs: DataFrame | list[int] | None = None,
+) -> tuple[Manifest, Manifest]:
+    """Lucene misc PKIndexSplitter analogue: partition ONE index into
+    TWO fresh indexes by a document predicate — docs matching go to
+    `dest_first`, every other LIVE doc to `dest_second` (the reference
+    reaches index surgery like this through stock Lucene tooling over
+    its FDBDirectory, reference: FDBDirectory.java:102-167 open/create).
+    Lucene's splitter wraps a FilterIndexReader over liveDocs and
+    addIndexes()es each side; ours rewrites each side directly through
+    the SAME cogrouped per-shard repack as expunge_deletes — the
+    "drop list" for a side is simply the other side's docs (plus any
+    pending tombstones, which vanish from BOTH sides, exactly the
+    liveDocs semantics).
+
+    Select docs by `predicate` (a Catalyst SQL string over the stored
+    table, evaluated AFTER folding any pending doc-values overrides —
+    the latest value decides the side, like a reader would see) or by
+    an explicit `docs` DataFrame/list of docIDs.
+
+    docIDs are preserved, not renumbered (our engine never requires
+    density — doclen is the roster); this keeps the split pure and
+    lets add_indexes() reassemble the original index. The index_sort
+    pin survives only a single-segment source (a filtered subsequence
+    of one sorted run stays sorted; multi-segment splits interleave).
+
+    Scale shape: ONE repack shuffle per side keyed by shard (the same
+    knob as every merge), side membership rides broadcast-free as a
+    cogrouped aux frame; no collect of anything corpus-sized.
+    """
+    if (predicate is None) == (docs is None):
+        raise ValueError("split_index needs exactly one of predicate= or docs=")
+    for dest in (dest_first, dest_second):
+        if IndexCatalog(dest).exists():
+            raise ValueError(f"split destination already exists: {dest}")
+    catalog = IndexCatalog(src_root)
+    manifest = catalog.load()
+    properties = dict(manifest.properties)
+    store_positions = bool(properties.get("store_positions", True))
+    postings = _ensure_postings_cols(
+        spark.read.parquet(*manifest.segment_paths(src_root, "postings"))
+    )
+    doclen = spark.read.parquet(*manifest.segment_paths(src_root, "doclen"))
+    stored = None
+    if properties.get("stored_fields"):
+        sp = [p for p in manifest.segment_paths(src_root, "stored") if os.path.isdir(p)]
+        if sp:
+            stored = spark.read.parquet(*sp)
+    if properties.get("dv_path") and stored is not None:
+        from .deletes import apply_dv_overrides
+
+        stored = apply_dv_overrides(
+            stored, spark.read.parquet(os.path.join(src_root, properties["dv_path"]))
+        )
+    properties.pop("dv_path", None)
+    properties.pop("n_dv", None)
+    tomb = None
+    if properties.get("deletes_path"):
+        tomb = spark.read.parquet(
+            os.path.join(src_root, properties["deletes_path"])
+        ).select(F.col("doc").cast("long").alias("doc")).distinct()
+    properties.pop("deletes_path", None)
+    properties.pop("n_deletes", None)
+    if len(manifest.segments) > 1:
+        properties.pop("index_sort", None)
+
+    full_roster = doclen.select(F.col("doc").cast("long").alias("doc")).distinct()
+    roster = full_roster
+    if tomb is not None:
+        roster = roster.join(tomb, "doc", "left_anti")
+    if predicate is not None:
+        if stored is None:
+            raise ValueError("predicate= split needs stored fields on the index")
+        matched = stored.filter(predicate).select(F.col("doc").cast("long").alias("doc"))
+    elif isinstance(docs, DataFrame):
+        matched = docs.select(F.col(docs.columns[0]).cast("long").alias("doc"))
+    else:
+        matched = spark.createDataFrame([(int(d),) for d in docs], "doc long")
+    matched = matched.distinct().join(roster, "doc", "left_semi")
+    # side A drops everything outside `matched` — from the FULL roster,
+    # so a tombstoned doc that happens to satisfy the predicate still
+    # drops (matched is live-restricted, so it never shields one);
+    # side B drops `matched` plus the tombstones
+    drop_first = full_roster.join(matched, "doc", "left_anti")
+    if tomb is not None:
+        drop_second = matched.unionByName(tomb).distinct()
+    else:
+        drop_second = matched
+
+    repack = _repack_shard_factory(
+        manifest.block_size, store_positions,
+        bool(properties.get("store_offsets", False)),
+        bool(properties.get("store_payloads", False)),
+    )
+    out: list[Manifest] = []
+    for dest, drop, side in (
+        (dest_first, drop_first, "first"),
+        (dest_second, drop_second, "second"),
+    ):
+        dels_aux = drop.select(
+            F.pmod(F.col("doc"), F.lit(manifest.n_shards)).cast("int").alias("shard"),
+            F.col("doc").cast("long").alias("doc"),
+        )
+        blocks = (
+            postings.groupBy("shard")
+            .cogroup(dels_aux.groupBy("shard"))
+            .applyInPandas(repack, schema=POSTINGS_SCHEMA)
+        )
+        termdict = termdict_from_blocks(blocks)
+        side_doclen = doclen.join(drop, "doc", "left_anti")
+        side_stored = stored.join(drop, "doc", "left_anti") if stored is not None else None
+        dest_cat = IndexCatalog(dest)
+        synthetic_parent = Manifest(
+            version=0,
+            analyzer=manifest.analyzer,
+            block_size=manifest.block_size,
+            n_shards=manifest.n_shards,
+            segments=[],
+            properties={"store_positions": store_positions},
+        )
+        lineage = {"op": "split", "source": src_root, "side": side,
+                   "inputs": [s.segment_id for s in manifest.segments]}
+        out.append(
+            _write_merged(
+                spark, dest_cat, synthetic_parent, blocks, termdict, side_doclen,
+                lineage, dict(properties), side_stored,
+                fields_override=manifest.fields(),
+            )
+        )
+    return out[0], out[1]
