@@ -503,6 +503,27 @@ def _expunged_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _split_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """PKIndexSplitter analogue fixture (merge.split_index): the main
+    docs index partitioned into two FRESH indexes by the stored
+    n_chars parity predicate. Each side's BM25 stats (df, avgdl, N)
+    are recomputed from its own corpus — exactly what the twin's
+    side-filtered corpus reproduces, and what a liveDocs-style filter
+    over the shared index would get WRONG (full-corpus stats)."""
+    from fdblucene_spark.operators.merge import split_index
+
+    a = os.path.join(_index_root(sf_dir), "split-even")
+    b = os.path.join(_index_root(sf_dir), "split-odd")
+    if not (IndexCatalog(a).exists() and IndexCatalog(b).exists()):
+        import shutil
+
+        for p in (a, b):  # crash-safe: a half-done split redoes
+            shutil.rmtree(p, ignore_errors=True)
+        _searcher(spark, sf_dir)
+        split_index(spark, _index_root(sf_dir), a, b, predicate="n_chars % 2 = 0")
+    return a, b
+
+
 def _reshard_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built at 4 shards then resharded to 16 (the post-build
     kernel-parallelism knob, merge.reshard). Rank/score identity with
@@ -2143,6 +2164,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # liveDocs twin keeps full-corpus stats)
         return _hits_df(_expunged_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_boolean_sim(spark, sf):
+        # BooleanSimilarity: score = f32 sum of matched clauses' query
+        # boosts — tf/norms/idf all ignored (the twin scores DISTINCT
+        # (doc, term) matches by a boost CASE)
+        return _hits_df(
+            _searcher(spark, sf).search_boolean_sim(
+                OR_TERMS, k=K_ALL, mode="or",
+                boosts={"dup": 2.5, "hash": 1.0, "vector": 0.5},
+            )
+        )
+
+    def ft_split_search(spark, sf):
+        # PKIndexSplitter: both sides searched with the same query;
+        # each side must score with ITS OWN df/avgdl/N (the twin
+        # filters the corpus per side before computing stats)
+        a, b = _split_roots(spark, sf)
+        ha = _hits_df(Searcher(spark, a).search(OR_TERMS, k=10, mode="or")).withColumn(
+            "side", F.lit("even"))
+        hb = _hits_df(Searcher(spark, b).search(OR_TERMS, k=10, mode="or")).withColumn(
+            "side", F.lit("odd"))
+        return ha.unionByName(hb)
+
     def ft_reshard_search(spark, sf):
         # reshard 4 -> 16 shards, then the standard OR query: results
         # must be bit-identical to the untouched-layout oracle
@@ -2853,7 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
-        tx_dedup_convs, samp_domain_cap,
+        tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4002,6 +4045,39 @@ JOIN documents d ON d.doc_id = h.doc_id
                 f"doc_id > (SELECT (max(doc_id) * 3) // 5 FROM documents) "
                 f"AND doc_id % {DELETE_MOD} = 0)"
             ),
+        ),
+        # BooleanSimilarity: constant per-clause boost, summed f32 —
+        # any tf/norm/idf dependence in the engine would hash-fail
+        "ft_boolean_sim": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS term
+  FROM documents
+), m AS (
+  SELECT DISTINCT doc_id, term FROM tok WHERE term IN ({_or_tlist})
+), sc AS (
+  SELECT doc_id,
+    (sum(((CASE term WHEN 'dup' THEN 2.5 WHEN 'hash' THEN 1.0 ELSE 0.5 END)::FLOAT)::DOUBLE))::FLOAT AS score32
+  FROM m GROUP BY doc_id
+)
+SELECT doc_id, round(score32::DOUBLE, 3) AS score
+FROM sc ORDER BY score32 DESC, doc_id ASC LIMIT {K_ALL}
+""",
+        # split index: each side scores with side-local stats — a twin
+        # using full-corpus df/avgdl (the liveDocs shape) hash-fails,
+        # which is the gate's discrimination
+        "ft_split_search": (
+            "SELECT side, doc_id, score FROM ("
+            "SELECT 'even' AS side, doc_id, score FROM ("
+            + _bm25_sql(
+                OR_TERMS, "or", 10,
+                src_sql="SELECT doc_id, text FROM documents WHERE n_chars % 2 = 0",
+            )
+            + ") UNION ALL SELECT 'odd' AS side, doc_id, score FROM ("
+            + _bm25_sql(
+                OR_TERMS, "or", 10,
+                src_sql="SELECT doc_id, text FROM documents WHERE n_chars % 2 = 1",
+            )
+            + "))"
         ),
         "ft_merge_addindexes": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_reshard_search": _bm25_sql(OR_TERMS, "or", K_ALL),

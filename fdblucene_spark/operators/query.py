@@ -4438,6 +4438,79 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_boolean_sim(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """BooleanSimilarity — Lucene's constant-per-clause similarity
+        (`IndexSearcher.setSimilarity(new BooleanSimilarity())`): a
+        matching term contributes exactly its query boost (default
+        1.0); tf, norms, and idf are all ignored. A BooleanQuery of
+        term clauses therefore scores f32(sum of matched clauses'
+        boosts) — Lucene sums the float32 per-clause scores in double
+        and narrows, which is the same accumulation chain as the BM25
+        kernel, reproduced here.
+
+        Filter-like ranking with a deterministic (score desc, doc asc)
+        order; mode='and' keeps docs matching every requested term.
+        Exhaustive constant-shape kernel like the other non-BM25
+        similarities (impact skipping prices BM25's tf curve only).
+        Ref: the reference delegates similarity to Lucene 8.1
+        (pom.xml lucene-core), BooleanSimilarity.java semantics."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: int(st[0]) for t, st in stats.items() if st[0] > 0}
+        if not present or (mode == "and" and len(present) < len(ts)):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        weights = {
+            t: np.float32((boosts or {}).get(t, 1.0)) for t in present
+        }
+        need = len(present)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            ds, ss = [], []
+            for t, g in pdf.groupby("term", sort=False):
+                d, _tf, _dlq = _decode_block_rows(g)
+                ds.append(d)
+                ss.append(np.full(d.shape, weights[t], dtype=np.float32))
+            d = np.concatenate(ds)
+            s = np.concatenate(ss)
+            order = np.argsort(d, kind="mergesort")
+            d, s = d[order], s[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
+            if mode == "and":
+                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
+                keep = cnt == need
+                uniq, tot = uniq[keep], tot[keep]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tot = uniq[keep], tot[keep]
+            if not uniq.size:
+                return empty
+            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_block_join(
         self,
         terms: list[str],

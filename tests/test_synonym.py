@@ -306,3 +306,61 @@ def test_dfi_measures_and_guards(spark, syn_index, measure):
         s.search_dfi(["alpha"], measure="nope")
     assert s.search_dfi(["zzznope"], k=5).count() == 0
     assert s.search_dfi(["zzznope", "alpha"], k=5, mode="and").count() == 0
+
+
+# ---------------------------------------------------------- BooleanSimilarity
+
+
+def _brute_boolean_sim(rows, terms, mode="or", boosts=None):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    out = []
+    for d, t in toks.items():
+        matched = [m for m in sorted(set(terms)) if m in t]
+        if not matched or (mode == "and" and len(matched) < len(set(terms))):
+            continue
+        sc = np.float32(
+            sum(float(np.float32((boosts or {}).get(m, 1.0))) for m in matched)
+        )
+        out.append((d, sc))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def test_boolean_sim_matches_brute_force(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    boosts = {"gamma": 2.5, "zeta": 0.5, "alpha": 1.0}
+    for mode in ("or", "and"):
+        got = s.search_boolean_sim(
+            ["gamma", "zeta", "alpha"], k=80, mode=mode, boosts=boosts
+        ).toPandas()
+        want = _brute_boolean_sim(rows, ["gamma", "zeta", "alpha"], mode, boosts)[:80]
+        assert [int(d) for d in got["doc"]] == [d for d, _ in want], mode
+        for g, (_, w) in zip(got["score"], want):
+            assert np.float32(g) == w
+
+
+def test_boolean_sim_ignores_tf_and_length(spark, syn_index):
+    """Two docs matching the same clause set score IDENTICALLY no
+    matter their term frequencies or lengths — the similarity's whole
+    point."""
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    got = s.search_boolean_sim(["alpha"], k=300, mode="or").toPandas()
+    assert got["score"].nunique() == 1
+    assert float(got["score"].iloc[0]) == 1.0
+    # and the hit SET equals the match set (no scoring cutoff effects)
+    match = {r["doc_id"] for r in rows if "alpha" in tokenize_text(r["text"])}
+    assert set(int(d) for d in got["doc"]) == match
+
+
+def test_boolean_sim_guards(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    with pytest.raises(ValueError, match="mode"):
+        s.search_boolean_sim(["alpha"], mode="phrase")
+    assert s.search_boolean_sim(["zzznope"], k=5).count() == 0
+    assert s.search_boolean_sim(["zzznope", "alpha"], k=5, mode="and").count() == 0
+    # absent term in or-mode simply contributes nothing
+    got = s.search_boolean_sim(["zzznope", "alpha"], k=300, mode="or").toPandas()
+    assert got["score"].nunique() == 1
