@@ -465,6 +465,27 @@ def _del_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _delq_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """deleteDocuments(Query) variant: every doc matching MUST 'dup'
+    tombstoned via delete_by_query (constant-score matched-doc kernel,
+    doc-set never on the driver); liveDocs semantics — stats keep the
+    deleted docs — so the twin drops dup-containing docs from MATCHING
+    but scores with full-corpus df/avgdl."""
+    from fdblucene_spark.operators.deletes import delete_by_query
+
+    root = os.path.join(_index_root(sf_dir), "delq")
+    done = os.path.join(root, "_delq_ok")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-delq")
+    if not os.path.exists(done):  # crash-safe: query deletes idempotent
+        delete_by_query(spark, root, [{"term": "dup", "occur": "must"}])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return Searcher(spark, root)
+
+
 def _expunged_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built as base + append, tombstones planted ONLY in the
     append's docID range, then expunge_deletes (forceMergeDeletes
@@ -2164,6 +2185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # liveDocs twin keeps full-corpus stats)
         return _hits_df(_expunged_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_delete_query(spark, sf):
+        # deleteDocuments(Query): matching docs leave the hit set but
+        # NOT the stats (liveDocs) — contrast ft_expunge_search
+        return _hits_df(_delq_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
+
     def ft_boolean_sim(spark, sf):
         # BooleanSimilarity: score = f32 sum of matched clauses' query
         # boosts — tf/norms/idf all ignored (the twin scores DISTINCT
@@ -2897,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
+        ft_delete_query,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4044,6 +4071,16 @@ JOIN documents d ON d.doc_id = h.doc_id
                 "SELECT doc_id, text FROM documents WHERE NOT ("
                 f"doc_id > (SELECT (max(doc_id) * 3) // 5 FROM documents) "
                 f"AND doc_id % {DELETE_MOD} = 0)"
+            ),
+        ),
+        # deleteDocuments(Query): dup-matching docs leave matching but
+        # stats stay full-corpus (liveDocs) — an expunge-style twin
+        # (side-corpus stats) hash-fails here
+        "ft_delete_query": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id NOT IN "
+                "(SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')"
             ),
         ),
         # BooleanSimilarity: constant per-clause boost, summed f32 —

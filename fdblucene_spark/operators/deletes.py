@@ -178,3 +178,32 @@ def live_filter(spark: SparkSession, root: str, manifest: Manifest, hits: DataFr
     # unbounded delete list is the anti-pattern the kernels avoid)
     dels = spark.read.parquet(os.path.join(root, rel))
     return hits.join(dels, "doc", "left_anti")
+
+
+def delete_by_query(
+    spark: SparkSession,
+    root: str,
+    clauses: list[dict],
+    *,
+    min_should_match: int | None = None,
+    numeric: list[dict] | None = None,
+) -> Manifest:
+    """Lucene IndexWriter.deleteDocuments(Query...): tombstone every
+    LIVE doc matching a composable boolean query, resolved against the
+    CURRENT committed snapshot (Lucene resolves query deletes against
+    the segments present at delete time the same way; the reference
+    reaches this through stock Lucene 8 on its FDBDirectory). Same
+    clause dicts / occur / msm / phrase / nested / numeric semantics
+    as Searcher.search_boolean; evaluation runs the constant-score
+    matched-doc kernel — no top-k cut, no scores, and the matched
+    doc-set stays a DataFrame end-to-end (a billion-doc delete never
+    touches the driver). Already-tombstoned docs are excluded from the
+    match, so the call is idempotent; physical reclaim stays with
+    expunge_deletes / a repack merge, like Lucene's merge-time
+    application of buffered deletes."""
+    from .query import Searcher
+
+    docs = Searcher(spark, root).matching_docs(
+        clauses, min_should_match=min_should_match, numeric=numeric
+    )
+    return delete_docs(spark, root, docs)
