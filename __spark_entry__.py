@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from fdblucene_spark.functions import bm25
 from fdblucene_spark.functions import expressions as _exprs
 from fdblucene_spark.functions.analysis import ENGLISH_STOPWORDS
+from fdblucene_spark.operators import classify as _classify
 from fdblucene_spark.operators import curation, dedup, geo, multimodal, similarity, textstats
 from fdblucene_spark.operators.build import build_index
 from fdblucene_spark.operators.query import Searcher
@@ -2185,6 +2186,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # liveDocs twin keeps full-corpus stats)
         return _hits_df(_expunged_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def text_nb_classify(spark, sf):
+        # Lucene classification module (SimpleNaiveBayesClassifier):
+        # self-classify documents with class = source; exact float
+        # chain (f32 logp quantize -> exact f64 sum) so the twin is
+        # bit-identical pre-round
+        from fdblucene_spark.operators.classify import naive_bayes_classify
+
+        docs = _table(spark, sf, "documents")
+        out = naive_bayes_classify(docs, docs, "doc_id", "text", "source")
+        return out.select(
+            "doc_id", "pred", F.round(F.col("score"), 3).alias("score")
+        )
+
     def ft_delete_query(spark, sf):
         # deleteDocuments(Query): matching docs leave the hit set but
         # NOT the stats (liveDocs) — contrast ft_expunge_search
@@ -2923,7 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
-        ft_delete_query,
+        ft_delete_query, text_nb_classify,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4072,6 +4086,13 @@ JOIN documents d ON d.doc_id = h.doc_id
                 f"doc_id > (SELECT (max(doc_id) * 3) // 5 FROM documents) "
                 f"AND doc_id % {DELETE_MOD} = 0)"
             ),
+        ),
+        # naive Bayes self-classification (Lucene classification
+        # module): full count/smooth/f32-quantize/f64-sum chain in SQL
+        "text_nb_classify": (
+            "SELECT doc_id, pred, round(score, 3) AS score FROM ("
+            + _classify.naive_bayes_sql("documents", "doc_id", "text", "source")
+            + ")"
         ),
         # deleteDocuments(Query): dup-matching docs leave matching but
         # stats stay full-corpus (liveDocs) — an expunge-style twin

@@ -1,0 +1,190 @@
+"""Lucene classification-module analogue: naive Bayes text
+classification from corpus term statistics.
+
+Lucene ships `SimpleNaiveBayesClassifier` (lucene/classification):
+train = an IndexReader over docs carrying a class field, classify =
+for each class c score
+
+    log p(c) + sum over doc tokens w of log p(w|c)
+    p(c)   = docs_c / N_docs
+    p(w|c) = (tf(w, c) + 1) / (tokens_c + V)      [add-1 smoothing,
+             V = corpus vocabulary size; a token unseen in class c —
+             or in the whole corpus — still contributes the smoothed
+             1 / (tokens_c + V), exactly Lucene's wordProbability]
+
+and picks the argmax (the reference reaches this via stock Lucene on
+its FDBDirectory; pom.xml lucene-core). Ours trains the same stats
+with two aggs over a (class, text) corpus DataFrame and classifies a
+target DataFrame with one term-keyed join — Spark-first, no driver
+model state (contrast curation.classifier_scores, whose hash-bucket
+model deliberately broadcasts).
+
+Float determinism: per-(token, class) log-probs quantize to float32
+BEFORE the per-(doc, class) float64 sum — same-scale float32 addends
+sum exactly in float64 for any realistic doc length, so Spark's
+partial-agg order and the DuckDB twin's order cannot diverge by an
+ulp (the lm_perplexity / BM25-kernel determinism trick).
+
+Scale shape at 100 TB: explode -> one (class, term) partial+final
+count agg (the model, distributed), one small-classes cross join,
+one term+class-keyed join back, one (doc, class) agg, one per-doc
+argmax window. Class count C multiplies the token stream — C is
+small by construction (a class field), and the model table is
+V x C rows, term-keyed; skew rides the same salting knobs as every
+term-keyed agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .textstats import _TOKENIZE_SQL, tokens_col
+
+
+def naive_bayes_scores(
+    train: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Per-(doc, class) naive-Bayes log-scores for every target doc
+    against every class seen in `train`. Returns (id, class, score);
+    empty target docs score prior-only (Lucene's classifier does the
+    same — no tokens, no likelihood terms)."""
+    toks_tr = train.select(
+        F.col(class_col).alias("class"), F.explode(tokens_col(text_col)).alias("t")
+    )
+    # model: per-class token totals + priors + vocab size
+    cls = train.groupBy(F.col(class_col).alias("class")).agg(
+        F.count(F.lit(1)).cast("double").alias("docs_c")
+    )
+    tok_c = toks_tr.groupBy("class").agg(F.count(F.lit(1)).cast("double").alias("tokens_c"))
+    consts = toks_tr.agg(F.countDistinct("t").cast("double").alias("v_size")).crossJoin(
+        train.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    classes = (
+        cls.join(tok_c, "class", "left")
+        .na.fill({"tokens_c": 0.0})
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "class",
+            F.log(F.col("docs_c") / F.col("n_docs")).cast("float").alias("prior32"),
+            F.col("tokens_c"),
+            F.col("v_size"),
+            # smoothed floor for tokens unseen in this class
+            F.log(F.lit(1.0) / (F.col("tokens_c") + F.col("v_size")))
+            .cast("float").alias("floor32"),
+        )
+    )
+    counts = toks_tr.groupBy("class", "t").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    logp = counts.join(classes.select("class", "tokens_c", "v_size"), "class").select(
+        "class", "t",
+        F.log((F.col("tf") + F.lit(1.0)) / (F.col("tokens_c") + F.col("v_size")))
+        .cast("float").alias("logp32"),
+    )
+    toks_tgt = target.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("t"))
+    # every token x every class; unseen (token, class) pairs fall back
+    # to the class floor
+    per_tok = (
+        toks_tgt.crossJoin(F.broadcast(classes.select("class", "floor32")))
+        .join(logp, ["class", "t"], "left")
+        .select(
+            F.col(id_col), "class",
+            F.coalesce(F.col("logp32"), F.col("floor32")).alias("lp32"),
+        )
+    )
+    lik = per_tok.groupBy(id_col, "class").agg(
+        F.sum(F.col("lp32").cast("double")).alias("lik")
+    )
+    return (
+        target.select(F.col(id_col))
+        .crossJoin(F.broadcast(classes.select("class", "prior32")))
+        .join(lik, [id_col, "class"], "left")
+        .select(
+            F.col(id_col), "class",
+            (F.col("prior32").cast("double") + F.coalesce(F.col("lik"), F.lit(0.0)))
+            .alias("score"),
+        )
+    )
+
+
+def naive_bayes_classify(
+    train: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Argmax wrapper: (id, pred, score) — deterministic tie-break
+    (score desc, class asc), Lucene's assignClass contract of one
+    best ClassificationResult."""
+    scores = naive_bayes_scores(train, target, id_col, text_col, class_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("class"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("class").alias("pred"), F.col("score"))
+    )
+
+
+def naive_bayes_sql(
+    table: str, id_col: str, text_col: str, class_col: str, best_only: bool = True
+) -> str:
+    """DuckDB twin (self-classification over one table): identical
+    count/smooth/float32-quantize/sum chain as the operators above."""
+    sel = (
+        f"SELECT {id_col}, class AS pred, score FROM ranked WHERE rn = 1"
+        if best_only
+        else f"SELECT {id_col}, class, score FROM scored"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {class_col} AS class,
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), tok AS (
+  SELECT {id_col}, class, unnest(ts) AS t FROM toks
+), consts AS (
+  SELECT count(DISTINCT t)::DOUBLE AS v_size FROM tok
+), nd AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM {table}
+), cls AS (
+  SELECT {class_col} AS class, count(*)::DOUBLE AS docs_c FROM {table} GROUP BY 1
+), tokc AS (
+  SELECT class, count(*)::DOUBLE AS tokens_c FROM tok GROUP BY class
+), classes AS (
+  SELECT c.class,
+         ln(c.docs_c / nd.n_docs)::FLOAT AS prior32,
+         COALESCE(tc.tokens_c, 0.0) AS tokens_c,
+         consts.v_size,
+         ln(1.0 / (COALESCE(tc.tokens_c, 0.0) + consts.v_size))::FLOAT AS floor32
+  FROM cls c LEFT JOIN tokc tc USING (class), consts, nd
+), counts AS (
+  SELECT class, t, count(*)::DOUBLE AS tf FROM tok GROUP BY class, t
+), logp AS (
+  SELECT cn.class, cn.t,
+         ln((cn.tf + 1.0) / (cl.tokens_c + cl.v_size))::FLOAT AS logp32
+  FROM counts cn JOIN classes cl USING (class)
+), tgt AS (
+  SELECT {id_col}, unnest(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '')) AS t
+  FROM {table}
+), per_tok AS (
+  SELECT g.{id_col}, cl.class, COALESCE(lp.logp32, cl.floor32) AS lp32
+  FROM tgt g CROSS JOIN classes cl
+  LEFT JOIN logp lp ON lp.class = cl.class AND lp.t = g.t
+), lik AS (
+  SELECT {id_col}, class, sum(lp32::DOUBLE) AS lik FROM per_tok GROUP BY {id_col}, class
+), scored AS (
+  SELECT d.{id_col}, cl.class,
+         (cl.prior32::DOUBLE + COALESCE(l.lik, 0.0)) AS score
+  FROM {table} d CROSS JOIN classes cl
+  LEFT JOIN lik l ON l.{id_col} = d.{id_col} AND l.class = cl.class
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col} ORDER BY score DESC, class ASC) AS rn
+  FROM scored
+)
+{sel}
+"""
