@@ -2186,6 +2186,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # liveDocs twin keeps full-corpus stats)
         return _hits_df(_expunged_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_knn_classify(spark, sf):
+        # KNearestNeighborClassifier: MLT top-50 neighbors -> vote by
+        # stored `source`; the MLT thresholds are integer-exact so the
+        # twin rebuilds the same neighbor set from MLT_TERMS
+        out = _searcher(spark, sf).classify_knn(
+            MLT_TEXT, "source", k=50, min_term_freq=2, min_doc_freq=5)
+        return out.select("class", "votes", "score")
+
     def text_nb_classify(spark, sf):
         # Lucene classification module (SimpleNaiveBayesClassifier):
         # self-classify documents with class = source; exact float
@@ -2937,7 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
-        ft_delete_query, text_nb_classify,
+        ft_delete_query, text_nb_classify, ft_knn_classify,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4086,6 +4094,16 @@ JOIN documents d ON d.doc_id = h.doc_id
                 f"doc_id > (SELECT (max(doc_id) * 3) // 5 FROM documents) "
                 f"AND doc_id % {DELETE_MOD} = 0)"
             ),
+        ),
+        # KNN classifier: MLT top-50 neighbor vote over stored source
+        "ft_knn_classify": (
+            "WITH hits AS (SELECT doc_id FROM ("
+            + _bm25_sql(MLT_TERMS, "or", 50)
+            + """))
+SELECT d.source AS class, count(*)::BIGINT AS votes,
+       ((count(*)::DOUBLE / 50.0)::FLOAT)::DOUBLE AS score
+FROM hits h JOIN documents d USING (doc_id) GROUP BY d.source
+"""
         ),
         # naive Bayes self-classification (Lucene classification
         # module): full count/smooth/f32-quantize/f64-sum chain in SQL

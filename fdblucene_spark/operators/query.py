@@ -4947,6 +4947,52 @@ class Searcher:
         scan = self._postings.filter(pred)
         return self._apply_kernel(scan, kernel, doc_schema, aux)
 
+    def classify_knn(
+        self,
+        text: str,
+        class_field: str,
+        k: int = 10,
+        field: str = "text",
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ) -> DataFrame:
+        """Lucene KNearestNeighborClassifier (classification module):
+        classify ONE text by querying the index MoreLikeThis-style and
+        voting over the top-k neighbors' stored `class_field` — the
+        exact two-step Lucene runs (MLT term selection -> TopDocs ->
+        class counts). Returns (class, votes, score) with votes =
+        neighbor count and score = float32(votes / k) (Lucene's
+        ClassificationResult normalized score), ordered votes desc,
+        then summed neighbor BM25 score desc, then class asc (Lucene
+        leaves equal-vote ordering to map iteration; we pin it
+        deterministically). Cost = one termdict seek + one WAND-pruned
+        search job + a k-row stored join — corpus-size-independent
+        beyond the search itself.
+        Ref: the reference delegates to stock Lucene 8
+        (pom.xml lucene-core); KNearestNeighborClassifier.java
+        classifyFromTopDocs semantics."""
+        hits = self.more_like_this(
+            text, k=k, field=field, max_query_terms=max_query_terms,
+            min_term_freq=min_term_freq, min_doc_freq=min_doc_freq,
+        )
+        stored = self._stored_df().select("doc", class_field)
+        return (
+            hits.join(stored, "doc")
+            .groupBy(F.col(class_field).alias("class"))
+            .agg(
+                F.count(F.lit(1)).alias("votes"),
+                F.sum(F.col("score").cast("double")).alias("score_sum"),
+            )
+            .select(
+                "class",
+                F.col("votes").cast("long").alias("votes"),
+                (F.col("votes") / F.lit(float(k))).cast("float").alias("score"),
+                "score_sum",
+            )
+            .orderBy(F.desc("votes"), F.desc("score_sum"), F.asc("class"))
+        )
+
     def facet_counts(
         self,
         clauses: list[dict],

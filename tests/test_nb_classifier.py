@@ -91,3 +91,44 @@ def test_separate_train_target(spark):
     want = _hand_scores(ROWS, tgt_rows)
     best = sorted(["code", "prose"], key=lambda c: (-want[(102, c)], c))[0]
     assert pred[102] == best
+
+
+# ------------------------------------------------- KNN classifier (index-side)
+
+
+def test_classify_knn_votes_match_oracle(spark, tmp_path_factory):
+    from fdblucene_spark import oracle
+    from fdblucene_spark.operators.build import build_index
+    from fdblucene_spark.operators.query import Searcher
+
+    rng = np.random.default_rng(41)
+    words = ["alpha", "beta", "gamma", "delta", "zeta"]
+    rows = []
+    for i in range(120):
+        ln = int(rng.integers(2, 16))
+        w = 1.0 / np.arange(1, len(words) + 1)
+        rows.append({
+            "doc_id": i,
+            "cls": "even" if i % 2 == 0 else "odd",
+            "text": " ".join(rng.choice(words, size=ln, p=w / w.sum())),
+        })
+    root = str(tmp_path_factory.mktemp("knn") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id",
+                n_shards=4, stored_fields={"cls": "cls"})
+    s = Searcher(spark, root)
+    k = 15
+    got = s.classify_knn("alpha alpha zeta zeta", "cls", k=k,
+                         min_term_freq=2, min_doc_freq=1).toPandas()
+    oidx = oracle.build_oracle_index([r["doc_id"] for r in rows],
+                                     [r["text"] for r in rows])
+    top = oracle.search(oidx, ["alpha", "zeta"], k, "or")
+    want = {}
+    for d, _ in top:
+        c = rows[d]["cls"]
+        want[c] = want.get(c, 0) + 1
+    assert {r["class"]: int(r["votes"]) for _, r in got.iterrows()} == want
+    for _, r in got.iterrows():
+        assert np.float32(r["score"]) == np.float32(int(r["votes"]) / float(k))
+    # deterministic order: votes desc, then class asc among equal votes
+    v = list(got["votes"])
+    assert v == sorted(v, reverse=True)
