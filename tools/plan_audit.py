@@ -218,6 +218,22 @@ def main() -> int:
     surfaces["length_buckets"] = curation.length_buckets(
         docs_df, "doc_id", "text", batch_size=8, edges=(8, 16), num_partitions=4
     )
+    # round-5 ninth-phase surfaces
+    surfaces["search_boolean_sim"] = s.search_boolean_sim(
+        ["alpha", "beta"], k=10, mode="or", boosts={"alpha": 2.0}
+    )
+    from fdblucene_spark.operators.classify import (  # noqa: E402
+        naive_bayes_classify,
+    )
+    cls_df = spark.createDataFrame(
+        [{"doc_id": r["doc_id"], "text": r["text"], "cls": r["role"]} for r in rows]
+    )
+    surfaces["naive_bayes_classify"] = naive_bayes_classify(
+        cls_df, cls_df, "doc_id", "text", "cls"
+    )
+    surfaces["classify_knn"] = s.classify_knn(
+        "alpha alpha beta beta", "role", k=10, min_term_freq=2, min_doc_freq=1
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -242,7 +258,8 @@ def main() -> int:
                     "search_synonym", "search_blended", "search_classic",
                     "search_multi_phrase",
                     "search_lm_dirichlet", "search_lm_jelinek_mercer",
-                    "search_common_terms", "search_dfi"):
+                    "search_common_terms", "search_dfi",
+                    "search_boolean_sim", "classify_knn"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
         if name == "top_terms":
             # termdict-only: the postings table must not be scanned
