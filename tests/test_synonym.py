@@ -311,10 +311,12 @@ def test_dfi_measures_and_guards(spark, syn_index, measure):
 # ---------------------------------------------------------- BooleanSimilarity
 
 
-def _brute_boolean_sim(rows, terms, mode="or", boosts=None):
+def _brute_boolean_sim(rows, terms, mode="or", boosts=None, deleted=()):
     toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
     out = []
     for d, t in toks.items():
+        if d in deleted:
+            continue
         matched = [m for m in sorted(set(terms)) if m in t]
         if not matched or (mode == "and" and len(matched) < len(set(terms))):
             continue
@@ -329,12 +331,15 @@ def _brute_boolean_sim(rows, terms, mode="or", boosts=None):
 def test_boolean_sim_matches_brute_force(spark, syn_index):
     rows, root = syn_index
     s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
     boosts = {"gamma": 2.5, "zeta": 0.5, "alpha": 1.0}
     for mode in ("or", "and"):
         got = s.search_boolean_sim(
             ["gamma", "zeta", "alpha"], k=80, mode=mode, boosts=boosts
         ).toPandas()
-        want = _brute_boolean_sim(rows, ["gamma", "zeta", "alpha"], mode, boosts)[:80]
+        want = _brute_boolean_sim(
+            rows, ["gamma", "zeta", "alpha"], mode, boosts, deleted=dele
+        )[:80]
         assert [int(d) for d in got["doc"]] == [d for d, _ in want], mode
         for g, (_, w) in zip(got["score"], want):
             assert np.float32(g) == w
@@ -346,11 +351,13 @@ def test_boolean_sim_ignores_tf_and_length(spark, syn_index):
     point."""
     rows, root = syn_index
     s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
     got = s.search_boolean_sim(["alpha"], k=300, mode="or").toPandas()
     assert got["score"].nunique() == 1
     assert float(got["score"].iloc[0]) == 1.0
-    # and the hit SET equals the match set (no scoring cutoff effects)
-    match = {r["doc_id"] for r in rows if "alpha" in tokenize_text(r["text"])}
+    # and the hit SET equals the LIVE match set (no scoring cutoffs)
+    match = {r["doc_id"] for r in rows
+             if "alpha" in tokenize_text(r["text"])} - dele
     assert set(int(d) for d in got["doc"]) == match
 
 
