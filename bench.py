@@ -412,6 +412,10 @@ def main() -> None:
     with timed("quality_classifier"):
         # hash-bucket linear classifier apply (map-side + per-doc agg)
         curation.classifier_scores(docs, "doc_id", "text", n_buckets=4096).count()
+    with timed("nb_classify"):
+        # naive-Bayes self-classification (train + classify, one pass)
+        from fdblucene_spark.operators.classify import naive_bayes_classify
+        naive_bayes_classify(docs, docs, "doc_id", "text", "source").count()
     with timed("decontaminate"):
         bgrams = curation.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0), "text")
         curation.decontaminate(docs, bgrams, "doc_id", "text").count()

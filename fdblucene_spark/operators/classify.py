@@ -38,7 +38,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from .textstats import _TOKENIZE_SQL, tokens_col
 
@@ -122,11 +121,17 @@ def naive_bayes_classify(
     (score desc, class asc), Lucene's assignClass contract of one
     best ClassificationResult."""
     scores = naive_bayes_scores(train, target, id_col, text_col, class_col)
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("class"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("class").alias("pred"), F.col("score"))
+    # argmax via min(struct(-score, class)): struct comparison is
+    # lexicographic, so this is EXACTLY (score desc, class asc) — but
+    # as one partial+final aggregate (map-side combine) instead of a
+    # row_number window shuffling every (doc, class) row
+    best = scores.groupBy(id_col).agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("class").alias("cls"))
+        ).alias("b")
+    )
+    return best.select(
+        F.col(id_col), F.col("b.cls").alias("pred"), (-F.col("b.ns")).alias("score")
     )
 
 
