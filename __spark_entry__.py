@@ -2186,6 +2186,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # liveDocs twin keeps full-corpus stats)
         return _hits_df(_expunged_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_dfr(spark, sf):
+        # DFR G-L-H2 (the 7th similarity swap): exact chain — lambda
+        # = ttf/N, H2 tfn over the quantized dl, AfterEffectL gain,
+        # BasicModelG information content; f32 per term, f64 doc sum
+        return _hits_df(_searcher(spark, sf).search_dfr(OR_TERMS, k=K_ALL, mode="or"))
+
     def ft_knn_classify(spark, sf):
         # KNearestNeighborClassifier: MLT top-50 neighbors -> vote by
         # stored `source`; the MLT thresholds are integer-exact so the
@@ -2945,7 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_phrase_wildcard, ft_norms_exists, tx_pairs, ft_covering,
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
-        ft_delete_query, text_nb_classify, ft_knn_classify,
+        ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4095,6 +4101,35 @@ JOIN documents d ON d.doc_id = h.doc_id
                 f"AND doc_id % {DELETE_MOD} = 0)"
             ),
         ),
+        # DFR G-L-H2 twin: same lambda/tfn/gain/inf1 chain over the
+        # quantized dl; f32 per (doc, term), f64 doc sum
+        "ft_dfr": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), ttfs AS (
+  SELECT term, count(*)::BIGINT AS ttf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY term
+), dfr AS (
+  SELECT tf.doc_id,
+    ((log2(1.0 + (ttfs.ttf::DOUBLE / s.n_docs::DOUBLE))
+      + (tf.tf::DOUBLE * log2(1.0 + 1.0 * s.avgdl / n.dlq_len::DOUBLE))
+        * log2((1.0 + (ttfs.ttf::DOUBLE / s.n_docs::DOUBLE))
+               / (ttfs.ttf::DOUBLE / s.n_docs::DOUBLE)))
+     / ((tf.tf::DOUBLE * log2(1.0 + 1.0 * s.avgdl / n.dlq_len::DOUBLE)) + 1.0)
+    )::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN ttfs ON ttfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM dfr GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
+""",
         # KNN classifier: MLT top-50 neighbor vote over stored source
         "ft_knn_classify": (
             "WITH hits AS (SELECT doc_id FROM ("

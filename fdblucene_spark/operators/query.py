@@ -4344,6 +4344,94 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def search_dfr(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        c: float = 1.0,
+    ) -> DataFrame:
+        """DFR similarity, configuration G-L-H2 — the
+        divergence-from-randomness framework behind Lucene's
+        `new DFRSimilarity(new BasicModelG(), new AfterEffectL(),
+        new NormalizationH2(c))` (Amati & van Rijsbergen 2002; the
+        reference reaches DFR through stock Lucene 8's
+        setSimilarity). Exact chain, every stat the same one the BM25
+        path reads:
+
+            lambda = ttf / N        [geometric prior: collection
+                     frequency rate; exact integer inputs]
+            tfn    = tf * log2(1 + c * avgdl / dl)   [NormalizationH2;
+                     dl = the shared SmallFloat-decoded norm length,
+                     avgdl = exact sum_dl / n_docs]
+            gain   = 1 / (tfn + 1)                   [AfterEffectL]
+            inf1   = log2(1 + lambda) + tfn * log2((1 + lambda)/lambda)
+                     [BasicModelG information content — always > 0]
+            score  = f32(gain * inf1), summed per doc in float64
+
+        Per-term log2 constants precompute on the driver (double);
+        per-posting math is vectorized numpy in the same exhaustive
+        constant-shape kernel as the other non-BM25 similarities
+        (impact skipping prices only BM25's tf curve)."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        if c <= 0:
+            raise ValueError("c must be > 0")
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: st for t, st in stats.items() if st[0] > 0}
+        if not present or (mode == "and" and len(present) < len(ts)):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        lam = {t: float(ttf) / float(n_docs) for t, (_, ttf) in present.items()}
+        la = {t: float(np.log2(1.0 + v)) for t, v in lam.items()}
+        lb = {t: float(np.log2((1.0 + v) / v)) for t, v in lam.items()}
+        need = len(present)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+        cc = float(c)
+        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            ds, ss = [], []
+            for t, g in pdf.groupby("term", sort=False):
+                d, tf, dlq = _decode_block_rows(g)
+                tfn = tf.astype(np.float64) * np.log2(1.0 + cc * avgdl / dl_table[dlq])
+                s64 = (la[t] + tfn * lb[t]) / (tfn + 1.0)
+                ds.append(d)
+                ss.append(s64.astype(np.float32))
+            d = np.concatenate(ds)
+            s = np.concatenate(ss)
+            order = np.argsort(d, kind="mergesort")
+            d, s = d[order], s[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
+            if mode == "and":
+                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
+                keep = cnt == need
+                uniq, tot = uniq[keep], tot[keep]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tot = uniq[keep], tot[keep]
+            if not uniq.size:
+                return empty
+            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
     def search_dfi(
         self,
         terms: list[str],

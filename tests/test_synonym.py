@@ -371,3 +371,63 @@ def test_boolean_sim_guards(spark, syn_index):
     # absent term in or-mode simply contributes nothing
     got = s.search_boolean_sim(["zzznope", "alpha"], k=300, mode="or").toPandas()
     assert got["score"].nunique() == 1
+
+
+# ------------------------------------------------------------ DFR (G, L, H2)
+
+
+def _brute_dfr(rows, terms, mode="or", c=1.0, deleted=()):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    out = []
+    for d, t in toks.items():
+        if d in deleted or not t:
+            continue
+        acc, matched = 0.0, 0
+        for m in sorted(set(terms)):
+            tf = t.count(m)
+            if not tf:
+                continue
+            matched += 1
+            ttf = sum(tt.count(m) for tt in toks.values())
+            lam = float(ttf) / float(n_docs)
+            la = float(np.log2(1.0 + lam))
+            lb = float(np.log2((1.0 + lam) / lam))
+            dlq = float(bm25.LENGTH_TABLE[int(bm25.quantize_doclen(np.array([len(t)]))[0])])
+            tfn = float(tf) * float(np.log2(1.0 + c * avgdl / dlq))
+            acc += float(np.float32((la + tfn * lb) / (tfn + 1.0)))
+        if matched and (mode == "or" or matched == len(set(terms))):
+            out.append((d, np.float32(acc)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_dfr_matches_brute_force(spark, syn_index, mode):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_dfr(["gamma", "zeta"], k=60, mode=mode).toPandas()
+    want = _brute_dfr(rows, ["gamma", "zeta"], mode, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_dfr_c_and_guards(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_dfr(["alpha"], k=60, c=7.0).toPandas()
+    want = _brute_dfr(rows, ["alpha"], "or", c=7.0, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+    with pytest.raises(ValueError, match="c must"):
+        s.search_dfr(["alpha"], c=0.0)
+    with pytest.raises(ValueError, match="mode"):
+        s.search_dfr(["alpha"], mode="phrase")
+    assert s.search_dfr(["zzznope"], k=5).count() == 0
+    assert s.search_dfr(["zzznope", "alpha"], k=5, mode="and").count() == 0
