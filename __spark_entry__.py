@@ -2192,6 +2192,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BasicModelG information content; f32 per term, f64 doc sum
         return _hits_df(_searcher(spark, sf).search_dfr(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_ib(spark, sf):
+        # IB LL-lambdaDF-H2 (8th similarity): lambda=(df+1)/(N+1),
+        # H2 tfn over quantized dl, -log2(lam/(lam+tfn)); f32 per
+        # (doc,term), f64 doc sum
+        return _hits_df(_searcher(spark, sf).search_ib(OR_TERMS, k=K_ALL, mode="or"))
+
+    def ft_axiomatic(spark, sf):
+        # Axiomatic F2EXP (9th similarity): Lucene computes each
+        # component in f32 and multiplies in f32 — the twin replicates
+        # the exact cast chain
+        return _hits_df(_searcher(spark, sf).search_axiomatic(OR_TERMS, k=K_ALL, mode="or"))
+
     def ft_knn_classify(spark, sf):
         # KNearestNeighborClassifier: MLT top-50 neighbors -> vote by
         # stored `source`; the MLT thresholds are integer-exact so the
@@ -2952,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
+        ft_ib, ft_axiomatic,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4128,6 +4141,60 @@ tf AS (
 )
 SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM dfr GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
+""",
+        # IB LL-lambdaDF-H2 twin: -log2(lam/(lam+tfn)) with the exact
+        # same operand order as the kernel; f32 per (doc, term)
+        "ft_ib": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY term
+), ib AS (
+  SELECT tf.doc_id,
+    (-log2(((dfs.df::DOUBLE + 1.0) / (s.n_docs::DOUBLE + 1.0))
+           / (((dfs.df::DOUBLE + 1.0) / (s.n_docs::DOUBLE + 1.0))
+              + tf.tf::DOUBLE * log2(1.0 + 1.0 * s.avgdl / n.dlq_len::DOUBLE)))
+    )::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM ib GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
+""",
+        # Axiomatic F2EXP twin: component-wise f32 casts (tfln, idf)
+        # then an f32 product, exactly Lucene's float arithmetic
+        "ft_axiomatic": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY term
+), ax AS (
+  SELECT tf.doc_id,
+    ((tf.tf::DOUBLE
+      / (tf.tf::DOUBLE + 0.5 + 0.5 * n.dlq_len::DOUBLE / s.avgdl))::FLOAT
+     * (power((s.n_docs::DOUBLE + 1.0) / dfs.df::DOUBLE, 0.35))::FLOAT
+    )::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM ax GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
         # KNN classifier: MLT top-50 neighbor vote over stored source

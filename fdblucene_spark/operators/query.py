@@ -4344,6 +4344,182 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
 
+    def _search_simbase(
+        self,
+        terms: list[str],
+        k: int,
+        mode: str,
+        field: str,
+        make_score,
+    ) -> DataFrame:
+        """Shared chassis for the SimilarityBase family (DFR/DFI/IB/
+        Axiomatic/...): term-stats seek, absent-term handling, the
+        exhaustive constant-shape kernel (per-term vectorized scoring,
+        f64 per-doc sum -> f32 total), and-mode containment, tombstone
+        probe, (score desc, doc asc) top-k. `make_score(present)`
+        receives {term: (df, ttf)} for the terms that exist and
+        returns `fn(term, tf64, dl64) -> s64` — the only part that
+        varies across similarities. Impact metadata prices BM25's tf
+        curve only, so these surfaces scan exhaustively by design."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        ts = sorted(set(terms))
+        stats = self.term_stats(ts, field)
+        present = {t: st for t, st in stats.items() if st[0] > 0}
+        if not present or (mode == "and" and len(present) < len(ts)):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        score_fn = make_score(present)
+        need = len(present)
+        aux, allow_kinds = self._aux_frames(None, None)
+        kk = int(k)
+        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
+            )
+            if pdf.empty:
+                return empty
+            dels, _ = _split_aux(aux_pdf, allow_kinds)
+            ds, ss = [], []
+            for t, g in pdf.groupby("term", sort=False):
+                d, tf, dlq = _decode_block_rows(g)
+                s = score_fn(t, tf.astype(np.float64), dl_table[dlq])
+                ds.append(d)
+                ss.append(np.asarray(s, dtype=np.float32))
+            d = np.concatenate(ds)
+            s = np.concatenate(ss)
+            order = np.argsort(d, kind="mergesort")
+            d, s = d[order], s[order]
+            uniq, idx = np.unique(d, return_index=True)
+            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
+            if mode == "and":
+                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
+                keep = cnt == need
+                uniq, tot = uniq[keep], tot[keep]
+            if dels is not None and dels.size:
+                keep = ~_sorted_probe(dels, uniq)
+                uniq, tot = uniq[keep], tot[keep]
+            if not uniq.size:
+                return empty
+            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
+            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(list(present))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+
+    def search_ib(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        distribution: str = "ll",
+        lambda_source: str = "df",
+        c: float = 1.0,
+    ) -> DataFrame:
+        """Information-based similarity — Lucene's `new IBSimilarity(
+        new DistributionLL()|new DistributionSPL(), new LambdaDF()|
+        new LambdaTTF(), new NormalizationH2(c))` (Clinchant & Gaussier
+        2010; the reference reaches IB through stock Lucene 8's
+        setSimilarity). Exact chain over the shared stats:
+
+            lambda = (df + 1) / (N + 1)    [LambdaDF; LambdaTTF uses
+                     (ttf + 1) / (N + 1)]
+            tfn    = tf * log2(1 + c * avgdl / dl)   [NormalizationH2;
+                     dl = the SmallFloat-decoded norm length]
+            LL     = -log2(lambda / (lambda + tfn))  [log-logistic]
+            SPL    = -log2((lambda^(tfn/(tfn+1)) - lambda) /
+                           (1 - lambda))             [smoothed power law]
+            score  = f32(distribution value), summed per doc in f64
+
+        As in Lucene, SPL with df == N (lambda == 1) divides by zero —
+        callers should prefer LL for exhaustive-vocabulary fields."""
+        if distribution not in ("ll", "spl"):
+            raise ValueError("distribution must be 'll' or 'spl'")
+        if lambda_source not in ("df", "ttf"):
+            raise ValueError("lambda_source must be 'df' or 'ttf'")
+        if c <= 0:
+            raise ValueError("c must be > 0")
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        cc = float(c)
+
+        def make_score(present):
+            lam = {
+                t: (float(df if lambda_source == "df" else ttf) + 1.0)
+                / (float(n_docs) + 1.0)
+                for t, (df, ttf) in present.items()
+            }
+            if distribution == "ll":
+                def fn(t, tf64, dl64):
+                    tfn = tf64 * np.log2(1.0 + cc * avgdl / dl64)
+                    return -np.log2(lam[t] / (lam[t] + tfn))
+            else:
+                def fn(t, tf64, dl64):
+                    tfn = tf64 * np.log2(1.0 + cc * avgdl / dl64)
+                    lv = lam[t]
+                    return -np.log2(
+                        (np.power(lv, tfn / (tfn + 1.0)) - lv) / (1.0 - lv)
+                    )
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
+
+    def search_axiomatic(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        variant: str = "f2exp",
+        s: float = 0.5,
+        k_param: float = 0.35,
+    ) -> DataFrame:
+        """Axiomatic retrieval similarity — Lucene's
+        `new AxiomaticF2EXP(s, k)` / `new AxiomaticF2LOG(s)` (Fang &
+        Zhai 2005). Lucene computes each component as a float32 and
+        multiplies in float32; reproduced bit-for-bit:
+
+            tfln  = f32(tf / (tf + s + s * dl / avgdl))
+            idf   = f32(((N + 1) / df) ^ k)      [F2EXP]
+                    f32(ln((N + 1) / df))        [F2LOG]
+            score = f32(tfln * idf), summed per doc in f64
+
+        dl is the shared SmallFloat-decoded norm length; avgdl the
+        exact sum_dl / n_docs every similarity here reads."""
+        if variant not in ("f2exp", "f2log"):
+            raise ValueError("variant must be 'f2exp' or 'f2log'")
+        if s < 0:
+            raise ValueError("s must be >= 0")
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        ss_ = float(s)
+        kp = float(k_param)
+
+        def make_score(present):
+            if variant == "f2exp":
+                idf = {
+                    t: np.float32(((float(n_docs) + 1.0) / float(df)) ** kp)
+                    for t, (df, _) in present.items()
+                }
+            else:
+                idf = {
+                    t: np.float32(np.log((float(n_docs) + 1.0) / float(df)))
+                    for t, (df, _) in present.items()
+                }
+
+            def fn(t, tf64, dl64):
+                tfln = (tf64 / (tf64 + ss_ + ss_ * dl64 / avgdl)).astype(np.float32)
+                return tfln * idf[t]
+
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
+
     def search_dfr(
         self,
         terms: list[str],

@@ -431,3 +431,125 @@ def test_dfr_c_and_guards(spark, syn_index):
         s.search_dfr(["alpha"], mode="phrase")
     assert s.search_dfr(["zzznope"], k=5).count() == 0
     assert s.search_dfr(["zzznope", "alpha"], k=5, mode="and").count() == 0
+
+
+# ------------------------------------------------------- IB + Axiomatic
+
+
+def _brute_ib(rows, terms, mode="or", dist="ll", lam_src="df", c=1.0, deleted=()):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    out = []
+    for d, t in toks.items():
+        if d in deleted or not t:
+            continue
+        acc, matched = 0.0, 0
+        for m in sorted(set(terms)):
+            tf = t.count(m)
+            if not tf:
+                continue
+            matched += 1
+            df = sum(1 for tt in toks.values() if m in tt)
+            ttf = sum(tt.count(m) for tt in toks.values())
+            lam = ((df if lam_src == "df" else ttf) + 1.0) / (n_docs + 1.0)
+            dlq = float(bm25.LENGTH_TABLE[int(bm25.quantize_doclen(np.array([len(t)]))[0])])
+            tfn = float(tf) * float(np.log2(1.0 + c * avgdl / dlq))
+            if dist == "ll":
+                v = -np.log2(lam / (lam + tfn))
+            else:
+                v = -np.log2((lam ** (tfn / (tfn + 1.0)) - lam) / (1.0 - lam))
+            acc += float(np.float32(v))
+        if matched and (mode == "or" or matched == len(set(terms))):
+            out.append((d, np.float32(acc)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def _brute_axiomatic(rows, terms, mode="or", variant="f2exp", s=0.5, kp=0.35, deleted=()):
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    out = []
+    for d, t in toks.items():
+        if d in deleted or not t:
+            continue
+        acc, matched = 0.0, 0
+        for m in sorted(set(terms)):
+            tf = t.count(m)
+            if not tf:
+                continue
+            matched += 1
+            df = sum(1 for tt in toks.values() if m in tt)
+            if variant == "f2exp":
+                idf = np.float32(((n_docs + 1.0) / df) ** kp)
+            else:
+                idf = np.float32(np.log((n_docs + 1.0) / df))
+            dlq = float(bm25.LENGTH_TABLE[int(bm25.quantize_doclen(np.array([len(t)]))[0])])
+            tfln = np.float32(tf / (tf + s + s * dlq / avgdl))
+            acc += float(np.float32(tfln * idf))
+        if matched and (mode == "or" or matched == len(set(terms))):
+            out.append((d, np.float32(acc)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize("mode,dist", [("or", "ll"), ("and", "ll"), ("or", "spl")])
+def test_ib_matches_brute_force(spark, syn_index, mode, dist):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_ib(["gamma", "zeta"], k=60, mode=mode, distribution=dist).toPandas()
+    want = _brute_ib(rows, ["gamma", "zeta"], mode, dist=dist, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_ib_lambda_ttf_and_guards(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_ib(["alpha"], k=60, lambda_source="ttf", c=3.0).toPandas()
+    want = _brute_ib(rows, ["alpha"], "or", lam_src="ttf", c=3.0, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+    with pytest.raises(ValueError, match="distribution"):
+        s.search_ib(["alpha"], distribution="pl2")
+    with pytest.raises(ValueError, match="lambda_source"):
+        s.search_ib(["alpha"], lambda_source="idf")
+    with pytest.raises(ValueError, match="c must"):
+        s.search_ib(["alpha"], c=-1.0)
+    assert s.search_ib(["zzznope"], k=5).count() == 0
+
+
+@pytest.mark.parametrize("mode,variant", [("or", "f2exp"), ("and", "f2exp"), ("or", "f2log")])
+def test_axiomatic_matches_brute_force(spark, syn_index, mode, variant):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_axiomatic(["gamma", "zeta"], k=60, mode=mode, variant=variant).toPandas()
+    want = _brute_axiomatic(rows, ["gamma", "zeta"], mode, variant=variant, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+
+
+def test_axiomatic_params_and_guards(spark, syn_index):
+    rows, root = syn_index
+    s = Searcher(spark, root)
+    dele = set() if s.deleted is None else set(int(d) for d in s.deleted)
+    got = s.search_axiomatic(["alpha"], k=60, s=1.25, k_param=0.5).toPandas()
+    want = _brute_axiomatic(rows, ["alpha"], "or", s=1.25, kp=0.5, deleted=dele)[:60]
+    assert [int(d) for d in got["doc"]] == [d for d, _ in want]
+    for g, (_, w) in zip(got["score"], want):
+        assert np.float32(g) == w
+    with pytest.raises(ValueError, match="variant"):
+        s.search_axiomatic(["alpha"], variant="f1exp")
+    with pytest.raises(ValueError, match="s must"):
+        s.search_axiomatic(["alpha"], s=-0.5)
+    assert s.search_axiomatic(["zzznope"], k=5).count() == 0
+    assert s.search_axiomatic(["zzznope", "alpha"], k=5, mode="and").count() == 0
