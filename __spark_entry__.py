@@ -787,6 +787,7 @@ def _bm25_sql(
     near: tuple[str, str, int, bool] | None = None,
     span: tuple[list[str], int, bool] | None = None,
     span_not: tuple[str, str, int, int] | None = None,
+    span_contain: tuple[str, str, int, str] | None = None,
     interval: tuple[str, str, int, str] | None = None,
     stop_words: tuple[str, ...] = (),
     stem: bool = False,
@@ -921,6 +922,25 @@ tokpos AS (
     WHERE fe.doc_id = fi.doc_id AND fe.t = '{s_exc}'
       AND fe.p BETWEEN fi.p - {s_pre} AND fi.p + {s_post})
 )"""
+    if span_contain is not None:
+        # SpanContaining/SpanWithin twin: big = ordered 2-term near
+        # pair p1 < p2 <= p1 + slop + 1 that encloses a little
+        # occurrence q in [p1, p2] — same doc set for both classes
+        c_t1, c_t2, c_slop, c_lit = span_contain
+        phrase_filter = f""",
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t FROM tokpos
+), phrasedocs AS (
+  SELECT DISTINCT f0.doc_id FROM flat f0, flat f1, flat fl
+  WHERE f0.t = '{c_t1}' AND f1.t = '{c_t2}' AND fl.t = '{c_lit}'
+    AND f1.doc_id = f0.doc_id AND fl.doc_id = f0.doc_id
+    AND f1.p - f0.p BETWEEN 1 AND {c_slop + 1}
+    AND fl.p BETWEEN f0.p AND f1.p
+)"""
     if interval is not None:
         # IntervalQuery twin: containing(maxgaps(g, ordered(ta, tb)),
         # term(tc)) under MINIMAL-interval semantics — greedy minimal
@@ -994,7 +1014,7 @@ tokpos AS (
     phrase_where = (
         "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)"
         if (phrase or near or span is not None or span_not is not None
-            or interval is not None)
+            or span_contain is not None or interval is not None)
         else ""
     )
     return f"""
@@ -2192,6 +2212,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BasicModelG information content; f32 per term, f64 doc sum
         return _hits_df(_searcher(spark, sf).search_dfr(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_span_containing(spark, sf):
+        # SpanContainingQuery: big = ordered near(key, value, slop=3)
+        # enclosing a 'the' occurrence; scored from the big side
+        return _hits_df(_searcher(spark, sf).search_span_containing(
+            (NEAR_A, NEAR_B), "the", k=K_ALL, slop=3))
+
+    def ft_span_within(spark, sf):
+        # SpanWithinQuery: same doc set as ft_span_containing, scored
+        # from the little side ('the')
+        return _hits_df(_searcher(spark, sf).search_span_within(
+            "the", (NEAR_A, NEAR_B), k=K_ALL, slop=3))
+
     def ft_ib(spark, sf):
         # IB LL-lambdaDF-H2 (8th similarity): lambda=(df+1)/(N+1),
         # H2 tfn over quantized dl, -log2(lam/(lam+tfn)); f32 per
@@ -2964,7 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_syn_graph, geo_polygon, ft_expunge_search, ft_diversified,
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
-        ft_ib, ft_axiomatic,
+        ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4143,6 +4175,16 @@ SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM dfr GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
+        # SpanContaining: big-side and-mode BM25 over the contained set
+        "ft_span_containing": _bm25_sql(
+            [NEAR_A, NEAR_B], "and", K_ALL,
+            span_contain=(NEAR_A, NEAR_B, 3, "the"),
+        ),
+        # SpanWithin: little-side score over the identical doc set
+        "ft_span_within": _bm25_sql(
+            ["the"], "or", K_ALL,
+            span_contain=(NEAR_A, NEAR_B, 3, "the"),
+        ),
         # IB LL-lambdaDF-H2 twin: -log2(lam/(lam+tfn)) with the exact
         # same operand order as the kernel; f32 per (doc, term)
         "ft_ib": f"""

@@ -2568,6 +2568,133 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
+    def search_span_containing(
+        self,
+        big: tuple,
+        little: str,
+        k: int,
+        slop: int = 0,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene SpanContainingQuery(big, little): spans from `big`
+        that enclose an occurrence of `little`. `big` is the canonical
+        composition SpanNearQuery([t1, t2], slop, inOrder=true): a pair
+        (p1, p2) with p1 < p2 <= p1 + slop + 1; the query matches docs
+        where some such pair satisfies p1 <= q <= p2 for a `little`
+        occurrence q. Scoring follows Lucene (ContainSpans iterates the
+        BIG side) via the span-family convention here: the big terms'
+        full float32 BM25 and-score on matching docs, ties docID asc.
+        One positions-decode pass per shard, vectorized composite-key
+        searchsorted + range materialization — no per-doc loop."""
+        return self._span_contain(big, little, slop, k, field, score_big=True)
+
+    def search_span_within(
+        self,
+        little: str,
+        big: tuple,
+        k: int,
+        slop: int = 0,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene SpanWithinQuery(big, little): spans from `little`
+        that lie inside a `big` span — the same doc set as
+        SpanContainingQuery (containment is an existence test on the
+        same pairs) but scored from the LITTLE side, exactly Lucene's
+        distinction between the two classes: here the little term's
+        full float32 BM25 score on matching docs, ties docID asc."""
+        return self._span_contain(big, little, slop, k, field, score_big=False)
+
+    def _span_contain(
+        self,
+        big: tuple,
+        little: str,
+        slop: int,
+        k: int,
+        field: str,
+        score_big: bool,
+    ) -> DataFrame:
+        t1, t2 = big
+        if t1 == t2:
+            raise ValueError("big span clauses must be distinct terms")
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        if not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; span queries unavailable")
+        stats = self.term_stats(sorted({t1, t2, little}), field)
+        if any(stats.get(t, (0, 0))[0] == 0 for t in (t1, t2, little)):
+            # all three terms must exist for any containing pair
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        score_terms = [t1, t2] if score_big else [little]
+        mode = "and" if score_big else "or"
+        prep = self._prep(score_terms, mode, field)
+        if prep is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _, term_df = prep
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        aux, allow_kinds = self._aux_frames()
+        w = slop + 1
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            hits = _score_shard(
+                groups, term_df, n_docs, avgdl, 10 ** 9, mode,
+                score_terms, dels, None, allowed=allowed,
+            )
+            if not len(hits):
+                return hits
+            cand = hits["doc"].to_numpy(np.int64)
+            order = np.argsort(cand)
+            cand = cand[order]
+            score = hits["score"].to_numpy()[order]
+            empty = hits.iloc[:0]
+            d1, p1 = _gather_positions(groups, t1, cand)
+            dl_, pl = _gather_positions(groups, little, cand)
+            if not d1.size or not dl_.size:
+                return empty
+            d2, p2 = _gather_positions(groups, t2, cand)
+            if not d2.size:
+                return empty
+            # composite (doc, pos) keys: positions << 2^32, no collide
+            k1 = d1.astype(np.int64) * (1 << 32) + p1
+            k2 = np.sort(d2.astype(np.int64) * (1 << 32) + p2)
+            kl = np.sort(dl_.astype(np.int64) * (1 << 32) + pl)
+            lo = np.searchsorted(k2, k1 + 1)
+            hi = np.searchsorted(k2, k1 + w, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                return empty
+            # materialize every (p1, p2) pair in the slop window
+            base = np.repeat(lo, cnt)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            kp2 = k2[base + offs]
+            kp1 = np.repeat(k1, cnt)
+            # little occurrence inside [p1, p2]?
+            inside = np.searchsorted(kl, kp1) < np.searchsorted(
+                kl, kp2, side="right"
+            )
+            if not inside.any():
+                return empty
+            matched = np.unique(kp1[inside] >> 32)
+            keep = np.isin(cand, matched, assume_unique=True)
+            docs_m, score_m = cand[keep], score[keep]
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score_m))[:k]
+                docs_m, score_m = docs_m[idx], score_m[idx]
+            return pd.DataFrame(
+                {"doc": docs_m.astype(np.int64), "score": score_m.astype(np.float32)}
+            )
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(sorted({t1, t2, little}))
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
     def search_combined(
         self,
         terms: list[str],

@@ -1507,3 +1507,67 @@ def test_payload_score_matches_brute(spark, tmp_path_factory):
     build_index(spark, spark.createDataFrame(rows[:4]), root2, doc_col="doc_id", n_shards=2)
     with pytest.raises(ValueError, match="store_payloads"):
         Searcher(spark, root2).search_payload_score("alpha")
+
+
+def test_span_containing_and_within(spark, tmp_path_factory):
+    """SpanContaining/SpanWithin vs brute force: big = ordered 2-term
+    near (pair p1 < p2 <= p1+slop+1), match iff a little occurrence q
+    sits in [p1, p2]. Same doc set both ways; containing scores from
+    the big side (and-mode BM25 over both terms), within scores from
+    the little side — exactly Lucene's split between the two classes."""
+    import re as _re
+
+    rng = np.random.default_rng(23)
+    vocab = ["ape", "bee", "cat", "dog", "elk"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=int(rng.integers(3, 16))))}
+        for i in range(160)
+    ]
+    root = str(tmp_path_factory.mktemp("spancont") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+
+    def brute(t1, t2, little, slop):
+        out = set()
+        for r in rows:
+            toks = _re.findall(r"\w+", r["text"].lower())
+            p1s = [i for i, x in enumerate(toks) if x == t1]
+            p2s = [i for i, x in enumerate(toks) if x == t2]
+            qs = [i for i, x in enumerate(toks) if x == little]
+            if any(
+                p1 < p2 <= p1 + slop + 1 and any(p1 <= q <= p2 for q in qs)
+                for p1 in p1s for p2 in p2s
+            ):
+                out.add(r["doc_id"])
+        return out
+
+    for t1, t2, little, slop in [
+        ("ape", "bee", "cat", 2),   # cat strictly between (or at ends)
+        ("ape", "bee", "ape", 0),   # little == big clause: endpoint hit
+        ("cat", "dog", "elk", 4),
+        ("ape", "bee", "zzz", 3),   # little absent: empty
+    ]:
+        want = brute(t1, t2, little, slop)
+        got_c = {r["doc"] for r in
+                 s.search_span_containing((t1, t2), little, k=500, slop=slop).collect()}
+        got_w = {r["doc"] for r in
+                 s.search_span_within(little, (t1, t2), k=500, slop=slop).collect()}
+        assert got_c == want, (t1, t2, little, slop)
+        assert got_w == want, (t1, t2, little, slop)
+
+    # score laws: containing == and-mode big score; within == little score
+    cont = {(r["doc"], r["score"]) for r in
+            s.search_span_containing(("ape", "bee"), "cat", k=500, slop=3).collect()}
+    within = {(r["doc"], r["score"]) for r in
+              s.search_span_within("cat", ("ape", "bee"), k=500, slop=3).collect()}
+    docs = {d for d, _ in cont}
+    assert docs == {d for d, _ in within}
+    big_sc = {(r["doc"], r["score"]) for r in s.search(["ape", "bee"], k=500, mode="and").collect()}
+    lit_sc = {(r["doc"], r["score"]) for r in s.search(["cat"], k=500).collect()}
+    assert cont == {(d, sc) for d, sc in big_sc if d in docs}
+    assert within == {(d, sc) for d, sc in lit_sc if d in docs}
+
+    with pytest.raises(ValueError, match="distinct"):
+        s.search_span_containing(("ape", "ape"), "cat", k=5)
+    with pytest.raises(ValueError, match="slop"):
+        s.search_span_within("cat", ("ape", "bee"), k=5, slop=-1)
