@@ -2257,6 +2257,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "pred", F.round(F.col("score"), 3).alias("score")
         )
 
+    def text_perceptron(spark, sf):
+        # Lucene classification module (BooleanPerceptronClassifier,
+        # batch variant): self-classify documents with class =
+        # (source == 'src1'); all-BIGINT chain, bit-exact twin
+        from fdblucene_spark.operators.classify import perceptron_classify
+
+        docs = _table(spark, sf, "documents").withColumn(
+            "cls", F.col("source") == "src1"
+        )
+        return perceptron_classify(
+            docs, docs, "doc_id", "text", "cls", epochs=2, train_id_col="doc_id"
+        )
+
     def ft_delete_query(spark, sf):
         # deleteDocuments(Query): matching docs leave the hit set but
         # NOT the stats (liveDocs) — contrast ft_expunge_search
@@ -2997,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
+        text_perceptron,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4255,6 +4269,11 @@ FROM hits h JOIN documents d USING (doc_id) GROUP BY d.source
             "SELECT doc_id, pred, round(score, 3) AS score FROM ("
             + _classify.naive_bayes_sql("documents", "doc_id", "text", "source")
             + ")"
+        ),
+        # batch boolean perceptron self-classification: identical
+        # integer update chain, epochs unrolled as CTEs
+        "text_perceptron": _classify.perceptron_sql(
+            "documents", "doc_id", "text", "source = 'src1'", epochs=2
         ),
         # deleteDocuments(Query): dup-matching docs leave matching but
         # stats stay full-corpus (liveDocs) — an expunge-style twin

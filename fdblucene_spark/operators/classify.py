@@ -193,3 +193,183 @@ WITH toks AS (
 )
 {sel}
 """
+
+
+def perceptron_weights(
+    train: DataFrame,
+    text_col: str,
+    class_col: str,
+    epochs: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Batch-trained boolean perceptron — the distributed analogue of
+    Lucene's `BooleanPerceptronClassifier` (lucene/classification):
+    one weight per term, initialized to the term's totalTermFreq,
+    threshold auto-assigned as sumDocFreq / 2 (Lucene's constructor
+    default), and error-driven tf-weighted updates. Lucene trains
+    ONLINE (doc-by-doc, order-dependent — its result depends on index
+    doc order); a distributed engine can't serialize the corpus
+    through one mutable FST, so this is the classic BATCH perceptron:
+    each epoch scores EVERY doc against the frozen epoch weights and
+    applies the summed update
+
+        out_d   = sum_t w_e(t) * tf(d, t)
+        pred_d  = 2 * out_d >= sumDocFreq      [threshold in integers]
+        err_d   = class_d - pred_d             in {-1, 0, +1}
+        w_{e+1} = w_e(t) + sum_d err_d * tf(d, t)
+
+    Every quantity is a BIGINT — no float anywhere, so the result is
+    bit-exact under any partitioning / aggregation order. Returns
+    (term, weight). class_col must be a boolean column.
+
+    Scale shape: tf = one explode + (doc, term) count agg, reused
+    every epoch (persist it upstream for big corpora); each epoch is
+    one term-keyed join + doc agg + one term-keyed update agg — the
+    same bounded iterative shape as dedup.connected_components. The
+    epoch count bounds plan depth (unrolled lazily into one plan).
+
+    id_col: a stable per-doc key; when None, falls back to
+    monotonically_increasing_id (unique per row, but plan-recompute
+    stability then depends on deterministic input splits — pass a
+    real key for production corpora)."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    pid = (
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    )
+    tf = (
+        train.select(
+            F.col(class_col).cast("boolean").alias("cls"),
+            pid.alias("__pid"),
+            F.explode(tokens_col(text_col)).alias("t"),
+        )
+        .groupBy("__pid", "cls", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # sumDocFreq = total postings count (sum over terms of df);
+    # doubled threshold keeps everything integer
+    sdf = tf.agg(F.count(F.lit(1)).cast("long").alias("sdf"))
+    w = tf.groupBy("t").agg(F.sum("tf").alias("w"))
+    for _ in range(epochs):
+        out = (
+            tf.join(w, "t")
+            .groupBy("__pid", "cls")
+            .agg(F.sum(F.col("tf") * F.col("w")).alias("o"))
+            .crossJoin(F.broadcast(sdf))
+            .select(
+                "__pid",
+                (
+                    F.col("cls").cast("long")
+                    - (F.lit(2) * F.col("o") >= F.col("sdf")).cast("long")
+                ).alias("err"),
+            )
+        )
+        delta = (
+            tf.join(out, "__pid")
+            .groupBy("t")
+            .agg(F.sum(F.col("err") * F.col("tf")).alias("d"))
+        )
+        w = (
+            w.join(delta, "t", "left")
+            .select("t", (F.col("w") + F.coalesce(F.col("d"), F.lit(0))).alias("w"))
+        )
+    return w.select(F.col("t").alias("term"), F.col("w").alias("weight"))
+
+
+def perceptron_classify(
+    train: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    class_col: str,
+    epochs: int = 2,
+    train_id_col: str | None = None,
+) -> DataFrame:
+    """Train on `train`, assign every `target` doc: (id, pred BOOLEAN,
+    margin BIGINT) where margin = 2 * out - sumDocFreq (>= 0 means
+    true — Lucene's assignClass Boolean with the doubled-integer
+    threshold). Terms unseen in training contribute 0, like an FST
+    miss; an empty doc scores out = 0."""
+    w = perceptron_weights(train, text_col, class_col, epochs, id_col=train_id_col)
+    # sumDocFreq the same integer way (count of distinct (doc, term))
+    pid = (
+        F.col(train_id_col)
+        if train_id_col is not None
+        else F.monotonically_increasing_id()
+    )
+    sdf = (
+        train.select(pid.alias("__pid"), F.explode(tokens_col(text_col)).alias("t"))
+        .select("__pid", "t")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("sdf"))
+    )
+    tgt = (
+        target.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    out = (
+        tgt.join(w, tgt["t"] == w["term"], "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.coalesce(F.col("weight"), F.lit(0))).alias("o"))
+    )
+    return (
+        target.select(F.col(id_col))
+        .join(out, id_col, "left")
+        .crossJoin(F.broadcast(sdf))
+        .select(
+            F.col(id_col),
+            (F.lit(2) * F.coalesce(F.col("o"), F.lit(0)) >= F.col("sdf")).alias("pred"),
+            (F.lit(2) * F.coalesce(F.col("o"), F.lit(0)) - F.col("sdf")).alias("margin"),
+        )
+    )
+
+
+def perceptron_sql(
+    table: str, id_col: str, text_col: str, class_expr: str, epochs: int = 2
+) -> str:
+    """DuckDB twin (self-classification): the SAME integer batch
+    updates, epochs unrolled as chained CTEs — bit-exact by
+    construction (no floats anywhere in the chain)."""
+    ctes = [f"""toks AS (
+  SELECT {id_col} AS pid, ({class_expr}) AS cls,
+         list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), tf AS (
+  SELECT pid, cls, t, count(*)::BIGINT AS tf
+  FROM (SELECT pid, cls, unnest(ts) AS t FROM toks) GROUP BY pid, cls, t
+), sdf AS (
+  SELECT count(*)::BIGINT AS sdf FROM tf
+), w0 AS (
+  SELECT t, sum(tf)::BIGINT AS w FROM tf GROUP BY t
+)"""]
+    for e in range(epochs):
+        ctes.append(f"""out{e} AS (
+  SELECT tf.pid, tf.cls, sum(tf.tf * w{e}.w)::BIGINT AS o
+  FROM tf JOIN w{e} ON w{e}.t = tf.t GROUP BY tf.pid, tf.cls
+), err{e} AS (
+  SELECT o.pid,
+         (o.cls::BIGINT - (2 * o.o >= sdf.sdf)::BIGINT) AS err
+  FROM out{e} o, sdf
+), d{e} AS (
+  SELECT tf.t, sum(e.err * tf.tf)::BIGINT AS d
+  FROM tf JOIN err{e} e ON e.pid = tf.pid GROUP BY tf.t
+), w{e + 1} AS (
+  SELECT w{e}.t, (w{e}.w + COALESCE(d.d, 0))::BIGINT AS w
+  FROM w{e} LEFT JOIN d{e} d ON d.t = w{e}.t
+)""")
+    return f"""
+WITH {', '.join(ctes)},
+tgt AS (
+  SELECT pid, t, count(*)::BIGINT AS tf
+  FROM (SELECT pid, unnest(ts) AS t FROM toks) GROUP BY pid, t
+), outf AS (
+  SELECT g.pid, sum(g.tf * COALESCE(w.w, 0))::BIGINT AS o
+  FROM tgt g LEFT JOIN w{epochs} w ON w.t = g.t GROUP BY g.pid
+)
+SELECT toks.pid AS {id_col},
+       (2 * COALESCE(outf.o, 0) >= sdf.sdf) AS pred,
+       (2 * COALESCE(outf.o, 0) - sdf.sdf)::BIGINT AS margin
+FROM toks LEFT JOIN outf ON outf.pid = toks.pid, sdf
+ORDER BY {id_col}
+"""

@@ -24,6 +24,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from fdblucene_spark.operators.build import build_index  # noqa: E402
 from fdblucene_spark.operators.query import Searcher  # noqa: E402
@@ -126,6 +127,13 @@ def main() -> int:
         ["alpha", "beta"], 10
     )
     surfaces["search_dfi"] = s.search_dfi(["alpha", "beta"], 10)
+    # round-5 sixth-phase surfaces
+    surfaces["search_dfr"] = s.search_dfr(["alpha", "beta"], 10)
+    surfaces["search_ib"] = s.search_ib(["alpha", "beta"], 10)
+    surfaces["search_axiomatic"] = s.search_axiomatic(["alpha", "beta"], 10)
+    surfaces["search_span_containing"] = s.search_span_containing(
+        ("alpha", "beta"), "gamma", 10, slop=3
+    )
     from fdblucene_spark.operators.multireader import MultiSearcher  # noqa: E402
     mdir = tempfile.mkdtemp(prefix="audit-")
     mra, mrb = os.path.join(mdir, "idx_a"), os.path.join(mdir, "idx_b")
@@ -224,12 +232,17 @@ def main() -> int:
     )
     from fdblucene_spark.operators.classify import (  # noqa: E402
         naive_bayes_classify,
+        perceptron_classify,
     )
     cls_df = spark.createDataFrame(
         [{"doc_id": r["doc_id"], "text": r["text"], "cls": r["role"]} for r in rows]
     )
     surfaces["naive_bayes_classify"] = naive_bayes_classify(
         cls_df, cls_df, "doc_id", "text", "cls"
+    )
+    pcls_df = cls_df.withColumn("bcls", F.col("cls") == "user")
+    surfaces["perceptron_classify"] = perceptron_classify(
+        pcls_df, pcls_df, "doc_id", "text", "bcls", epochs=2, train_id_col="doc_id"
     )
     surfaces["classify_knn"] = s.classify_knn(
         "alpha alpha beta beta", "role", k=10, min_term_freq=2, min_doc_freq=1
@@ -259,6 +272,8 @@ def main() -> int:
                     "search_multi_phrase",
                     "search_lm_dirichlet", "search_lm_jelinek_mercer",
                     "search_common_terms", "search_dfi",
+                    "search_dfr", "search_ib", "search_axiomatic",
+                    "search_span_containing",
                     "search_boolean_sim", "classify_knn"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
         if name == "top_terms":
