@@ -4334,60 +4334,24 @@ class Searcher:
             raise ValueError("mode must be 'or' or 'and'")
         if not (mu > 0):
             raise ValueError("mu must be positive")
-        ts = sorted(set(terms))
-        stats = self.term_stats(ts, field)
-        present = {t: st for t, st in stats.items() if st[0] > 0}
-        if not present or (mode == "and" and len(present) < len(ts)):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
         n_tok = self.manifest.sum_dl_for(field)
         mu64 = float(mu)
-        cprob = {
-            t: float(np.float32(ttf + 1.0) / np.float32(n_tok + 1.0))
-            for t, (_, ttf) in present.items()
-        }
-        need = len(present)
-        aux, allow_kinds = self._aux_frames(None, None)
-        kk = int(k)
-        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
 
-        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
-            )
-            if pdf.empty:
-                return empty
-            dels, _ = _split_aux(aux_pdf, allow_kinds)
-            ds, ss = [], []
-            for t, g in pdf.groupby("term", sort=False):
-                d, tf, dlq = _decode_block_rows(g)
-                s64 = np.log(1.0 + tf.astype(np.float64) / (mu64 * cprob[t])) + np.log(
-                    mu64 / (dl_table[dlq] + mu64)
+        def make_score(present):
+            cprob = {
+                t: float(np.float32(ttf + 1.0) / np.float32(n_tok + 1.0))
+                for t, (_, ttf) in present.items()
+            }
+
+            def fn(t, tf64, dl64):
+                s64 = np.log(1.0 + tf64 / (mu64 * cprob[t])) + np.log(
+                    mu64 / (dl64 + mu64)
                 )
-                ds.append(d)
-                ss.append(np.maximum(s64, 0.0).astype(np.float32))
-            d = np.concatenate(ds)
-            s = np.concatenate(ss)
-            order = np.argsort(d, kind="mergesort")
-            d, s = d[order], s[order]
-            uniq, idx = np.unique(d, return_index=True)
-            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
-            if mode == "and":
-                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
-                keep = cnt == need
-                uniq, tot = uniq[keep], tot[keep]
-            if dels is not None and dels.size:
-                keep = ~_sorted_probe(dels, uniq)
-                uniq, tot = uniq[keep], tot[keep]
-            if not uniq.size:
-                return empty
-            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
-            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+                return np.maximum(s64, 0.0)
 
-        scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(list(present))
-        )
-        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
-        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
 
     def search_lm_jelinek_mercer(
         self,
@@ -4416,60 +4380,22 @@ class Searcher:
             raise ValueError("mode must be 'or' or 'and'")
         if not (0.0 < lam < 1.0):
             raise ValueError("lambda must be in (0, 1)")
-        ts = sorted(set(terms))
-        stats = self.term_stats(ts, field)
-        present = {t: st for t, st in stats.items() if st[0] > 0}
-        if not present or (mode == "and" and len(present) < len(ts)):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
         n_tok = self.manifest.sum_dl_for(field)
         lam32 = np.float32(lam)
         one_minus = float(np.float32(1.0) - lam32)
-        den = {
-            t: float(lam32 * (np.float32(ttf + 1.0) / np.float32(n_tok + 1.0)))
-            for t, (_, ttf) in present.items()
-        }
-        need = len(present)
-        aux, allow_kinds = self._aux_frames(None, None)
-        kk = int(k)
-        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
 
-        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
-            )
-            if pdf.empty:
-                return empty
-            dels, _ = _split_aux(aux_pdf, allow_kinds)
-            ds, ss = [], []
-            for t, g in pdf.groupby("term", sort=False):
-                d, tf, dlq = _decode_block_rows(g)
-                num = one_minus * tf.astype(np.float64) / dl_table[dlq]
-                s64 = np.log(1.0 + num / den[t])
-                ds.append(d)
-                ss.append(np.maximum(s64, 0.0).astype(np.float32))
-            d = np.concatenate(ds)
-            s = np.concatenate(ss)
-            order = np.argsort(d, kind="mergesort")
-            d, s = d[order], s[order]
-            uniq, idx = np.unique(d, return_index=True)
-            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
-            if mode == "and":
-                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
-                keep = cnt == need
-                uniq, tot = uniq[keep], tot[keep]
-            if dels is not None and dels.size:
-                keep = ~_sorted_probe(dels, uniq)
-                uniq, tot = uniq[keep], tot[keep]
-            if not uniq.size:
-                return empty
-            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
-            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+        def make_score(present):
+            den = {
+                t: float(lam32 * (np.float32(ttf + 1.0) / np.float32(n_tok + 1.0)))
+                for t, (_, ttf) in present.items()
+            }
 
-        scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(list(present))
-        )
-        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
-        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+            def fn(t, tf64, dl64):
+                return np.maximum(np.log(1.0 + one_minus * tf64 / dl64 / den[t]), 0.0)
+
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
 
     def _search_simbase(
         self,
@@ -4681,59 +4607,22 @@ class Searcher:
             raise ValueError("mode must be 'or' or 'and'")
         if c <= 0:
             raise ValueError("c must be > 0")
-        ts = sorted(set(terms))
-        stats = self.term_stats(ts, field)
-        present = {t: st for t, st in stats.items() if st[0] > 0}
-        if not present or (mode == "and" and len(present) < len(ts)):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
         n_docs = self.manifest.n_docs_for(field)
         avgdl = self.manifest.avgdl_for(field)
-        lam = {t: float(ttf) / float(n_docs) for t, (_, ttf) in present.items()}
-        la = {t: float(np.log2(1.0 + v)) for t, v in lam.items()}
-        lb = {t: float(np.log2((1.0 + v) / v)) for t, v in lam.items()}
-        need = len(present)
-        aux, allow_kinds = self._aux_frames(None, None)
-        kk = int(k)
         cc = float(c)
-        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
 
-        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
-            )
-            if pdf.empty:
-                return empty
-            dels, _ = _split_aux(aux_pdf, allow_kinds)
-            ds, ss = [], []
-            for t, g in pdf.groupby("term", sort=False):
-                d, tf, dlq = _decode_block_rows(g)
-                tfn = tf.astype(np.float64) * np.log2(1.0 + cc * avgdl / dl_table[dlq])
-                s64 = (la[t] + tfn * lb[t]) / (tfn + 1.0)
-                ds.append(d)
-                ss.append(s64.astype(np.float32))
-            d = np.concatenate(ds)
-            s = np.concatenate(ss)
-            order = np.argsort(d, kind="mergesort")
-            d, s = d[order], s[order]
-            uniq, idx = np.unique(d, return_index=True)
-            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
-            if mode == "and":
-                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
-                keep = cnt == need
-                uniq, tot = uniq[keep], tot[keep]
-            if dels is not None and dels.size:
-                keep = ~_sorted_probe(dels, uniq)
-                uniq, tot = uniq[keep], tot[keep]
-            if not uniq.size:
-                return empty
-            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
-            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+        def make_score(present):
+            lam = {t: float(ttf) / float(n_docs) for t, (_, ttf) in present.items()}
+            la = {t: float(np.log2(1.0 + v)) for t, v in lam.items()}
+            lb = {t: float(np.log2((1.0 + v) / v)) for t, v in lam.items()}
 
-        scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(list(present))
-        )
-        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
-        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+            def fn(t, tf64, dl64):
+                tfn = tf64 * np.log2(1.0 + cc * avgdl / dl64)
+                return (la[t] + tfn * lb[t]) / (tfn + 1.0)
+
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
 
     def search_dfi(
         self,
@@ -4774,60 +4663,23 @@ class Searcher:
         if mode not in ("or", "and"):
             raise ValueError("mode must be 'or' or 'and'")
         mfn = measures[measure]
-        ts = sorted(set(terms))
-        stats = self.term_stats(ts, field)
-        present = {t: st for t, st in stats.items() if st[0] > 0}
-        if not present or (mode == "and" and len(present) < len(ts)):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
         n_tok = self.manifest.sum_dl_for(field)
-        ttf1 = {t: float(ttf + 1.0) for t, (_, ttf) in present.items()}
         denom = float(n_tok + 1.0)
-        need = len(present)
-        aux, allow_kinds = self._aux_frames(None, None)
-        kk = int(k)
-        dl_table = bm25.LENGTH_TABLE.astype(np.float64)
 
-        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
-            )
-            if pdf.empty:
-                return empty
-            dels, _ = _split_aux(aux_pdf, allow_kinds)
-            ds, ss = [], []
-            for t, g in pdf.groupby("term", sort=False):
-                d, tf, dlq = _decode_block_rows(g)
-                f64 = tf.astype(np.float64)
-                exp64 = ttf1[t] * dl_table[dlq] / denom
-                over = f64 > exp64
-                s64 = np.zeros_like(f64)
+        def make_score(present):
+            ttf1 = {t: float(ttf + 1.0) for t, (_, ttf) in present.items()}
+
+            def fn(t, tf64, dl64):
+                exp64 = ttf1[t] * dl64 / denom
+                over = tf64 > exp64
+                s64 = np.zeros_like(tf64)
                 if over.any():
-                    s64[over] = np.log2(mfn(f64[over], exp64[over]) + 1.0)
-                ds.append(d)
-                ss.append(s64.astype(np.float32))
-            d = np.concatenate(ds)
-            s = np.concatenate(ss)
-            order = np.argsort(d, kind="mergesort")
-            d, s = d[order], s[order]
-            uniq, idx = np.unique(d, return_index=True)
-            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
-            if mode == "and":
-                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
-                keep = cnt == need
-                uniq, tot = uniq[keep], tot[keep]
-            if dels is not None and dels.size:
-                keep = ~_sorted_probe(dels, uniq)
-                uniq, tot = uniq[keep], tot[keep]
-            if not uniq.size:
-                return empty
-            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
-            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+                    s64[over] = np.log2(mfn(tf64[over], exp64[over]) + 1.0)
+                return s64
 
-        scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(list(present))
-        )
-        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
-        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
 
     def search_boolean_sim(
         self,
@@ -4854,53 +4706,16 @@ class Searcher:
         (pom.xml lucene-core), BooleanSimilarity.java semantics."""
         if mode not in ("or", "and"):
             raise ValueError("mode must be 'or' or 'and'")
-        ts = sorted(set(terms))
-        stats = self.term_stats(ts, field)
-        present = {t: int(st[0]) for t, st in stats.items() if st[0] > 0}
-        if not present or (mode == "and" and len(present) < len(ts)):
-            return self.spark.createDataFrame([], HIT_SCHEMA)
-        weights = {
-            t: np.float32((boosts or {}).get(t, 1.0)) for t in present
-        }
-        need = len(present)
-        aux, allow_kinds = self._aux_frames(None, None)
-        kk = int(k)
 
-        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"doc": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")}
-            )
-            if pdf.empty:
-                return empty
-            dels, _ = _split_aux(aux_pdf, allow_kinds)
-            ds, ss = [], []
-            for t, g in pdf.groupby("term", sort=False):
-                d, _tf, _dlq = _decode_block_rows(g)
-                ds.append(d)
-                ss.append(np.full(d.shape, weights[t], dtype=np.float32))
-            d = np.concatenate(ds)
-            s = np.concatenate(ss)
-            order = np.argsort(d, kind="mergesort")
-            d, s = d[order], s[order]
-            uniq, idx = np.unique(d, return_index=True)
-            tot = np.add.reduceat(s.astype(np.float64), idx).astype(np.float32)
-            if mode == "and":
-                cnt = np.add.reduceat(np.ones_like(s, dtype=np.int64), idx)
-                keep = cnt == need
-                uniq, tot = uniq[keep], tot[keep]
-            if dels is not None and dels.size:
-                keep = ~_sorted_probe(dels, uniq)
-                uniq, tot = uniq[keep], tot[keep]
-            if not uniq.size:
-                return empty
-            top = np.lexsort((uniq, -tot.astype(np.float64)))[:kk]
-            return pd.DataFrame({"doc": uniq[top], "score": tot[top]})
+        def make_score(present):
+            weights = {t: np.float32((boosts or {}).get(t, 1.0)) for t in present}
 
-        scan = self._postings.filter(
-            (F.col("field") == field) & F.col("term").isin(list(present))
-        )
-        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
-        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(kk)
+            def fn(t, tf64, dl64):
+                return np.full(tf64.shape, weights[t], dtype=np.float32)
+
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
 
     def search_block_join(
         self,
