@@ -416,6 +416,13 @@ def main() -> None:
         # naive-Bayes self-classification (train + classify, one pass)
         from fdblucene_spark.operators.classify import naive_bayes_classify
         naive_bayes_classify(docs, docs, "doc_id", "text", "source").count()
+    with timed("perceptron_classify"):
+        # batch boolean perceptron (2 epochs): all-BIGINT iterative
+        # train + assign, the connected-components join shape
+        from fdblucene_spark.operators.classify import perceptron_classify
+        pdocs = docs.withColumn("cls", F.col("source") == "src1")
+        perceptron_classify(pdocs, pdocs, "doc_id", "text", "cls",
+                            epochs=2, train_id_col="doc_id").count()
     with timed("decontaminate"):
         bgrams = curation.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0), "text")
         curation.decontaminate(docs, bgrams, "doc_id", "text").count()
