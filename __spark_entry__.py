@@ -30,6 +30,7 @@ from fdblucene_spark.operators import classify as _classify
 from fdblucene_spark.operators import curation, dedup, geo, multimodal, similarity, textstats
 from fdblucene_spark.operators.build import build_index
 from fdblucene_spark.operators.query import Searcher
+from fdblucene_spark.operators.replicate import sync_replica
 from fdblucene_spark.sources.manifest import IndexCatalog
 
 # ---------------------------------------------------------------- fixtures
@@ -103,6 +104,7 @@ TRANGE_LO, TRANGE_HI = "query", "sort"  # TermRangeQuery bounds
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 PAGE = 100          # ft_search_after page size
 NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
+REPL_TERMS = ["scan", "value"]  # ft_replica_search (distinct result set)
 SPAN3_TERMS, SPAN3_SLOP = ["sort", "merge", "the"], 2  # ft_span_near3 (ordered)
 # ft_intervals: containing(maxgaps(8, ordered(A, B)), term(C))
 IV_A, IV_B, IV_GAPS, IV_C = "query", "merge", 8, "key"
@@ -213,6 +215,18 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             stored_fields={"n_chars": "n_chars", "source": "source", "lang": "lang"},
         )
     return Searcher(spark, root)
+
+
+def _replica_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Replica synced from the main documents index at its FIRST
+    commit point (Lucene replicator module analogue): the gate query
+    runs against the COPIED files under a different root, so any
+    drift in the sync path — missed segment, stale sidecar, broken
+    manifest rewrite — hash-fails vs the source-side BM25 twin."""
+    src_root = _searcher(spark, sf_dir).root  # ensures the source is built
+    dst = os.path.join(_index_root(sf_dir), "replica")
+    sync_replica(src_root, dst, version=1)  # idempotent when current
+    return Searcher(spark, dst)
 
 
 def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
@@ -2196,6 +2210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_delete_search(spark, sf):
         return _hits_df(_del_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_replica_search(spark, sf):
+        # replicator module: incremental file sync of the v1 commit
+        # point to a second root, then a BM25 OR answered entirely
+        # from the replica's files (term set distinct from every
+        # other BM25 gate so the result set is its own)
+        return _hits_df(
+            _replica_searcher(spark, sf).search(REPL_TERMS, k=K_ALL, mode="or")
+        )
+
     def ft_merge_addindexes(spark, sf):
         return _hits_df(_merged_searcher(spark, sf).search(AND_TERMS, k=K_ALL, mode="and"))
 
@@ -2988,7 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_or, ft_terms_in_set,
         ft_bm25_boosted, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
-        ft_regexp_search, ft_bm25_not, ft_reshard_search,
+        ft_regexp_search, ft_bm25_not, ft_reshard_search, ft_replica_search,
         tx_query_parser, tx_bm25_top10, tx_phrase_match, tx_role_lookup,
         tx_bm25_filtered, ft_explain, ann_near_dup, ft_join_util,
         ft_function_score, ft_dv_update, ft_expression,
@@ -4320,6 +4343,9 @@ FROM sc ORDER BY score32 DESC, doc_id ASC LIMIT {K_ALL}
         ),
         "ft_merge_addindexes": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_reshard_search": _bm25_sql(OR_TERMS, "or", K_ALL),
+        # replica answers from copied files; correctness law = the
+        # source corpus's own BM25 (any sync drift breaks the hash)
+        "ft_replica_search": _bm25_sql(REPL_TERMS, "or", K_ALL),
         "ft_tiered_search": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_keyword_field": f"""
 WITH dfs AS (SELECT source, count(*)::BIGINT AS df FROM documents GROUP BY source),
