@@ -155,6 +155,11 @@ BOOSTS = {"dup": 2.0, "hash": 0.5}  # ft_bm25_boosted per-clause boosts
 FACET_RANGES = [("short", None, 120), ("mid", 80, 400), ("long", 300, None)]
 SUGGEST_Q = "stor"  # ft_suggest: distance-2 tie (slow, sort) broken by df
 SPAN_FIRST_END = 3  # ft_span_first: term within the first 3 positions
+# ft_span_range: SpanPositionRangeQuery — occurrence at 0-based
+# position in [2, 9); interior window so the result set differs from
+# both ft_span_first (prefix window) and the plain term query
+SPAN_RANGE_TERM, SPAN_RANGE = "merge", (2, 9)
+FACET_SAMPLE_RATE, FACET_SAMPLE_SALT = 0.4, "fs1"  # ft_facet_sampled
 # ft_span_or: SpanNear(SpanTerm, SpanOr(alternatives), SpanTerm) ordered
 SPAN_OR_CLAUSES = ["sort", ("merge", "join"), "the"]
 SPAN_OR_SLOP = 2
@@ -1689,6 +1694,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 MIXED_MUST, k=K_ALL, end=SPAN_FIRST_END)
         )
 
+    def ft_span_range(spark, sf):
+        # Lucene SpanPositionRangeQuery: docs with SPAN_RANGE_TERM at
+        # a 0-based position in [lo, hi), scored as the term's
+        # ordinary BM25 on the surviving docs (SpanFirst generalized
+        # to an interior window)
+        return _hits_df(
+            _searcher(spark, sf).search_span_range(
+                SPAN_RANGE_TERM, k=K_ALL, start=SPAN_RANGE[0], end=SPAN_RANGE[1])
+        )
+
     def ft_suggest(spark, sf):
         # DirectSpellChecker: Damerau candidates for a misspelling,
         # ranked distance asc / df desc / term asc (distributed
@@ -1720,6 +1735,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clauses = [{"term": MIXED_MUST, "occur": "must"},
                    {"term": MIXED_NOT, "occur": "must_not"}]
         return _searcher(spark, sf).facet_counts(clauses, "source", top_n=10)
+
+    def ft_facet_sampled(spark, sf):
+        # RandomSamplingFacetsCollector: per-`source` counts over a
+        # deterministic md5-uniform 40% sample of the SAME match set
+        # as ft_facets, plus Lucene's amortized estimate
+        # (sample/rate); sampling is partition-invariant so the twin
+        # reproduces the exact keep decisions
+        clauses = [{"term": MIXED_MUST, "occur": "must"},
+                   {"term": MIXED_NOT, "occur": "must_not"}]
+        return _searcher(spark, sf).facet_counts_sampled(
+            clauses, "source", rate=FACET_SAMPLE_RATE, top_n=10,
+            salt=FACET_SAMPLE_SALT)
 
     def ft_facet_stats(spark, sf):
         # Lucene association facets (TaxonomyFacetSumValueSource):
@@ -3006,8 +3033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_mlt, ft_suggest, ft_numeric_range, ft_stem_analyzer,
         ft_term_lookup, ft_bm25_nested, ft_bm25_nested_deep,
         ft_constant_score, ft_sorted_search,
-        ft_query_parser_prefix, ft_facets, ft_facet_stats,
-        ft_span_first, ft_span_not,
+        ft_query_parser_prefix, ft_facets, ft_facet_stats, ft_facet_sampled,
+        ft_span_first, ft_span_not, ft_span_range,
         ft_span_or, ft_terms_in_set,
         ft_bm25_boosted, ft_fuzzy_search, ft_search_after, ft_dismax,
         ft_prefix_search, ft_wildcard_search, ft_term_range, ft_near_search,
@@ -3413,6 +3440,17 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
         "ft_span_not": _bm25_sql(
             [SPAN_NOT[0]], "or", K_ALL, span_not=SPAN_NOT
         ),
+        # SpanPositionRangeQuery twin: 1-based tp.p in [lo+1, hi]
+        "ft_span_range": _bm25_sql(
+            [SPAN_RANGE_TERM], "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id IN (SELECT DISTINCT doc_id FROM ("
+                "SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1), "
+                "i -> struct_pack(p := i, t := ts[i]))) AS tp FROM toks"
+                f") WHERE tp.t = '{SPAN_RANGE_TERM}' "
+                f"AND tp.p >= {SPAN_RANGE[0] + 1} AND tp.p <= {SPAN_RANGE[1]})"
+            ),
+        ),
         "ft_combined_field": _combined_sql(COMB_TERMS, COMB_W_TEXT, COMB_W_SRC, K_ALL),
         # NormsFieldExistsQuery twin: indexed-text roster minus
         # tombstones, constant boost
@@ -3645,6 +3683,27 @@ toks AS (
 SELECT d.source AS facet, count(*)::BIGINT AS count
 FROM matched m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY facet ORDER BY count DESC, facet ASC LIMIT 10
+""",
+        "ft_facet_sampled": f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_MUST}'
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_NOT}')
+), sampled AS (
+  SELECT doc_id FROM matched
+  WHERE (CAST(('0x' || substr(md5('{FACET_SAMPLE_SALT}' || doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE
+         / {float(16 ** 8)!r}) < {FACET_SAMPLE_RATE!r}
+)
+SELECT d.source AS facet, count(*)::BIGINT AS sample_count,
+       round(count(*)::DOUBLE / {FACET_SAMPLE_RATE!r})::BIGINT AS est_count
+FROM sampled m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY facet ORDER BY sample_count DESC, facet ASC LIMIT 10
 """,
         "ft_facet_stats": f"""
 WITH src AS (SELECT doc_id, text FROM documents),

@@ -2441,16 +2441,30 @@ class Searcher:
         field: str = "text",
     ) -> DataFrame:
         """Lucene SpanFirstQuery(SpanTermQuery(term), end): docs where
-        the term occurs within the first `end` positions — a
-        single-term span (end = pos + 1, 0-based) must satisfy
-        span.end <= end, i.e. some occurrence at position < end.
+        the term occurs within the first `end` positions. The special
+        case SpanPositionRangeQuery(term, 0, end) — delegates there."""
+        return self.search_span_range(term, k, 0, end, field)
+
+    def search_span_range(
+        self,
+        term: str,
+        k: int,
+        start: int,
+        end: int,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene SpanPositionRangeQuery(SpanTermQuery(term), start,
+        end): docs where some occurrence's span lies inside
+        [start, end) — for a single-term span (span.start = pos,
+        span.end = pos + 1, 0-based) that is start <= pos < end.
         Scores follow the span-query convention used by
         search_span_near: the term's full float32 BM25 score on
         matching docs (ties docID asc). Same shape as the other
         positional queries: score candidates once, then one
         positions-decode filter per shard — no extra Spark job."""
-        if end <= 0:
+        if end <= max(start, 0):
             return self.spark.createDataFrame([], HIT_SCHEMA)
+        start = max(start, 0)
         if not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; span queries unavailable")
         prep = self._prep([term], "or", field)
@@ -2475,7 +2489,7 @@ class Searcher:
             cand = cand[order]
             score = hits["score"].to_numpy()[order]
             dd, pp = _gather_positions(groups, term, cand)
-            early = np.unique(dd[pp < end])
+            early = np.unique(dd[(pp >= start) & (pp < end)])
             keep = np.isin(cand, early, assume_unique=True)
             docs_m, score_m = cand[keep], score[keep]
             if docs_m.size > k:
@@ -5223,6 +5237,59 @@ class Searcher:
             .groupBy(F.col(facet_field).alias("facet"))
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.desc("count"), F.asc("facet"))
+            .limit(top_n)
+        )
+
+    def facet_counts_sampled(
+        self,
+        clauses: list[dict],
+        facet_field: str,
+        rate: float,
+        top_n: int = 10,
+        salt: str = "v1",
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """RandomSamplingFacetsCollector analogue: facet counts over a
+        deterministic sample of the match set, with Lucene's
+        amortized correction (sampled count / samplingRate) reported
+        beside the raw sample count. Where Lucene samples with an RNG
+        (XORShift over the hit stream), a distributed engine needs a
+        partition-invariant rule: keep a matched doc iff
+        u(doc) < rate, u = first 8 md5 hex digits of (salt || doc)
+        scaled to [0, 1) — the same hash-uniform rule as
+        curation.stratified_sample, so reruns, repartitions, and the
+        SQL twin all agree exactly. The sample cut happens BEFORE the
+        stored-field join, so at a 100 TB match set the join and agg
+        see only rate x |matches| rows — that is the collector's
+        entire reason to exist. Returns (facet, sample_count,
+        est_count) ordered sample_count desc, value asc."""
+        if not (0.0 < rate <= 1.0):
+            raise ValueError(f"rate must be in (0, 1], got {rate}")
+        matched = self.matching_docs(clauses, min_should_match, numeric)
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.to_binary(
+                        F.concat(F.lit(salt), F.col("doc").cast("string")),
+                        F.lit("utf-8"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(16**8))
+        )
+        sampled = matched.withColumn("__u", u).filter(F.col("__u") < F.lit(float(rate))).drop("__u")
+        stored = self._stored_df().select("doc", facet_field)
+        return (
+            sampled.join(stored, "doc")
+            .groupBy(F.col(facet_field).alias("facet"))
+            .agg(F.count(F.lit(1)).alias("sample_count"))
+            .withColumn(
+                "est_count",
+                F.round(F.col("sample_count").cast("double") / F.lit(float(rate))).cast("long"),
+            )
+            .orderBy(F.desc("sample_count"), F.asc("facet"))
             .limit(top_n)
         )
 

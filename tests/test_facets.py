@@ -93,6 +93,34 @@ def test_facet_counts_top_n_ordering(facet_index):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_facet_counts_sampled(facet_index):
+    import hashlib
+
+    rows, s = facet_index
+    rate, salt = 0.5, "t1"
+    matched = _match(rows, must=["alpha"], must_not=["gamma"])
+    # the exact deterministic keep rule, replicated with hashlib
+    kept = {d for d in matched
+            if int(hashlib.md5(f"{salt}{d}".encode()).hexdigest()[:8], 16)
+            / 16**8 < rate}
+    assert 0 < len(kept) < len(matched)  # a real sample, not all/none
+    want = collections.Counter(rows[d]["role"] for d in kept)
+    got = s.facet_counts_sampled(CLAUSES, "role", rate=rate, salt=salt,
+                                 top_n=10).collect()
+    assert {(r["facet"], r["sample_count"]) for r in got} == set(want.items())
+    # amortized correction: est = round(sample / rate), Lucene's
+    # amortizeFacetCounts scaling
+    assert all(r["est_count"] == round(r["sample_count"] / rate) for r in got)
+    # rate=1.0 degenerates to the exact facet counts
+    full = {(r["facet"], r["count"]) for r in
+            s.facet_counts(CLAUSES, "role", top_n=10).collect()}
+    one = {(r["facet"], r["sample_count"]) for r in
+           s.facet_counts_sampled(CLAUSES, "role", rate=1.0, top_n=10).collect()}
+    assert one == full
+    with pytest.raises(ValueError):
+        s.facet_counts_sampled(CLAUSES, "role", rate=0.0)
+
+
 def test_facet_ranges_overlapping(facet_index):
     rows, s = facet_index
     matched = _match(rows, must=["alpha"], must_not=["gamma"])

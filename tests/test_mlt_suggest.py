@@ -162,6 +162,36 @@ def test_span_first_edges(ms_index):
            [(r["doc"], r["score"]) for r in wide]
 
 
+def test_span_range_matches_brute_force(ms_index):
+    rows, s = ms_index
+    lo, hi = 2, 6
+    want = {r["doc_id"] for r in rows
+            if "alpha" in tokenize_text(r["text"])[lo:hi]}
+    got = s.search_span_range("alpha", 10_000, start=lo, end=hi).collect()
+    assert {r["doc"] for r in got} == want and 0 < len(want) < 250
+    # scores = the term's ordinary BM25 score on the surviving docs
+    base = {r["doc"]: r["score"] for r in s.search(["alpha"], 10_000).collect()}
+    assert all(r["score"] == base[r["doc"]] for r in got)
+    keys = [(-r["score"], r["doc"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_span_range_edges(ms_index):
+    _, s = ms_index
+    # empty/inverted windows match nothing; negative start clamps to 0
+    assert s.search_span_range("alpha", 5, start=3, end=3).count() == 0
+    assert s.search_span_range("alpha", 5, start=7, end=2).count() == 0
+    full = s.search(["alpha"], 10_000).collect()
+    wide = s.search_span_range("alpha", 10_000, start=-5, end=10_000).collect()
+    assert [(r["doc"], r["score"]) for r in full] == \
+           [(r["doc"], r["score"]) for r in wide]
+    # span_first(end) == span_range(0, end)
+    a = s.search_span_first("alpha", 10_000, end=3).collect()
+    b = s.search_span_range("alpha", 10_000, start=0, end=3).collect()
+    assert [(r["doc"], r["score"]) for r in a] == \
+           [(r["doc"], r["score"]) for r in b]
+
+
 def _lev(a: str, b: str) -> int:
     # classic Levenshtein (no transpositions) — FuzzySuggester's metric
     d = list(range(len(b) + 1))
