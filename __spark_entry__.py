@@ -144,6 +144,7 @@ GEO_NEAREST_CENTER = (-35.0, 150.0)
 # geo_polygon: concave chevron (notch down to (10, 0)) — even-odd ray
 # casting must exclude the notch, a plain bbox or convex test would not
 GEO_POLY = [(-30.0, -60.0), (45.0, -40.0), (10.0, 0.0), (45.0, 40.0), (-30.0, 60.0)]
+GEO_BOX = (-20.0, 35.0, 40.0, 120.0)  # geo_box: (min_lat, max_lat, min_lon, max_lon)
 _GATE_ROOT = "/tmp/sparklucene_gate_v6"  # bump on index format change
 # v5 = doclen doc-roster rows (dl=0 sentinel -> true MatchAllDocs) +
 # offsets/stored-text in the payloads index for ft_highlight
@@ -2964,6 +2965,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def geo_box(spark, sf):
+        # LatLonPoint.newBoxQuery: pure sargable lat/lon range
+        # predicate — whole plan is one pushed-down Parquet scan
+        return geo.box_query(_geo_docs(spark, sf), "lat", "lon", *GEO_BOX).select(
+            "doc_id"
+        )
+
     def geo_nearest(spark, sf):
         # LatLonDocValuesField.newDistanceSort: 40 nearest docs
         # (distance asc, doc asc) via TakeOrdered — no global sort
@@ -3051,7 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
         samp_dsir, ft_intervals, ft_complete, ft_common_terms,
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
-        ann_sq_topk, geo_distance, geo_nearest, ft_sorted_chain,
+        ann_sq_topk, geo_distance, geo_nearest, geo_box, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
@@ -4532,6 +4540,17 @@ WITH g AS (
   FROM documents
 )
 SELECT doc_id FROM g WHERE {geo.polygon_sql('lat', 'lon', GEO_POLY)}
+""",
+        "geo_box": f"""
+WITH g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000)::DOUBLE / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000)::DOUBLE / 100.0 - 180.0 AS lon
+  FROM documents
+)
+SELECT doc_id FROM g
+WHERE lat BETWEEN {GEO_BOX[0]!r} AND {GEO_BOX[1]!r}
+  AND lon BETWEEN {GEO_BOX[2]!r} AND {GEO_BOX[3]!r}
 """,
         "geo_nearest": f"""
 WITH g AS (

@@ -194,6 +194,20 @@ def main() -> None:
     extra["tiered_rewrote_mb"] = round(sum(s_.bytes for s_ in new_segs) / 1e6, 2)
     extra["full_merge_rewrote_mb"] = extra["index_mb"]
 
+    # ---- replication: cold sync of the full index, then no-op resync ----
+    from fdblucene_spark.operators.replicate import sync_replica
+
+    replica_root = os.path.join(work, "idx_tx_replica")
+    with timed("replica_sync_cold"):
+        _, rep = sync_replica(tx_root, replica_root, max_workers=cpus)
+    extra["replica_mb"] = round(rep.bytes_copied / 1e6, 1)
+    extra["replica_mb_per_sec"] = round(
+        rep.bytes_copied / 1e6 / max(queries["replica_sync_cold"], 1e-9), 1
+    )
+    with timed("replica_resync_noop"):
+        _, rep2 = sync_replica(tx_root, replica_root, max_workers=cpus)
+    assert rep2.bytes_copied == 0 and not rep2.committed
+
     # ---- phrase query batch (vectorized position-adjacency kernel) ----
     vocab_head = [f"term{i:05d}" for i in range(20)]
     phrase_qset = [
