@@ -1326,6 +1326,77 @@ cands AS (
 """
 
 
+def _ann_pq_sql() -> str:
+    """Twin of ann_pq_topk: rebuild the SAME deterministic PQ model
+    (pq_codebooks on the first-2048-by-id sample — bit-identical to
+    the engine's pq_sample_matrix draw), embed subspace codebooks +
+    centroid norms + the query's ADC lookup tables as literals, then
+    reproduce encode (argmin L2 per subspace over the unit-normalized
+    vector, ties c ASC), the left-to-right ADC chain, the top-C
+    candidate cut, and the shared exact-cosine re-rank tail."""
+    from fdblucene_spark.operators.similarity import LSH_SEED, pq_codebooks
+
+    x = _emb_matrix()
+    books = pq_codebooks(x[:2048], m=8, n_centroids=16, iters=8, seed=LSH_SEED)
+    m, kc, ds = books.shape
+    cn2 = (books * books).sum(axis=2)  # same op the engine's encoder runs
+    qraw = x[ANN_QUERY_ID]
+    import numpy as _np
+
+    qh = qraw / max(_np.linalg.norm(qraw), 1e-12)
+    book_rows = ", ".join(
+        "({}, {}, {!r}, [{}])".format(
+            j, c, float(cn2[j][c]), ", ".join(repr(float(v)) for v in books[j][c])
+        )
+        for j in range(m)
+        for c in range(kc)
+    )
+    lut_rows = ", ".join(
+        "({}, {}, {!r})".format(j, c, float(books[j][c] @ qh[j * ds : (j + 1) * ds]))
+        for j in range(m)
+        for c in range(kc)
+    )
+    # explicit left-to-right chain mirroring pq_adc_expr's j order
+    adc_chain = " + ".join(
+        f"MAX(CASE WHEN codes.j = {j} THEN l.v END)" for j in range(m)
+    )
+    subdot = (
+        f"list_sum(list_transform(range(1, {ds + 1}), "
+        f"i -> (nrm.embedding[b.j * {ds} + i]::DOUBLE / nrm.n) * b.cv[i]))"
+    )
+    return f"""
+WITH books AS (SELECT * FROM (VALUES {book_rows}) b(j, c, cn2, cv)),
+lut AS (SELECT * FROM (VALUES {lut_rows}) l(j, c, v)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+nrm AS (
+  SELECT vec_id, embedding,
+         greatest(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 1e-12) AS n
+  FROM embeddings
+),
+dists AS (
+  SELECT nrm.vec_id, b.j, b.c, b.cn2 - 2.0 * {subdot} AS d
+  FROM nrm CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT codes.vec_id, ({adc_chain}) AS adc
+  FROM codes JOIN lut l ON l.j = codes.j AND l.c = codes.c
+  GROUP BY codes.vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT {4 * ANN_K}),
+cands AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e JOIN cand USING (vec_id)
+),
+{_cosine_rerank_sql(x.shape[1], ANN_K)}
+"""
+
+
 # ------------------------------------------------------------------ queries
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the full index over sf0.001 documents, run a
@@ -2720,6 +2791,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, "vec_id", "embedding", list(qv), ANN_K, rescore=2 * ANN_K
         )
 
+    def ann_pq_topk(spark, sf):
+        # product quantization (FAISS / Lucene-9 vector-codec
+        # lineage): deterministic per-subspace codebooks, one encode
+        # pass to m=8 int codes, Catalyst-only ADC lookup scan makes
+        # the top-4k candidate cut, exact double cosine re-ranks to k
+        emb = _table(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
+        return similarity.pq_cosine_topk(
+            emb, "vec_id", "embedding", list(qv), ANN_K, rescore=4 * ANN_K
+        )
+
     def _ann_index(spark, sf, kind):
         # persisted, catalog-managed ANN index (built once per sf):
         # the probe reads ONLY matching bucket= partitions
@@ -3059,7 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_decontam_fuzzy, ft_shingle, ann_semantic_dedup, ft_feature_score,
         samp_dsir, ft_intervals, ft_complete, ft_common_terms,
         ft_collapse, ft_complete_fuzzy, tx_child_join, ft_payload_score,
-        ann_sq_topk, geo_distance, geo_nearest, geo_box, ft_sorted_chain,
+        ann_sq_topk, ann_pq_topk, geo_distance, geo_nearest, geo_box, ft_sorted_chain,
         ft_significant_terms, ft_complete_infix, samp_length_buckets,
         ft_dfi, ft_multi_reader, ft_multi_boolean, samp_upsample,
         ft_free_text, ft_simple_query, ft_distance_feature, ft_blended,
@@ -4621,6 +4703,7 @@ GROUP BY l_returnflag, l_linestatus
     try:
         out["ann_lsh_topk"] = _ann_lsh_sql()
         out["ann_ivf_topk"] = _ann_ivf_sql()
+        out["ann_pq_topk"] = _ann_pq_sql()
         out["ann_near_dup"] = _ann_near_dup_sql()
         out["ann_semantic_dedup"] = _ann_semdedup_sql()
     except Exception:

@@ -613,3 +613,99 @@ def test_sq_materialized_matches_on_the_fly(emb_df):
         want = [int(math.floor(x / s + 0.5)) for x in v]
         got = [int(x) for x in mat[mat["vec_id"] == r["vec_id"]]["qvec"].iloc[0]]
         assert got == want
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+
+def _pq_numpy_codes(vecs: dict, books: np.ndarray) -> dict:
+    """Hand oracle for pq_encode: unit-normalize, per subspace argmin
+    of (||c||^2 - 2 x.c), lowest index on ties."""
+    m, _, ds = books.shape
+    cn2 = (books * books).sum(axis=2)
+    out = {}
+    for vid, v in vecs.items():
+        x = v / max(np.linalg.norm(v), 1e-12)
+        codes = []
+        for j in range(m):
+            xs = x[j * ds : (j + 1) * ds]
+            d = cn2[j] - 2.0 * (books[j] @ xs)
+            codes.append(int(d.argmin()))
+        out[vid] = codes
+    return out
+
+
+def test_pq_encode_matches_numpy(emb_df):
+    pdf = emb_df.toPandas()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for _, r in pdf.iterrows()}
+    x = similarity.pq_sample_matrix(emb_df, "vec_id", "embedding", 2048)
+    books = similarity.pq_codebooks(x, m=8, n_centroids=16)
+    assert books.shape == (8, 16, 2)
+    got = {int(r["vec_id"]): list(r["codes"])
+           for r in similarity.pq_encode(emb_df, "vec_id", "embedding", books).collect()}
+    assert got == _pq_numpy_codes(vecs, books)
+
+
+def test_pq_codebooks_deterministic_and_validated(emb_df):
+    x = similarity.pq_sample_matrix(emb_df, "vec_id", "embedding", 2048)
+    b1 = similarity.pq_codebooks(x, m=4, n_centroids=8)
+    b2 = similarity.pq_codebooks(x, m=4, n_centroids=8)
+    assert np.array_equal(b1, b2)  # bit-identical reruns (oracle contract)
+    with pytest.raises(ValueError):
+        similarity.pq_codebooks(x, m=5)  # 16 % 5 != 0
+
+
+def test_pq_adc_matches_numpy_and_rescore_exact(emb_df):
+    pdf = emb_df.toPandas()
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+            for _, r in pdf.iterrows()}
+    q = list(vecs[3])
+    x = similarity.pq_sample_matrix(emb_df, "vec_id", "embedding", 2048)
+    books = similarity.pq_codebooks(x, m=8, n_centroids=16)
+    m, _, ds = books.shape
+    qh = np.asarray(q) / max(np.linalg.norm(q), 1e-12)
+    codes = _pq_numpy_codes(vecs, books)
+    want = {}
+    for vid, cs in codes.items():
+        s = 0.0
+        for j in range(m):
+            s += float(books[j][cs[j]] @ qh[j * ds : (j + 1) * ds])
+        want[vid] = s
+    # ADC-only ranking (rescore=0) matches the numpy LUT sums
+    got = similarity.pq_cosine_topk(
+        emb_df, "vec_id", "embedding", q, 40, rescore=0, books=books
+    ).toPandas()
+    order = sorted(want.items(), key=lambda t: (-t[1], t[0]))
+    assert got["vec_id"].tolist() == [v for v, _ in order]
+    for _, r in got.iterrows():
+        assert abs(r["cosine"] - round(want[int(r["vec_id"])], 3)) < 1e-12
+    # rescored path: exact cosines, planted near-dup of 3 surfaces
+    res = similarity.pq_cosine_topk(
+        emb_df, "vec_id", "embedding", q, 5, rescore=20, books=books
+    ).toPandas()
+    exact = similarity.cosine_topk(emb_df, "vec_id", "embedding", q, 40).toPandas()
+    merged = res.merge(exact, on="vec_id", suffixes=("_p", "_e"))
+    assert len(merged) == 5
+    assert (merged["cosine_p"] == merged["cosine_e"]).all()
+    assert set(res["vec_id"][:2]) == {3, 7}
+    # determinism end-to-end (books retrained inside)
+    r1 = similarity.pq_cosine_topk(emb_df, "vec_id", "embedding", q, 5, rescore=20).collect()
+    r2 = similarity.pq_cosine_topk(emb_df, "vec_id", "embedding", q, 5, rescore=20).collect()
+    assert r1 == r2
+
+
+def test_pq_adc_scan_is_catalyst_only(spark, emb_df):
+    """The scoring scan over persisted codes must not touch Python at
+    all — codes column + literal LUT lookups only (the at-rest PQ
+    index scan shape at 10^12 vectors)."""
+    x = similarity.pq_sample_matrix(emb_df, "vec_id", "embedding", 2048)
+    books = similarity.pq_codebooks(x, m=8, n_centroids=16)
+    codes_pdf = similarity.pq_encode(emb_df, "vec_id", "embedding", books).toPandas()
+    codes_df = spark.createDataFrame(codes_pdf)  # stands in for the at-rest table
+    q = emb_df.filter(F.col("vec_id") == 3).first()["embedding"]
+    adc = codes_df.select("vec_id", similarity.pq_adc_expr(books, list(q)).alias("adc"))
+    assert_no_rowwise_python(adc)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    assert adc.count() == 40
