@@ -563,18 +563,41 @@ def build_ann_index(
         fmt = ANN_LSH_FORMAT
         model = {"kind": "lsh", "n_planes": n_planes, "seed": seed, "dim": dim}
         n_buckets = 1 << n_planes
+    elif kind == "pq":
+        # IVFPQ (the FAISS composite): coarse IVF clusters become the
+        # partition key (probe = partition-pruned scan), PQ codes ride
+        # each row so the within-bucket candidate cut scores codes via
+        # ADC lookups without touching the float vectors
+        centroids = ivf_centroids(
+            df, vec_col, n_centroids=n_centroids, seed=seed, id_col=id_col
+        )
+        books = pq_codebooks(
+            pq_sample_matrix(df, id_col, vec_col, 2048), seed=seed
+        )
+        assigned = with_ivf_cluster(df, vec_col, centroids, out_col="bucket").join(
+            pq_encode(df, id_col, vec_col, books), id_col
+        )
+        fmt = ANN_IVF_FORMAT
+        model = {
+            "kind": "pq", "centroids": centroids.tolist(),
+            "books": books.tolist(), "dim": dim,
+        }
+        n_buckets = int(centroids.shape[0])
     else:
         raise ValueError(f"unknown ANN kind {kind!r}")
     version = catalog.next_version()
     segment_id = f"ann-v{version:06d}-{kind}"
     rel = catalog.new_segment_path(segment_id)
     seg_dir = os.path.join(root, rel)
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("bucket").cast("int").alias("bucket"),
+    ]
+    if kind == "pq":
+        cols.insert(2, F.col("codes"))
     (
-        assigned.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            F.col("bucket").cast("int").alias("bucket"),
-        )
+        assigned.select(*cols)
         .write.mode("errorifexists")
         .partitionBy("bucket")
         .parquet(os.path.join(seg_dir, "vectors"))
@@ -615,7 +638,7 @@ class AnnIndex:
 
     def probe_buckets(self, query_vec: list[float], nprobe: int = 4, probe_hamming: int = 1) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
-        if self.model["kind"] == "ivf":
+        if self.model["kind"] in ("ivf", "pq"):
             if np.linalg.norm(q) == 0:
                 raise ValueError("query vector has zero norm; cosine undefined")
             cent = np.asarray(self.model["centroids"], dtype=np.float64)
@@ -642,8 +665,25 @@ class AnnIndex:
             F.col("bucket").isin(self.probe_buckets(query_vec, nprobe, probe_hamming))
         )
 
-    def topk(self, query_vec: list[float], k: int, nprobe: int = 4, probe_hamming: int = 1) -> DataFrame:
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int,
+        nprobe: int = 4,
+        probe_hamming: int = 1,
+        rescore: int = 0,
+    ) -> DataFrame:
+        """Top-k over the probed buckets. For an IVFPQ index
+        (kind='pq') with rescore=C > 0, the within-bucket cut scores
+        the at-rest PQ codes via Catalyst-only ADC lookups (the float
+        vectors stay unread until the C-row exact re-rank); otherwise
+        the probed candidates re-rank by exact cosine directly."""
         cands = self.scan(query_vec, nprobe, probe_hamming)
+        if self.model["kind"] == "pq" and rescore and int(rescore) > 0:
+            books = np.asarray(self.model["books"], dtype=np.float64)
+            adc = cands.select("id", pq_adc_expr(books, query_vec).alias("_adc"))
+            cut = adc.orderBy(F.desc("_adc"), F.asc("id")).limit(int(rescore)).select("id")
+            cands = cands.select("id", "vec").join(F.broadcast(cut), "id")
         return _topk_by_raw_cosine(cands, "id", "vec", query_vec, k)
 
 

@@ -709,3 +709,51 @@ def test_pq_adc_scan_is_catalyst_only(spark, emb_df):
     plan = adc._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEval" not in plan and "BatchEval" not in plan
     assert adc.count() == 40
+
+
+def test_persisted_ivfpq_index(spark, emb_df, tmp_path_factory):
+    """IVFPQ at rest: codes persist beside vectors, the probe is
+    partition-pruned, the ADC cut never reads the vec column, and the
+    rescored top-k equals exact cosine over the probed candidate
+    pool (rescore covers the pool, so ADC can't change membership)."""
+    root = str(tmp_path_factory.mktemp("ann") / "pq")
+    similarity.build_ann_index(
+        spark, emb_df, "vec_id", "embedding", root, kind="pq", n_centroids=4
+    )
+    idx = similarity.AnnIndex(spark, root)
+    assert idx.model["kind"] == "pq"
+    books = np.asarray(idx.model["books"], dtype=np.float64)
+    assert books.shape == (8, 16, 2)
+    assert "codes" in idx._vectors.columns
+
+    q = emb_df.filter(F.col("vec_id") == 3).first()["embedding"]
+    # persisted codes match a fresh encode of the same model
+    want = {int(r["vec_id"]): list(r["codes"])
+            for r in similarity.pq_encode(emb_df, "vec_id", "embedding", books).collect()}
+    got_codes = {int(r["id"]): list(r["codes"]) for r in idx._vectors.collect()}
+    assert got_codes == want
+
+    # rescore >= probed pool => identical to the plain exact path
+    pool = idx.scan(list(q), nprobe=3).count()
+    exact = idx.topk(list(q), 5, nprobe=3).toPandas()
+    via_pq = idx.topk(list(q), 5, nprobe=3, rescore=pool).toPandas()
+    assert via_pq["id"].tolist() == exact["id"].tolist()
+    assert (via_pq["cosine"].to_numpy() == exact["cosine"].to_numpy()).all()
+    # a tighter cut still returns k rows with exact scores
+    tight = idx.topk(list(q), 3, nprobe=3, rescore=6).toPandas()
+    assert len(tight) == 3
+    merged = tight.merge(exact, on="id", suffixes=("_t", "_e"))
+    assert (merged["cosine_t"] == merged["cosine_e"]).all()
+
+    # the ADC cut subtree must not read the vec column (codes-only
+    # scan at rest) and must stay Python-free
+    cands = idx.scan(list(q), nprobe=3)
+    adc = cands.select("id", similarity.pq_adc_expr(books, list(q)).alias("_adc"))
+    from fdblucene_spark.plans.explain import physical_plan
+    plan = physical_plan(adc)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans, plan
+    for ln in scans:
+        cols = ln.split("[", 1)[1].split("]", 1)[0]  # FileScan parquet [id,codes,bucket]
+        assert "codes" in cols and "vec#" not in cols, ln
+    assert "BatchEval" not in plan and "ArrowEval" not in plan
