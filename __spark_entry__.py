@@ -164,6 +164,16 @@ FACET_SAMPLE_RATE, FACET_SAMPLE_SALT = 0.4, "fs1"  # ft_facet_sampled
 # ft_span_or: SpanNear(SpanTerm, SpanOr(alternatives), SpanTerm) ordered
 SPAN_OR_CLAUSES = ["sort", ("merge", "join"), "the"]
 SPAN_OR_SLOP = 2
+# ft_range_field: LongRange relation queries over [n_chars,
+# n_chars + 1 + doc_id % RF_SPAN_MOD]; narrow contains/crosses range
+# so CONTAINS is satisfiable (doc spans are 2..RF_SPAN_MOD+1 long)
+RF_SPAN_MOD = 97
+RF_IW = (150, 300)  # intersects / within query range
+RF_CC = (200, 230)  # contains / crosses query range
+# ft_word_break: run-together words whose only dictionary split is a
+# vocab pair (key+value, table+scan, sort+order, big+data)
+WB_WORDS = ["keyvalue", "tablescan", "sortorder", "bigdata"]
+WB_N = 5
 # ft_span_not: include occ survives unless exclude occ in [p-pre, p+post]
 SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
 # ft_multi_phrase: MultiPhraseQuery "sort (merge|join|<absent>)" with
@@ -266,6 +276,26 @@ def _chain_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
             fingerprint=sf_dir + "-ichain",
             stored_fields={"lang": "lang", "n_chars": "n_chars", "orig_id": "doc_id"},
             index_sort=[("lang", True), ("n_chars", False)],
+        )
+    return Searcher(spark, root)
+
+
+def _range_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index storing a LongRange per doc as two stored slots
+    (document.LongRange analogue): [n_chars, n_chars + 1 +
+    doc_id % RF_SPAN_MOD]. The hi endpoint is derived in the build
+    DataFrame, so the engine genuinely reads BOTH endpoints back
+    from its own doc-values residency at query time."""
+    root = os.path.join(_index_root(sf_dir), "rangefld")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents").withColumn(
+            "r_hi", F.col("n_chars") + 1 + F.col("doc_id") % RF_SPAN_MOD
+        )
+        build_index(
+            spark, docs, root, doc_col="doc_id", n_shards=4,
+            fingerprint=sf_dir + "-rangefld",
+            text_fields={"text": "text"},
+            stored_fields={"r_lo": "n_chars", "r_hi": "r_hi"},
         )
     return Searcher(spark, root)
 
@@ -655,6 +685,34 @@ norms AS (
          sum(dl)::DOUBLE / count(*) AS avgdl
   FROM doclen
 )"""
+
+
+def _word_break_sql() -> str:
+    """ft_word_break twin: per word, every (prefix, suffix) split as
+    a VALUES list joined against the recomputed dictionary dfs (the
+    join IS the df >= 1 membership test), ranked max-freq desc with
+    left_term asc ties, capped at WB_N — WordBreakSpellChecker's
+    maxChanges=1 NUM_CHANGES_THEN_MAX_FREQUENCY semantics."""
+    blocks = []
+    for idx, w in enumerate(WB_WORDS):
+        vals = ", ".join(f"('{w[:i]}', '{w[i:]}')" for i in range(1, len(w)))
+        blocks.append(
+            f"""wb{idx} AS (
+  SELECT '{w}' AS word, s.l AS left_term, s.r AS right_term,
+         dl.df AS freq_left, dr.df AS freq_right,
+         greatest(dl.df, dr.df) AS score
+  FROM (VALUES {vals}) s(l, r)
+  JOIN dfs dl ON dl.term = s.l
+  JOIN dfs dr ON dr.term = s.r
+  ORDER BY score DESC, left_term ASC LIMIT {WB_N}
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM wb{i}" for i in range(len(WB_WORDS)))
+    return (
+        f"WITH {_TOK_CTE},\n"
+        "dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM tok GROUP BY term),\n" + ",\n".join(blocks) + "\n" + union
+    )
 
 
 TX_N_CONVS = 200
@@ -2392,6 +2450,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs, "doc_id", "text", "cls", epochs=2, train_id_col="doc_id"
         )
 
+    def ft_range_field(spark, sf):
+        # LongRange relation queries (RangeFieldQuery): all four
+        # relations over the same stored [r_lo, r_hi] range — one
+        # union so INTERSECTS/WITHIN/CONTAINS/CROSSES each get a
+        # hash-checked row set (CROSSES is the 3-predicate compound)
+        s = _range_searcher(spark, sf)
+        parts = []
+        for rel, (ql, qh) in [
+            ("intersects", RF_IW), ("within", RF_IW),
+            ("contains", RF_CC), ("crosses", RF_CC),
+        ]:
+            parts.append(
+                s.search_range_field("r_lo", "r_hi", ql, qh, rel, k=K_ALL)
+                .select(F.lit(rel).alias("relation"), F.col("doc").alias("doc_id"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def ft_word_break(spark, sf):
+        # WordBreakSpellChecker.suggestWordBreaks (maxChanges=1,
+        # NUM_CHANGES_THEN_MAX_FREQUENCY): each run-together word's
+        # dictionary splits, ranked max(df) desc
+        s = _searcher(spark, sf)
+        parts = [
+            s.suggest_word_breaks(w, n=WB_N).select(
+                F.lit(w).alias("word"), "left_term", "right_term",
+                "freq_left", "freq_right", "score",
+            )
+            for w in WB_WORDS
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def ft_delete_query(spark, sf):
         # deleteDocuments(Query): matching docs leave the hit set but
         # NOT the stats (liveDocs) — contrast ft_expunge_search
@@ -3150,7 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
-        text_perceptron,
+        text_perceptron, ft_range_field, ft_word_break,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4473,6 +4568,35 @@ WITH tok AS (
 SELECT doc_id, round(score32::DOUBLE, 3) AS score
 FROM sc ORDER BY score32 DESC, doc_id ASC LIMIT {K_ALL}
 """,
+        # LongRange relation queries: all four RangeFieldQuery
+        # relations recomputed over the derived [lo, hi] endpoints;
+        # CROSSES is intersects-minus-within-minus-contains, so a
+        # sign slip in ANY predicate hash-fails
+        "ft_range_field": f"""
+WITH r AS (
+  SELECT doc_id, n_chars AS lo, n_chars + 1 + doc_id % {RF_SPAN_MOD} AS hi
+  FROM documents
+),
+ri AS (SELECT 'intersects' AS relation, doc_id FROM r
+       WHERE lo <= {RF_IW[1]} AND hi >= {RF_IW[0]}
+       ORDER BY doc_id ASC LIMIT {K_ALL}),
+rw AS (SELECT 'within' AS relation, doc_id FROM r
+       WHERE lo >= {RF_IW[0]} AND hi <= {RF_IW[1]}
+       ORDER BY doc_id ASC LIMIT {K_ALL}),
+rc AS (SELECT 'contains' AS relation, doc_id FROM r
+       WHERE lo <= {RF_CC[0]} AND hi >= {RF_CC[1]}
+       ORDER BY doc_id ASC LIMIT {K_ALL}),
+rx AS (SELECT 'crosses' AS relation, doc_id FROM r
+       WHERE lo <= {RF_CC[1]} AND hi >= {RF_CC[0]}
+         AND NOT (lo >= {RF_CC[0]} AND hi <= {RF_CC[1]})
+         AND NOT (lo <= {RF_CC[0]} AND hi >= {RF_CC[1]})
+       ORDER BY doc_id ASC LIMIT {K_ALL})
+SELECT * FROM ri UNION ALL SELECT * FROM rw
+UNION ALL SELECT * FROM rc UNION ALL SELECT * FROM rx
+""",
+        # WordBreakSpellChecker: every split of each word joined
+        # against the recomputed dictionary dfs, ranked max-freq desc
+        "ft_word_break": _word_break_sql(),
         # split index: each side scores with side-local stats — a twin
         # using full-corpus df/avgdl (the liveDocs shape) hash-fails,
         # which is the gate's discrimination

@@ -3675,6 +3675,83 @@ class Searcher:
             .select(F.col("doc"), F.lit(float(boost)).cast("float").alias("score"))
         )
 
+    def search_range_field(
+        self,
+        lo_field: str,
+        hi_field: str,
+        q_lo: int,
+        q_hi: int,
+        relation: str = "intersects",
+        k: int = 10,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """Lucene LongRange field relation query (document.LongRange
+        + RangeFieldQuery: newIntersectsQuery / newWithinQuery /
+        newContainsQuery / newCrossesQuery), one dimension.
+
+        The doc's range [lo, hi] lives in two index-owned stored
+        slots — the engine's doc-values residency for range fields;
+        Lucene packs the same endpoint pair into a binary point and
+        visits the BKD tree with the relation's cell test. Here the
+        relation is a pure Catalyst predicate on the two endpoint
+        columns, so Parquet row-group min/max stats prune file ranges
+        the way BKD inner nodes prune cells:
+
+          intersects: lo <= q_hi AND hi >= q_lo
+          within:     lo >= q_lo AND hi <= q_hi
+          contains:   lo <= q_lo AND hi >= q_hi
+          crosses:    intersects AND NOT within AND NOT contains
+
+        Docs with a NULL endpoint never match (no range was indexed
+        for them — Lucene's missing-value semantics). Every match
+        scores float32(boost) (ConstantScoreQuery, like all range
+        queries); ordering is docID asc, so the top-k are the k
+        lowest live docIDs. Distributed shape: ONE column-pruned
+        stored scan with the predicate pushed down, anti-join
+        tombstones, TakeOrdered — no postings, no global sort.
+        Reference behavior: the reference reaches the identical
+        surface through Lucene's LongRange via FDBDirectory-backed
+        segments (/root/reference/src/main/java/com/cloudant/
+        fdblucene/FDBDirectory.java:52 stores whatever codec bytes
+        Lucene hands it; range semantics are Lucene-defined)."""
+        relations = ("intersects", "within", "contains", "crosses")
+        if relation not in relations:
+            raise ValueError(f"relation must be one of {relations}")
+        q_lo, q_hi = int(q_lo), int(q_hi)
+        if q_lo > q_hi:
+            raise ValueError("q_lo must be <= q_hi")
+        stored = self._stored_df()
+        for f_ in (lo_field, hi_field):
+            if f_ not in stored.columns:
+                raise ValueError(f"field {f_!r} is not stored in this index")
+        lo = F.col(lo_field).cast("long")
+        hi = F.col(hi_field).cast("long")
+        intersects = (lo <= F.lit(q_hi)) & (hi >= F.lit(q_lo))
+        within = (lo >= F.lit(q_lo)) & (hi <= F.lit(q_hi))
+        contains = (lo <= F.lit(q_lo)) & (hi >= F.lit(q_hi))
+        pred = {
+            "intersects": intersects,
+            "within": within,
+            "contains": contains,
+            "crosses": intersects & ~within & ~contains,
+        }[relation]
+        docs = (
+            stored.filter(lo.isNotNull() & hi.isNotNull())
+            .filter(pred)
+            .select(F.col("doc").cast("long").alias("doc"))
+        )
+        rel = self.manifest.properties.get("deletes_path")
+        if rel:
+            dels = self.spark.read.parquet(os.path.join(self.root, rel)).select(
+                F.col("doc").cast("long").alias("doc")
+            )
+            docs = docs.join(dels, "doc", "left_anti")
+        return (
+            docs.orderBy(F.asc("doc"))
+            .limit(int(k))
+            .select(F.col("doc"), F.lit(float(boost)).cast("float").alias("score"))
+        )
+
     def _scored_match_set(
         self, terms: list[str], mode: str = "or", field: str = "text"
     ) -> DataFrame:
@@ -6799,6 +6876,116 @@ class Searcher:
             .orderBy(F.desc(by), F.asc("term"))
             .limit(n)
         )
+
+    def suggest_word_breaks(
+        self,
+        word: str,
+        n: int = 10,
+        field: str = "text",
+        min_suggestion_frequency: int = 1,
+        min_break_word_length: int = 1,
+        sort: str = "max_freq",
+    ) -> DataFrame:
+        """Lucene suggest module's WordBreakSpellChecker
+        .suggestWordBreaks (maxChanges=1, its default): split a
+        run-together word into TWO dictionary words — 'keyvalue' ->
+        ('key', 'value') — keeping only splits where BOTH halves are
+        dictionary terms with docFreq >= min_suggestion_frequency and
+        length >= min_break_word_length. Rank is Lucene's
+        NUM_CHANGES_THEN_MAX_FREQUENCY (all candidates here have one
+        change, so max(freq_left, freq_right) desc; sort='sum_freq'
+        gives NUM_CHANGES_THEN_SUMMED_FREQUENCY), ties left_term asc.
+        Returns (left_term, right_term, freq_left, freq_right, score).
+
+        Distributed shape: the candidate halves are the 2*(len-1)
+        prefixes/suffixes of `word` — a driver-built literal list, so
+        the ONE termdict scan carries an In predicate pushed to the
+        term-sorted Parquet dictionary (row-group pruned); per-segment
+        df folds with a partial+final sum and the <= 2*len(word)
+        surviving stats come back as bounded metadata (the same class
+        as the capped MultiTermQuery expansion lists). Assembly cost
+        is O(len(word)) on the driver; nothing corpus-sized moves."""
+        if sort not in ("max_freq", "sum_freq"):
+            raise ValueError("sort must be 'max_freq' or 'sum_freq'")
+        if not word or len(word) < 2:
+            raise ValueError("suggest_word_breaks() needs a word of length >= 2")
+        minlen = max(1, int(min_break_word_length))
+        splits = [
+            (word[:i], word[i:])
+            for i in range(minlen, len(word) - minlen + 1)
+        ]
+        parts = sorted({p for lr in splits for p in lr})
+        td = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "termdict"))
+        stats = (
+            td.filter((F.col("field") == field) & F.col("term").isin(parts))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .collect()
+        )
+        df_of = {r["term"]: int(r["df"]) for r in stats}
+        minf = int(min_suggestion_frequency)
+        rows = []
+        for left, right in splits:
+            fl, fr = df_of.get(left, 0), df_of.get(right, 0)
+            if fl >= minf and fr >= minf:
+                score = max(fl, fr) if sort == "max_freq" else fl + fr
+                rows.append((left, right, fl, fr, score))
+        rows.sort(key=lambda r: (-r[4], r[0]))
+        schema = (
+            "left_term string, right_term string, "
+            "freq_left long, freq_right long, score long"
+        )
+        return self.spark.createDataFrame(rows[: int(n)], schema)
+
+    def suggest_word_combinations(
+        self,
+        terms: list[str],
+        n: int = 10,
+        field: str = "text",
+        min_suggestion_frequency: int = 1,
+        max_combine_word_length: int = 20,
+    ) -> DataFrame:
+        """WordBreakSpellChecker.suggestWordCombinations: the inverse
+        of suggest_word_breaks — combine CONSECUTIVE query terms into
+        one dictionary word ('data' 'base' -> 'database') when the
+        concatenation is a dictionary term with docFreq >=
+        min_suggestion_frequency and length <= max_combine_word_length
+        (Lucene combines adjacent runs; like its maxChanges=1 default
+        this pairs two neighbors). Rank combined df desc, ties by
+        start index asc. Returns (start_idx, left_term, right_term,
+        combined, freq).
+
+        Same bounded shape as suggest_word_breaks: len(terms)-1
+        candidate concatenations -> one In-pushdown termdict scan ->
+        bounded collect -> driver assembly."""
+        if len(terms) < 2:
+            raise ValueError("suggest_word_combinations() needs >= 2 terms")
+        cands = [
+            (i, terms[i], terms[i + 1], terms[i] + terms[i + 1])
+            for i in range(len(terms) - 1)
+            if len(terms[i] + terms[i + 1]) <= int(max_combine_word_length)
+        ]
+        combos = sorted({c[3] for c in cands})
+        td = self.spark.read.parquet(*self.manifest.segment_paths(self.root, "termdict"))
+        stats = (
+            td.filter((F.col("field") == field) & F.col("term").isin(combos))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .collect()
+        )
+        df_of = {r["term"]: int(r["df"]) for r in stats}
+        minf = int(min_suggestion_frequency)
+        rows = [
+            (i, lt, rt, c, df_of.get(c, 0))
+            for (i, lt, rt, c) in cands
+            if df_of.get(c, 0) >= minf
+        ]
+        rows.sort(key=lambda r: (-r[4], r[0]))
+        schema = (
+            "start_idx int, left_term string, right_term string, "
+            "combined string, freq long"
+        )
+        return self.spark.createDataFrame(rows[: int(n)], schema)
 
     def count(self, terms: list[str], mode: str = "or", field: str = "text") -> int:
         """totalHits (reference: SimpleFDBDirectoryTest.java:155).
