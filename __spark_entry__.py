@@ -174,6 +174,13 @@ RF_CC = (200, 230)  # contains / crosses query range
 # vocab pair (key+value, table+scan, sort+order, big+data)
 WB_WORDS = ["keyvalue", "tablescan", "sortorder", "bigdata"]
 WB_N = 5
+# ft_sweet_spot: SweetSpotSimilarity factors — plateau straddles the
+# corpus's typical quantized token length so BOTH branches of the
+# norm (inside + outside the sweet spot) and BOTH tf branches
+# (freq <= tf_min floor, sqrt tail) appear in the result set
+SS_LN = (30, 90)  # (ln_min, ln_max)
+SS_STEEP = 0.4
+SS_TF = (1.5, 2.0)  # (tf_base, tf_min)
 # ft_span_not: include occ survives unless exclude occ in [p-pre, p+post]
 SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
 # ft_multi_phrase: MultiPhraseQuery "sort (merge|join|<absent>)" with
@@ -2273,6 +2280,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SmallFloat length byte the BM25 path decodes
         return _hits_df(_searcher(spark, sf).search_classic(OR_TERMS, k=K_ALL))
 
+    def ft_sweet_spot(spark, sf):
+        # SweetSpotSimilarity (misc): Classic idf, floored baseline tf
+        # (freq <= 2 -> 1.5, else sqrt(freq + 0.25)), plateau length
+        # norm flat across quantized lengths [30, 90], steepness 0.4
+        return _hits_df(
+            _searcher(spark, sf).search_sweet_spot(
+                OR_TERMS, k=K_ALL,
+                ln_min=SS_LN[0], ln_max=SS_LN[1], steepness=SS_STEEP,
+                tf_base=SS_TF[0], tf_min=SS_TF[1],
+            )
+        )
+
     def ft_lm_dirichlet(spark, sf):
         # LMDirichletSimilarity (mu=2000): Bayesian-smoothed language
         # model — f32 collection probability (ttf+1)/(sum_dl+1), double
@@ -3245,7 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tx_dedup_convs, samp_domain_cap, ft_split_search, ft_boolean_sim,
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
-        text_perceptron, ft_range_field, ft_word_break,
+        text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4170,6 +4189,38 @@ tf AS (
 )
 SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM cls GROUP BY doc_id
+ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
+""",
+        # SweetSpotSimilarity: Classic idf, baseline-tf floor, plateau
+        # norm — every f32 narrowing replayed at the same chain point
+        "ft_sweet_spot": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), ss AS (
+  SELECT tf.doc_id,
+    (((CASE WHEN tf.tf::DOUBLE <= {SS_TF[1]}
+            THEN ({SS_TF[0]})::FLOAT
+            ELSE (sqrt(tf.tf::DOUBLE + {SS_TF[0] * SS_TF[0] - SS_TF[1]}))::FLOAT
+       END)::DOUBLE *
+      ((ln((s.n_docs + 1)::DOUBLE / (dfs.df + 1)::DOUBLE) + 1.0)::FLOAT)::DOUBLE
+     )::FLOAT::DOUBLE *
+     ((1.0 / sqrt({SS_STEEP} * (
+        abs(greatest(n.dlq_len, 1)::DOUBLE - {SS_LN[0]}) +
+        abs(greatest(n.dlq_len, 1)::DOUBLE - {SS_LN[1]}) -
+        {SS_LN[1] - SS_LN[0]}) + 1.0))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM tf
+  JOIN norms n ON n.doc_id = tf.doc_id
+  JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats s
+)
+SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
+FROM ss GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
         "ft_lm_dirichlet": f"""

@@ -4808,6 +4808,98 @@ class Searcher:
 
         return self._search_simbase(terms, k, mode, field, make_score)
 
+    def search_sweet_spot(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        field: str = "text",
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steepness: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+        hyperbolic: tuple | None = None,
+    ) -> DataFrame:
+        """SweetSpotSimilarity — Lucene misc's tunable TF-IDF variant
+        (`IndexSearcher.setSimilarity(new SweetSpotSimilarity())` with
+        setLengthNormFactors / setBaselineTfFactors /
+        setHyperbolicTfFactors): ClassicSimilarity's idf chain with a
+        PLATEAU length norm (documents inside the [ln_min, ln_max]
+        "sweet spot" pay no length penalty; outside it the norm decays
+        with configurable steepness) and a floored tf curve:
+
+            idf  = f32(ln((N + 1) / (df + 1)) + 1)   [Classic's idf]
+            tf   = baseline: f32(tf_base) if freq <= tf_min else
+                   f32(sqrt(freq + tf_base^2 - tf_min))
+                   [setBaselineTfFactors(base, min); defaults (0, 0)
+                   reduce to Classic's sqrt(freq)]
+                 | hyperbolic=(h_min, h_max, h_base, h_xoffset):
+                   f32(h_min + (h_max - h_min)/2 *
+                       (tanh((freq - h_xoffset) * ln(h_base)) + 1))
+                   [setHyperbolicTfFactors' bounded S-curve: tf saturates
+                   at h_max so spam repetition stops paying]
+            norm = f32(1 / sqrt(steepness * (|L - ln_min| +
+                   |L - ln_max| - (ln_max - ln_min)) + 1)),
+                   L = max(decoded length, 1) — the SAME SmallFloat
+                   byte every similarity here reads; defaults
+                   (1, 1, 0.5) reduce to Classic's 1/sqrt(L)
+            score = f32(f32(tf * idf) * norm), f64 per-doc sum -> f32
+
+        With all defaults this is bit-identical to search_classic
+        (pytest-pinned law). Exhaustive constant-shape kernel like the
+        other non-BM25 similarities. Ref: the reference delegates
+        similarity to Lucene 8.1 (pom.xml lucene-core);
+        misc/SweetSpotSimilarity.java semantics."""
+        if mode not in ("or", "and"):
+            raise ValueError("mode must be 'or' or 'and'")
+        if ln_min < 1 or ln_max < ln_min:
+            raise ValueError("need 1 <= ln_min <= ln_max")
+        if steepness <= 0:
+            raise ValueError("steepness must be positive")
+        if hyperbolic is not None:
+            h_min, h_max, h_base, h_xoff = (float(v) for v in hyperbolic)
+            if not (h_max >= h_min and h_base > 1.0):
+                raise ValueError("hyperbolic needs h_max >= h_min and h_base > 1")
+        n_docs = self.manifest.n_docs_for(field)
+        lo, hi = float(ln_min), float(ln_max)
+        steep = float(steepness)
+        t_base, t_min = float(tf_base), float(tf_min)
+
+        def make_score(present):
+            weights = {
+                t: np.float32(np.log((n_docs + 1) / float(df + 1)) + 1.0)
+                for t, (df, _) in present.items()
+            }
+
+            def fn(t, tf64, dl64):
+                if hyperbolic is not None:
+                    tf32 = (
+                        h_min
+                        + (h_max - h_min)
+                        / 2.0
+                        * (np.tanh((tf64 - h_xoff) * np.log(h_base)) + 1.0)
+                    ).astype(np.float32)
+                else:
+                    tf32 = np.where(
+                        tf64 <= t_min,
+                        np.float32(t_base),
+                        np.sqrt(tf64 + t_base * t_base - t_min).astype(np.float32),
+                    ).astype(np.float32)
+                L = np.maximum(dl64, 1.0)
+                norm32 = (
+                    1.0
+                    / np.sqrt(
+                        steep * (np.abs(L - lo) + np.abs(L - hi) - (hi - lo)) + 1.0
+                    )
+                ).astype(np.float32)
+                raw = (tf32 * weights[t]).astype(np.float32)
+                return (raw * norm32).astype(np.float32)
+
+            return fn
+
+        return self._search_simbase(terms, k, mode, field, make_score)
+
     def search_block_join(
         self,
         terms: list[str],
