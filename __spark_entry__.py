@@ -181,6 +181,7 @@ WB_N = 5
 SS_LN = (30, 90)  # (ln_min, ln_max)
 SS_STEEP = 0.4
 SS_TF = (1.5, 2.0)  # (tf_base, tf_min)
+FC_LANG = "fr"  # ft_filter_cache: cached keyword+numeric filter
 # ft_span_not: include occ survives unless exclude occ in [p-pre, p+post]
 SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
 # ft_multi_phrase: MultiPhraseQuery "sort (merge|join|<absent>)" with
@@ -2280,6 +2281,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SmallFloat length byte the BM25 path decodes
         return _hits_df(_searcher(spark, sf).search_classic(OR_TERMS, k=K_ALL))
 
+    def ft_filter_cache(spark, sf):
+        # LRUQueryCache analogue: the keyword+numeric filter's doc set
+        # materializes ONCE per commit point as a parquet sidecar; the
+        # scoring query composes the WARM read through allowed_docs
+        # (the fill/read/eviction laws are pytest-pinned)
+        from fdblucene_spark.operators.filtercache import FilterCache
+
+        s = _searcher(spark, sf)
+        fc = FilterCache(s)
+        fclauses = [{"field": "lang", "term": FC_LANG, "occur": "filter"}]
+        num = [{"field": "n_chars", "lo": FILT_LO, "hi": FILT_HI}]
+        fc.docs(fclauses, numeric=num)  # cold fill (idempotent)
+        allowed = fc.docs(fclauses, numeric=num)  # warm read
+        clauses = [{"term": t, "occur": "should"} for t in OR_TERMS]
+        return _hits_df(
+            s.search_boolean(
+                clauses, k=K_ALL, min_should_match=1, allowed_docs=allowed
+            )
+        )
+
     def ft_sweet_spot(spark, sf):
         # SweetSpotSimilarity (misc): Classic idf, floored baseline tf
         # (freq <= 2 -> 1.5, else sqrt(freq + 0.25)), plateau length
@@ -3265,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
+        ft_filter_cache,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4191,6 +4213,16 @@ SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM cls GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
+        # filter cache: the cached filter is pure set algebra — the
+        # twin recomputes lang+range membership inline, so a stale or
+        # truncated cache entry hash-fails
+        "ft_filter_cache": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            extra_where=(
+                f"AND tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{FC_LANG}' "
+                f"AND n_chars BETWEEN {FILT_LO} AND {FILT_HI})"
+            ),
+        ),
         # SweetSpotSimilarity: Classic idf, baseline-tf floor, plateau
         # norm — every f32 narrowing replayed at the same chain point
         "ft_sweet_spot": f"""
