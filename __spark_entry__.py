@@ -182,6 +182,7 @@ SS_LN = (30, 90)  # (ln_min, ln_max)
 SS_STEEP = 0.4
 SS_TF = (1.5, 2.0)  # (tf_base, tf_min)
 FC_LANG = "fr"  # ft_filter_cache: cached keyword+numeric filter
+BPE_N_MERGES = 12  # text_bpe_merges: BPE tokenizer-trainer rounds
 # ft_span_not: include occ survives unless exclude occ in [p-pre, p+post]
 SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
 # ft_multi_phrase: MultiPhraseQuery "sort (merge|join|<absent>)" with
@@ -2281,6 +2282,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SmallFloat length byte the BM25 path decodes
         return _hits_df(_searcher(spark, sf).search_classic(OR_TERMS, k=K_ALL))
 
+    def text_bpe_merges(spark, sf):
+        # distributed BPE tokenizer training (Sennrich 2016): one
+        # corpus pass to word counts, then vocab-sized rounds — pair
+        # agg + argmax + ONE codegen string replace per round; the
+        # twin unrolls the same rounds as materialized CTEs
+        merges, _ = curation.train_bpe(
+            _table(spark, sf, "documents"), "text", n_merges=BPE_N_MERGES
+        )
+        return spark.createDataFrame(
+            [(int(r), a, b, int(c)) for r, a, b, c in merges],
+            "rank long, left_sym string, right_sym string, freq long",
+        ).orderBy("rank")
+
     def ft_filter_cache(spark, sf):
         # LRUQueryCache analogue: the keyword+numeric filter's doc set
         # materializes ONCE per commit point as a parquet sidecar; the
@@ -3286,7 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
-        ft_filter_cache,
+        ft_filter_cache, text_bpe_merges,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4213,6 +4227,12 @@ SELECT doc_id, round((sum(s32::DOUBLE))::FLOAT::DOUBLE, 3) AS score
 FROM cls GROUP BY doc_id
 ORDER BY (sum(s32::DOUBLE))::FLOAT DESC, doc_id ASC LIMIT {K_ALL}
 """,
+        # BPE trainer: rounds unrolled as materialized CTEs; replace()
+        # is non-overlapping left-to-right in BOTH engines, so greedy
+        # merge semantics agree by construction
+        "text_bpe_merges": curation.bpe_merges_sql(
+            "documents", "text", BPE_N_MERGES
+        ),
         # filter cache: the cached filter is pure set algebra — the
         # twin recomputes lang+range membership inline, so a stale or
         # truncated cache entry hash-fails

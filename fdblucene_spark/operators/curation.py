@@ -1596,3 +1596,206 @@ SELECT * EXCLUDE (__rate, __u, __n, c), c::INT AS copy_idx
 FROM counted, UNNEST(range(__n::BIGINT)) AS t(c)
 WHERE __n > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+# pass of an LLM data pipeline, distributed.
+# ---------------------------------------------------------------------------
+
+BPE_EOW = "</w>"  # end-of-word marker symbol (the published convention)
+
+
+def _bpe_state0(word):
+    """Initial BPE state for a word: every character plus the
+    end-of-word marker, each wrapped as `[sym]` and concatenated.
+    The bracket wrapping makes adjacent-pair rewriting a plain
+    string `replace` — `[a][b]` can never match inside another
+    symbol because analyzer tokens are [a-z0-9_]+ and the marker
+    contains no brackets."""
+    chars = F.regexp_extract_all(word, F.lit("."), 0)
+    syms = F.concat(chars, F.array(F.lit(BPE_EOW)))
+    return F.concat(F.lit("["), F.array_join(syms, "]["), F.lit("]"))
+
+
+_BPE_TS = r"split(substring(state, 2, length(state) - 2), '\\]\\[')"
+# fully-merged words have a single symbol left (no pairs): the
+# sequence is floored at one probe and null partners filtered out
+_BPE_PAIRS = (
+    f"filter(transform(sequence(1, greatest(size({_BPE_TS}) - 1, 1)), "
+    f"i -> struct(try_element_at({_BPE_TS}, i) AS a, "
+    f"try_element_at({_BPE_TS}, i + 1) AS b)), p -> p.b IS NOT NULL)"
+)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 32,
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+):
+    """Learn `n_merges` BPE merges from a corpus (Sennrich et al.
+    2016, the byte-pair-encoding tokenizer trainer every modern LLM
+    pipeline runs before pre-training).
+
+    Returns `(merges, vocab)`:
+    - merges: list of (rank, left, right, freq) in training order —
+      the trained tokenizer model (bounded: n_merges rows);
+    - vocab: DataFrame (word, cnt, tokens) — every corpus word's
+      final segmentation, the apply-side cache.
+
+    Algorithm, distributed shape:
+    1. ONE corpus-sized pass: analyzer tokens -> (word, cnt) counts
+       (partial+final agg). Everything after runs on the VOCAB table
+       (distinct words), orders of magnitude smaller than the corpus —
+       the published structure of BPE training at scale.
+    2. Per round: adjacent-pair counts (explode + partial+final agg),
+       argmax pair via TakeOrdered(1) — ONE driver row per round, the
+       bounded-model-state pattern (same class as IVF centroids) with
+       a deterministic (freq desc, left asc, right asc) tie-break —
+       then ONE whole-stage-codegen string `replace` rewrites every
+       word's segmentation. `replace` substitutes non-overlapping
+       occurrences left-to-right, exactly greedy BPE pair merging
+       (for `aaa` merging (a,a): `[a][a][a]` -> `[aa][a]`).
+    3. Lineage is cut every `checkpoint_every` rounds (localCheckpoint)
+       so the plan never grows past a bounded depth no matter how many
+       merges are requested.
+
+    Early stop: a round whose best pair falls under `min_count` ends
+    training (the reference BPE stopping rule). No Python UDFs
+    anywhere; every round is two vocab-sized Catalyst jobs."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    words = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    vocab = words.select("w", "cnt", _bpe_state0(F.col("w")).alias("state"))
+    vocab = vocab.persist()
+    merges = []
+    for r in range(int(n_merges)):
+        top = (
+            vocab.select(F.col("cnt"), F.explode(F.expr(_BPE_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["c"]) < int(min_count):
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((r, a, b, c))
+        nxt = vocab.withColumn(
+            "state",
+            F.replace(
+                F.col("state"),
+                F.lit(f"[{a}][{b}]"),
+                F.lit(f"[{a}{b}]"),
+            ),
+        )
+        if (r + 1) % int(checkpoint_every) == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        vocab.unpersist()
+        vocab = nxt
+    out_vocab = vocab.select(
+        "w", "cnt", F.expr(_BPE_TS).alias("tokens")
+    )
+    return merges, out_vocab
+
+
+def apply_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    merges: list | None = None,
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE model: (id, tokens) where
+    tokens is the document's flattened subword sequence.
+
+    Distributed shape: documents explode to (id, pos, word); words
+    join the trained vocab segmentation (the apply-side cache — for a
+    corpus the model was trained on this covers every word); unseen
+    words fall back to character+marker symbols rewritten by the
+    merge list, applied as a chain of the SAME whole-stage-codegen
+    `replace` ops training used (merges is bounded — the tokenizer
+    model — so the chain depth is the model size, not data size);
+    per-doc reassembly is one groupBy(id) with an order-struct
+    sort_array — bounded by document length, never corpus-sized."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens_col(text_col))
+    ).withColumnRenamed("col", "w")
+    seg = toks.join(vocab.select("w", "tokens"), "w", "left")
+    if merges:
+        oov = _bpe_state0(F.col("w"))
+        for _, a, b, _c in merges:
+            oov = F.replace(oov, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+        seg = seg.withColumn("state", oov).withColumn(
+            "tokens", F.coalesce(F.col("tokens"), F.expr(_BPE_TS))
+        )
+    return (
+        seg.groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tokens")))
+                    ),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+        .select(F.col("id").alias(id_col), "tokens")
+    )
+
+
+def bpe_merges_sql(table: str, text_col: str, n_merges: int, min_count: int = 2) -> str:
+    """DuckDB twin of train_bpe's merge table: rounds unrolled as
+    chained CTEs (the perceptron_sql pattern). Each round recomputes
+    adjacent-pair counts from the bracket-wrapped state string,
+    argmaxes with the same (freq desc, left asc, right asc) tie-break,
+    and rewrites via DuckDB's `replace` — which is the same
+    non-overlapping left-to-right substitution Spark's replace does,
+    so greedy merge semantics match by construction."""
+    ts = "string_split(state[2:-2], '][')"
+    ctes = [f"""w0 AS (
+  SELECT w, count(*)::BIGINT AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '')) AS w
+    FROM {table}
+  ) GROUP BY w
+), seg0 AS MATERIALIZED (
+  SELECT cnt, '[' || array_to_string(list_append(regexp_extract_all(w, '.'), '{BPE_EOW}'), '][') || ']' AS state
+  FROM w0
+)"""]
+    for r in range(int(n_merges)):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT ts[i] AS a, ts[i + 1] AS b, sum(cnt)::BIGINT AS c
+  FROM (SELECT cnt, {ts} AS ts FROM seg{r}),
+       UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+  GROUP BY ts[i], ts[i + 1]
+), top{r} AS MATERIALIZED (
+  SELECT {r} AS rank, a, b, c FROM p{r}
+  WHERE c >= {int(min_count)}
+  ORDER BY c DESC, a ASC, b ASC LIMIT 1
+), seg{r + 1} AS MATERIALIZED (
+  SELECT cnt,
+         CASE WHEN t.a IS NOT NULL
+              THEN replace(state, '[' || t.a || '][' || t.b || ']', '[' || t.a || t.b || ']')
+              ELSE state END AS state
+  FROM seg{r} LEFT JOIN top{r} t ON TRUE
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM top{r}" for r in range(int(n_merges)))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT rank::BIGINT AS rank, a AS left_sym, b AS right_sym, c AS freq
+FROM ({union}) ORDER BY rank ASC
+"""
+    )
