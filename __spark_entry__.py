@@ -144,6 +144,11 @@ GEO_NEAREST_CENTER = (-35.0, 150.0)
 # geo_polygon: concave chevron (notch down to (10, 0)) — even-odd ray
 # casting must exclude the notch, a plain bbox or convex test would not
 GEO_POLY = [(-30.0, -60.0), (45.0, -40.0), (10.0, 0.0), (45.0, 40.0), (-30.0, 60.0)]
+# geo_polygon_holes: the same chevron minus a rectangular hole and an
+# island ring INSIDE the hole — even-odd over all three rings must
+# exclude the annulus but re-include the island
+GEO_HOLE = [(-20.0, -30.0), (15.0, -30.0), (15.0, 30.0), (-20.0, 30.0)]
+GEO_ISLAND = [(-10.0, -12.0), (5.0, -12.0), (5.0, 12.0), (-10.0, 12.0)]
 GEO_BOX = (-20.0, 35.0, 40.0, 120.0)  # geo_box: (min_lat, max_lat, min_lon, max_lon)
 _GATE_ROOT = "/tmp/sparklucene_gate_v6"  # bump on index format change
 # v5 = doclen doc-roster rows (dl=0 sentinel -> true MatchAllDocs) +
@@ -3196,6 +3201,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def geo_polygon_holes(spark, sf):
+        # Polygon(lats, lons, holes...): even-odd over outer + hole +
+        # island rings — annulus excluded, island re-included; any
+        # sign/parity slip in the multi-ring crossing sum hash-fails
+        return geo.polygon_query(
+            _geo_docs(spark, sf), "lat", "lon", GEO_POLY,
+            holes=[GEO_HOLE, GEO_ISLAND],
+        ).select("doc_id")
+
     def geo_box(spark, sf):
         # LatLonPoint.newBoxQuery: pure sargable lat/lon range
         # predicate — whole plan is one pushed-down Parquet scan
@@ -3300,7 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_delete_query, text_nb_classify, ft_knn_classify, ft_dfr,
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
-        ft_filter_cache, text_bpe_merges,
+        ft_filter_cache, text_bpe_merges, geo_polygon_holes,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4849,6 +4863,16 @@ WITH g AS (
   FROM documents
 )
 SELECT doc_id FROM g WHERE {geo.polygon_sql('lat', 'lon', GEO_POLY)}
+""",
+        "geo_polygon_holes": f"""
+WITH g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000)::DOUBLE / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000)::DOUBLE / 100.0 - 180.0 AS lon
+  FROM documents
+)
+SELECT doc_id FROM g
+WHERE {geo.polygon_sql('lat', 'lon', GEO_POLY, holes=[GEO_HOLE, GEO_ISLAND])}
 """,
         "geo_box": f"""
 WITH g AS (

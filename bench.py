@@ -495,6 +495,32 @@ def main() -> None:
         )
         _geo.nearest_k(gdf, "doc_id", "lat", "lon", -35.0, 150.0, 40).collect()
 
+    with timed("filter_cache_cold"):
+        # LRUQueryCache analogue: cold fill runs the constant-score
+        # kernel and persists the doc-set sidecar
+        from fdblucene_spark.operators.filtercache import FilterCache
+
+        fc = FilterCache(sd)
+        fc.clear()
+        fcl = [{"field": "lang", "term": "fr", "occur": "filter"}]
+        fnum = [{"field": "n_chars", "lo": 100, "hi": 900}]
+        fc.docs(fcl, numeric=fnum).count()
+    with timed("filter_cache_warm"):
+        # warm read: column-pruned parquet scan of the cached set —
+        # the per-query saving every composed filter gets thereafter
+        fc.docs(fcl, numeric=fnum).count()
+    extra["filter_cache_speedup"] = round(
+        queries["filter_cache_cold"] / max(queries["filter_cache_warm"], 1e-9), 2
+    )
+
+    with timed("bpe_train16"):
+        # distributed BPE tokenizer training: one corpus pass + 16
+        # vocab-sized merge rounds (pair agg + argmax + codegen replace)
+        from fdblucene_spark.operators.curation import train_bpe
+
+        bpe_merges, _bpe_vocab = train_bpe(docs, "text", n_merges=16)
+    extra["bpe_merges_learned"] = len(bpe_merges)
+
     cal_post = _calibrate()
     extra["cal_pre"] = cal_pre
     extra["cal_post"] = cal_post

@@ -134,8 +134,21 @@ def _polygon_bbox(vertices: list[tuple[float, float]]) -> tuple[float, float, fl
     return min(lats), max(lats), min(lons), max(lons)
 
 
+def _ring_edges(vertices: list[tuple[float, float]]):
+    """Non-horizontal edges of one closed ring as (yi, xi, yj, xj)."""
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = float(vertices[i][0]), float(vertices[i][1])
+        yj, xj = float(vertices[(i + 1) % n][0]), float(vertices[(i + 1) % n][1])
+        if yi != yj:  # a horizontal edge can never straddle the ray
+            yield yi, xi, yj, xj
+
+
 def polygon_contains(
-    lat: Column, lon: Column, vertices: list[tuple[float, float]]
+    lat: Column,
+    lon: Column,
+    vertices: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] | None = None,
 ) -> Column:
     """Even-odd ray casting (the point-in-polygon test Lucene's
     Polygon/Tessellator BKD relation bottoms out in): cast a ray in
@@ -148,40 +161,48 @@ def polygon_contains(
     crossing-longitude division is well-defined) and the crossing sits
     east of the point. Boundary points follow the half-open even-odd
     convention — deterministic, and reproduced verbatim in the SQL
-    twin (polygon_sql)."""
+    twin (polygon_sql).
+
+    `holes` (Lucene's Polygon(lats, lons, Polygon... holes)): interior
+    rings whose edges join the SAME crossing count — even-odd then
+    excludes points inside a hole automatically (outer odd + hole odd
+    = even), and re-includes islands inside holes if a hole itself
+    contains a ring."""
     if len(vertices) < 3:
         raise ValueError("polygon needs >= 3 vertices")
+    for h in holes or []:
+        if len(h) < 3:
+            raise ValueError("every hole needs >= 3 vertices")
     crossings: Column | None = None
-    n = len(vertices)
-    for i in range(n):
-        yi, xi = float(vertices[i][0]), float(vertices[i][1])
-        yj, xj = float(vertices[(i + 1) % n][0]), float(vertices[(i + 1) % n][1])
-        if yi == yj:
-            continue  # a horizontal edge can never straddle the ray
-        straddles = (F.lit(yi) > lat) != (F.lit(yj) > lat)
-        cross_lon = F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
-        hit = F.when(straddles & (lon < cross_lon), F.lit(1)).otherwise(F.lit(0))
-        crossings = hit if crossings is None else crossings + hit
+    for ring in [vertices] + list(holes or []):
+        for yi, xi, yj, xj in _ring_edges(ring):
+            straddles = (F.lit(yi) > lat) != (F.lit(yj) > lat)
+            cross_lon = (
+                F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
+            )
+            hit = F.when(straddles & (lon < cross_lon), F.lit(1)).otherwise(F.lit(0))
+            crossings = hit if crossings is None else crossings + hit
     if crossings is None:  # degenerate: every edge horizontal
         return F.lit(False)
     return (crossings % 2) == 1
 
 
-def polygon_sql(lat: str, lon: str, vertices: list[tuple[float, float]]) -> str:
-    """DuckDB twin of polygon_contains — same edges, same literals,
-    same even-odd convention."""
+def polygon_sql(
+    lat: str,
+    lon: str,
+    vertices: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] | None = None,
+) -> str:
+    """DuckDB twin of polygon_contains — same edges (outer ring +
+    holes), same literals, same even-odd convention."""
     parts = []
-    n = len(vertices)
-    for i in range(n):
-        yi, xi = float(vertices[i][0]), float(vertices[i][1])
-        yj, xj = float(vertices[(i + 1) % n][0]), float(vertices[(i + 1) % n][1])
-        if yi == yj:
-            continue  # mirrors polygon_contains: horizontal edges skip
-        parts.append(
-            f"(CASE WHEN (({yi} > ({lat})) <> ({yj} > ({lat}))) AND "
-            f"(({lon}) < {xj - xi} * (({lat}) - {yi}) / {yj - yi} + {xi}) "
-            "THEN 1 ELSE 0 END)"
-        )
+    for ring in [vertices] + list(holes or []):
+        for yi, xi, yj, xj in _ring_edges(ring):
+            parts.append(
+                f"(CASE WHEN (({yi} > ({lat})) <> ({yj} > ({lat}))) AND "
+                f"(({lon}) < {xj - xi} * (({lat}) - {yi}) / {yj - yi} + {xi}) "
+                "THEN 1 ELSE 0 END)"
+            )
     if not parts:  # degenerate: every edge horizontal
         return "(FALSE)"
     return f"((({' + '.join(parts)}) % 2) = 1)"
@@ -192,18 +213,20 @@ def polygon_query(
     lat_col: str,
     lon_col: str,
     vertices: list[tuple[float, float]],
+    holes: list[list[tuple[float, float]]] | None = None,
 ) -> DataFrame:
-    """LatLonPoint.newPolygonQuery: rows inside the polygon.
-    Sargable bounding-box prefilter (Parquet row-group min/max skip,
-    the BKD outer-box analogue) -> exact even-odd ray cast on the
-    survivors, all whole-stage-codegen column math."""
+    """LatLonPoint.newPolygonQuery: rows inside the polygon (minus any
+    holes). Sargable bounding-box prefilter from the OUTER ring
+    (Parquet row-group min/max skip, the BKD outer-box analogue) ->
+    exact even-odd ray cast on the survivors, all whole-stage-codegen
+    column math."""
     lo_lat, hi_lat, lo_lon, hi_lon = _polygon_bbox(vertices)
     lat = F.col(lat_col).cast("double")
     lon = F.col(lon_col).cast("double")
     return df.filter(
         F.col(lat_col).between(lo_lat, hi_lat)
         & F.col(lon_col).between(lo_lon, hi_lon)
-    ).filter(polygon_contains(lat, lon, vertices))
+    ).filter(polygon_contains(lat, lon, vertices, holes))
 
 
 def nearest_k(

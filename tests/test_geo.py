@@ -172,3 +172,74 @@ def test_polygon_guards():
 
     with _pt.raises(ValueError):
         geo.polygon_contains(F.lit(0.0), F.lit(0.0), [(0.0, 0.0), (1.0, 1.0)])
+
+
+# ---- polygon holes (Lucene Polygon(lats, lons, holes...)) ----
+
+_HOLE = [(-20.0, -30.0), (15.0, -30.0), (15.0, 30.0), (-20.0, 30.0)]
+_ISLAND = [(-10.0, -12.0), (5.0, -12.0), (5.0, 12.0), (-10.0, 12.0)]
+
+
+def _ray_cast_rings(lat, lon, rings):
+    cross = 0
+    for verts in rings:
+        n = len(verts)
+        for i in range(n):
+            yi, xi = verts[i]
+            yj, xj = verts[(i + 1) % n]
+            if yi == yj:
+                continue
+            if (yi > lat) != (yj > lat) and lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+                cross += 1
+    return cross % 2 == 1
+
+
+def test_polygon_holes_matches_brute(geo_df):
+    rows, df = geo_df
+    got = {int(r["pid"]) for r in geo.polygon_query(
+        df, "lat", "lon", _CHEVRON, holes=[_HOLE, _ISLAND]).collect()}
+    want = {r["pid"] for r in rows
+            if _ray_cast_rings(r["lat"], r["lon"], [_CHEVRON, _HOLE, _ISLAND])}
+    assert got == want
+    # the holes actually subtract something on this grid
+    plain = {int(r["pid"]) for r in
+             geo.polygon_query(df, "lat", "lon", _CHEVRON).collect()}
+    assert got < plain
+
+
+def test_polygon_holes_planted_points(spark):
+    # annulus (inside hole, outside island) excluded; island center
+    # re-included; wing outside the hole stays in
+    pts = [
+        {"pid": 0, "lat": 0.0, "lon": -40.0},   # left wing: inside
+        {"pid": 1, "lat": 12.0, "lon": -25.0},  # annulus: excluded by hole
+        {"pid": 2, "lat": 0.0, "lon": 0.0},     # island center: re-included
+        {"pid": 3, "lat": 40.0, "lon": 0.0},    # notch: outside outer ring
+    ]
+    got = {int(r["pid"]) for r in geo.polygon_query(
+        spark.createDataFrame(pts), "lat", "lon", _CHEVRON,
+        holes=[_HOLE, _ISLAND]).collect()}
+    assert got == {0, 2}
+
+
+def test_polygon_holes_sql_twin_identity(spark, geo_df):
+    import duckdb
+
+    rows, df = geo_df
+    got = sorted(int(r["pid"]) for r in geo.polygon_query(
+        df, "lat", "lon", _CHEVRON, holes=[_HOLE]).collect())
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame(rows))
+    exp = sorted(r[0] for r in con.sql(
+        f"SELECT pid FROM pts WHERE {geo.polygon_sql('lat', 'lon', _CHEVRON, holes=[_HOLE])}"
+    ).fetchall())
+    assert got == exp
+
+
+def test_polygon_holes_guards():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        geo.polygon_contains(
+            F.lit(0.0), F.lit(0.0), _CHEVRON, holes=[[(0.0, 0.0), (1.0, 1.0)]]
+        )
