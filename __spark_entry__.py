@@ -169,6 +169,10 @@ FACET_SAMPLE_RATE, FACET_SAMPLE_SALT = 0.4, "fs1"  # ft_facet_sampled
 # ft_span_or: SpanNear(SpanTerm, SpanOr(alternatives), SpanTerm) ordered
 SPAN_OR_CLAUSES = ["sort", ("merge", "join"), "the"]
 SPAN_OR_SLOP = 2
+# ft_span_multi: SpanMultiTermQueryWrapper(PrefixQuery s*) as the
+# first clause — rewrites to SpanOr over the termdict expansion
+SPAN_MULTI_CLAUSES = [{"prefix": "s"}, "merge"]
+SPAN_MULTI_SLOP = 2
 # ft_range_field: LongRange relation queries over [n_chars,
 # n_chars + 1 + doc_id % RF_SPAN_MOD]; narrow contains/crosses range
 # so CONTAINS is satisfiable (doc spans are 2..RF_SPAN_MOD+1 long)
@@ -885,6 +889,7 @@ def _bm25_sql(
     stem: bool = False,
     shingle: bool = False,
     select_override: str | None = None,
+    expansions: dict[str, tuple[str, int]] | None = None,
 ) -> str:
     """DuckDB BM25 twin. extra_where: appended to the per-(doc,term)
     scores CTE (doc-set filters: keyword/numeric/delete predicates).
@@ -904,6 +909,21 @@ def _bm25_sql(
     else:
         tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
         term_pred = f"term IN ({tlist})"
+    # expansions: named MultiTermQuery rewrite CTEs (the engine's
+    # expand_terms twin — top `cap` vocabulary terms by df desc, term
+    # asc). A span clause given as {"cte": name} matches at the
+    # positions of ANY expanded term (SpanMultiTermQueryWrapper ->
+    # SpanOr rewrite), and the expansion members join the scored term
+    # set like every other OR alternative.
+    exp_cte = ""
+    for name, (pred, cap) in (expansions or {}).items():
+        exp_cte += f""",
+{name} AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS xdf FROM tok GROUP BY term
+  ) WHERE {pred} ORDER BY xdf DESC, term ASC LIMIT {cap}
+)"""
+        term_pred = f"({term_pred} OR term IN (SELECT term FROM {name}))"
     n_terms = len(set(terms))
     if having is None:
         having = f"HAVING count(*) = {n_terms}" if mode in ("and", "phrase") else ""
@@ -970,7 +990,9 @@ toks AS (
         joins = ", ".join(f"flat f{i}" for i in range(ns))
         conds = []
         for i, t in enumerate(sterms):
-            if isinstance(t, (tuple, list)):
+            if isinstance(t, dict):
+                conds.append(f"f{i}.t IN (SELECT term FROM {t['cte']})")
+            elif isinstance(t, (tuple, list)):
                 alts = ", ".join(f"'{a}'" for a in t)
                 conds.append(f"f{i}.t IN ({alts})")
             else:
@@ -1110,7 +1132,7 @@ tokpos AS (
         else ""
     )
     return f"""
-WITH {tok_cte}, {_NORM_CTE}{phrase_filter},
+WITH {tok_cte}{exp_cte}, {_NORM_CTE}{phrase_filter},
 tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
   WHERE {term_pred} GROUP BY doc_id, term
@@ -1826,6 +1848,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _hits_df(
             _searcher(spark, sf).search_span_near(
                 SPAN_OR_CLAUSES, k=K_ALL, slop=SPAN_OR_SLOP, in_order=True
+            )
+        )
+
+    def ft_span_multi(spark, sf):
+        # SpanMultiTermQueryWrapper(PrefixQuery "s*") inside an ordered
+        # SpanNearQuery: the pattern clause rewrites through the
+        # distributed termdict expansion (top-50 by df desc, term asc —
+        # TopTermsSpanBooleanQueryRewrite) into a SpanOr alternative
+        # set; the twin recomputes the same expansion as a SQL CTE, so
+        # a cap/order drift in either side hash-fails
+        return _hits_df(
+            _searcher(spark, sf).search_span_multi(
+                SPAN_MULTI_CLAUSES, k=K_ALL, slop=SPAN_MULTI_SLOP, in_order=True
             )
         )
 
@@ -3315,6 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
+        ft_span_multi,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3821,6 +3857,11 @@ FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {K_ALL}
         "ft_span_or": _bm25_sql(
             [t for c in SPAN_OR_CLAUSES for t in ((c,) if isinstance(c, str) else c)],
             "or", K_ALL, span=(SPAN_OR_CLAUSES, SPAN_OR_SLOP, True),
+        ),
+        "ft_span_multi": _bm25_sql(
+            ["merge"], "or", K_ALL,
+            span=([{"cte": "exp0"}, "merge"], SPAN_MULTI_SLOP, True),
+            expansions={"exp0": ("term LIKE 's%'", 50)},
         ),
         "ft_suggest": f"""
 WITH src AS (SELECT doc_id, text FROM documents),

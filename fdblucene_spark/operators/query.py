@@ -2162,6 +2162,55 @@ class Searcher:
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
+    def search_span_multi(
+        self,
+        clause_terms: list,
+        k: int,
+        slop: int = 0,
+        in_order: bool = True,
+        field: str = "text",
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Lucene SpanMultiTermQueryWrapper inside a SpanNearQuery:
+        a clause may be a literal term (SpanTermQuery), a list of
+        alternatives (SpanOrQuery), or a MultiTermQuery pattern dict —
+        {"prefix": p} / {"wildcard": w} / {"regexp": r} /
+        {"fuzzy": t, "max_edits": n, "transpositions": bool} /
+        {"term_range": (lo, hi)}. Pattern clauses rewrite through the
+        SAME distributed termdict expansion every MultiTermQuery uses
+        (expand_terms: top max_expansions by df desc, term asc —
+        Lucene's TopTermsSpanBooleanQueryRewrite cap) into a SpanOr
+        alternative set, then the N-clause span-near kernel runs ONCE
+        on the union vocabulary. A pattern with no vocabulary match is
+        an empty SpanOr — the whole near can never match (Lucene's
+        empty-rewrite contract). Scoring/top-k follow search_span_near
+        (OR clauses require in_order=True, same greedy minimal-chain
+        matcher). Reference delegates span queries to Lucene wholesale
+        (/root/reference/README.md:53); this is the wrapper surface."""
+        expanded: list = []
+        for c in clause_terms:
+            if isinstance(c, dict):
+                terms = self.expand_terms(
+                    field=field,
+                    prefix=c.get("prefix"),
+                    wildcard=c.get("wildcard"),
+                    regex=c.get("regexp"),
+                    fuzzy=c.get("fuzzy"),
+                    max_edits=int(c.get("max_edits", 2)),
+                    transpositions=bool(c.get("transpositions", False)),
+                    prefix_length=int(c.get("prefix_length", 0)),
+                    term_range=c.get("term_range"),
+                    max_expansions=max_expansions,
+                )
+                if not terms:
+                    return self.spark.createDataFrame([], HIT_SCHEMA)
+                expanded.append(terms if len(terms) > 1 else terms[0])
+            else:
+                expanded.append(c)
+        return self.search_span_near(
+            expanded, k, slop=slop, in_order=in_order, field=field
+        )
+
     def _expand_interval_leaves(
         self, source: dict, field: str, max_expansions: int
     ) -> dict:

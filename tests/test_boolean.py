@@ -1376,6 +1376,55 @@ def test_span_near_or_clauses(spark, tmp_path_factory):
         s.search_span_near([[], "cat"], k=5)
 
 
+def test_span_multi_term_wrapper(spark, tmp_path_factory):
+    """SpanMultiTermQueryWrapper: a pattern clause rewrites through
+    expand_terms into a SpanOr alternative set — (doc, score)
+    identity with hand-expanding the same pattern, empty rewrite
+    matches nothing."""
+    rng = np.random.default_rng(31)
+    vocab = ["bat", "bee", "bog", "cat", "dog"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=int(rng.integers(4, 14))))}
+        for i in range(150)
+    ]
+    root = str(tmp_path_factory.mktemp("spanmulti") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+
+    exp = s.expand_terms(prefix="b")
+    assert sorted(exp) == ["bat", "bee", "bog"]
+    got = {(r["doc"], r["score"]) for r in
+           s.search_span_multi([{"prefix": "b"}, "cat"], k=500, slop=2).collect()}
+    want = {(r["doc"], r["score"]) for r in
+            s.search_span_near([tuple(exp), "cat"], k=500, slop=2,
+                               in_order=True).collect()}
+    assert got == want and got
+
+    # wildcard pattern in the SECOND slot; single-term expansion
+    # collapses to a plain SpanTermQuery clause
+    got1 = {(r["doc"], r["score"]) for r in
+            s.search_span_multi(["cat", {"wildcard": "d?g"}], k=500, slop=1).collect()}
+    want1 = {(r["doc"], r["score"]) for r in
+             s.search_span_near(["cat", "dog"], k=500, slop=1,
+                                in_order=True).collect()}
+    assert got1 == want1
+
+    # fuzzy pattern clause: bat~1 expands to {bat, bee?, bog?} per
+    # classic levenshtein <= 1 — just assert identity with the
+    # hand-expanded set, whatever expand_terms returns
+    fexp = s.expand_terms(fuzzy="bat", max_edits=1)
+    got2 = {(r["doc"], r["score"]) for r in
+            s.search_span_multi([{"fuzzy": "bat", "max_edits": 1}, "cat"],
+                                k=500, slop=3).collect()}
+    want2 = {(r["doc"], r["score"]) for r in
+             s.search_span_near([tuple(fexp), "cat"], k=500, slop=3,
+                                in_order=True).collect()}
+    assert got2 == want2
+
+    # empty rewrite (no vocabulary term starts with zz) matches nothing
+    assert s.search_span_multi([{"prefix": "zz"}, "cat"], k=10).count() == 0
+
+
 def test_rescore_combine_law(spark, bool_index):
     """QueryRescorer: weight=0 reproduces the first-pass ranking
     (float32 round-trip is exact on f32-valued doubles); with weight,
