@@ -3236,6 +3236,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         )
 
+    def text_c4_clean(spark, sf):
+        # C4 line-level page cleaning (Raffel et al. 2020 §2.2): the
+        # corpus has no newlines, so lines are DERIVED deterministically
+        # — split on the token "line", terminal punctuation assigned by
+        # trimmed-length % 3 (1 -> '.', 2 -> none, 0 -> '!') — then
+        # every rule runs for real: terminal-punct gate, >= 3 words,
+        # banned line word "slow", page bans ("dup merge" substring),
+        # >= 2 surviving lines. Pure higher-order column ops; the twin
+        # rebuilds the identical derived pages in SQL
+        def _mk_line(p):
+            t = F.trim(p)
+            return F.concat(
+                t,
+                F.when(F.length(t) % 3 == 1, F.lit("."))
+                .when(F.length(t) % 3 == 2, F.lit(""))
+                .otherwise(F.lit("!")),
+            )
+
+        g = _table(spark, sf, "documents").select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.split(F.col("text"), r"\bline\b"), _mk_line), "\n"
+            ).alias("text2"),
+        )
+        return curation.clean_c4(
+            g, "doc_id", "text2", min_words=3, min_lines=2,
+            banned_line_words=("slow",),
+            banned_page_substrings=("dup merge",),
+        )
+
     def geo_polygon_holes(spark, sf):
         # Polygon(lats, lons, holes...): even-odd over outer + hole +
         # island rings — annulus excluded, island re-included; any
@@ -3350,7 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
-        ft_span_multi,
+        ft_span_multi, text_c4_clean,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4904,6 +4934,21 @@ WITH g AS (
   FROM documents
 )
 SELECT doc_id FROM g WHERE {geo.polygon_sql('lat', 'lon', GEO_POLY)}
+""",
+        "text_c4_clean": f"""
+WITH gsrc AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(string_split_regex(text, '\\bline\\b'),
+             p -> trim(p) || CASE WHEN length(trim(p)) % 3 = 1 THEN '.'
+                                  WHEN length(trim(p)) % 3 = 2 THEN ''
+                                  ELSE '!' END),
+           chr(10)) AS text2
+  FROM documents
+), {curation.clean_c4_sql(
+        "gsrc", "doc_id", "text2", min_words=3, min_lines=2,
+        banned_line_words=("slow",), banned_page_substrings=("dup merge",),
+    ).lstrip().removeprefix("WITH ")}
 """,
         "geo_polygon_holes": f"""
 WITH g AS (

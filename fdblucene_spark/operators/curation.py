@@ -1799,3 +1799,104 @@ SELECT rank::BIGINT AS rank, a AS left_sym, b AS right_sym, c AS freq
 FROM ({union}) ORDER BY rank ASC
 """
     )
+
+
+def clean_c4(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terminal_puncts: tuple[str, ...] = (".", "!", "?", '"'),
+    min_words: int = 3,
+    min_lines: int = 5,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_page_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2, the
+    public `c4_utils.py` rules): keep a LINE iff it ends in a terminal
+    punctuation mark, has >= `min_words` whitespace words, and does not
+    contain any `banned_line_words` substring (case-insensitive — the
+    paper's "Javascript" rule); drop a PAGE entirely iff it contains
+    any `banned_page_substrings` (the "lorem ipsum" / curly-brace code
+    heuristics) or fewer than `min_lines` lines survive (the >=5
+    sentences rule, with kept lines standing in for sentences).
+    Returns one row per surviving page:
+    (id, clean_text, n_lines_kept, n_lines_total).
+
+    Scale shape: pure Catalyst higher-order array ops (split ->
+    per-line filter -> array_join) in whole-stage codegen — zero
+    shuffles, zero Python, embarrassingly parallel at any corpus
+    size; the oracle twin is clean_c4_sql."""
+    if min_words < 1 or min_lines < 1:
+        raise ValueError("min_words and min_lines must be >= 1")
+    if not terminal_puncts:
+        raise ValueError("terminal_puncts must be non-empty")
+    puncts = [str(p) for p in terminal_puncts]
+
+    def keep(l: Column) -> Column:
+        words = F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))
+        cond = (F.size(words) >= int(min_words)) & F.substring(l, -1, 1).isin(puncts)
+        for bw in banned_line_words:
+            cond = cond & ~F.lower(l).contains(bw.lower())
+        return cond
+
+    lines = F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+    kept = F.filter(lines, keep)
+    page_ok = F.size(kept) >= int(min_lines)
+    for ps in banned_page_substrings:
+        page_ok = page_ok & ~F.lower(F.col(text_col)).contains(ps.lower())
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            kept.alias("_kept"),
+            lines.alias("_lines"),
+        )
+        .where(page_ok)
+        .select(
+            F.col(id_col),
+            F.array_join("_kept", "\n").alias("clean_text"),
+            F.size("_kept").cast("long").alias("n_lines_kept"),
+            F.size("_lines").cast("long").alias("n_lines_total"),
+        )
+    )
+
+
+def clean_c4_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terminal_puncts: tuple[str, ...] = (".", "!", "?", '"'),
+    min_words: int = 3,
+    min_lines: int = 5,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_page_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> str:
+    """DuckDB twin of clean_c4 — same trim, same word split, same
+    terminal-punct set, same substring bans, same page gates."""
+    plist = ", ".join("'" + p.replace("'", "''") + "'" for p in terminal_puncts)
+    line_bans = "".join(
+        f" AND NOT contains(lower(l), '{bw.lower()}')" for bw in banned_line_words
+    )
+    page_bans = "".join(
+        f" AND NOT contains(lower({text_col}), '{ps.lower()}')"
+        for ps in banned_page_substrings
+    )
+    return f"""
+WITH L AS (
+  SELECT {id_col}, {text_col},
+         list_transform(string_split({text_col}, chr(10)), l -> trim(l)) AS ls
+  FROM {table}
+), K AS (
+  SELECT {id_col}, {text_col}, ls,
+         list_filter(ls, l ->
+           len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= {int(min_words)}
+           AND substr(l, length(l), 1) IN ({plist}){line_bans}) AS ks
+  FROM L
+)
+SELECT {id_col},
+       array_to_string(ks, chr(10)) AS clean_text,
+       len(ks)::BIGINT AS n_lines_kept,
+       len(ls)::BIGINT AS n_lines_total
+FROM K
+WHERE len(ks) >= {int(min_lines)}{page_bans}
+"""

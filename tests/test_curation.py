@@ -709,3 +709,90 @@ def test_cap_per_key(spark):
 
     with _pt.raises(ValueError):
         curation.cap_per_key(spark.createDataFrame(rows), "doc_id", "source", 0)
+
+
+# ---- C4 line-level cleaning (Raffel et al. 2020 §2.2) ----
+
+_C4_PAGES = [
+    # survives: 5 punct-terminated >=3-word lines
+    {"id": 0, "text": "the cat sat down.\nA dog ran fast!\nIs this a question?\n"
+                      'He said "quoted line."\nFive lines are enough.'},
+    # line filters: short line, no-punct line, javascript line all drop,
+    # leaving 4 kept < 5 -> page dropped
+    {"id": 1, "text": "one two.\nno terminal punct here\n"
+                      "enable JavaScript to view this.\nkeep this line alive.\n"
+                      "another keeper stays put.\nthird keeper is here.\n"
+                      "fourth keeper is here."},
+    # lorem ipsum page ban
+    {"id": 2, "text": "Lorem Ipsum dolor sit amet.\n" * 6},
+    # curly brace page ban (code heuristic)
+    {"id": 3, "text": "function f() { return 1; }\n" + "a clean line stays here.\n" * 6},
+    # survives with exactly min_lines after dropping one bad line
+    {"id": 4, "text": "alpha beta gamma delta.\nshort.\n" + "good line number two.\n" * 4},
+    # empty / whitespace-only lines never count
+    {"id": 5, "text": "\n\n   \nonly one good line here.\n\n"},
+]
+
+
+def _c4_ref(pages, min_words=3, min_lines=5):
+    out = {}
+    for p in pages:
+        low = p["text"].lower()
+        if "lorem ipsum" in low or "{" in low:
+            continue
+        lines = [l.strip() for l in p["text"].split("\n")]
+        kept = [
+            l for l in lines
+            if len(l.split()) >= min_words and l[-1:] in ('.', '!', '?', '"')
+            and "javascript" not in l.lower()
+        ]
+        if len(kept) >= min_lines:
+            out[p["id"]] = ("\n".join(kept), len(kept), len(lines))
+    return out
+
+
+def test_clean_c4_default_rules(spark):
+    got = {
+        r["id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_total"])
+        for r in curation.clean_c4(
+            spark.createDataFrame(_C4_PAGES), "id", "text"
+        ).collect()
+    }
+    assert got == _c4_ref(_C4_PAGES)
+    assert 0 in got and 4 in got and 1 not in got and 2 not in got and 3 not in got
+
+
+def test_clean_c4_sql_twin_identity(spark):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("pages", pd.DataFrame(_C4_PAGES))
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(curation.clean_c4_sql("pages", "id", "text")).fetchall()
+    }
+    got = {
+        r["id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_total"])
+        for r in curation.clean_c4(
+            spark.createDataFrame(_C4_PAGES), "id", "text"
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_clean_c4_params_and_guards(spark):
+    df = spark.createDataFrame(_C4_PAGES)
+    # relaxing min_lines to 1 admits the single-good-line page
+    got = {r["id"] for r in curation.clean_c4(df, "id", "text", min_lines=1).collect()}
+    assert 5 in got
+    # custom banned page substring knocks out page 0
+    got2 = {r["id"] for r in curation.clean_c4(
+        df, "id", "text", min_lines=1, banned_page_substrings=("cat sat",)
+    ).collect()}
+    assert 0 not in got2 and 5 in got2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        curation.clean_c4(df, "id", "text", min_words=0)
+    with _pt.raises(ValueError):
+        curation.clean_c4(df, "id", "text", terminal_puncts=())
