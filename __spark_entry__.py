@@ -150,6 +150,7 @@ GEO_POLY = [(-30.0, -60.0), (45.0, -40.0), (10.0, 0.0), (45.0, 40.0), (-30.0, 60
 GEO_HOLE = [(-20.0, -30.0), (15.0, -30.0), (15.0, 30.0), (-20.0, 30.0)]
 GEO_ISLAND = [(-10.0, -12.0), (5.0, -12.0), (5.0, 12.0), (-10.0, 12.0)]
 GEO_BOX = (-20.0, 35.0, 40.0, 120.0)  # geo_box: (min_lat, max_lat, min_lon, max_lon)
+GEO_SHAPE_BOX = (0.0, 5.0, 0.0, 5.0)  # geo_shape_box: LatLonShape query box
 _GATE_ROOT = "/tmp/sparklucene_gate_v6"  # bump on index format change
 # v5 = doclen doc-roster rows (dl=0 sentinel -> true MatchAllDocs) +
 # offsets/stored-text in the payloads index for ft_highlight
@@ -3275,6 +3276,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             holes=[GEO_HOLE, GEO_ISLAND],
         ).select("doc_id")
 
+    def geo_shape_box(spark, sf):
+        # LatLonShape.newBoxQuery with every QueryRelation at once:
+        # per-doc triangle rings derived deterministically from doc_id
+        # (right triangle at (clat, clon), leg length 1..12 deg), then
+        # the intersects/within/contains columns — vertex-in, even-odd
+        # corner casts, and boundary-inclusive edge sign tests — over
+        # GEO_SHAPE_BOX; the twin walks identical vertex/edge lists
+        d = _table(spark, sf, "documents")
+        clat = ((F.col("doc_id") * 7919) % 2400).cast("double") / 100.0 - 12.0
+        clon = ((F.col("doc_id") * 104729) % 2400).cast("double") / 100.0 - 12.0
+        s = (F.col("doc_id") % 24 + 1).cast("double")
+        g = d.select(
+            "doc_id",
+            F.array(clat, clat + s, clat).alias("slats"),
+            F.array(clon, clon, clon + s).alias("slons"),
+        )
+        rels = geo.shape_box_relations("slats", "slons", GEO_SHAPE_BOX)
+        return g.select(
+            "doc_id",
+            rels["intersects"].alias("rel_intersects"),
+            rels["within"].alias("rel_within"),
+            rels["contains"].alias("rel_contains"),
+        )
+
     def geo_box(spark, sf):
         # LatLonPoint.newBoxQuery: pure sargable lat/lon range
         # predicate — whole plan is one pushed-down Parquet scan
@@ -3380,7 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
-        ft_span_multi, text_c4_clean,
+        ft_span_multi, text_c4_clean, geo_shape_box,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4959,6 +4984,25 @@ WITH g AS (
 )
 SELECT doc_id FROM g
 WHERE {geo.polygon_sql('lat', 'lon', GEO_POLY, holes=[GEO_HOLE, GEO_ISLAND])}
+""",
+        "geo_shape_box": f"""
+WITH g AS (
+  SELECT doc_id,
+         [clat, clat + s, clat] AS slats,
+         [clon, clon, clon + s] AS slons
+  FROM (
+    SELECT doc_id,
+           ((doc_id * 7919) % 2400)::DOUBLE / 100.0 - 12.0 AS clat,
+           ((doc_id * 104729) % 2400)::DOUBLE / 100.0 - 12.0 AS clon,
+           (doc_id % 24 + 1)::DOUBLE AS s
+    FROM documents
+  )
+)
+SELECT doc_id,
+       {geo.shape_box_sql('slats', 'slons', GEO_SHAPE_BOX)['intersects']} AS rel_intersects,
+       {geo.shape_box_sql('slats', 'slons', GEO_SHAPE_BOX)['within']} AS rel_within,
+       {geo.shape_box_sql('slats', 'slons', GEO_SHAPE_BOX)['contains']} AS rel_contains
+FROM g
 """,
         "geo_box": f"""
 WITH g AS (

@@ -261,3 +261,212 @@ def nearest_k(
         .orderBy(F.asc("dist_m"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+# ---- LatLonShape / ShapeField box relations (Lucene core shapes) ----
+#
+# Lucene 7.x+ indexes polygons/lines as tessellated triangles in a BKD
+# tree and answers LatLonShape.newBoxQuery(field, QueryRelation, box)
+# with INTERSECTS / WITHIN / DISJOINT / CONTAINS relations. Here a
+# shape is two parallel per-row arrays (lats, lons) — Lucene Polygon's
+# own constructor shape — and every relation is closed-form column
+# math over the vertex/edge arrays (higher-order functions, whole-
+# stage codegen, no UDF), reproduced operator-for-operator in the SQL
+# twins. Boundary convention: sign tests are boundary-INCLUSIVE
+# (touching counts as intersecting), and collinear overlap counts as
+# crossing — deterministic, and pinned identically in both engines.
+
+
+def _cross(ox, oy, ax, ay, bx, by):
+    """2D cross product (a - o) x (b - o) as a Column expression."""
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _segs_intersect(ax, ay, bx, by, cx, cy, dx, dy):
+    """Boundary-inclusive segment intersection via orientation signs:
+    AB meets CD iff C and D sit on opposite (or touching) sides of AB
+    AND A and B sit on opposite (or touching) sides of CD."""
+    d1 = _cross(cx, cy, dx, dy, ax, ay)
+    d2 = _cross(cx, cy, dx, dy, bx, by)
+    d3 = _cross(ax, ay, bx, by, cx, cy)
+    d4 = _cross(ax, ay, bx, by, dx, dy)
+    return (d1 * d2 <= F.lit(0.0)) & (d3 * d4 <= F.lit(0.0))
+
+
+def _box_edges(box: tuple[float, float, float, float]):
+    """The 4 corner segments of (min_lat, max_lat, min_lon, max_lon)
+    as ((y1, x1), (y2, x2)) pairs, y = lat, x = lon."""
+    la0, la1, lo0, lo1 = (float(v) for v in box)
+    c = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0)]
+    return [(c[i], c[(i + 1) % 4]) for i in range(4)]
+
+
+def shape_box_relations(
+    lats_col: str, lons_col: str, box: tuple[float, float, float, float]
+) -> dict[str, Column]:
+    """Column expressions for the Lucene QueryRelation set of a closed
+    polygon ring (parallel lats/lons arrays) against a lat/lon box:
+
+    - intersects: any vertex inside the box, OR any box corner inside
+      the polygon (even-odd), OR any polygon edge crossing any box
+      edge — the three ways two simple regions can share a point.
+    - within (shape INSIDE box): every vertex inside — sufficient and
+      necessary because the box is convex.
+    - contains (box INSIDE shape): all 4 box corners inside the
+      polygon AND no polygon edge crosses a box edge (a simple ring
+      entering the box must cross its boundary).
+    - disjoint: NOT intersects.
+    """
+    la0, la1, lo0, lo1 = (float(v) for v in box)
+    lats, lons = F.col(lats_col), F.col(lons_col)
+    n = F.size(lats)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def vy(i):
+        return F.element_at(lats, i + 1)
+
+    def vx(i):
+        return F.element_at(lons, i + 1)
+
+    def ny(i):  # next vertex (ring wraps)
+        return F.element_at(lats, (i + 1) % n + 1)
+
+    def nx(i):
+        return F.element_at(lons, (i + 1) % n + 1)
+
+    vertex_in = lambda i: (
+        (vy(i) >= F.lit(la0)) & (vy(i) <= F.lit(la1))
+        & (vx(i) >= F.lit(lo0)) & (vx(i) <= F.lit(lo1))
+    )
+    any_vertex_in = F.exists(idx, vertex_in)
+    all_vertices_in = F.forall(idx, vertex_in)
+
+    def corner_in(py: float, px: float) -> Column:
+        # even-odd ray cast with per-row array edges: same half-open
+        # convention as polygon_contains (strict > on lat straddle,
+        # crossing strictly east of the point)
+        def hit(acc, i):
+            straddles = (vy(i) > F.lit(py)) != (ny(i) > F.lit(py))
+            cross_lon = (
+                (nx(i) - vx(i)) * (F.lit(py) - vy(i)) / (ny(i) - vy(i)) + vx(i)
+            )
+            return acc + F.when(
+                straddles & (F.lit(px) < cross_lon), F.lit(1)
+            ).otherwise(F.lit(0))
+
+        return (F.aggregate(idx, F.lit(0), hit) % 2) == 1
+
+    corners = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0)]
+    corner_tests = [corner_in(cy, cx) for cy, cx in corners]
+    any_corner_in = corner_tests[0]
+    all_corners_in = corner_tests[0]
+    for t in corner_tests[1:]:
+        any_corner_in = any_corner_in | t
+        all_corners_in = all_corners_in & t
+
+    def edge_crosses(i):
+        c = F.lit(False)
+        for (y1, x1), (y2, x2) in _box_edges(box):
+            c = c | _segs_intersect(
+                vx(i), vy(i), nx(i), ny(i),
+                F.lit(x1), F.lit(y1), F.lit(x2), F.lit(y2),
+            )
+        return c
+
+    any_edge_cross = F.exists(idx, edge_crosses)
+    intersects = any_vertex_in | any_corner_in | any_edge_cross
+    return {
+        "intersects": intersects,
+        "within": all_vertices_in,
+        "contains": all_corners_in & ~any_edge_cross,
+        "disjoint": ~intersects,
+    }
+
+
+def shape_box_query(
+    df: DataFrame,
+    lats_col: str,
+    lons_col: str,
+    box: tuple[float, float, float, float],
+    relation: str = "intersects",
+) -> DataFrame:
+    """LatLonShape.newBoxQuery(field, QueryRelation.X, box): rows whose
+    polygon ring stands in `relation` to the box. Empty/degenerate
+    rings (< 3 vertices) never match any relation but disjoint."""
+    rels = shape_box_relations(lats_col, lons_col, box)
+    if relation not in rels:
+        raise ValueError(f"relation must be one of {sorted(rels)}")
+    guard = F.size(F.col(lats_col)) >= 3
+    if relation == "disjoint":
+        return df.filter(~guard | rels["disjoint"])
+    return df.filter(guard & rels[relation])
+
+
+def shape_box_sql(
+    lats: str, lons: str, box: tuple[float, float, float, float]
+) -> dict[str, str]:
+    """DuckDB twins of shape_box_relations — same vertex/edge walks,
+    same sign tests, same literals. `lats`/`lons` are SQL expressions
+    for DOUBLE[] arrays (1-indexed, like Spark element_at)."""
+    la0, la1, lo0, lo1 = (float(v) for v in box)
+    n = f"len({lats})"
+    idx = f"range(1, {n} + 1)"
+
+    def vy(i):
+        return f"{lats}[{i}]"
+
+    def vx(i):
+        return f"{lons}[{i}]"
+
+    def ny(i):
+        return f"{lats}[({i} % {n}) + 1]"
+
+    def nx(i):
+        return f"{lons}[({i} % {n}) + 1]"
+
+    vin = (
+        f"i -> {vy('i')} >= {la0} AND {vy('i')} <= {la1} "
+        f"AND {vx('i')} >= {lo0} AND {vx('i')} <= {lo1}"
+    )
+    any_vertex = f"len(list_filter({idx}, {vin})) > 0"
+    all_vertex = f"len(list_filter({idx}, {vin})) = {n}"
+
+    def corner_in(py: float, px: float) -> str:
+        straddle = f"(({vy('i')} > {py}) <> ({ny('i')} > {py}))"
+        cross_lon = (
+            f"(({nx('i')} - {vx('i')}) * ({py} - {vy('i')})"
+            f" / ({ny('i')} - {vy('i')}) + {vx('i')})"
+        )
+        return (
+            f"(len(list_filter({idx}, i -> {straddle} AND {px} < {cross_lon})) % 2 = 1)"
+        )
+
+    corners = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0)]
+    any_corner = "(" + " OR ".join(corner_in(cy, cx) for cy, cx in corners) + ")"
+    all_corner = "(" + " AND ".join(corner_in(cy, cx) for cy, cx in corners) + ")"
+
+    def cross_sql(ox, oy, ax, ay, bx, by):
+        return f"(({ax} - {ox}) * ({by} - {oy}) - ({ay} - {oy}) * ({bx} - {ox}))"
+
+    def seg_int(ax, ay, bx, by, cx, cy, dx, dy):
+        d1 = cross_sql(cx, cy, dx, dy, ax, ay)
+        d2 = cross_sql(cx, cy, dx, dy, bx, by)
+        d3 = cross_sql(ax, ay, bx, by, cx, cy)
+        d4 = cross_sql(ax, ay, bx, by, dx, dy)
+        return f"({d1} * {d2} <= 0.0 AND {d3} * {d4} <= 0.0)"
+
+    edge_terms = " OR ".join(
+        seg_int(
+            vx("i"), vy("i"), nx("i"), ny("i"),
+            str(x1), str(y1), str(x2), str(y2),
+        )
+        for (y1, x1), (y2, x2) in _box_edges(box)
+    )
+    any_edge = f"len(list_filter({idx}, i -> {edge_terms})) > 0"
+    intersects = f"({any_vertex} OR {any_corner} OR {any_edge})"
+    return {
+        "intersects": intersects,
+        "within": f"({all_vertex})",
+        "contains": f"({all_corner} AND NOT {any_edge})",
+        "disjoint": f"(NOT {intersects})",
+    }

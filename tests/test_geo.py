@@ -243,3 +243,152 @@ def test_polygon_holes_guards():
         geo.polygon_contains(
             F.lit(0.0), F.lit(0.0), _CHEVRON, holes=[[(0.0, 0.0), (1.0, 1.0)]]
         )
+
+
+# ---- LatLonShape box relations (Lucene core shapes) ----
+
+_SBOX = (0.0, 10.0, 0.0, 10.0)
+
+
+def _py_cross(ox, oy, ax, ay, bx, by):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _py_segs(ax, ay, bx, by, cx, cy, dx, dy):
+    d1 = _py_cross(cx, cy, dx, dy, ax, ay)
+    d2 = _py_cross(cx, cy, dx, dy, bx, by)
+    d3 = _py_cross(ax, ay, bx, by, cx, cy)
+    d4 = _py_cross(ax, ay, bx, by, dx, dy)
+    return d1 * d2 <= 0.0 and d3 * d4 <= 0.0
+
+
+def _py_relations(lats, lons, box):
+    la0, la1, lo0, lo1 = box
+    n = len(lats)
+    vin = [la0 <= lats[i] <= la1 and lo0 <= lons[i] <= lo1 for i in range(n)]
+
+    def corner_in(py, px):
+        cross = 0
+        for i in range(n):
+            yi, xi = lats[i], lons[i]
+            yj, xj = lats[(i + 1) % n], lons[(i + 1) % n]
+            if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+                cross += 1
+        return cross % 2 == 1
+
+    corners = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0)]
+    cin = [corner_in(cy, cx) for cy, cx in corners]
+    box_edges = [(corners[i], corners[(i + 1) % 4]) for i in range(4)]
+    ecross = any(
+        _py_segs(lons[i], lats[i], lons[(i + 1) % n], lats[(i + 1) % n], x1, y1, x2, y2)
+        for i in range(n)
+        for (y1, x1), (y2, x2) in box_edges
+    )
+    inter = any(vin) or any(cin) or ecross
+    return {
+        "intersects": inter,
+        "within": all(vin),
+        "contains": all(cin) and not ecross,
+        "disjoint": not inter,
+    }
+
+
+def _shape_rows(seed=7, n_rows=250):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_rows):
+        n = int(rng.integers(3, 7))
+        # three regimes so every relation shows up: tiny rings near the
+        # box center (within), huge rings around the box (contains),
+        # and wild ones (intersect/disjoint/partial)
+        if i % 3 == 0:
+            cy, cx = float(rng.uniform(2, 8)), float(rng.uniform(2, 8))
+            rad = rng.uniform(0.3, 2.0, size=n)
+        elif i % 3 == 1:
+            cy, cx = float(rng.uniform(3, 7)), float(rng.uniform(3, 7))
+            rad = rng.uniform(12, 30, size=n)
+        else:
+            cy, cx = float(rng.uniform(-15, 25)), float(rng.uniform(-15, 25))
+            rad = rng.uniform(0.5, 18, size=n)
+        # star-shaped ring around the center: angle-sorted vertices so
+        # the ring is simple (non-self-intersecting)
+        angs = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        rows.append({
+            "id": i,
+            "lats": [round(cy + float(r * np.sin(a)), 4) for r, a in zip(rad, angs)],
+            "lons": [round(cx + float(r * np.cos(a)), 4) for r, a in zip(rad, angs)],
+        })
+    return rows
+
+
+def test_shape_box_relations_brute(spark):
+    rows = _shape_rows()
+    df = spark.createDataFrame(rows)
+    rels = geo.shape_box_relations("lats", "lons", _SBOX)
+    got = {
+        r["id"]: (r["i"], r["w"], r["c"], r["d"])
+        for r in df.select(
+            "id", rels["intersects"].alias("i"), rels["within"].alias("w"),
+            rels["contains"].alias("c"), rels["disjoint"].alias("d"),
+        ).collect()
+    }
+    hit = [0, 0, 0, 0]
+    for r in rows:
+        want = _py_relations(r["lats"], r["lons"], _SBOX)
+        w = (want["intersects"], want["within"], want["contains"], want["disjoint"])
+        assert got[r["id"]] == w, (r, want)
+        hit = [h + int(x) for h, x in zip(hit, w)]
+    # the random corpus exercises every relation
+    assert all(h > 0 for h in hit), hit
+
+
+def test_shape_box_planted_relations(spark):
+    rows = [
+        {"id": 0, "lats": [1.0, 9.0, 5.0], "lons": [1.0, 1.0, 9.0]},          # within
+        {"id": 1, "lats": [-20.0, 30.0, 5.0], "lons": [-20.0, -20.0, 40.0]},  # contains
+        {"id": 2, "lats": [20.0, 30.0, 25.0], "lons": [20.0, 20.0, 30.0]},    # disjoint
+        {"id": 3, "lats": [5.0, 15.0, 15.0], "lons": [5.0, 5.0, 15.0]},       # overlap
+        {"id": 4, "lats": [-5.0, -5.0, 20.0], "lons": [4.0, 6.0, 5.0]},       # spike through
+    ]
+    df = spark.createDataFrame(rows)
+    assert {r["id"] for r in geo.shape_box_query(df, "lats", "lons", _SBOX).collect()} \
+        == {0, 1, 3, 4}
+    assert {r["id"] for r in geo.shape_box_query(df, "lats", "lons", _SBOX, "within").collect()} == {0}
+    assert {r["id"] for r in geo.shape_box_query(df, "lats", "lons", _SBOX, "contains").collect()} == {1}
+    assert {r["id"] for r in geo.shape_box_query(df, "lats", "lons", _SBOX, "disjoint").collect()} == {2}
+
+
+def test_shape_box_sql_twin_identity(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = _shape_rows(seed=11, n_rows=120)
+    df = spark.createDataFrame(rows)
+    rels = geo.shape_box_relations("lats", "lons", _SBOX)
+    got = sorted(
+        (r["id"], r["i"], r["w"], r["c"])
+        for r in df.select(
+            "id", rels["intersects"].alias("i"), rels["within"].alias("w"),
+            rels["contains"].alias("c"),
+        ).collect()
+    )
+    sql = geo.shape_box_sql("lats", "lons", _SBOX)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    exp = sorted(con.sql(
+        f"SELECT id, {sql['intersects']}, {sql['within']}, {sql['contains']} FROM t"
+    ).fetchall())
+    assert got == exp
+
+
+def test_shape_box_guards(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([{"id": 0, "lats": [1.0, 2.0], "lons": [1.0, 2.0]}])
+    with _pt.raises(ValueError):
+        geo.shape_box_query(df, "lats", "lons", _SBOX, "touches")
+    # degenerate ring (< 3 vertices): only disjoint admits it
+    assert geo.shape_box_query(df, "lats", "lons", _SBOX).count() == 0
+    assert geo.shape_box_query(df, "lats", "lons", _SBOX, "disjoint").count() == 1
