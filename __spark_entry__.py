@@ -3300,6 +3300,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rels["contains"].alias("rel_contains"),
         )
 
+    def geo_shape_line(spark, sf):
+        # LatLonShape.newBoxQuery over LINES: open 3-vertex polylines
+        # (a zig from the same deterministic center) — intersects has
+        # no corner-in test (a line has no interior), within = all
+        # vertices in; the twin walks the identical open edge list
+        d = _table(spark, sf, "documents")
+        clat = ((F.col("doc_id") * 7919) % 2400).cast("double") / 100.0 - 12.0
+        clon = ((F.col("doc_id") * 104729) % 2400).cast("double") / 100.0 - 12.0
+        s = (F.col("doc_id") % 24 + 1).cast("double")
+        g = d.select(
+            "doc_id",
+            F.array(clat, clat + s, clat).alias("slats"),
+            F.array(clon, clon + s, clon + 2.0 * s).alias("slons"),
+        )
+        rels = geo.shape_line_relations("slats", "slons", GEO_SHAPE_BOX)
+        return g.select(
+            "doc_id",
+            rels["intersects"].alias("rel_intersects"),
+            rels["within"].alias("rel_within"),
+        )
+
     def geo_box(spark, sf):
         # LatLonPoint.newBoxQuery: pure sargable lat/lon range
         # predicate — whole plan is one pushed-down Parquet scan
@@ -3405,7 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_ib, ft_axiomatic, ft_span_containing, ft_span_within,
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
-        ft_span_multi, text_c4_clean, geo_shape_box,
+        ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4984,6 +5005,24 @@ WITH g AS (
 )
 SELECT doc_id FROM g
 WHERE {geo.polygon_sql('lat', 'lon', GEO_POLY, holes=[GEO_HOLE, GEO_ISLAND])}
+""",
+        "geo_shape_line": f"""
+WITH g AS (
+  SELECT doc_id,
+         [clat, clat + s, clat] AS slats,
+         [clon, clon + s, clon + 2.0 * s] AS slons
+  FROM (
+    SELECT doc_id,
+           ((doc_id * 7919) % 2400)::DOUBLE / 100.0 - 12.0 AS clat,
+           ((doc_id * 104729) % 2400)::DOUBLE / 100.0 - 12.0 AS clon,
+           (doc_id % 24 + 1)::DOUBLE AS s
+    FROM documents
+  )
+)
+SELECT doc_id,
+       {geo.shape_line_sql('slats', 'slons', GEO_SHAPE_BOX)['intersects']} AS rel_intersects,
+       {geo.shape_line_sql('slats', 'slons', GEO_SHAPE_BOX)['within']} AS rel_within
+FROM g
 """,
         "geo_shape_box": f"""
 WITH g AS (

@@ -470,3 +470,113 @@ def shape_box_sql(
         "contains": f"({all_corner} AND NOT {any_edge})",
         "disjoint": f"(NOT {intersects})",
     }
+
+
+def shape_line_relations(
+    lats_col: str, lons_col: str, box: tuple[float, float, float, float]
+) -> dict[str, Column]:
+    """LatLonShape line (open polyline) vs box relations: a line
+    INTERSECTS iff any vertex lies in the box or any segment crosses a
+    box edge (no corner-in test — a line has no interior); WITHIN iff
+    every vertex is inside (box convexity); CONTAINS is always false
+    (a 1-D shape cannot contain a 2-D box — Lucene returns no docs for
+    QueryRelation.CONTAINS over lines); DISJOINT = NOT intersects."""
+    la0, la1, lo0, lo1 = (float(v) for v in box)
+    lats, lons = F.col(lats_col), F.col(lons_col)
+    n = F.size(lats)
+    vidx = F.sequence(F.lit(0), n - 1)
+
+    def vy(i):
+        return F.element_at(lats, i + 1)
+
+    def vx(i):
+        return F.element_at(lons, i + 1)
+
+    vertex_in = lambda i: (
+        (vy(i) >= F.lit(la0)) & (vy(i) <= F.lit(la1))
+        & (vx(i) >= F.lit(lo0)) & (vx(i) <= F.lit(lo1))
+    )
+    any_vertex_in = F.exists(vidx, vertex_in)
+    all_vertices_in = F.forall(vidx, vertex_in)
+
+    eidx = F.sequence(F.lit(0), n - 2)  # open: n-1 segments, no wrap
+
+    def edge_crosses(i):
+        c = F.lit(False)
+        for (y1, x1), (y2, x2) in _box_edges(box):
+            c = c | _segs_intersect(
+                vx(i), vy(i), vx(i + 1), vy(i + 1),
+                F.lit(x1), F.lit(y1), F.lit(x2), F.lit(y2),
+            )
+        return c
+
+    any_edge_cross = F.when(n >= 2, F.exists(eidx, edge_crosses)).otherwise(F.lit(False))
+    intersects = any_vertex_in | any_edge_cross
+    return {
+        "intersects": intersects,
+        "within": all_vertices_in,
+        "contains": F.lit(False),
+        "disjoint": ~intersects,
+    }
+
+
+def shape_line_query(
+    df: DataFrame,
+    lats_col: str,
+    lons_col: str,
+    box: tuple[float, float, float, float],
+    relation: str = "intersects",
+) -> DataFrame:
+    """LatLonShape.newBoxQuery over indexed LINES: rows whose polyline
+    stands in `relation` to the box. A single-vertex line degenerates
+    to a point (vertex-in-box decides)."""
+    rels = shape_line_relations(lats_col, lons_col, box)
+    if relation not in rels:
+        raise ValueError(f"relation must be one of {sorted(rels)}")
+    guard = F.size(F.col(lats_col)) >= 1
+    if relation == "disjoint":
+        return df.filter(~guard | rels["disjoint"])
+    return df.filter(guard & rels[relation])
+
+
+def shape_line_sql(
+    lats: str, lons: str, box: tuple[float, float, float, float]
+) -> dict[str, str]:
+    """DuckDB twins of shape_line_relations (same walks, same sign
+    tests; open polyline — no wrap edge, no corner casts)."""
+    la0, la1, lo0, lo1 = (float(v) for v in box)
+    n = f"len({lats})"
+    vidx = f"range(1, {n} + 1)"
+    eidx = f"range(1, {n})"
+    vin = (
+        f"i -> {lats}[i] >= {la0} AND {lats}[i] <= {la1} "
+        f"AND {lons}[i] >= {lo0} AND {lons}[i] <= {lo1}"
+    )
+    any_vertex = f"len(list_filter({vidx}, {vin})) > 0"
+    all_vertex = f"len(list_filter({vidx}, {vin})) = {n}"
+
+    def cross_sql(ox, oy, ax, ay, bx, by):
+        return f"(({ax} - {ox}) * ({by} - {oy}) - ({ay} - {oy}) * ({bx} - {ox}))"
+
+    def seg_int(ax, ay, bx, by, cx, cy, dx, dy):
+        d1 = cross_sql(cx, cy, dx, dy, ax, ay)
+        d2 = cross_sql(cx, cy, dx, dy, bx, by)
+        d3 = cross_sql(ax, ay, bx, by, cx, cy)
+        d4 = cross_sql(ax, ay, bx, by, dx, dy)
+        return f"({d1} * {d2} <= 0.0 AND {d3} * {d4} <= 0.0)"
+
+    edge_terms = " OR ".join(
+        seg_int(
+            f"{lons}[i]", f"{lats}[i]", f"{lons}[i + 1]", f"{lats}[i + 1]",
+            str(x1), str(y1), str(x2), str(y2),
+        )
+        for (y1, x1), (y2, x2) in _box_edges(box)
+    )
+    any_edge = f"({n} >= 2 AND len(list_filter({eidx}, i -> {edge_terms})) > 0)"
+    intersects = f"({any_vertex} OR {any_edge})"
+    return {
+        "intersects": intersects,
+        "within": f"({all_vertex})",
+        "contains": "(FALSE)",
+        "disjoint": f"(NOT {intersects})",
+    }

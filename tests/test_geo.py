@@ -392,3 +392,75 @@ def test_shape_box_guards(spark):
     # degenerate ring (< 3 vertices): only disjoint admits it
     assert geo.shape_box_query(df, "lats", "lons", _SBOX).count() == 0
     assert geo.shape_box_query(df, "lats", "lons", _SBOX, "disjoint").count() == 1
+
+
+# ---- LatLonShape LINE relations ----
+
+def _py_line_relations(lats, lons, box):
+    la0, la1, lo0, lo1 = box
+    n = len(lats)
+    vin = [la0 <= lats[i] <= la1 and lo0 <= lons[i] <= lo1 for i in range(n)]
+    corners = [(la0, lo0), (la0, lo1), (la1, lo1), (la1, lo0)]
+    box_edges = [(corners[i], corners[(i + 1) % 4]) for i in range(4)]
+    ecross = any(
+        _py_segs(lons[i], lats[i], lons[i + 1], lats[i + 1], x1, y1, x2, y2)
+        for i in range(n - 1)
+        for (y1, x1), (y2, x2) in box_edges
+    )
+    inter = any(vin) or ecross
+    return {"intersects": inter, "within": all(vin), "disjoint": not inter}
+
+
+def test_shape_line_relations_brute(spark):
+    rows = _shape_rows(seed=19, n_rows=200)  # open: same vertex soup
+    df = spark.createDataFrame(rows)
+    rels = geo.shape_line_relations("lats", "lons", _SBOX)
+    got = {
+        r["id"]: (r["i"], r["w"], r["d"])
+        for r in df.select(
+            "id", rels["intersects"].alias("i"), rels["within"].alias("w"),
+            rels["disjoint"].alias("d"),
+        ).collect()
+    }
+    hit = [0, 0, 0]
+    for r in rows:
+        want = _py_line_relations(r["lats"], r["lons"], _SBOX)
+        w = (want["intersects"], want["within"], want["disjoint"])
+        assert got[r["id"]] == w, (r, want)
+        hit = [h + int(x) for h, x in zip(hit, w)]
+    assert all(h > 0 for h in hit), hit
+
+
+def test_shape_line_vs_polygon_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    rows = _shape_rows(seed=23, n_rows=120)
+    df = spark.createDataFrame(rows)
+    # a big ring crossing the box boundary intersects as BOTH shapes;
+    # contains is line-impossible
+    assert geo.shape_line_query(df, "lats", "lons", _SBOX, "contains").count() == 0
+    # twin identity
+    rels = geo.shape_line_relations("lats", "lons", _SBOX)
+    got = sorted(
+        (r["id"], r["i"], r["w"])
+        for r in df.select("id", rels["intersects"].alias("i"),
+                           rels["within"].alias("w")).collect()
+    )
+    sql = geo.shape_line_sql("lats", "lons", _SBOX)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    exp = sorted(con.sql(
+        f"SELECT id, {sql['intersects']}, {sql['within']} FROM t"
+    ).fetchall())
+    assert got == exp
+    # a "through" line with both endpoints outside still intersects
+    thru = spark.createDataFrame(
+        [{"id": 0, "lats": [-5.0, 20.0], "lons": [5.0, 5.0]}])
+    assert geo.shape_line_query(thru, "lats", "lons", _SBOX).count() == 1
+    # single-vertex degenerate: point-in-box decides
+    pt = spark.createDataFrame([
+        {"id": 0, "lats": [3.0], "lons": [3.0]},
+        {"id": 1, "lats": [30.0], "lons": [30.0]},
+    ])
+    assert {r["id"] for r in geo.shape_line_query(pt, "lats", "lons", _SBOX).collect()} == {0}
