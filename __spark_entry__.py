@@ -1865,6 +1865,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_complex_phrase(spark, sf):
+        # ComplexPhraseQueryParser: '"st*am merge"~1' — the wildcard
+        # word becomes a SpanMultiTermQueryWrapper clause (termdict
+        # expansion as a SQL CTE in the twin), the slop makes it an
+        # ordered SpanNearQuery, Lucene's documented complex-phrase
+        # rewrite; any parse/rewrite drift hash-fails
+        return _hits_df(
+            _searcher(spark, sf).search_complex_phrase(
+                '"st*am merge"~1', k=K_ALL
+            )
+        )
+
     def ft_span_first(spark, sf):
         # Lucene SpanFirstQuery: docs with MIXED_MUST in the first
         # SPAN_FIRST_END positions (0-based pos < end), scored as the
@@ -3427,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
+        ft_complex_phrase,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3933,6 +3946,11 @@ FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {K_ALL}
         "ft_span_or": _bm25_sql(
             [t for c in SPAN_OR_CLAUSES for t in ((c,) if isinstance(c, str) else c)],
             "or", K_ALL, span=(SPAN_OR_CLAUSES, SPAN_OR_SLOP, True),
+        ),
+        "ft_complex_phrase": _bm25_sql(
+            ["merge"], "or", K_ALL,
+            span=([{"cte": "exp0"}, "merge"], 1, True),
+            expansions={"exp0": ("regexp_matches(term, '^st.*am$')", 50)},
         ),
         "ft_span_multi": _bm25_sql(
             ["merge"], "or", K_ALL,

@@ -2482,6 +2482,92 @@ class Searcher:
                 exp_slots.append(c)
         return self.search_multi_phrase(exp_slots, k, field=field)
 
+    def search_complex_phrase(
+        self,
+        phrase: str,
+        k: int,
+        field: str = "text",
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Lucene ComplexPhraseQueryParser: a quoted phrase whose words
+        may be MultiTermQuery patterns — ``"st*am merge"``,
+        ``"jo?n peters*"~2``, ``"smith~1 street"`` — with an optional
+        ``~N`` slop suffix. Parsing follows the classic surface: the
+        leading/trailing quotes are required; a word ending in ``*``
+        with no other pattern char is a PrefixQuery, any other ``*`` /
+        ``?`` makes a WildcardQuery, a ``~N`` suffix makes a
+        FuzzyQuery (default 2 edits), and a plain word analyzes with
+        the index's pinned analyzer (a word analyzing to several
+        tokens contributes one literal slot each; a word the analyzer
+        drops entirely — e.g. a stopword under standard_v2 — vanishes
+        from the phrase, Lucene's position-skip behavior collapsed).
+
+        Rewrite (exactly ComplexPhraseQueryParser's documented one):
+        slop == 0 evaluates through the MultiPhraseQuery scorer
+        (search_phrase_wildcard expansion + phrase-frequency scoring);
+        slop > 0 rewrites to an ORDERED SpanNearQuery whose pattern
+        clauses are SpanMultiTermQueryWrappers (search_span_multi) —
+        Lucene's inOrder=true default for complex phrases."""
+        from fdblucene_spark.functions.analysis import tokenize_text
+
+        s = phrase.strip()
+        slop = 0
+        if not (s.startswith('"')):
+            raise ValueError("complex phrase must be a quoted string")
+        end = s.rfind('"')
+        if end == 0:
+            raise ValueError("unterminated phrase quote")
+        tail = s[end + 1:].strip()
+        if tail:
+            if not tail.startswith("~"):
+                raise ValueError(f"unexpected trailing syntax {tail!r}")
+            try:
+                slop = int(tail[1:])
+            except ValueError:
+                raise ValueError(f"bad slop suffix {tail!r}") from None
+            if slop < 0:
+                raise ValueError("slop must be >= 0")
+        body = s[1:end]
+        slots: list = []
+        for w in body.split():
+            fz = None
+            if "~" in w and not ("*" in w or "?" in w):
+                base, _, edits = w.partition("~")
+                fz = {"fuzzy": base.lower(),
+                      "max_edits": int(edits) if edits else 2}
+            if fz is not None:
+                slots.append(fz)
+            elif w.endswith("*") and not ("*" in w[:-1] or "?" in w):
+                slots.append({"prefix": w[:-1].lower()})
+            elif "*" in w or "?" in w:
+                slots.append({"wildcard": w.lower()})
+            else:
+                slots.extend(tokenize_text(w, self.analyzer_for(field)))
+        if len(slots) < 2:
+            raise ValueError("complex phrase needs >= 2 surviving words")
+        if slop == 0:
+            # MultiPhrase path accepts prefix/wildcard dicts; rewrite
+            # fuzzy slots through the shared expansion first
+            mp_slots: list = []
+            for c in slots:
+                if isinstance(c, dict) and "fuzzy" in c:
+                    cands = self.expand_terms(
+                        field, fuzzy=c["fuzzy"], max_edits=c["max_edits"],
+                        max_expansions=max_expansions,
+                    )
+                    if not cands:
+                        return self.spark.createDataFrame([], HIT_SCHEMA)
+                    mp_slots.append(tuple(cands))
+                else:
+                    mp_slots.append(c)
+            return self.search_phrase_wildcard(
+                mp_slots, k, field=field, max_expansions=max_expansions
+            )
+        return self.search_span_multi(
+            slots, k, slop=slop, in_order=True, field=field,
+            max_expansions=max_expansions,
+        )
+
     def search_span_first(
         self,
         term: str,

@@ -1620,3 +1620,51 @@ def test_span_containing_and_within(spark, tmp_path_factory):
         s.search_span_containing(("ape", "ape"), "cat", k=5)
     with pytest.raises(ValueError, match="slop"):
         s.search_span_within("cat", ("ape", "bee"), k=5, slop=-1)
+
+
+def test_complex_phrase_parser(spark, tmp_path_factory):
+    """ComplexPhraseQueryParser: quoted phrase with pattern words —
+    slop 0 routes through the MultiPhraseQuery scorer, slop > 0
+    through the ordered span-near-multi rewrite, both (doc, score)-
+    identical to calling the underlying surfaces directly."""
+    rng = np.random.default_rng(41)
+    vocab = ["bat", "bee", "bog", "cat", "dog", "stream", "steam"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=int(rng.integers(4, 14))))}
+        for i in range(180)
+    ]
+    root = str(tmp_path_factory.mktemp("cphrase") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=4)
+    s = Searcher(spark, root)
+
+    def hitset(df):
+        return {(r["doc"], r["score"]) for r in df.collect()}
+
+    # slop 0: prefix word -> phrase_wildcard path
+    assert hitset(s.search_complex_phrase('"b* cat"', k=500)) == \
+        hitset(s.search_phrase_wildcard([{"prefix": "b"}, "cat"], k=500))
+    # slop > 0: wildcard word -> span_multi path (ordered)
+    assert hitset(s.search_complex_phrase('"st*am cat"~2', k=500)) == \
+        hitset(s.search_span_multi([{"wildcard": "st*am"}, "cat"], k=500, slop=2))
+    # fuzzy word, slop 0: expansion feeds the multi-phrase scorer
+    fexp = tuple(s.expand_terms(fuzzy="bat", max_edits=1))
+    assert hitset(s.search_complex_phrase('"bat~1 dog"', k=500)) == \
+        hitset(s.search_multi_phrase([fexp, "dog"], k=500))
+    # plain words analyze (uppercase folds) and score like an ordinary
+    # PhraseQuery (phrase-frequency scoring, not a span term-sum)
+    assert hitset(s.search_complex_phrase('"STREAM cat"', k=500)) == \
+        hitset(s.search_multi_phrase(["stream", "cat"], k=500))
+    # ...over the same doc set a slop-0 ordered span-near selects
+    assert {d for d, _ in hitset(s.search_complex_phrase('"STREAM cat"', k=500))} == \
+        {r["doc"] for r in s.search_span_near(["stream", "cat"], k=500,
+                                              slop=0, in_order=True).collect()}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="quoted"):
+        s.search_complex_phrase("stream cat", k=5)
+    with _pt.raises(ValueError, match="unterminated"):
+        s.search_complex_phrase('"stream cat', k=5)
+    with _pt.raises(ValueError, match="slop"):
+        s.search_complex_phrase('"a b"~x', k=5)
+    with _pt.raises(ValueError, match="surviving"):
+        s.search_complex_phrase('"stream"', k=5)
