@@ -1877,6 +1877,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_dynamic_ranges(spark, sf):
+        # Lucene DynamicRangeUtil: 7 equal-weight ranges of stored
+        # n_chars over the MUST(key) -dup match set — pinned rule:
+        # rank (value asc, doc asc), bucket = floor(rank * 7 / n);
+        # the engine's windowless dense rank must agree with the
+        # twin's ROW_NUMBER exactly or counts/bounds hash-fail
+        clauses = [{"term": MIXED_MUST, "occur": "must"},
+                   {"term": MIXED_NOT, "occur": "must_not"}]
+        return _searcher(spark, sf).facet_dynamic_ranges(
+            clauses, "n_chars", n_ranges=7
+        )
+
     def ft_span_first(spark, sf):
         # Lucene SpanFirstQuery: docs with MIXED_MUST in the first
         # SPAN_FIRST_END positions (0-based pos < end), scored as the
@@ -3439,7 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
-        ft_complex_phrase,
+        ft_complex_phrase, ft_dynamic_ranges,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4112,6 +4124,27 @@ SELECT d.source AS facet, count(*)::BIGINT AS n,
        round(avg(d.n_chars), 4) AS avg_v
 FROM matched m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY facet ORDER BY sum_v DESC, facet ASC LIMIT 10
+""",
+        "ft_dynamic_ranges": f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), matched AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_MUST}'
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{MIXED_NOT}')
+), vals AS (
+  SELECT m.doc_id AS doc, d.n_chars::BIGINT AS v
+  FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v ASC, doc ASC) - 1 AS r FROM vals
+), tot AS (SELECT count(*) AS total FROM ranked)
+SELECT floor(r * 7 / total)::BIGINT AS bucket, count(*)::BIGINT AS n,
+       min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
+FROM ranked, tot GROUP BY bucket ORDER BY bucket
 """,
         "ft_facet_ranges": f"""
 WITH src AS (SELECT doc_id, text FROM documents),

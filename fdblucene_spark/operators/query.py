@@ -5685,6 +5685,59 @@ class Searcher:
             .limit(top_n)
         )
 
+    def facet_dynamic_ranges(
+        self,
+        clauses: list[dict],
+        value_field: str,
+        n_ranges: int,
+        min_should_match: int | None = None,
+        numeric: list[dict] | None = None,
+    ) -> DataFrame:
+        """Lucene facet DynamicRangeUtil analogue: split the match
+        set's stored numeric values into `n_ranges` EQUAL-WEIGHT
+        ranges computed from the data itself (each doc weight 1 —
+        Lucene's computeDynamicRanges with unit weights). The bucket
+        rule is pinned exactly: rank docs by (value asc, doc asc),
+        0-based; doc at rank r lands in bucket floor(r * n_ranges / n)
+        — so bucket sizes differ by at most one and the rule is
+        reproducible in ANY engine (the SQL twin uses ROW_NUMBER with
+        the same ORDER BY and the same integer arithmetic).
+        Returns (bucket, n, lo, hi) — count and value min/max per
+        range — ordered bucket asc; empty match set returns no rows.
+
+        Plan shape: matched-doc kernel -> column-pruned stored join ->
+        ONE windowless dense global rank (build.assign_dense_doc_ids:
+        range-partition + per-partition footer counts + broadcast
+        offsets — NO single-partition window, the trap a naive
+        ROW_NUMBER would be at corpus scale) -> 1-row count broadcast
+        -> one partial+final agg over n_ranges buckets."""
+        from .build import assign_dense_doc_ids
+
+        if n_ranges < 1:
+            raise ValueError("n_ranges must be >= 1")
+        matched = self.matching_docs(clauses, min_should_match, numeric)
+        stored = self._stored_df().select(
+            "doc", F.col(value_field).cast("long").alias("_v")
+        )
+        vals = matched.join(stored, "doc")
+        ranked = assign_dense_doc_ids(
+            vals.select(F.col("doc").alias("_mdoc"), "_v")
+                .withColumnRenamed("_mdoc", "mdoc"),
+            ["_v", "mdoc"],
+        )
+        total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+        bucket = F.floor(F.col("doc") * n_ranges / F.col("_n")).cast("long")
+        return (
+            ranked.crossJoin(F.broadcast(total))
+            .groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("_v").alias("lo"),
+                F.max("_v").alias("hi"),
+            )
+            .orderBy(F.asc("bucket"))
+        )
+
     def significant_terms(
         self,
         clauses: list[dict],

@@ -554,3 +554,48 @@ def test_blended_term_query(spark, drill_index):
     ):
         with _pt.raises(ValueError):
             bad()
+
+
+# ---- dynamic range facets (Lucene DynamicRangeUtil) ----
+
+def test_dynamic_ranges_matches_brute(facet_index):
+    rows, s = facet_index
+    matched = _match(rows, must=["alpha"], must_not=["gamma"])
+    vals = sorted((r["n_chars"], r["doc_id"]) for r in rows if r["doc_id"] in matched)
+    n = len(vals)
+    for n_ranges in (1, 4, 7):
+        want = {}
+        for r, (v, _) in enumerate(vals):
+            b = r * n_ranges // n
+            c, lo, hi = want.get(b, (0, v, v))
+            want[b] = (c + 1, min(lo, v), max(hi, v))
+        got = {
+            r["bucket"]: (r["n"], r["lo"], r["hi"])
+            for r in s.facet_dynamic_ranges(CLAUSES, "n_chars", n_ranges).collect()
+        }
+        assert got == want, n_ranges
+        # equal-weight law: bucket sizes differ by at most one
+        sizes = [c for c, _, _ in got.values()]
+        assert max(sizes) - min(sizes) <= 1
+        # ranges tile the value axis in order
+        bks = sorted(got)
+        for a, b in zip(bks, bks[1:]):
+            assert got[a][2] <= got[b][1] or got[a][2] == got[b][1] or got[a][2] <= got[b][2]
+
+
+def test_dynamic_ranges_edges(facet_index):
+    rows, s = facet_index
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        s.facet_dynamic_ranges(CLAUSES, "n_chars", 0)
+    # empty match set -> no rows
+    assert s.facet_dynamic_ranges(
+        [{"term": "zzznope", "occur": "must"}], "n_chars", 5
+    ).count() == 0
+    # n_ranges = 1 is the whole match set with global min/max
+    matched = _match(rows, must=["alpha"], must_not=["gamma"])
+    vs = [r["n_chars"] for r in rows if r["doc_id"] in matched]
+    one = s.facet_dynamic_ranges(CLAUSES, "n_chars", 1).collect()
+    assert len(one) == 1 and one[0]["n"] == len(vs)
+    assert one[0]["lo"] == min(vs) and one[0]["hi"] == max(vs)
