@@ -247,6 +247,25 @@ def main() -> int:
     surfaces["classify_knn"] = s.classify_knn(
         "alpha alpha beta beta", "role", k=10, min_term_freq=2, min_doc_freq=1
     )
+    # round-5 tenth-phase surfaces
+    surfaces["search_span_multi"] = s.search_span_multi(
+        [{"prefix": "al"}, "beta"], 10, slop=2
+    )
+    surfaces["search_complex_phrase"] = s.search_complex_phrase('"al* beta"~2', 10)
+    surfaces["facet_dynamic_ranges"] = s.facet_dynamic_ranges(
+        [{"term": "alpha", "occur": "must"}], "n_chars", 4
+    )
+    surfaces["clean_c4"] = curation.clean_c4(
+        docs_df.withColumn("text", F.concat_ws("\n", "text", "text")),
+        "doc_id", "text", min_lines=1, min_words=1,
+    )
+    shp_df = spark.createDataFrame(
+        [{"pid": i, "lats": [float(i % 10), float(i % 10 + 3), float(i % 10)],
+          "lons": [0.0, 0.0, 3.0]} for i in range(100)]
+    )
+    surfaces["shape_box"] = geo.shape_box_query(
+        shp_df, "lats", "lons", (0.0, 5.0, 0.0, 5.0)
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
@@ -274,7 +293,8 @@ def main() -> int:
                     "search_common_terms", "search_dfi",
                     "search_dfr", "search_ib", "search_axiomatic",
                     "search_span_containing",
-                    "search_boolean_sim", "classify_knn"):
+                    "search_boolean_sim", "classify_knn",
+                    "search_span_multi", "search_complex_phrase"):
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
         if name == "top_terms":
             # termdict-only: the postings table must not be scanned
@@ -406,6 +426,21 @@ def main() -> int:
                 "complete_infix must read only the termdict"
             assert any("PushedFilters" in ln and "Contains" in ln
                        for ln in keep), "complete_infix fragment not pushed"
+        if name == "facet_dynamic_ranges":
+            # windowless dense rank + 1-row count broadcast: never a
+            # single-partition ROW_NUMBER over the match set
+            assert "Window" not in plan, \
+                "dynamic ranges plan contains a window"
+            assert any("BroadcastHashJoin" in ln or "BroadcastNestedLoopJoin" in ln
+                       for ln in keep), \
+                "dynamic ranges count/offsets not broadcast"
+        if name in ("clean_c4", "shape_box"):
+            # pure higher-order column math: map-only, zero exchanges,
+            # zero Python
+            assert not any("Exchange" in ln for ln in plan.splitlines()), \
+                f"{name} plan shuffles"
+            assert "EvalPython" not in plan and "MapInPandas" not in plan, \
+                f"{name} plan runs Python"
         if name == "length_buckets":
             # dense-rank scan pattern: no per-bucket window, no
             # single-partition collapse; bucket offsets broadcast back
