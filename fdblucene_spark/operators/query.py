@@ -5719,7 +5719,10 @@ class Searcher:
         stored = self._stored_df().select(
             "doc", F.col(value_field).cast("long").alias("_v")
         )
-        vals = matched.join(stored, "doc")
+        # docs without the value are excluded (Lucene DynamicRangeUtil
+        # only weighs docs the LongValuesSource advances to) — also
+        # pins rank order: Spark sorts NULLs first, DuckDB last
+        vals = matched.join(stored, "doc").filter(F.col("_v").isNotNull())
         ranked = assign_dense_doc_ids(
             vals.select(F.col("doc").alias("_mdoc"), "_v")
                 .withColumnRenamed("_mdoc", "mdoc"),

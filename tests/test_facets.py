@@ -599,3 +599,20 @@ def test_dynamic_ranges_edges(facet_index):
     one = s.facet_dynamic_ranges(CLAUSES, "n_chars", 1).collect()
     assert len(one) == 1 and one[0]["n"] == len(vs)
     assert one[0]["lo"] == min(vs) and one[0]["hi"] == max(vs)
+
+
+def test_dynamic_ranges_null_values_excluded(spark, tmp_path_factory):
+    # a doc matching the query but missing the stored value must not
+    # occupy a rank slot (Lucene's LongValuesSource advance contract)
+    rows = [{"doc_id": i, "text": "alpha common",
+             "n_chars": (None if i % 3 == 0 else 100 + i)} for i in range(30)]
+    root = str(tmp_path_factory.mktemp("dynnull") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id",
+                n_shards=2, text_fields={"text": "text"},
+                stored_fields={"n_chars": "n_chars"})
+    s = Searcher(spark, root)
+    got = s.facet_dynamic_ranges(
+        [{"term": "alpha", "occur": "must"}], "n_chars", 4).collect()
+    n_valued = sum(1 for r in rows if r["n_chars"] is not None)
+    assert sum(r["n"] for r in got) == n_valued
+    assert all(r["lo"] is not None and r["hi"] is not None for r in got)
