@@ -396,7 +396,9 @@ def shape_box_query(
     rels = shape_box_relations(lats_col, lons_col, box)
     if relation not in rels:
         raise ValueError(f"relation must be one of {sorted(rels)}")
-    guard = F.size(F.col(lats_col)) >= 3
+    guard = (F.size(F.col(lats_col)) >= 3) & (
+        F.size(F.col(lats_col)) == F.size(F.col(lons_col))
+    )
     if relation == "disjoint":
         return df.filter(~guard | rels["disjoint"])
     return df.filter(guard & rels[relation])
@@ -533,7 +535,9 @@ def shape_line_query(
     rels = shape_line_relations(lats_col, lons_col, box)
     if relation not in rels:
         raise ValueError(f"relation must be one of {sorted(rels)}")
-    guard = F.size(F.col(lats_col)) >= 1
+    guard = (F.size(F.col(lats_col)) >= 1) & (
+        F.size(F.col(lats_col)) == F.size(F.col(lons_col))
+    )
     if relation == "disjoint":
         return df.filter(~guard | rels["disjoint"])
     return df.filter(guard & rels[relation])

@@ -2187,9 +2187,19 @@ class Searcher:
         (OR clauses require in_order=True, same greedy minimal-chain
         matcher). Reference delegates span queries to Lucene wholesale
         (/root/reference/README.md:53); this is the wrapper surface."""
+        _PATTERN_KEYS = {"prefix", "wildcard", "regexp", "fuzzy",
+                         "max_edits", "transpositions", "prefix_length",
+                         "term_range"}
         expanded: list = []
         for c in clause_terms:
             if isinstance(c, dict):
+                bad = set(c) - _PATTERN_KEYS
+                if bad or not set(c) & {"prefix", "wildcard", "regexp",
+                                        "fuzzy", "term_range"}:
+                    raise ValueError(
+                        f"pattern clause must name one of prefix/wildcard/"
+                        f"regexp/fuzzy/term_range (got {sorted(c)})"
+                    )
                 terms = self.expand_terms(
                     field=field,
                     prefix=c.get("prefix"),

@@ -1668,3 +1668,14 @@ def test_complex_phrase_parser(spark, tmp_path_factory):
         s.search_complex_phrase('"a b"~x', k=5)
     with _pt.raises(ValueError, match="surviving"):
         s.search_complex_phrase('"stream"', k=5)
+
+
+def test_span_multi_rejects_unknown_pattern_keys(spark, tmp_path_factory):
+    rows = [{"doc_id": 0, "text": "bat cat"}]
+    root = str(tmp_path_factory.mktemp("spanmg") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id", n_shards=1)
+    s = Searcher(spark, root)
+    with pytest.raises(ValueError, match="pattern clause"):
+        s.search_span_multi([{"prefx": "b"}, "cat"], k=5)
+    with pytest.raises(ValueError, match="pattern clause"):
+        s.search_span_multi([{"max_edits": 1}, "cat"], k=5)

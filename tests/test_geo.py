@@ -464,3 +464,13 @@ def test_shape_line_vs_polygon_and_twin(spark):
         {"id": 1, "lats": [30.0], "lons": [30.0]},
     ])
     assert {r["id"] for r in geo.shape_line_query(pt, "lats", "lons", _SBOX).collect()} == {0}
+
+
+def test_shape_query_length_mismatch_guard(spark):
+    # a row whose lats/lons arrays disagree in length is malformed:
+    # it never matches a positive relation (disjoint admits it)
+    df = spark.createDataFrame(
+        [{"id": 0, "lats": [1.0, 9.0, 5.0], "lons": [1.0, 1.0]}])
+    assert geo.shape_box_query(df, "lats", "lons", _SBOX).count() == 0
+    assert geo.shape_box_query(df, "lats", "lons", _SBOX, "disjoint").count() == 1
+    assert geo.shape_line_query(df, "lats", "lons", _SBOX).count() == 0
