@@ -199,6 +199,9 @@ SPAN_NOT = ("merge", "slow", 1, 2)  # (include, exclude, pre, post)
 # Lucene's TRUE phrase-frequency scoring; the absent alternative
 # exercises the skipped-TermStates idf drop
 MP_SLOTS = ["sort", ("merge", "join", "zzzabsent")]
+# ft_phrase_gap: PhraseQuery.Builder gap phrase — slot 1 sits at
+# position 2, leaving position 1 unconstrained
+MPG_SLOTS, MPG_POSITIONS = ["sort", ("merge", "join")], [0, 2]
 # ft_combined_field: BM25F over {text, source} — src3 matches only via
 # the keyword field, dup/hash only via text; both get cross-field norms
 COMB_TERMS = ["dup", "hash", "src3"]
@@ -1158,23 +1161,27 @@ FROM agg ORDER BY score32 DESC, doc_id ASC LIMIT {k} OFFSET {offset}'''}
 """
 
 
-def _phrase_freq_sql(slots: list, k: int) -> str:
+def _phrase_freq_sql(slots: list, k: int, positions: list | None = None) -> str:
     """PhraseQuery/MultiPhraseQuery-scoring twin: per-doc phrase freq
     = count of DISTINCT start positions whose slot chain completes
-    (slot i at start + i, alternatives as set membership), scored as
-    ONE pseudo-term — weight = float32(double-sum of member float32
-    idfs, one addend per (slot, term), absent terms contributing 0 =
-    Lucene's skipped empty TermStates), tf_norm on the phrase freq.
-    Same f32/f64 cast order as Searcher.search_multi_phrase."""
+    (slot i at start + offset_i — contiguous by default, explicit
+    `positions` for PhraseQuery.Builder gap phrases; alternatives as
+    set membership), scored as ONE pseudo-term — weight =
+    float32(double-sum of member float32 idfs, one addend per (slot,
+    term), absent terms contributing 0 = Lucene's skipped empty
+    TermStates), tf_norm on the phrase freq. Same f32/f64 cast order
+    as Searcher.search_multi_phrase."""
     norm_slots = [(c,) if isinstance(c, str) else tuple(c) for c in slots]
     ns = len(norm_slots)
+    offs = (list(range(ns)) if positions is None
+            else [int(p) - int(positions[0]) for p in positions])
     joins = ", ".join(f"flat f{i}" for i in range(ns))
     conds = []
     for i, c in enumerate(norm_slots):
         alts = ", ".join(f"'{t}'" for t in c)
         conds.append(f"f{i}.t IN ({alts})")
         if i > 0:
-            conds.append(f"f{i}.doc_id = f0.doc_id AND f{i}.p = f0.p + {i}")
+            conds.append(f"f{i}.doc_id = f0.doc_id AND f{i}.p = f0.p + {offs[i]}")
     member_terms = sorted({t for c in norm_slots for t in c})
     tlist = ", ".join(f"'{t}'" for t in member_terms)
     idf_addends = " + ".join(
@@ -1691,6 +1698,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scoring: tf = exact phrase occurrence count, weight =
         # f32(sum of member f32 idfs), one pseudo-term score
         return _hits_df(_searcher(spark, sf).search_multi_phrase(MP_SLOTS, k=K_ALL))
+
+    def ft_phrase_gap(spark, sf):
+        # PhraseQuery.Builder.add(term, position) gap phrase: "sort"
+        # at 0, ("merge"|"join") at 2 — the skipped position is
+        # unconstrained (the stopword-filter shape); phrase-frequency
+        # scoring over the gapped chain, same pseudo-term weight
+        return _hits_df(_searcher(spark, sf).search_multi_phrase(
+            MPG_SLOTS, k=K_ALL, positions=MPG_POSITIONS
+        ))
 
     def ft_regexp_search(spark, sf):
         # Lucene RegexpQuery: anchored whole-term regex expansion over
@@ -3451,7 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
-        ft_complex_phrase, ft_dynamic_ranges,
+        ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3505,6 +3521,7 @@ SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = '{LOOKUP_TERM}' GROU
         "ft_bm25_topk_and": _bm25_sql(AND_TERMS, "and", K_ALL),
         "ft_phrase_match": _bm25_sql(PHRASE, "phrase", K_ALL, phrase=True),
         "ft_multi_phrase": _phrase_freq_sql(MP_SLOTS, K_ALL),
+        "ft_phrase_gap": _phrase_freq_sql(MPG_SLOTS, K_ALL, positions=MPG_POSITIONS),
         "ft_top_terms": f"""
 WITH {_TOK_CTE}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf

@@ -642,9 +642,13 @@ def _phrase_freqs(
     groups: dict[str, pd.DataFrame],
     slots: list[tuple[str, ...]],
     cand: np.ndarray,
+    offsets: list[int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc EXACT phrase frequency for PhraseQuery/MultiPhraseQuery
-    scoring: slot i must match at start + i, a slot being a set of
+    scoring: slot i must match at start + offset_i (offsets default to
+    0, 1, ..., n-1 — the contiguous phrase; explicit offsets are
+    PhraseQuery.Builder.add(term, position) gap phrases, where the
+    skipped positions are unconstrained), a slot being a set of
     alternative terms (MultiPhraseQuery — its position set is the
     union of the alternatives'; one token per position, so alternative
     sets never collide on a position). Returns (docs asc, freqs);
@@ -655,6 +659,8 @@ def _phrase_freqs(
     empty = np.empty(0, dtype=np.int64)
     if cand.size == 0:
         return empty, empty
+    n = len(slots)
+    offs = list(range(n)) if offsets is None else [o - offsets[0] for o in offsets]
     occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     max_pos = 0
     for t in dict.fromkeys(t for c in slots for t in c):
@@ -662,8 +668,7 @@ def _phrase_freqs(
         if dd.size:
             max_pos = max(max_pos, int(pp.max()))
         occ[t] = (dd, pp)
-    n = len(slots)
-    shift = max(21, int(max_pos + n).bit_length() + 1)
+    shift = max(21, int(max_pos + offs[-1] + 1).bit_length() + 1)
     term_keys = {t: np.sort((dd << shift) | pp) for t, (dd, pp) in occ.items()}
     keys: list[np.ndarray] = []
     for c in slots:
@@ -672,10 +677,10 @@ def _phrase_freqs(
             return empty, empty
         keys.append(parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts)))
     starts = keys[0]
-    for off in range(1, n):
+    for i in range(1, n):
         if starts.size == 0:
             return empty, empty
-        starts = starts[_sorted_probe(keys[off], starts + off)]
+        starts = starts[_sorted_probe(keys[i], starts + offs[i])]
     if starts.size == 0:
         return empty, empty
     return np.unique(starts >> shift, return_counts=True)
@@ -2343,6 +2348,7 @@ class Searcher:
         slots: list,
         k: int,
         field: str = "text",
+        positions: list[int] | None = None,
     ) -> DataFrame:
         """Lucene PhraseQuery / MultiPhraseQuery SCORING (exact phrase,
         slop = 0): the phrase scores as ONE pseudo-term — per-doc
@@ -2365,6 +2371,12 @@ class Searcher:
         never match. Ties break docID asc; deletes and doc-values
         overrides apply as everywhere else.
 
+        `positions` (PhraseQuery.Builder.add(Term, int)): explicit
+        strictly-increasing token positions per slot — gaps leave the
+        skipped positions unconstrained, exactly the shape a stopword
+        filter leaves behind ("quick ? fox" = positions [0, 2]). The
+        default is the contiguous 0..n-1 phrase.
+
         Reference: the reference delegates phrase scoring to Lucene 8
         (/root/reference/README.md:53); this reproduces
         BM25Scorer.score(phraseFreq, norm) bit-for-bit in float32."""
@@ -2375,6 +2387,14 @@ class Searcher:
             raise ValueError("search_multi_phrase needs >= 2 slots")
         if any(len(c) == 0 for c in norm_slots):
             raise ValueError("empty alternative slot")
+        if positions is not None:
+            if len(positions) != len(norm_slots):
+                raise ValueError("positions must align with slots")
+            pos = [int(p) for p in positions]
+            if any(b <= a for a, b in zip(pos, pos[1:])):
+                raise ValueError("positions must be strictly increasing")
+        else:
+            pos = None
         if not self.manifest.properties.get("store_positions", True):
             raise ValueError("index built without positions; phrase queries unavailable")
         uniq_terms = list(dict.fromkeys(t for c in norm_slots for t in c))
@@ -2427,7 +2447,7 @@ class Searcher:
                 cand = cand[~_sorted_probe(dels, cand)]
             if allowed is not None and cand.size:
                 cand = cand[_sorted_probe(allowed, cand)]
-            docs_m, freqs = _phrase_freqs(groups, slots_present, cand)
+            docs_m, freqs = _phrase_freqs(groups, slots_present, cand, offsets=pos)
             if docs_m.size == 0:
                 return pd.DataFrame({"doc": [], "score": []}).astype(
                     {"doc": np.int64, "score": np.float32}

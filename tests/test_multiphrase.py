@@ -190,3 +190,74 @@ def test_phrase_wildcard_expands_to_multi_phrase(spark, mp_index):
     assert s.search_phrase_wildcard(["red", {"prefix": "zzz"}], k=10).count() == 0
     with pytest.raises(ValueError):
         s.search_phrase_wildcard(["red", {"regex": "d.*"}], k=10)
+
+
+# ---- PhraseQuery.Builder.add(term, position) gap phrases ----
+
+def _brute_gap(rows, slots, positions):
+    norm_slots = [(c,) if isinstance(c, str) else tuple(c) for c in slots]
+    offs = [p - positions[0] for p in positions]
+    toks = {r["doc_id"]: tokenize_text(r["text"]) for r in rows}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    dfs = {}
+    for c in norm_slots:
+        for m in c:
+            dfs.setdefault(m, sum(1 for t in toks.values() if m in t))
+    w_acc = np.float64(0.0)
+    for c in norm_slots:
+        for m in c:
+            if dfs[m] > 0:
+                w_acc += np.float64(np.float32(bm25.idf(float(dfs[m]), n_docs)))
+    w32 = np.float32(w_acc)
+    out = []
+    for d, t in toks.items():
+        freq = sum(
+            1
+            for p in range(len(t) - offs[-1])
+            if all(t[p + offs[i]] in norm_slots[i] for i in range(len(norm_slots)))
+        )
+        if not freq:
+            continue
+        dlq = int(bm25.quantize_doclen(np.array([len(t)]))[0])
+        tfn = np.float32(bm25.tf_norm(np.array([freq]), np.array([dlq]), avgdl)[0])
+        out.append((d, np.float32(w32 * tfn)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def test_phrase_gap_positions_match_brute(spark, mp_index):
+    rows, root = mp_index
+    s = Searcher(spark, root)
+    for slots, positions in [
+        (["red", "runs"], [0, 2]),        # red ? runs
+        (["red", ("fox", "dog")], [0, 2]),  # alternatives after a gap
+        (["red", "fox", "runs"], [0, 1, 4]),  # mixed contiguous + gap
+    ]:
+        got = s.search_multi_phrase(slots, k=100, positions=positions).toPandas()
+        want = _brute_gap(rows, slots, positions)[:100]
+        assert [int(d) for d in got["doc"]] == [d for d, _ in want], (slots, positions)
+        for g, (_, w) in zip(got["score"], want):
+            assert np.float32(g) == w
+
+
+def test_phrase_gap_reduces_to_contiguous_and_guards(spark, mp_index):
+    rows, root = mp_index
+    s = Searcher(spark, root)
+    # positions [0, 1] is exactly the default contiguous phrase
+    a = {(r["doc"], r["score"]) for r in
+         s.search_multi_phrase(["red", "fox"], k=100, positions=[0, 1]).collect()}
+    b = {(r["doc"], r["score"]) for r in
+         s.search_multi_phrase(["red", "fox"], k=100).collect()}
+    assert a == b and a
+    # base offset is normalized away: [5, 7] == [0, 2]
+    c = {(r["doc"], r["score"]) for r in
+         s.search_multi_phrase(["red", "runs"], k=100, positions=[5, 7]).collect()}
+    d = {(r["doc"], r["score"]) for r in
+         s.search_multi_phrase(["red", "runs"], k=100, positions=[0, 2]).collect()}
+    assert c == d
+    with pytest.raises(ValueError, match="align"):
+        s.search_multi_phrase(["red", "fox"], k=5, positions=[0])
+    with pytest.raises(ValueError, match="increasing"):
+        s.search_multi_phrase(["red", "fox"], k=5, positions=[2, 2])
