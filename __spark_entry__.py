@@ -776,6 +776,46 @@ def _tx_searcher(spark: SparkSession):
     return Searcher(spark, root)
 
 
+MASK_ROLE, MASK_TOOL = "tool", "tool_4"  # tx_span_masked clause terms
+
+
+def _tx_masked_searcher(spark: SparkSession):
+    """Conversation-level PARALLEL-field index for FieldMaskingSpanQuery:
+    one doc per conversation, `roleseq` = the roles in turn order and
+    `toolseq` = the tools (null -> 'none') in turn order — one token
+    per turn slot in each field, so positions align across fields (the
+    FieldMaskingSpanQuery javadoc's parallel-array indexing pattern)."""
+    from fdblucene_spark.data import synth
+
+    root = os.path.join(TX_DIR, "mask_v1")
+    if not IndexCatalog(root).exists():
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        conv = (
+            df.withColumn("tool_t", F.coalesce(F.col("tool"), F.lit("none")))
+            .groupBy("conv_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", F.col("role").alias("v")))
+                ).alias("rs"),
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", F.col("tool_t").alias("v")))
+                ).alias("us"),
+            )
+            .select(
+                "conv_id",
+                F.array_join(F.transform("rs", lambda x: x["v"]), " ").alias("roleseq"),
+                F.array_join(F.transform("us", lambda x: x["v"]), " ").alias("toolseq"),
+            )
+        )
+        build_index(
+            spark, conv, root, key_cols=["conv_id"], n_shards=4,
+            text_fields={"roleseq": "roleseq", "toolseq": "toolseq"},
+            fingerprint="tx-mask-gate",
+        )
+    return Searcher(spark, root)
+
+
 # Lucene 8 BM25Scorer norm cache, reproduced op-for-op in float32
 # (BM25Similarity builds a float[256]: k1 * ((1-b) + b*LENGTH_TABLE[i]
 # / avgdl) with float arithmetic at every step; avgdl itself is a
@@ -2749,6 +2789,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select(F.col("conv").alias("conv_id"), "fingerprint", "keeper")
 
+    def tx_span_masked(spark, sf):
+        # FieldMaskingSpanQuery over parallel conv-level fields: the
+        # javadoc idiom SpanNear([mask(roleseq:tool), toolseq:tool_4],
+        # slop=-1, unordered) — conversations where a 'tool'-role turn
+        # and a tool_4 call land on the SAME turn slot; each clause
+        # scores its own field's BM25 (house span convention)
+        return _hits_df(
+            _tx_masked_searcher(spark).search_span_masked(
+                [("roleseq", MASK_ROLE), ("toolseq", MASK_TOOL)], k=10000, slop=-1
+            )
+        )
+
     def tx_conv_stats(spark, sf):
         # conversation-level analytics over the transcripts corpus:
         # one partial+final agg keyed by conv_id (turn counts, role
@@ -3467,7 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_perceptron, ft_range_field, ft_word_break, ft_sweet_spot,
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
-        ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap,
+        ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
     ]:
         q[fn.__name__] = fn
     return q
@@ -3708,6 +3760,59 @@ WITH t AS (
   WHERE substr(conv_id, 6)::INT % 13 = 0
 ), {curation.conversation_dedup_sql("t", "conv_id", "turn_idx", "text", sep="|~|").lstrip()}
 )
+""",
+        # FieldMaskingSpanQuery twin: parallel conv-level fields share
+        # one positional relation (one token per turn slot per field),
+        # the same-position join is p(a) = p(b), and each clause's BM25
+        # recomputes in ITS OWN field with the engine's f32 chain
+        # (f32 idf * f32 tf_norm per clause, f64 sum of the two f32
+        # addends in clause order, final f32 — the documented
+        # search_span_masked scoring convention)
+        "tx_span_masked": f"""
+WITH src AS (
+  SELECT conv_id, turn_idx, role, coalesce(tool, 'none') AS tool
+  FROM read_parquet('{TX_CORPUS}')
+), ids AS (
+  SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS doc_id
+  FROM (SELECT DISTINCT conv_id FROM src)
+), pos AS (
+  SELECT i.doc_id,
+         row_number() OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) - 1 AS p,
+         s.role, s.tool
+  FROM src s JOIN ids i USING (conv_id)
+), doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM pos GROUP BY doc_id
+), {_NORM_CTE.lstrip()},
+mtch AS (
+  SELECT DISTINCT a.doc_id FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p
+  WHERE a.role = '{MASK_ROLE}' AND b.tool = '{MASK_TOOL}'
+), c1 AS (
+  SELECT doc_id, count(*)::BIGINT AS tf FROM pos WHERE role = '{MASK_ROLE}'
+  GROUP BY doc_id
+), c2 AS (
+  SELECT doc_id, count(*)::BIGINT AS tf FROM pos WHERE tool = '{MASK_TOOL}'
+  GROUP BY doc_id
+), d1 AS (SELECT count(*)::BIGINT AS df FROM c1),
+d2 AS (SELECT count(*)::BIGINT AS df FROM c2),
+s1 AS (
+  SELECT c1.doc_id,
+    ((ln(1 + (s.n_docs - d1.df + 0.5) / (d1.df + 0.5))::FLOAT)::DOUBLE *
+     ((c1.tf::DOUBLE / (c1.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM c1 JOIN norms n ON n.doc_id = c1.doc_id CROSS JOIN stats s CROSS JOIN d1
+), s2 AS (
+  SELECT c2.doc_id,
+    ((ln(1 + (s.n_docs - d2.df + 0.5) / (d2.df + 0.5))::FLOAT)::DOUBLE *
+     ((c2.tf::DOUBLE / (c2.tf::DOUBLE + {_NORM_CACHE_F32}))::FLOAT)::DOUBLE
+    )::FLOAT AS s32
+  FROM c2 JOIN norms n ON n.doc_id = c2.doc_id CROSS JOIN stats s CROSS JOIN d2
+)
+SELECT m.doc_id,
+       round((s1.s32::DOUBLE + s2.s32::DOUBLE)::FLOAT::DOUBLE, 3) AS score
+FROM mtch m JOIN s1 ON s1.doc_id = m.doc_id JOIN s2 ON s2.doc_id = m.doc_id
+ORDER BY (s1.s32::DOUBLE + s2.s32::DOUBLE)::FLOAT DESC, m.doc_id ASC
+LIMIT 10000
 """,
         "tx_conv_stats": f"""
 SELECT conv_id, count(*)::BIGINT AS n_turns,

@@ -2226,6 +2226,118 @@ class Searcher:
             expanded, k, slop=slop, in_order=in_order, field=field
         )
 
+    def search_span_masked(
+        self,
+        clauses: list[tuple[str, str]],
+        k: int,
+        slop: int = -1,
+        in_order: bool = False,
+    ) -> DataFrame:
+        """Lucene FieldMaskingSpanQuery under a SpanNearQuery: each
+        clause is (field, term) — a SpanTermQuery on its own field,
+        masked so every clause's positions compare in ONE position
+        stream. The canonical use is PARALLEL fields (one token per
+        record slot — e.g. a role-sequence and a tool-sequence field
+        over a conversation's turns), queried with Lucene's own
+        documented idiom `new SpanNearQuery(clauses, -1, false)` so
+        clauses match at the SAME position (FieldMaskingSpanQuery
+        javadoc example; the reference delegates span queries to
+        Lucene wholesale, /root/reference/README.md:53).
+
+        slop=-1 unordered is the same-position join; larger slop
+        widens the window exactly like a single-field SpanNearQuery
+        (width <= slop + n - 1). in_order=True requires slop >= 0
+        (ordered chains are strictly increasing). Each clause MUST
+        resolve in its own field (SpanNear is a conjunction).
+
+        Scoring: Lucene documents FieldMasking score behavior as
+        unsupported/arbitrary (SpanFieldMaskingQuery javadoc), so this
+        surface takes the house span convention — each DISTINCT
+        (field, term) clause contributes its own field's full-tf BM25
+        (that field's df/N/avgdl/norms), float64 sum of float32
+        addends in clause order, final float32, ties docID asc."""
+        pairs = [(str(f), str(t)) for f, t in clauses]
+        n = len(pairs)
+        if n < 2:
+            raise ValueError("search_span_masked needs >= 2 clauses")
+        if in_order and slop < 0:
+            raise ValueError("in_order requires slop >= 0")
+        if slop + n - 1 < 0:
+            raise ValueError(f"slop must be >= {1 - n} for {n} clauses")
+        if not self.manifest.properties.get("store_positions", True):
+            raise ValueError("index built without positions; span queries unavailable")
+        by_field: dict[str, list[str]] = {}
+        for f, t in pairs:
+            by_field.setdefault(f, []).append(t)
+        stats = self.term_stats_multi({f: ts for f, ts in by_field.items()})
+        uniq_pairs = list(dict.fromkeys(pairs))
+        if any(p not in stats for p in uniq_pairs):
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        weights = {
+            p: np.float32(bm25.idf(float(stats[p][0]), self.manifest.n_docs_for(p[0])))
+            for p in uniq_pairs
+        }
+        avgdl = {f: self.manifest.avgdl_for(f) for f in by_field}
+        dfs = {p: stats[p][0] for p in uniq_pairs}
+        aux, allow_kinds = self._aux_frames()
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {
+                (f, t): g for (f, t), g in pdf.groupby(["field", "term"], sort=False)
+            }
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            if allowed is not None and allowed.size == 0:
+                return _EMPTY
+            decoded: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+            for p in uniq_pairs:
+                g = groups.get(p)
+                if g is None:
+                    return _EMPTY
+                d, tf, dlq = _decode_block_rows(g)
+                if dels is not None and dels.size and d.size:
+                    live = ~_sorted_probe(dels, d)
+                    d, tf, dlq = d[live], tf[live], dlq[live]
+                if allowed is not None and d.size:
+                    m = _sorted_probe(allowed, d)
+                    d, tf, dlq = d[m], tf[m], dlq[m]
+                if d.size == 0:
+                    return _EMPTY
+                o = np.argsort(d, kind="stable")
+                s = (weights[p] * bm25.tf_norm(tf, dlq, avgdl[p[0]])).astype(np.float32)
+                decoded[p] = (d[o], s[o])
+            # rarest-first conjunction over per-field doc sets
+            cand = None
+            for p in sorted(uniq_pairs, key=lambda p: dfs[p]):
+                dp = decoded[p][0]
+                cand = dp if cand is None else cand[_sorted_probe(dp, cand)]
+                if cand.size == 0:
+                    return _EMPTY
+            acc = np.zeros(cand.size, dtype=np.float64)
+            for p in uniq_pairs:  # clause order = documented addition order
+                d, s = decoded[p]
+                acc += s[np.searchsorted(d, cand)].astype(np.float64)
+            # positions compare in one masked stream: key groups by a
+            # field\x00term label so _span_near_filter (single-field by
+            # construction) sees each clause as a distinct pseudo-term
+            lab_groups = {f"{f}\x00{t}": g for (f, t), g in groups.items()}
+            lab_clauses = [(f"{f}\x00{t}",) for f, t in pairs]
+            docs_m, acc_m = _span_near_filter(
+                lab_groups, lab_clauses, slop, in_order, cand, acc
+            )
+            score32 = acc_m.astype(np.float32)
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score32))[:k]
+                docs_m, score32 = docs_m[idx], score32[idx]
+            return pd.DataFrame({"doc": docs_m.astype(np.int64), "score": score32})
+
+        pred = None
+        for f, ts in by_field.items():
+            leg = (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
+            pred = leg if pred is None else (pred | leg)
+        scan = self._postings.filter(pred)
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
     def _expand_interval_leaves(
         self, source: dict, field: str, max_expansions: int
     ) -> dict:
