@@ -2975,6 +2975,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return curation.paragraph_dedup(docs, "doc_id", "text")
 
+    def dedup_url(spark, sf):
+        # URL-level exact dedup over canonicalized PLANTED urls (the
+        # corpus has no URL column): deterministic messy spellings —
+        # scheme/host case, www., default ports, tracking params,
+        # param order, trailing slash, fragments — derived from
+        # (doc_id, source) identically in the twin; canonical keys
+        # collide across spellings so the min-id keeper rule is
+        # genuinely exercised
+        d = F.col("doc_id").cast("long")
+        url = F.concat(
+            F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
+            F.lit("://"),
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".Example.com"),
+            F.when(
+                d % 4 == 0,
+                F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            ).otherwise(F.lit("")),
+            F.lit("/a/"),
+            (d % 37).cast("string"),
+            F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?b="),
+            (d % 7).cast("string"),
+            F.lit("&utm_source=feed&a="),
+            (d % 3).cast("string"),
+            F.when(d % 6 == 0, F.lit("&fbclid=xyz")).otherwise(F.lit("")),
+            F.when(d % 2 == 0, F.lit("#top")).otherwise(F.lit("")),
+        )
+        docs = _table(spark, sf, "documents").select("doc_id", url.alias("url"))
+        return curation.url_dedup(docs, "doc_id", "url")
+
     def dedup_spans(spark, sf):
         # Lee-et-al exact-substring duplicates: maximal runs of
         # 4-token windows appearing in >= 2 distinct docs, over the
@@ -3520,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
+        dedup_url,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5100,6 +5133,23 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
             "documents", "doc_id", "text", "doc_id % 37 = 0"
         ),
         "dedup_paragraph": curation.paragraph_dedup_sql(_BOILER_SQL, "doc_id", "text"),
+        "dedup_url": curation.url_dedup_sql(
+            """SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END || '://' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        source || '.Example.com' ||
+        CASE WHEN doc_id % 4 = 0 THEN
+          CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ELSE '' END ||
+        '/a/' || (doc_id % 37)::VARCHAR ||
+        CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        '?b=' || (doc_id % 7)::VARCHAR ||
+        '&utm_source=feed&a=' || (doc_id % 3)::VARCHAR ||
+        CASE WHEN doc_id % 6 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+        CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+FROM documents""",
+            "doc_id",
+            "url",
+        ),
         "text_decontam_fuzzy": f"""
 SELECT doc_id, contaminated, round(max_jaccard, 9) AS max_jaccard FROM (
 {dedup.decontaminate_fuzzy_sql("documents", "doc_id", "text", "doc_id % 37 = 0", 0.5)}

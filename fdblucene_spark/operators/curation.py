@@ -823,6 +823,117 @@ FROM {table}
 """
 
 
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)(=|$)"
+)
+
+
+def canonical_url(url) -> F.Column:
+    """Canonical form of a URL column — the normalization CCNet-style
+    web curation applies before URL-level dedup. Rules (each one a
+    documented, twin-replicated string op; NO percent-decoding):
+
+    1. lowercase the scheme and the host
+    2. strip one leading 'www.' from the host
+    3. strip the scheme's default port (:80 http, :443 https)
+    4. drop the #fragment
+    5. drop tracking query params (TRACKING_PARAM_RE: utm_*, fbclid,
+       gclid, msclkid, mc_eid, ref, ref_src)
+    6. sort surviving params by their full 'k=v' string (duplicate
+       keys keep a deterministic value order)
+    7. strip trailing slashes from the path (root '/' and '' collapse
+       — intended for dedup keys, not for refetching)
+
+    Pure Catalyst (regexp/split/filter/sort/join — whole-stage
+    codegen); the DuckDB twin canonical_url_sql applies the identical
+    chain, so canonical keys agree byte-for-byte."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # rule 4 (first, like the twin)
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    parts = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(parts), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of canonical_url: the same 7 rules over `expr`.
+    Every regexp is ^/$-anchored or fragment-greedy so Spark's
+    replace-all and DuckDB's replace-first agree by construction."""
+    scheme = f"lower(regexp_extract(trim({expr}), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = (
+        f"regexp_replace(regexp_replace(trim({expr}), "
+        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#.*$', '')"
+    )
+    host = f"regexp_replace(lower(regexp_extract({rest}, '^([^/?]*)', 1)), '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+    path = f"regexp_replace(regexp_extract({rest}, '^[^/?]*([^?]*)', 1), '/+$', '')"
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    canon_q = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"({scheme} || '://' || ({host}) || {path} || "
+        f"CASE WHEN {canon_q} <> '' THEN '?' || {canon_q} ELSE '' END)"
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level exact dedup over the canonical form: returns
+    (id, canon_url, keeper) where keeper marks the min-id doc per
+    canonical URL — the first-stage web-crawl dedup (one URL fetched
+    many times across snapshots collapses to one document).
+
+    Scale shape: canonicalization is map-only; the keeper rule is ONE
+    partial+final min agg keyed by canon_url joined back on the key —
+    no window, no self-join on the payload."""
+    canon = df.select(
+        F.col(id_col).alias("id"), canonical_url(F.col(url_col)).alias("canon_url")
+    )
+    keepers = canon.groupBy("canon_url").agg(F.min("id").alias("_keep_id"))
+    return (
+        canon.join(keepers, "canon_url")
+        .select(
+            F.col("id").alias(id_col),
+            "canon_url",
+            (F.col("id") == F.col("_keep_id")).alias("keeper"),
+        )
+    )
+
+
+def url_dedup_sql(src_sql: str, id_col: str, url_expr: str) -> str:
+    """DuckDB twin of url_dedup over `src_sql` rows."""
+    return f"""
+WITH src AS ({src_sql}),
+canon AS (SELECT {id_col} AS id, {canonical_url_sql(url_expr)} AS canon_url FROM src),
+keepers AS (SELECT canon_url, min(id) AS keep_id FROM canon GROUP BY canon_url)
+SELECT c.id AS {id_col}, c.canon_url, c.id = k.keep_id AS keeper
+FROM canon c JOIN keepers k USING (canon_url)
+"""
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

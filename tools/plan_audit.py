@@ -266,6 +266,18 @@ def main() -> int:
     surfaces["shape_box"] = geo.shape_box_query(
         shp_df, "lats", "lons", (0.0, 5.0, 0.0, 5.0)
     )
+    # round-5 eleventh-phase surfaces
+    url_df = spark.createDataFrame(
+        [{"doc_id": i,
+          "url": f"HTTPS://WWW.site{i % 7}.com:443/a/{i % 11}/?utm_source=x&b={i % 3}"}
+         for i in range(300)]
+    )
+    surfaces["url_dedup"] = curation.url_dedup(url_df, "doc_id", "url")
+    # plan shape is field-agnostic: same-field clauses exercise the
+    # masked kernel's scan pushdown without a parallel-field build
+    surfaces["search_span_masked"] = s.search_span_masked(
+        [("text", "alpha"), ("text", "beta")], 10, slop=3
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
