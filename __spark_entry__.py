@@ -3007,6 +3007,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _table(spark, sf, "documents").select("doc_id", url.alias("url"))
         return curation.url_dedup(docs, "doc_id", "url")
 
+    def text_html_extract(spark, sf):
+        # WET-style HTML -> text extraction: the corpus has no markup,
+        # so pages are PLANTED deterministically around documents.text
+        # (title/style/head, conditional script block, numbered
+        # comment, entity-encoded heading, ' the ' entity-wrapped in
+        # the body, nbsp'd footer) — then every extraction rule runs
+        # for real; the twin rebuilds the identical pages in SQL
+        d = F.col("doc_id").cast("long")
+        html = F.concat(
+            F.lit("<html><head><title>D"),
+            d.cast("string"),
+            F.lit("</title><style>p{x:1}</style></head><body>"),
+            F.when(d % 3 == 0, F.lit("<script>if(a<b){x()}</script>")).otherwise(
+                F.lit("")
+            ),
+            F.lit("<!-- c"),
+            (d % 5).cast("string"),
+            F.lit(" --><h1>Doc &amp; "),
+            d.cast("string"),
+            F.lit("</h1><p>"),
+            F.replace(F.col("text"), F.lit(" the "), F.lit(" &lt;the&gt; ")),
+            F.lit("</p><div>tail&nbsp;"),
+            (d % 7).cast("string"),
+            F.lit("</div></body></html>"),
+        )
+        docs = _table(spark, sf, "documents")
+        return docs.select(
+            "doc_id", curation.extract_html(html).alias("clean_text")
+        )
+
     def dedup_spans(spark, sf):
         # Lee-et-al exact-substring duplicates: maximal runs of
         # 4-token windows appearing in >= 2 distinct docs, over the
@@ -3552,7 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
-        dedup_url,
+        dedup_url, text_html_extract,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5133,6 +5163,21 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
             "documents", "doc_id", "text", "doc_id % 37 = 0"
         ),
         "dedup_paragraph": curation.paragraph_dedup_sql(_BOILER_SQL, "doc_id", "text"),
+        "text_html_extract": (
+            "SELECT doc_id, "
+            + curation.extract_html_sql("html")
+            + """ AS clean_text FROM (
+SELECT doc_id,
+  ('<html><head><title>D' || doc_id::VARCHAR ||
+   '</title><style>p{x:1}</style></head><body>' ||
+   CASE WHEN doc_id % 3 = 0 THEN '<script>if(a<b){x()}</script>' ELSE '' END ||
+   '<!-- c' || (doc_id % 5)::VARCHAR || ' --><h1>Doc &amp; ' ||
+   doc_id::VARCHAR || '</h1><p>' ||
+   replace(text, ' the ', ' &lt;the&gt; ') ||
+   '</p><div>tail&nbsp;' || (doc_id % 7)::VARCHAR ||
+   '</div></body></html>') AS html
+FROM documents)"""
+        ),
         "dedup_url": curation.url_dedup_sql(
             """SELECT doc_id,
        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END || '://' ||

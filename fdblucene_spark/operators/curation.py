@@ -900,6 +900,75 @@ def canonical_url_sql(expr: str) -> str:
     )
 
 
+_HTML_ENTITIES = [
+    # &amp; decodes LAST so '&amp;lt;' -> '&lt;' (one level, no
+    # double-decode) — the order WET-style extractors use
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+# block-level closers/breaks that become newlines so paragraph
+# structure survives tag stripping (what a WET extraction keeps)
+_HTML_BREAK_RE = r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/td|/section|/article)[^>]*>"
+
+
+def extract_html(html) -> F.Column:
+    """Plain text from an HTML column — the WET-style extraction pass
+    that turns crawl HTML into trainable text. Deliberately a
+    deterministic string chain (NOT a DOM parser; crawl-scale
+    extractors are regex/state-machine passes for the same reason):
+
+    1. drop <script>/<style> blocks wholesale (with their content)
+    2. drop <!-- comments -->
+    3. block-level closers (_HTML_BREAK_RE) become newlines
+    4. strip every remaining tag
+    5. decode the common entities (&amp; LAST — single-level decode)
+    6. collapse horizontal whitespace, trim lines, drop empty lines
+
+    Pure Catalyst; extract_html_sql is the char-identical DuckDB twin
+    (both regex engines see the same (?is)/non-greedy patterns; the
+    twin passes the 'g' option where DuckDB defaults to first-match).
+    Compose with clean_c4 / quality taggers downstream."""
+    t = html
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, _HTML_BREAK_RE, "\n")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    # null/empty inputs normalize to '' (the twin coalesces the same
+    # way — DuckDB's empty-list array_to_string is NULL)
+    return F.coalesce(F.array_join(lines, "\n"), F.lit(""))
+
+
+def extract_html_sql(expr: str) -> str:
+    """DuckDB twin of extract_html over `expr` (same chain, same
+    order; 'g' = global to match Spark's replace-all default)."""
+    t = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_HTML_BREAK_RE}', chr(10), 'g')"
+    t = f"regexp_replace({t}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        t = f"replace({t}, '{ent}', '{lit}')"
+    t = f"regexp_replace({t}, '[ \\t\\r]+', ' ', 'g')"
+    return (
+        f"coalesce(array_to_string(list_filter(list_transform("
+        f"string_split({t}, chr(10)), x -> trim(x)), x -> x <> ''), chr(10)), '')"
+    )
+
+
 def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     """URL-level exact dedup over the canonical form: returns
     (id, canon_url, keeper) where keeper marks the min-id doc per
