@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from fdblucene_spark.functions import bm25
 from fdblucene_spark.functions import expressions as _exprs
+from fdblucene_spark.functions import phonetic as _phonetic
 from fdblucene_spark.functions.analysis import ENGLISH_STOPWORDS
 from fdblucene_spark.operators import classify as _classify
 from fdblucene_spark.operators import curation, dedup, geo, multimodal, similarity, textstats
@@ -102,6 +103,7 @@ PREFIX_Q = "s"      # expands to scan/slow/small/sort/spark/stream
 WILDCARD_Q = "s?a*"  # expands to scan/small/spark (WildcardQuery)
 TRANGE_LO, TRANGE_HI = "query", "sort"  # TermRangeQuery bounds
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
+PHONETIC_Q = "mirj"  # ft_phonetic: Soundex M620 expands to {merge}
 PAGE = 100          # ft_search_after page size
 NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
 REPL_TERMS = ["scan", "value"]  # ft_replica_search (distinct result set)
@@ -2134,6 +2136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FuzzyQuery: termdict expansion at levenshtein <= 2
         return _hits_df(_searcher(spark, sf).search_fuzzy(FUZZY_Q, k=K_ALL, max_edits=2))
 
+    def ft_phonetic(spark, sf):
+        # analysis-phonetic module (PhoneticFilter + commons-codec
+        # Soundex): expand to the equal-Soundex vocabulary terms (one
+        # codegen encode over the termdict scan), then the pruned BM25
+        # disjunction — 'mirj' (M620) finds 'merge' docs
+        return _hits_df(_searcher(spark, sf).search_phonetic(PHONETIC_Q, k=K_ALL))
+
     def ft_sorted_search(spark, sf):
         # Lucene Sort-by-NumericDocValues inside the index (L19 within
         # the query surface, not a separate Catalyst table scan)
@@ -3582,7 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
-        dedup_url, text_html_extract,
+        dedup_url, text_html_extract, ft_phonetic,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4417,6 +4426,13 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
         ),
         "ft_fuzzy_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"levenshtein(term, '{FUZZY_Q}') <= 2"
+        ),
+        "ft_phonetic": _bm25_sql(
+            [], "or", K_ALL,
+            terms_sql=(
+                f"({_phonetic.soundex_sql('term')}) = "
+                f"({_phonetic.soundex_sql(repr(PHONETIC_Q))})"
+            ),
         ),
         "ft_sorted_search": f"""
 WITH {_TOK_CTE}

@@ -74,6 +74,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import bm25, codec
+from ..functions import phonetic as phonetic_fn
 from ..sources.manifest import IndexCatalog, Manifest
 from . import intervals as _intervals
 from .build import normalize_index_sort
@@ -1954,6 +1955,7 @@ class Searcher:
         term_range: tuple[str | None, str | None] | None = None,
         regex: str | None = None,
         prefix_length: int = 0,
+        phonetic: str | None = None,
     ) -> list[str]:
         """MultiTermQuery expansion (Lucene PrefixQuery / FuzzyQuery
         term enumeration) as a DISTRIBUTED termdict job: startsWith
@@ -2016,6 +2018,16 @@ class Searcher:
             if transpositions:
                 dmr = _damerau_udf(fuzzy)
                 td = td.filter(dmr(F.col("term")) <= F.lit(max_edits))
+        if phonetic is not None:
+            # PhoneticFilter(Soundex) enumeration: vocabulary terms
+            # whose commons-codec Soundex equals the query's — the
+            # encode runs as ONE codegen expression over the termdict
+            # scan (functions/phonetic.soundex_col); an empty code
+            # (no letters in the query) expands to nothing
+            code = phonetic_fn.soundex_py(phonetic)
+            if not code:
+                return []
+            td = td.filter(phonetic_fn.soundex_col(F.col("term")) == F.lit(code))
         rows = (
             td.groupBy("term")
             .agg(F.sum("df").alias("df"))
@@ -2056,6 +2068,25 @@ class Searcher:
         terms = self.expand_terms(
             field, fuzzy=term, max_edits=max_edits, max_expansions=max_expansions,
             transpositions=transpositions, prefix_length=prefix_length,
+        )
+        if not terms:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        return self.search(terms, k, mode="or", field=field, **kw)
+
+    def search_phonetic(
+        self, term: str, k: int, field: str = "text", max_expansions: int = 50, **kw
+    ) -> DataFrame:
+        """Phonetic query — the query-side analogue of Lucene's
+        analysis-phonetic module (PhoneticFilter + commons-codec
+        Soundex, which the reference inherits through Lucene's
+        analyzer stack): expand to every vocabulary term whose
+        Soundex equals the query term's, capped like every other
+        MultiTermQuery (top max_expansions by df desc, term asc),
+        then ONE BM25 disjunction over the expansions (the
+        SCORING_BOOLEAN rewrite the other expansion surfaces use).
+        'mirj' finds docs containing 'merge' (both M620)."""
+        terms = self.expand_terms(
+            field, phonetic=term, max_expansions=max_expansions
         )
         if not terms:
             return self.spark.createDataFrame([], HIT_SCHEMA)

@@ -278,6 +278,8 @@ def main() -> int:
     surfaces["search_span_masked"] = s.search_span_masked(
         [("text", "alpha"), ("text", "beta")], 10, slop=3
     )
+    # round-5 twelfth-phase surfaces
+    surfaces["search_phonetic"] = s.search_phonetic("alfa", 10)
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
