@@ -495,6 +495,39 @@ def _pay_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _paydelim_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """DelimitedPayloadTokenFilter index (ft_payload_check): every
+    token of documents.text gets a planted '_<(doc_id+i) % MOD>'
+    suffix (i = 0-based token ordinal), which the filter strips back
+    to the ORIGINAL term carrying payload (doc_id+i) % MOD — so BM25
+    stats equal the plain index's and the twin recomputes payloads as
+    a pure function of (doc_id, position)."""
+    root = os.path.join(_index_root(sf_dir), "paydelim")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        toks = F.filter(
+            F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9_]+", " "), " "),
+            lambda t: t != F.lit(""),
+        )
+        planted = F.array_join(
+            F.transform(
+                toks,
+                lambda t, i: F.concat(
+                    t, F.lit("_"),
+                    ((F.col("doc_id") + i) % PAYCHECK_MOD).cast("string"),
+                ),
+            ),
+            " ",
+        )
+        build_index(spark, docs.select("doc_id", planted.alias("text")), root,
+                    doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-paydelim",
+                    store_payloads=True, payload_delim="_")
+    return Searcher(spark, root)
+
+
+PAYCHECK_MOD = 7   # planted payload = (doc_id + token ordinal) % 7
+PC_PAY = 2         # ft_payload_check: required payload on the 'key' slot
 DV_MOD, DV_BONUS = 9, 100000  # ft_dv_update: n_chars override for doc_id % 9
 
 
@@ -927,6 +960,7 @@ def _bm25_sql(
     agg_expr: str = "(sum(s32::DOUBLE))::FLOAT",
     boosts: dict[str, float] | None = None,
     near: tuple[str, str, int, bool] | None = None,
+    paycheck: tuple[str, int, str, int] | None = None,
     span: tuple[list[str], int, bool] | None = None,
     span_not: tuple[str, str, int, int] | None = None,
     span_contain: tuple[str, str, int, str] | None = None,
@@ -1131,6 +1165,28 @@ tokpos AS (
     AND EXISTS (SELECT 1 FROM flat fc WHERE fc.doc_id = m.doc_id
                 AND fc.t = '{tc}' AND fc.p BETWEEN m.ps AND m.ne)
 )"""
+    if paycheck is not None:
+        # SpanPayloadCheckQuery twin over the PLANTED delimited corpus
+        # (_paydelim_searcher): the plant gives token i of doc d
+        # payload (d + i) % PAYCHECK_MOD and the delimiter strip
+        # restores the original token stream, so BM25 stats run on the
+        # ORIGINAL text while each occurrence's payload is recomputed
+        # here as a pure function of (doc_id, position)
+        ta, pa, tb, w = paycheck
+        phrase_filter = f""",
+tokpos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks
+), flat AS (
+  SELECT doc_id, tp.p AS p, tp.t AS t,
+         (doc_id + tp.p - 1) % {PAYCHECK_MOD} AS pay
+  FROM tokpos
+), phrasedocs AS (
+  SELECT DISTINCT f0.doc_id FROM flat f0, flat f1
+  WHERE f0.t = '{ta}' AND f0.pay = {pa} AND f1.t = '{tb}'
+    AND f1.doc_id = f0.doc_id AND f1.p - f0.p BETWEEN 1 AND {w}
+)"""
     if near is not None:
         # SpanNearQuery twin: tb within `window` positions of ta
         # (ordered: strictly after) via the token-position relation
@@ -1174,7 +1230,8 @@ tokpos AS (
     phrase_where = (
         "AND tf.doc_id IN (SELECT doc_id FROM phrasedocs)"
         if (phrase or near or span is not None or span_not is not None
-            or span_contain is not None or interval is not None)
+            or span_contain is not None or interval is not None
+            or paycheck is not None)
         else ""
     )
     return f"""
@@ -2135,6 +2192,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_fuzzy_search(spark, sf):
         # FuzzyQuery: termdict expansion at levenshtein <= 2
         return _hits_df(_searcher(spark, sf).search_fuzzy(FUZZY_Q, k=K_ALL, max_edits=2))
+
+    def ft_payload_check(spark, sf):
+        # SpanPayloadCheckQuery over a DelimitedPayloadTokenFilter
+        # index: a 'key' occurrence carrying payload PC_PAY followed
+        # by 'value' within slop 1; the twin recomputes each payload
+        # from the plant rule (doc_id + pos) % PAYCHECK_MOD
+        return _hits_df(
+            _paydelim_searcher(spark, sf).search_span_payload_check(
+                ["key", "value"], [PC_PAY, None], k=K_ALL, slop=1, in_order=True
+            )
+        )
 
     def ft_phonetic(spark, sf):
         # analysis-phonetic module (PhoneticFilter + commons-codec
@@ -3591,7 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_filter_cache, text_bpe_merges, geo_polygon_holes,
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
-        dedup_url, text_html_extract, ft_phonetic,
+        dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4426,6 +4494,10 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
         ),
         "ft_fuzzy_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"levenshtein(term, '{FUZZY_Q}') <= 2"
+        ),
+        "ft_payload_check": _bm25_sql(
+            ["key", "value"], "and", K_ALL,
+            paycheck=("key", PC_PAY, "value", 2),
         ),
         "ft_phonetic": _bm25_sql(
             [], "or", K_ALL,

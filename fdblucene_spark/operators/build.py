@@ -220,6 +220,7 @@ def _invert_text(
     emit_roster: bool = False,
     stem: bool = False,
     shingle: bool = False,
+    payload_delim: str | None = None,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
 
@@ -245,7 +246,17 @@ def _invert_text(
     Built-in producer: the token's character length (the classic
     payload demo); swap the producer HERE, where a Lucene TokenFilter
     would run — the storage slot, codec, merge carry-through and query
-    surface are payload-agnostic."""
+    surface are payload-agnostic.
+
+    payload_delim: DelimitedPayloadTokenFilter (Lucene analysis-common)
+    with the IntegerEncoder — a token 'word<delim>N' (N decimal digits)
+    indexes as term 'word' carrying payload N; tokens without the
+    suffix keep their whole surface and the default length payload.
+    Lucene's default delimiter '|' would be split away by the \\w+
+    tokenizer, so '_' (a \\w character) is the natural choice here —
+    the filter runs where Lucene runs it, straight after tokenization,
+    before any stem/stop stage (which payload_delim therefore refuses
+    to compose with)."""
     if shingle and store_offsets:
         raise ValueError("store_offsets is not supported with a shingle analyzer")
     if store_offsets:
@@ -289,6 +300,28 @@ def _invert_text(
     keep = lens > 0  # docs with no tokens produce no postings
     keep_idx = np.flatnonzero(keep)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[keep]])
+    pay_vals: np.ndarray | None = None
+    if payload_delim is not None:
+        # DelimitedPayloadTokenFilter(IntegerEncoder): split each token
+        # at the LAST delimiter; a non-empty head + all-digit tail
+        # means term=head, payload=int(tail); anything else keeps the
+        # whole token with the default length payload. Vectorized
+        # pandas str ops — no per-token Python in the hot loop.
+        s = pd.Series(flat_terms, dtype=object)
+        parts = s.str.rpartition(payload_delim)
+        has = (
+            (parts[1] == payload_delim)
+            & (parts[0] != "")
+            & parts[2].str.fullmatch("[0-9]+").fillna(False)
+        ).to_numpy(bool)
+        pay_vals = np.fromiter(
+            (len(t) for t in flat_terms), dtype=np.int64, count=total
+        )
+        if has.any():
+            pay_vals[has] = (
+                pd.to_numeric(parts[2][has]).to_numpy(np.int64)
+            )
+            flat_terms = np.where(has, parts[0].to_numpy(object), flat_terms)
     if stem:
         # minimal-stem filter AFTER stop removal (standard_v3 chain);
         # offsets keep the ORIGINAL surface-form char spans, exactly
@@ -336,9 +369,12 @@ def _invert_text(
     else:
         out["offsets"] = None
     if store_payloads:
-        flat_plens = np.fromiter((len(t) for t in flat_terms), dtype=np.int64, count=total)
+        if pay_vals is None:
+            pay_vals = np.fromiter(
+                (len(t) for t in flat_terms), dtype=np.int64, count=total
+            )
         out["payloads"] = codec.varbyte_encode_split(
-            flat_plens[order].astype(np.uint64), pstarts
+            pay_vals[order].astype(np.uint64), pstarts
         )
     else:
         out["payloads"] = None
@@ -396,6 +432,7 @@ def _invert_factory(
     store_offsets: bool = False,
     store_payloads: bool = False,
     chains: dict[str, tuple[frozenset, bool, bool]] | None = None,
+    payload_delim: str | None = None,
 ):
     """Tokenize + per-doc inversion kernel (the in-memory segment),
     one output row per (field, doc, term). chains: per-text-field
@@ -423,7 +460,7 @@ def _invert_factory(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
                         store_offsets, store_payloads, stops,
                         emit_roster=spec["field"] == primary, stem=stem,
-                        shingle=shingle,
+                        shingle=shingle, payload_delim=payload_delim,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -574,6 +611,7 @@ def build_postings(
     store_offsets: bool = False,
     store_payloads: bool = False,
     analyzer: str | dict[str, str] = ANALYZER_VERSION,
+    payload_delim: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(doc, field cols...) -> (blocks, termdict, doclen, inverted).
 
@@ -607,10 +645,21 @@ def build_postings(
         }
     if store_offsets and any(c[2] for c in chains.values()):
         raise ValueError("store_offsets is not supported with a shingle analyzer")
+    if payload_delim is not None:
+        if not store_payloads:
+            raise ValueError("payload_delim requires store_payloads=True")
+        if any(c[0] or c[1] or c[2] for c in chains.values()):
+            # the delimiter filter runs straight after tokenization;
+            # a stop/stem/shingle stage would see the raw
+            # 'word<delim>N' surfaces and silently misfire
+            raise ValueError(
+                "payload_delim composes only with the bare standard_v1 chain"
+            )
     src_cols = ["doc"] + sorted({s["col"] for s in fields_spec})
     inverted = docs_df.select(*src_cols).mapInPandas(
         _invert_factory(store_positions, tuple(fields_spec), store_offsets=store_offsets,
-                        store_payloads=store_payloads, chains=chains),
+                        store_payloads=store_payloads, chains=chains,
+                        payload_delim=payload_delim),
         schema=INVERTED_SCHEMA,
     )
     if freeze_dir is not None:
@@ -687,6 +736,7 @@ def build_index(
     stored_fields: dict[str, str] | None = None,
     store_offsets: bool = False,
     store_payloads: bool = False,
+    payload_delim: str | None = None,
     analyzer: str | dict[str, str] = ANALYZER_VERSION,
     index_sort: tuple[str, bool] | list[tuple[str, bool]] | None = None,
     commit_user_data: dict[str, str] | None = None,
@@ -769,6 +819,12 @@ def build_index(
             raise ValueError(
                 "index config mismatch: store_payloads pinned at creation "
                 f"({parent.properties.get('store_payloads', False)})"
+            )
+        if (parent.properties.get("payload_delim") or None) != (payload_delim or None):
+            raise ValueError(
+                "index config mismatch: payload_delim pinned at creation "
+                f"({parent.properties.get('payload_delim')}); mixed-producer "
+                "segments would make payload checks meaningless"
             )
         if sorted(parent.properties.get("stored_fields", [])) != sorted(stored_fields or {}):
             raise ValueError(
@@ -863,7 +919,7 @@ def build_index(
     blocks, termdict, doclen, inverted = build_postings(
         docs_df, n_shards=n_shards, block_size=block_size,
         store_positions=store_positions, store_offsets=store_offsets,
-        store_payloads=store_payloads,
+        store_payloads=store_payloads, payload_delim=payload_delim,
         freeze_dir=os.path.join(seg_dir, "_tmp_inverted"),
         fields_spec=fields_spec,
         analyzer=field_analyzers,
@@ -1043,6 +1099,7 @@ def build_index(
                 "store_positions": store_positions,
                 "store_offsets": bool(store_offsets),
                 "store_payloads": bool(store_payloads),
+                **({"payload_delim": payload_delim} if payload_delim else {}),
                 "primary_field": primary,
                 "field_analyzers": dict(field_analyzers),
                 "stored_fields": sorted(stored_fields),

@@ -527,11 +527,16 @@ def _phrase_filter(
 
 
 def _gather_positions(
-    groups: dict[str, pd.DataFrame], t: str, cand: np.ndarray
+    groups: dict[str, pd.DataFrame], t: str, cand: np.ndarray,
+    payload: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(docs, positions) of every occurrence of term t restricted to
     the candidate doc set — the shared occurrence gather of the span
-    filters (vectorized posting-slice arithmetic, no per-doc loop)."""
+    filters (vectorized posting-slice arithmetic, no per-doc loop).
+    payload: keep only occurrences carrying this payload value (the
+    SpanPayloadCheckQuery per-position test; the payloads cell decodes
+    in the same occurrence order as positions, so the mask is one
+    vectorized compare on the gathered slice)."""
     dparts, pparts = [], []
     rows = groups.get(t)
     if rows is not None:
@@ -549,8 +554,16 @@ def _gather_positions(
             g = np.repeat(starts_arr[sel], lens) + (
                 np.arange(total, dtype=np.int64) - np.repeat(csum, lens)
             )
-            dparts.append(np.repeat(d[sel], lens))
-            pparts.append(flat[g])
+            dd_part = np.repeat(d[sel], lens)
+            pp_part = flat[g]
+            if payload is not None:
+                pay, _ = codec.decode_payloads_block(r["payloads"], tf)
+                m = pay[g] == payload
+                if not m.any():
+                    continue
+                dd_part, pp_part = dd_part[m], pp_part[m]
+            dparts.append(dd_part)
+            pparts.append(pp_part)
     dd = np.concatenate(dparts) if dparts else np.empty(0, dtype=np.int64)
     pp = np.concatenate(pparts) if pparts else np.empty(0, dtype=np.int64)
     return dd, pp
@@ -563,6 +576,7 @@ def _span_near_filter(
     in_order: bool,
     cand: np.ndarray,
     acc: np.ndarray,
+    payloads: list[int | None] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lucene SpanNearQuery over N clauses, each a SET of alternative
     terms (singleton = SpanTermQuery; multi = SpanOrQuery of
@@ -572,6 +586,14 @@ def _span_near_filter(
     (strictly increasing in clause order) or unordered. Packed-key
     vectorization (doc << shift | pos; shift wide enough that a window
     never crosses a doc boundary), no per-document Python loop:
+
+    payloads (SpanPayloadCheckQuery mode; singleton clauses only):
+    clause i's position set is pre-masked to occurrences carrying
+    payload payloads[i] (None = unchecked). The chain/counting math
+    below is untouched — a masked set is just a smaller position set;
+    in unordered mode the caller rejects a term checked both with and
+    without a payload (overlapping sets would break the
+    distinct-position counting argument).
 
     - in_order: greedy minimal chain — for every slot-1 occurrence,
       each later slot advances to its SMALLEST position strictly after
@@ -590,20 +612,29 @@ def _span_near_filter(
     if cand.size == 0:
         return cand, acc
     empty = np.empty(0, dtype=np.int64)
-    occ: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    max_pos = 0
-    for t in dict.fromkeys(t for c in clauses for t in c):
-        dd, pp = _gather_positions(groups, t, cand)
-        if dd.size:
-            max_pos = max(max_pos, int(pp.max()))
-        occ[t] = (dd, pp)
     n = len(clauses)
     w = slop + n - 1
+    occ_specs: list[tuple[str, int | None]]
+    if payloads is not None:
+        occ_specs = list(dict.fromkeys(zip((c[0] for c in clauses), payloads)))
+    else:
+        occ_specs = [(t, None) for t in dict.fromkeys(t for c in clauses for t in c)]
+    occ: dict[tuple[str, int | None], tuple[np.ndarray, np.ndarray]] = {}
+    max_pos = 0
+    for t, want in occ_specs:
+        dd, pp = _gather_positions(groups, t, cand, payload=want)
+        if dd.size:
+            max_pos = max(max_pos, int(pp.max()))
+        occ[(t, want)] = (dd, pp)
     shift = max(21, int(max_pos + w + 1).bit_length() + 1)
-    term_keys = {t: np.sort((dd << shift) | pp) for t, (dd, pp) in occ.items()}
+    set_keys = {s: np.sort((dd << shift) | pp) for s, (dd, pp) in occ.items()}
+    if payloads is not None:
+        clause_specs = [[(c[0], want)] for c, want in zip(clauses, payloads)]
+    else:
+        clause_specs = [[(t, None) for t in c] for c in clauses]
     keys: list[np.ndarray] = []
-    for c in clauses:
-        parts = [term_keys[t] for t in c if term_keys[t].size]
+    for specs in clause_specs:
+        parts = [set_keys[s] for s in specs if set_keys[s].size]
         if not parts:
             # no alternative of this clause occurs in the shard
             keep = np.zeros(cand.size, dtype=bool)
@@ -623,13 +654,13 @@ def _span_near_filter(
                 break
         hit = ok & ((cur - start) <= w)  # same doc -> key delta == pos delta
     else:
-        need: dict[str, int] = {}
-        for c in clauses:
-            need[c[0]] = need.get(c[0], 0) + 1
-        start = np.unique(np.concatenate([term_keys[t] for t in need]))
+        need: dict[tuple[str, int | None], int] = {}
+        for specs in clause_specs:
+            need[specs[0]] = need.get(specs[0], 0) + 1
+        start = np.unique(np.concatenate([set_keys[s] for s in need]))
         hit = np.ones(start.size, dtype=bool)
-        for t, m in need.items():
-            kt = term_keys[t]
+        for s, m in need.items():
+            kt = set_keys[s]
             cnt = np.searchsorted(kt, start + w, side="right") - np.searchsorted(
                 kt, start, side="left"
             )
@@ -2809,6 +2840,103 @@ class Searcher:
 
         scan = self._postings.filter(
             (F.col("field") == field) & (F.col("term") == term)
+        )
+        hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+    def search_span_payload_check(
+        self,
+        terms: list[str],
+        payloads: list[int | None],
+        k: int,
+        slop: int = 0,
+        in_order: bool = True,
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene SpanPayloadCheckQuery(SpanNearQuery([SpanTermQuery
+        ...], slop, inOrder), payloadToMatch): docs holding a span
+        match where the occurrence filling slot i carries payload
+        payloads[i] (None = slot unchecked — Lucene's wildcard
+        PayloadType). A single term is the wrapped-SpanTermQuery form:
+        docs with >= 1 occurrence of the term carrying the payload.
+        Payloads come from the index's producer — the default
+        token-length demo, or the DelimitedPayloadTokenFilter
+        (build_index(payload_delim=...)) where 'word_3' indexes as
+        term 'word' with payload 3.
+
+        Scoring follows the span-family convention (search_span_near):
+        matching docs score as the and-mode BM25 of the distinct
+        clause terms — float64 sum of float32 per-term scores, ties
+        docID asc. (Lucene scores spans by sloppyFreq; this engine's
+        span surfaces uniformly score full-tf BM25, documented at
+        search_span_near.)
+
+        Distributed shape: identical to the other span queries — one
+        postings scan pruned to the clause terms, per-shard candidate
+        scoring, ONE positions+payloads decode pass with the payload
+        mask applied on the gathered occurrence slice (vectorized
+        compare, no per-doc loop), then the same packed-key chain /
+        counting matcher. Nothing decodes beyond the clause terms'
+        blocks.
+
+        Unordered mode keeps the distinct-position counting matcher,
+        so a term checked both WITH and WITHOUT a payload in the same
+        query is rejected there (the two position sets overlap, which
+        would double-assign one occurrence); use in_order, or give
+        both slots concrete payloads (disjoint sets)."""
+        if not terms or any(not isinstance(t, str) or not t for t in terms):
+            raise ValueError("terms must be non-empty strings")
+        if len(payloads) != len(terms):
+            raise ValueError("payloads must align 1:1 with terms")
+        if any(p is not None and (not isinstance(p, int) or p < 0) for p in payloads):
+            raise ValueError("payloads must be non-negative ints or None")
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        self._check_occ_index(field, "payloads")
+        if not in_order:
+            checked = {t: set() for t in terms}
+            for t, p in zip(terms, payloads):
+                checked[t].add(p is None)
+            if any(len(v) > 1 for v in checked.values()):
+                raise ValueError(
+                    "unordered payload check: a term cannot be both "
+                    "payload-checked and unchecked in one query"
+                )
+        clauses = [(t,) for t in terms]
+        uniq_terms = list(dict.fromkeys(terms))
+        prep = self._prep(uniq_terms, "and", field)
+        if prep is None:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _, term_df = prep
+        n_docs = self.manifest.n_docs_for(field)
+        avgdl = self.manifest.avgdl_for(field)
+        aux, allow_kinds = self._aux_frames()
+        want = list(payloads)
+
+        def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
+            groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+            dels, allowed = _split_aux(aux_pdf, allow_kinds)
+            hits = _score_shard(
+                groups, term_df, n_docs, avgdl, 10 ** 9, "and",
+                uniq_terms, dels, None, allowed=allowed,
+            )
+            if not len(hits):
+                return hits
+            cand = hits["doc"].to_numpy(np.int64)
+            order = np.argsort(cand)
+            cand = cand[order]
+            acc = hits["score"].to_numpy()[order].astype(np.float64)
+            docs_m, acc_m = _span_near_filter(
+                groups, clauses, slop, in_order, cand, acc, payloads=want
+            )
+            score32 = acc_m.astype(np.float32)
+            if docs_m.size > k:
+                idx = np.lexsort((docs_m, -score32))[:k]
+                docs_m, score32 = docs_m[idx], score32[idx]
+            return pd.DataFrame({"doc": docs_m.astype(np.int64), "score": score32})
+
+        scan = self._postings.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq_terms)
         )
         hits = self._apply_kernel(scan, kernel, HIT_SCHEMA, aux)
         return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)

@@ -280,6 +280,14 @@ def main() -> int:
     )
     # round-5 twelfth-phase surfaces
     surfaces["search_phonetic"] = s.search_phonetic("alfa", 10)
+    pay_rows = [{"doc_id": i, "text": f"alpha_{i % 3} beta_{(i + 1) % 3} gamma"}
+                for i in range(120)]
+    proot = os.path.join(tempfile.mkdtemp(prefix="audit-"), "payidx")
+    build_index(spark, spark.createDataFrame(pay_rows), proot, doc_col="doc_id",
+                n_shards=4, store_payloads=True, payload_delim="_")
+    surfaces["search_span_payload_check"] = Searcher(spark, proot).search_span_payload_check(
+        ["alpha", "beta"], [1, None], 10, slop=1
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
