@@ -104,6 +104,9 @@ WILDCARD_Q = "s?a*"  # expands to scan/small/spark (WildcardQuery)
 TRANGE_LO, TRANGE_HI = "query", "sort"  # TermRangeQuery bounds
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 PHONETIC_Q = "mirj"  # ft_phonetic: Soundex M620 expands to {merge}
+# ft_bloom_exists: dictionary-membership probes (6 in-vocab, 4 OOV)
+PROBE_TERMS = ["dup", "key", "merge", "spark", "the", "customer",
+               "valu", "zzzmissing", "qq9", "windo"]
 PAGE = 100          # ft_search_after page size
 NEAR_A, NEAR_B, NEAR_W = "key", "value", 3  # ft_near_search window
 REPL_TERMS = ["scan", "value"]  # ft_replica_search (distinct result set)
@@ -2193,6 +2196,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FuzzyQuery: termdict expansion at levenshtein <= 2
         return _hits_df(_searcher(spark, sf).search_fuzzy(FUZZY_Q, k=K_ALL, max_edits=2))
 
+    def ft_bloom_exists(spark, sf):
+        # BloomFilteringPostingsFormat analogue: term existence via
+        # the per-commit-point bloom sidecar (definite misses never
+        # touch the dictionary; bloom-positives verified by ONE
+        # termdict seek, so the surface is exact)
+        from fdblucene_spark.operators.bloom import TermBloom
+
+        s = _searcher(spark, sf)
+        ex = TermBloom.build(s).term_exists(PROBE_TERMS)  # idempotent per version
+        return spark.createDataFrame(
+            [(t, bool(v)) for t, v in sorted(ex.items())],
+            "term string, present boolean",
+        )
+
     def ft_payload_check(spark, sf):
         # SpanPayloadCheckQuery over a DelimitedPayloadTokenFilter
         # index: a 'key' occurrence carrying payload PC_PAY followed
@@ -3660,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
+        ft_bloom_exists,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4495,6 +4513,13 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
         "ft_fuzzy_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"levenshtein(term, '{FUZZY_Q}') <= 2"
         ),
+        "ft_bloom_exists": f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT DISTINCT unnest(ts) AS term FROM toks),
+probes(term) AS (VALUES {', '.join(f"('{t}')" for t in PROBE_TERMS)})
+SELECT p.term AS term, (p.term IN (SELECT term FROM vocab)) AS present
+FROM probes p ORDER BY term ASC
+""",
         "ft_payload_check": _bm25_sql(
             ["key", "value"], "and", K_ALL,
             paycheck=("key", PC_PAY, "value", 2),
