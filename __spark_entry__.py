@@ -104,6 +104,9 @@ WILDCARD_Q = "s?a*"  # expands to scan/small/spark (WildcardQuery)
 TRANGE_LO, TRANGE_HI = "query", "sort"  # TermRangeQuery bounds
 FUZZY_Q = "sort"    # levenshtein<=2 expands to {sort, part}
 PHONETIC_Q = "mirj"  # ft_phonetic: Soundex M620 expands to {merge}
+# ft_surround: surround-language query — boolean of an OR group, an
+# adjacent W phrase, and a truncation (quer* expands to {query})
+SURROUND_Q = "and(or(dup, hash), w(sort, merge), quer*)"
 # ft_bloom_exists: dictionary-membership probes (6 in-vocab, 4 OOV)
 PROBE_TERMS = ["dup", "key", "merge", "spark", "the", "customer",
                "valu", "zzzmissing", "qq9", "windo"]
@@ -2196,6 +2199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FuzzyQuery: termdict expansion at levenshtein <= 2
         return _hits_df(_searcher(spark, sf).search_fuzzy(FUZZY_Q, k=K_ALL, max_edits=2))
 
+    def ft_surround(spark, sf):
+        # surround query parser (queryparser/surround): AND of an OR
+        # group, a W-distance-1 phrase, and a prefix truncation — one
+        # composable boolean with the SCORING_BOOLEAN expansion
+        return _hits_df(_searcher(spark, sf).search_surround(SURROUND_Q, k=K_ALL))
+
     def ft_bloom_exists(spark, sf):
         # BloomFilteringPostingsFormat analogue: term existence via
         # the per-commit-point bloom sidecar (definite misses never
@@ -3677,7 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
-        ft_bloom_exists,
+        ft_bloom_exists, ft_surround,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4512,6 +4521,14 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
         ),
         "ft_fuzzy_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"levenshtein(term, '{FUZZY_Q}') <= 2"
+        ),
+        "ft_surround": _bm25_sql(
+            ["dup", "hash", "sort", "merge", "query"], "or", K_ALL,
+            span=(["sort", "merge"], 0, True),
+            having=(
+                "HAVING count(CASE WHEN term IN ('dup', 'hash') THEN 1 END) >= 1 "
+                "AND count(CASE WHEN term = 'query' THEN 1 END) >= 1"
+            ),
         ),
         "ft_bloom_exists": f"""
 WITH {_TOK_CTE},

@@ -6463,6 +6463,63 @@ class Searcher:
             dismax_tie=dismax_tie,
         )
 
+    def search_surround(
+        self,
+        query: str,
+        k: int,
+        field: str = "text",
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Lucene surround query language (queryparser/surround):
+        infix/prefix AND/OR/NOT plus W/N distance operators with an
+        optional distance (``and(or(dup, hash), w(sort, merge))``,
+        ``3w(sort, or(merge, join), the)``) and truncation leaves —
+        compiled by functions/surround.py and dispatched the way the
+        reference module lowers onto Lucene queries: a whole-query
+        distance op runs the span-near kernel (slop = distance - 1,
+        W ordered / N unordered; OR operands as SpanOr alternatives,
+        truncations as SpanMultiTermQueryWrapper patterns), everything
+        else compiles to ONE composable boolean (truncations expand
+        through the same SCORING_BOOLEAN path as search_parsed). Like
+        Lucene's surround parser, terms are NOT analyzed beyond
+        lowercasing — the caller writes index-form terms."""
+        from ..functions import surround as _surround
+        from ..functions.queryparser import QueryParseError
+
+        node = _surround.parse_surround(query)
+        if "dist" in node:
+            d = node["dist"]
+            clauses: list = []
+            pattern = False
+            for s in d["subs"]:
+                if "term" in s:
+                    clauses.append(s["term"])
+                elif "prefix" in s:
+                    clauses.append({"prefix": s["prefix"]})
+                    pattern = True
+                elif "wildcard" in s:
+                    clauses.append({"wildcard": s["wildcard"]})
+                    pattern = True
+                elif "or" in s and all("term" in x for x in s["or"]):
+                    clauses.append([x["term"] for x in s["or"]])
+                else:
+                    raise QueryParseError(
+                        "distance operands must be terms, truncations, "
+                        "or OR groups of terms (nested boolean/distance "
+                        "operators inside a distance op are unsupported)")
+            slop = d["n"] - 1
+            if pattern:
+                return self.search_span_multi(
+                    clauses, k, slop=slop, in_order=d["ordered"],
+                    field=field, max_expansions=max_expansions,
+                )
+            return self.search_span_near(
+                clauses, k, slop=slop, in_order=d["ordered"], field=field
+            )
+        cl = _surround.compile_boolean(node, field)
+        cl = self._expand_parsed(cl, max_expansions)
+        return self.search_boolean(cl, k)
+
     def search_simple(
         self,
         query: str,

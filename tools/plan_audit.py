@@ -288,6 +288,9 @@ def main() -> int:
     surfaces["search_span_payload_check"] = Searcher(spark, proot).search_span_payload_check(
         ["alpha", "beta"], [1, None], 10, slop=1
     )
+    surfaces["search_surround"] = s.search_surround(
+        "and(or(alpha, beta), w(gamma, delta), ep*)", 10
+    )
     failures = 0
     for name, df in surfaces.items():
         plan = physical_plan(df)
