@@ -501,6 +501,29 @@ def _pay_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+FOLD_TERMS = ["data", "merge", "value"]  # ft_fold_analyzer query
+
+
+def _fold_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """standard_v5 (ASCIIFoldingFilter) index over a PLANTED accented
+    corpus: docs get letters swapped for accented forms by doc_id
+    residue, which the fold strips back to the ORIGINAL token stream —
+    so the twin is plain BM25 over the unaccented text, and any fold
+    miss drops the accented docs and hash-fails."""
+    root = os.path.join(_index_root(sf_dir), "fold")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        planted = (
+            F.when(F.col("doc_id") % 3 == 0, F.translate(F.col("text"), "ae", "áé"))
+            .when(F.col("doc_id") % 3 == 1, F.translate(F.col("text"), "ou", "öü"))
+            .otherwise(F.col("text"))
+        )
+        build_index(spark, docs.select("doc_id", planted.alias("text")), root,
+                    doc_col="doc_id", n_shards=8, fingerprint=sf_dir + "-fold",
+                    analyzer="standard_v5")
+    return Searcher(spark, root)
+
+
 def _paydelim_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """DelimitedPayloadTokenFilter index (ft_payload_check): every
     token of documents.text gets a planted '_<(doc_id+i) % MOD>'
@@ -2199,6 +2222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FuzzyQuery: termdict expansion at levenshtein <= 2
         return _hits_df(_searcher(spark, sf).search_fuzzy(FUZZY_Q, k=K_ALL, max_edits=2))
 
+    def ft_fold_analyzer(spark, sf):
+        # ASCIIFoldingFilter analyzer (standard_v5): the planted
+        # accented corpus folds back to the original token stream, so
+        # hits equal plain BM25 over the unaccented text — a fold miss
+        # empties the accented docs out of the result set
+        return _hits_df(_fold_searcher(spark, sf).search(FOLD_TERMS, k=K_ALL, mode="or"))
+
     def ft_surround(spark, sf):
         # surround query parser (queryparser/surround): AND of an OR
         # group, a W-distance-1 phrase, and a prefix truncation — one
@@ -3686,7 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
-        ft_bloom_exists, ft_surround,
+        ft_bloom_exists, ft_surround, ft_fold_analyzer,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4522,6 +4552,7 @@ ORDER BY doc_id ASC LIMIT {K_ALL}
         "ft_fuzzy_search": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"levenshtein(term, '{FUZZY_Q}') <= 2"
         ),
+        "ft_fold_analyzer": _bm25_sql(FOLD_TERMS, "or", K_ALL),
         "ft_surround": _bm25_sql(
             ["dup", "hash", "sort", "merge", "query"], "or", K_ALL,
             span=(["sort", "merge"], 0, True),

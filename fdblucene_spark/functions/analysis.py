@@ -58,6 +58,14 @@ ANALYZERS: dict[str, frozenset[str]] = {
     # shingle is emitted at its first member's position, posinc 0),
     # and shingle positions ARE the first member's ordinal
     "standard_v4": frozenset(),
+    # v5 = v1 + ASCIIFoldingFilter (analysis-common): accented /
+    # decomposed Latin folds to its ASCII skeleton straight after
+    # tokenization — NFKD + combining-mark strip + the
+    # non-decomposable special cases (ae/oe/ss/o/d/th/l). Covers the
+    # Latin-1 Supplement / Latin Extended-A blocks that dominate
+    # European text; Lucene's full table reaches further scripts —
+    # out-of-table characters pass through unchanged, documented
+    "standard_v5": frozenset(),
 }
 
 # analyzers that run the minimal-stem filter after stop removal
@@ -65,6 +73,35 @@ STEM_ANALYZERS = frozenset({"standard_v3"})
 
 # analyzers that append word-bigram shingles after the unigram stream
 SHINGLE_ANALYZERS = frozenset({"standard_v4"})
+
+# analyzers that ASCII-fold tokens straight after tokenization
+FOLD_ANALYZERS = frozenset({"standard_v5"})
+
+# non-decomposable folds (NFKD leaves these alone); tokens are
+# lowercased before folding, so the lowercase forms suffice
+_FOLD_SPECIALS = str.maketrans(
+    {"æ": "ae", "œ": "oe", "ß": "ss", "ø": "o", "đ": "d", "ð": "d",
+     "þ": "th", "ł": "l", "ħ": "h", "ŋ": "n", "ı": "i"}
+)
+_COMBINING_RE = re.compile("[\u0300-\u036f]")
+
+
+def ascii_fold(token: str) -> str:
+    """ASCIIFoldingFilter for one (lowercased) token: NFKD
+    decomposition, combining-mark strip, special-case table. A token
+    that would fold to empty keeps its surface — the Lucene filter
+    never erases a token."""
+    import unicodedata
+
+    folded = _COMBINING_RE.sub(
+        "", unicodedata.normalize("NFKD", token).translate(_FOLD_SPECIALS)
+    )
+    return folded if folded else token
+
+
+def folds(analyzer: str = ANALYZER_VERSION) -> bool:
+    stop_set(analyzer)  # validate the name
+    return analyzer in FOLD_ANALYZERS
 
 
 def shingles(analyzer: str = ANALYZER_VERSION) -> bool:
@@ -113,6 +150,8 @@ def tokenize_text(text: str | None, analyzer: str = ANALYZER_VERSION) -> list[st
         return []
     stops = stop_set(analyzer)
     toks = _TOKEN_RE.findall(text.lower())
+    if folds(analyzer):
+        toks = [t if t.isascii() else ascii_fold(t) for t in toks]
     if stops:
         toks = [t for t in toks if t not in stops]
     if stems(analyzer):
@@ -126,10 +165,15 @@ def _make_tokens_udf(analyzer: str):
     stops = stop_set(analyzer)
     do_stem = stems(analyzer)
     do_shingle = shingles(analyzer)
+    do_fold = folds(analyzer)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
         found = texts.fillna("").str.lower().str.findall(_TOKEN_RE)
+        if do_fold:
+            found = found.apply(
+                lambda ts: [t if t.isascii() else ascii_fold(t) for t in ts]
+            )
         if stops:
             found = found.apply(lambda ts: [t for t in ts if t not in stops])
         if do_stem:

@@ -48,7 +48,8 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..functions.analysis import (
-    ANALYZER_VERSION, _TOKEN_RE, min_stem, shingles, stems, stop_set,
+    ANALYZER_VERSION, _TOKEN_RE, ascii_fold, folds, min_stem, shingles, stems,
+    stop_set,
 )
 from ..sources.manifest import (
     CommitConflict, IndexCatalog, Manifest, SegmentMeta, dir_fingerprint,
@@ -221,6 +222,7 @@ def _invert_text(
     stem: bool = False,
     shingle: bool = False,
     payload_delim: str | None = None,
+    fold: bool = False,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
 
@@ -322,6 +324,14 @@ def _invert_text(
                 pd.to_numeric(parts[2][has]).to_numpy(np.int64)
             )
             flat_terms = np.where(has, parts[0].to_numpy(object), flat_terms)
+    if fold:
+        # ASCIIFoldingFilter (standard_v5): fold straight after
+        # tokenization; no fold analyzer carries stops/stems today, so
+        # the list-level stop filter above never sees accented
+        # surfaces. Offsets keep the original char spans, like stem.
+        flat_terms = np.array(
+            [t if t.isascii() else ascii_fold(t) for t in flat_terms], dtype=object
+        )
     if stem:
         # minimal-stem filter AFTER stop removal (standard_v3 chain);
         # offsets keep the ORIGINAL surface-form char spans, exactly
@@ -453,14 +463,14 @@ def _invert_factory(
                 if spec["analyzer"] == "keyword":
                     sub = _invert_keyword(spec["field"], docs, pdf[spec["col"]], store_positions)
                 else:
-                    stops, stem, shingle = chains.get(
-                        spec["field"], (frozenset(), False, False)
+                    stops, stem, shingle, fold = chains.get(
+                        spec["field"], (frozenset(), False, False, False)
                     )
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
                         store_offsets, store_payloads, stops,
                         emit_roster=spec["field"] == primary, stem=stem,
-                        shingle=shingle, payload_delim=payload_delim,
+                        shingle=shingle, payload_delim=payload_delim, fold=fold,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -636,21 +646,23 @@ def build_postings(
         raise ValueError("store_payloads requires store_positions")
     if isinstance(analyzer, str):
         chains = {
-            s["field"]: (stop_set(analyzer), stems(analyzer), shingles(analyzer))
+            s["field"]: (stop_set(analyzer), stems(analyzer), shingles(analyzer),
+                         folds(analyzer))
             for s in fields_spec if s["analyzer"] != "keyword"
         }
     else:
         chains = {
-            f: (stop_set(v), stems(v), shingles(v)) for f, v in analyzer.items()
+            f: (stop_set(v), stems(v), shingles(v), folds(v))
+            for f, v in analyzer.items()
         }
     if store_offsets and any(c[2] for c in chains.values()):
         raise ValueError("store_offsets is not supported with a shingle analyzer")
     if payload_delim is not None:
         if not store_payloads:
             raise ValueError("payload_delim requires store_payloads=True")
-        if any(c[0] or c[1] or c[2] for c in chains.values()):
+        if any(c[0] or c[1] or c[2] or c[3] for c in chains.values()):
             # the delimiter filter runs straight after tokenization;
-            # a stop/stem/shingle stage would see the raw
+            # a stop/stem/shingle/fold stage would see the raw
             # 'word<delim>N' surfaces and silently misfire
             raise ValueError(
                 "payload_delim composes only with the bare standard_v1 chain"
