@@ -513,6 +513,30 @@ def main() -> None:
         queries["filter_cache_cold"] / max(queries["filter_cache_warm"], 1e-9), 2
     )
 
+    with timed("bloom_build"):
+        # BloomFilteringPostingsFormat analogue: one bit_or shuffle
+        # over k hash positions per dictionary term -> parquet sidecar
+        from fdblucene_spark.operators.bloom import TermBloom
+
+        bloom = TermBloom.build(sd)
+    oov100 = [f"zzqx{i}" for i in range(100)]
+    with timed("bloom_oov100"):
+        # 100 definite misses: pure bloom probe, the dictionary is
+        # never touched (Lucene's short-circuit rule)
+        assert not any(bloom.term_exists(oov100).values())
+    with timed("seek_oov100"):
+        # the same misses straight through the termdict seek — what
+        # every OOV lookup costs without the bloom
+        sd.term_stats(oov100)
+    extra["bloom_oov_speedup"] = round(
+        queries["seek_oov100"] / max(queries["bloom_oov100"], 1e-9), 2
+    )
+
+    with timed("surround_query"):
+        # surround-language parse + one composable boolean with a
+        # truncation expansion (parser front-end cost rides the job)
+        sd.search_surround("and(or(dup, hash), w(sort, merge), quer*)", k=100).collect()
+
     with timed("bpe_train16"):
         # distributed BPE tokenizer training: one corpus pass + 16
         # vocab-sized merge rounds (pair agg + argmax + codegen replace)
