@@ -514,11 +514,15 @@ def main() -> None:
     )
 
     with timed("bloom_build"):
-        # BloomFilteringPostingsFormat analogue: one bit_or shuffle
-        # over k hash positions per dictionary term -> parquet sidecar
+        # BloomFilteringPostingsFormat analogue over the TRANSCRIPTS
+        # dictionary (the realistic vocabulary — the documents corpus
+        # has ~31 terms, where a seek is trivially fast and the probe
+        # comparison would be meaningless): one bit_or shuffle over k
+        # hash positions per dictionary term -> parquet sidecar
         from fdblucene_spark.operators.bloom import TermBloom
 
-        bloom = TermBloom.build(sd)
+        bloom = TermBloom.build(s)
+    extra["bloom_n_terms"] = bloom.meta["n_terms"]
     oov100 = [f"zzqx{i}" for i in range(100)]
     with timed("bloom_oov100"):
         # 100 definite misses: pure bloom probe, the dictionary is
@@ -527,9 +531,19 @@ def main() -> None:
     with timed("seek_oov100"):
         # the same misses straight through the termdict seek — what
         # every OOV lookup costs without the bloom
-        sd.term_stats(oov100)
+        s.term_stats(oov100)
     extra["bloom_oov_speedup"] = round(
         queries["seek_oov100"] / max(queries["bloom_oov100"], 1e-9), 2
+    )
+    # structural evidence (scale-independent): bytes each miss path has
+    # to consider. At sf0.1 both wall times sit at the pyarrow scan
+    # floor (~3 ms/100 misses); what grows with the corpus is the term
+    # dictionary, while the sidecar stays ~bits_per_term bits/term.
+    extra["bloom_sidecar_kb"] = round(
+        sum(os.path.getsize(f) for f in bloom._files) / 1024, 1
+    )
+    extra["termdict_kb"] = round(
+        sum(os.path.getsize(f) for f in s._td_files) / 1024, 1
     )
 
     with timed("surround_query"):
