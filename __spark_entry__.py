@@ -1950,6 +1950,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_xml_query(spark, sf):
+        # Lucene XML CoreParser surface (queryparser/xml): a
+        # BooleanQuery document wrapping MUST(TermQuery) + a nested
+        # DisjunctionMaxQuery (tieBreaker) + MUST_NOT — compiled by
+        # functions/xmlparser.py onto the same composable clause
+        # algebra and dispatched through search_xml; the twin is the
+        # must-sum plus the dismax combine (max + tie*(sum-max)) over
+        # the should terms, zero when neither should term matches
+        xml = f"""
+        <BooleanQuery>
+          <Clause occurs="must"><TermQuery>{MIXED_MUST}</TermQuery></Clause>
+          <Clause occurs="should">
+            <DisjunctionMaxQuery tieBreaker="{DISMAX_TIE}">
+              <TermQuery>{MIXED_SHOULD[0]}</TermQuery>
+              <TermQuery>{MIXED_SHOULD[1]}</TermQuery>
+            </DisjunctionMaxQuery>
+          </Clause>
+          <Clause occurs="mustNot"><TermQuery>{MIXED_NOT}</TermQuery></Clause>
+        </BooleanQuery>"""
+        return _hits_df(_searcher(spark, sf).search_xml(xml, k=K_ALL))
+
     def ft_query_parser_prefix(spark, sf):
         # QueryParser multi-term leaf: `s*` lexes to a PrefixQuery
         # marker, expands against the term dictionary under the
@@ -3716,7 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_span_multi, text_c4_clean, geo_shape_box, geo_shape_line,
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
-        ft_bloom_exists, ft_surround, ft_fold_analyzer,
+        ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4500,6 +4521,23 @@ SELECT 'long', count(CASE WHEN n_chars >= 300 THEN 1 END)::BIGINT FROM j
         ),
         "ft_query_parser_prefix": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"term LIKE '{PREFIX_Q}%'"
+        ),
+        "ft_xml_query": _bm25_sql(
+            [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,
+            extra_where=(
+                "AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok "
+                f"WHERE term = '{MIXED_NOT}')"
+            ),
+            having=f"HAVING count(CASE WHEN term = '{MIXED_MUST}' THEN 1 END) = 1",
+            agg_expr=(
+                f"(sum(CASE WHEN term = '{MIXED_MUST}' THEN s32::DOUBLE ELSE 0 END) + "
+                f"CASE WHEN count(CASE WHEN term IN ({', '.join(repr(t) for t in MIXED_SHOULD)}) THEN 1 END) >= 1 "
+                f"THEN max(CASE WHEN term IN ({', '.join(repr(t) for t in MIXED_SHOULD)}) THEN s32::DOUBLE END) "
+                f"+ {DISMAX_TIE} * ("
+                f"sum(CASE WHEN term IN ({', '.join(repr(t) for t in MIXED_SHOULD)}) THEN s32::DOUBLE ELSE 0 END) "
+                f"- max(CASE WHEN term IN ({', '.join(repr(t) for t in MIXED_SHOULD)}) THEN s32::DOUBLE END)) "
+                "ELSE 0 END)::FLOAT"
+            ),
         ),
         "ft_bm25_nested_deep": _bm25_sql(
             [MIXED_MUST, NESTED_DEEP_T1] + NESTED_DEEP_SUB, "or", K_ALL,

@@ -6520,6 +6520,79 @@ class Searcher:
         cl = self._expand_parsed(cl, max_expansions)
         return self.search_boolean(cl, k)
 
+    def search_xml(
+        self,
+        xml: str,
+        k: int,
+        default_field: str | dict | list = "text",
+        default_operator: str = "or",
+        numeric_fields: Iterable[str] = (),
+        max_expansions: int = 50,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Lucene XML query parser (queryparser/xml CoreParser): an XML
+        query document -> ONE query, dispatched exactly like
+        search_parsed. The element registry (TermQuery, TermsQuery,
+        BooleanQuery/Clause, UserQuery, DisjunctionMaxQuery,
+        RangeQuery, PointRangeQuery, MatchAllDocsQuery,
+        ConstantScoreQuery, Span*) and its compilation onto the
+        composable clause algebra live in functions/xmlparser.py.
+        Multiterm leaves (RangeQuery, anything a nested UserQuery
+        emits) expand against the term dictionary under the
+        scoring-boolean rewrite; a whole-query span tree runs the span
+        kernels; ConstantScoreQuery at the root scores every match
+        float32(boost); everything else evaluates in ONE composable
+        boolean job. Keyword fields come from the manifest; pass
+        `numeric_fields` to route PointRangeQuery (and UserQuery
+        ranges) to the doc-values constraint path (L24)."""
+        from ..functions.xmlparser import XmlParseError, parse_xml_query
+
+        kwf = set(self.manifest.properties.get("keyword_fields", []))
+        xq = parse_xml_query(
+            xml, default_field=default_field,
+            default_operator=default_operator,
+            keyword_fields=kwf, numeric_fields=set(numeric_fields),
+            analyzer=(
+                self.analyzer_for(default_field)
+                if isinstance(default_field, str)
+                else self.analyzer
+            ),
+        )
+        if xq.match_all:
+            return self.search_all(k)
+        if xq.span is not None:
+            if after is not None:
+                raise XmlParseError(
+                    "searchAfter paging is not supported on span queries")
+            sp = xq.span
+            if sp["kind"] == "near":
+                return self.search_span_near(
+                    sp["clauses"], k, slop=sp["slop"],
+                    in_order=sp["in_order"], field=sp["field"],
+                )
+            if sp["kind"] == "first":
+                return self.search_span_first(
+                    sp["term"], k, end=sp["end"], field=sp["field"])
+            return self.search_span_not(
+                sp["include"], sp["exclude"], k, field=sp["field"])
+        cl = xq.clauses
+        if not cl:
+            if xq.numeric:
+                raise XmlParseError(
+                    "a numeric range needs at least one text/keyword clause "
+                    "(use MatchAllDocsQuery + fetch_stored for pure "
+                    "doc-values scans)")
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        _reject_unrewritable(cl)
+        cl = self._expand_parsed(cl, max_expansions)
+        if xq.const is not None:
+            return self.search_constant_score(
+                cl, k, boost=xq.const, numeric=xq.numeric or None,
+                after=after,
+            )
+        return self.search_boolean(
+            cl, k, numeric=xq.numeric or None, after=after)
+
     def search_simple(
         self,
         query: str,
