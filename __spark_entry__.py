@@ -1971,6 +1971,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         </BooleanQuery>"""
         return _hits_df(_searcher(spark, sf).search_xml(xml, k=K_ALL))
 
+    def ft_fuzzy_like_this(spark, sf):
+        # FuzzyLikeThisQuery (sandbox module): per-token Damerau<=2
+        # termdict expansion (cap 50 by df desc / term asc — the
+        # engine's uniform MultiTermQuery law), pooled; the
+        # rarest-first cut is disabled here (max_num_terms=200 >= any
+        # pool this corpus yields) so the twin is the OR of BOTH
+        # capped expansions — the idf-ranked cut law itself is pinned
+        # by tests/test_xmlparser.py's hand oracle
+        return _hits_df(_searcher(spark, sf).search_fuzzy_like_this(
+            f"{FUZZY_Q} {MIXED_SHOULD[1]}", k=K_ALL, max_num_terms=200))
+
     def ft_query_parser_prefix(spark, sf):
         # QueryParser multi-term leaf: `s*` lexes to a PrefixQuery
         # marker, expands against the term dictionary under the
@@ -3738,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
+        ft_fuzzy_like_this,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4521,6 +4533,16 @@ SELECT 'long', count(CASE WHEN n_chars >= 300 THEN 1 END)::BIGINT FROM j
         ),
         "ft_query_parser_prefix": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"term LIKE '{PREFIX_Q}%'"
+        ),
+        "ft_fuzzy_like_this": _bm25_sql(
+            [], "or", K_ALL, terms_sql="1=0",
+            expansions={
+                "flt_a": (
+                    f"damerau_levenshtein(term, '{FUZZY_Q}') <= 2", 50),
+                "flt_b": (
+                    f"damerau_levenshtein(term, '{MIXED_SHOULD[1]}') <= 2",
+                    50),
+            },
         ),
         "ft_xml_query": _bm25_sql(
             [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,

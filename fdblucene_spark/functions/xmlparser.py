@@ -68,6 +68,24 @@ Element semantics (mirroring the Lucene builders):
 `boost` attributes are accepted on any scoring query element and fold
 multiplicatively (BoostQuery), exactly as in the classic parser.
 
+CorePlusExtensionsParser elements (root only — each is a whole-query
+surface in this engine):
+
+  <LikeThisQuery fieldName="f" maxQueryTerms="25" minTermFreq="2"
+                 minDocFreq="5">sample text</LikeThisQuery>
+      MoreLikeThis (Searcher.more_like_this).
+  <FuzzyLikeThisQuery maxNumTerms="50" maxEdits="2" prefixLength="0">
+    <Field fieldName="f">sample text</Field>
+  </FuzzyLikeThisQuery>
+      FuzzyLikeThisQuery (Searcher.search_fuzzy_like_this); one Field
+      child (the engine queries one field per search). maxEdits
+      replaces the legacy minSimilarity attribute, as in Lucene 8's
+      FuzzyQuery API.
+  <BoostingTermQuery fieldName="f">term</BoostingTermQuery>
+      PayloadScoreQuery(SpanTermQuery, AveragePayloadFunction) —
+      Searcher.search_payload_score(func="avg"); requires an index
+      built with store_payloads=True.
+
 DTDs are rejected outright (no <!DOCTYPE/<!ENTITY): entity expansion
 has no place in a query string.
 """
@@ -97,6 +115,7 @@ class XmlQuery:
     span: dict | None = None
     const: float | None = None
     match_all: bool = False
+    special: dict | None = None
 
 
 _OCCURS = {
@@ -109,6 +128,7 @@ _OCCURS = {
 
 _SPAN_TAGS = {"SpanTerm", "SpanOr", "SpanOrTerms", "SpanNear", "SpanFirst",
               "SpanNot"}
+_SPECIAL_TAGS = {"LikeThisQuery", "FuzzyLikeThisQuery", "BoostingTermQuery"}
 
 
 def _text(el: ET.Element) -> str:
@@ -303,6 +323,9 @@ class _Compiler:
             raise XmlParseError(
                 f"<{tag}> is supported only as the whole query (span "
                 f"kernels are whole-query surfaces)")
+        if tag in _SPECIAL_TAGS:
+            raise XmlParseError(
+                f"<{tag}> is supported only as the whole query")
         raise XmlParseError(f"unknown query element <{tag}>")
 
     def _primary_field(self) -> str:
@@ -439,6 +462,46 @@ def parse_xml_query(
     if root.tag == "MatchAllDocsQuery":
         out.match_all = True
         return out
+    if root.tag == "LikeThisQuery":
+        f = root.get("fieldName")
+        if f is None and isinstance(default_field, str):
+            f = default_field
+        if f is None:
+            raise XmlParseError("LikeThisQuery needs fieldName or a "
+                                "single default_field")
+        out.special = {
+            "kind": "mlt", "field": f, "text": _text(root),
+            "max_query_terms": int(root.get("maxQueryTerms", "25")),
+            "min_term_freq": int(root.get("minTermFreq", "2")),
+            "min_doc_freq": int(root.get("minDocFreq", "5")),
+        }
+        return out
+    if root.tag == "FuzzyLikeThisQuery":
+        kids = list(root)
+        if len(kids) != 1 or kids[0].tag != "Field":
+            raise XmlParseError(
+                "FuzzyLikeThisQuery must wrap exactly one <Field> (the "
+                "engine queries one field per search)")
+        fld = kids[0]
+        out.special = {
+            "kind": "flt",
+            "field": _attr(fld, "fieldName"),
+            "text": _text(fld),
+            "max_num_terms": int(root.get("maxNumTerms", "50")),
+            "max_edits": int(root.get("maxEdits", "2")),
+            "prefix_length": int(root.get("prefixLength", "0")),
+        }
+        return out
+    if root.tag == "BoostingTermQuery":
+        f = root.get("fieldName")
+        if f is None and isinstance(default_field, str):
+            f = default_field
+        if f is None:
+            raise XmlParseError("BoostingTermQuery needs fieldName or a "
+                                "single default_field")
+        out.special = {"kind": "payload_term", "field": f,
+                       "term": _text(root)}
+        return out
     if root.tag in ("SpanNear", "SpanFirst", "SpanNot"):
         out.span = _compile_span(root, default_field, analyzer)
         return out
@@ -453,7 +516,7 @@ def parse_xml_query(
         out.const = 1.0 if b is None else b
         root = kids[0]
         if root.tag in ("MatchAllDocsQuery", "ConstantScoreQuery") or (
-                root.tag in _SPAN_TAGS):
+                root.tag in _SPAN_TAGS or root.tag in _SPECIAL_TAGS):
             raise XmlParseError(
                 f"ConstantScoreQuery cannot wrap <{root.tag}>")
     # SpanTerm / SpanOr / SpanOrTerms at the root carry no positional

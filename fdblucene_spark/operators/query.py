@@ -5725,6 +5725,59 @@ class Searcher:
             hits = hits.filter(F.col("doc") != F.lit(int(exclude_doc))).limit(k)
         return hits
 
+    def search_fuzzy_like_this(
+        self,
+        text: str,
+        k: int,
+        field: str = "text",
+        max_num_terms: int = 50,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """Lucene FuzzyLikeThisQuery (sandbox module): a fuzzy
+        MoreLikeThis — analyze the sample text, fuzzy-expand each
+        DISTINCT token against the term dictionary (Damerau edits <=
+        max_edits, exact common prefix >= prefix_length, per-token cap
+        = max_expansions by df desc / term asc — the engine's uniform
+        MultiTermQuery expansion law), pool the variants, keep the top
+        max_num_terms by interestingness (idf desc = df asc, ties term
+        asc — FLT's rare-variants-first priority queue), and run ONE
+        BM25 disjunction over the survivors (SCORING_BOOLEAN rewrite:
+        every variant keeps its own idf, so scoring follows the same
+        law as every other expansion surface rather than Lucene's
+        internal per-variant boost scaling — documented divergence,
+        the selection set is the point of the query).
+
+        Cost: one distributed termdict expansion job per distinct
+        sample token (driver work bounded by the sample's length), one
+        pooled termdict seek for the idf ranking, one WAND-pruned
+        or-mode search job. No corpus-sized driver state."""
+        from ..functions.analysis import tokenize_text
+
+        toks = list(dict.fromkeys(tokenize_text(text, self.analyzer_for(field))))
+        variants: set[str] = set()
+        for t in toks:
+            variants.update(self.expand_terms(
+                field, fuzzy=t, max_edits=max_edits, transpositions=True,
+                prefix_length=prefix_length, max_expansions=max_expansions,
+            ))
+        if not variants:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        stats = self.term_stats_multi({field: variants})
+        n_docs = self.manifest.n_docs_for(field)
+        scored = []
+        for t in variants:
+            st = stats.get((field, t))
+            if st is None:
+                continue
+            scored.append((float(bm25.idf(float(st[0]), n_docs)), t))
+        if not scored:
+            return self.spark.createDataFrame([], HIT_SCHEMA)
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        terms = [t for _, t in scored[:max_num_terms]]
+        return self.search(terms, k, mode="or", field=field)
+
     def matching_docs(
         self,
         clauses: list[dict],
@@ -6535,7 +6588,9 @@ class Searcher:
         search_parsed. The element registry (TermQuery, TermsQuery,
         BooleanQuery/Clause, UserQuery, DisjunctionMaxQuery,
         RangeQuery, PointRangeQuery, MatchAllDocsQuery,
-        ConstantScoreQuery, Span*) and its compilation onto the
+        ConstantScoreQuery, Span*, plus the CorePlusExtensions set:
+        LikeThisQuery, FuzzyLikeThisQuery, BoostingTermQuery) and its
+        compilation onto the
         composable clause algebra live in functions/xmlparser.py.
         Multiterm leaves (RangeQuery, anything a nested UserQuery
         emits) expand against the term dictionary under the
@@ -6560,6 +6615,29 @@ class Searcher:
         )
         if xq.match_all:
             return self.search_all(k)
+        if xq.special is not None:
+            sp = xq.special
+            if after is not None:
+                raise XmlParseError(
+                    "searchAfter paging is not supported on "
+                    "LikeThis/FuzzyLikeThis/BoostingTerm queries")
+            if sp["kind"] == "mlt":
+                return self.more_like_this(
+                    sp["text"], k, field=sp["field"],
+                    max_query_terms=sp["max_query_terms"],
+                    min_term_freq=sp["min_term_freq"],
+                    min_doc_freq=sp["min_doc_freq"],
+                )
+            if sp["kind"] == "flt":
+                return self.search_fuzzy_like_this(
+                    sp["text"], k, field=sp["field"],
+                    max_num_terms=sp["max_num_terms"],
+                    max_edits=sp["max_edits"],
+                    prefix_length=sp["prefix_length"],
+                    max_expansions=max_expansions,
+                )
+            return self.search_payload_score(
+                sp["term"], k, field=sp["field"], func="avg")
         if xq.span is not None:
             if after is not None:
                 raise XmlParseError(

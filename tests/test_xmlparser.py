@@ -194,6 +194,26 @@ def test_span_compile():
         {"field": "text", "term": "beta", "occur": "should"}]
 
 
+def test_extension_elements_compile():
+    q = parse_xml_query(
+        '<LikeThisQuery maxQueryTerms="10" minTermFreq="1" minDocFreq="2">'
+        "sample text here</LikeThisQuery>")
+    assert q.special == {"kind": "mlt", "field": "text",
+                         "text": "sample text here", "max_query_terms": 10,
+                         "min_term_freq": 1, "min_doc_freq": 2}
+    q = parse_xml_query("""
+      <FuzzyLikeThisQuery maxNumTerms="3" maxEdits="1" prefixLength="1">
+        <Field fieldName="text">alpha beta</Field>
+      </FuzzyLikeThisQuery>""")
+    assert q.special == {"kind": "flt", "field": "text",
+                         "text": "alpha beta", "max_num_terms": 3,
+                         "max_edits": 1, "prefix_length": 1}
+    q = parse_xml_query(
+        '<BoostingTermQuery fieldName="body">alpha</BoostingTermQuery>')
+    assert q.special == {"kind": "payload_term", "field": "body",
+                         "term": "alpha"}
+
+
 def test_parse_errors():
     bad = [
         "<Bogus>x</Bogus>",
@@ -223,6 +243,13 @@ def test_parse_errors():
         '<SpanTerm fieldName="b">y</SpanTerm></SpanNear>',
         '<SpanNear slop="0"><SpanTerm>x</SpanTerm></SpanNear>',
         '<ConstantScoreQuery><MatchAllDocsQuery/></ConstantScoreQuery>',
+        # extension elements are whole-query only
+        "<BooleanQuery><Clause><LikeThisQuery>x y</LikeThisQuery>"
+        "</Clause></BooleanQuery>",
+        "<ConstantScoreQuery><BoostingTermQuery>a</BoostingTermQuery>"
+        "</ConstantScoreQuery>",
+        # FLT needs exactly one Field child
+        '<FuzzyLikeThisQuery>text</FuzzyLikeThisQuery>',
     ]
     for x in bad:
         with pytest.raises(QueryParseError):
@@ -351,6 +378,82 @@ def test_xml_constant_score_and_match_all(spark, xml_index):
     got = _hits(s.search_xml("<MatchAllDocsQuery/>", k=500))
     exp = _hits(s.search_all(k=500))
     assert got == exp and len(got) == len(rows)
+
+
+def test_xml_like_this_matches_mlt(spark, xml_index):
+    rows, s = xml_index
+    sample = rows[0]["text"]
+    got = _hits(s.search_xml(
+        f'<LikeThisQuery maxQueryTerms="5" minTermFreq="1" minDocFreq="2">'
+        f"{sample}</LikeThisQuery>", k=25))
+    exp = _hits(s.more_like_this(sample, k=25, max_query_terms=5,
+                                 min_term_freq=1, min_doc_freq=2))
+    assert got == exp and len(got) > 0
+
+
+def test_xml_fuzzy_like_this_selection_law(spark, xml_index):
+    rows, s = xml_index
+    # hand oracle for the FLT selection: per-token Damerau<=1
+    # variants drawn from the actual vocabulary, ranked rarest-first
+    # (df asc, term asc), cut to max_num_terms
+    from collections import Counter
+
+    df = Counter()
+    for r in rows:
+        df.update(set(r["text"].split()))
+
+    def dmr(a, b):
+        # unrestricted Damerau-Levenshtein, tiny inputs
+        INF = len(a) + len(b)
+        da = {}
+        d = {(-1, -1): INF}
+        for i in range(len(a) + 1):
+            d[(i, -1)], d[(i, 0)] = INF, i
+        for j in range(len(b) + 1):
+            d[(-1, j)], d[(0, j)] = INF, j
+        for i in range(1, len(a) + 1):
+            db = 0
+            for j in range(1, len(b) + 1):
+                k, l = da.get(b[j - 1], 0), db
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                if cost == 0:
+                    db = j
+                d[(i, j)] = min(
+                    d[(i - 1, j - 1)] + cost, d[(i, j - 1)] + 1,
+                    d[(i - 1, j)] + 1,
+                    d[(k - 1, l - 1)] + (i - k - 1) + 1 + (j - l - 1))
+            da[a[i - 1]] = i
+        return d[(len(a), len(b))]
+
+    variants = {t for t in df for q in ("beta", "mu") if dmr(t, q) <= 1}
+    ranked = sorted(variants, key=lambda t: (df[t], t))
+    expected_terms = ranked[:3]
+    got = _hits(s.search_xml("""
+      <FuzzyLikeThisQuery maxNumTerms="3" maxEdits="1">
+        <Field fieldName="text">beta mu</Field>
+      </FuzzyLikeThisQuery>""", k=30))
+    exp = _hits(s.search(expected_terms, k=30, mode="or"))
+    assert got == exp and len(got) > 0
+    # and the XML front-end equals the direct surface verbatim
+    direct = _hits(s.search_fuzzy_like_this(
+        "beta mu", k=30, max_num_terms=3, max_edits=1))
+    assert got == direct
+
+
+def test_xml_boosting_term_query(spark, tmp_path_factory):
+    rows = [
+        {"doc_id": 0, "text": "alpha alpha beta"},
+        {"doc_id": 1, "text": "alphabet alpha"},
+        {"doc_id": 2, "text": "beta gamma"},
+    ]
+    root = str(tmp_path_factory.mktemp("xmlpay") / "idx")
+    build_index(spark, spark.createDataFrame(rows), root, doc_col="doc_id",
+                n_shards=2, store_payloads=True)
+    s = Searcher(spark, root)
+    got = _hits(s.search_xml(
+        "<BoostingTermQuery>alpha</BoostingTermQuery>", k=10))
+    exp = _hits(s.search_payload_score("alpha", k=10, func="avg"))
+    assert got == exp and len(got) > 0
 
 
 def test_xml_search_after_pages(spark, xml_index):
