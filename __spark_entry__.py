@@ -380,6 +380,20 @@ def _v3_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _v6_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """standard_v6 (edge n-gram) index variant: every token also
+    indexes its 2..5-char prefixes plus the preserved original
+    (SearchAsYouTypeField chain); dl = original tokens only
+    (discountOverlaps). Query text analyzes with plain v1 — the typed
+    prefix IS the term."""
+    root = os.path.join(_index_root(sf_dir), "v6")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-v6", analyzer="standard_v6")
+    return Searcher(spark, root)
+
+
 def _v4_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """standard_v4 (shingle) index variant: bigram terms alongside
     unigrams, dl = unigrams only (discountOverlaps)."""
@@ -997,6 +1011,7 @@ def _bm25_sql(
     stop_words: tuple[str, ...] = (),
     stem: bool = False,
     shingle: bool = False,
+    edge: bool = False,
     select_override: str | None = None,
     expansions: dict[str, tuple[str, int]] | None = None,
 ) -> str:
@@ -1071,6 +1086,27 @@ toks AS (
   UNION ALL
   SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS term
   FROM toks WHERE len(ts) >= 2
+), doclen AS (
+  SELECT doc_id, len(ts)::BIGINT AS dl FROM toks WHERE len(ts) > 0
+)"""
+    elif edge:
+        # standard_v6 twin: per-token edge grams (the 2..5-char
+        # prefixes, plus the preserved original beyond 5 chars —
+        # EdgeNGramTokenFilter(2, 5, preserveOriginal)); dl counts
+        # ORIGINAL tokens only (discountOverlaps, like the shingle
+        # chain — grams are posinc-0 overlaps)
+        tok_cte = f"""
+src AS ({src_sql}),
+toks AS (
+  SELECT doc_id,
+         {ts_expr} AS ts
+  FROM src
+), tok AS (
+  SELECT doc_id, unnest(flatten(list_transform(ts, t ->
+    CASE WHEN length(t) < 2 THEN [t]
+         WHEN length(t) > 5 THEN list_append(list_transform(range(2, 6), g -> t[1:g]), t)
+         ELSE list_transform(range(2, length(t) + 1), g -> t[1:g]) END))) AS term
+  FROM toks
 ), doclen AS (
   SELECT doc_id, len(ts)::BIGINT AS dl FROM toks WHERE len(ts) > 0
 )"""
@@ -2687,6 +2723,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_edge_search(spark, sf):
+        # search-as-you-type over the standard_v6 edge-gram index:
+        # the typed prefixes ('sor', 'mer') are DIRECT term lookups —
+        # no termdict expansion at query time (contrast
+        # ft_prefix_search, which expands against a plain index) —
+        # and norms count original tokens only; hash-exact scores
+        # prove the whole v6 chain (inverter grams, dl law, df of
+        # gram terms, search-analyzer asymmetry)
+        return _hits_df(_v6_searcher(spark, sf).search(
+            ["sor", "mer"], k=K_ALL, mode="or"))
+
     def ft_highlight(spark, sf):
         # snippet assembly from the offsets keyspace (("pp",...) ->
         # (startOffset, endOffset), DATA.md:54; Lucene Highlighter):
@@ -3749,7 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
-        ft_fuzzy_like_this,
+        ft_fuzzy_like_this, ft_edge_search,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4534,6 +4581,7 @@ SELECT 'long', count(CASE WHEN n_chars >= 300 THEN 1 END)::BIGINT FROM j
         "ft_query_parser_prefix": _bm25_sql(
             [], "or", K_ALL, terms_sql=f"term LIKE '{PREFIX_Q}%'"
         ),
+        "ft_edge_search": _bm25_sql(["mer", "sor"], "or", K_ALL, edge=True),
         "ft_fuzzy_like_this": _bm25_sql(
             [], "or", K_ALL, terms_sql="1=0",
             expansions={

@@ -66,6 +66,17 @@ ANALYZERS: dict[str, frozenset[str]] = {
     # European text; Lucene's full table reaches further scripts —
     # out-of-table characters pass through unchanged, documented
     "standard_v5": frozenset(),
+    # v6 = v1 + EdgeNGramTokenFilter(minGram=2, maxGram=5,
+    # preserveOriginal=true) — the SearchAsYouTypeField index chain:
+    # each token also indexes its 2..5-char prefixes so a typed
+    # prefix is ONE term lookup (no termdict expansion at query
+    # time). All grams of a token share its ordinal (posinc 0) and
+    # dl counts original tokens only (discountOverlaps norm
+    # semantics, like the v4 shingle chain). INDEX-TIME ONLY: like
+    # Lucene's SearchAsYouTypeField, query text analyzes with the
+    # plain v1 chain (search_analyzer maps v6 -> v1) — expanding the
+    # user's query into its own prefixes would be wrong
+    "standard_v6": frozenset(),
 }
 
 # analyzers that run the minimal-stem filter after stop removal
@@ -76,6 +87,11 @@ SHINGLE_ANALYZERS = frozenset({"standard_v4"})
 
 # analyzers that ASCII-fold tokens straight after tokenization
 FOLD_ANALYZERS = frozenset({"standard_v5"})
+
+# analyzers that append edge n-grams (index-time only; search side
+# maps to standard_v1 via search_analyzer)
+EDGE_ANALYZERS = frozenset({"standard_v6"})
+EDGE_MIN, EDGE_MAX = 2, 5  # pinned with the analyzer name
 
 # non-decomposable folds (NFKD leaves these alone); tokens are
 # lowercased before folding, so the lowercase forms suffice
@@ -107,6 +123,35 @@ def folds(analyzer: str = ANALYZER_VERSION) -> bool:
 def shingles(analyzer: str = ANALYZER_VERSION) -> bool:
     stop_set(analyzer)  # validate the name
     return analyzer in SHINGLE_ANALYZERS
+
+
+def edge_grams(analyzer: str = ANALYZER_VERSION) -> bool:
+    stop_set(analyzer)  # validate the name
+    return analyzer in EDGE_ANALYZERS
+
+
+def edge_expand(token: str) -> list[str]:
+    """EdgeNGramTokenFilter(EDGE_MIN, EDGE_MAX, preserveOriginal) for
+    one token: its EDGE_MIN..min(len, EDGE_MAX) prefixes, plus the
+    original surface when it is not already among them (longer than
+    EDGE_MAX, or shorter than EDGE_MIN)."""
+    n = len(token)
+    if n < EDGE_MIN:
+        return [token]
+    grams = [token[:g] for g in range(EDGE_MIN, min(n, EDGE_MAX) + 1)]
+    if n > EDGE_MAX:
+        grams.append(token)
+    return grams
+
+
+def search_analyzer(analyzer: str = ANALYZER_VERSION) -> str:
+    """The QUERY-TIME analyzer for an index pinned to `analyzer`.
+    Identity for every chain except the edge-gram one: like Lucene's
+    SearchAsYouTypeField, standard_v6 applies edge n-grams at index
+    time only, so query text analyzes with the plain v1 chain (the
+    typed prefix IS the term to look up)."""
+    stop_set(analyzer)  # validate the name
+    return "standard_v1" if analyzer in EDGE_ANALYZERS else analyzer
 
 
 def stems(analyzer: str = ANALYZER_VERSION) -> bool:
@@ -158,6 +203,8 @@ def tokenize_text(text: str | None, analyzer: str = ANALYZER_VERSION) -> list[st
         toks = [min_stem(t) for t in toks]
     if shingles(analyzer):
         toks = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if edge_grams(analyzer):
+        toks = [g for t in toks for g in edge_expand(t)]
     return toks
 
 
@@ -166,6 +213,7 @@ def _make_tokens_udf(analyzer: str):
     do_stem = stems(analyzer)
     do_shingle = shingles(analyzer)
     do_fold = folds(analyzer)
+    do_edge = edge_grams(analyzer)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
@@ -181,6 +229,10 @@ def _make_tokens_udf(analyzer: str):
         if do_shingle:
             found = found.apply(
                 lambda ts: ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+            )
+        if do_edge:
+            found = found.apply(
+                lambda ts: [g for t in ts for g in edge_expand(t)]
             )
         return found
 
@@ -255,6 +307,23 @@ def tokenize_expr_ascii(col: Column, analyzer: str = ANALYZER_VERSION) -> Column
         arr = F.element_at(
             F.transform(F.array(arr), _append_bigrams), 1
         )
+    if edge_grams(analyzer):
+        # EdgeNGram expansion as pure codegen array ops (per-token
+        # prefix list, original appended when longer than EDGE_MAX);
+        # CaseWhen evaluates lazily per row, so the sequence() never
+        # sees a start > stop for sub-EDGE_MIN tokens
+        def _gram_list(t):
+            n = F.length(t)
+            grams = F.transform(
+                F.sequence(F.lit(EDGE_MIN), F.least(n, F.lit(EDGE_MAX))),
+                lambda g: t.substr(F.lit(1), g),
+            )
+            grams = F.when(
+                n > F.lit(EDGE_MAX), F.concat(grams, F.array(t))
+            ).otherwise(grams)
+            return F.when(n < F.lit(EDGE_MIN), F.array(t)).otherwise(grams)
+
+        arr = F.flatten(F.transform(arr, _gram_list))
     return arr
 
 

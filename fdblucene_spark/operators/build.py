@@ -48,7 +48,8 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..functions.analysis import (
-    ANALYZER_VERSION, _TOKEN_RE, ascii_fold, folds, min_stem, shingles, stems,
+    ANALYZER_VERSION, _TOKEN_RE, ascii_fold, edge_expand, edge_grams, folds,
+    min_stem, shingles, stems,
     stop_set,
 )
 from ..sources.manifest import (
@@ -223,6 +224,7 @@ def _invert_text(
     shingle: bool = False,
     payload_delim: str | None = None,
     fold: bool = False,
+    edge: bool = False,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
 
@@ -261,6 +263,9 @@ def _invert_text(
     to compose with)."""
     if shingle and store_offsets:
         raise ValueError("store_offsets is not supported with a shingle analyzer")
+    if edge and (store_offsets or shingle):
+        raise ValueError("edge n-grams compose with neither store_offsets "
+                         "nor a shingle chain")
     if store_offsets:
         lowered = texts.fillna("").str.lower()
         toks_l: list[list[str]] = []
@@ -294,6 +299,17 @@ def _invert_text(
         )
         tok_lists = tok_lists.apply(
             lambda ts: ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        )
+    if edge:
+        # EdgeNGramTokenFilter(EDGE_MIN..EDGE_MAX, preserveOriginal)
+        # (standard_v6): every gram of a token carries the token's
+        # ordinal (posinc 0) and dl counts original tokens only
+        # (discountOverlaps norm semantics, like the shingle chain)
+        pos_lists = tok_lists.apply(
+            lambda ts: [i for i, t in enumerate(ts) for _ in edge_expand(t)]
+        )
+        tok_lists = tok_lists.apply(
+            lambda ts: [g for t in ts for g in edge_expand(t)]
         )
     lens = tok_lists.str.len().to_numpy(np.int64)
     total = int(lens.sum())
@@ -339,7 +355,7 @@ def _invert_text(
         flat_terms = np.array([min_stem(t) for t in flat_terms], dtype=object)
     row_rep = np.repeat(keep_idx, lens[keep])
     starts = np.cumsum(lens[keep]) - lens[keep]
-    if shingle:
+    if pos_lists is not None:  # shingle / edge overlap positions
         pos = np.concatenate(
             [np.asarray(p, dtype=np.int64) for p in pos_lists[keep]]
         )
@@ -463,14 +479,16 @@ def _invert_factory(
                 if spec["analyzer"] == "keyword":
                     sub = _invert_keyword(spec["field"], docs, pdf[spec["col"]], store_positions)
                 else:
-                    stops, stem, shingle, fold = chains.get(
-                        spec["field"], (frozenset(), False, False, False)
+                    stops, stem, shingle, fold, edge = chains.get(
+                        spec["field"],
+                        (frozenset(), False, False, False, False),
                     )
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
                         store_offsets, store_payloads, stops,
                         emit_roster=spec["field"] == primary, stem=stem,
                         shingle=shingle, payload_delim=payload_delim, fold=fold,
+                        edge=edge,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -647,22 +665,23 @@ def build_postings(
     if isinstance(analyzer, str):
         chains = {
             s["field"]: (stop_set(analyzer), stems(analyzer), shingles(analyzer),
-                         folds(analyzer))
+                         folds(analyzer), edge_grams(analyzer))
             for s in fields_spec if s["analyzer"] != "keyword"
         }
     else:
         chains = {
-            f: (stop_set(v), stems(v), shingles(v), folds(v))
+            f: (stop_set(v), stems(v), shingles(v), folds(v), edge_grams(v))
             for f, v in analyzer.items()
         }
-    if store_offsets and any(c[2] for c in chains.values()):
-        raise ValueError("store_offsets is not supported with a shingle analyzer")
+    if store_offsets and any(c[2] or c[4] for c in chains.values()):
+        raise ValueError("store_offsets is not supported with a shingle or "
+                         "edge-gram analyzer")
     if payload_delim is not None:
         if not store_payloads:
             raise ValueError("payload_delim requires store_payloads=True")
-        if any(c[0] or c[1] or c[2] or c[3] for c in chains.values()):
+        if any(c[0] or c[1] or c[2] or c[3] or c[4] for c in chains.values()):
             # the delimiter filter runs straight after tokenization;
-            # a stop/stem/shingle/fold stage would see the raw
+            # a stop/stem/shingle/fold/edge stage would see the raw
             # 'word<delim>N' surfaces and silently misfire
             raise ValueError(
                 "payload_delim composes only with the bare standard_v1 chain"

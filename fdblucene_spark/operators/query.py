@@ -75,6 +75,7 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..functions import phonetic as phonetic_fn
+from ..functions.analysis import search_analyzer as _analysis_search_analyzer
 from ..sources.manifest import IndexCatalog, Manifest
 from . import intervals as _intervals
 from .build import normalize_index_sort
@@ -1738,6 +1739,15 @@ class Searcher:
             return ANALYZER_VERSION
         return a
 
+    def query_analyzer_for(self, field: str) -> str:
+        """The analyzer QUERY TEXT uses against `field` — identical to
+        analyzer_for everywhere except the edge-gram chain
+        (standard_v6), where index-time n-gram expansion must NOT
+        apply to the user's typed prefix (Lucene SearchAsYouTypeField:
+        index analyzer != search analyzer)."""
+        from ..functions.analysis import search_analyzer
+        return search_analyzer(self.analyzer_for(field))
+
     def _table_files(self, table: str) -> list[str]:
         """Parquet data files of one table across segments, from the
         MANIFEST's per-table file lists (recorded at commit) — no
@@ -2746,7 +2756,7 @@ class Searcher:
             elif "*" in w or "?" in w:
                 slots.append({"wildcard": w.lower()})
             else:
-                slots.extend(tokenize_text(w, self.analyzer_for(field)))
+                slots.extend(tokenize_text(w, self.query_analyzer_for(field)))
         if len(slots) < 2:
             raise ValueError("complex phrase needs >= 2 surviving words")
         if slop == 0:
@@ -4489,7 +4499,7 @@ class Searcher:
 
         if operator not in ("or", "and"):
             raise ValueError("operator must be 'or' or 'and'")
-        analyzer = self.analyzer_for(field)
+        analyzer = self.query_analyzer_for(field)
         smap = (
             parse_synonym_rules(rules, analyzer)
             if isinstance(rules, list)
@@ -5702,7 +5712,7 @@ class Searcher:
         from ..functions.analysis import tokenize_text
 
         tf: dict[str, int] = {}
-        for t in tokenize_text(text, self.analyzer_for(field)):
+        for t in tokenize_text(text, self.query_analyzer_for(field)):
             tf[t] = tf.get(t, 0) + 1
         cand = {t: n for t, n in tf.items() if n >= min_term_freq}
         if not cand:
@@ -5755,7 +5765,7 @@ class Searcher:
         or-mode search job. No corpus-sized driver state."""
         from ..functions.analysis import tokenize_text
 
-        toks = list(dict.fromkeys(tokenize_text(text, self.analyzer_for(field))))
+        toks = list(dict.fromkeys(tokenize_text(text, self.query_analyzer_for(field))))
         variants: set[str] = set()
         for t in toks:
             variants.update(self.expand_terms(
@@ -6483,9 +6493,9 @@ class Searcher:
             # analysis inside one parse string is out of scope, like
             # Lucene's MultiFieldQueryParser with a single analyzer
             analyzer=(
-                self.analyzer_for(default_field)
+                self.query_analyzer_for(default_field)
                 if isinstance(default_field, str)
-                else self.analyzer
+                else _analysis_search_analyzer(self.analyzer)
             ),
         )
         cl = parsed.clauses
@@ -6608,9 +6618,9 @@ class Searcher:
             default_operator=default_operator,
             keyword_fields=kwf, numeric_fields=set(numeric_fields),
             analyzer=(
-                self.analyzer_for(default_field)
+                self.query_analyzer_for(default_field)
                 if isinstance(default_field, str)
-                else self.analyzer
+                else _analysis_search_analyzer(self.analyzer)
             ),
         )
         if xq.match_all:
@@ -6699,7 +6709,7 @@ class Searcher:
         parsed = parse_simple(
             query, default_field=default_field,
             default_operator=default_operator,
-            analyzer=self.analyzer_for(default_field),
+            analyzer=self.query_analyzer_for(default_field),
         )
         cl = parsed.clauses
         if not cl:

@@ -38,13 +38,26 @@ class OracleIndex:
 def build_oracle_index(
     doc_keys: list, texts: list[str], analyzer: str = "standard_v1"
 ) -> OracleIndex:
+    from .functions.analysis import edge_expand, edge_grams
+
     postings: dict[str, dict[int, tuple[int, tuple]]] = defaultdict(dict)
     doclens = np.zeros(len(texts), dtype=np.int64)
+    edged = edge_grams(analyzer)
     for did, text in enumerate(texts):
-        toks = tokenize_text(text, analyzer)
-        doclens[did] = len(toks)
+        if edged:
+            # edge-gram chain (standard_v6): dl counts ORIGINAL tokens
+            # (discountOverlaps) and every gram of a token carries the
+            # token's ordinal (posinc 0) — same law as the inverter
+            orig = tokenize_text(text, "standard_v1")
+            doclens[did] = len(orig)
+            stream = [(g, i) for i, t in enumerate(orig)
+                      for g in edge_expand(t)]
+        else:
+            toks = tokenize_text(text, analyzer)
+            doclens[did] = len(toks)
+            stream = list(zip(toks, range(len(toks))))
         occ: dict[str, list[int]] = defaultdict(list)
-        for pos, t in enumerate(toks):
+        for t, pos in stream:
             occ[t].append(pos)
         for t, ps in occ.items():
             postings[t][did] = (len(ps), tuple(ps))
