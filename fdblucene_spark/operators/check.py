@@ -210,3 +210,50 @@ def check_index(spark: SparkSession, root: str, version: int | None = None) -> D
         )
         out = out.unionByName(sort_viol)
     return out
+
+
+def exorcise(spark: SparkSession, root: str) -> tuple:
+    """CheckIndex -exorcise: commit a new snapshot WITHOUT the
+    segments the structural pass flags (missing directory, or
+    structural checksum mismatch — the (relpath, size) fingerprint
+    catches truncation and missing files). The dropped segments'
+    documents are LOST, exactly Lucene's documented -exorcise
+    tradeoff; every healthy segment, the delete tombstones, the
+    config pins and the commit user data carry through unchanged
+    (tombstones referencing dropped docs over-delete nothing — the
+    docs are already gone). Per-segment stats (SegmentMeta
+    n_docs/sum_dl/field_stats) make the repaired manifest's corpus
+    statistics correct by construction.
+
+    Returns (manifest, dropped_segment_ids). No-op (returns the
+    current manifest and []) when everything is healthy; refuses to
+    commit an index with zero segments — if EVERY segment is corrupt
+    there is nothing to salvage and the caller should rebuild."""
+    import os as _os
+
+    from ..sources.manifest import IndexCatalog, dir_fingerprint
+
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    bad: list[str] = []
+    for s in manifest.segments:
+        seg_dir = _os.path.join(root, s.path)
+        if not _os.path.isdir(seg_dir) or (
+            s.content_hash and dir_fingerprint(seg_dir)[1] != s.content_hash
+        ):
+            bad.append(s.segment_id)
+    if not bad:
+        return manifest, []
+    keep = [s for s in manifest.segments if s.segment_id not in set(bad)]
+    if not keep:
+        raise ValueError(
+            "every segment is corrupt; refusing to commit an empty index")
+    from dataclasses import replace as _replace
+
+    new = _replace(
+        manifest,
+        version=catalog.next_version(),
+        segments=keep,
+        parent_version=manifest.version,
+    )
+    return catalog.commit(new), sorted(bad)

@@ -121,3 +121,63 @@ def test_check_index_verifies_index_sort_pin(spark, tmp_path_factory):
         fh.write("manifest.v000999.json")
     probs = check_index(spark, forged).toPandas()
     assert any("index_sort violation" in p for p in probs["problem"])
+
+
+def test_exorcise_drops_corrupt_segment(spark, tmp_path_factory):
+    from fdblucene_spark.operators.check import exorcise
+    from fdblucene_spark.operators.query import Searcher
+    from fdblucene_spark.sources.manifest import IndexCatalog
+
+    tmp = tmp_path_factory.mktemp("exo")
+    rows1 = [{"doc_id": i, "text": "alpha beta"} for i in range(30)]
+    rows2 = [{"doc_id": 100 + i, "text": "alpha gamma"} for i in range(20)]
+    root = str(tmp / "idx")
+    build_index(spark, spark.createDataFrame(rows1), root, doc_col="doc_id",
+                n_shards=2)
+    build_index(spark, spark.createDataFrame(rows2), root, doc_col="doc_id",
+                n_shards=2, append=True)
+    cat = IndexCatalog(root)
+    m0 = cat.load()
+    assert len(m0.segments) == 2
+
+    # healthy: no-op, same version
+    m, dropped = exorcise(spark, root)
+    assert dropped == [] and m.version == m0.version
+
+    # truncate a file in the SECOND segment (rows2's docs)
+    seg2 = next(s for s in m0.segments if s.doc_min >= 100)
+    victim = sorted(
+        glob.glob(os.path.join(root, seg2.path, "postings", "*.parquet"))
+    )[0]
+    with open(victim, "r+b") as fh:
+        fh.truncate(10)
+
+    m1, dropped = exorcise(spark, root)
+    assert dropped == [seg2.segment_id]
+    assert [s.segment_id for s in m1.segments] == [
+        s.segment_id for s in m0.segments if s.segment_id != seg2.segment_id]
+    assert m1.version == m0.version + 1 and m1.parent_version == m0.version
+
+    # repaired snapshot: stats + search reflect only the healthy segment
+    s = Searcher(spark, root)
+    assert s.manifest.n_docs == 30
+    docs = {r["doc"] for r in s.search(["alpha"], k=100, mode="or").collect()}
+    assert docs == set(range(30))
+    assert {r["doc"] for r in s.search(["gamma"], k=100, mode="or").collect()} == set()
+    assert check_index(spark, root).count() == 0
+
+    # idempotent: second run is a no-op on the repaired snapshot
+    m2, dropped2 = exorcise(spark, root)
+    assert dropped2 == [] and m2.version == m1.version
+
+
+def test_exorcise_refuses_total_loss(spark, tmp_path_factory):
+    from fdblucene_spark.operators.check import exorcise
+
+    tmp = tmp_path_factory.mktemp("exo2")
+    root = _build(spark, tmp)
+    for f in _postings_files(root):
+        with open(f, "r+b") as fh:
+            fh.truncate(5)
+    with pytest.raises(ValueError, match="every segment"):
+        exorcise(spark, root)
