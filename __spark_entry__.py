@@ -3301,6 +3301,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = synth.transcripts(spark, n_convs=TX_N_CONVS)
         return curation.response_pairs(df, "conv_id", "turn_idx", "role", "text")
 
+    def tx_sft(spark, sf):
+        # SFT example assembly: one example per assistant turn, the
+        # preceding <= 6 turns rendered 'role: text' as the prompt
+        # context (loss mask = the context/response split); one
+        # conv-partitioned shuffle + a BOUNDED rows-frame collect —
+        # state per row <= 6 rendered turns, never the conversation
+        from fdblucene_spark.data import synth
+
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        return curation.sft_examples(
+            df, "conv_id", "turn_idx", "role", "text", max_context_turns=6
+        )
+
     def samp_dsir(spark, sf):
         # DSIR importance weights (Xie et al.): hashed-ngram bucket
         # models, target = the doc_id%37 benchmark subset, raw = the
@@ -3796,7 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
-        ft_fuzzy_like_this, ft_edge_search,
+        ft_fuzzy_like_this, ft_edge_search, tx_sft,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4783,6 +4797,10 @@ LIMIT {K_ALL}""",
         ),
         "tx_pairs": curation.response_pairs_sql(
             f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "role", "text"
+        ),
+        "tx_sft": curation.sft_examples_sql(
+            f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "role",
+            "text", max_context_turns=6,
         ),
         "samp_shuffle": curation.global_shuffle_sql("documents", "doc_id", "epoch0"),
         "ft_drill_sideways": f"""

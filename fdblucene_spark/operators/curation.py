@@ -1392,6 +1392,107 @@ FROM pairs
 """
 
 
+def sft_examples(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    response_role: str = "assistant",
+    max_context_turns: int = 16,
+    sep: str = "\n",
+) -> DataFrame:
+    """SFT training-example assembly over multi-turn transcripts: one
+    example per `response_role` turn — the standard chat-tuning
+    extraction where the PRECEDING conversation is the prompt context
+    and the assistant turn is the completion (loss is computed on the
+    response only; the context/response split IS the loss mask).
+    Returns (conv, example_idx, response_turn, n_context_turns,
+    context, response): context renders the preceding
+    <= max_context_turns turns as 'role: text' joined by `sep` in turn
+    order (empty string for a conversation-opening response),
+    example_idx numbers a conversation's examples 0..n-1 in turn
+    order. A turn whose role or text is NULL contributes nothing to
+    context (and is not counted), matching SQL || / string_agg null
+    semantics.
+
+    Scale shape: ONE hash shuffle partitioned by conversation, then
+    two window passes over the same partitioning (a BOUNDED
+    rows-frame collect — state per row is <= max_context_turns
+    rendered turns, never the whole conversation — and the example
+    rank); no self-join, no whole-conversation collect, so
+    long-conversation skew is bounded by max_context_turns, tighter
+    than the per-conv operators above."""
+    if max_context_turns <= 0:
+        raise ValueError("max_context_turns must be positive")
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    ctx_w = w.rowsBetween(-max_context_turns, -1)
+    rendered = F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+    led = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(turn_col).alias("response_turn"),
+        F.col(role_col).alias("_r"),
+        F.col(text_col).alias("response"),
+        # struct-collect + sort (not bare collect_list order) so the
+        # context order is deterministic under any shuffle plan
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    rendered.isNotNull(),
+                    F.struct(
+                        F.col(turn_col).alias("t"), rendered.alias("s")
+                    ),
+                )
+            ).over(ctx_w)
+        ).alias("_ctx"),
+    )
+    ex = led.filter(F.col("_r") == response_role)
+    wp = Window.partitionBy("conv").orderBy("response_turn")
+    return ex.select(
+        "conv",
+        (F.row_number().over(wp) - 1).cast("long").alias("example_idx"),
+        "response_turn",
+        F.size("_ctx").cast("long").alias("n_context_turns"),
+        F.array_join(
+            F.transform("_ctx", lambda x: x["s"]), sep
+        ).alias("context"),
+        "response",
+    )
+
+
+def sft_examples_sql(
+    table_expr: str,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    response_role: str = "assistant",
+    max_context_turns: int = 16,
+    sep: str = "\n",
+) -> str:
+    """DuckDB twin of sft_examples (same bounded preceding frame,
+    render, null semantics and numbering)."""
+    sep_sql = "chr(10)" if sep == "\n" else "'" + sep.replace("'", "''") + "'"
+    render = f"{role_col} || ': ' || {text_col}"
+    frame = f"ROWS BETWEEN {int(max_context_turns)} PRECEDING AND 1 PRECEDING"
+    return f"""
+WITH ctx AS (
+  SELECT {conv_col} AS conv, {turn_col} AS response_turn,
+         {role_col} AS r, {text_col} AS response,
+         string_agg({render}, {sep_sql}) OVER (
+           PARTITION BY {conv_col} ORDER BY {turn_col} {frame}) AS context,
+         count({render}) OVER (
+           PARTITION BY {conv_col} ORDER BY {turn_col} {frame}) AS nctx
+  FROM {table_expr}
+)
+SELECT conv,
+       (row_number() OVER (PARTITION BY conv ORDER BY response_turn) - 1)::BIGINT AS example_idx,
+       response_turn, nctx::BIGINT AS n_context_turns,
+       coalesce(context, '') AS context, response
+FROM ctx WHERE r = '{response_role}'
+"""
+
+
 # ----------------------------------------------- DSIR data selection
 DSIR_SALT = CLF_SALT  # shared hashing-trick domain with the classifier
 

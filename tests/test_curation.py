@@ -489,6 +489,59 @@ def test_response_pairs_adjacency_and_numbering(spark):
     assert got2 == [("a", 0, 4, 6, "q1", "t")]
 
 
+def test_sft_examples_laws(spark):
+    """SFT example assembly: one example per assistant turn, context =
+    the preceding <= max_context_turns turns rendered 'role: text' in
+    turn order (empty for a conversation opener), bounded frame cuts
+    the OLDEST turns first, NULL-rendered turns contribute nothing,
+    numbering per conversation in turn order; DuckDB twin identity."""
+    rows = [
+        ("a", 0, "user", "q0"), ("a", 1, "assistant", "r0"),
+        ("a", 2, "tool", "t0"), ("a", 3, "user", "q1"),
+        ("a", 4, "assistant", "r1"),
+        # context bounding: 5 turns precede this response; frame=3
+        ("a", 5, "assistant", "r2"),
+        # opener response: empty context
+        ("b", 0, "assistant", "opener"),
+        # NULL text: contributes nothing to context, not counted
+        ("c", 0, "user", None), ("c", 1, "user", "cq"),
+        ("c", 2, "assistant", "cr"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in curation.sft_examples(
+            df, "conv_id", "turn_idx", "role", "text", max_context_turns=3
+        ).collect()
+    )
+    assert got == [
+        ("a", 0, 1, 1, "user: q0", "r0"),
+        ("a", 1, 4, 3, "assistant: r0\ntool: t0\nuser: q1", "r1"),
+        # frame of 3 drops q0/r0, keeps (t0, q1, r1)
+        ("a", 2, 5, 3, "tool: t0\nuser: q1\nassistant: r1", "r2"),
+        ("b", 0, 0, 0, "", "opener"),
+        ("c", 0, 2, 1, "user: cq", "cr"),
+    ]
+    # DuckDB twin identity on the same rows
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text"]))
+    exp = sorted(
+        tuple(r) for r in con.sql(curation.sft_examples_sql(
+            "t", "conv_id", "turn_idx", "role", "text", max_context_turns=3
+        )).fetchall()
+    )
+    assert got == exp
+    with pytest.raises(ValueError, match="max_context_turns"):
+        curation.sft_examples(df, "conv_id", "turn_idx", "role", "text",
+                              max_context_turns=0)
+
+
 def test_conversation_windows_guards(spark):
     df = spark.createDataFrame([("c", 0, "x")], "conv_id string, turn_idx long, text string")
     with pytest.raises(ValueError, match="n_turns"):
