@@ -175,6 +175,9 @@ def main() -> int:
     surfaces["response_pairs"] = curation.response_pairs(
         rp_df, "conv_id", "turn_idx", "role", "text"
     )
+    surfaces["sft_examples"] = curation.sft_examples(
+        rp_df, "conv_id", "turn_idx", "role", "text", max_context_turns=4
+    )
     surfaces["facet_taxonomy"] = s.facet_taxonomy(
         [{"term": "alpha", "occur": "must"}], ["role"]
     )
@@ -370,6 +373,10 @@ def main() -> int:
             # conv-partitioned windows, never a global sort
             assert "Exchange SinglePartition" not in plan, \
                 "response_pairs collapsed to a single partition"
+        if name == "sft_examples":
+            # conv-partitioned bounded-frame windows, never a global sort
+            assert "Exchange SinglePartition" not in plan, \
+                "sft_examples collapsed to a single partition"
         if name == "search_intervals":
             # leaf-term pushdown reaches the postings Parquet scan
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
