@@ -2344,6 +2344,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc").alias("doc_id"), "n_chars")
         )
 
+    def ft_sorted_after(spark, sf):
+        # sorted searchAfter (IndexSearcher.searchAfter with a
+        # FieldDoc cursor): page 2 of the n_chars-desc ranking — the
+        # cursor is the engine's OWN 40th result, so the twin is the
+        # same total order at OFFSET 40 (ties break doc asc, cursor
+        # cut is strictly-after)
+        s = _searcher(spark, sf)
+        p1 = s.search_sorted([LOOKUP_TERM], k=40, sort_field="n_chars").collect()
+        cur = (p1[-1]["n_chars"], int(p1[-1]["doc"]))
+        return (
+            s.search_sorted([LOOKUP_TERM], k=60, sort_field="n_chars", after=cur)
+            .select(F.col("doc").alias("doc_id"), "n_chars")
+        )
+
     def ft_sorted_early(spark, sf):
         # the SAME sorted query over an index built with
         # index_sort=('n_chars', desc): the kernel early-terminates
@@ -3810,7 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_complex_phrase, ft_dynamic_ranges, ft_phrase_gap, tx_span_masked,
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
-        ft_fuzzy_like_this, ft_edge_search, tx_sft,
+        ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4706,6 +4720,12 @@ WITH {_TOK_CTE}
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 100
+""",
+        "ft_sorted_after": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 60 OFFSET 40
 """,
         "ft_sorted_early": f"""
 WITH {_TOK_CTE}

@@ -7848,6 +7848,7 @@ class Searcher:
         ascending: bool = False,
         mode: str = "or",
         field: str = "text",
+        after: tuple | None = None,
     ) -> DataFrame:
         """Top-k matches ordered by a STORED numeric field instead of
         relevance — Lucene's Sort over NumericDocValues inside the
@@ -7856,6 +7857,17 @@ class Searcher:
         scores), join to the index's stored table (column-pruned to
         the sort field), global TakeOrdered(k). Returns
         (doc, <sort_field>); ties break docID ascending.
+
+        after: sorted searchAfter (Lucene IndexSearcher.searchAfter
+        with a FieldDoc cursor) — a (sort_value, doc) pair; the page
+        is the next k matches STRICTLY after it in (sort_value
+        asc/desc, doc asc). Pages cover the NON-NULL-sort-value
+        ranking (a NULL sort value compares false against any cursor,
+        so such docs appear only on the unpaged first call — pass a
+        cursor from page 1 to page consistently); the cursor's own
+        value must be non-null. Disables the early-termination path
+        (the cut point isn't the segment head), like the kernel's
+        theta-pruning disable on score-paged queries.
 
         When the index was built with index_sort == (sort_field,
         ascending) (IndexWriterConfig.setIndexSort), the kernel
@@ -7879,7 +7891,10 @@ class Searcher:
             and isort[0][0] == sort_field
             and bool(isort[0][1]) == bool(ascending)
             and mode in ("or", "and")
+            and after is None
         )
+        if after is not None and after[0] is None:
+            raise ValueError("sorted searchAfter cursor value must be non-null")
         seg_ranges = sorted((s.doc_min, s.doc_max) for s in self.manifest.segments)
 
         def kernel(pdf: pd.DataFrame, aux_pdf: pd.DataFrame | None) -> pd.DataFrame:
@@ -7900,7 +7915,19 @@ class Searcher:
         )
         stored = self._stored_df().select("doc", sort_field)
         order = F.asc(sort_field) if ascending else F.desc(sort_field)
-        return matched.join(stored, "doc").orderBy(order, F.asc("doc")).limit(k)
+        joined = matched.join(stored, "doc")
+        if after is not None:
+            av, ad = after
+            step = (
+                F.col(sort_field) > F.lit(av)
+                if ascending
+                else F.col(sort_field) < F.lit(av)
+            )
+            joined = joined.filter(
+                step
+                | ((F.col(sort_field) == F.lit(av)) & (F.col("doc") > F.lit(int(ad))))
+            )
+        return joined.orderBy(order, F.asc("doc")).limit(k)
 
     def fetch(self, hits: DataFrame, base: DataFrame, doc_col: str) -> DataFrame:
         """Stored-field retrieval from a caller-supplied base table:

@@ -311,3 +311,25 @@ def test_chain_append_pin_and_legacy_flat_pin(spark, chain_pair, tmp_path):
     assert normalize_index_sort(("w", False)) == [["w", False]]
     assert normalize_index_sort([("a", True), ("b", False)]) == [["a", True], ["b", False]]
     assert normalize_index_sort(None) is None
+
+
+def test_sorted_search_after_pages(spark, sorted_pair):
+    """Sorted searchAfter: cursor pages concatenate to the full
+    (w asc/desc, doc asc) ranking with no overlap, on BOTH the sorted
+    index (early path disabled under after) and the plain one; the
+    null-valued cursor is refused."""
+    _, r_sorted, r_plain = sorted_pair
+    for root in (r_sorted, r_plain):
+        s = Searcher(spark, root)
+        for asc in (True, False):
+            full = s.search_sorted(["ion"], k=60, sort_field="w",
+                                   ascending=asc).collect()
+            assert len(full) == 60
+            cur = (full[19]["w"], int(full[19]["doc"]))
+            page2 = s.search_sorted(["ion"], k=40, sort_field="w",
+                                    ascending=asc, after=cur).collect()
+            assert [(r["doc"], r["w"]) for r in page2] == [
+                (r["doc"], r["w"]) for r in full[20:60]]
+        with pytest.raises(ValueError, match="non-null"):
+            s.search_sorted(["ion"], k=5, sort_field="w",
+                            after=(None, 3))
