@@ -3363,6 +3363,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.filter(F.col("vec_id") == ANN_QUERY_ID).select("embedding").first()[0]
         return similarity.cosine_topk(emb, "vec_id", "embedding", list(qv), ANN_K)
 
+    def ann_hard_neg(spark, sf):
+        # hard-negative mining (DPR/Contriever): every 97th vector is
+        # a training query embedded by its own vector (positive = the
+        # doc itself), negatives = its top-5 nearest OTHER vectors —
+        # broadcast query batch, codegen dot, positives anti-join,
+        # ONE per-query window cut
+        emb = _table(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        pos = qs.select("query_id", F.col("query_id").alias("vec_id"))
+        return similarity.hard_negatives(
+            qs, emb.select("vec_id", "embedding"), pos, k=5,
+            id_col="vec_id", vec_col="embedding",
+        )
+
     def ann_sq_topk(spark, sf):
         # int8 scalar-quantized cosine (Lucene 9 quantized-KNN idea):
         # the cheap integer-dot scan makes the top-50 candidate cut
@@ -3825,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
+        ann_hard_neg,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5534,6 +5551,9 @@ WHERE (CAST(('0x' || substr(md5('v1' || doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOU
             + textstats.pii_tags_sql("seeded", "doc_id", "text")
         ),
         "ann_cosine_topk": similarity.cosine_topk_sql("embeddings", "vec_id", "embedding", ANN_QUERY_ID, ANN_K),
+        "ann_hard_neg": similarity.hard_negatives_sql(
+            "embeddings", "vec_id", "embedding", "vec_id % 97 = 0", 5
+        ),
         "geo_distance": f"""
 WITH g AS (
   SELECT doc_id,

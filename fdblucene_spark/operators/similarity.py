@@ -57,6 +57,105 @@ def cosine_topk(
     return _topk_by_raw_cosine(df, id_col, vec_col, query_vec, k)
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    qvec_col: str = "qvec",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR /
+    Contriever recipe): for EVERY training query, the top-k
+    most-cosine-similar corpus docs EXCLUDING its labeled positives —
+    the near-misses a contrastive trainer needs as negatives.
+
+    queries: (query_id, qvec_col) — one embedding per query.
+    positives: (query_id, id_col) labels, anti-joined out BEFORE the
+    top-k cut (a positive never displaces a negative).
+    candidates: optional (query_id, id_col) pre-filter — the scale
+    path: feed AnnIndex bucket probes here so each query scores only
+    its candidate set instead of the corpus. Without it the scoring
+    join is the exact |queries| x |corpus| brute-force baseline; the
+    QUERY BATCH side broadcasts, so keep it a batch (thousands), not
+    a corpus — mirroring cosine_topk's exact-baseline role.
+
+    Returns (query_id, rank, doc_id, cosine): rank 1..k per query in
+    (cosine desc, doc asc) order; cosine is the double-precision
+    value rounded to 3 decimals for display AFTER the cut (ties at
+    the rounding never decide membership, same law as cosine_topk).
+
+    Shape: one corpus scan; the dot/norms run as codegen array
+    expressions (no UDF); positives anti-join keyed by (query, doc);
+    ONE window shuffle keyed by query_id for the per-query cut —
+    bounded groups (<= corpus candidates per query), no driver
+    state."""
+    q = queries.select(
+        F.col(query_id).alias("_q"),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    if candidates is not None:
+        cand = candidates.select(
+            F.col(query_id).alias("_q"), F.col(id_col).alias("_cd")
+        )
+        base = (
+            corpus.join(cand, F.col(id_col) == F.col("_cd"), "inner")
+            .drop("_cd")
+            .join(F.broadcast(q), "_q")
+        )
+    else:
+        base = corpus.crossJoin(F.broadcast(q))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    raw = (_dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv")))).alias("_c")
+    scored = base.select(F.col("_q"), F.col(id_col), raw)
+    pos = positives.select(
+        F.col(query_id).alias("_q"), F.col(id_col).alias(id_col)
+    )
+    negs = scored.join(pos, ["_q", id_col], "left_anti")
+    w = Window.partitionBy("_q").orderBy(F.desc("_c"), F.asc(id_col))
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_q").alias(query_id),
+            F.col("rank").cast("long").alias("rank"),
+            id_col,
+            F.round(F.col("_c"), 3).alias("cosine"),
+        )
+    )
+
+
+def hard_negatives_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int
+) -> str:
+    """DuckDB twin of hard_negatives for the self-retrieval setup
+    (query set = rows matching query_pred, embedded by their own
+    vectors; positives = the query doc itself): same double math as
+    cosine_topk_sql, per-query ROW_NUMBER cut."""
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS qid, {vec_col} AS qv FROM {table} WHERE {query_pred}
+), scored AS (
+  SELECT q.qid, e.{id_col},
+         list_sum(list_transform(range(1, len(e.{vec_col}) + 1),
+                  i -> e.{vec_col}[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         (sqrt(list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE))) *
+          sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM {table} e, q
+  WHERE e.{id_col} <> q.qid
+), ranked AS (
+  SELECT qid, {id_col}, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, {id_col} ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, rank::BIGINT AS rank, {id_col}, round(c, 3) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def cosine_topk_sql(table: str, id_col: str, vec_col: str, query_id: int, k: int) -> str:
     """DuckDB twin: same double-precision math (manual dot product via
     list_transform over index range — list_cosine_similarity computes

@@ -757,3 +757,55 @@ def test_persisted_ivfpq_index(spark, emb_df, tmp_path_factory):
         cols = ln.split("[", 1)[1].split("]", 1)[0]  # FileScan parquet [id,codes,bucket]
         assert "codes" in cols and "vec#" not in cols, ln
     assert "BatchEval" not in plan and "ArrowEval" not in plan
+
+
+def test_hard_negatives_laws(spark, emb_df):
+    """Hard-negative mining: per-query numpy oracle (cosine desc, id
+    asc, positives excluded BEFORE the cut), the planted near-dup is
+    query 3's top negative, and the candidates path equals brute
+    force restricted to the candidate set."""
+    import pandas as pd
+
+    pdf = emb_df.toPandas().sort_values("vec_id")
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    q_ids = [0, 3, 11]
+    qs = emb_df.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    pos = qs.select("query_id", F.col("query_id").alias("vec_id"))
+    got = similarity.hard_negatives(
+        qs, emb_df.select("vec_id", "embedding"), pos, k=4,
+        id_col="vec_id", vec_col="embedding",
+    ).toPandas().sort_values(["query_id", "rank"])
+
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in q_ids:
+        qv = mat[ids == qid][0]
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(
+            [(float(-c), int(i)) for c, i in zip(cos, ids) if i != qid])
+        exp = [i for _, i in order[:4]]
+        sub = got[got["query_id"] == qid]
+        assert sub["vec_id"].tolist() == exp, qid
+        assert sub["rank"].tolist() == [1, 2, 3, 4]
+        for r, (negc, _) in zip(sub["cosine"], order[:4]):
+            assert r == round(-negc, 3)
+    # planted near-dup: 7 is 3's nearest non-self vector
+    assert got[got["query_id"] == 3]["vec_id"].iloc[0] == 7
+
+    # candidates path == brute force restricted to the candidate set
+    cand_rows = [(qid, int(d)) for qid in q_ids for d in ids if d % 2 == 0]
+    cands = spark.createDataFrame(
+        pd.DataFrame(cand_rows, columns=["query_id", "vec_id"]))
+    got_c = similarity.hard_negatives(
+        qs, emb_df.select("vec_id", "embedding"), pos, k=3,
+        id_col="vec_id", vec_col="embedding", candidates=cands,
+    ).toPandas().sort_values(["query_id", "rank"])
+    for qid in q_ids:
+        qv = mat[ids == qid][0]
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(
+            [(float(-c), int(i)) for c, i in zip(cos, ids)
+             if i != qid and i % 2 == 0])
+        exp = [i for _, i in order[:3]]
+        assert got_c[got_c["query_id"] == qid]["vec_id"].tolist() == exp, qid
