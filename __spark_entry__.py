@@ -1986,6 +1986,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_boosting(spark, sf):
+        # BoostingQuery(match, context, 0.5): docs containing the
+        # context term keep their OR score halved — demotion reorders,
+        # so the match set is consumed uncut and the top-k runs after
+        # the multiply; twin = the same sum with a context CASE
+        return _hits_df(_searcher(spark, sf).search_boosting(
+            OR_TERMS, [{"field": "text", "term": MIXED_NOT, "occur": "must"}],
+            k=K_ALL, demote=0.5))
+
     def ft_xml_query(spark, sf):
         # Lucene XML CoreParser surface (queryparser/xml): a
         # BooleanQuery document wrapping MUST(TermQuery) + a nested
@@ -3841,7 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
-        ann_hard_neg,
+        ann_hard_neg, ft_boosting,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4636,6 +4645,14 @@ SELECT 'long', count(CASE WHEN n_chars >= 300 THEN 1 END)::BIGINT FROM j
                     f"damerau_levenshtein(term, '{MIXED_SHOULD[1]}') <= 2",
                     50),
             },
+        ),
+        "ft_boosting": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            agg_expr=(
+                f"(CASE WHEN count(CASE WHEN term = '{MIXED_NOT}' THEN 1 END) >= 1 "
+                "THEN ((sum(s32::DOUBLE))::FLOAT::DOUBLE * 0.5)::FLOAT "
+                "ELSE (sum(s32::DOUBLE))::FLOAT END)"
+            ),
         ),
         "ft_xml_query": _bm25_sql(
             [MIXED_MUST] + MIXED_SHOULD, "or", K_ALL,

@@ -4198,6 +4198,53 @@ class Searcher:
             .select(F.col("doc"), F.lit(float(boost)).cast("float").alias("score"))
         )
 
+    def search_boosting(
+        self,
+        terms: list[str],
+        context_clauses: list[dict],
+        k: int,
+        demote: float = 0.5,
+        mode: str = "or",
+        field: str = "text",
+    ) -> DataFrame:
+        """Lucene BoostingQuery(match, context, boost) — the queries
+        module's demotion query, kept in modern Lucene as
+        FunctionScoreQuery.boostByQuery: docs matching the CONTEXT
+        query keep their match score multiplied by `demote` (<1 buries
+        them without excluding them — must_not's softer sibling); the
+        context itself never scores and never admits a doc. Score =
+        float32(float64(match f32 total) * demote) on context matches,
+        the unchanged match score otherwise; ties doc asc.
+
+        context_clauses: any composable boolean (matching_docs
+        semantics). Demotion REORDERS the ranking, so the match set is
+        consumed WITHOUT a top-k cut (the grouping first-pass shape)
+        and the cut runs after the demote — per-shard heaps cannot
+        prune safely against a post-hoc multiplier.
+
+        Shape: scored-match-set kernel -> left join against the
+        context doc-set (a DataFrame end to end) -> one projected
+        multiply -> TakeOrdered k. No driver state."""
+        if not (0.0 <= demote):
+            raise ValueError("demote must be >= 0")
+        scored = self._scored_match_set(terms, mode=mode, field=field)
+        ctx = self.matching_docs(context_clauses).withColumn("_m", F.lit(True))
+        return (
+            scored.join(ctx, "doc", "left")
+            .select(
+                "doc",
+                F.when(
+                    F.col("_m"),
+                    (F.col("score").cast("double") * F.lit(float(demote)))
+                    .cast("float"),
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .limit(k)
+        )
+
     def _scored_match_set(
         self, terms: list[str], mode: str = "or", field: str = "text"
     ) -> DataFrame:

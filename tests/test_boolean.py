@@ -1679,3 +1679,30 @@ def test_span_multi_rejects_unknown_pattern_keys(spark, tmp_path_factory):
         s.search_span_multi([{"prefx": "b"}, "cat"], k=5)
     with pytest.raises(ValueError, match="pattern clause"):
         s.search_span_multi([{"max_edits": 1}, "cat"], k=5)
+
+
+def test_search_boosting_demotes(spark, bool_index):
+    """BoostingQuery: context matches keep their match score * demote
+    (f32 of the double product), context admits/score nothing, the cut
+    runs AFTER the demote — identical to demoting the full ranking by
+    hand."""
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    ctx = [{"field": "role", "term": "tool", "occur": "must"}]
+    full = s.search(["alpha", "beta"], k=1000, mode="or").collect()
+    tool_docs = {r["doc_id"] for r in rows if r["role"] == "tool"}
+    exp = sorted(
+        (
+            (d, np.float32(np.float64(sc) * 0.5) if d in tool_docs else np.float32(sc))
+            for d, sc in ((r["doc"], r["score"]) for r in full)
+        ),
+        key=lambda p: (-p[1], p[0]),
+    )[:30]
+    got = [(r["doc"], np.float32(r["score"]))
+           for r in s.search_boosting(["alpha", "beta"], ctx, k=30, demote=0.5).collect()]
+    assert got == [(d, sc) for d, sc in exp]
+    # docs matching ONLY the context never appear
+    only_ctx = tool_docs - {r["doc"] for r in full}
+    assert not ({d for d, _ in got} & only_ctx)
+    with pytest.raises(ValueError, match="demote"):
+        s.search_boosting(["alpha"], ctx, k=5, demote=-1.0)
