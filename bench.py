@@ -467,8 +467,26 @@ def main() -> None:
         curation.conversation_windows(
             transcripts, "conv_id", "turn_idx", "text", n_turns=6, stride=4
         ).count()
+    with timed("sft_examples"):
+        # SFT example assembly: one example per assistant turn,
+        # bounded 6-turn context collect per conversation partition
+        curation.sft_examples(
+            transcripts, "conv_id", "turn_idx", "role", "text",
+            max_context_turns=6,
+        ).count()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    with timed("hard_negatives"):
+        # DPR-style mining: every 199th vector is a query (its own
+        # positive); broadcast batch x corpus codegen dot, per-query cut
+        _hn_q = emb.filter(F.col("vec_id") % 199 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        _hn_pos = _hn_q.select("query_id", F.col("query_id").alias("vec_id"))
+        similarity.hard_negatives(
+            _hn_q, emb.select("vec_id", "embedding"), _hn_pos, k=5,
+            id_col="vec_id", vec_col="embedding",
+        ).count()
     with timed("semantic_dedup"):
         # SemDeDup: k-means assign + within-cluster near-dup drop
         similarity.semantic_dedup(emb, "vec_id", "embedding", n_centroids=16).count()
@@ -550,6 +568,21 @@ def main() -> None:
         # surround-language parse + one composable boolean with a
         # truncation expansion (parser front-end cost rides the job)
         sd.search_surround("and(or(dup, hash), w(sort, merge), quer*)", k=100).collect()
+
+    with timed("xml_query"):
+        # XML CoreParser front-end over the same composable kernel:
+        # boolean document with a nested dismax (parse cost is driver
+        # microseconds; the job is the one boolean kernel pass)
+        sd.search_xml(
+            "<BooleanQuery>"
+            '<Clause occurs="must"><TermQuery>key</TermQuery></Clause>'
+            '<Clause occurs="should"><DisjunctionMaxQuery tieBreaker="0.3">'
+            "<TermQuery>vector</TermQuery><TermQuery>hash</TermQuery>"
+            "</DisjunctionMaxQuery></Clause>"
+            '<Clause occurs="mustNot"><TermQuery>dup</TermQuery></Clause>'
+            "</BooleanQuery>",
+            k=100,
+        ).collect()
 
     with timed("bpe_train16"):
         # distributed BPE tokenizer training: one corpus pass + 16
