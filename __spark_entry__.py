@@ -1986,6 +1986,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_join_scored(spark, sf):
+        # JoinUtil ScoreMode.Max: to-docs score the MAX from-side BM25
+        # score among matches sharing their source value — the scored
+        # global-ordinal join, value->score table a DataFrame end to
+        # end (no driver term list, unlike ScoreMode.None's in-list)
+        return _hits_df(_searcher(spark, sf).search_join_scored(
+            OR_TERMS, "source", "source", k=K_ALL, score_mode="max"))
+
     def ft_boosting(spark, sf):
         # BoostingQuery(match, context, 0.5): docs containing the
         # context term keep their OR score halved — demotion reorders,
@@ -3850,7 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
-        ann_hard_neg, ft_boosting,
+        ann_hard_neg, ft_boosting, ft_join_scored,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4645,6 +4653,20 @@ SELECT 'long', count(CASE WHEN n_chars >= 300 THEN 1 END)::BIGINT FROM j
                     f"damerau_levenshtein(term, '{MIXED_SHOULD[1]}') <= 2",
                     50),
             },
+        ),
+        "ft_join_scored": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            select_override=f""",
+vals AS (
+  SELECT d.source AS v, max(a.score32) AS mx
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL
+  GROUP BY d.source
+)
+SELECT t.doc_id, round(v.mx::DOUBLE, 3) AS score
+FROM documents t JOIN vals v ON t.source = v.v
+ORDER BY v.mx DESC, t.doc_id ASC LIMIT {K_ALL}
+""",
         ),
         "ft_boosting": _bm25_sql(
             OR_TERMS, "or", K_ALL,

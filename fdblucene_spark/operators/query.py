@@ -4034,6 +4034,80 @@ class Searcher:
             return self.spark.createDataFrame([], HIT_SCHEMA)
         return dst.search_terms_in_set(to_field, sorted(map(str, vals)), k)
 
+    def search_join_scored(
+        self,
+        from_terms: list[str],
+        from_field: str,
+        to_field: str,
+        k: int,
+        score_mode: str = "max",
+        mode: str = "or",
+        field: str = "text",
+        to_searcher: "Searcher | None" = None,
+    ) -> DataFrame:
+        """Lucene `JoinUtil.createJoinQuery(..., ScoreMode.Max | Total
+        | Avg)` — the scored global-ordinal join: every to-side doc
+        whose `to_field` value is held by some from-query match scores
+        an AGGREGATE of those matches' BM25 scores (max / total / avg
+        per join value). The from-query here is a terms query
+        (or/and/phrase — the shapes `_scored_match_set` runs uncut);
+        arbitrary boolean from-queries pair with the unscored
+        search_join (ScoreMode.None), Lucene's own default.
+
+        Score law: from-doc score = the f32 hit score; per-value
+        aggregate accumulates in float64 (max is exact; total = f64
+        sum of f32 addends; avg = that sum / count); to-doc score =
+        float32(aggregate). Ties doc asc. A to-doc with a NULL value
+        never matches; deleted to-docs are anti-joined out.
+
+        Distributed shape — unlike search_join, NOTHING materializes
+        on the driver: scored-match-set kernel -> column-pruned
+        from-stored join -> per-value partial+final agg -> join
+        against the to-index's stored table (to_field must be stored
+        there) -> tombstone anti-join -> TakeOrdered k. The
+        value->score table stays a DataFrame end to end, so join-key
+        cardinality is unbounded (no max_join_terms)."""
+        if score_mode not in ("max", "total", "avg"):
+            raise ValueError("score_mode must be 'max', 'total' or 'avg'")
+        dst = to_searcher if to_searcher is not None else self
+        stored = self._stored_df()
+        if from_field not in stored.columns:
+            raise ValueError(f"from field {from_field!r} is not stored in this index")
+        to_stored = dst._stored_df()
+        if to_field not in to_stored.columns:
+            raise ValueError(
+                f"to field {to_field!r} is not stored in the to-index")
+        scored = self._scored_match_set(from_terms, mode=mode, field=field)
+        joined = (
+            scored.join(stored.select("doc", from_field), "doc")
+            .filter(F.col(from_field).isNotNull())
+        )
+        aggs = joined.groupBy(from_field).agg(
+            F.max("score").alias("_mx"),
+            F.sum(F.col("score").cast("double")).alias("_sm"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        if score_mode == "max":
+            val = F.col("_mx").cast("float")
+        elif score_mode == "total":
+            val = F.col("_sm").cast("float")
+        else:
+            val = (F.col("_sm") / F.col("_cnt")).cast("float")
+        vals = aggs.select(F.col(from_field).alias("_v"), val.alias("score"))
+        hits = (
+            to_stored.select("doc", F.col(to_field).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .join(vals, "_v")
+            .select(F.col("doc").cast("long").alias("doc"), "score")
+        )
+        rel = dst.manifest.properties.get("deletes_path")
+        if rel:
+            dels = dst.spark.read.parquet(os.path.join(dst.root, rel)).select(
+                F.col("doc").cast("long").alias("doc")
+            )
+            hits = hits.join(dels, "doc", "left_anti")
+        return hits.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
     def search_all(self, k: int, after_doc: int | None = None) -> DataFrame:
         """Lucene MatchAllDocsQuery: every live (non-deleted) doc in
         the snapshot matches with score 1.0; ordering is docID asc

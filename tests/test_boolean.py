@@ -1706,3 +1706,35 @@ def test_search_boosting_demotes(spark, bool_index):
     assert not ({d for d, _ in got} & only_ctx)
     with pytest.raises(ValueError, match="demote"):
         s.search_boosting(["alpha"], ctx, k=5, demote=-1.0)
+
+
+def test_search_join_scored_modes(spark, bool_index):
+    """JoinUtil ScoreMode.Max/Total/Avg: to-docs score the per-value
+    aggregate of the from-side f32 hit scores (f64 accumulation,
+    final f32), identical to aggregating the engine's own full
+    ranking by hand; membership = value held by >= 1 match."""
+    rows, root = bool_index
+    s = Searcher(spark, root)
+    full = s.search(["alpha", "beta"], k=1000, mode="or").collect()
+    role_of = {r["doc_id"]: r["role"] for r in rows}
+    per_val: dict = {}
+    for r in full:
+        per_val.setdefault(role_of[r["doc"]], []).append(np.float64(r["score"]))
+    expect = {
+        "max": {v: np.float32(max(ss)) for v, ss in per_val.items()},
+        "total": {v: np.float32(sum(ss)) for v, ss in per_val.items()},
+        "avg": {v: np.float32(sum(ss) / len(ss)) for v, ss in per_val.items()},
+    }
+    for mode_name, vmap in expect.items():
+        exp = sorted(
+            ((d, vmap[v]) for d, v in role_of.items() if v in vmap),
+            key=lambda p: (-p[1], p[0]),
+        )[:40]
+        got = [(r["doc"], np.float32(r["score"])) for r in s.search_join_scored(
+            ["alpha", "beta"], "role", "role", k=40, score_mode=mode_name
+        ).collect()]
+        assert got == exp, mode_name
+    with pytest.raises(ValueError, match="score_mode"):
+        s.search_join_scored(["alpha"], "role", "role", k=5, score_mode="sum")
+    with pytest.raises(ValueError, match="not stored"):
+        s.search_join_scored(["alpha"], "nope", "role", k=5)
