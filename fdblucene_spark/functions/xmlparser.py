@@ -347,9 +347,13 @@ def _span_field(el: ET.Element, default_field) -> str:
                         "default_field")
 
 
-def _span_clause(el: ET.Element, default_field) -> tuple[object, str]:
+def _span_clause(
+    el: ET.Element, default_field, analyzer: str = ANALYZER_VERSION
+) -> tuple[object, str]:
     """A SpanNear operand -> (clause, field): a term (SpanTerm) or a
-    list of alternative terms (SpanOr / SpanOrTerms)."""
+    list of alternative terms (SpanOr / SpanOrTerms). SpanOrTerms
+    analyzes with the index's pinned analyzer (the same version the
+    postings were built with), like TermsQuery."""
     if el.tag == "SpanTerm":
         return _text(el), _span_field(el, default_field)
     if el.tag == "SpanOr":
@@ -368,7 +372,7 @@ def _span_clause(el: ET.Element, default_field) -> tuple[object, str]:
         return terms, fields.pop()
     if el.tag == "SpanOrTerms":
         f = _span_field(el, default_field)
-        toks = tokenize_text(_text(el), ANALYZER_VERSION)
+        toks = tokenize_text(_text(el), analyzer)
         if not toks:
             raise XmlParseError("<SpanOrTerms> analyzed to no tokens")
         return (toks if len(toks) > 1 else toks[0]), f
@@ -388,7 +392,7 @@ def _compile_span(el: ET.Element, default_field, analyzer: str) -> dict:
         in_order = _bool_attr(el, "inOrder", False)
         clauses, fields = [], set()
         for child in el:
-            c, f = _span_clause(child, default_field)
+            c, f = _span_clause(child, default_field, analyzer)
             clauses.append(c)
             fields.add(f)
         if len(clauses) < 2:
@@ -527,7 +531,7 @@ def parse_xml_query(
         out.clauses = [{"field": f, "term": _text(root), "occur": "should"}]
         return out
     if root.tag in ("SpanOr", "SpanOrTerms"):
-        c, f = _span_clause(root, default_field)
+        c, f = _span_clause(root, default_field, analyzer)
         terms = c if isinstance(c, list) else [c]
         out.clauses = [{"field": f, "term": t, "occur": "should"}
                        for t in terms]

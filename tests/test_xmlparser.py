@@ -464,3 +464,17 @@ def test_xml_search_after_pages(spark, xml_index):
     page2 = s.search_xml(xml, k=10, after=cursor).collect()
     assert [(r["doc"], r["score"]) for r in page2] == [
         (r["doc"], r["score"]) for r in full[10:20]]
+
+
+def test_span_or_terms_uses_index_analyzer():
+    # SpanOrTerms analyzes with the PINNED analyzer: under the v2
+    # stop chain 'the' vanishes, leaving one alternative
+    q = parse_xml_query(
+        "<SpanOrTerms>the alpha</SpanOrTerms>", analyzer="standard_v2")
+    assert q.clauses == [{"field": "text", "term": "alpha", "occur": "should"}]
+    q = parse_xml_query("""
+      <SpanNear slop="0" inOrder="true">
+        <SpanTerm>beta</SpanTerm>
+        <SpanOrTerms>the alpha gamma</SpanOrTerms>
+      </SpanNear>""", analyzer="standard_v2")
+    assert q.span["clauses"] == ["beta", ["alpha", "gamma"]]
