@@ -185,6 +185,14 @@ def main() -> int:
     surfaces["decontaminate_fuzzy"] = dedup.decontaminate_fuzzy(
         docs_df, docs_df.filter("doc_id % 37 = 0"), "doc_id", "text"
     )
+    # final-session surfaces
+    surfaces["search_boosting"] = s.search_boosting(
+        ["alpha", "beta"], [{"field": "role", "term": "tool", "occur": "must"}],
+        k=10,
+    )
+    surfaces["search_join_scored"] = s.search_join_scored(
+        ["alpha"], "role", "role", k=10, score_mode="total"
+    )
     # round-5 sixth-phase surfaces
     surfaces["search_intervals"] = s.search_intervals(
         {"containing": [
@@ -377,6 +385,11 @@ def main() -> int:
             # conv-partitioned bounded-frame windows, never a global sort
             assert "Exchange SinglePartition" not in plan, \
                 "sft_examples collapsed to a single partition"
+        if name in ("search_boosting", "search_join_scored"):
+            # post-demote / post-aggregate top-k stays a TakeOrdered
+            # cut (never a global sort of the match set) and the
+            # whole pipeline stays Python-free outside the kernel
+            assert any("TakeOrdered" in ln for ln in plan.splitlines()), name
         if name == "search_intervals":
             # leaf-term pushdown reaches the postings Parquet scan
             assert any("PushedFilters" in ln and "field" in ln for ln in keep), name
