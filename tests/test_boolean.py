@@ -1712,9 +1712,19 @@ def test_search_join_scored_modes(spark, bool_index):
     """JoinUtil ScoreMode.Max/Total/Avg: to-docs score the per-value
     aggregate of the from-side f32 hit scores (f64 accumulation,
     final f32), identical to aggregating the engine's own full
-    ranking by hand; membership = value held by >= 1 match."""
+    ranking by hand; membership = value held by >= 1 match. The
+    to-doc domain is the engine's LIVE roster (stored table minus
+    tombstones), so the expectation stays correct after earlier
+    tests delete from / repack the shared module index."""
     rows, root = bool_index
     s = Searcher(spark, root)
+    live = {r["doc"] for r in s._stored_df().select("doc").collect()}
+    rel = s.manifest.properties.get("deletes_path")
+    if rel:
+        live -= {
+            r["doc"]
+            for r in spark.read.parquet(os.path.join(root, rel)).collect()
+        }
     full = s.search(["alpha", "beta"], k=1000, mode="or").collect()
     role_of = {r["doc_id"]: r["role"] for r in rows}
     per_val: dict = {}
@@ -1727,7 +1737,8 @@ def test_search_join_scored_modes(spark, bool_index):
     }
     for mode_name, vmap in expect.items():
         exp = sorted(
-            ((d, vmap[v]) for d, v in role_of.items() if v in vmap),
+            ((d, vmap[v]) for d, v in role_of.items()
+             if v in vmap and d in live),
             key=lambda p: (-p[1], p[0]),
         )[:40]
         got = [(r["doc"], np.float32(r["score"])) for r in s.search_join_scored(
