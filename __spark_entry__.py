@@ -2535,6 +2535,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text", window=64, stride=48
         )
 
+    def pipe_fim(spark, sf):
+        # fill-in-the-middle transform (Bavarian et al. 2022): PSM
+        # re-rendering at rate=0.7 with md5-deterministic decision +
+        # cut points — partition-invariant, rerun-identical, pure
+        # Catalyst map-only pass (no shuffle, no RNG state)
+        return curation.fim_transform(
+            _table(spark, sf, "documents"), "doc_id", "text", rate=0.7
+        )
+
     def samp_shuffle(spark, sf):
         # deterministic seeded global shuffle: dense shuffle_rank =
         # global sort rank under md5(salt||id), scan-pattern offsets
@@ -3858,7 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_url, text_html_extract, ft_phonetic, ft_payload_check,
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
-        ann_hard_neg, ft_boosting, ft_join_scored,
+        ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4862,6 +4871,7 @@ LIMIT {K_ALL}""",
         ),
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),
         "pipe_chunks": curation.chunk_documents_sql("documents", "doc_id", "text", 64, 48),
+        "pipe_fim": curation.fim_sql("documents", "doc_id", "text", rate=0.7),
         "samp_dsir": curation.dsir_log_weights_sql(
             "documents", "doc_id", "text", "doc_id % 37 = 0", n_buckets=4096
         ),

@@ -2181,3 +2181,126 @@ SELECT {id_col},
 FROM K
 WHERE len(ks) >= {int(min_lines)}{page_bans}
 """
+
+
+# ------------------------------------------------ fill-in-the-middle
+FIM_SALT = "fim-v1"
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.9,
+    salt: str = FIM_SALT,
+    mode: str = "psm",
+    sentinels: tuple[str, str, str] = ("<PRE>", "<SUF>", "<MID>"),
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255 — the FIM pass every code/infilling LLM pipeline
+    runs): with probability `rate` a document is split at two
+    character positions drawn uniformly over [0, len], and re-rendered
+    with sentinel tokens so the model learns to infill:
+
+      psm:  <PRE> prefix <SUF> suffix <MID> middle   (the paper's PSM)
+      spm:  <SUF> suffix <PRE> prefix <MID> middle   (the SPM variant)
+
+    The paper draws the decision and both split points from an RNG; a
+    distributed engine needs partition-invariant, rerun-identical
+    draws, so all three come from the module's md5-prefix uniform:
+    decide = u(salt:d:id) < rate, and the two cuts are
+    floor(u(salt:a:id) * (L+1)) and floor(u(salt:b:id) * (L+1))
+    ordered — a pure function of (salt, id), exactly reproducible by
+    the SQL twin (fim_sql) and stable across runs, partitionings, and
+    cluster sizes. Untransformed rows (decide false, or NULL text)
+    keep rendered = text with NULL parts, the paper's joint
+    FIM-rate mixture.
+
+    Pure Catalyst map-only pass — md5, substring and concat in
+    whole-stage codegen; no shuffle, no RNG state, no UDF. At 100 TB
+    this pipelines with the pack_sequences/global_shuffle stages at
+    scan speed."""
+    if not (0.0 <= float(rate) <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    pre_s, suf_s, mid_s = sentinels
+    sid = F.col(id_col).cast("string")
+    text = F.col(text_col)
+    decide = _u01(F.concat(F.lit(salt + ":d:"), sid)) < F.lit(float(rate))
+    u1 = _u01(F.concat(F.lit(salt + ":a:"), sid))
+    u2 = _u01(F.concat(F.lit(salt + ":b:"), sid))
+    length = F.length(text).cast("double")
+    p1 = F.floor(F.least(u1, u2) * (length + F.lit(1.0))).cast("int")
+    p2 = F.floor(F.greatest(u1, u2) * (length + F.lit(1.0))).cast("int")
+    fim = decide & text.isNotNull()
+    prefix = F.substring(text, F.lit(1), p1)
+    middle = F.substring(text, p1 + F.lit(1), p2 - p1)
+    suffix = F.substring(text, p2 + F.lit(1), F.length(text))
+    if mode == "psm":
+        rendered = F.concat(
+            F.lit(pre_s), prefix, F.lit(suf_s), suffix, F.lit(mid_s), middle
+        )
+    else:  # spm
+        rendered = F.concat(
+            F.lit(suf_s), suffix, F.lit(pre_s), prefix, F.lit(mid_s), middle
+        )
+    return df.select(
+        F.col(id_col),
+        fim.alias("fim"),
+        F.when(fim, prefix).alias("fim_prefix"),
+        F.when(fim, middle).alias("fim_middle"),
+        F.when(fim, suffix).alias("fim_suffix"),
+        F.when(fim, rendered).otherwise(text).alias("rendered"),
+    )
+
+
+def fim_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    rate: float = 0.9,
+    salt: str = FIM_SALT,
+    mode: str = "psm",
+    sentinels: tuple[str, str, str] = ("<PRE>", "<SUF>", "<MID>"),
+) -> str:
+    """DuckDB twin of fim_transform — same md5-prefix uniforms, same
+    floor((L+1)*u) cut arithmetic, same substring splits, same
+    sentinel rendering, byte-identical output."""
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    pre_s, suf_s, mid_s = (s.replace("'", "''") for s in sentinels)
+
+    def u(tag: str) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5('{salt}:{tag}:' || {id_col}::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE"
+            f" / {float(16 ** 8)!r})"
+        )
+
+    order = (
+        f"'{pre_s}' || pfx || '{suf_s}' || sfx || '{mid_s}' || mid"
+        if mode == "psm"
+        else f"'{suf_s}' || sfx || '{pre_s}' || pfx || '{mid_s}' || mid"
+    )
+    return f"""
+WITH C AS (
+  SELECT {id_col}, {text_col} AS t,
+         ({u('d')} < {float(rate)!r} AND {text_col} IS NOT NULL) AS fim,
+         CAST(floor(least({u('a')}, {u('b')}) * (length({text_col})::DOUBLE + 1.0)) AS INT) AS p1,
+         CAST(floor(greatest({u('a')}, {u('b')}) * (length({text_col})::DOUBLE + 1.0)) AS INT) AS p2
+  FROM {table}
+), S AS (
+  SELECT {id_col}, t, fim,
+         substr(t, 1, p1) AS pfx,
+         substr(t, p1 + 1, p2 - p1) AS mid,
+         substr(t, p2 + 1, length(t)) AS sfx
+  FROM C
+)
+SELECT {id_col},
+       fim,
+       CASE WHEN fim THEN pfx END AS fim_prefix,
+       CASE WHEN fim THEN mid END AS fim_middle,
+       CASE WHEN fim THEN sfx END AS fim_suffix,
+       CASE WHEN fim THEN {order} ELSE t END AS rendered
+FROM S
+"""
