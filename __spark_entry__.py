@@ -2544,6 +2544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text", rate=0.7
         )
 
+    def pipe_span_corrupt(spark, sf):
+        # T5/UL2 span-corruption denoising pairs (Raffel et al. 2020):
+        # md5-deterministic span starts/lengths, island merge,
+        # <extra_id_k> sentinels — map-only higher-order array ops,
+        # zero shuffles; (input, target) byte-identical to the twin
+        return curation.span_corruption(
+            _table(spark, sf, "documents"), "doc_id", "text",
+            noise_density=0.15, mean_span_len=3.0,
+        )
+
     def samp_shuffle(spark, sf):
         # deterministic seeded global shuffle: dense shuffle_rank =
         # global sort rank under md5(salt||id), scan-pattern offsets
@@ -3868,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
+        pipe_span_corrupt,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4872,6 +4883,9 @@ LIMIT {K_ALL}""",
         "pipe_pack": curation.pack_sequences_sql("documents", "doc_id", "text", 512, 1),
         "pipe_chunks": curation.chunk_documents_sql("documents", "doc_id", "text", 64, 48),
         "pipe_fim": curation.fim_sql("documents", "doc_id", "text", rate=0.7),
+        "pipe_span_corrupt": curation.span_corruption_sql(
+            "documents", "doc_id", "text", noise_density=0.15, mean_span_len=3.0
+        ),
         "samp_dsir": curation.dsir_log_weights_sql(
             "documents", "doc_id", "text", "doc_id % 37 = 0", n_buckets=4096
         ),

@@ -2304,3 +2304,196 @@ SELECT {id_col},
        CASE WHEN fim THEN {order} ELSE t END AS rendered
 FROM S
 """
+
+
+# ------------------------------------------------ T5 span corruption
+T5_SALT = "t5-v1"
+
+
+def _span_params(noise_density: float, mean_span_len: float):
+    if not (0.0 < float(noise_density) < 1.0):
+        raise ValueError(f"noise_density must be in (0, 1), got {noise_density}")
+    if float(mean_span_len) < 1.0:
+        raise ValueError(f"mean_span_len must be >= 1, got {mean_span_len}")
+    p_start = float(noise_density) / float(mean_span_len)
+    max_len = int(2 * float(mean_span_len) - 1)  # uniform 1..2m-1, mean m
+    return p_start, max(1, max_len)
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    noise_density: float = 0.15,
+    mean_span_len: float = 3.0,
+    salt: str = T5_SALT,
+) -> DataFrame:
+    """T5/UL2 span-corruption denoising objective (Raffel et al. 2020
+    §3.1.4): corrupt ~noise_density of the tokens in spans of mean
+    length mean_span_len, replace each corrupted span with a sentinel
+    ``<extra_id_k>`` in the input, and emit the target as the sentinel-
+    prefixed spans plus a final terminator sentinel — the (input,
+    target) pair every T5-family model pre-trains on.
+
+    The paper segments tokens with an RNG; the distributed re-shape
+    draws everything from md5-prefix uniforms of (salt, id, position):
+    token i STARTS a span iff u(salt:s:id:i) < density/mean, its
+    length is 1 + floor(u(salt:l:id:i) * (2*mean-1)) (uniform mean
+    `mean_span_len`), and overlapping/adjacent spans merge (so
+    realized span count can be below the draw count, as in the
+    paper's greedy segmentation). Partition-invariant, rerun-
+    identical, byte-reproducible by the SQL twin (span_corruption_sql).
+
+    Pure Catalyst map-only pass: tokens + all span logic are
+    higher-order array ops (transform/filter/exists) in whole-stage
+    codegen — zero shuffles, no UDF, no RNG state. Coverage tests per
+    position scan a bounded (2*mean-1) window, so work is ~linear in
+    doc length; the sentinel-numbering walk is quadratic in the
+    (small) realized span count only. Run after chunk_documents for
+    pathologically long docs — the usual pipeline order anyway.
+
+    Returns (id, n_tokens, n_noise, n_spans, input_text, target_text);
+    NULL/empty text yields n_tokens=0, empty input, and the bare
+    terminator target (``<extra_id_0>``)."""
+    p_start, max_len = _span_params(noise_density, mean_span_len)
+    sid = F.col(id_col).cast("string")
+
+    def u(tag: str, i):
+        return _u01(F.concat(F.lit(salt + ":" + tag + ":"), sid, F.lit(":"), i.cast("string")))
+
+    ts = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
+    n = F.size(ts)
+    pos = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    df = df.select(F.col(id_col), ts.alias("__ts"), pos.alias("__pos"))
+    starts = F.transform(F.col("__pos"), lambda i: u("s", i) < F.lit(p_start))
+    lens = F.transform(
+        F.col("__pos"),
+        lambda i: (F.lit(1) + F.floor(u("l", i) * F.lit(float(max_len)))).cast("int"),
+    )
+    df = df.withColumn("__st", starts).withColumn("__ln", lens)
+    win = max_len - 1
+    covered = F.transform(
+        F.col("__pos"),
+        lambda j: F.exists(
+            F.sequence(F.greatest(j - F.lit(win), F.lit(0)), j),
+            lambda i: F.element_at(F.col("__st"), i + 1)
+            & (i + F.element_at(F.col("__ln"), i + 1) > j),
+        ),
+    )
+    df = df.withColumn("__cov", covered)
+    island = F.transform(
+        F.col("__pos"),
+        lambda j: F.element_at(F.col("__cov"), j + 1)
+        & F.when(j == 0, F.lit(True)).otherwise(~F.element_at(F.col("__cov"), j)),
+    )
+    df = df.withColumn("__isl", island)
+    df = df.withColumn(
+        "__ipos", F.filter(F.col("__pos"), lambda j: F.element_at(F.col("__isl"), j + 1))
+    )
+
+    def sentinel(k):
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    def kof(j):
+        return F.array_position(F.col("__ipos"), j) - 1
+
+    inp = F.array_join(
+        F.filter(
+            F.transform(
+                F.col("__pos"),
+                lambda j: F.when(
+                    F.element_at(F.col("__isl"), j + 1), sentinel(kof(j))
+                ).when(
+                    ~F.element_at(F.col("__cov"), j + 1),
+                    F.element_at(F.col("__ts"), j + 1),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    tgt_pieces = F.filter(
+        F.transform(
+            F.col("__pos"),
+            lambda j: F.when(
+                F.element_at(F.col("__isl"), j + 1),
+                F.concat(sentinel(kof(j)), F.lit(" "), F.element_at(F.col("__ts"), j + 1)),
+            ).when(
+                F.element_at(F.col("__cov"), j + 1), F.element_at(F.col("__ts"), j + 1)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_spans = F.size("__ipos")
+    return df.select(
+        F.col(id_col),
+        F.size("__ts").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("__cov"), lambda x: x)).cast("long").alias("n_noise"),
+        n_spans.cast("long").alias("n_spans"),
+        inp.alias("input_text"),
+        F.array_join(
+            F.concat(tgt_pieces, F.array(sentinel(n_spans))), " "
+        ).alias("target_text"),
+    )
+
+
+def span_corruption_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    noise_density: float = 0.15,
+    mean_span_len: float = 3.0,
+    salt: str = T5_SALT,
+) -> str:
+    """DuckDB twin of span_corruption — same tokenizer, same md5
+    uniforms, same bounded-window coverage, same island merge and
+    sentinel numbering, byte-identical (input_text, target_text)."""
+    p_start, max_len = _span_params(noise_density, mean_span_len)
+    win = max_len - 1
+
+    def u(tag: str, i: str) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5('{salt}:{tag}:' || {id_col}::VARCHAR || ':' || {i}::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE"
+            f" / {float(16 ** 8)!r})"
+        )
+
+    return f"""
+WITH sc_t AS (
+  SELECT {id_col},
+         coalesce(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> ''), []) AS ts
+  FROM {table}
+), sc_p AS (
+  SELECT {id_col}, ts, range(0, len(ts)) AS pos,
+         list_transform(range(0, len(ts)), i -> {u('s', 'i')} < {float(p_start)!r}) AS st,
+         list_transform(range(0, len(ts)), i -> CAST(1 + floor({u('l', 'i')} * {float(max_len)!r}) AS INT)) AS ln
+  FROM sc_t
+), sc_c AS (
+  SELECT {id_col}, ts, pos, st, ln,
+         list_transform(pos, j -> len(list_filter(range(greatest(j - {win}, 0), j + 1),
+                                                  i -> st[i + 1] AND i + ln[i + 1] > j)) > 0) AS cov
+  FROM sc_p
+), sc_i AS (
+  SELECT {id_col}, ts, pos, cov,
+         list_transform(pos, j -> cov[j + 1] AND (CASE WHEN j = 0 THEN true ELSE NOT cov[j] END)) AS isl
+  FROM sc_c
+), sc_k AS (
+  SELECT {id_col}, ts, pos, cov, isl,
+         list_filter(pos, j -> isl[j + 1]) AS ipos
+  FROM sc_i
+)
+SELECT {id_col},
+       len(ts)::BIGINT AS n_tokens,
+       len(list_filter(cov, x -> x))::BIGINT AS n_noise,
+       len(ipos)::BIGINT AS n_spans,
+       coalesce(array_to_string(list_filter(list_transform(pos, j ->
+         CASE WHEN isl[j + 1] THEN '<extra_id_' || (list_position(ipos, j) - 1)::VARCHAR || '>'
+              WHEN NOT cov[j + 1] THEN ts[j + 1] END), x -> x IS NOT NULL), ' '), '') AS input_text,
+       array_to_string(list_concat(
+         list_filter(list_transform(pos, j ->
+           CASE WHEN isl[j + 1] THEN '<extra_id_' || (list_position(ipos, j) - 1)::VARCHAR || '>' || ' ' || ts[j + 1]
+                WHEN cov[j + 1] THEN ts[j + 1] END), x -> x IS NOT NULL),
+         ['<extra_id_' || len(ipos)::VARCHAR || '>']), ' ') AS target_text
+FROM sc_k
+"""
