@@ -2554,6 +2554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             noise_density=0.15, mean_span_len=3.0,
         )
 
+    def pipe_mlm_mask(spark, sf):
+        # BERT MLM example assembly (80/10/10): md5-deterministic
+        # selection + branch + self-vocab random swap — map-only
+        # higher-order array ops, zero shuffles, twin-byte-identical
+        return curation.mlm_mask(
+            _table(spark, sf, "documents"), "doc_id", "text", mask_rate=0.15
+        )
+
     def samp_shuffle(spark, sf):
         # deterministic seeded global shuffle: dense shuffle_rank =
         # global sort rank under md5(salt||id), scan-pattern offsets
@@ -3878,7 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
-        pipe_span_corrupt,
+        pipe_span_corrupt, pipe_mlm_mask,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4885,6 +4893,9 @@ LIMIT {K_ALL}""",
         "pipe_fim": curation.fim_sql("documents", "doc_id", "text", rate=0.7),
         "pipe_span_corrupt": curation.span_corruption_sql(
             "documents", "doc_id", "text", noise_density=0.15, mean_span_len=3.0
+        ),
+        "pipe_mlm_mask": curation.mlm_mask_sql(
+            "documents", "doc_id", "text", mask_rate=0.15
         ),
         "samp_dsir": curation.dsir_log_weights_sql(
             "documents", "doc_id", "text", "doc_id % 37 = 0", n_buckets=4096

@@ -2497,3 +2497,143 @@ SELECT {id_col},
          ['<extra_id_' || len(ipos)::VARCHAR || '>']), ' ') AS target_text
 FROM sc_k
 """
+
+
+# ------------------------------------------------ BERT-style MLM masking
+MLM_SALT = "mlm-v1"
+
+
+def mlm_mask(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_rate: float = 0.15,
+    keep_frac: float = 0.1,
+    random_frac: float = 0.1,
+    salt: str = MLM_SALT,
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT masked-LM example assembly (Devlin et al. 2018 §3.1, the
+    80/10/10 rule): select ~mask_rate of the tokens; of the selected,
+    replace 80% with ``[MASK]``, keep 10% unchanged, and swap 10% for
+    a random token — emitting the masked input beside the label
+    positions/tokens the loss is computed on.
+
+    BERT draws all of this from an RNG over a WordPiece vocab; the
+    distributed re-shape draws from md5-prefix uniforms of (salt, id,
+    position) — select iff u(salt:m:·) < mask_rate, branch on
+    u(salt:b:·) (< keep_frac keep, < keep+random swap, else mask) —
+    and the "random token" is drawn from the document's OWN token
+    list (index floor(u(salt:r:·) * n)), keeping the pass map-only
+    and byte-reproducible where a vocab draw would need a broadcast
+    dictionary; the swap distribution still follows the corpus
+    unigram mix in aggregate. Partition-invariant, rerun-identical,
+    exactly reproducible by mlm_mask_sql.
+
+    Pure Catalyst higher-order array ops in whole-stage codegen —
+    zero shuffles, no UDF, no RNG state. Returns (id, n_tokens,
+    n_masked, input_text, label_positions:array<int>,
+    label_tokens:array<string>)."""
+    if not (0.0 < float(mask_rate) < 1.0):
+        raise ValueError(f"mask_rate must be in (0, 1), got {mask_rate}")
+    if float(keep_frac) < 0 or float(random_frac) < 0 or float(keep_frac) + float(random_frac) > 1.0:
+        raise ValueError("keep_frac/random_frac must be >= 0 and sum <= 1")
+    sid = F.col(id_col).cast("string")
+
+    def u(tag: str, i):
+        return _u01(
+            F.concat(F.lit(salt + ":" + tag + ":"), sid, F.lit(":"), i.cast("string"))
+        )
+
+    ts = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
+    n = F.size(ts)
+    pos = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    df = df.select(F.col(id_col), ts.alias("__ts"), pos.alias("__pos"))
+    nn = F.size("__ts")
+    sel = F.transform(F.col("__pos"), lambda i: u("m", i) < F.lit(float(mask_rate)))
+    df = df.withColumn("__sel", sel)
+    kf, rf = float(keep_frac), float(random_frac)
+    rendered = F.transform(
+        F.col("__pos"),
+        lambda i: F.when(
+            ~F.element_at(F.col("__sel"), i + 1), F.element_at(F.col("__ts"), i + 1)
+        ).otherwise(
+            F.when(u("b", i) < F.lit(kf), F.element_at(F.col("__ts"), i + 1))
+            .when(
+                u("b", i) < F.lit(kf + rf),
+                F.element_at(
+                    F.col("__ts"), F.floor(u("r", i) * nn.cast("double")).cast("int") + 1
+                ),
+            )
+            .otherwise(F.lit(mask_token))
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        nn.cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("__sel"), lambda x: x)).cast("long").alias("n_masked"),
+        F.array_join(rendered, " ").alias("input_text"),
+        F.filter(
+            F.col("__pos"), lambda i: F.element_at(F.col("__sel"), i + 1)
+        ).alias("label_positions"),
+        F.filter(
+            F.transform(
+                F.col("__pos"),
+                lambda i: F.when(
+                    F.element_at(F.col("__sel"), i + 1),
+                    F.element_at(F.col("__ts"), i + 1),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("label_tokens"),
+    )
+
+
+def mlm_mask_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    mask_rate: float = 0.15,
+    keep_frac: float = 0.1,
+    random_frac: float = 0.1,
+    salt: str = MLM_SALT,
+    mask_token: str = "[MASK]",
+) -> str:
+    """DuckDB twin of mlm_mask — same md5 uniforms, same 80/10/10
+    branch, same self-vocab random draw, byte-identical output."""
+    if not (0.0 < float(mask_rate) < 1.0):
+        raise ValueError(f"mask_rate must be in (0, 1), got {mask_rate}")
+    kf, rf = float(keep_frac), float(random_frac)
+    mt = mask_token.replace("'", "''")
+
+    def u(tag: str, i: str) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5('{salt}:{tag}:' || {id_col}::VARCHAR || ':' || {i}::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE"
+            f" / {float(16 ** 8)!r})"
+        )
+
+    return f"""
+WITH mlm_t AS (
+  SELECT {id_col},
+         coalesce(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> ''), []) AS ts
+  FROM {table}
+), mlm_s AS (
+  SELECT {id_col}, ts, range(0, len(ts)) AS pos,
+         list_transform(range(0, len(ts)), i -> {u('m', 'i')} < {float(mask_rate)!r}) AS sel
+  FROM mlm_t
+)
+SELECT {id_col},
+       len(ts)::BIGINT AS n_tokens,
+       len(list_filter(sel, x -> x))::BIGINT AS n_masked,
+       coalesce(array_to_string(list_transform(pos, i ->
+         CASE WHEN NOT sel[i + 1] THEN ts[i + 1]
+              WHEN {u('b', 'i')} < {kf!r} THEN ts[i + 1]
+              WHEN {u('b', 'i')} < {kf + rf!r} THEN ts[CAST(floor({u('r', 'i')} * len(ts)::DOUBLE) AS INT) + 1]
+              ELSE '{mt}' END), ' '), '') AS input_text,
+       list_filter(pos, i -> sel[i + 1]) AS label_positions,
+       list_filter(list_transform(pos, i -> CASE WHEN sel[i + 1] THEN ts[i + 1] END),
+                   x -> x IS NOT NULL) AS label_tokens
+FROM mlm_s
+"""
