@@ -3359,6 +3359,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = synth.transcripts(spark, n_convs=TX_N_CONVS)
         return curation.response_pairs(df, "conv_id", "turn_idx", "role", "text")
 
+    def tx_pref(spark, sf):
+        # RLHF preference-pair assembly: chosen = the real response,
+        # rejected = the md5-permutation successor pair's response
+        # (mismatched-context negative), same-conversation drops
+        from fdblucene_spark.data import synth
+
+        _ensure_tx_corpus()
+        df = synth.transcripts(spark, n_convs=TX_N_CONVS)
+        return curation.preference_pairs(df, "conv_id", "turn_idx", "role", "text")
+
     def tx_sft(spark, sf):
         # SFT example assembly: one example per assistant turn, the
         # preceding <= 6 turns rendered 'role: text' as the prompt
@@ -3886,7 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
-        pipe_span_corrupt, pipe_mlm_mask,
+        pipe_span_corrupt, pipe_mlm_mask, tx_pref,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4907,6 +4917,9 @@ LIMIT {K_ALL}""",
             f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "text", 6, 4
         ),
         "tx_pairs": curation.response_pairs_sql(
+            f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "role", "text"
+        ),
+        "tx_pref": curation.preference_pairs_sql(
             f"read_parquet('{TX_CORPUS}')", "conv_id", "turn_idx", "role", "text"
         ),
         "tx_sft": curation.sft_examples_sql(

@@ -2637,3 +2637,114 @@ SELECT {id_col},
                    x -> x IS NOT NULL) AS label_tokens
 FROM mlm_s
 """
+
+
+# ------------------------------------------------ RLHF preference pairs
+PREF_SALT = "pref-v1"
+
+
+def preference_pairs(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    salt: str = PREF_SALT,
+) -> DataFrame:
+    """Reward-model / contrastive training-pair assembly over
+    transcripts: every mined (prompt, response) pair becomes
+    (prompt, chosen, rejected) where chosen is the conversation's
+    real response and rejected is a DETERMINISTICALLY sampled
+    response from a different conversation — the mismatched-context
+    negative construction used to pretrain reward models and
+    response-ranking retrievers before human preference labels
+    exist (InstructGPT's comparison-data bootstrap shape).
+
+    Negative sampling is the seeded-permutation successor: pairs are
+    ranked by the global_shuffle dense rank under md5(salt || pid)
+    (pid = conv:pair_idx), and each pair's rejected response comes
+    from the NEXT pair in that order (cyclic — the max-rank pair
+    wraps to rank 0 via a one-row broadcast, no count job). Pairs
+    whose successor lands in the SAME conversation are dropped (a
+    same-dialogue "negative" is not a negative); expected loss is
+    ~1/n_convs of pairs. Re-draw with a new salt.
+
+    Scale shape: the pair mining is response_pairs (one
+    conv-partitioned shuffle); the rank is the windowless dense-rank
+    scan (range-partition + footer counts, no global window); the
+    negative hookup is ONE uniform equi-join on rank+1. No self-join
+    on conversation, no skew (md5 ranks are uniform by
+    construction), rerun/partitioning-invariant end to end."""
+    pairs = response_pairs(
+        df, conv_col, turn_col, role_col, text_col, prompt_role, response_role
+    )
+    keyed = pairs.withColumn(
+        "_pid",
+        F.concat(
+            F.col("conv").cast("string"), F.lit(":"), F.col("pair_idx").cast("string")
+        ),
+    )
+    ranks = global_shuffle(keyed.select("_pid"), "_pid", salt=salt)
+    ranked = keyed.join(ranks, "_pid")
+    cand = ranked.select(
+        F.col("shuffle_rank").alias("_nrank"),
+        F.col("conv").alias("_nconv"),
+        F.col("response").alias("rejected"),
+    )
+    succ = ranked.join(
+        cand, ranked["shuffle_rank"] + F.lit(1) == cand["_nrank"], "left"
+    )
+    wrap0 = cand.filter(F.col("_nrank") == 0)
+    wrapped = (
+        succ.filter(F.col("_nrank").isNull())
+        .drop("_nrank", "_nconv", "rejected")
+        .crossJoin(F.broadcast(wrap0))
+    )
+    out = succ.filter(F.col("_nrank").isNotNull()).unionByName(wrapped)
+    return (
+        out.filter(F.col("conv") != F.col("_nconv"))
+        .select(
+            "conv",
+            "pair_idx",
+            "prompt_turn",
+            "prompt",
+            F.col("response").alias("chosen"),
+            "rejected",
+        )
+    )
+
+
+def preference_pairs_sql(
+    table_expr: str,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    salt: str = PREF_SALT,
+) -> str:
+    """DuckDB twin of preference_pairs — same pair mining, same
+    md5-rank permutation ((rank+1) mod n successor = the engine's
+    cyclic wrap), same same-conversation drop."""
+    inner = response_pairs_sql(
+        table_expr, conv_col, turn_col, role_col, text_col, prompt_role, response_role
+    )
+    return f"""
+WITH pref_pp AS ({inner}),
+pref_k AS (
+  SELECT *, conv::VARCHAR || ':' || pair_idx::VARCHAR AS pid FROM pref_pp
+),
+pref_r AS (
+  SELECT *,
+         (ROW_NUMBER() OVER (ORDER BY md5('{salt}:' || pid) ASC, pid ASC) - 1)::BIGINT AS rnk,
+         count(*) OVER () AS n
+  FROM pref_k
+)
+SELECT a.conv, a.pair_idx, a.prompt_turn, a.prompt,
+       a.response AS chosen, b.response AS rejected
+FROM pref_r a JOIN pref_r b ON b.rnk = (a.rnk + 1) % a.n
+WHERE a.conv <> b.conv
+"""
