@@ -3210,6 +3210,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab stays distributed (term-keyed join, no driver model)
         return textstats.lm_perplexity(_table(spark, sf, "documents"), "doc_id", "text")
 
+    def text_ppl_backoff(spark, sf):
+        # full CCNet shape: bigram stupid-backoff LM TRAINED on the
+        # target-domain slice (doc_id % 7 == 0), scoring the whole
+        # corpus — the backoff path genuinely fires on out-of-domain
+        # docs; model stays distributed (dictionary-keyed joins)
+        docs = _table(spark, sf, "documents")
+        return textstats.lm_perplexity_backoff(
+            docs, "doc_id", "text", train_df=docs.filter(F.col("doc_id") % 7 == 0)
+        )
+
     def text_decontam(spark, sf):
         # GPT-3-style benchmark decontamination: docs sharing any
         # distinct word 8-gram with the "benchmark" subset (doc_id %
@@ -3896,7 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_bloom_exists, ft_surround, ft_fold_analyzer, ft_xml_query,
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
-        pipe_span_corrupt, pipe_mlm_mask, tx_pref,
+        pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5567,6 +5577,9 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
         "text_perplexity": textstats.lm_perplexity_sql("documents", "doc_id", "text"),
+        "text_ppl_backoff": textstats.lm_perplexity_backoff_sql(
+            "documents", "doc_id", "text", train_pred="doc_id % 7 = 0"
+        ),
         "text_classifier": curation.classifier_sql(
             "documents", "doc_id", "text", n_buckets=1024
         ),

@@ -525,3 +525,175 @@ SELECT d.{id_col}, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens, a.logprob,
        exp(-a.logprob / a.n_tokens) AS ppl
 FROM {table} d LEFT JOIN agg a USING ({id_col})
 """
+
+
+def lm_perplexity_backoff(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_df: DataFrame | None = None,
+    alpha: float = 0.4,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-doc perplexity under a TRAINED bigram stupid-backoff LM —
+    the full CCNet shape (Wenzek et al. 2020 train a KenLM on the
+    target domain and bucket CommonCrawl by its perplexity), where
+    lm_perplexity is the self-trained unigram stand-in. Stupid
+    backoff (Brants et al. 2007, the ngram_lm module's scoring):
+
+      i = 0:                ln(p_uni(t_0))
+      bigram (prev, t) seen: ln(cnt2(prev, t) / cnt1(prev))
+      else (backoff):        ln(alpha * p_uni(t))
+
+    with p_uni(t) = (cnt1(t) + k) / (N + k * (V + 1)) — add-k keeps
+    out-of-domain tokens finite where raw stupid backoff would emit
+    ln(0) (KenLM's <unk> slot). train_df defaults to df
+    (self-scoring); pass the target-domain corpus to reproduce
+    CCNet's cross-domain filter, which is what makes the backoff
+    path fire. Per-token logs quantize to float32 before the exact
+    float64 per-doc sum (the module's addition-order-independence
+    trick), so Spark agg order and the SQL twin cannot diverge.
+
+    Plan shape at 100 TB: two count aggs over the TRAIN corpus (the
+    model — vocab/bigram-dictionary sized, stays distributed), then
+    the scored corpus explodes once into (prev, t) rows and makes
+    THREE dictionary-keyed joins (bigram, context count, unigram) +
+    one doc-keyed agg; no driver model state, no window — positions
+    come from one higher-order zip, not lag(). Returns (id, n_tokens,
+    n_backoff, logprob, ppl); empty docs keep NULL logprob/ppl."""
+    if not (0.0 < float(alpha) <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0")
+    train = train_df if train_df is not None else df
+    ttoks = train.select(F.explode(tokens_col(text_col)).alias("t"))
+    counts1 = ttoks.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    ttoks2 = train.select(tokens_col(text_col).alias("ts")).select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g")
+    )
+    counts2 = ttoks2.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    consts = counts1.agg(
+        F.sum("c1").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    ts = tokens_col(text_col)
+    pos = df.select(F.col(id_col), ts.alias("ts")).select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("ts") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.element_at(F.col("ts"), i + 1).alias("t"),
+                        F.when(i > 0, F.element_at(F.col("ts"), i)).alias("prev"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,t:string,prev:string>>"))
+        ).alias("p")
+    ).select(F.col(id_col), "p.i", "p.t", "p.prev")
+    g = F.concat_ws(" ", F.col("prev"), F.col("t"))
+    joined = (
+        pos.withColumn("g", F.when(F.col("i") > 0, g))
+        .join(counts2.withColumnRenamed("g", "g").alias("b"), "g", "left")
+        .join(
+            counts1.select(F.col("t").alias("prev"), F.col("c1").alias("c_prev")),
+            "prev",
+            "left",
+        )
+        .join(counts1, "t", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    p_uni = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(add_k))) / (
+        F.col("n_total") + F.lit(float(add_k)) * (F.col("v_size") + F.lit(1.0))
+    )
+    bigram_hit = (F.col("i") > 0) & F.col("c2").isNotNull() & F.col("c_prev").isNotNull()
+    logp = (
+        F.when(F.col("i") == 0, F.log(p_uni))
+        .when(bigram_hit, F.log(F.col("c2").cast("double") / F.col("c_prev").cast("double")))
+        .otherwise(F.log(F.lit(float(alpha)) * p_uni))
+    ).cast("float")
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when((F.col("i") > 0) & ~bigram_hit, 1).otherwise(0)).alias("n_backoff"),
+        F.sum(logp.cast("double")).alias("logprob"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_backoff"), F.lit(0)).cast("long").alias("n_backoff"),
+            F.col("logprob"),
+            F.exp(-F.col("logprob") / F.col("n_tokens")).alias("ppl"),
+        )
+    )
+
+
+def lm_perplexity_backoff_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    train_pred: str = "TRUE",
+    alpha: float = 0.4,
+    add_k: float = 0.5,
+) -> str:
+    """DuckDB twin of lm_perplexity_backoff — same counts over the
+    train slice (train_pred mirrors the engine's train_df filter),
+    same backoff branch, same f32-quantize-then-f64-sum chain."""
+    if not (0.0 < float(alpha) <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    return f"""
+WITH ppb_tr AS (
+  SELECT list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table} WHERE {train_pred}
+), ppb_c1 AS (
+  SELECT t, count(*)::BIGINT AS c1 FROM (SELECT unnest(ts) AS t FROM ppb_tr) GROUP BY t
+), ppb_c2 AS (
+  SELECT g, count(*)::BIGINT AS c2 FROM (
+    SELECT unnest(CASE WHEN len(ts) >= 2
+                  THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])
+                  ELSE [] END) AS g
+    FROM ppb_tr) GROUP BY g
+), ppb_k AS (
+  SELECT sum(c1)::DOUBLE AS n_total, count(*)::DOUBLE AS v_size FROM ppb_c1
+), ppb_doc AS (
+  SELECT {id_col}, list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> '') AS ts
+  FROM {table}
+), ppb_pos AS (
+  SELECT {id_col}, i - 1 AS i, ts[i] AS t,
+         CASE WHEN i > 1 THEN ts[i - 1] END AS prev
+  FROM ppb_doc, unnest(range(1, len(ts) + 1)) AS u(i)
+), ppb_j AS (
+  SELECT p.{id_col}, p.i,
+         b.c2, cp.c1 AS c_prev, u.c1,
+         (COALESCE(u.c1, 0) + {float(add_k)!r}) / (k.n_total + {float(add_k)!r} * (k.v_size + 1.0)) AS p_uni,
+         (p.i > 0 AND b.c2 IS NOT NULL AND cp.c1 IS NOT NULL) AS hit
+  FROM ppb_pos p
+  LEFT JOIN ppb_c2 b ON p.i > 0 AND b.g = p.prev || ' ' || p.t
+  LEFT JOIN ppb_c1 cp ON cp.t = p.prev
+  LEFT JOIN ppb_c1 u ON u.t = p.t
+  CROSS JOIN ppb_k k
+), ppb_a AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN i > 0 AND NOT hit THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+         sum((CASE WHEN i = 0 THEN ln(p_uni)
+                   WHEN hit THEN ln(c2::DOUBLE / c_prev::DOUBLE)
+                   ELSE ln({float(alpha)!r} * p_uni) END)::FLOAT::DOUBLE) AS logprob
+  FROM ppb_j GROUP BY {id_col}
+)
+SELECT d.{id_col}, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(a.n_backoff, 0)::BIGINT AS n_backoff, a.logprob,
+       exp(-a.logprob / a.n_tokens) AS ppl
+FROM {table} d LEFT JOIN ppb_a a USING ({id_col})
+"""
