@@ -2809,6 +2809,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def ft_passages(spark, sf):
+        # UnifiedHighlighter passage RANKING (fixed token-window
+        # re-shape): top-2 passages per hit scored
+        # sum_t f32(f32(idf)*tf/(tf+1)), occurrences from the offsets
+        # keyspace with the k-hit docs= pushdown
+        return (
+            _pay_searcher(spark, sf)
+            .highlight_passages(OR_TERMS, k=80, passage_len=16, max_passages=2)
+            .select(
+                F.col("doc").alias("doc_id"),
+                F.round(F.col("score").cast("double"), 3).alias("score"),
+                "passage",
+                F.round(F.col("p_score").cast("double"), 6).alias("p_score"),
+                "n_occ",
+            )
+        )
+
     def ft_delete_search(spark, sf):
         return _hits_df(_del_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
@@ -3907,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
+        ft_passages,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5303,6 +5321,37 @@ SELECT h.doc_id, h.score,
        regexp_replace(d.text, '\\b({LOOKUP_TERM})\\b', '<em>\\1</em>', 'g') AS snippet
 FROM ({_bm25_sql([LOOKUP_TERM], "or", K_ALL)}) h
 JOIN documents d ON d.doc_id = h.doc_id
+""",
+        "ft_passages": f"""
+WITH {_TOK_CTE}, {_NORM_CTE},
+psg_hits AS ({_bm25_sql(OR_TERMS, "or", 80)}),
+psg_pos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(p := i, t := ts[i]))) AS tp
+  FROM toks WHERE doc_id IN (SELECT doc_id FROM psg_hits)
+), psg_df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))}) GROUP BY term
+), psg_idf AS (
+  SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))::FLOAT AS idf32
+  FROM psg_df CROSS JOIN stats s
+), psg_tf AS (
+  SELECT doc_id, ((tp.p - 1) // 16)::BIGINT AS passage, tp.t AS term,
+         count(*)::BIGINT AS tf
+  FROM psg_pos WHERE tp.t IN ({", ".join(f"'{t}'" for t in sorted(OR_TERMS))})
+  GROUP BY doc_id, passage, tp.t
+), psg_s AS (
+  SELECT doc_id, passage,
+         (sum((i.idf32::DOUBLE * (tf::DOUBLE / (tf::DOUBLE + 1.0)))::FLOAT::DOUBLE))::FLOAT AS p_score,
+         sum(tf)::BIGINT AS n_occ
+  FROM psg_tf JOIN psg_idf i USING (term) GROUP BY doc_id, passage
+), psg_r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p_score DESC, passage ASC) AS rn
+  FROM psg_s
+)
+SELECT h.doc_id, h.score, r.passage,
+       round(r.p_score::DOUBLE, 6) AS p_score, r.n_occ
+FROM psg_r r JOIN psg_hits h USING (doc_id) WHERE r.rn <= 2
 """,
         "ft_delete_search": _bm25_sql(
             OR_TERMS, "or", K_ALL, extra_where=f"AND tf.doc_id % {DELETE_MOD} <> 0"

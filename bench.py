@@ -592,6 +592,26 @@ def main() -> None:
         bpe_merges, _bpe_vocab = train_bpe(docs, "text", n_merges=16)
     extra["bpe_merges_learned"] = len(bpe_merges)
 
+    with timed("denoise_transforms"):
+        # the three denoising-objective passes back-to-back (all
+        # map-only, zero shuffles): FIM PSM, T5 span corruption,
+        # BERT MLM 80/10/10
+        curation.fim_transform(docs, "doc_id", "text", rate=0.7).count()
+        curation.span_corruption(docs, "doc_id", "text").count()
+        curation.mlm_mask(docs, "doc_id", "text").count()
+    with timed("preference_pairs"):
+        # RLHF comparison-data assembly over the transcript corpus
+        curation.preference_pairs(
+            transcripts, "conv_id", "turn_idx", "role", "text"
+        ).count()
+    with timed("ppl_backoff"):
+        # trained bigram stupid-backoff LM scores the whole corpus
+        from fdblucene_spark.operators import textstats as _ts
+
+        _ts.lm_perplexity_backoff(
+            docs, "doc_id", "text", train_df=docs.filter("doc_id % 7 = 0")
+        ).count()
+
     cal_post = _calibrate()
     extra["cal_pre"] = cal_pre
     extra["cal_post"] = cal_post

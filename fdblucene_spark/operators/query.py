@@ -7447,6 +7447,93 @@ class Searcher:
             out.append((d, float(r["score"]), frag))
         return self.spark.createDataFrame(out, out_schema)
 
+    def highlight_passages(
+        self,
+        terms: list[str],
+        k: int,
+        field: str = "text",
+        mode: str = "or",
+        passage_len: int = 50,
+        max_passages: int = 2,
+    ) -> DataFrame:
+        """UnifiedHighlighter passage RANKING (PostingsHighlighter
+        lineage: passages scored by query-term statistics, best
+        passages per hit returned) re-shaped for a distributed
+        engine. Lucene breaks passages with a sentence BreakIterator
+        and scores them with PassageScorer's BM25 weights; a
+        deterministic distributed twin wants reproducible boundaries,
+        so passages here are fixed `passage_len`-token windows
+        (passage = pos // passage_len over the positions keyspace)
+        and each passage scores
+
+            sum_t f32( f32(bm25_idf(t)) * (tf_p / (tf_p + 1.0)) )
+
+        — PassageScorer's shape: unique-term idf weighting with tf
+        saturation — accumulated in f64, final f32. Ranks the top
+        `max_passages` passages per hit doc (p_score desc, passage
+        asc), each with its occurrence count: the "which part of the
+        doc matched" surface (snippet TEXT rendering is highlight()).
+
+        Scale shape: one top-k search job; the per-occurrence scan
+        reuses the offsets keyspace with the k-hit docs= pushdown
+        (block-range prune + exact containment), so a head term's
+        corpus-wide postings are never decoded; scoring is one
+        partial+final agg over the pruned occurrence rows plus a
+        per-doc window bounded by the k hits. idf comes from the ONE
+        termdict seek every query already makes. Returns (doc, score,
+        passage, p_score, n_occ)."""
+        if int(passage_len) < 1:
+            raise ValueError(f"passage_len must be >= 1, got {passage_len}")
+        if int(max_passages) < 1:
+            raise ValueError(f"max_passages must be >= 1, got {max_passages}")
+        self._check_occ_index(field, "offsets")
+        hits = self.search(terms, k, mode=mode, field=field)
+        rows = hits.collect()
+        out_cols = ["doc", "score", "passage", "p_score", "n_occ"]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "doc long, score float, passage long, p_score float, n_occ long"
+            )
+        hit_docs = [int(r["doc"]) for r in rows]
+        uterms = sorted(set(terms))
+        stats = self.term_stats(uterms, field)
+        n_docs = self.manifest.n_docs_for(field)
+        idf_map = {
+            t: float(bm25.idf(st[0], n_docs)) for t, st in stats.items() if st[0] > 0
+        }
+        occ = self.offsets(uterms, field=field, docs=hit_docs)
+        idf_col = F.lit(0.0)
+        for t, v in sorted(idf_map.items()):
+            idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+        ptf = (
+            occ.select(
+                "doc",
+                (F.col("pos") / F.lit(int(passage_len))).cast("long").alias("passage"),
+                "term",
+            )
+            .groupBy("doc", "passage", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        contrib = (
+            idf_col
+            * (F.col("tf").cast("double") / (F.col("tf").cast("double") + F.lit(1.0)))
+        ).cast("float")
+        pscore = ptf.groupBy("doc", "passage").agg(
+            F.sum(contrib.cast("double")).cast("float").alias("p_score"),
+            F.sum("tf").cast("long").alias("n_occ"),
+        )
+        hits_df = self.spark.createDataFrame(
+            [(int(r["doc"]), float(r["score"])) for r in rows], "doc long, score float"
+        )
+        w = Window.partitionBy("doc").orderBy(F.desc("p_score"), F.asc("passage"))
+        return (
+            pscore.join(F.broadcast(hits_df), "doc")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(max_passages))
+            .select(*out_cols)
+            .orderBy(F.asc("doc"), F.desc("p_score"), F.asc("passage"))
+        )
+
     def _local_blocks(self, fields_terms: dict[str, list[str]]) -> pd.DataFrame:
         dset = pads.dataset(self._table_files("postings"), format="parquet")
         flt = None
