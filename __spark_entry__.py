@@ -2562,6 +2562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(spark, sf, "documents"), "doc_id", "text", mask_rate=0.15
         )
 
+    def pipe_ul2(spark, sf):
+        # UL2 mixture-of-denoisers: md5-routed [R]/[X]/[S] objectives
+        # (regular/extreme span corruption + prefix-LM), three
+        # filtered map-only branches unioned, zero shuffles
+        return curation.ul2_mixture(_table(spark, sf, "documents"), "doc_id", "text")
+
     def samp_shuffle(spark, sf):
         # deterministic seeded global shuffle: dense shuffle_rank =
         # global sort rank under md5(salt||id), scan-pattern offsets
@@ -3924,7 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
-        ft_passages,
+        ft_passages, pipe_ul2,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4935,6 +4941,7 @@ LIMIT {K_ALL}""",
         "pipe_mlm_mask": curation.mlm_mask_sql(
             "documents", "doc_id", "text", mask_rate=0.15
         ),
+        "pipe_ul2": curation.ul2_mixture_sql("documents", "doc_id", "text"),
         "samp_dsir": curation.dsir_log_weights_sql(
             "documents", "doc_id", "text", "doc_id % 37 = 0", n_buckets=4096
         ),

@@ -2748,3 +2748,128 @@ SELECT a.conv, a.pair_idx, a.prompt_turn, a.prompt,
 FROM pref_r a JOIN pref_r b ON b.rnk = (a.rnk + 1) % a.n
 WHERE a.conv <> b.conv
 """
+
+
+# ------------------------------------------------ UL2 mixture-of-denoisers
+UL2_SALT = "ul2-v1"
+
+
+def ul2_mixture(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    r_frac: float = 0.4,
+    x_frac: float = 0.4,
+    salt: str = UL2_SALT,
+) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022): every document is
+    routed to ONE denoising objective and re-rendered with its
+    paradigm tag —
+
+      [R] regular span corruption  (density .15, mean span 3)
+      [X] extreme span corruption  (density .5,  mean span 8)
+      [S] sequential / prefix-LM   (one cut; input = prefix,
+                                    target = suffix)
+
+    UL2 samples the objective per example with an RNG; the
+    distributed re-shape routes by the md5-prefix uniform
+    u(salt:o:id) < r_frac -> R, < r_frac+x_frac -> X, else S, so the
+    mixture is partition-invariant, rerun-identical, and exactly
+    reproducible by the SQL twin. The S cut point reuses the FIM
+    draw machinery (u(salt:p:id) over token count). Returns (id,
+    denoiser, input_text, target_text) with the paradigm tag
+    prepended to input_text, the paper's format.
+
+    Plan shape: three filtered map-only branches (each doc computes
+    ONLY its routed objective) unioned — still zero shuffles, no
+    UDF; the R/X branches are span_corruption, S is a token-slice
+    split, all whole-stage codegen."""
+    if not (0.0 <= float(r_frac) and 0.0 <= float(x_frac) and r_frac + x_frac <= 1.0):
+        raise ValueError("r_frac/x_frac must be >= 0 and sum <= 1")
+    sid = F.col(id_col).cast("string")
+    u_route = _u01(F.concat(F.lit(salt + ":o:"), sid))
+    routed = df.withColumn("__route", u_route)
+    r_df = routed.filter(F.col("__route") < float(r_frac))
+    x_df = routed.filter(
+        (F.col("__route") >= float(r_frac)) & (F.col("__route") < float(r_frac) + float(x_frac))
+    )
+    s_df = routed.filter(F.col("__route") >= float(r_frac) + float(x_frac))
+
+    def tag(branch, d):
+        return branch.select(
+            F.col(id_col),
+            F.lit(d).alias("denoiser"),
+            F.concat(F.lit(f"[{d}] "), F.col("input_text")).alias("input_text"),
+            F.col("target_text"),
+        )
+
+    r_out = tag(
+        span_corruption(r_df, id_col, text_col, 0.15, 3.0, salt + ":r"), "R"
+    )
+    x_out = tag(
+        span_corruption(x_df, id_col, text_col, 0.5, 8.0, salt + ":x"), "X"
+    )
+    ts = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
+    u_cut = _u01(F.concat(F.lit(salt + ":p:"), sid))
+    n = F.size(ts)
+    p = F.floor(u_cut * (n.cast("double") + F.lit(1.0))).cast("int")
+    s_out = s_df.select(
+        F.col(id_col),
+        F.lit("S").alias("denoiser"),
+        F.concat(
+            F.lit("[S] "), F.array_join(F.slice(ts, 1, p), " ")
+        ).alias("input_text"),
+        F.array_join(
+            F.when(p < n, F.slice(ts, p + 1, n - p)).otherwise(
+                F.array().cast("array<string>")
+            ),
+            " ",
+        ).alias("target_text"),
+    )
+    return r_out.unionByName(x_out).unionByName(s_out)
+
+
+def ul2_mixture_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    r_frac: float = 0.4,
+    x_frac: float = 0.4,
+    salt: str = UL2_SALT,
+) -> str:
+    """DuckDB twin of ul2_mixture — same md5 route, the two
+    span_corruption twins on the routed slices, same S-cut slice."""
+    if not (0.0 <= float(r_frac) and 0.0 <= float(x_frac) and r_frac + x_frac <= 1.0):
+        raise ValueError("r_frac/x_frac must be >= 0 and sum <= 1")
+
+    def u(tag: str) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5('{salt}:{tag}:' || {id_col}::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE"
+            f" / {float(16 ** 8)!r})"
+        )
+
+    route = u("o")
+    r_src = f"(SELECT * FROM {table} WHERE {route} < {float(r_frac)!r})"
+    x_src = (
+        f"(SELECT * FROM {table} WHERE {route} >= {float(r_frac)!r}"
+        f" AND {route} < {float(r_frac) + float(x_frac)!r})"
+    )
+    r_sql = span_corruption_sql(r_src, id_col, text_col, 0.15, 3.0, salt + ":r")
+    x_sql = span_corruption_sql(x_src, id_col, text_col, 0.5, 8.0, salt + ":x")
+    return f"""
+SELECT {id_col}, 'R' AS denoiser, '[R] ' || input_text AS input_text, target_text
+FROM ({r_sql})
+UNION ALL
+SELECT {id_col}, 'X' AS denoiser, '[X] ' || input_text AS input_text, target_text
+FROM ({x_sql})
+UNION ALL
+SELECT {id_col}, 'S' AS denoiser,
+       '[S] ' || coalesce(array_to_string(ts[1:pcut], ' '), '') AS input_text,
+       coalesce(array_to_string(ts[pcut + 1:len(ts)], ' '), '') AS target_text
+FROM (
+  SELECT {id_col},
+         coalesce(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> ''), []) AS ts,
+         CAST(floor({u('p')} * (len(coalesce(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> ''), []))::DOUBLE + 1.0)) AS INT) AS pcut
+  FROM {table} WHERE {route} >= {float(r_frac) + float(x_frac)!r}
+)
+"""
