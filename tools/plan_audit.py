@@ -277,6 +277,24 @@ def main() -> int:
     surfaces["shape_box"] = geo.shape_box_query(
         shp_df, "lats", "lons", (0.0, 5.0, 0.0, 5.0)
     )
+    # round-5 final-phase surfaces: the denoising-objective family is
+    # map-only by design — audited like clean_c4/shape_box
+    surfaces["fim_transform"] = curation.fim_transform(docs_df, "doc_id", "text")
+    surfaces["span_corruption"] = curation.span_corruption(docs_df, "doc_id", "text")
+    surfaces["mlm_mask"] = curation.mlm_mask(docs_df, "doc_id", "text")
+    surfaces["ul2_mixture"] = curation.ul2_mixture(docs_df, "doc_id", "text")
+    tx_df = spark.createDataFrame(
+        [{"conv_id": f"c{i % 40}", "turn_idx": i // 40,
+          "role": ["user", "assistant"][(i // 40) % 2], "text": f"turn {i}"}
+         for i in range(400)]
+    )
+    surfaces["preference_pairs"] = curation.preference_pairs(
+        tx_df, "conv_id", "turn_idx", "role", "text"
+    )
+    from fdblucene_spark.operators import textstats as _ts
+    surfaces["lm_perplexity_backoff"] = _ts.lm_perplexity_backoff(
+        docs_df, "doc_id", "text", train_df=docs_df.filter("doc_id % 3 = 0")
+    )
     # round-5 eleventh-phase surfaces
     url_df = spark.createDataFrame(
         [{"doc_id": i,
@@ -479,7 +497,8 @@ def main() -> int:
             assert any("BroadcastHashJoin" in ln or "BroadcastNestedLoopJoin" in ln
                        for ln in keep), \
                 "dynamic ranges count/offsets not broadcast"
-        if name in ("clean_c4", "shape_box"):
+        if name in ("clean_c4", "shape_box", "fim_transform",
+                    "span_corruption", "mlm_mask", "ul2_mixture"):
             # pure higher-order column math: map-only, zero exchanges,
             # zero Python
             assert not any("Exchange" in ln for ln in plan.splitlines()), \
@@ -496,6 +515,17 @@ def main() -> int:
                 "length_buckets collapsed to a single partition"
             assert any("BroadcastHashJoin" in ln for ln in keep), \
                 "length_buckets bucket offsets not broadcast"
+        if name == "preference_pairs":
+            # windowless md5 dense rank + uniform rank+1 equi-join:
+            # the only windows are conv-partitioned (pair mining);
+            # nothing may collapse to a single partition
+            assert "Exchange SinglePartition" not in plan, \
+                "preference_pairs collapsed to a single partition"
+        if name == "lm_perplexity_backoff":
+            # dictionary-keyed joins + doc agg: no window, no Python
+            assert "Window" not in plan, "ppl_backoff plan has a window"
+            assert "EvalPython" not in plan and "MapInPandas" not in plan, \
+                "ppl_backoff plan runs Python"
     print("FAILURES:", failures)
     return 1 if failures else 0
 
