@@ -294,6 +294,41 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _smerge_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Sorted-MERGE variant (Lucene SortingCodecReader): two sorted
+    segments (base + append, both pinned n_chars desc) plus pending
+    tombstones (orig_id % 41 == 0), consolidated by merge_sorted into
+    ONE segment whose docIDs follow the chain globally — the pin
+    SURVIVES the merge, deletes are applied physically, and
+    search_sorted early-terminates on the merged layout."""
+    from fdblucene_spark.operators.deletes import delete_docs
+    from fdblucene_spark.operators.merge import merge_sorted
+
+    root = os.path.join(_index_root(sf_dir), "ismerge")
+    done = os.path.join(root, "_smerge_ok")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        kw = dict(
+            key_cols=["doc_id"], n_shards=8,
+            stored_fields={"n_chars": "n_chars", "orig_id": "doc_id"},
+            index_sort=("n_chars", False),
+        )
+        build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), root,
+                    fingerprint=sf_dir + "-ism0", **kw)
+        build_index(spark, docs.filter(F.col("doc_id") % 2 == 1), root,
+                    fingerprint=sf_dir + "-ism1", append=True, **kw)
+    if not os.path.exists(done):  # crash-safe: both steps idempotent
+        s = Searcher(spark, root)
+        delete_docs(
+            spark, root,
+            s._stored_df().filter(F.col("orig_id") % 41 == 0).select("doc"),
+        )
+        merge_sorted(spark, root)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return Searcher(spark, root)
+
+
 def _chain_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Multi-field setIndexSort variant: docIDs assigned in
     (lang asc, n_chars desc, doc_id) order, so search_sorted_multi
@@ -2389,6 +2424,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("orig_id").alias("doc_id"), "n_chars"
         )
 
+    def ft_sorted_merge(spark, sf):
+        # sorted MERGE (SortingCodecReader path): base + append +
+        # tombstones -> merge_sorted keeps the index_sort pin; the
+        # early-terminating sorted query over the merged segment must
+        # equal the layout-agnostic oracle over the LIVE corpus
+        s = _smerge_searcher(spark, sf)
+        assert len(s.manifest.segments) == 1
+        assert s.manifest.properties.get("index_sort") == [["n_chars", False]]
+        hits = s.search_sorted(
+            [LOOKUP_TERM], k=100, sort_field="n_chars", ascending=False
+        )
+        return s.fetch_stored(hits, ["orig_id"]).select(
+            F.col("orig_id").alias("doc_id"), "n_chars"
+        )
+
     def ft_payloads(spark, sf):
         # per-occurrence payload surface: (doc, pos, payload) for one
         # term; the oracle recomputes token positions + lengths in SQL
@@ -3930,7 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
-        ft_passages, pipe_ul2,
+        ft_passages, pipe_ul2, ft_sorted_merge,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4860,6 +4910,16 @@ WITH {_TOK_CTE}
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 100
+""",
+        # tie order replicates Lucene's sorted merge (old segment
+        # order, then old docID): the even half was the base segment,
+        # so equal n_chars sort evens-before-odds, then doc_id
+        "ft_sorted_merge": f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
+  AND d.doc_id % 41 <> 0
+ORDER BY d.n_chars DESC, (d.doc_id % 2) ASC, d.doc_id ASC LIMIT 100
 """,
         "ft_sorted_chain": f"""
 WITH {_TOK_CTE}

@@ -1053,3 +1053,224 @@ def split_index(
             )
         )
     return out[0], out[1]
+
+
+_SORTED_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc", T.LongType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dlq", T.IntegerType(), False),
+        T.StructField("pos", T.ArrayType(T.LongType()), True),
+        T.StructField("ost", T.ArrayType(T.LongType()), True),
+        T.StructField("oln", T.ArrayType(T.LongType()), True),
+        T.StructField("pay", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def merge_sorted(spark: SparkSession, root: str) -> Manifest:
+    """Sorted merge (Lucene's SortingCodecReader path: a merge of an
+    index with IndexWriterConfig.setIndexSort re-sorts the union and
+    the merged segment KEEPS the sort — stock Lucene 8 behavior the
+    concat/repack modes deliberately decline, dropping the pin
+    instead). Consolidates every segment into ONE whose docIDs follow
+    the pinned SortField chain globally, so search_sorted /
+    search_sorted_multi early-terminate on the merged index exactly
+    as on a freshly sorted build.
+
+    Pending tombstones are applied (dropped docs vanish, the delete
+    list clears) and pending doc-values overrides fold into the
+    rewritten stored table FIRST — the remap ranks post-override
+    values, Lucene's DV-generation fold semantics.
+
+    Plan shape (the honest cost of a sorted merge — Lucene pays the
+    same full rewrite through SortingCodecReader):
+    1. new docIDs = the windowless dense-rank scan over the live
+       stored table ordered by the pinned chain (+ old doc tiebreak,
+       making the merge deterministic and idempotent);
+    2. postings decode ONCE to per-posting rows (occurrence slices as
+       Arrow lists), ONE doc-keyed join against the remap (uniform —
+       dense ids), ONE (field, term) shuffle to re-pack blocks per
+       new shard (shard = new_doc % n_shards preserved as the kernel
+       parallelism law);
+    3. doclen/stored remap by the same join; exact df/ttf recomputed
+       from the surviving blocks.
+    No driver-side state beyond the usual bounded offsets table."""
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    properties = dict(manifest.properties)
+    chain = properties.get("index_sort")
+    if not chain:
+        raise ValueError(
+            "merge_sorted requires an index_sort pin (use merge_segments "
+            "for unsorted indexes)"
+        )
+    if not properties.get("stored_fields"):
+        raise ValueError("index_sort index must carry stored_fields")
+    store_positions = bool(properties.get("store_positions", True))
+    store_off = bool(properties.get("store_offsets", False))
+    store_pay = bool(properties.get("store_payloads", False))
+    n_shards = manifest.n_shards
+
+    stored_paths = [p for p in manifest.segment_paths(root, "stored") if os.path.isdir(p)]
+    stored = spark.read.parquet(*stored_paths)
+    del_rel = properties.pop("deletes_path", None)
+    properties.pop("n_deletes", None)
+    dels = None
+    if del_rel:
+        dels = spark.read.parquet(os.path.join(root, del_rel)).select(
+            F.col("doc").cast("long").alias("doc")
+        )
+        stored = stored.join(dels, "doc", "left_anti")
+    if properties.get("dv_path"):
+        from .deletes import apply_dv_overrides
+
+        stored = apply_dv_overrides(
+            stored, spark.read.parquet(os.path.join(root, properties["dv_path"]))
+        )
+        properties.pop("dv_path", None)
+        properties.pop("n_dv", None)
+
+    from .build import assign_dense_doc_ids
+
+    order_exprs = [
+        (F.col(f).asc() if asc else F.col(f).desc()) for f, asc in chain
+    ] + [F.col("old_doc")]
+    keyed = stored.withColumnRenamed("doc", "old_doc")
+    with_ids = assign_dense_doc_ids(
+        keyed, ["old_doc"], order_exprs=order_exprs,
+    )
+    remap = with_ids.select(
+        F.col("old_doc"), F.col("doc").cast("long").alias("new_doc")
+    )
+    stored_new = with_ids.drop("old_doc")
+    if "shard" in stored_new.columns:
+        stored_new = stored_new.withColumn(
+            "shard", F.pmod(F.col("doc"), F.lit(n_shards)).cast("int")
+        )
+
+    doclen = spark.read.parquet(*manifest.segment_paths(root, "doclen"))
+    out_cols = [
+        (
+            F.col("new_doc").alias("doc")
+            if c == "doc"
+            else (
+                F.pmod(F.col("new_doc"), F.lit(n_shards)).cast("int").alias("shard")
+                if c == "shard"
+                else F.col(c)
+            )
+        )
+        for c in doclen.columns
+    ]
+    doclen_new = (
+        doclen.withColumnRenamed("doc", "old_doc").join(remap, "old_doc").select(*out_cols)
+    )
+
+    postings = _ensure_postings_cols(
+        spark.read.parquet(*manifest.segment_paths(root, "postings"))
+    )
+
+    def flatten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                d = codec.decode_doc_block(r["docs"])
+                t = codec.decode_tf_block(r["tfs"])
+                q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
+                if d.size == 0:
+                    continue
+                bounds = np.cumsum(t)[:-1]
+                pos_c = ost_c = oln_c = pay_c = None
+                if store_positions and r["positions"] is not None:
+                    flat, _ = codec.decode_positions_block(r["positions"], t)
+                    pos_c = np.split(flat.astype(np.int64), bounds)
+                if store_off and r["offsets"] is not None:
+                    o_s, o_e, _ = codec.decode_offsets_block(r["offsets"], t)
+                    ost_c = np.split(o_s.astype(np.int64), bounds)
+                    oln_c = np.split((o_e - o_s).astype(np.int64), bounds)
+                if store_pay and r.get("payloads") is not None:
+                    pv, _ = codec.decode_payloads_block(r["payloads"], t)
+                    pay_c = np.split(pv.astype(np.int64), bounds)
+                off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
+                yield pd.DataFrame(
+                    {
+                        "field": r["field"],
+                        "term": r["term"],
+                        "doc": (d + off).astype(np.int64),
+                        "tf": t.astype(np.int64),
+                        "dlq": q.astype(np.int32),
+                        "pos": pos_c if pos_c is not None else [None] * d.size,
+                        "ost": ost_c if ost_c is not None else [None] * d.size,
+                        "oln": oln_c if oln_c is not None else [None] * d.size,
+                        "pay": pay_c if pay_c is not None else [None] * d.size,
+                    }
+                )
+
+    flat = postings.mapInPandas(flatten, schema=_SORTED_FLAT_SCHEMA)
+    remapped = (
+        flat.withColumnRenamed("doc", "old_doc")
+        .join(remap, "old_doc")
+        .drop("old_doc")
+        .withColumnRenamed("new_doc", "doc")
+    )
+
+    block_size = manifest.block_size
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        fld, term = key[0], key[1]
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}
+        ).iloc[:0]
+        if pdf.empty:
+            return empty
+        pdf = pdf.sort_values("doc", kind="mergesort")
+        docs = pdf["doc"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dlqs = pdf["dlq"].to_numpy(dtype=np.int64)
+        has_pos = store_positions and pdf["pos"].iloc[0] is not None
+        has_off2 = store_off and pdf["ost"].iloc[0] is not None
+        has_pay2 = store_pay and pdf["pay"].iloc[0] is not None
+        shards = docs % n_shards
+        rows: list[tuple] = []
+
+        def cat(col, sel):
+            vals = pdf[col].to_numpy()[sel]
+            return (
+                np.concatenate([np.asarray(v, dtype=np.int64) for v in vals])
+                if len(vals)
+                else np.array([], dtype=np.int64)
+            )
+
+        for sh in np.unique(shards):
+            sel = shards == sh
+            g = {
+                "docs": docs[sel],
+                "tfs": tfs[sel],
+                "dlqs": dlqs[sel],
+                "pos": cat("pos", sel) if has_pos else None,
+                "ost": cat("ost", sel) if has_off2 else None,
+                "oln": cat("oln", sel) if has_off2 else None,
+                "pay": cat("pay", sel) if has_pay2 else None,
+            }
+            rows.extend(
+                _pack_group_rows(fld, term, int(sh), g, block_size, has_pos)
+            )
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    blocks = remapped.groupBy("field", "term").applyInPandas(
+        pack, schema=POSTINGS_SCHEMA
+    )
+    termdict = termdict_from_blocks(blocks)
+    lineage = {
+        "op": "merge_sorted",
+        "inputs": [s.segment_id for s in manifest.segments],
+        "deletes_applied": bool(del_rel),
+        "index_sort": chain,
+    }
+    return _write_merged(
+        spark, catalog, manifest, blocks, termdict, doclen_new, lineage,
+        properties, stored_new,
+    )
