@@ -611,6 +611,21 @@ def main() -> None:
         _ts.lm_perplexity_backoff(
             docs, "doc_id", "text", train_df=docs.filter("doc_id % 7 = 0")
         ).count()
+    with timed("merge_sorted"):
+        # SortingCodecReader path: base + append consolidated into ONE
+        # segment whose docIDs follow the pinned chain (full rewrite —
+        # the honest cost of a sorted merge)
+        from fdblucene_spark.operators.merge import merge_sorted
+
+        sm_root = os.path.join(work, "idx_sorted_merge")
+        sm_kw = dict(key_cols=["doc_id"], n_shards=max(16, cpus),
+                     stored_fields={"n_chars": "n_chars"},
+                     index_sort=("n_chars", False))
+        build_index(spark, docs.filter("doc_id % 2 = 0"), sm_root, **sm_kw)
+        build_index(spark, docs.filter("doc_id % 2 = 1"), sm_root,
+                    append=True, **sm_kw)
+        m_s = merge_sorted(spark, sm_root)
+    extra["sorted_merge_segments"] = len(m_s.segments)
 
     cal_post = _calibrate()
     extra["cal_pre"] = cal_pre

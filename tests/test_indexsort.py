@@ -8,9 +8,11 @@ Contracts:
 - the early-termination kernel provably decodes fewer blocks than the
   index holds (counter test on the real segment files);
 - the pin behaves like the other creation-time configs: appends must
-  match, mismatches raise, merges drop it (a concat merge interleaves
-  sorted runs — Lucene's sorted merge re-sorts, ours refuses to claim
-  sortedness it did not produce) and results stay correct after.
+  match, mismatches raise, CONCAT merges drop it (a concat merge
+  interleaves sorted runs and refuses to claim sortedness it did not
+  produce) and results stay correct after; the sorted-merge path that
+  re-sorts and KEEPS the pin is merge.merge_sorted
+  (tests/test_sorted_merge.py).
 """
 
 import os
