@@ -41,6 +41,15 @@ PHRASE = ["sort", "merge"]
 POSTING_TERMS = ["dup", "key", "vector"]
 LOOKUP_TERM = "dup"
 TV_DOCS = [1, 7, 42]  # ft_term_vectors: per-doc forward view of these docs
+# ft_dpr_triples: training queries for BM25 hard-negative mining (each
+# has >= 10 hits at every sf)
+DPR_QUERIES = [
+    ("q0", ["dup", "merge"]),
+    ("q1", ["hash", "stream"]),
+    ("q2", ["vector", "key"]),
+    ("q3", ["sort", "value"]),
+    ("q4", ["the", "dup"]),
+]
 EXPLAIN_DOC = 7  # ft_explain: per-term BM25 breakdown for this doc
 SYN_TERMS = ["merge", "hash"]  # ft_synonym: blended-stats pseudo-term
 # ft_syn_graph: query-time synonym graph (SynonymGraphFilter rules ->
@@ -2439,6 +2448,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("orig_id").alias("doc_id"), "n_chars"
         )
 
+    def ft_dpr_triples(spark, sf):
+        # DPR "BM25 negatives" mining (index-as-data-factory): per
+        # training query, positive = BM25 rank 1, hard negative =
+        # rank 10 — ONE search_batch job + a neg_rank-bounded window
+        from fdblucene_spark.operators.similarity import bm25_hard_triples
+
+        return bm25_hard_triples(
+            _searcher(spark, sf), DPR_QUERIES, neg_rank=10
+        ).withColumnRenamed("pos_doc", "pos_id").withColumnRenamed(
+            "neg_doc", "neg_id"
+        )
+
     def ft_payloads(spark, sf):
         # per-occurrence payload surface: (doc, pos, payload) for one
         # term; the oracle recomputes token positions + lengths in SQL
@@ -3980,7 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ft_fuzzy_like_this, ft_edge_search, tx_sft, ft_sorted_after,
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
-        ft_passages, pipe_ul2, ft_sorted_merge,
+        ft_passages, pipe_ul2, ft_sorted_merge, ft_dpr_triples,
     ]:
         q[fn.__name__] = fn
     return q
@@ -4927,6 +4948,12 @@ SELECT d.doc_id, d.lang, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = '{LOOKUP_TERM}')
 ORDER BY d.lang ASC, d.n_chars DESC, d.doc_id ASC LIMIT 30
 """,
+        "ft_dpr_triples": " UNION ALL ".join(
+            f"""SELECT '{qid}' AS query_id, p.doc_id AS pos_id, p.score AS pos_score,
+       n.doc_id AS neg_id, n.score AS neg_score
+FROM ({_bm25_sql(ts, "or", 1)}) p CROSS JOIN ({_bm25_sql(ts, "or", 1, offset=9)}) n"""
+            for qid, ts in DPR_QUERIES
+        ),
         "ft_payloads": f"""
 WITH {_TOK_CTE}, tokpos AS (
   SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),

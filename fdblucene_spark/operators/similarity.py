@@ -1070,3 +1070,51 @@ def pq_cosine_topk(
         .limit(int(k))
         .select(F.col(id_col), F.round(F.col("_adc"), 3).alias("cosine"))
     )
+
+
+def bm25_hard_triples(
+    searcher,
+    queries: list[tuple[str, list[str]]],
+    neg_rank: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """DPR-style BM25-negative training triples (Karpukhin et al.
+    2020 §4.2 — the "BM25 negatives" every dense-retriever recipe
+    mines from a sparse index before a dense model exists): for each
+    training query, positive = the top-ranked BM25 document,
+    negative = the document at rank `neg_rank` — high-scoring enough
+    to be hard, wrong enough to be a negative. This is the
+    index-as-data-factory composition: one `search_batch` job (ONE
+    termdict seek for the whole query set, per-query top-k kernels
+    in the same plan) followed by a per-query window bounded by
+    neg_rank rows.
+
+    queries: [(query_id, [terms...])]. Returns (query_id, pos_doc,
+    pos_score, neg_doc, neg_score), scores rounded to 3 (the gate
+    convention). Queries with fewer than neg_rank hits cannot form a
+    triple and drop (the standard mining rule). The embedding-side
+    sibling is hard_negatives (cosine space); this one needs no
+    vectors at all."""
+    if int(neg_rank) < 2:
+        raise ValueError(f"neg_rank must be >= 2, got {neg_rank}")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    hits = searcher.search_batch(
+        [
+            {"query_id": qid, "terms": list(terms), "k": int(neg_rank), "mode": mode}
+            for qid, terms in queries
+        ]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc"))
+    ranked = hits.withColumn("_rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("_rn") == 1).select(
+        "query_id",
+        F.col("doc").alias("pos_doc"),
+        F.round(F.col("score").cast("double"), 3).alias("pos_score"),
+    )
+    neg = ranked.filter(F.col("_rn") == int(neg_rank)).select(
+        "query_id",
+        F.col("doc").alias("neg_doc"),
+        F.round(F.col("score").cast("double"), 3).alias("neg_score"),
+    )
+    return pos.join(neg, "query_id")
