@@ -303,6 +303,19 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+def _cstop_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index pinned to a CUSTOM StopFilter chain ('stop:dup,the' —
+    Lucene's StandardAnalyzer(myStopWords) shape): a corpus head term
+    AND a query-vocabulary term are stopped, so postings, dl/avgdl
+    (hence every norm) and the analyzed query all shift vs v1/v2."""
+    root = os.path.join(_index_root(sf_dir), "cstop")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents")
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-cstop", analyzer="stop: The, dup")
+    return Searcher(spark, root)
+
+
 def _smerge_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Sorted-MERGE variant (Lucene SortingCodecReader): two sorted
     segments (base + append, both pinned n_chars desc) plus pending
@@ -2847,6 +2860,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin proves the whole v2 chain (invert, stats, norms, idf)
         return _hits_df(_v2_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or"))
 
+    def ft_custom_stops(spark, sf):
+        # custom StopFilter set pinned as 'stop:dup,the'
+        # (canonicalized from messy input): 'dup' is stopped so a
+        # 3-term OR query collapses to 2 live terms; dl/avgdl shift
+        # too — the twin reproduces the exact set
+        return _hits_df(
+            _cstop_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or")
+        )
+
     def ft_stem_analyzer(spark, sf):
         # standard_v3 (stop + minimal stem) over the plural-seeded
         # corpus: "query"/"table" hits include docs whose only match
@@ -4002,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
         ft_passages, pipe_ul2, ft_sorted_merge, ft_dpr_triples,
+        ft_custom_stops,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5398,6 +5421,9 @@ GROUP BY ROLLUP(d.lang, d.source)
         "ft_rollback": _bm25_sql(OR_TERMS, "or", K_ALL),
         "ft_stop_analyzer": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=tuple(ENGLISH_STOPWORDS)
+        ),
+        "ft_custom_stops": _bm25_sql(
+            OR_TERMS, "or", K_ALL, stop_words=("dup", "the")
         ),
         "ft_shingle": _bm25_sql(["big join", "scan"], "or", K_ALL, shingle=True),
         "ft_perfield": f"""

@@ -183,9 +183,53 @@ KEYWORD_ANALYZER = "keyword_v1"  # whole value = single term, no lowercase
                                  #  SimpleFDBDirectoryTest.java:205)
 
 
+# Custom StopFilter chains (Lucene StopFilter with a user-supplied
+# CharArraySet — the everyday "StandardAnalyzer(myStopWords)" setup):
+# analyzer name 'stop:w1,w2,...' = standard_v1 + that stop set. The
+# manifest pin is the NAME, and config checks are string equality, so
+# only the canonical form (lowercase, deduped, sorted, comma-joined)
+# is accepted here; build_index canonicalizes user input first via
+# canonical_analyzer.
+CUSTOM_STOP_PREFIX = "stop:"
+
+
+def canonical_analyzer(name: str) -> str:
+    """Canonical form of an analyzer name: registry names validate and
+    pass through; 'stop:...' chains lowercase, dedupe and sort their
+    words (each must be one analyzer token) so equal sets always pin
+    equal strings."""
+    if not name.startswith(CUSTOM_STOP_PREFIX):
+        if name not in ANALYZERS:
+            raise ValueError(
+                f"unknown analyzer {name!r}; have {sorted(ANALYZERS)} "
+                f"or '{CUSTOM_STOP_PREFIX}w1,w2,...'"
+            )
+        return name
+    words = sorted(
+        {w.strip().lower() for w in name[len(CUSTOM_STOP_PREFIX):].split(",") if w.strip()}
+    )
+    if not words:
+        raise ValueError("custom stop analyzer needs at least one word")
+    for w in words:
+        if not _TOKEN_RE.fullmatch(w):
+            raise ValueError(f"stop word {w!r} is not a single analyzer token")
+    return CUSTOM_STOP_PREFIX + ",".join(words)
+
+
 def stop_set(analyzer: str = ANALYZER_VERSION) -> frozenset[str]:
+    if analyzer.startswith(CUSTOM_STOP_PREFIX):
+        canon = canonical_analyzer(analyzer)
+        if canon != analyzer:
+            raise ValueError(
+                f"custom stop analyzer must be canonical {canon!r}, got {analyzer!r} "
+                "(build_index canonicalizes for you)"
+            )
+        return frozenset(canon[len(CUSTOM_STOP_PREFIX):].split(","))
     if analyzer not in ANALYZERS:
-        raise ValueError(f"unknown analyzer {analyzer!r}; have {sorted(ANALYZERS)}")
+        raise ValueError(
+            f"unknown analyzer {analyzer!r}; have {sorted(ANALYZERS)} "
+            f"or '{CUSTOM_STOP_PREFIX}w1,w2,...'"
+        )
     return ANALYZERS[analyzer]
 
 

@@ -510,19 +510,30 @@ def _analyzer_spec(
     Every version is validated against the analyzer registry; map
     keys must be declared text fields; absent fields default to
     standard_v1 (Lucene's wrapper default)."""
+    from ..functions.analysis import canonical_analyzer
+
     if isinstance(analyzer, str):
-        stop_set(analyzer)  # validate against the registry
+        analyzer = canonical_analyzer(analyzer)  # validate + canonicalize
         return analyzer, {f: analyzer for f in text_field_names}
     unknown = set(analyzer) - set(text_field_names)
     if unknown:
         raise ValueError(
             f"field_analyzers for undeclared text fields: {sorted(unknown)}"
         )
-    amap = {f: analyzer.get(f, ANALYZER_VERSION) for f in text_field_names}
-    for v in amap.values():
-        stop_set(v)
+    amap = {
+        f: canonical_analyzer(analyzer.get(f, ANALYZER_VERSION))
+        for f in text_field_names
+    }
     if len(set(amap.values())) == 1:
         return next(iter(amap.values())), amap
+    if any(v.startswith("stop:") for v in amap.values()):
+        # a custom stop name contains commas — the perfield pin's own
+        # separator — so mixed maps would pin ambiguously; uniform
+        # maps collapse to the bare name above and are fine
+        raise ValueError(
+            "custom 'stop:' analyzers are supported uniformly or as the "
+            "single analyzer, not inside a mixed per-field map"
+        )
     pin = "perfield:" + ",".join(f"{f}={amap[f]}" for f in sorted(amap))
     return pin, amap
 
