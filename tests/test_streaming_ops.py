@@ -163,3 +163,36 @@ def test_streaming_session_stats(spark, tmp_path_factory):
     }
     assert got == exp
     assert len(got) == 6
+
+
+def test_streaming_denoise_transforms_batch_equivalence(spark, tmp_path_factory):
+    """The denoising-objective transforms (FIM / span corruption /
+    MLM / UL2 routing) are stateless map-only passes, so they apply
+    unchanged to a stream: running them inside readStream ->
+    writeStream yields BYTE-IDENTICAL rows to the batch path over the
+    same input — the md5 draws are pure functions of (salt, id), so
+    micro-batch boundaries cannot change any output."""
+    from fdblucene_spark.operators import curation
+
+    src = _mk_stream_dir(spark, tmp_path_factory.mktemp("sdenoise"), "in")
+    static = spark.read.schema(SCHEMA).parquet(os.path.join(src, "*"))
+    sid = F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))
+
+    def apply(df):
+        keyed = df.withColumn("uid", sid)
+        return curation.mlm_mask(
+            curation.fim_transform(keyed, "uid", "text", rate=0.8)
+            .select("uid", F.col("rendered").alias("text")),
+            "uid", "text", mask_rate=0.3,
+        )
+
+    stream_out = _run(
+        spark, apply(_read_stream(spark, src)), "append", "denoise_sink"
+    )
+    batch_out = apply(static).toPandas()
+    key = lambda pdf: sorted(
+        (r["uid"], r["input_text"], tuple(r["label_positions"]))
+        for _, r in pdf.iterrows()
+    )
+    assert key(stream_out) == key(batch_out)
+    assert len(stream_out) == len(ROWS_A) + len(ROWS_B)
