@@ -3326,6 +3326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab stays distributed (term-keyed join, no driver model)
         return textstats.lm_perplexity(_table(spark, sf, "documents"), "doc_id", "text")
 
+    def text_winnow(spark, sf):
+        # MOSS winnowing fingerprints (Schleimer et al. 2003):
+        # rightmost-min picks over k-gram hash windows — map-only
+        # higher-order array ops, the positional near-dup fingerprint
+        return textstats.winnow_fingerprints(
+            _table(spark, sf, "documents"), "doc_id", "text", k=5, window=4
+        )
+
     def text_ppl_backoff(spark, sf):
         # full CCNet shape: bigram stupid-backoff LM TRAINED on the
         # target-domain slice (doc_id % 7 == 0), scoring the whole
@@ -4024,7 +4032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
         ft_passages, pipe_ul2, ft_sorted_merge, ft_dpr_triples,
-        ft_custom_stops,
+        ft_custom_stops, text_winnow,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5746,6 +5754,9 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
         "text_perplexity": textstats.lm_perplexity_sql("documents", "doc_id", "text"),
+        "text_winnow": textstats.winnow_fingerprints_sql(
+            "documents", "doc_id", "text", k=5, window=4
+        ),
         "text_ppl_backoff": textstats.lm_perplexity_backoff_sql(
             "documents", "doc_id", "text", train_pred="doc_id % 7 = 0"
         ),

@@ -697,3 +697,116 @@ SELECT d.{id_col}, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
        exp(-a.logprob / a.n_tokens) AS ppl
 FROM {table} d LEFT JOIN ppb_a a USING ({id_col})
 """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm): hash every
+    k-token gram, slide a `window`-wide window over the hash
+    sequence, and select each window's MINIMUM hash (ties to the
+    RIGHTMOST minimum, the paper's base scheme §4); the deduplicated
+    (position, hash) picks are the document's fingerprints. The
+    guarantee that makes this the plagiarism/near-dup standard: any
+    shared run of at least k + window - 1 tokens between two
+    documents yields at least one SHARED fingerprint, while the
+    fingerprint density stays ~2/(window+1) of the grams. The paper
+    hashes character k-grams; this pass uses analyzer-token k-grams
+    (the practical choice for text/code corpora) with the module's
+    md5-prefix hash, so it is a pure function of the token stream —
+    partition-invariant and exactly reproducible by the SQL twin.
+    Documents with at least k tokens but fewer than `window` grams
+    keep one fingerprint (the min over all their grams) so short
+    docs stay comparable.
+
+    Pure Catalyst higher-order array ops (per-window cost is a
+    `window`-wide slice — linear in doc length), map-only, zero
+    shuffles, no UDF. Returns one row per fingerprint: (id, pos, fp)
+    with pos = the selected k-gram's token position."""
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    k, w = int(k), int(window)
+    ts = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
+    m = F.size(ts) - F.lit(k - 1)  # number of k-grams
+    grams = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.to_binary(F.concat_ws(" ", F.slice(ts, i, k)), F.lit("utf-8"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    out = df.select(F.col(id_col), grams.alias("__g"))
+    g = F.col("__g")
+    n_win = F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))
+    width = F.least(F.lit(w), F.size(g))
+    picks = F.when(
+        F.size(g) > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda j: F.struct(
+                    (
+                        j
+                        + width
+                        - F.array_position(
+                            F.reverse(F.slice(g, j + 1, width)),
+                            F.array_min(F.slice(g, j + 1, width)),
+                        )
+                    ).cast("long").alias("pos"),
+                    F.array_min(F.slice(g, j + 1, width)).alias("fp"),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+    return (
+        out.select(F.col(id_col), F.explode(picks).alias("p"))
+        .select(F.col(id_col), F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> str:
+    """DuckDB twin of winnow_fingerprints — same gram hash, same
+    rightmost-min window picks, same short-doc rule."""
+    if int(k) < 1 or int(window) < 1:
+        raise ValueError("k and window must be >= 1")
+    k, w = int(k), int(window)
+    return f"""
+WITH wf_t AS (
+  SELECT {id_col},
+         coalesce(list_filter(string_split_regex(lower({text_col}), '{_TOKENIZE_SQL}'), t -> t <> ''), []) AS ts
+  FROM {table}
+), wf_g AS (
+  SELECT {id_col},
+         CASE WHEN len(ts) >= {k}
+              THEN list_transform(range(1, len(ts) - {k - 1} + 1),
+                     i -> CAST(('0x' || substr(md5(array_to_string(ts[i:i + {k - 1}], ' ')), 1, 8)) AS BIGINT))
+              ELSE [] END AS g
+  FROM wf_t
+), wf_p AS (
+  SELECT {id_col},
+         list_transform(range(0, greatest(len(g) - {w - 1}, 1)),
+           j -> struct_pack(
+             pos := j + least({w}, len(g))
+                    - list_position(list_reverse(g[j + 1:j + least({w}, len(g))]),
+                                    list_min(g[j + 1:j + least({w}, len(g))])),
+             fp := list_min(g[j + 1:j + least({w}, len(g))]))) AS picks
+  FROM wf_g WHERE len(g) > 0
+)
+SELECT DISTINCT {id_col}, CAST(p.pos AS BIGINT) AS pos, p.fp AS fp
+FROM (SELECT {id_col}, unnest(picks) AS p FROM wf_p)
+"""
