@@ -3326,6 +3326,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocab stays distributed (term-keyed join, no driver model)
         return textstats.lm_perplexity(_table(spark, sf, "documents"), "doc_id", "text")
 
+    def dedup_winnow_pairs(spark, sf):
+        # MOSS candidate pairs: docs sharing >= 2 winnowing
+        # fingerprints (contiguous-passage reuse signal) — fp-keyed
+        # self-join with the hot-fp cap, one partial+final pair count
+        from fdblucene_spark.operators.dedup import winnow_candidate_pairs
+
+        return winnow_candidate_pairs(
+            _table(spark, sf, "documents"), "doc_id", "text",
+            k=5, window=4, min_shared=2,
+        )
+
     def text_winnow(spark, sf):
         # MOSS winnowing fingerprints (Schleimer et al. 2003):
         # rightmost-min picks over k-gram hash windows — map-only
@@ -4032,7 +4043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
         ft_passages, pipe_ul2, ft_sorted_merge, ft_dpr_triples,
-        ft_custom_stops, text_winnow,
+        ft_custom_stops, text_winnow, dedup_winnow_pairs,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5754,6 +5765,9 @@ JOIN ({curation.decontaminate_sql("documents", "doc_id", "text", "doc_id % 37 = 
         "text_fingerprint": textstats.fingerprints_sql("documents", "doc_id", "text"),
         "text_repetition": textstats.repetition_metrics_sql("documents", "doc_id", "text"),
         "text_perplexity": textstats.lm_perplexity_sql("documents", "doc_id", "text"),
+        "dedup_winnow_pairs": dedup.winnow_candidate_pairs_sql(
+            "documents", "doc_id", "text", k=5, window=4, min_shared=2
+        ),
         "text_winnow": textstats.winnow_fingerprints_sql(
             "documents", "doc_id", "text", k=5, window=4
         ),

@@ -670,3 +670,82 @@ SELECT d.{id_col},
        j.max_jaccard
 FROM {table} d LEFT JOIN jac j ON j.cid = d.{id_col}
 """
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MOSS-style near-dup candidates from winnowing fingerprints
+    (Schleimer et al. 2003 §5 — the index MOSS builds): docs sharing
+    >= min_shared DISTINCT selected fingerprints become a candidate
+    pair, with the shared count as the match signal. Because
+    winnowing guarantees a shared fingerprint for any shared run of
+    >= k+window-1 tokens, this catches contiguous-passage reuse
+    (boilerplate, quotes, plagiarized spans) that whole-document
+    MinHash dilutes away on long documents — the two dedup paths are
+    complementary and both feed connected_components / keeper rules.
+
+    Scale shape (the LSH-pairs discipline): the self-join runs ONLY
+    on the fingerprint key; fingerprints held by more than max_bucket
+    docs are dropped first (a near-universal fingerprint is
+    boilerplate, not dedup signal — the same skew guard as
+    lsh_candidate_pairs); per-pair aggregation is one partial+final
+    count. Returns (id_a, id_b, shared_fps) with id_a < id_b."""
+    if int(min_shared) < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    from .textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
+        F.col(id_col), "fp"
+    ).distinct()
+    sized = fps.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("bucket_n") <= int(max_bucket))
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= int(min_shared))
+    )
+
+
+def winnow_candidate_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of winnow_candidate_pairs — same fingerprints,
+    same bucket cap, same pair count/threshold."""
+    from .textstats import winnow_fingerprints_sql
+
+    inner = winnow_fingerprints_sql(table, id_col, text_col, k=k, window=window)
+    return f"""
+WITH wcp_f AS (
+  SELECT DISTINCT {id_col}, fp FROM ({inner})
+), wcp_s AS (
+  SELECT * FROM (
+    SELECT {id_col}, fp, count(*) OVER (PARTITION BY fp) AS bucket_n FROM wcp_f
+  ) WHERE bucket_n <= {int(max_bucket)}
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*)::BIGINT AS shared_fps
+FROM wcp_s a JOIN wcp_s b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+GROUP BY a.{id_col}, b.{id_col}
+HAVING count(*) >= {int(min_shared)}
+"""

@@ -107,3 +107,65 @@ def test_winnow_invariance_twin_guards(spark, docs):
         winnow_fingerprints(docs, "doc_id", "text", window=0)
     with pytest.raises(ValueError, match=">= 1"):
         winnow_fingerprints_sql("tt", "doc_id", "text", k=0)
+
+
+def test_winnow_candidate_pairs(spark):
+    from fdblucene_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_candidate_pairs_sql,
+    )
+    import duckdb
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "X alpha beta gamma delta epsilon zeta eta theta Y other tail"),
+        (2, "unrelated words entirely other vocabulary stream flowing"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            winnow_candidate_pairs(
+                df, "doc_id", "text", k=3, window=4, min_shared=1
+            ).collect(),
+        )
+    )
+    pairs = {(a, b) for a, b, _ in got}
+    # 0/3 exact dup; 0/1 and 1/3 share the 8-token run (>= k+w-1=6)
+    assert {(0, 1), (0, 3), (1, 3)} <= pairs
+    assert not any(2 in (a, b) for a, b in pairs)
+    # exact dup shares at least as many fps as the partial overlap
+    n = {(a, b): s for a, b, s in got}
+    assert n[(0, 3)] >= n[(0, 1)]
+    # twin identity + partition invariance
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    twin = sorted(
+        map(
+            tuple,
+            con.execute(
+                winnow_candidate_pairs_sql("tt", "doc_id", "text", k=3, window=4, min_shared=1)
+            ).fetchall(),
+        )
+    )
+    assert got == twin
+    again = sorted(
+        map(
+            tuple,
+            winnow_candidate_pairs(
+                df.repartition(3), "doc_id", "text", k=3, window=4, min_shared=1
+            ).collect(),
+        )
+    )
+    assert got == again
+    # min_shared raises the bar; max_bucket drops universal fps
+    hi = winnow_candidate_pairs(df, "doc_id", "text", k=3, window=4, min_shared=99)
+    assert hi.count() == 0
+    capped = winnow_candidate_pairs(
+        df, "doc_id", "text", k=3, window=4, min_shared=1, max_bucket=1
+    )
+    assert capped.count() == 0  # every shared fp is held by >= 2 docs
+    with pytest.raises(ValueError, match="min_shared"):
+        winnow_candidate_pairs(df, "doc_id", "text", min_shared=0)
