@@ -2473,6 +2473,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "neg_doc", "neg_id"
         )
 
+    def ft_seg_split(spark, sf):
+        # segment-level IndexSplitter: carve the expunged fixture's
+        # BASE segment (doc_id <= cut, tombstone-free by construction)
+        # into a standalone index with ZERO rewrite — side-local stats
+        # come free from the manifest + copied termdict
+        from fdblucene_spark.operators.merge import split_segments
+
+        s = _expunged_searcher(spark, sf)
+        base_seg = min(s.manifest.segments, key=lambda m: m.doc_min)
+        dst = os.path.join(_index_root(sf), "segsplit")
+        if not IndexCatalog(dst).exists():
+            split_segments(s.root, [base_seg.segment_id], dst)
+        return _hits_df(Searcher(spark, dst).search(OR_TERMS, k=K_ALL, mode="or"))
+
     def ft_payloads(spark, sf):
         # per-occurrence payload surface: (doc, pos, payload) for one
         # term; the oracle recomputes token positions + lengths in SQL
@@ -4043,7 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_hard_neg, ft_boosting, ft_join_scored, pipe_fim,
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
         ft_passages, pipe_ul2, ft_sorted_merge, ft_dpr_triples,
-        ft_custom_stops, text_winnow, dedup_winnow_pairs,
+        ft_custom_stops, text_winnow, dedup_winnow_pairs, ft_seg_split,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5494,6 +5508,15 @@ FROM psg_r r JOIN psg_hits h USING (doc_id) WHERE r.rn <= 2
 """,
         "ft_delete_search": _bm25_sql(
             OR_TERMS, "or", K_ALL, extra_where=f"AND tf.doc_id % {DELETE_MOD} <> 0"
+        ),
+        # segment split: the base segment alone, side-local stats (a
+        # full-corpus-stats twin hash-fails)
+        "ft_seg_split": _bm25_sql(
+            OR_TERMS, "or", K_ALL,
+            src_sql=(
+                "SELECT doc_id, text FROM documents WHERE "
+                "doc_id <= (SELECT (max(doc_id) * 3) // 5 FROM documents)"
+            ),
         ),
         # expunged index: deleted docs leave matching AND stats (exact
         # post-reclaim df/avgdl) — the liveDocs twin above would

@@ -1274,3 +1274,79 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
         spark, catalog, manifest, blocks, termdict, doclen_new, lineage,
         properties, stored_new,
     )
+
+
+def split_segments(
+    root: str, segment_ids: list[str], dst_root: str, max_workers: int = 8
+) -> Manifest:
+    """Lucene misc IndexSplitter (the BY-SEGMENT splitter, sibling of
+    the PKIndexSplitter surface `split_index`): carve the named
+    segments out into a fresh standalone index WITHOUT rewriting a
+    byte — segments are immutable, so the split is a file copy plus a
+    fresh manifest. Lucene's tool does exactly this (copies
+    segment files and writes a new segments_N).
+
+    Semantics:
+    - the split index's corpus stats (N, df, ttf, avgdl) are the
+      SELECTED segments' sums — automatic, because every stat derives
+      from SegmentMeta + the copied termdict tables (side-local
+      stats, like split_index);
+    - the delete / doc-values sidecars copy AS-IS: entries whose
+      docIDs fall outside the selected segments reference nothing and
+      are inert (the same tolerance expunge_deletes documents);
+    - an index_sort pin carries: each segment's internal docID order
+      is untouched and the sorted kernels already handle
+      per-(shard, segment) runs;
+    - the source index is not modified (run delete/expunge there
+      separately if the split is a move, not a copy).
+
+    Driver cost is manifest-sized decisions + the file copy
+    (delegate to DistCp / server-side copy at 100 TB, exactly like
+    sync_replica); no Spark job at all."""
+    from dataclasses import replace
+
+    from .replicate import _copy_tree_atomic
+
+    catalog = IndexCatalog(root)
+    manifest = catalog.load()
+    by_id = {s.segment_id: s for s in manifest.segments}
+    unknown = [sid for sid in segment_ids if sid not in by_id]
+    if unknown:
+        raise ValueError(f"unknown segment ids: {unknown}")
+    if not segment_ids:
+        raise ValueError("segment_ids must be non-empty")
+    dst_cat = IndexCatalog(dst_root)
+    if dst_cat.exists():
+        raise ValueError(f"destination {dst_root!r} is already an index")
+    picked = [by_id[sid] for sid in segment_ids]
+    for seg in picked:
+        _copy_tree_atomic(
+            os.path.join(root, seg.path), os.path.join(dst_root, seg.path), max_workers
+        )
+    properties = dict(manifest.properties)
+    for key in ("deletes_path", "dv_path"):
+        rel = properties.get(key)
+        if rel:
+            src = os.path.join(root, rel)
+            if os.path.isdir(src):
+                _copy_tree_atomic(src, os.path.join(dst_root, rel), max_workers)
+            elif os.path.exists(src):
+                os.makedirs(os.path.dirname(os.path.join(dst_root, rel)), exist_ok=True)
+                import shutil
+
+                shutil.copy2(src, os.path.join(dst_root, rel))
+            else:
+                properties.pop(key, None)
+    out = Manifest(
+        version=1,
+        analyzer=manifest.analyzer,
+        block_size=manifest.block_size,
+        n_shards=manifest.n_shards,
+        segments=[
+            replace(seg, lineage=seg.lineage + [{"op": "split_segments", "from": root}])
+            for seg in picked
+        ],
+        parent_version=None,
+        properties=properties,
+    )
+    return dst_cat.commit(out)
