@@ -295,6 +295,13 @@ def main() -> int:
     surfaces["lm_perplexity_backoff"] = _ts.lm_perplexity_backoff(
         docs_df, "doc_id", "text", train_df=docs_df.filter("doc_id % 3 = 0")
     )
+    surfaces["winnow_fingerprints"] = _ts.winnow_fingerprints(docs_df, "doc_id", "text")
+    from fdblucene_spark.operators.dedup import winnow_candidate_pairs as _wcp
+    surfaces["winnow_candidate_pairs"] = _wcp(docs_df, "doc_id", "text", k=3, window=4)
+    from fdblucene_spark.operators.similarity import bm25_hard_triples as _bht
+    surfaces["bm25_hard_triples"] = _bht(
+        s, [("a", ["alpha", "beta"]), ("b", ["gamma"])], neg_rank=5
+    )
     # round-5 eleventh-phase surfaces
     url_df = spark.createDataFrame(
         [{"doc_id": i,
@@ -498,7 +505,8 @@ def main() -> int:
                        for ln in keep), \
                 "dynamic ranges count/offsets not broadcast"
         if name in ("clean_c4", "shape_box", "fim_transform",
-                    "span_corruption", "mlm_mask", "ul2_mixture"):
+                    "span_corruption", "mlm_mask", "ul2_mixture",
+                    "winnow_fingerprints"):
             # pure higher-order column math: map-only, zero exchanges,
             # zero Python
             assert not any("Exchange" in ln for ln in plan.splitlines()), \
@@ -521,6 +529,16 @@ def main() -> int:
             # nothing may collapse to a single partition
             assert "Exchange SinglePartition" not in plan, \
                 "preference_pairs collapsed to a single partition"
+        if name == "winnow_candidate_pairs":
+            # fp-keyed self-join only; the hot-fp cap's window is
+            # keyed by fp (bounded buckets), never a global window
+            assert "Exchange SinglePartition" not in plan, \
+                "winnow pairs collapsed to a single partition"
+        if name == "bm25_hard_triples":
+            # one batched kernel job; the rank window is bounded by
+            # neg_rank rows per query
+            assert any("PushedFilters" in ln and "field" in ln for ln in keep), \
+                "triples postings scan lost the term pushdown"
         if name == "lm_perplexity_backoff":
             # dictionary-keyed joins + doc agg: no window, no Python
             assert "Window" not in plan, "ppl_backoff plan has a window"
