@@ -1139,8 +1139,11 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
         (F.col(f).asc() if asc else F.col(f).desc()) for f, asc in chain
     ] + [F.col("old_doc")]
     keyed = stored.withColumnRenamed("doc", "old_doc")
+    # the ids freeze backs every downstream read (remap, stored_new),
+    # so it lives until the commit below; cleaned in the finally
+    _freeze = os.path.join("/tmp", "sparklucene-smerge-" + uuid.uuid4().hex[:12])
     with_ids = assign_dense_doc_ids(
-        keyed, ["old_doc"], order_exprs=order_exprs,
+        keyed, ["old_doc"], order_exprs=order_exprs, freeze_dir=_freeze,
     )
     remap = with_ids.select(
         F.col("old_doc"), F.col("doc").cast("long").alias("new_doc")
@@ -1270,10 +1273,15 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
         "deletes_applied": bool(del_rel),
         "index_sort": chain,
     }
-    return _write_merged(
-        spark, catalog, manifest, blocks, termdict, doclen_new, lineage,
-        properties, stored_new,
-    )
+    try:
+        return _write_merged(
+            spark, catalog, manifest, blocks, termdict, doclen_new, lineage,
+            properties, stored_new,
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(_freeze, ignore_errors=True)
 
 
 def split_segments(
