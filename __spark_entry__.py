@@ -303,6 +303,30 @@ def _sorted_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, root)
 
 
+_CJK_DIGITS = "零一二三四五六七八九"  # Han numerals, all in U+4E00-9FFF
+
+
+def _cjk_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index pinned to standard_v7 (Lucene CJKAnalyzer: CJK runs ->
+    character bigrams) over documents with a DETERMINISTIC planted
+    CJK run: text || ' ' || translate(doc_id, digits -> Han
+    numerals) — derived identically in the twin, so the whole v7
+    chain (bigram inversion, dl over the bigram stream, norms, idf)
+    is hash-checkable against SQL that pre-bigrams the same run."""
+    root = os.path.join(_index_root(sf_dir), "cjk")
+    if not IndexCatalog(root).exists():
+        docs = _table(spark, sf_dir, "documents").withColumn(
+            "text",
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.translate(F.col("doc_id").cast("string"), "0123456789", _CJK_DIGITS),
+            ),
+        )
+        build_index(spark, docs, root, doc_col="doc_id", n_shards=8,
+                    fingerprint=sf_dir + "-cjk", analyzer="standard_v7")
+    return Searcher(spark, root)
+
+
 def _cstop_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index pinned to a CUSTOM StopFilter chain ('stop:dup,the' —
     Lucene's StandardAnalyzer(myStopWords) shape): a corpus head term
@@ -2883,6 +2907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _cstop_searcher(spark, sf).search(OR_TERMS, k=K_ALL, mode="or")
         )
 
+    def ft_cjk(spark, sf):
+        # CJKAnalyzer chain (standard_v7): a Han-numeral bigram term
+        # ('一二' = ids containing "12") OR'd with a Latin term — one
+        # index serves both scripts; the twin pre-bigrams the planted
+        # run and tokenizes with a CJK-inclusive regex
+        return _hits_df(
+            _cjk_searcher(spark, sf).search(["一二", LOOKUP_TERM], k=K_ALL, mode="or")
+        )
+
     def ft_stem_analyzer(spark, sf):
         # standard_v3 (stop + minimal stem) over the plural-seeded
         # corpus: "query"/"table" hits include docs whose only match
@@ -4058,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_span_corrupt, pipe_mlm_mask, tx_pref, text_ppl_backoff,
         ft_passages, pipe_ul2, ft_sorted_merge, ft_dpr_triples,
         ft_custom_stops, text_winnow, dedup_winnow_pairs, ft_seg_split,
+        ft_cjk,
     ]:
         q[fn.__name__] = fn
     return q
@@ -5457,6 +5491,22 @@ GROUP BY ROLLUP(d.lang, d.source)
         ),
         "ft_custom_stops": _bm25_sql(
             OR_TERMS, "or", K_ALL, stop_words=("dup", "the")
+        ),
+        # CJK twin: pre-bigram the planted Han run with spaces, then a
+        # CJK-inclusive split regex yields EXACTLY the v7 token stream
+        # (Latin tokens pass through; dl = Latin + bigram count)
+        "ft_cjk": _bm25_sql(
+            ["一二", LOOKUP_TERM], "or", K_ALL,
+            src_sql=(
+                "SELECT doc_id, text || ' ' || ("
+                "  CASE WHEN length(p) = 1 THEN p"
+                "       ELSE array_to_string(list_transform(range(1, length(p)),"
+                "                            i -> substr(p, i, 2)), ' ') END"
+                ") AS text FROM ("
+                f"  SELECT doc_id, text, translate(doc_id::VARCHAR, '0123456789', '{_CJK_DIGITS}') AS p"
+                "  FROM documents)"
+            ),
+            tok_regex=f"[^a-z0-9_{_CJK_DIGITS}]+",
         ),
         "ft_shingle": _bm25_sql(["big join", "scan"], "or", K_ALL, shingle=True),
         "ft_perfield": f"""

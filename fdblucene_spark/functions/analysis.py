@@ -77,6 +77,15 @@ ANALYZERS: dict[str, frozenset[str]] = {
     # plain v1 chain (search_analyzer maps v6 -> v1) — expanding the
     # user's query into its own prefixes would be wrong
     "standard_v6": frozenset(),
+    # v7 = v1 tokenization + CJK bigrams (Lucene CJKAnalyzer:
+    # StandardTokenizer + CJKBigramFilter): inside each \w+ token,
+    # runs of CJK codepoints (Han, Hiragana, Katakana, Hangul +
+    # compatibility blocks) re-emit as overlapping character BIGRAMS
+    # (a length-1 run keeps its unigram); non-CJK runs pass through.
+    # Bigrams REPLACE the stream — each advances one position and dl
+    # counts emitted tokens (Lucene's norm over the bigram stream).
+    # Query text analyzes with v7 too (CJKAnalyzer is symmetric).
+    "standard_v7": frozenset(),
 }
 
 # analyzers that run the minimal-stem filter after stop removal
@@ -92,6 +101,41 @@ FOLD_ANALYZERS = frozenset({"standard_v5"})
 # maps to standard_v1 via search_analyzer)
 EDGE_ANALYZERS = frozenset({"standard_v6"})
 EDGE_MIN, EDGE_MAX = 2, 5  # pinned with the analyzer name
+
+# analyzers that re-emit CJK runs as character bigrams (CJKAnalyzer)
+CJK_ANALYZERS = frozenset({"standard_v7"})
+# Hangul Jamo, Hiragana+Katakana, Hangul Compat Jamo, Hangul
+# Syllables, CJK Unified Ideographs, CJK Compat Ideographs — the
+# blocks CJKBigramFilter pairs by default
+_CJK_RANGE = (
+    "\u1100-\u11ff\u3040-\u30ff\u3130-\u318f"
+    "\uac00-\ud7af\u4e00-\u9fff\uf900-\ufaff"
+)
+_CJK_RUN_RE = re.compile(f"[{_CJK_RANGE}]+|[^{_CJK_RANGE}]+")
+_CJK_FIRST_RE = re.compile(f"[{_CJK_RANGE}]")
+
+
+def cjk_bigrams(token: str) -> list[str]:
+    """CJKBigramFilter for one (lowercased) token: CJK runs become
+    overlapping character bigrams (length-1 runs keep the unigram),
+    non-CJK runs pass through whole, in surface order."""
+    if not _CJK_FIRST_RE.search(token):
+        return [token]
+    out: list[str] = []
+    for run in _CJK_RUN_RE.findall(token):
+        if _CJK_FIRST_RE.match(run):
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[i : i + 2] for i in range(len(run) - 1))
+        else:
+            out.append(run)
+    return out
+
+
+def cjk(analyzer: str = ANALYZER_VERSION) -> bool:
+    stop_set(analyzer)  # validate the name
+    return analyzer in CJK_ANALYZERS
 
 # non-decomposable folds (NFKD leaves these alone); tokens are
 # lowercased before folding, so the lowercase forms suffice
@@ -241,6 +285,8 @@ def tokenize_text(text: str | None, analyzer: str = ANALYZER_VERSION) -> list[st
     toks = _TOKEN_RE.findall(text.lower())
     if folds(analyzer):
         toks = [t if t.isascii() else ascii_fold(t) for t in toks]
+    if cjk(analyzer):
+        toks = [g for t in toks for g in cjk_bigrams(t)]
     if stops:
         toks = [t for t in toks if t not in stops]
     if stems(analyzer):
@@ -258,6 +304,7 @@ def _make_tokens_udf(analyzer: str):
     do_shingle = shingles(analyzer)
     do_fold = folds(analyzer)
     do_edge = edge_grams(analyzer)
+    do_cjk = cjk(analyzer)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
@@ -266,6 +313,8 @@ def _make_tokens_udf(analyzer: str):
             found = found.apply(
                 lambda ts: [t if t.isascii() else ascii_fold(t) for t in ts]
             )
+        if do_cjk:
+            found = found.apply(lambda ts: [g for t in ts for g in cjk_bigrams(t)])
         if stops:
             found = found.apply(lambda ts: [t for t in ts if t not in stops])
         if do_stem:

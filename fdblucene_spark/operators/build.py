@@ -48,7 +48,7 @@ from pyspark.sql import types as T
 
 from ..functions import bm25, codec
 from ..functions.analysis import (
-    ANALYZER_VERSION, _TOKEN_RE, ascii_fold, edge_expand, edge_grams, folds,
+    ANALYZER_VERSION, _TOKEN_RE, ascii_fold, cjk, edge_expand, edge_grams, folds,
     min_stem, shingles, stems,
     stop_set,
 )
@@ -225,6 +225,7 @@ def _invert_text(
     payload_delim: str | None = None,
     fold: bool = False,
     edge: bool = False,
+    cjk: bool = False,
 ) -> pd.DataFrame | None:
     """Per-batch inversion of one tokenized field.
 
@@ -266,6 +267,9 @@ def _invert_text(
     if edge and (store_offsets or shingle):
         raise ValueError("edge n-grams compose with neither store_offsets "
                          "nor a shingle chain")
+    if cjk and (store_offsets or shingle or edge):
+        raise ValueError("CJK bigrams compose with none of store_offsets, "
+                         "shingle or edge-gram chains")
     if store_offsets:
         lowered = texts.fillna("").str.lower()
         toks_l: list[list[str]] = []
@@ -287,6 +291,15 @@ def _invert_text(
         tok_lists = texts.fillna("").str.lower().str.findall(token_re)
         if stops:
             tok_lists = tok_lists.apply(lambda ts: [t for t in ts if t not in stops])
+    if cjk:
+        # CJKBigramFilter: bigrams REPLACE the stream (each advances a
+        # position; dl counts emitted tokens — the Lucene norm over
+        # the bigram stream), so plain sequential ordinals stay right
+        from ..functions.analysis import cjk_bigrams
+
+        tok_lists = tok_lists.apply(
+            lambda ts: [g for t in ts for g in cjk_bigrams(t)]
+        )
     uni_lens = tok_lists.str.len().to_numpy(np.int64)
     pos_lists = None
     if shingle:
@@ -479,16 +492,16 @@ def _invert_factory(
                 if spec["analyzer"] == "keyword":
                     sub = _invert_keyword(spec["field"], docs, pdf[spec["col"]], store_positions)
                 else:
-                    stops, stem, shingle, fold, edge = chains.get(
+                    stops, stem, shingle, fold, edge, cjk_f = chains.get(
                         spec["field"],
-                        (frozenset(), False, False, False, False),
+                        (frozenset(), False, False, False, False, False),
                     )
                     sub = _invert_text(
                         spec["field"], docs, pdf[spec["col"]], store_positions, token_re,
                         store_offsets, store_payloads, stops,
                         emit_roster=spec["field"] == primary, stem=stem,
                         shingle=shingle, payload_delim=payload_delim, fold=fold,
-                        edge=edge,
+                        edge=edge, cjk=cjk_f,
                     )
                 if sub is not None:
                     outs.append(sub)
@@ -676,17 +689,17 @@ def build_postings(
     if isinstance(analyzer, str):
         chains = {
             s["field"]: (stop_set(analyzer), stems(analyzer), shingles(analyzer),
-                         folds(analyzer), edge_grams(analyzer))
+                         folds(analyzer), edge_grams(analyzer), cjk(analyzer))
             for s in fields_spec if s["analyzer"] != "keyword"
         }
     else:
         chains = {
-            f: (stop_set(v), stems(v), shingles(v), folds(v), edge_grams(v))
+            f: (stop_set(v), stems(v), shingles(v), folds(v), edge_grams(v), cjk(v))
             for f, v in analyzer.items()
         }
-    if store_offsets and any(c[2] or c[4] for c in chains.values()):
-        raise ValueError("store_offsets is not supported with a shingle or "
-                         "edge-gram analyzer")
+    if store_offsets and any(c[2] or c[4] or c[5] for c in chains.values()):
+        raise ValueError("store_offsets is not supported with a shingle, "
+                         "edge-gram or CJK-bigram analyzer")
     if payload_delim is not None:
         if not store_payloads:
             raise ValueError("payload_delim requires store_payloads=True")
