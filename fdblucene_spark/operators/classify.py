@@ -53,6 +53,10 @@ def naive_bayes_scores(
     against every class seen in `train`. Returns (id, class, score);
     empty target docs score prior-only (Lucene's classifier does the
     same — no tokens, no likelihood terms)."""
+    from ._spread import spread
+
+    train = spread(train)
+    target = spread(target)
     toks_tr = train.select(
         F.col(class_col).alias("class"), F.explode(tokens_col(text_col)).alias("t")
     )
@@ -237,6 +241,9 @@ def perceptron_weights(
     pid = (
         F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
     )
+    from ._spread import spread
+
+    train = spread(train)
     tf = (
         train.select(
             F.col(class_col).cast("boolean").alias("cls"),
@@ -297,6 +304,10 @@ def perceptron_classify(
         if train_id_col is not None
         else F.monotonically_increasing_id()
     )
+    from ._spread import spread
+
+    train = spread(train)
+    target = spread(target)
     sdf = (
         train.select(pid.alias("__pid"), F.explode(tokens_col(text_col)).alias("t"))
         .select("__pid", "t")

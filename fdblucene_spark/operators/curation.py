@@ -41,8 +41,10 @@ DECONTAM_N = 8  # word n-gram size (GPT-3 used 13; synthetic docs are shorter)
 def benchmark_ngrams(bench: DataFrame, text_col: str, n: int = DECONTAM_N) -> DataFrame:
     """DISTINCT md5-hashed word n-grams of a benchmark/eval set —
     the contamination reference relation (one column: gram_h)."""
+    from ._spread import spread
+
     return (
-        bench.select(F.explode(shingles_col(text_col, n)).alias("g"))
+        spread(bench).select(F.explode(shingles_col(text_col, n)).alias("g"))
         .select(F.md5(F.to_binary(F.col("g"), F.lit("utf-8"))).alias("gram_h"))
         .distinct()
     )
@@ -62,7 +64,9 @@ def decontaminate(
     (id, n_grams, n_hits, hit_frac, contaminated) — contaminated is
     the published any-overlap rule (n_hits > 0); callers wanting a
     fraction threshold filter on hit_frac."""
-    grams = df.select(
+    from ._spread import spread
+
+    grams = spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_col(text_col, n))).alias("g"),
     ).select(
@@ -144,7 +148,9 @@ def paragraph_dedup(
     Normalization is lowercase+trim (CCNet normalizes before
     hashing); empty paragraphs are ignored.
     """
-    paras = df.select(
+    from ._spread import spread
+
+    paras = spread(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), split_regex)).alias("pos", "para"),
     ).withColumn("pnorm", F.lower(F.trim(F.col("para")))).filter(F.col("pnorm") != "")
@@ -525,8 +531,10 @@ def classifier_scores(
     Docs whose text yields zero features keep score = sigmoid(bias)
     (the model's prior), n_feats = 0.
     """
+    from ._spread import spread
+
     feats = (
-        df.select(F.col(id_col), F.explode(classifier_features(text_col, bigrams)).alias("f"))
+        spread(df).select(F.col(id_col), F.explode(classifier_features(text_col, bigrams)).alias("f"))
         .withColumn(
             "bucket",
             F.pmod(
@@ -665,7 +673,9 @@ def pack_sequences(
         num_partitions = spark.sparkContext.defaultParallelism
     if freeze_dir is None:
         freeze_dir = _os.path.join("/tmp", "sparklucene-pack-" + _uuid.uuid4().hex[:12])
-    counted = df.select(
+    from ._spread import spread
+
+    counted = spread(df).select(
         F.col(id_col),
         (F.size(tokens_col(text_col)).cast("long") + F.lit(int(sep_tokens))).alias("_contrib"),
     )
@@ -1037,8 +1047,10 @@ def chunk_documents(
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(
         F.ceil((n - F.lit(window)) / F.lit(stride)).cast("long") + 1
     )
+    from ._spread import spread
+
     return (
-        df.select(F.col(id_col), toks.alias("_ts"))
+        spread(df).select(F.col(id_col), toks.alias("_ts"))
         .where(n > 0)
         .select(
             F.col(id_col),
@@ -1742,7 +1754,9 @@ def length_buckets(
     for i in range(len(edges) - 1, -1, -1):
         bkt = F.when(n_tok <= F.lit(int(edges[i])), F.lit(i)).otherwise(bkt)
     key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
-    keyed = df.select(
+    from ._spread import spread
+
+    keyed = spread(df).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         bkt.cast("int").alias("bucket"),
@@ -1950,15 +1964,22 @@ def train_bpe(
         raise ValueError("n_merges must be >= 1")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    from ._spread import spread
+
     words = (
-        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        spread(df).select(F.explode(tokens_col(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     vocab = words.select("w", "cnt", _bpe_state0(F.col("w")).alias("state"))
     vocab = vocab.persist()
     merges = []
+    prev = None
     for r in range(int(n_merges)):
+        # this collect materializes `vocab` into its cache; the PARENT
+        # round's cache must stay alive until then (unpersisting it
+        # before the child materializes forced every round to re-derive
+        # the corpus word-count pass — 16 corpus scans for 16 merges)
         top = (
             vocab.select(F.col("cnt"), F.explode(F.expr(_BPE_PAIRS)).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -1967,6 +1988,9 @@ def train_bpe(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top or int(top[0]["c"]) < int(min_count):
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
@@ -1981,9 +2005,10 @@ def train_bpe(
         )
         if (r + 1) % int(checkpoint_every) == 0:
             nxt = nxt.localCheckpoint(eager=True)
+            vocab.unpersist()
         else:
             nxt = nxt.persist()
-        vocab.unpersist()
+            prev = vocab  # unpersist only after nxt materializes
         vocab = nxt
     out_vocab = vocab.select(
         "w", "cnt", F.expr(_BPE_TS).alias("tokens")
@@ -2125,8 +2150,10 @@ def clean_c4(
     page_ok = F.size(kept) >= int(min_lines)
     for ps in banned_page_substrings:
         page_ok = page_ok & ~F.lower(F.col(text_col)).contains(ps.lower())
+    from ._spread import spread
+
     return (
-        df.select(
+        spread(df).select(
             F.col(id_col),
             F.col(text_col),
             kept.alias("_kept"),
@@ -2245,7 +2272,9 @@ def fim_transform(
         rendered = F.concat(
             F.lit(suf_s), suffix, F.lit(pre_s), prefix, F.lit(mid_s), middle
         )
-    return df.select(
+    from ._spread import spread
+
+    return spread(df).select(
         F.col(id_col),
         fim.alias("fim"),
         F.when(fim, prefix).alias("fim_prefix"),
@@ -2366,6 +2395,9 @@ def span_corruption(
     pos = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
+    from ._spread import spread
+
+    df = spread(df)
     df = df.select(F.col(id_col), ts.alias("__ts"), pos.alias("__pos"))
     starts = F.transform(F.col("__pos"), lambda i: u("s", i) < F.lit(p_start))
     lens = F.transform(
@@ -2550,6 +2582,9 @@ def mlm_mask(
     pos = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
+    from ._spread import spread
+
+    df = spread(df)
     df = df.select(F.col(id_col), ts.alias("__ts"), pos.alias("__pos"))
     nn = F.size("__ts")
     sel = F.transform(F.col("__pos"), lambda i: u("m", i) < F.lit(float(mask_rate)))
@@ -2788,6 +2823,9 @@ def ul2_mixture(
         raise ValueError("r_frac/x_frac must be >= 0 and sum <= 1")
     sid = F.col(id_col).cast("string")
     u_route = _u01(F.concat(F.lit(salt + ":o:"), sid))
+    from ._spread import spread
+
+    df = spread(df)
     routed = df.withColumn("__route", u_route)
     r_df = routed.filter(F.col("__route") < float(r_frac))
     x_df = routed.filter(

@@ -93,6 +93,9 @@ def minhash_signatures(
     h_{4a+b} = int(md5(a ':' s)[8b : 8b+8], 16). Deterministic and
     bit-identical in DuckDB SQL.
     """
+    from ._spread import spread
+
+    df = spread(df)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
     )
@@ -198,6 +201,9 @@ FROM bands a JOIN bands b
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """(id, simhash): tf-weighted sign sum over md5-derived term bits."""
+    from ._spread import spread
+
+    df = spread(df)
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
     ).groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -275,6 +281,9 @@ def ngram_jaccard_pairs(
     Alternatively pass `candidates` (id_a, id_b) from
     lsh_candidate_pairs to skip generation entirely (the
     verify-LSH-candidates role at 100 TB)."""
+    from ._spread import spread
+
+    df = spread(df)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
     )
@@ -376,38 +385,57 @@ def connected_components(
     import os as _os
 
     spark = df.sparkSession
+    # The edge list (and, each round, the current labels) is PERSISTED:
+    # every round's neighbor-min job and convergence count would
+    # otherwise re-derive `pairs` from scratch — for the composed
+    # fuzzy_dedup pipeline that meant re-running the whole LSH +
+    # exact-jaccard chain once per round (measured ~4x the pipeline
+    # cost end-to-end). Edges/labels are bounded relations (one row
+    # per edge direction / per doc); MEMORY_AND_DISK spills at scale.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp"))
-    for it in range(max_iter):
-        # neighbor minimum in one shuffle: candidate label for dst =
-        # min over incoming neighbors' current labels
-        nbr_min = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_chg"),
+    prev_cached = None
+    try:
+        for it in range(max_iter):
+            # neighbor minimum in one shuffle: candidate label for dst =
+            # min over incoming neighbors' current labels
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["id"])
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nbr_comp"))
             )
-        )
-        if freeze_dir is not None:
-            p = _os.path.join(freeze_dir, f"cc_round_{it}")
-            new_labels.write.mode("errorifexists").parquet(p)
-            new_labels = spark.read.parquet(p)
-        changed = new_labels.agg(
-            F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")
-        ).first()["n"]
-        labels = new_labels.drop("_chg")
-        if not changed:
-            return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+            new_labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                    (F.col("nbr_comp") < F.col("comp")).alias("_chg"),
+                )
+            )
+            if freeze_dir is not None:
+                p = _os.path.join(freeze_dir, f"cc_round_{it}")
+                new_labels.write.mode("errorifexists").parquet(p)
+                new_labels = spark.read.parquet(p)
+            else:
+                new_labels = new_labels.persist()
+            changed = new_labels.agg(
+                F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")
+            ).first()["n"]
+            # the count action materialized new_labels; only now is the
+            # previous round's cache safe to drop
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = new_labels if freeze_dir is None else None
+            labels = new_labels.drop("_chg")
+            if not changed:
+                return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+    finally:
+        edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds max_iter); raise max_iter"
@@ -552,6 +580,9 @@ def decontaminate_fuzzy(
     num_hashes/band_size like every MinHash stage here."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    from ._spread import spread
+
+    corpus = spread(corpus)
     bid, btx = f"_b_{id_col}", f"_b_{text_col}"
     bench_r = bench.select(F.col(id_col).alias(bid), F.col(text_col).alias(btx))
 

@@ -1176,39 +1176,71 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
     )
 
     def flatten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one output frame per INPUT batch (not per block row): the
+        # per-block decode is unavoidable Python, but frame assembly
+        # and Arrow serialization amortize over the whole batch —
+        # building thousands of one-block pandas frames dominated the
+        # old wall time
         for pdf in batches:
-            for _, r in pdf.iterrows():
+            if pdf.empty:
+                continue
+            has_doc_off = "doc_off" in pdf.columns
+            fields_l: list[np.ndarray] = []
+            terms_l: list[np.ndarray] = []
+            docs_l: list[np.ndarray] = []
+            tfs_l: list[np.ndarray] = []
+            dlqs_l: list[np.ndarray] = []
+            pos_l: list = []
+            ost_l: list = []
+            oln_l: list = []
+            pay_l: list = []
+            for r in pdf.itertuples(index=False):
+                r = r._asdict()
                 d = codec.decode_doc_block(r["docs"])
-                t = codec.decode_tf_block(r["tfs"])
-                q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
                 if d.size == 0:
                     continue
+                t = codec.decode_tf_block(r["tfs"])
+                q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
                 bounds = np.cumsum(t)[:-1]
-                pos_c = ost_c = oln_c = pay_c = None
+                n = d.size
                 if store_positions and r["positions"] is not None:
                     flat, _ = codec.decode_positions_block(r["positions"], t)
-                    pos_c = np.split(flat.astype(np.int64), bounds)
+                    pos_l.extend(np.split(flat.astype(np.int64), bounds))
+                else:
+                    pos_l.extend([None] * n)
                 if store_off and r["offsets"] is not None:
                     o_s, o_e, _ = codec.decode_offsets_block(r["offsets"], t)
-                    ost_c = np.split(o_s.astype(np.int64), bounds)
-                    oln_c = np.split((o_e - o_s).astype(np.int64), bounds)
+                    ost_l.extend(np.split(o_s.astype(np.int64), bounds))
+                    oln_l.extend(np.split((o_e - o_s).astype(np.int64), bounds))
+                else:
+                    ost_l.extend([None] * n)
+                    oln_l.extend([None] * n)
                 if store_pay and r.get("payloads") is not None:
                     pv, _ = codec.decode_payloads_block(r["payloads"], t)
-                    pay_c = np.split(pv.astype(np.int64), bounds)
-                off = int(r["doc_off"]) if "doc_off" in pdf.columns else 0
-                yield pd.DataFrame(
-                    {
-                        "field": r["field"],
-                        "term": r["term"],
-                        "doc": (d + off).astype(np.int64),
-                        "tf": t.astype(np.int64),
-                        "dlq": q.astype(np.int32),
-                        "pos": pos_c if pos_c is not None else [None] * d.size,
-                        "ost": ost_c if ost_c is not None else [None] * d.size,
-                        "oln": oln_c if oln_c is not None else [None] * d.size,
-                        "pay": pay_c if pay_c is not None else [None] * d.size,
-                    }
-                )
+                    pay_l.extend(np.split(pv.astype(np.int64), bounds))
+                else:
+                    pay_l.extend([None] * n)
+                off = int(r["doc_off"]) if has_doc_off else 0
+                fields_l.append(np.full(n, r["field"], dtype=object))
+                terms_l.append(np.full(n, r["term"], dtype=object))
+                docs_l.append((d + off).astype(np.int64))
+                tfs_l.append(t.astype(np.int64))
+                dlqs_l.append(q.astype(np.int32))
+            if not docs_l:
+                continue
+            yield pd.DataFrame(
+                {
+                    "field": np.concatenate(fields_l),
+                    "term": np.concatenate(terms_l),
+                    "doc": np.concatenate(docs_l),
+                    "tf": np.concatenate(tfs_l),
+                    "dlq": np.concatenate(dlqs_l),
+                    "pos": pos_l,
+                    "ost": ost_l,
+                    "oln": oln_l,
+                    "pay": pay_l,
+                }
+            )
 
     flat = postings.mapInPandas(flatten, schema=_SORTED_FLAT_SCHEMA)
     remapped = (

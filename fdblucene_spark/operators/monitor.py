@@ -178,7 +178,9 @@ def match_queries(
         toks_col = tokenize_expr_ascii(F.col(text_col), analyzer)
     else:
         toks_col = tokens_udf_for(analyzer)(F.col(text_col))
-    with_toks = docs_df.select(F.col(id_col), toks_col.alias("_toks"))
+    from ._spread import spread
+
+    with_toks = spread(docs_df).select(F.col(id_col), toks_col.alias("_toks"))
     term_set = F.array_distinct("_toks")
     if phrases:
         # phrase verify, map-side: when the consecutive run occurs,

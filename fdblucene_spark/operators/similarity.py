@@ -27,6 +27,49 @@ from pyspark.sql import types as T
 LSH_SEED = 42
 
 
+def _fold_dot_rows(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-wise dot product accumulated LEFT-TO-RIGHT in float64 —
+    bit-identical to the Catalyst `F.aggregate(zip_with(...))` fold
+    (acc starts at 0.0, adds x_j*q_j in element order). numpy's
+    `@`/einsum use pairwise/SIMD summation whose last-ulp result can
+    differ, which would flip top-k membership on razor ties — so the
+    dim-loop below is deliberate (still vectorized across rows)."""
+    acc = np.zeros(x.shape[0], dtype=np.float64)
+    for j in range(x.shape[1]):
+        acc = acc + x[:, j] * q[j]
+    return acc
+
+
+def _fold_sqnorm_rows(x: np.ndarray) -> np.ndarray:
+    """Row-wise sum of squares, same left-to-right fold contract."""
+    acc = np.zeros(x.shape[0], dtype=np.float64)
+    for j in range(x.shape[1]):
+        acc = acc + x[:, j] * x[:, j]
+    return acc
+
+
+def _seq_sqnorm(vec) -> float:
+    """Scalar left-to-right sum of squares (the `_norm` fold on one
+    vector), for driver-side query norms."""
+    s = 0.0
+    for v in vec:
+        s += float(v) * float(v)
+    return float(np.sqrt(s))
+
+
+def _batch_topk(c: np.ndarray, ids: pd.Series, m: int) -> np.ndarray:
+    """Positions of the top-m rows by (c desc, id asc) under Spark's
+    double ordering (NaN greatest). Returns an index array into c."""
+    n = c.shape[0]
+    if n <= m:
+        return np.arange(n)
+    order = pd.DataFrame({"c": c, "id": ids.to_numpy(), "i": np.arange(n)})
+    order = order.sort_values(
+        ["c", "id"], ascending=[False, True], kind="mergesort", na_position="first"
+    )
+    return order["i"].to_numpy()[:m]
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -88,11 +131,16 @@ def hard_negatives(
     value rounded to 3 decimals for display AFTER the cut (ties at
     the rounding never decide membership, same law as cosine_topk).
 
-    Shape: one corpus scan; the dot/norms run as codegen array
-    expressions (no UDF); positives anti-join keyed by (query, doc);
-    ONE window shuffle keyed by query_id for the per-query cut —
-    bounded groups (<= corpus candidates per query), no driver
-    state."""
+    Shape: one corpus scan; the brute-force path scores with an
+    Arrow-batched kernel whose float64 folds are bit-identical to the
+    Catalyst array expressions (see _fold_dot_rows) and emits only the
+    per-batch top-(k + |positives_q|) candidates per query — provably
+    a superset of the global post-anti-join top-k — so the anti-join
+    and the per-query window cut run over k-bounded rows instead of
+    |queries| x |corpus|; positives anti-join keyed by (query, doc);
+    the final window is k-bounded per query. The query batch (and its
+    per-query positive COUNTS, one row per query) are driver-bounded
+    model state, same contract as the broadcast the crossJoin paid."""
     q = queries.select(
         F.col(query_id).alias("_q"),
         F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("_qv"),
@@ -106,11 +154,13 @@ def hard_negatives(
             .drop("_cd")
             .join(F.broadcast(q), "_q")
         )
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        raw = (_dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv")))).alias("_c")
+        scored = base.select(F.col("_q"), F.col(id_col), raw)
     else:
-        base = corpus.crossJoin(F.broadcast(q))
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    raw = (_dot(v, F.col("_qv")) / (_norm(v) * _norm(F.col("_qv")))).alias("_c")
-    scored = base.select(F.col("_q"), F.col(id_col), raw)
+        scored = _brute_scores_topm(
+            queries, corpus, positives, int(k), query_id, qvec_col, id_col, vec_col
+        )
     pos = positives.select(
         F.col(query_id).alias("_q"), F.col(id_col).alias(id_col)
     )
@@ -126,6 +176,82 @@ def hard_negatives(
             F.round(F.col("_c"), 3).alias("cosine"),
         )
     )
+
+
+def _brute_scores_topm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int,
+    query_id: str,
+    qvec_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Candidate generator for hard_negatives' exact brute-force path:
+    (_q, id, _c) rows containing, for every query, a SUPERSET of the
+    global top-k negatives.
+
+    Per Arrow batch of the corpus, an in-kernel gemm-shaped loop
+    scores every (row, query) pair with the SAME left-to-right float64
+    folds the Catalyst expressions produce (bit-identical _c values),
+    then keeps the batch's top-(k + n_positives(q)) rows per query
+    under (c desc, id asc). Any row in the global post-anti-join
+    top-k ranks at most k + n_positives(q) globally on raw scores, so
+    it survives its own batch's cut — the downstream anti-join +
+    window see every row they need while the shuffle carries
+    O(batches * queries * k) rows instead of |corpus| * |queries|."""
+    from ._spread import spread
+
+    q_rows = queries.select(query_id, qvec_col).collect()
+    qids = [r[0] for r in q_rows]
+    pos_counts = {
+        r[0]: int(r[1])
+        for r in positives.groupBy(query_id).count().collect()
+    }
+    qmat = (
+        np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    qnorms = np.asarray([_seq_sqnorm(r[1]) for r in q_rows], dtype=np.float64)
+    cuts = [int(k) + pos_counts.get(qid, 0) for qid in qids]
+    out_schema = T.StructType(
+        [
+            T.StructField("_q", queries.schema[query_id].dataType),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("_c", T.DoubleType()),
+        ]
+    )
+    nq = len(qids)
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf.empty or nq == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nv = np.sqrt(_fold_sqnorm_rows(x))
+            ids = pdf[id_col]
+            frames = []
+            for qi in range(nq):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = _fold_dot_rows(x, qmat[qi]) / (nv * qnorms[qi])
+                sel = _batch_topk(c, ids, cuts[qi])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_q": qids[qi],
+                            id_col: ids.to_numpy()[sel],
+                            "_c": c[sel],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    src = spread(corpus.select(id_col, vec_col))
+    return src.mapInPandas(kern, schema=out_schema)
 
 
 def hard_negatives_sql(
@@ -240,29 +366,66 @@ def sq_cosine_topk(
 
     At scale: the scan reads tinyint arrays (4x less IO than f32),
     the candidate cut is TakeOrdered (no global sort), and the exact
-    pass touches C rows. Ties break id asc everywhere."""
+    pass touches C rows. Ties break id asc everywhere.
+
+    Execution: the quantize+score scan runs as an Arrow-batched
+    kernel. Quantization is the same floor-half-up float64 math as
+    _quant_expr; the dot and norm are integer sums (fully associative
+    — any order is exact), and the final double division matches the
+    Catalyst expression term-for-term, so _qc is bit-identical to the
+    former zip_with/aggregate plan while running vectorized instead
+    of through interpreted higher-order functions. Each batch emits
+    only its top-max(k, rescore) rows by (_qc desc, id asc) — a
+    superset of the global cut — so the TakeOrdered sees
+    O(batches * C) rows."""
+    from ._spread import spread
+
     qq = _quantize_seq(query_vec)
     qqn = float(np.sqrt(sum(x * x for x in qq)))
     if qqn == 0.0:
         raise ValueError("query vector quantizes to zero; cosine undefined")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qv, _ = _quant_expr(v)
-    qarr = F.array(*[F.lit(int(x)).cast("long") for x in qq])
-    dot = F.aggregate(
-        F.zip_with(qv, qarr, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    cut = max(int(k), int(rescore) if rescore else 0)
+    qarr = np.asarray(qq, dtype=np.int64)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("_qc", T.DoubleType()),
+        ]
     )
-    nrm = F.sqrt(
-        F.aggregate(qv, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-        .cast("double")
-    )
-    approx = F.when(
-        nrm > 0, dot.cast("double") / (nrm * F.lit(qqn))
-    ).otherwise(F.lit(-2.0))
-    scored = df.select(F.col(id_col), F.col(vec_col), approx.alias("_qc"))
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if x.ndim != 2 or x.shape[1] == 0:
+                qc = np.full(len(pdf), -2.0)
+            else:
+                maxabs = np.max(np.abs(x), axis=1)
+                s = np.where(maxabs > 0, maxabs / 127.0, 1.0)
+                qv = np.floor(x / s[:, None] + 0.5).astype(np.int64)
+                dot = qv @ qarr
+                nrm = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    qc = np.where(
+                        nrm > 0, dot.astype(np.float64) / (nrm * qqn), -2.0
+                    )
+            ids = pdf[id_col]
+            sel = _batch_topk(qc, ids, cut)
+            yield pd.DataFrame({id_col: ids.to_numpy()[sel], "_qc": qc[sel]})
+
+    scored = spread(df.select(id_col, vec_col)).mapInPandas(kern, schema=out_schema)
     if rescore and int(rescore) > 0:
-        cand = scored.orderBy(F.desc("_qc"), F.asc(id_col)).limit(int(rescore))
+        cand_ids = (
+            scored.orderBy(F.desc("_qc"), F.asc(id_col))
+            .limit(int(rescore))
+            .select(id_col)
+        )
+        cand = df.select(F.col(id_col), F.col(vec_col)).join(
+            F.broadcast(cand_ids), id_col
+        )
         return _topk_by_raw_cosine(cand, id_col, vec_col, query_vec, int(k))
     return (
         scored.orderBy(F.desc("_qc"), F.asc(id_col))

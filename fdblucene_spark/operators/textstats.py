@@ -258,6 +258,9 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
         lambda acc: acc.best,
     )
+    from ._spread import spread
+
+    df = spread(df)
     base = df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -584,6 +587,9 @@ def lm_perplexity_backoff(
         F.sum("c1").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("v_size"),
     )
+    from ._spread import spread
+
+    df = spread(df)
     ts = tokens_col(text_col)
     pos = df.select(F.col(id_col), ts.alias("ts")).select(
         F.col(id_col),
@@ -748,7 +754,9 @@ def winnow_fingerprints(
             ).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    out = df.select(F.col(id_col), grams.alias("__g"))
+    from ._spread import spread
+
+    out = spread(df).select(F.col(id_col), grams.alias("__g"))
     g = F.col("__g")
     n_win = F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))
     width = F.least(F.lit(w), F.size(g))
