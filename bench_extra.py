@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def noop(df):
-    df.write.format("noop").mode("overwrite").save()
+    """Mirror bench.py's action (count) so numbers are comparable to
+    the frozen driver methodology — bench.py times `.count()`, which
+    lets Catalyst prune columns; a true noop sink would additionally
+    materialize every projected column and measure a DIFFERENT
+    (heavier) computation than the one the driver times."""
+    df.count()
 
 
 def main() -> None:

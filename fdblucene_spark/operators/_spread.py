@@ -9,15 +9,23 @@ on one core regardless of cluster size (the "one huge unsplittable
 file" input-skew case of the optimization playbook: repartition
 immediately after the read).
 
-`spread()` round-robin repartitions an under-partitioned input up to
-the session's default parallelism before a heavy map stage. The
-shuffle moves only the raw input rows once (projection pruning pushes
-column selection below the exchange), is deterministic (Spark's
-sort-before-repartition keeps row->partition assignment stable under
-task retry), and is a no-op for inputs that already carry enough
-partitions. Purely a physical-plan change: results of every operator
-are row-identical (all downstream aggregations/joins are
-partitioning-independent).
+`spread()` round-robin repartitions the input to the session's
+default parallelism before a heavy map stage. The shuffle moves only
+the raw input rows once (column pruning pushes attribute selection
+below the exchange while computed projections stay above it), and is
+deterministic under task retry (Spark sorts before round-robin).
+Purely a physical-plan change: results of every operator are
+row-identical (all downstream aggregations/joins/windows key
+explicitly, never on partitioning).
+
+It repartitions UNCONDITIONALLY: a partition-count guard cannot work
+here, because `spark.sql.files.minPartitionNum` makes a scan of one
+single-row-group file report many byte-range partitions while every
+row still lands in the one split containing the row-group start —
+the RDD partition count says 32-way when the data is 1-way. The
+call sites are all corpus-scan entries where one narrow shuffle of
+the raw rows is orders of magnitude cheaper than the serialized
+tokenize/score work it unlocks.
 """
 
 from __future__ import annotations
@@ -26,14 +34,7 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Repartition `df` to defaultParallelism * factor when it has
-    fewer partitions than half that target; otherwise return as-is."""
+    """Round-robin repartition `df` to defaultParallelism * factor."""
     sc = df.sparkSession.sparkContext
     target = max(1, sc.defaultParallelism * int(factor))
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - planning edge (e.g. streaming)
-        return df
-    if n * 2 <= target:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)

@@ -953,7 +953,15 @@ def build_index(
             for f, asc in sort_chain
         ] + [F.col(c) for c in (key_cols or [])]
     if doc_col is not None:
-        docs_df = corpus.select(F.col(doc_col).cast("long").alias("doc"), *src_cols)
+        from ._spread import spread
+
+        # doc_col mode consumes the caller's frame directly — a
+        # single-row-group corpus file would serialize the whole
+        # invert kernel into ONE task (key_cols mode avoids this as a
+        # side effect of the range partitioning in the ids freeze)
+        docs_df = spread(
+            corpus.select(F.col(doc_col).cast("long").alias("doc"), *src_cols)
+        )
     else:
         if not key_cols:
             raise ValueError("need doc_col or key_cols")

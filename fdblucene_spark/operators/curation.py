@@ -675,13 +675,20 @@ def pack_sequences(
         freeze_dir = _os.path.join("/tmp", "sparklucene-pack-" + _uuid.uuid4().hex[:12])
     from ._spread import spread
 
-    counted = spread(df).select(
-        F.col(id_col),
-        (F.size(tokens_col(text_col)).cast("long") + F.lit(int(sep_tokens))).alias("_contrib"),
-    )
+    # tokenize AFTER the range partitioning: repartitionByRange's
+    # sampling pass evaluates its child's projection, so counting
+    # tokens before it would run the tokenizer twice (sample + write);
+    # ranged rows carry only (id, text) into the sort, and _contrib is
+    # computed once in the freeze-write stage. Output is identical —
+    # _mid stamps the same (partition, in-partition id order) ranks.
     keyed = (
-        counted.repartitionByRange(num_partitions, F.col(id_col))
+        spread(df).select(F.col(id_col), F.col(text_col))
+        .repartitionByRange(num_partitions, F.col(id_col))
         .sortWithinPartitions(id_col)
+        .select(
+            F.col(id_col),
+            (F.size(tokens_col(text_col)).cast("long") + F.lit(int(sep_tokens))).alias("_contrib"),
+        )
         .withColumn("_mid", F.monotonically_increasing_id())
     )
     keyed.write.mode("errorifexists").parquet(freeze_dir)
@@ -1756,16 +1763,24 @@ def length_buckets(
     key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
     from ._spread import spread
 
+    # persisted: the rank keys (bucket, md5) derive from the tokenizer,
+    # and assign_dense_doc_ids' range SAMPLING pass would otherwise
+    # re-run the whole tokenize projection before the freeze write
+    # does it again; the cache is released as soon as the freeze is on
+    # disk (assign_dense_doc_ids writes it eagerly before returning)
     keyed = spread(df).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         bkt.cast("int").alias("bucket"),
         key.alias("_lbkey"),
-    )
-    ranked = assign_dense_doc_ids(
-        keyed, ["bucket", "_lbkey", id_col],
-        num_partitions=num_partitions, freeze_dir=freeze_dir,
-    )
+    ).persist()
+    try:
+        ranked = assign_dense_doc_ids(
+            keyed, ["bucket", "_lbkey", id_col],
+            num_partitions=num_partitions, freeze_dir=freeze_dir,
+        )
+    finally:
+        keyed.unpersist()
     offsets = ranked.groupBy("bucket").agg(F.min("doc").alias("_off"))
     r = (F.col("doc") - F.col("_off")).cast("long")
     return (

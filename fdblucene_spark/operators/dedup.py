@@ -82,23 +82,21 @@ def _shingles_sql(text_col: str, n: int = SHINGLE_N) -> str:
 )"""
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
-) -> DataFrame:
-    """(id, h0..h{k-1}): minhash over word-shingles.
-
-    Hash family: each md5 yields four 32-bit hash values (one per
-    8-hex-char chunk), so k hashes cost ceil(k/4) md5 evaluations per
-    shingle — md5 dominates this operator's cost at scale. Chunking:
-    h_{4a+b} = int(md5(a ':' s)[8b : 8b+8], 16). Deterministic and
-    bit-identical in DuckDB SQL.
-    """
+def _shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) — one row per DISTINCT word-shingle per doc, the
+    shared intermediate of minhash signatures and exact-jaccard
+    verification (fuzzy_dedup computes it once and persists it)."""
     from ._spread import spread
 
-    df = spread(df)
-    sh = df.select(
+    return spread(df).select(
         F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
     )
+
+
+def _minhash_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Signature aggregation over a prebuilt (id, shingle) table."""
     n_md5 = (num_hashes + 3) // 4
     md5s = [
         F.md5(F.to_binary(F.concat(F.lit(f"{a}:"), F.col("shingle")), F.lit("utf-8")))
@@ -110,6 +108,22 @@ def minhash_signatures(
         hv = F.conv(F.substring(md5s[a], 1 + 8 * b, 8), 16, 10).cast("long")
         aggs.append(F.min(hv).alias(f"h{i}"))
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(id, h0..h{k-1}): minhash over word-shingles.
+
+    Hash family: each md5 yields four 32-bit hash values (one per
+    8-hex-char chunk), so k hashes cost ceil(k/4) md5 evaluations per
+    shingle — md5 dominates this operator's cost at scale. Chunking:
+    h_{4a+b} = int(md5(a ':' s)[8b : 8b+8], 16). Deterministic and
+    bit-identical in DuckDB SQL.
+    """
+    return _minhash_from_shingles(
+        _shingle_table(df, id_col, text_col), id_col, num_hashes
+    )
 
 
 def _minhash_sql_core(table: str, id_col: str, text_col: str, num_hashes: int) -> str:
@@ -141,6 +155,7 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     max_bucket: int = 1000,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing >= 1 LSH band.
 
@@ -148,8 +163,14 @@ def lsh_candidate_pairs(
     the band (band_idx, key) only. max_bucket caps degenerate buckets
     (the skew guard): buckets larger than that are dropped with the
     assumption that a near-universal shingle is not dedup signal.
+    _sh: optional prebuilt (id, shingle) table (fuzzy_dedup passes a
+    persisted one so signature and verify stages share ONE
+    tokenize+shingle pass); result is identical either way.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    sig = _minhash_from_shingles(
+        _sh if _sh is not None else _shingle_table(df, id_col, text_col),
+        id_col, num_hashes,
+    )
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -263,6 +284,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     max_bucket: int | None = None,
     candidates: DataFrame | None = None,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) over distinct word-shingle sets — EXACT
     jaccard for every emitted pair; with the defaults, EXACT recall
@@ -280,13 +302,10 @@ def ngram_jaccard_pairs(
     near-duplicate boilerplate built entirely from hot shingles).
     Alternatively pass `candidates` (id_a, id_b) from
     lsh_candidate_pairs to skip generation entirely (the
-    verify-LSH-candidates role at 100 TB)."""
-    from ._spread import spread
-
-    df = spread(df)
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
-    )
+    verify-LSH-candidates role at 100 TB).
+    _sh: optional prebuilt (id, shingle) table, same contract as
+    lsh_candidate_pairs."""
+    sh = _sh if _sh is not None else _shingle_table(df, id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
         cold = sh
@@ -488,11 +507,28 @@ def fuzzy_dedup(
     canonical id, keep is True for exactly one doc per cluster (every
     singleton keeps itself). Filter `keep` to materialize the
     deduplicated corpus; join back on component for provenance."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, band_size)
-    verified = ngram_jaccard_pairs(
-        df, id_col, text_col, threshold, candidates=cands
-    ).select("id_a", "id_b")
-    comp = connected_components(df, id_col, verified, max_iter=max_iter, freeze_dir=freeze_dir)
+    sh = _shingle_table(df, id_col, text_col).persist()
+    verified = None
+    try:
+        cands = lsh_candidate_pairs(
+            df, id_col, text_col, num_hashes, band_size, _sh=sh
+        )
+        # persisted: connected_components builds its edge list as the
+        # UNION of both pair directions — two references to this frame,
+        # which would otherwise run the whole LSH + exact-jaccard
+        # pipeline twice when the edges materialize
+        verified = ngram_jaccard_pairs(
+            df, id_col, text_col, threshold, candidates=cands, _sh=sh
+        ).select("id_a", "id_b").persist()
+        # connected_components materializes its labels while iterating,
+        # so both caches are releasable once it returns
+        comp = connected_components(
+            df, id_col, verified, max_iter=max_iter, freeze_dir=freeze_dir
+        )
+    finally:
+        sh.unpersist()
+        if verified is not None:
+            verified.unpersist()
     return comp.select(
         F.col(id_col),
         "component",
