@@ -171,30 +171,58 @@ def lsh_candidate_pairs(
         _sh if _sh is not None else _shingle_table(df, id_col, text_col),
         id_col, num_hashes,
     )
+    # Band table via ONE explode over the signature relation — the old
+    # per-band UNION evaluated the minhash aggregate once per branch
+    # (Catalyst does not CSE across union arms), and the window +
+    # self-join below then evaluated that whole union TWICE more: the
+    # signature aggregation ran ~2*n_bands times per call. One explode
+    # runs it once.
+    all_bands = _explode_bands(sig, id_col, num_hashes, band_size)
+    # Bucketize in ONE shuffle (groupBy) instead of window + self-join
+    # (which cost 3 more shuffles of the band table): pairs are
+    # generated inside each bucket from the sorted id array. Bucket
+    # size is capped at max_bucket (same skew guard as before), so the
+    # per-bucket pair array is bounded by max_bucket^2/2.
+    buckets = (
+        all_bands.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+        .select(F.array_sort("_ids").alias("_ids"))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return pairs.select(F.col("_p.id_a"), F.col("_p.id_b")).distinct()
+
+
+def _explode_bands(
+    sig: DataFrame, key_col: str, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(key, band, band_key) — one explode pass over the signature
+    relation (never a per-band union, which re-evaluates the minhash
+    aggregate per branch)."""
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            ).alias("band_key"),
         )
-        bands.append(sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")))
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    sized = all_bands.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.alias("a")
-    b = sized.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        for b in range(n_bands)
+    ]
+    return sig.select(F.col(key_col), F.explode(F.array(*entries)).alias("_bk")).select(
+        F.col(key_col), F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
     )
 
 
@@ -306,6 +334,19 @@ def ngram_jaccard_pairs(
     _sh: optional prebuilt (id, shingle) table, same contract as
     lsh_candidate_pairs."""
     sh = _sh if _sh is not None else _shingle_table(df, id_col, text_col)
+    if candidates is not None:
+        # Candidate-driven verify: only docs appearing in a candidate
+        # pair contribute to any inner join below, so reduce the
+        # shingle table FIRST with a semi-join on the candidate id set
+        # (bounded by 2x|candidates|; AQE broadcasts it when small).
+        # Every downstream shuffle then carries candidate-involved
+        # docs' shingles instead of the whole corpus's.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is None:
         cold = sh
@@ -508,11 +549,16 @@ def fuzzy_dedup(
     singleton keeps itself). Filter `keep` to materialize the
     deduplicated corpus; join back on component for provenance."""
     sh = _shingle_table(df, id_col, text_col).persist()
-    verified = None
+    verified = cands = None
     try:
+        # persisted: the verify stage references the candidate pairs
+        # TWICE (the candidate-id semi-join reduction of the shingle
+        # table, then the intersect join) — without a persist the whole
+        # LSH pipeline would run once per reference. Bounded relation
+        # (one row per candidate pair, the bucket caps bound it).
         cands = lsh_candidate_pairs(
             df, id_col, text_col, num_hashes, band_size, _sh=sh
-        )
+        ).persist()
         # persisted: connected_components builds its edge list as the
         # UNION of both pair directions — two references to this frame,
         # which would otherwise run the whole LSH + exact-jaccard
@@ -527,6 +573,8 @@ def fuzzy_dedup(
         )
     finally:
         sh.unpersist()
+        if cands is not None:
+            cands.unpersist()
         if verified is not None:
             verified.unpersist()
     return comp.select(
@@ -622,23 +670,14 @@ def decontaminate_fuzzy(
     bid, btx = f"_b_{id_col}", f"_b_{text_col}"
     bench_r = bench.select(F.col(id_col).alias(bid), F.col(text_col).alias(btx))
 
-    def band_table(sig: DataFrame, key_col: str) -> DataFrame:
-        n_bands = num_hashes // band_size
-        parts = []
-        for b in range(n_bands):
-            key = F.concat_ws(
-                "_", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-            )
-            parts.append(
-                sig.select(F.col(key_col), F.lit(b).alias("band"), key.alias("band_key"))
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    bands_c = band_table(minhash_signatures(corpus, id_col, text_col, num_hashes), id_col)
-    bands_b = band_table(minhash_signatures(bench_r, bid, btx, num_hashes), bid)
+    bands_c = _explode_bands(
+        minhash_signatures(corpus, id_col, text_col, num_hashes), id_col,
+        num_hashes, band_size,
+    )
+    bands_b = _explode_bands(
+        minhash_signatures(bench_r, bid, btx, num_hashes), bid,
+        num_hashes, band_size,
+    )
     cands = (
         bands_c.join(F.broadcast(bands_b), ["band", "band_key"])
         .select(id_col, bid)
@@ -771,19 +810,32 @@ def winnow_candidate_pairs(
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
         F.col(id_col), "fp"
     ).distinct()
-    sized = fps.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("bucket_n") <= int(max_bucket))
-    a, b = sized.alias("a"), sized.alias("b")
+    # One groupBy bucketizes each fingerprint (replacing the window +
+    # self-join, which shuffled the fingerprint table 4x and evaluated
+    # its derivation twice); pairs are generated inside each <=
+    # max_bucket bucket from the sorted id array, then counted per
+    # pair — identical (id_a < id_b, one instance per shared fp).
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= int(max_bucket)))
+        .select(F.array_sort("_ids").alias("_ids"))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        pairs.groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= int(min_shared))
     )
