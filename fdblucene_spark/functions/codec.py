@@ -101,6 +101,27 @@ def varbyte_encode_split(values: np.ndarray, seg_starts: np.ndarray) -> list[byt
     return [buf[a:b] for a, b in zip(byte_starts.tolist(), byte_ends.tolist())]
 
 
+def varbyte_split_cells(buf: bytes, counts: np.ndarray) -> list[bytes]:
+    """Slice a varbyte stream into per-segment byte cells WITHOUT
+    decoding values: counts[i] = number of varbyte values in segment i.
+    Because every per-posting encoding here restarts its delta at the
+    posting boundary, a block blob sliced at these boundaries yields
+    byte-identical per-posting cells (the inverted relation's layout) —
+    the zero-copy path a sorted merge uses to move occurrence payloads
+    through a docID remap untouched."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    c = np.ascontiguousarray(counts, dtype=np.int64)
+    if a.size == 0:
+        return [b""] * c.size
+    ends = np.flatnonzero((a & 0x80) == 0)  # byte index of each value's last byte
+    vc = np.cumsum(c)
+    cell_ends = np.where(c > 0, ends[np.maximum(vc - 1, 0)] + 1, 0)
+    # empty segments inherit the previous boundary (zero-length cell)
+    np.maximum.accumulate(cell_ends, out=cell_ends)
+    cell_starts = np.concatenate(([0], cell_ends[:-1]))
+    return [buf[s:e] for s, e in zip(cell_starts.tolist(), cell_ends.tolist())]
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """Gaps of a sorted non-negative array; first element absolute."""
     v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)

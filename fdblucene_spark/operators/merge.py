@@ -1061,11 +1061,12 @@ _SORTED_FLAT_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("doc", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
-        T.StructField("dlq", T.IntegerType(), False),
-        T.StructField("pos", T.ArrayType(T.LongType()), True),
-        T.StructField("ost", T.ArrayType(T.LongType()), True),
-        T.StructField("oln", T.ArrayType(T.LongType()), True),
-        T.StructField("pay", T.ArrayType(T.LongType()), True),
+        T.StructField("dlq", T.LongType(), False),
+        # per-posting byte cells sliced verbatim from the block blobs
+        # (the inverted relation's layout) — never decoded int arrays
+        T.StructField("positions", T.BinaryType(), True),
+        T.StructField("offsets", T.BinaryType(), True),
+        T.StructField("payloads", T.BinaryType(), True),
     ]
 )
 
@@ -1176,11 +1177,16 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
     )
 
     def flatten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one output frame per INPUT batch (not per block row): the
-        # per-block decode is unavoidable Python, but frame assembly
-        # and Arrow serialization amortize over the whole batch —
-        # building thousands of one-block pandas frames dominated the
-        # old wall time
+        # One output frame per INPUT batch. Only docs/tfs/dlqs are
+        # decoded (cheap int streams); the positions/offsets/payloads
+        # blobs are SLICED into per-posting byte cells without a
+        # decode/re-encode round trip — every per-posting encoding
+        # restarts its delta at the posting boundary, so the block
+        # blob's slices ARE the inverted relation's cells, and docID
+        # remapping never touches occurrence payloads. (The previous
+        # kernel decoded every occurrence into ~1 small numpy array
+        # per posting — millions of tiny Arrow list cells through two
+        # shuffles.)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1192,7 +1198,6 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
             dlqs_l: list[np.ndarray] = []
             pos_l: list = []
             ost_l: list = []
-            oln_l: list = []
             pay_l: list = []
             for r in pdf.itertuples(index=False):
                 r = r._asdict()
@@ -1201,23 +1206,17 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
                     continue
                 t = codec.decode_tf_block(r["tfs"])
                 q = np.frombuffer(r["dlqs"], dtype=np.uint8).astype(np.int64)
-                bounds = np.cumsum(t)[:-1]
                 n = d.size
                 if store_positions and r["positions"] is not None:
-                    flat, _ = codec.decode_positions_block(r["positions"], t)
-                    pos_l.extend(np.split(flat.astype(np.int64), bounds))
+                    pos_l.extend(codec.varbyte_split_cells(r["positions"], t))
                 else:
                     pos_l.extend([None] * n)
                 if store_off and r["offsets"] is not None:
-                    o_s, o_e, _ = codec.decode_offsets_block(r["offsets"], t)
-                    ost_l.extend(np.split(o_s.astype(np.int64), bounds))
-                    oln_l.extend(np.split((o_e - o_s).astype(np.int64), bounds))
+                    ost_l.extend(codec.varbyte_split_cells(r["offsets"], 2 * t))
                 else:
                     ost_l.extend([None] * n)
-                    oln_l.extend([None] * n)
                 if store_pay and r.get("payloads") is not None:
-                    pv, _ = codec.decode_payloads_block(r["payloads"], t)
-                    pay_l.extend(np.split(pv.astype(np.int64), bounds))
+                    pay_l.extend(codec.varbyte_split_cells(r["payloads"], t))
                 else:
                     pay_l.extend([None] * n)
                 off = int(r["doc_off"]) if has_doc_off else 0
@@ -1225,7 +1224,7 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
                 terms_l.append(np.full(n, r["term"], dtype=object))
                 docs_l.append((d + off).astype(np.int64))
                 tfs_l.append(t.astype(np.int64))
-                dlqs_l.append(q.astype(np.int32))
+                dlqs_l.append(q.astype(np.int64))
             if not docs_l:
                 continue
             yield pd.DataFrame(
@@ -1235,10 +1234,9 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
                     "doc": np.concatenate(docs_l),
                     "tf": np.concatenate(tfs_l),
                     "dlq": np.concatenate(dlqs_l),
-                    "pos": pos_l,
-                    "ost": ost_l,
-                    "oln": oln_l,
-                    "pay": pay_l,
+                    "positions": pos_l,
+                    "offsets": ost_l,
+                    "payloads": pay_l,
                 }
             )
 
@@ -1252,51 +1250,27 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
 
     block_size = manifest.block_size
 
-    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        fld, term = key[0], key[1]
-        empty = pd.DataFrame(
-            {f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA.fields}
-        ).iloc[:0]
-        if pdf.empty:
-            return empty
-        pdf = pdf.sort_values("doc", kind="mergesort")
-        docs = pdf["doc"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dlqs = pdf["dlq"].to_numpy(dtype=np.int64)
-        has_pos = store_positions and pdf["pos"].iloc[0] is not None
-        has_off2 = store_off and pdf["ost"].iloc[0] is not None
-        has_pay2 = store_pay and pdf["pay"].iloc[0] is not None
-        shards = docs % n_shards
-        rows: list[tuple] = []
+    # Pack with the BUILD's whole-partition kernel over a (field, term,
+    # shard) hash repartition — many groups per task, parallelism is
+    # n_terms * n_shards spread over the shuffle partitions instead of
+    # one applyInPandas call per (field, term) group (the documents
+    # corpus has ~31 terms: the old groupBy shape capped the pack
+    # stage at ~31 tasks, each materializing one corpus-wide group in
+    # a single Python call). The kernel consumes the per-posting byte
+    # cells verbatim, so a sorted merge produces byte-identical block
+    # encodings to a fresh sorted build of the same rows.
+    from .build import _pack_factory
 
-        def cat(col, sel):
-            vals = pdf[col].to_numpy()[sel]
-            return (
-                np.concatenate([np.asarray(v, dtype=np.int64) for v in vals])
-                if len(vals)
-                else np.array([], dtype=np.int64)
-            )
-
-        for sh in np.unique(shards):
-            sel = shards == sh
-            g = {
-                "docs": docs[sel],
-                "tfs": tfs[sel],
-                "dlqs": dlqs[sel],
-                "pos": cat("pos", sel) if has_pos else None,
-                "ost": cat("ost", sel) if has_off2 else None,
-                "oln": cat("oln", sel) if has_off2 else None,
-                "pay": cat("pay", sel) if has_pay2 else None,
-            }
-            rows.extend(
-                _pack_group_rows(fld, term, int(sh), g, block_size, has_pos)
-            )
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
-
-    blocks = remapped.groupBy("field", "term").applyInPandas(
-        pack, schema=POSTINGS_SCHEMA
+    pack_partitions = spark.sparkContext.defaultParallelism
+    blocks = (
+        remapped.withColumn(
+            "shard", F.pmod(F.col("doc"), F.lit(n_shards)).cast("int")
+        )
+        .repartition(pack_partitions, "field", "term", "shard")
+        .mapInPandas(
+            _pack_factory(block_size, store_positions, store_off, store_pay),
+            schema=POSTINGS_SCHEMA,
+        )
     )
     termdict = termdict_from_blocks(blocks)
     lineage = {

@@ -110,3 +110,35 @@ def test_pack_blocks_metadata():
         assert np.array_equal(d, docs[off: off + b["n"]])
         assert np.array_equal(t, tfs[off: off + b["n"]])
         off += b["n"]
+
+
+def test_varbyte_split_cells_matches_per_posting_encoding():
+    # The sorted-merge zero-copy path: slicing a block's positions blob
+    # at posting boundaries must reproduce the per-posting cells the
+    # build writes into the inverted relation (delta restarts at each
+    # posting make the slices self-contained).
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 9, size=200).astype(np.int64)
+    total = int(tfs.sum())
+    starts = np.cumsum(tfs) - tfs
+    flat = np.concatenate([
+        np.sort(rng.integers(0, 500, size=t)) for t in tfs
+    ]).astype(np.int64)
+    blob = codec.encode_positions_block(flat, tfs)
+    cells = codec.varbyte_split_cells(blob, tfs)
+    gaps = np.empty(total, dtype=np.int64)
+    gaps[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+    gaps[starts] = flat[starts]
+    expected = codec.varbyte_encode_split(gaps.astype(np.uint64), starts)
+    assert cells == expected
+    assert b"".join(cells) == blob
+
+
+def test_varbyte_split_cells_empty_segments():
+    vals = np.array([7, 300, 2], dtype=np.uint64)
+    blob = codec.varbyte_encode(vals)
+    cells = codec.varbyte_split_cells(blob, np.array([0, 2, 0, 1, 0]))
+    assert cells[0] == b"" and cells[2] == b"" and cells[4] == b""
+    assert np.array_equal(codec.varbyte_decode(cells[1]), vals[:2])
+    assert np.array_equal(codec.varbyte_decode(cells[3]), vals[2:])
