@@ -76,6 +76,10 @@ INVERTED_SCHEMA = T.StructType(
         T.StructField("positions", T.BinaryType(), True),
         T.StructField("offsets", T.BinaryType(), True),
         T.StructField("payloads", T.BinaryType(), True),
+        # True on exactly ONE row per (field, doc): the inverter emits
+        # docs contiguously, so doclen is a map-only filter on this
+        # flag instead of a corpus-sized groupBy(field, doc) shuffle
+        T.StructField("lead", T.BooleanType(), False),
     ]
 )
 
@@ -417,6 +421,11 @@ def _invert_text(
         )
     else:
         out["payloads"] = None
+    group_docs = docs[r[pstarts]]
+    lead = np.empty(group_docs.size, dtype=bool)
+    lead[0] = True
+    np.not_equal(group_docs[1:], group_docs[:-1], out=lead[1:])
+    out["lead"] = lead
     if emit_roster and not keep.all():
         out = pd.concat([out, _roster_frame(fld, docs[~keep])], ignore_index=True)
     return out
@@ -438,6 +447,7 @@ def _roster_frame(fld: str, docs: np.ndarray) -> pd.DataFrame:
     out["positions"] = None
     out["offsets"] = None
     out["payloads"] = None
+    out["lead"] = True  # roster docs have no other row for this field
     return out
 
 
@@ -461,6 +471,7 @@ def _invert_keyword(fld: str, docs: np.ndarray, values: pd.Series, store_positio
     out["positions"] = b"\x00" if store_positions else None  # single position 0
     out["offsets"] = None  # keyword fields carry no character offsets
     out["payloads"] = None  # ... and no payloads
+    out["lead"] = True  # one row per doc by construction
     return out
 
 
@@ -731,9 +742,10 @@ def build_postings(
     termdict = posted.groupBy("field", "term").agg(
         F.count(F.lit(1)).cast("long").alias("df"), F.sum("tf").cast("long").alias("ttf")
     )
-    doclen = inverted.groupBy("field", "doc").agg(
-        F.first("dl").alias("dl"), F.first("dlq").alias("dlq")
-    )
+    # map-only doclen: the inverter marks exactly one row per
+    # (field, doc) — the old groupBy(field, doc).first() shuffled the
+    # whole inverted relation to produce the same rows
+    doclen = inverted.filter(F.col("lead")).select("field", "doc", "dl", "dlq")
     if pack_partitions is None:
         pack_partitions = docs_df.sparkSession.sparkContext.defaultParallelism
     blocks = (

@@ -289,3 +289,29 @@ def test_pruning_rank_identity_selective_broad_small_k(spark, tmp_path_factory):
     prof = s.profile_local(["needle", "head1", "head2"], k=5, mode="or")
     frac = prof["blocks_pruned"] / max(prof["blocks_total"], 1)
     assert frac > 0.5, f"pruning inert: only {frac:.0%} pruned ({prof})"
+
+
+def test_doclen_lead_flag_matches_groupby(spark):
+    """The map-only doclen (lead-flag filter) must emit exactly the
+    rows the old corpus-shuffle groupBy(field, doc).first() produced —
+    one per (field, doc), including dl=0 roster rows."""
+    from pyspark.sql import functions as F
+    from fdblucene_spark.operators.build import assign_dense_doc_ids, build_postings
+
+    df = synth.transcripts(spark, n_convs=8)
+    # plant an empty-text doc to exercise the roster path
+    df = df.withColumn(
+        "text", F.when(F.col("turn_idx") == 0, F.lit("")).otherwise(F.col("text"))
+    )
+    docs = assign_dense_doc_ids(df, ["conv_id", "turn_idx"]).select("doc", "text")
+    _, _, doclen, inverted = build_postings(docs, n_shards=2)
+    got = doclen.toPandas().sort_values(["field", "doc"], ignore_index=True)
+    exp = (
+        inverted.groupBy("field", "doc")
+        .agg(F.first("dl").alias("dl"), F.first("dlq").alias("dlq"))
+        .toPandas()
+        .sort_values(["field", "doc"], ignore_index=True)
+    )
+    assert got.equals(exp)
+    assert (got.groupby(["field", "doc"]).size() == 1).all()
+    assert (got["dl"] == 0).any()  # roster row present
