@@ -82,32 +82,57 @@ def _shingles_sql(text_col: str, n: int = SHINGLE_N) -> str:
 )"""
 
 
-def _shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) — one row per DISTINCT word-shingle per doc, the
-    shared intermediate of minhash signatures and exact-jaccard
-    verification (fuzzy_dedup computes it once and persists it)."""
+def _shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _shs) — each doc's DISTINCT word-shingle array, the shared
+    intermediate of minhash signatures (map-only folds over the array)
+    and exact-jaccard verification (explode on demand); fuzzy_dedup
+    computes it once and persists it."""
     from ._spread import spread
 
     return spread(df).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col))).alias("shingle")
+        F.col(id_col), F.array_distinct(shingles_col(text_col)).alias("_shs")
     )
 
 
-def _minhash_from_shingles(
-    sh: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+def _shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) — one row per DISTINCT word-shingle per doc."""
+    return _explode_shingles(_shingle_arrays(df, id_col, text_col), id_col)
+
+
+def _explode_shingles(arrs: DataFrame, id_col: str) -> DataFrame:
+    return arrs.select(F.col(id_col), F.explode("_shs").alias("shingle"))
+
+
+def _minhash_from_arrays(
+    arrs: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """Signature aggregation over a prebuilt (id, shingle) table."""
+    """Signatures as MAP-ONLY folds over each doc's shingle array:
+    h_i = array_min(transform(shingles, s -> hash_i(s))) — no explode,
+    no shuffle (the old shape exploded one row per shingle and pushed
+    the whole relation through a groupBy(id) aggregate). One md5
+    transform per 4 hash values is shared across its chunk extracts."""
     n_md5 = (num_hashes + 3) // 4
-    md5s = [
-        F.md5(F.to_binary(F.concat(F.lit(f"{a}:"), F.col("shingle")), F.lit("utf-8")))
-        for a in range(n_md5)
-    ]
-    aggs = []
-    for i in range(num_hashes):
-        a, b = divmod(i, 4)
-        hv = F.conv(F.substring(md5s[a], 1 + 8 * b, 8), 16, 10).cast("long")
-        aggs.append(F.min(hv).alias(f"h{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+
+    # closure factories: a 2-arg lambda handed to F.transform would
+    # receive (element, array_index) — never use defaults to bind the
+    # loop variable here
+    def md5_arr(a: int):
+        return F.transform(
+            F.col("_shs"),
+            lambda s: F.md5(F.to_binary(F.concat(F.lit(f"{a}:"), s), F.lit("utf-8"))),
+        ).alias(f"_m{a}")
+
+    def h_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col(f"_m{a}"),
+                lambda m: F.conv(F.substring(m, 1 + 8 * b, 8), 16, 10).cast("long"),
+            )
+        )
+
+    base = arrs.select(F.col(id_col), *[md5_arr(a) for a in range(n_md5)])
+    cols = [h_min(*divmod(i, 4)).alias(f"h{i}") for i in range(num_hashes)]
+    return base.select(F.col(id_col), *cols)
 
 
 def minhash_signatures(
@@ -119,10 +144,11 @@ def minhash_signatures(
     8-hex-char chunk), so k hashes cost ceil(k/4) md5 evaluations per
     shingle — md5 dominates this operator's cost at scale. Chunking:
     h_{4a+b} = int(md5(a ':' s)[8b : 8b+8], 16). Deterministic and
-    bit-identical in DuckDB SQL.
+    bit-identical in DuckDB SQL. Whole-stage-codegen map pass, zero
+    shuffles (per-doc min over the shingle array).
     """
-    return _minhash_from_shingles(
-        _shingle_table(df, id_col, text_col), id_col, num_hashes
+    return _minhash_from_arrays(
+        _shingle_arrays(df, id_col, text_col), id_col, num_hashes
     )
 
 
@@ -163,12 +189,12 @@ def lsh_candidate_pairs(
     the band (band_idx, key) only. max_bucket caps degenerate buckets
     (the skew guard): buckets larger than that are dropped with the
     assumption that a near-universal shingle is not dedup signal.
-    _sh: optional prebuilt (id, shingle) table (fuzzy_dedup passes a
-    persisted one so signature and verify stages share ONE
+    _sh: optional prebuilt (id, _shs) shingle-ARRAY table (fuzzy_dedup
+    passes a persisted one so signature and verify stages share ONE
     tokenize+shingle pass); result is identical either way.
     """
-    sig = _minhash_from_shingles(
-        _sh if _sh is not None else _shingle_table(df, id_col, text_col),
+    sig = _minhash_from_arrays(
+        _sh if _sh is not None else _shingle_arrays(df, id_col, text_col),
         id_col, num_hashes,
     )
     # Band table via ONE explode over the signature relation — the old
@@ -331,24 +357,24 @@ def ngram_jaccard_pairs(
     Alternatively pass `candidates` (id_a, id_b) from
     lsh_candidate_pairs to skip generation entirely (the
     verify-LSH-candidates role at 100 TB).
-    _sh: optional prebuilt (id, shingle) table, same contract as
-    lsh_candidate_pairs."""
-    sh = _sh if _sh is not None else _shingle_table(df, id_col, text_col)
+    _sh: optional prebuilt (id, _shs) shingle-ARRAY table, same
+    contract as lsh_candidate_pairs."""
+    arrs = _sh if _sh is not None else _shingle_arrays(df, id_col, text_col)
     if candidates is not None:
         # Candidate-driven verify: only docs appearing in a candidate
         # pair contribute to any inner join below, so reduce the
-        # shingle table FIRST with a semi-join on the candidate id set
-        # (bounded by 2x|candidates|; AQE broadcasts it when small).
-        # Every downstream shuffle then carries candidate-involved
-        # docs' shingles instead of the whole corpus's.
+        # shingle-array table FIRST with a semi-join on the candidate
+        # id set (bounded by 2x|candidates|; AQE broadcasts it when
+        # small). Every downstream shuffle then carries
+        # candidate-involved docs' shingles instead of the corpus's.
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .unionByName(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(cand_ids, id_col, "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        arrs = arrs.join(cand_ids, id_col, "left_semi")
     if candidates is None:
+        sh = _explode_shingles(arrs, id_col)
         cold = sh
         if max_bucket is not None:
             hot = (
@@ -368,23 +394,27 @@ def ngram_jaccard_pairs(
             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
             .distinct()
         )
-    # exact |A ∩ B| per candidate pair: candidate-driven joins, sized
-    # sum(|A|) over candidates — bounded by the capped generation
-    pa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    pb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        candidates.join(pa, "id_a")
-        .join(pb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # no forced broadcast: `sizes` is one row per CORPUS doc (10^9 rows
-    # at scale) — AQE broadcasts it when small and shuffles otherwise
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    # exact |A ∩ B| per candidate pair: attach both shingle ARRAYS to
+    # the pair row and intersect in the JVM (array_intersect over the
+    # already-distinct arrays) — two candidate-keyed joins and a map,
+    # replacing the old explode -> per-(pair, shingle) join -> groupBy
+    # count -> two size joins chain (which shuffled sum(|A|) rows per
+    # candidate plus the exploded shingle relation twice). |A| / |B|
+    # ride the same rows as array lengths. Bounded by candidates x
+    # max shingle-set size; the semi-join above keeps the array side
+    # candidate-sized at any corpus scale.
+    aa = arrs.select(F.col(id_col).alias("id_a"), F.col("_shs").alias("_sa"))
+    bb = arrs.select(F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            F.size("_sa").cast("long").alias("na"),
+            F.size("_sb").cast("long").alias("nb"),
+        )
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -548,7 +578,7 @@ def fuzzy_dedup(
     canonical id, keep is True for exactly one doc per cluster (every
     singleton keeps itself). Filter `keep` to materialize the
     deduplicated corpus; join back on component for provenance."""
-    sh = _shingle_table(df, id_col, text_col).persist()
+    sh = _shingle_arrays(df, id_col, text_col).persist()
     verified = cands = None
     try:
         # persisted: the verify stage references the candidate pairs
