@@ -2727,6 +2727,9 @@ def preference_pairs(
     negative hookup is ONE uniform equi-join on rank+1. No self-join
     on conversation, no skew (md5 ranks are uniform by
     construction), rerun/partitioning-invariant end to end."""
+    import os as _os
+    import uuid as _uuid
+
     pairs = response_pairs(
         df, conv_col, turn_col, role_col, text_col, prompt_role, response_role
     )
@@ -2737,22 +2740,35 @@ def preference_pairs(
         ),
     )
     ranks = global_shuffle(keyed.select("_pid"), "_pid", salt=salt)
-    ranked = keyed.join(ranks, "_pid")
-    cand = ranked.select(
+    # FREEZE the ranked pairs once: the successor join reads this
+    # relation from both sides (and the old isNull/wrap split read it
+    # five times, re-running the pair mining + shuffle rank pipeline
+    # per reference); the pair count for the cyclic wrap comes from
+    # the parquet footers — no count job.
+    spark = df.sparkSession
+    freeze = _os.path.join("/tmp", "sparklucene-pref-" + _uuid.uuid4().hex[:12])
+    keyed.join(ranks, "_pid").write.mode("errorifexists").parquet(freeze)
+    frozen = spark.read.parquet(freeze)
+    import pyarrow.parquet as _pq
+
+    n_pairs = 0
+    for name in _os.listdir(freeze):
+        if name.endswith(".parquet"):
+            n_pairs += _pq.read_metadata(_os.path.join(freeze, name)).num_rows
+    cand = frozen.select(
         F.col("shuffle_rank").alias("_nrank"),
         F.col("conv").alias("_nconv"),
         F.col("response").alias("rejected"),
     )
-    succ = ranked.join(
-        cand, ranked["shuffle_rank"] + F.lit(1) == cand["_nrank"], "left"
+    # successor = (rank + 1) mod n — ONE uniform inner equi-join covers
+    # the wrap row too (rank n-1 -> rank 0), replacing the left join +
+    # null-split + broadcast-wrap union that evaluated the pair
+    # pipeline once per branch
+    out = frozen.join(
+        cand,
+        F.pmod(frozen["shuffle_rank"] + F.lit(1), F.lit(max(n_pairs, 1)))
+        == cand["_nrank"],
     )
-    wrap0 = cand.filter(F.col("_nrank") == 0)
-    wrapped = (
-        succ.filter(F.col("_nrank").isNull())
-        .drop("_nrank", "_nconv", "rejected")
-        .crossJoin(F.broadcast(wrap0))
-    )
-    out = succ.filter(F.col("_nrank").isNotNull()).unionByName(wrapped)
     return (
         out.filter(F.col("conv") != F.col("_nconv"))
         .select(

@@ -302,10 +302,71 @@ def _split_aux(
     return dels, allowed
 
 
+# ---- per-kernel-call block-decode memo (batch surfaces) -------------
+# Content-addressed: an encoded block decodes identically every time,
+# so a 50-query batch whose queries share head terms decodes each hot
+# block ONCE per kernel call instead of once per query. Cached arrays
+# are marked read-only (every consumer masks/copies before arithmetic;
+# an accidental in-place write raises instead of corrupting). The
+# cache is a plain dict scoped to one kernel invocation — bounded by
+# the shard's distinct blocks, freed with the call.
+_DEC_CACHE: dict | None = None
+
+
+class _decode_memo:
+    def __enter__(self):
+        global _DEC_CACHE
+        self._prev = _DEC_CACHE
+        _DEC_CACHE = {}
+        return self
+
+    def __exit__(self, *a):
+        global _DEC_CACHE
+        _DEC_CACHE = self._prev
+
+
+def _memoized(kind: int, key_buf, compute):
+    c = _DEC_CACHE
+    if c is None:
+        return compute()
+    k = (kind, key_buf)
+    r = c.get(k)
+    if r is None:
+        r = compute()
+        if isinstance(r, np.ndarray):
+            r.setflags(write=False)
+        else:
+            for a in r:
+                a.setflags(write=False)
+        c[k] = r
+    return r
+
+
+def _dec_docs(buf) -> np.ndarray:
+    return _memoized(0, buf, lambda: codec.decode_doc_block(buf))
+
+
+def _dec_tfs(buf) -> np.ndarray:
+    return _memoized(1, buf, lambda: codec.decode_tf_block(buf))
+
+
+def _dec_dlqs(buf) -> np.ndarray:
+    return _memoized(
+        2, buf, lambda: np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    )
+
+
+def _dec_pos(pos_buf, tf_buf, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # keyed on BOTH buffers: the posting split depends on the tf block
+    return _memoized(
+        3, (pos_buf, tf_buf), lambda: codec.decode_positions_block(pos_buf, tfs)
+    )
+
+
 def _decode_block_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    docs = [codec.decode_doc_block(b) for b in rows["docs"]]
-    tfs = [codec.decode_tf_block(b) for b in rows["tfs"]]
-    dlqs = [np.frombuffer(b, dtype=np.uint8).astype(np.int64) for b in rows["dlqs"]]
+    docs = [_dec_docs(b) for b in rows["docs"]]
+    tfs = [_dec_tfs(b) for b in rows["tfs"]]
+    dlqs = [_dec_dlqs(b) for b in rows["dlqs"]]
     cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, dtype=np.int64)  # noqa: E731
     return cat(docs), cat(tfs), cat(dlqs)
 
@@ -489,12 +550,12 @@ def _phrase_filter(
         rows = groups.get(t)
         if rows is not None:
             for _, r in rows.iterrows():  # per block; heavy work vectorized
-                d = codec.decode_doc_block(r["docs"])
+                d = _dec_docs(r["docs"])
                 sel_mask = np.isin(d, cand, assume_unique=True)
                 if not sel_mask.any():
                     continue
-                tf = codec.decode_tf_block(r["tfs"])
-                flat, starts_arr = codec.decode_positions_block(r["positions"], tf)
+                tf = _dec_tfs(r["tfs"])
+                flat, starts_arr = _dec_pos(r["positions"], r["tfs"], tf)
                 sel = np.flatnonzero(sel_mask)
                 lens = tf[sel]
                 total = int(lens.sum())
@@ -542,12 +603,12 @@ def _gather_positions(
     rows = groups.get(t)
     if rows is not None:
         for _, r in rows.iterrows():
-            d = codec.decode_doc_block(r["docs"])
+            d = _dec_docs(r["docs"])
             sel_mask = np.isin(d, cand, assume_unique=True)
             if not sel_mask.any():
                 continue
-            tf = codec.decode_tf_block(r["tfs"])
-            flat, starts_arr = codec.decode_positions_block(r["positions"], tf)
+            tf = _dec_tfs(r["tfs"])
+            flat, starts_arr = _dec_pos(r["positions"], r["tfs"], tf)
             sel = np.flatnonzero(sel_mask)
             lens = tf[sel]
             total = int(lens.sum())
@@ -855,7 +916,7 @@ def _sorted_match_early(
                 out.append(cand[:k])
                 break
             row = termblocks[nxt].iloc[ptr[nxt]]
-            decoded[nxt].append(codec.decode_doc_block(row["docs"]))
+            decoded[nxt].append(_dec_docs(row["docs"]))
             ptr[nxt] += 1
             if stats_out is not None:
                 stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + 1
@@ -1864,15 +1925,23 @@ class Searcher:
 
     def _apply_kernel(self, scan: DataFrame, kernel_fn, schema, aux: DataFrame | None):
         """groupBy(shard).applyInPandas, cogrouping the aux side input
-        when one exists. kernel_fn(postings_pdf, aux_pdf_or_None)."""
+        when one exists. kernel_fn(postings_pdf, aux_pdf_or_None).
+        Every kernel runs under the block-decode memo, so batch
+        surfaces whose queries share terms decode each hot block once
+        per call instead of once per query."""
+
+        def run(pdf, aux_pdf):
+            with _decode_memo():
+                return kernel_fn(pdf, aux_pdf)
+
         if aux is None:
             return scan.groupBy("shard").applyInPandas(
-                lambda pdf: kernel_fn(pdf, None), schema=schema
+                lambda pdf: run(pdf, None), schema=schema
             )
         return (
             scan.groupBy("shard")
             .cogroup(aux.groupBy("shard"))
-            .applyInPandas(lambda left, right: kernel_fn(left, right), schema=schema)
+            .applyInPandas(lambda left, right: run(left, right), schema=schema)
         )
 
     # ------------------------------------------------------------- term seek
