@@ -53,37 +53,72 @@ def naive_bayes_scores(
     against every class seen in `train`. Returns (id, class, score);
     empty target docs score prior-only (Lucene's classifier does the
     same — no tokens, no likelihood terms)."""
+    import os as _os
+    import uuid as _uuid
+
     from ._spread import spread
 
     train = spread(train)
     target = spread(target)
+    spark = train.sparkSession
     toks_tr = train.select(
         F.col(class_col).alias("class"), F.explode(tokens_col(text_col)).alias("t")
     )
-    # model: per-class token totals + priors + vocab size
-    cls = train.groupBy(F.col(class_col).alias("class")).agg(
-        F.count(F.lit(1)).cast("double").alias("docs_c")
+    # FREEZE the (class, token) count model once: per-class token
+    # totals, the vocabulary size and the log-prob table all derive
+    # from it, and deriving each from `toks_tr` directly re-ran the
+    # tokenize+explode pass over the training corpus once per
+    # aggregate (3x). The frozen model is V x C rows.
+    counts_dir = _os.path.join("/tmp", "sparklucene-nb-" + _uuid.uuid4().hex[:12])
+    toks_tr.groupBy("class", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    ).write.mode("errorifexists").parquet(counts_dir)
+    counts = spark.read.parquet(counts_dir)
+    # bounded model state (one row per class / one scalar): exact
+    # integer stats collected and re-injected as literals — every
+    # float expression below stays the SAME Catalyst expression as
+    # before, so scores are bit-identical
+    docs_c = {
+        r["class"]: int(r["n"])
+        for r in train.groupBy(F.col(class_col).alias("class"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tokens_c = {
+        r["class"]: int(r["s"])
+        for r in counts.groupBy("class").agg(F.sum("tf").cast("long").alias("s")).collect()
+    }
+    v_size = counts.select("t").distinct().count()
+    n_docs = sum(docs_c.values())
+    from pyspark.sql import types as T
+
+    cls_schema = T.StructType(
+        [
+            T.StructField("class", train.schema[class_col].dataType),
+            T.StructField("docs_c", T.DoubleType()),
+            T.StructField("tokens_c", T.DoubleType()),
+            T.StructField("v_size", T.DoubleType()),
+            T.StructField("n_docs", T.DoubleType()),
+        ]
     )
-    tok_c = toks_tr.groupBy("class").agg(F.count(F.lit(1)).cast("double").alias("tokens_c"))
-    consts = toks_tr.agg(F.countDistinct("t").cast("double").alias("v_size")).crossJoin(
-        train.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    classes = spark.createDataFrame(
+        [
+            (c, float(docs_c[c]), float(tokens_c.get(c, 0)), float(v_size), float(n_docs))
+            for c in sorted(docs_c, key=lambda x: (x is None, x))
+        ],
+        cls_schema,
+    ).select(
+        "class",
+        F.log(F.col("docs_c") / F.col("n_docs")).cast("float").alias("prior32"),
+        F.col("tokens_c"),
+        F.col("v_size"),
+        # smoothed floor for tokens unseen in this class
+        F.log(F.lit(1.0) / (F.col("tokens_c") + F.col("v_size")))
+        .cast("float").alias("floor32"),
     )
-    classes = (
-        cls.join(tok_c, "class", "left")
-        .na.fill({"tokens_c": 0.0})
-        .crossJoin(F.broadcast(consts))
-        .select(
-            "class",
-            F.log(F.col("docs_c") / F.col("n_docs")).cast("float").alias("prior32"),
-            F.col("tokens_c"),
-            F.col("v_size"),
-            # smoothed floor for tokens unseen in this class
-            F.log(F.lit(1.0) / (F.col("tokens_c") + F.col("v_size")))
-            .cast("float").alias("floor32"),
-        )
-    )
-    counts = toks_tr.groupBy("class", "t").agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    logp = counts.join(classes.select("class", "tokens_c", "v_size"), "class").select(
+    logp = counts.join(
+        F.broadcast(classes.select("class", "tokens_c", "v_size")), "class"
+    ).select(
         "class", "t",
         F.log((F.col("tf") + F.lit(1.0)) / (F.col("tokens_c") + F.col("v_size")))
         .cast("float").alias("logp32"),
