@@ -475,57 +475,53 @@ def connected_components(
     import os as _os
 
     spark = df.sparkSession
-    # The edge list (and, each round, the current labels) is PERSISTED:
-    # every round's neighbor-min job and convergence count would
-    # otherwise re-derive `pairs` from scratch — for the composed
-    # fuzzy_dedup pipeline that meant re-running the whole LSH +
-    # exact-jaccard chain once per round (measured ~4x the pipeline
-    # cost end-to-end). Edges/labels are bounded relations (one row
-    # per edge direction / per doc); MEMORY_AND_DISK spills at scale.
+    # The edge list (and, each round, the current labels) is cached AND
+    # lineage-truncated via localCheckpoint: every round's neighbor-min
+    # job and convergence count would otherwise re-derive `pairs` from
+    # scratch (for the composed fuzzy_dedup pipeline that meant
+    # re-running the whole LSH + exact-jaccard chain once per round),
+    # and — because each round's plan embeds the previous round's plan
+    # TWICE plus the edges pipeline — a plain persist leaves the
+    # LOGICAL plan doubling per round (measured: a 4-round run's final
+    # plan carried ~4,000 Exchange nodes that Catalyst re-analyzed on
+    # every downstream action even though execution was cached).
+    # Edges/labels are bounded relations (one row per edge direction /
+    # per doc); checkpoint blocks spill to disk at scale.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp"))
-    prev_cached = None
-    try:
-        for it in range(max_iter):
-            # neighbor minimum in one shuffle: candidate label for dst =
-            # min over incoming neighbors' current labels
-            nbr_min = (
-                edges.join(labels, edges["src"] == labels["id"])
-                .groupBy("dst")
-                .agg(F.min("comp").alias("nbr_comp"))
+    for it in range(max_iter):
+        # neighbor minimum in one shuffle: candidate label for dst =
+        # min over incoming neighbors' current labels
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("_chg"),
             )
-            new_labels = (
-                labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
-                .select(
-                    "id",
-                    F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-                    (F.col("nbr_comp") < F.col("comp")).alias("_chg"),
-                )
-            )
-            if freeze_dir is not None:
-                p = _os.path.join(freeze_dir, f"cc_round_{it}")
-                new_labels.write.mode("errorifexists").parquet(p)
-                new_labels = spark.read.parquet(p)
-            else:
-                new_labels = new_labels.persist()
-            changed = new_labels.agg(
-                F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")
-            ).first()["n"]
-            # the count action materialized new_labels; only now is the
-            # previous round's cache safe to drop
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = new_labels if freeze_dir is None else None
-            labels = new_labels.drop("_chg")
-            if not changed:
-                return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
-    finally:
-        edges.unpersist()
+        )
+        if freeze_dir is not None:
+            p = _os.path.join(freeze_dir, f"cc_round_{it}")
+            new_labels.write.mode("errorifexists").parquet(p)
+            new_labels = spark.read.parquet(p)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")
+        ).first()["n"]
+        labels = new_labels.drop("_chg")
+        if not changed:
+            return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds max_iter); raise max_iter"

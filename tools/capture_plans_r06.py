@@ -67,7 +67,22 @@ def main() -> None:
         "denoise_fim": lambda: curation.fim_transform(docs, "doc_id", "text", rate=0.7),
         "quality_classifier": lambda: curation.classifier_scores(
             docs, "doc_id", "text", n_buckets=4096),
+        "dedup_lsh_pairs": lambda: dedup.lsh_candidate_pairs(docs, "doc_id", "text"),
+        "dedup_winnow_pairs": lambda: dedup.winnow_candidate_pairs(
+            docs, "doc_id", "text"),
+        "preference_pairs": lambda: curation.preference_pairs(
+            _tx(), "conv_id", "turn_idx", "role", "text"),
+        "build_doclen": lambda: _build_doclen(),
     }
+
+    def _tx():
+        from fdblucene_spark.data import synth
+        return synth.transcripts(spark, n_convs=200)
+
+    def _build_doclen():
+        from fdblucene_spark.operators.build import build_postings
+        docs_df = docs.select(F.col("doc_id").alias("doc"), "text")
+        return build_postings(docs_df, n_shards=4)[2]
     for name, fn in stages.items():
         try:
             df = fn()
