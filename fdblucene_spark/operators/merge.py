@@ -304,7 +304,14 @@ def _write_merged(
     stored: DataFrame | None = None,
     keep_segments: list[SegmentMeta] | None = None,
     fields_override: list[str] | None = None,
+    termdict_from_written: bool = False,
 ) -> Manifest:
+    """termdict_from_written: callers whose termdict would be DERIVED
+    from `blocks` (sorted merge, delete repack, split) pass True and
+    termdict=None — the dict is then computed from the postings
+    parquet AFTER the blocks write lands, so the expensive
+    decode/repack pipeline runs ONCE instead of once per consumer
+    (blocks.write and termdict.write evaluated it concurrently)."""
     version = catalog.next_version()
     segment_id = f"seg-v{version:06d}-merge-{uuid.uuid4().hex[:8]}"
     rel = catalog.new_segment_path(segment_id)
@@ -343,17 +350,24 @@ def _write_merged(
             F.sum(F.when(ct, F.col("df"))).alias(f"np_{i}"),
         ]
     doclen = doclen.observe(obs_dl, *dl_exprs)
-    termdict = termdict.observe(obs_td, *td_exprs)
+    if not termdict_from_written:
+        termdict = termdict.observe(obs_td, *td_exprs)
     with ThreadPoolExecutor(4) as pool:
         jobs = [
             pool.submit(lambda: blocks.write.mode("errorifexists").parquet(os.path.join(seg_dir, "postings"))),
-            pool.submit(lambda: termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))),
             pool.submit(lambda: doclen.write.mode("errorifexists").parquet(os.path.join(seg_dir, "doclen"))),
         ]
+        if not termdict_from_written:
+            jobs.append(pool.submit(lambda: termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))))
         if stored is not None:
             jobs.append(pool.submit(lambda: stored.write.mode("errorifexists").parquet(os.path.join(seg_dir, "stored"))))
         for j in jobs:
             j.result()
+    if termdict_from_written:
+        termdict = termdict_from_blocks(
+            spark.read.parquet(os.path.join(seg_dir, "postings"))
+        ).observe(obs_td, *td_exprs)
+        termdict.write.mode("errorifexists").parquet(os.path.join(seg_dir, "termdict"))
     mdl, mtd = obs_dl.get, obs_td.get
     field_stats: dict[str, dict] = {}
     for i, fld_ in enumerate(all_fields):
@@ -483,8 +497,9 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
                 schema=POSTINGS_SCHEMA,
             )
         if has_deletes:
-            # surviving postings changed -> recompute exact stats
-            termdict = termdict_from_blocks(blocks)
+            # surviving postings changed -> recompute exact stats from
+            # the WRITTEN postings (the repack runs once, not twice)
+            termdict = None
         else:
             termdict = termdict_raw.groupBy("field", "term").agg(
                 F.sum("df").cast("long").alias("df"), F.sum("ttf").cast("long").alias("ttf")
@@ -497,7 +512,8 @@ def merge_segments(spark: SparkSession, root: str, mode: str = "concat") -> Mani
         "deletes_applied": bool(has_deletes and mode == "repack"),
     }
     return _write_merged(
-        spark, catalog, manifest, blocks, termdict, doclen, lineage, properties, stored
+        spark, catalog, manifest, blocks, termdict, doclen, lineage, properties, stored,
+        termdict_from_written=termdict is None,
     )
 
 
@@ -659,15 +675,16 @@ def expunge_deletes(spark: SparkSession, root: str) -> Manifest:
             schema=POSTINGS_SCHEMA,
         )
     )
-    termdict = termdict_from_blocks(blocks)  # surviving postings changed
     lineage = {
         "op": "expunge-deletes",
         "inputs": [s.segment_id for s in sel],
         "deletes_applied": True,
     }
+    # termdict from the WRITTEN postings (surviving postings changed;
+    # computing it from `blocks` would run the repack twice)
     return _write_merged(
-        spark, catalog, manifest, blocks, termdict, doclen, lineage, properties,
-        stored, keep_segments=keep,
+        spark, catalog, manifest, blocks, None, doclen, lineage, properties,
+        stored, keep_segments=keep, termdict_from_written=True,
     )
 
 
@@ -1031,7 +1048,6 @@ def split_index(
             .cogroup(dels_aux.groupBy("shard"))
             .applyInPandas(repack, schema=POSTINGS_SCHEMA)
         )
-        termdict = termdict_from_blocks(blocks)
         side_doclen = doclen.join(drop, "doc", "left_anti")
         side_stored = stored.join(drop, "doc", "left_anti") if stored is not None else None
         dest_cat = IndexCatalog(dest)
@@ -1047,9 +1063,10 @@ def split_index(
                    "inputs": [s.segment_id for s in manifest.segments]}
         out.append(
             _write_merged(
-                spark, dest_cat, synthetic_parent, blocks, termdict, side_doclen,
+                spark, dest_cat, synthetic_parent, blocks, None, side_doclen,
                 lineage, dict(properties), side_stored,
                 fields_override=manifest.fields(),
+                termdict_from_written=True,
             )
         )
     return out[0], out[1]
@@ -1272,7 +1289,6 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
             schema=POSTINGS_SCHEMA,
         )
     )
-    termdict = termdict_from_blocks(blocks)
     lineage = {
         "op": "merge_sorted",
         "inputs": [s.segment_id for s in manifest.segments],
@@ -1281,8 +1297,8 @@ def merge_sorted(spark: SparkSession, root: str) -> Manifest:
     }
     try:
         return _write_merged(
-            spark, catalog, manifest, blocks, termdict, doclen_new, lineage,
-            properties, stored_new,
+            spark, catalog, manifest, blocks, None, doclen_new, lineage,
+            properties, stored_new, termdict_from_written=True,
         )
     finally:
         import shutil
