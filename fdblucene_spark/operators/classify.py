@@ -84,11 +84,16 @@ def naive_bayes_scores(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    tokens_c = {
-        r["class"]: int(r["s"])
-        for r in counts.groupBy("class").agg(F.sum("tf").cast("long").alias("s")).collect()
-    }
-    v_size = counts.select("t").distinct().count()
+    # per-class token totals AND the global vocab size in ONE rollup
+    # job over the frozen model (grouping_id separates the total row
+    # from a genuine NULL class)
+    model_rows = counts.rollup("class").agg(
+        F.sum("tf").cast("long").alias("s"),
+        F.countDistinct("t").alias("v"),
+        F.grouping_id().alias("g"),
+    ).collect()
+    tokens_c = {r["class"]: int(r["s"]) for r in model_rows if r["g"] == 0}
+    v_size = next(int(r["v"]) for r in model_rows if r["g"] == 1)
     n_docs = sum(docs_c.values())
     from pyspark.sql import types as T
 
