@@ -29,7 +29,8 @@ def noop(df):
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    # default: the sf1.0-scale mimic from tools/make_sf_mimic.py
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/sf1.0")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = set(sys.argv[1:])
 
